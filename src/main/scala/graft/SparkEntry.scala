@@ -1,13 +1,32 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+  * north-star operators) is exposed as a named batch query over the
+  * TESTDATA.md parquet fixtures, with equivalent DuckDB-runnable ANSI SQL
+  * in [[oracleSql]] where the semantics are SQL-expressible.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> Relational.pricingSummary _,
+    "q3_shipping_priority" -> Relational.shippingPriority _,
+    "q_window_topk" -> Relational.topOrdersPerCustomer _,
+    "q_rollup" -> Relational.orderRollup _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> Relational.pricingSummarySql,
+    "q3_shipping_priority" -> Relational.shippingPrioritySql,
+    "q_window_topk" -> Relational.topOrdersPerCustomerSql,
+    "q_rollup" -> Relational.orderRollupSql,
+  )
 }

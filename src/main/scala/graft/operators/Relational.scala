@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational showcase queries over the TPC-H-ish fixtures.
+  *
+  * The reference connector has no joins/aggregations/windows of its own
+  * (SURVEY.md §2.5); these queries exercise the Spark built-ins the engine
+  * composes with, and double as the benchmark headliners.
+  *
+  * Float-determinism convention (for DuckDB oracle hash-parity): monetary
+  * aggregates are summed as exact DECIMAL(18,2) and cast to DOUBLE only at
+  * the end, so Spark and the oracle produce bit-identical doubles regardless
+  * of accumulation order. Averages are exact-sum / count in double space.
+  */
+object Relational {
+
+  /** sum an exact-decimal view of a 2-dp double column, emit double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** TPC-H Q1-style pricing summary (agg over ~all of lineitem). */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+    val price = $"l_extendedprice".cast("decimal(18,2)")
+    val disc = $"l_discount".cast("decimal(18,2)")
+    val tax = $"l_tax".cast("decimal(18,2)")
+    l.filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        sum(price * (lit(1).cast("decimal(18,2)") - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (lit(1).cast("decimal(18,2)") - disc) * (lit(1).cast("decimal(18,2)") + tax))
+          .cast("double").as("sum_charge"),
+        (sum($"l_quantity".cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum($"l_extendedprice".cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: 3-way join, revenue top-10.
+    * customer is tiny (150 rows/SF-unit) → broadcast; orders⋈lineitem
+    * shuffles on the join key only after both sides are filtered.
+    */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" < lit("1995-03-15").cast("timestamp"))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+    val l = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" > lit("1995-03-15").cast("timestamp"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val revenue = ($"l_extendedprice".cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(sum(revenue).as("rev_exact"))
+      .orderBy($"rev_exact".desc, $"l_orderkey")
+      .limit(10)
+      .select($"l_orderkey", $"o_orderdate",
+        $"rev_exact".cast("double").as("revenue"))
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(rev_exact AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT l_orderkey, o_orderdate,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_exact
+      |  FROM customer, orders, lineitem
+      |  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |    AND l_orderkey = o_orderkey
+      |    AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |    AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |  GROUP BY l_orderkey, o_orderdate
+      |  ORDER BY rev_exact DESC, l_orderkey LIMIT 10)
+      |ORDER BY revenue DESC, l_orderkey""".stripMargin
+
+  /** Window-function showcase: top-3 orders per customer by price, with
+    * deterministic (price desc, orderkey) tie-break.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    o.select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"rk".cast("long").as("rk"))
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  val topOrdersPerCustomerSql: String =
+    """SELECT o_custkey, o_orderkey, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  /** Rollup aggregation (grouping-sets family) over orders. */
+  def orderRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    o.rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val orderRollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+}
