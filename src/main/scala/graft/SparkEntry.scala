@@ -19,6 +19,14 @@ object SparkEntry {
     "q3_shipping_priority" -> Relational.shippingPriority _,
     "q_window_topk" -> Relational.topOrdersPerCustomer _,
     "q_rollup" -> Relational.orderRollup _,
+    "q_partition_transforms" -> ParityQueries.partitionTransforms _,
+    "q_transform_bucket" -> ParityQueries.bucketTransform _,
+    "q_serde_json" -> ParityQueries.serdeJsonRoundtrip _,
+    "q_validate_split" -> ParityQueries.validateSplit _,
+    "q_enrich" -> ParityQueries.enrichMetadata _,
+    "q_coercion" -> ParityQueries.coercion _,
+    "q_blob_roundtrip" -> ParityQueries.blobRoundtrip _,
+    "q_sink_roundtrip" -> ParityQueries.sinkRoundtrip _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,5 +36,12 @@ object SparkEntry {
     "q3_shipping_priority" -> Relational.shippingPrioritySql,
     "q_window_topk" -> Relational.topOrdersPerCustomerSql,
     "q_rollup" -> Relational.orderRollupSql,
+    "q_partition_transforms" -> ParityQueries.partitionTransformsSql,
+    "q_serde_json" -> ParityQueries.serdeJsonRoundtripSql,
+    "q_validate_split" -> ParityQueries.validateSplitSql,
+    "q_enrich" -> ParityQueries.enrichMetadataSql,
+    "q_coercion" -> ParityQueries.coercionSql,
+    "q_blob_roundtrip" -> ParityQueries.blobRoundtripSql,
+    "q_sink_roundtrip" -> ParityQueries.sinkRoundtripSql,
   )
 }

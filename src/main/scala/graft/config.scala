@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.types.StructType
+
+/** Sink configuration surface mirroring the reference's `IcebergSinkConfig`
+  * (reference: models.py:104-262), re-expressed for a Spark parquet-warehouse
+  * table sink.
+  *
+  * Differences from the reference, on purpose:
+  *  - `sortOrder` actually sorts data within partitions before writing; in
+  *    the reference the knob is only passed to table creation and never used
+  *    to sort (connector.py:389 — dead knob, SURVEY.md §2.6).
+  *  - `fileFormat` is honored (parquet/orc); in the reference it is declared
+  *    but never read in the write path (models.py:169-172).
+  *  - commit-conflict retry config is absent: Spark's commit protocol
+  *    serializes commits per query, so the reference's optimistic-retry loop
+  *    (connector.py:242-257) has no equivalent failure mode here.
+  */
+final case class SinkConfig(
+    tableName: String,
+    warehousePath: String,
+    batchSize: Int = 1000,
+    batchIntervalSeconds: Int = 15,
+    numPartitions: Int = 1,
+    fileFormat: String = "parquet",
+    partitionSpec: Seq[PartitionField] = Nil,
+    sortOrder: Seq[String] = Nil,
+    tableSchema: Option[StructType] = None,
+    location: Option[String] = None,
+    extraOptions: Map[String, String] = Map.empty) {
+
+  require(tableName.nonEmpty, "tableName must be non-empty")
+  require(batchSize >= 1 && batchSize <= 100000,
+    s"batchSize must be in [1, 100000], got $batchSize")      // models.py:149-154
+  require(batchIntervalSeconds >= 1 && batchIntervalSeconds <= 300,
+    s"batchIntervalSeconds must be in [1, 300], got $batchIntervalSeconds") // models.py:155-160
+  require(numPartitions >= 1 && numPartitions <= 100,
+    s"numPartitions must be in [1, 100], got $numPartitions") // models.py:161-166
+  require(Set("parquet", "orc").contains(fileFormat),
+    s"fileFormat must be parquet or orc, got $fileFormat")
+
+  /** Physical path of the table (reference: custom `location` override wins,
+    * else warehouse/tableName — connector.py:380-386). */
+  def tablePath: String = location.getOrElse(s"$warehousePath/$tableName")
+
+  /** Soft-warning validators (reference: models.py:204-218). */
+  def warnings: Seq[String] = {
+    val w = Seq.newBuilder[String]
+    if (batchIntervalSeconds > 60)
+      w += s"batch interval ${batchIntervalSeconds}s > 60s: data freshness may suffer"
+    if (numPartitions > 50)
+      w += s"num_partitions $numPartitions > 50: coordination overhead may be high"
+    w.result()
+  }
+}
+
+object SinkConfig {
+  /** models.py:220-233 */
+  def forHighThroughput(tableName: String, warehousePath: String): SinkConfig =
+    SinkConfig(tableName, warehousePath,
+      batchSize = 10000, batchIntervalSeconds = 30, numPartitions = 8,
+      fileFormat = "parquet")
+
+  /** models.py:235-247 */
+  def forLowLatency(tableName: String, warehousePath: String): SinkConfig =
+    SinkConfig(tableName, warehousePath,
+      batchSize = 100, batchIntervalSeconds = 5, numPartitions = 2)
+
+  /** models.py:249-262 */
+  def forPetabyteScale(tableName: String, warehousePath: String): SinkConfig =
+    SinkConfig(tableName, warehousePath,
+      batchSize = 50000, batchIntervalSeconds = 60, numPartitions = 32,
+      fileFormat = "parquet")
+}

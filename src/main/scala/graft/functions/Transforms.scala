@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Hidden-partitioning transform library.
+  *
+  * The reference's richest query semantics is Iceberg hidden partitioning:
+  * records carry only source columns and the sink derives partition values by
+  * applying the table partition spec's transforms at write time
+  * (reference: connector.py:285-323, README.md:141-155). Here each transform
+  * is a plain `Column -> Column` function over Spark built-in expressions —
+  * fully codegen'd, no UDFs, no custom Catalyst nodes needed (SURVEY.md §4.3).
+  *
+  * Semantics per transform (reference: README.md:150-155, pyiceberg set):
+  *  - identity    → the column itself
+  *  - year        → 4-digit year int
+  *  - month       → "yyyy-MM" string (human-readable partition dir value)
+  *  - day         → DATE
+  *  - hour        → "yyyy-MM-dd-HH" string
+  *  - bucket[N]   → pmod(murmur3(col), N) — same hash family as Iceberg's
+  *                  bucket; not bit-compatible with pyiceberg (documented)
+  *  - truncate[W] → strings: first W chars; integral: round down to multiple
+  *                  of W (Iceberg semantics: v - (((v % W) + W) % W))
+  *  - void        → NULL
+  */
+sealed trait Transform {
+  def name: String
+
+  /** Derived partition expression for a source column of type `dt`. */
+  def apply(c: Column, dt: DataType): Column
+}
+
+object Transform {
+  case object Identity extends Transform {
+    val name = "identity"
+    def apply(c: Column, dt: DataType): Column = c
+  }
+  case object Year extends Transform {
+    val name = "year"
+    def apply(c: Column, dt: DataType): Column = year(c)
+  }
+  case object Month extends Transform {
+    val name = "month"
+    def apply(c: Column, dt: DataType): Column = date_format(c, "yyyy-MM")
+  }
+  case object Day extends Transform {
+    val name = "day"
+    def apply(c: Column, dt: DataType): Column = to_date(c)
+  }
+  case object Hour extends Transform {
+    val name = "hour"
+    def apply(c: Column, dt: DataType): Column = date_format(c, "yyyy-MM-dd-HH")
+  }
+  final case class Bucket(n: Int) extends Transform {
+    require(n > 0, s"bucket width must be positive, got $n")
+    val name = s"bucket_$n"
+    def apply(c: Column, dt: DataType): Column = pmod(hash(c), lit(n))
+  }
+  final case class Truncate(w: Int) extends Transform {
+    require(w > 0, s"truncate width must be positive, got $w")
+    val name = s"trunc_$w"
+    def apply(c: Column, dt: DataType): Column = dt match {
+      case StringType => substring(c, 1, w)
+      case ByteType | ShortType | IntegerType | LongType =>
+        c - pmod(c, lit(w))
+      case other => throw new IllegalArgumentException(
+        s"truncate[$w] unsupported for type $other (reference supports string/int)")
+    }
+  }
+  case object Void extends Transform {
+    val name = "void"
+    def apply(c: Column, dt: DataType): Column = lit(null).cast(StringType)
+  }
+
+  /** Parse a transform spec string ("identity", "day", "bucket[16]", ...),
+    * mirroring the reference's named-spec construction (README.md:90-93). */
+  def parse(s: String): Transform = {
+    val B = """bucket\[(\d+)\]""".r
+    val T = """truncate\[(\d+)\]""".r
+    s.trim.toLowerCase match {
+      case "identity" => Identity
+      case "year" => Year
+      case "month" => Month
+      case "day" => Day
+      case "hour" => Hour
+      case B(n) => Bucket(n.toInt)
+      case T(w) => Truncate(w.toInt)
+      case "void" => Void
+      case other => throw new IllegalArgumentException(s"unknown transform: $other")
+    }
+  }
+}
+
+/** One field of a partition spec: a source column + transform (+ optional
+  * explicit partition-column name). Mirrors the reference's spec fields that
+  * resolve source columns by field id (connector.py:292-301); Spark's
+  * analyzer resolves by name instead.
+  */
+final case class PartitionField(
+    source: String,
+    transform: Transform,
+    explicitName: Option[String] = None) {
+  def columnName: String = explicitName.getOrElse(transform match {
+    case Transform.Identity => source
+    case t => s"${source}_${t.name}"
+  })
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ok/err result pair (reference: `IcebergOpOut`, operators.py:58-84 — a
+  * Pydantic model holding two Streams; here a plain case class holding two
+  * DataFrames produced by filtering one shared tagged plan, the Catalyst
+  * equivalent of `op.branch`).
+  */
+final case class OpOut(oks: DataFrame, errs: DataFrame)
+
+/** Dataflow operator layer (reference: operators.py O1-O5, SURVEY.md §2.1).
+  *
+  * Error-handling model: instead of per-record try/except, operators tag an
+  * `error STRING` column (NULL = ok) computed declaratively; [[errorSplit]]
+  * then produces the ok/err pair with two filters over the same logical
+  * plan. Catalyst pushes both filters into one whole-stage-codegen'd scan —
+  * at 100 TB this is one pass over the data, not two.
+  */
+object Ops {
+  val ErrorCol = "error"
+
+  /** O5 `_iceberg_error_split` (operators.py:263-287): partition a tagged
+    * stream into oks (error IS NULL, tag dropped) and errs. */
+  def errorSplit(tagged: DataFrame): OpOut = OpOut(
+    oks = tagged.filter(col(ErrorCol).isNull).drop(ErrorCol),
+    errs = tagged.filter(col(ErrorCol).isNotNull))
+
+  /** O2 `validate_schema` (operators.py:354-426): run a validation predicate
+    * per record; invalid records go to the error stream carrying the message
+    * (reference tags `IcebergError(error=..., record=...)`,
+    * operators.py:417-423 — here the full record rides along + `error`).
+    */
+  def validateSchema(df: DataFrame, predicate: Column,
+      message: String = "Invalid record format"): OpOut =
+    errorSplit(df.withColumn(ErrorCol,
+      when(predicate, lit(null).cast(StringType)).otherwise(lit(message))))
+
+  /** O1 `serialize_records` (operators.py:290-351): map each record through
+    * a SerDe; records the serde could not handle (NULL serialized output
+    * from a non-NULL input — the declarative analogue of the reference's
+    * caught exception, operators.py:342-348) go to the error stream.
+    *
+    * `stampEventTimestamp=true` adds `event_timestamp` = wall-clock ms, the
+    * reference's now-ms stamp (operators.py:331; models.py:64). Off in
+    * oracle-checked queries (non-deterministic).
+    */
+  def serializeRecords(df: DataFrame, serde: SerDe = ParquetSerDe,
+      stampEventTimestamp: Boolean = false): OpOut = {
+    val serialized = serde.serialize(df)
+    val stamped =
+      if (stampEventTimestamp)
+        serialized.withColumn("event_timestamp",
+          (unix_micros(current_timestamp()) / 1000).cast(LongType))
+      else serialized
+    // A serde emitting a single payload column (Json/Blob) signals failure
+    // with NULL; multi-column coercion (ParquetSerDe) cannot fail.
+    val payloadCols = stamped.columns.filterNot(_ == "event_timestamp")
+    val failed = payloadCols.map(c => col(c).isNull).reduce(_ && _)
+    errorSplit(stamped.withColumn(ErrorCol,
+      when(failed, lit("Serialization failed")).otherwise(lit(null).cast(StringType))))
+  }
+
+  /** O3 `enrich_with_metadata` (operators.py:494-553): add metadata columns.
+    * The reference's canonical enricher adds processed_at + version
+    * (operators.py:516-523); enrichments are declarative columns here so
+    * they cannot fail per-record — errs is structurally empty but kept for
+    * API parity with the reference's OpOut.
+    */
+  def enrichWithMetadata(df: DataFrame, enrichments: Seq[(String, Column)]): OpOut = {
+    val enriched = enrichments.foldLeft(df) { case (d, (name, c)) =>
+      d.withColumn(name, c)
+    }
+    errorSplit(enriched.withColumn(ErrorCol, lit(null).cast(StringType)))
+  }
+
+  /** Default enricher (reference example: operators.py:516-523). */
+  def defaultEnrichments(version: String = "1.0.0"): Seq[(String, Column)] = Seq(
+    "processed_at" -> current_timestamp(),
+    "pipeline_version" -> lit(version))
+
+  /** O4/K5 input coercion `_ensure_iceberg_message` (operators.py:470-483;
+    * connector.py:159-168): a bare scalar column becomes `{"value": item}`;
+    * an already-structured record passes through.
+    */
+  def ensureMessage(df: DataFrame): DataFrame = df.schema.fields match {
+    case Array(f) if !f.dataType.isInstanceOf[StructType] =>
+      df.select(col(f.name).as("value"))
+    case _ => df
+  }
+}

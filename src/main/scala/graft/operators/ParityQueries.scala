@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries exposing the reference-parity operator surface
+  * (SURVEY.md §2.1-2.4): partition transforms, SerDes, validation split,
+  * enrichment, coercion, and the partitioned table sink round-trip.
+  */
+object ParityQueries {
+
+  /** §1.4 transform library over `events` (identity/day/month/year/hour/
+    * truncate on string + int). Dates/months rendered as partition-value
+    * strings — that is exactly what hidden partitioning materializes.
+    */
+  def partitionTransforms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val sch = e.schema
+    def t(tr: Transform, c: String) = tr(col(c), sch(c).dataType)
+    e.select(
+      $"event_id",
+      t(Transform.Identity, "event_type").as("event_type"),
+      t(Transform.Day, "ts").cast("string").as("day_str"),
+      t(Transform.Month, "ts").as("month_str"),
+      t(Transform.Year, "ts").cast("long").as("yr"),
+      t(Transform.Hour, "ts").as("hr"),
+      t(Transform.Truncate(10), "user_id").as("user_trunc"),
+      t(Transform.Truncate(3), "event_type").as("type_trunc"))
+      .orderBy($"event_id")
+  }
+
+  val partitionTransformsSql: String =
+    """SELECT event_id, event_type,
+      |  CAST(CAST(ts AS DATE) AS VARCHAR) AS day_str,
+      |  strftime(ts, '%Y-%m') AS month_str,
+      |  CAST(year(ts) AS BIGINT) AS yr,
+      |  strftime(ts, '%Y-%m-%d-%H') AS hr,
+      |  user_id - ((user_id % 10) + 10) % 10 AS user_trunc,
+      |  substring(event_type, 1, 3) AS type_trunc
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** bucket[N] transform — murmur3-based, not reproducible in DuckDB SQL, so
+    * rows-only checked; the spec asserts the bucket range + stability. */
+  def bucketTransform(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    e.select($"event_id",
+      Transform.Bucket(16)(col("user_id"), e.schema("user_id").dataType)
+        .cast("long").as("bucket"))
+      .orderBy($"event_id")
+  }
+
+  /** S1/S2 JSON SerDe round-trip: parse `props` (from_json), extract k, and
+    * re-serialize a record struct (to_json). */
+  def serdeJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    e.select(
+      $"event_id", $"event_type",
+      from_json($"props",
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+        .getField("k").as("k"),
+      to_json(struct($"event_id", $"event_type")).as("json"))
+      .orderBy($"event_id")
+  }
+
+  val serdeJsonRoundtripSql: String =
+    """SELECT event_id, event_type,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  to_json(struct_pack(event_id := event_id, event_type := event_type)) AS json
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** O2 validate_schema + O5 error split: ok/err counts under a predicate. */
+  def validateSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val out = Ops.validateSchema(e, $"value" < 100, "value out of range")
+    out.oks.select(lit("ok").as("status"))
+      .unionAll(out.errs.select(lit("err").as("status")))
+      .groupBy($"status").agg(count(lit(1)).as("n"))
+      .orderBy($"status")
+  }
+
+  val validateSplitSql: String =
+    """SELECT CASE WHEN value < 100 THEN 'ok' ELSE 'err' END AS status,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** O3 enrich_with_metadata (deterministic enrichments only). */
+  def enrichMetadata(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    Ops.enrichWithMetadata(e, Seq(
+      "pipeline_version" -> lit("1.0.0"),
+      "source_table" -> lit("events"),
+      "processed_date" -> to_date($"ts").cast("string")))
+      .oks
+      .select($"event_id", $"pipeline_version", $"source_table", $"processed_date")
+      .orderBy($"event_id")
+  }
+
+  val enrichMetadataSql: String =
+    """SELECT event_id, '1.0.0' AS pipeline_version, 'events' AS source_table,
+      |  CAST(CAST(ts AS DATE) AS VARCHAR) AS processed_date
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** S3 ParquetSerDe coercion: complex columns → JSON strings. */
+  def coercion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"event_id",
+        struct($"user_id", $"event_type").as("payload"),
+        array($"value").as("arr"))
+    ParquetSerDe.serialize(e).orderBy($"event_id")
+  }
+
+  val coercionSql: String =
+    """SELECT event_id,
+      |  to_json(struct_pack(user_id := user_id, event_type := event_type)) AS payload,
+      |  to_json([value]) AS arr
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** S5/S6 blob SerDe round-trip — identity on the record proves the
+    * base64(json) encode/decode inverse pair. */
+  def blobRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir).select($"event_id", $"event_type")
+    val serde = BlobSerDe(schema = Some(
+      org.apache.spark.sql.types.StructType.fromDDL("event_id BIGINT, event_type STRING")))
+    serde.deserialize(serde.serialize(e)).orderBy($"event_id")
+  }
+
+  val blobRoundtripSql: String =
+    "SELECT event_id, event_type FROM events ORDER BY event_id"
+
+  /** K5-K7 sink round-trip: write `events` through [[TableSink]] with a
+    * (identity event_type, day ts) hidden-partition spec, read the table
+    * back, aggregate. Matching the direct aggregation over the source
+    * proves no loss/duplication through the partitioned write.
+    */
+  def sinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_rt",
+      warehousePath = dest,
+      numPartitions = 4,
+      partitionSpec = Seq(
+        PartitionField("event_type", Transform.Identity),
+        PartitionField("ts", Transform.Day, Some("event_date"))),
+      sortOrder = Seq("event_id")))
+    sink.append(e)
+    sink.read(spark)
+      .groupBy($"event_type", $"event_date".cast("string").as("event_date"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"event_type", $"event_date")
+  }
+
+  val sinkRoundtripSql: String =
+    """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

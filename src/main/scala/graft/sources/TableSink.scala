@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Partition-transform-aware table sink (reference: connector.py K1-K10,
+  * SURVEY.md §2.3) on partitioned Parquet/ORC.
+  *
+  * Reference semantics → Spark mapping:
+  *  - partition-key grouping before write (connector.py:326-335, a Python
+  *    defaultdict) → `repartition(derivedCols)` shuffle + `partitionBy`,
+  *    which clusters rows per partition value across the cluster and writes
+  *    one file per (task, partition-value) — the same write-side clustering
+  *    that enables read-side partition pruning, at any scale;
+  *  - buffer + size/time flush (connector.py:147-199) → micro-batch
+  *    boundaries (`Trigger.ProcessingTime`) in [[startStream]];
+  *  - commit retry + backoff (connector.py:242-257) → unnecessary: Spark's
+  *    commit protocol (batch) / file-sink `_spark_metadata` log (streaming)
+  *    serializes commits, giving the atomic, exactly-once behavior the
+  *    reference only approximates (its `last_committed_batch` tracking is
+  *    dead code — SURVEY.md §2.6);
+  *  - create-if-missing (connector.py:358-393) → first write creates the
+  *    table directory; [[read]] applies the declared schema if configured.
+  *
+  * Scale notes: the repartition keys on the *derived* partition values, so
+  * low-cardinality specs (e.g. 5 event types) would bottleneck on 5 tasks;
+  * `numPartitions > 1` adds a uniform salt to spread each partition value
+  * over several writers (the reference's `num_partitions` parallel writers,
+  * connector.py:456-468) while still writing into the same directories.
+  */
+final class TableSink(val config: SinkConfig) {
+
+  /** Derived partition columns per the spec (K7 `_partition_records`). */
+  def derivedColumns(df: DataFrame): Seq[(String, Column)] =
+    config.partitionSpec.map { pf =>
+      val dt = df.schema(pf.source).dataType   // name-based resolution (§1.3)
+      pf.columnName -> pf.transform(col(pf.source), dt)
+    }
+
+  /** Input df + derived partition columns appended (idempotent for identity
+    * transforms, which reuse the source column). */
+  def withDerived(df: DataFrame): DataFrame =
+    derivedColumns(df).foldLeft(df) { case (d, (name, c)) =>
+      if (d.columns.contains(name)) d else d.withColumn(name, c)
+    }
+
+  private def partitionColNames: Seq[String] =
+    config.partitionSpec.map(_.columnName)
+
+  /** Cluster rows by partition value (+ salt for writer parallelism) and
+    * sort within each writer per `sortOrder` (honoring the knob the
+    * reference declares but never uses — models.py:187-190).
+    */
+  private def clusterForWrite(df: DataFrame): DataFrame = {
+    val parts = partitionColNames.map(col)
+    val clustered =
+      if (parts.isEmpty) df.repartition(config.numPartitions)
+      else if (config.numPartitions > 1)
+        df.repartition(parts :+ (pmod(hash(col(df.columns.head)), lit(config.numPartitions))): _*)
+      else df.repartition(parts: _*)
+    if (config.sortOrder.nonEmpty)
+      clustered.sortWithinPartitions(config.sortOrder.map(col): _*)
+    else clustered
+  }
+
+  /** K5/K6 batch append: coerce → derive → cluster → atomic append. */
+  def append(df: DataFrame): Unit = {
+    val prepared = clusterForWrite(withDerived(Ops.ensureMessage(df)))
+    val writer = prepared.write
+      .mode("append")
+      .format(config.fileFormat)
+      .options(config.extraOptions)
+    (if (partitionColNames.nonEmpty) writer.partitionBy(partitionColNames: _*)
+     else writer).save(config.tablePath)
+  }
+
+  /** Streaming path (§3.1): micro-batch append with checkpointed recovery.
+    * `batchIntervalSeconds` maps to the processing-time trigger — the
+    * reference's time-based flush; size-based flush maps to source rate
+    * options (maxFilesPerTrigger etc.), set via `extraOptions`.
+    */
+  def startStream(df: DataFrame, checkpointLocation: String): StreamingQuery = {
+    val prepared = withDerived(Ops.ensureMessage(df))
+    val writer = prepared.writeStream
+      .format(config.fileFormat)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"${config.batchIntervalSeconds} seconds"))
+      .option("checkpointLocation", checkpointLocation)
+      .options(config.extraOptions)
+    (if (partitionColNames.nonEmpty) writer.partitionBy(partitionColNames: _*)
+     else writer).start(config.tablePath)
+  }
+
+  /** Read the table back (declared schema wins over inference — README.md:68
+    * "static schemas only"). Partition pruning on derived columns is
+    * automatic (`PruneFileSourcePartitions`).
+    */
+  def read(spark: SparkSession): DataFrame = {
+    val r = spark.read.format(config.fileFormat)
+    config.tableSchema.fold(r)(s => r.schema(s)).load(config.tablePath)
+  }
+}
