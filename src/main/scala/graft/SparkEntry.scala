@@ -27,6 +27,7 @@ object SparkEntry {
     "q_coercion" -> ParityQueries.coercion _,
     "q_blob_roundtrip" -> ParityQueries.blobRoundtrip _,
     "q_sink_roundtrip" -> ParityQueries.sinkRoundtrip _,
+    "q_stream_window" -> StreamPipeline.streamWindowQuery _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
     "q_coercion" -> ParityQueries.coercionSql,
     "q_blob_roundtrip" -> ParityQueries.blobRoundtripSql,
     "q_sink_roundtrip" -> ParityQueries.sinkRoundtripSql,
+    "q_stream_window" -> StreamPipeline.streamWindowSql,
   )
 }

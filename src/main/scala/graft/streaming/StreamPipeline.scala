@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming side of the engine (reference: §3.1 sink path +
+  * the `event_timestamp` the reference carries but never windows on —
+  * SURVEY.md §2.5 "Streaming"). The reference is processing-time only; the
+  * Spark engine adds event-time windowed aggregation and watermarking as
+  * the idiomatic extension.
+  */
+object StreamPipeline {
+
+  /** Raw fixture schema for streaming reads (static schema, README.md:68 —
+    * file streaming sources require one anyway). `ts` arrives as nano
+    * longs (see [[Tables.events]]). */
+  val eventsRawSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  /** Unbounded view of the events fixture via the file streaming source.
+    * The source requires a directory; the fixture is a single file, so it is
+    * exposed through a per-sfDir staging directory of symlinks (read-only
+    * fixtures stay untouched). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(stageDir(sfDir, "events"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def stageDir(sfDir: String, table: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(
+      s"/root/repo/target/tmp/stream_src_${table}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    Files.createDirectories(dir)
+    val link = dir.resolve(s"$table.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(s"$sfDir/$table.parquet"))
+    dir.toString
+  }
+
+  /** Event-time daily windowed aggregation over the stream. */
+  def dailyCounts(stream: DataFrame): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+  }
+
+  /** Batch query entry: run the streaming aggregation to completion on the
+    * bounded fixture through a memory sink (complete mode — every window
+    * emitted deterministically) and return the result table.
+    */
+  def streamWindowQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = "stream_win_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = dailyCounts(eventsStream(spark, sfDir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select($"window.start".cast("date").cast("string").as("day"),
+        $"event_type", $"n", $"total")
+      .orderBy($"day", $"event_type")
+  }
+
+  val streamWindowSql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class SinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkSink(warehouse: String, numPartitions: Int = 2) =
+    new TableSink(SinkConfig(
+      tableName = "t",
+      warehousePath = warehouse,
+      numPartitions = numPartitions,
+      partitionSpec = Seq(
+        PartitionField("event_type", Transform.Identity),
+        PartitionField("ts", Transform.Day, Some("event_date"))),
+      sortOrder = Seq("event_id")))
+
+  test("append + read-back loses and duplicates nothing") {
+    val e = Tables.events(spark, TestSpark.sfDir)
+    val sink = mkSink(TestSpark.tmpDir("sink_rt"))
+    sink.append(e)
+    val back = sink.read(spark)
+    assert(back.count() == e.count())
+    assert(back.agg(sum($"event_id")).head().getLong(0) ==
+      e.agg(sum($"event_id")).head().getLong(0))
+    // derived partition columns materialized
+    assert(back.columns.contains("event_date"))
+    // partition pruning-friendly layout: filtering one event_type reads a subset
+    assert(back.filter($"event_type" === "click").count() ==
+      e.filter($"event_type" === "click").count())
+  }
+
+  test("create-if-missing: first append creates the table directory") {
+    val wh = TestSpark.tmpDir("sink_create")
+    val sink = mkSink(wh)
+    assert(!new java.io.File(s"$wh/t").exists())
+    sink.append(Tables.events(spark, TestSpark.sfDir).limit(10))
+    assert(new java.io.File(s"$wh/t").exists())
+  }
+
+  test("second append appends (mode=append), not overwrites") {
+    val e = Tables.events(spark, TestSpark.sfDir).limit(100)
+    val sink = mkSink(TestSpark.tmpDir("sink_app"))
+    sink.append(e)
+    sink.append(e)
+    assert(sink.read(spark).count() == 200)
+  }
+
+  test("unpartitioned config writes flat files") {
+    val sink = new TableSink(SinkConfig("flat", TestSpark.tmpDir("sink_flat")))
+    sink.append(Seq((1, "a"), (2, "b")).toDF("id", "name"))
+    assert(sink.read(spark).count() == 2)
+  }
+
+  test("sortWithinPartitions orders rows inside each file") {
+    val e = Tables.events(spark, TestSpark.sfDir)
+    val sink = mkSink(TestSpark.tmpDir("sink_sort"), numPartitions = 1)
+    sink.append(e)
+    // per-file monotonicity of event_id within each partition dir
+    val files = new java.io.File(sink.config.tablePath).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.take(5).foreach { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select("event_id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"unsorted file ${f.getName}")
+    }
+  }
+
+  test("config presets mirror the reference and validators warn") {
+    val ht = SinkConfig.forHighThroughput("t", "/w")
+    assert(ht.batchSize == 10000 && ht.batchIntervalSeconds == 30 && ht.numPartitions == 8)
+    val ll = SinkConfig.forLowLatency("t", "/w")
+    assert(ll.batchSize == 100 && ll.batchIntervalSeconds == 5 && ll.numPartitions == 2)
+    val pb = SinkConfig.forPetabyteScale("t", "/w")
+    assert(pb.batchSize == 50000 && pb.numPartitions == 32)
+    assert(SinkConfig("t", "/w", batchIntervalSeconds = 61).warnings.nonEmpty)
+    assert(SinkConfig("t", "/w", numPartitions = 51).warnings.nonEmpty)
+    intercept[IllegalArgumentException](SinkConfig("t", "/w", batchSize = 0))
+    intercept[IllegalArgumentException](SinkConfig("t", "/w", numPartitions = 101))
+  }
+}
