@@ -28,6 +28,12 @@ object SparkEntry {
     "q_blob_roundtrip" -> ParityQueries.blobRoundtrip _,
     "q_sink_roundtrip" -> ParityQueries.sinkRoundtrip _,
     "q_stream_window" -> StreamPipeline.streamWindowQuery _,
+    "dedup_exact" -> PipelineQueries.dedupExact _,
+    "dedup_ngram_jaccard" -> PipelineQueries.dedupNgram _,
+    "dedup_minhash" -> PipelineQueries.dedupMinhash _,
+    "dedup_simhash" -> PipelineQueries.dedupSimhash _,
+    "dedup_embedding" -> PipelineQueries.dedupEmbedding _,
+    "dedup_embedding_lsh" -> PipelineQueries.dedupEmbeddingLsh _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +51,8 @@ object SparkEntry {
     "q_blob_roundtrip" -> ParityQueries.blobRoundtripSql,
     "q_sink_roundtrip" -> ParityQueries.sinkRoundtripSql,
     "q_stream_window" -> StreamPipeline.streamWindowSql,
+    "dedup_exact" -> PipelineQueries.dedupExactSql,
+    "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramSql,
+    "dedup_embedding" -> PipelineQueries.dedupEmbeddingSql,
   )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, TestSpark.sfDir).cache()
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("exact dedup keeps one survivor per distinct text") {
+    val d = docs.unionAll(docs.limit(50)) // inject 50 true duplicates
+    val out = Dedup.exact(d)
+    assert(out.count() == 500)
+    assert(out.filter($"n_dups" === 2).count() == 50)
+    assert(out.filter($"n_dups" === 1).count() == 450)
+  }
+
+  test("ngram jaccard finds the fixture near-dup pairs, symmetric-free and thresholded") {
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.5)
+    val rows = pairs.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered (no symmetric dupes)")
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("ngram jaccard with a shingle-frequency cap still finds rare-shingle pairs") {
+    val all = pairSet(Dedup.ngramJaccard(docs, threshold = 0.5))
+    val capped = pairSet(Dedup.ngramJaccard(docs, threshold = 0.5, maxShingleDf = Some(50)))
+    assert(capped == all, "df-cap at 50 should not lose near-dup pairs on this corpus")
+  }
+
+  test("minhash LSH recalls >=90% of exact jaccard>=0.7 pairs") {
+    val exact = pairSet(Dedup.ngramJaccard(docs, threshold = 0.7))
+    val mh = pairSet(Dedup.minhashLsh(docs, threshold = 0.5))
+    assert(exact.nonEmpty)
+    val recall = exact.count(mh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("simhash banding finds the bulk of exact near-dup pairs") {
+    val exact = pairSet(Dedup.ngramJaccard(docs, threshold = 0.7))
+    val sh = pairSet(Dedup.simhashPairs(docs, maxDist = 3))
+    val recall = exact.count(sh.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"simhash recall $recall over ${exact.size} exact pairs")
+    // hamming is exact: re-check one pair's distance independently
+    val sig = docs.select($"doc_id", Dedup.simhash(split($"text", " ")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    sh.take(5).foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3)
+    }
+  }
+
+  test("embedding LSH finds identical-vector clones with certainty and only true pairs") {
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val clones = e.filter($"vec_id" < 10)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding", $"label")
+    val data = e.unionAll(clones)
+    val brute = pairSet(Dedup.embeddingNearDup(data, threshold = 0.5))
+    val lsh = pairSet(Dedup.embeddingNearDupLsh(data, threshold = 0.5))
+    (0L until 10L).foreach { i =>
+      assert(lsh.contains((i, i + 10000)), s"clone pair $i missed")
+    }
+    assert(lsh.subsetOf(brute), "LSH must not invent pairs (exact cosine verify)")
+  }
+}
