@@ -34,6 +34,13 @@ object SparkEntry {
     "dedup_simhash" -> PipelineQueries.dedupSimhash _,
     "dedup_embedding" -> PipelineQueries.dedupEmbedding _,
     "dedup_embedding_lsh" -> PipelineQueries.dedupEmbeddingLsh _,
+    "sim_topk" -> PipelineQueries.simTopK _,
+    "sim_ann_lsh" -> PipelineQueries.simAnnLsh _,
+    "text_stats" -> PipelineQueries.textStats _,
+    "text_langid" -> PipelineQueries.textLangId _,
+    "text_quality" -> PipelineQueries.textQuality _,
+    "text_fingerprint" -> PipelineQueries.textFingerprint _,
+    "multimodal_features" -> Multimodal.featuresQuery _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +61,11 @@ object SparkEntry {
     "dedup_exact" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramSql,
     "dedup_embedding" -> PipelineQueries.dedupEmbeddingSql,
+    "sim_topk" -> PipelineQueries.simTopKSql,
+    "text_stats" -> PipelineQueries.textStatsSql,
+    "text_langid" -> PipelineQueries.textLangIdSql,
+    "text_quality" -> PipelineQueries.textQualitySql,
+    "text_fingerprint" -> PipelineQueries.textFingerprintSql,
+    "multimodal_features" -> Multimodal.featuresSql,
   )
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (driver north star): image/audio/video
+  * payloads ride as opaque `binary` columns with typed metadata; decode /
+  * feature-extraction runs batch-wise over partitions (the Scala analogue
+  * of `mapInPandas`) behind a pluggable [[Multimodal.Decoder]].
+  *
+  * The real decoders (JPEG/audio/video codecs) are NOT in this container;
+  * [[Multimodal.StubDecoder]] is a clearly-marked deterministic fake. The
+  * Spark-side plumbing — schema, batch shape, partition-wise execution,
+  * feature schema — is real and tested, and is the part that matters at
+  * 100 TB: payload bytes never leave the executor, the driver only sees
+  * fixed-width feature rows.
+  */
+object Multimodal {
+
+  /** A media record: opaque payload + metadata. */
+  final case class MediaRecord(doc_id: Long, media_type: String,
+      payload: Array[Byte])
+
+  /** Extracted features — fixed-width, shuffle-friendly. */
+  final case class MediaFeatures(doc_id: Long, media_type: String,
+      n_bytes: Long, checksum: String, width: Int, height: Int)
+
+  /** Batch decoder contract. `decodeBatch` receives bounded batches (the
+    * `mapInPandas` batch shape) so implementations can amortize codec
+    * setup / native buffers across records. */
+  trait Decoder extends Serializable {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures]
+  }
+
+  /** Deterministic stand-in for a real image/audio decoder.
+    * A production decoder would parse the payload with an imaging library
+    * (`??? // real codec not available in this container`); the stub
+    * derives pseudo-dimensions and a checksum purely from the bytes, so
+    * results are stable and oracle-checkable.
+    */
+  object StubDecoder extends Decoder {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val checksum = md.digest(r.payload).map("%02x".format(_)).mkString
+      val first = if (r.payload.nonEmpty) r.payload(0) & 0xff else 0
+      MediaFeatures(r.doc_id, r.media_type,
+        n_bytes = r.payload.length.toLong,
+        checksum = checksum,
+        width = r.payload.length % 640,
+        height = first % 480)
+    }
+  }
+
+  val BatchSize = 128
+
+  /** Partition-wise batched feature extraction. Rows stream through in
+    * bounded batches — no partition-sized materialization, no driver
+    * collection. */
+  def extractFeatures(media: Dataset[MediaRecord],
+      decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(b => decoder.decodeBatch(b)))
+  }
+
+  /** Build a media table from the documents fixture (utf-8 payloads play
+    * the role of opaque media bytes). */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lit("text/plain").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  def featuresQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaFromDocuments(spark, sfDir))
+      .toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("checksum"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  val featuresSql: String =
+    """SELECT doc_id, 'text/plain' AS media_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS checksum,
+      |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+      |  CAST(unicode(text) % 480 AS BIGINT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -71,4 +71,98 @@ object PipelineQueries {
   def dedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.embeddingNearDupLsh(Tables.embeddings(spark, sfDir), threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
+
+  // ----------------------------------------------------------- similarity
+
+  /** Exact cosine top-10 for the first five vectors as the probe batch. */
+  def simTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    Similarity.topK(e, e.filter(col("vec_id") < 5), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simTopKSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q.qv, e.v), 9) AS cos
+      |  FROM e, q WHERE e.vec_id <> q.query_id)
+      |SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-routed ANN — rows-only; recall asserted in SimilaritySpec. */
+  def simAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    Similarity.annTopK(e, e.filter(col("vec_id") < 5), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- text
+
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.stats(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS n_regex_tokens,
+      |  len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+      |  (length(text) - len(string_split(text, ' ')) + 1) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
+
+  val textLangIdSql: String = {
+    val scoreExprs = TextAnalysis.markers.map { case (l, lex) =>
+      val lst = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(text, ' '), t -> list_contains($lst, t))) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.markers.map(_._1)
+    val best = langs.map(l => s"s_$l").reduce((a, b) => s"greatest($a, $b)")
+    val cases = langs.map(l =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString("\n    ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    $scoreExprs
+       |  FROM documents),
+       |b AS (SELECT *, $best AS best FROM scored)
+       |SELECT doc_id, lang,
+       |  CASE $cases ELSE 'und' END AS pred_lang
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
+
+  val textQualitySql: String = {
+    val stop = TextAnalysis.markers.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents)
+      |SELECT doc_id,
+      |  least(len(toks) / 100.0, 1.0) * 0.4
+      |  + least((len(list_filter(toks, t -> list_contains(STOPLIST, t))) * 10.0) / len(toks), 1.0) * 0.4
+      |  + (1.0 - (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * 0.2
+      |  AS quality
+      |FROM t ORDER BY doc_id""".stripMargin.replace("STOPLIST", stop)
+  }
+
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      [CAST(unicode(c) AS BIGINT) FOR c IN string_split(text, '')]),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

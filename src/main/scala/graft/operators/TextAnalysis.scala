@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (driver north star):
+  * token counting, document statistics, marker-based language ID, quality
+  * scoring, and rolling-hash fingerprinting — all pure Spark built-ins /
+  * higher-order functions, oracle-reproducible in ANSI SQL.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** "BPE-ish" sub-word segmentation count: runs of letters, runs of
+    * digits, runs of other non-space symbols each count as one token. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0)))
+
+  /** Per-document statistics. */
+  def stats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      length(col("text")).cast("long").as("n_chars"),
+      regexTokenCount(col("text")).cast("long").as("n_regex_tokens"),
+      (size(array_distinct(t)) / size(t).cast("double")).as("ttr"),
+      ((length(col("text")) - size(t) + 1) / size(t).cast("double")).as("avg_token_len"))
+  }
+
+  /** Language marker lexicons (tiny, deterministic — a heuristic n-gram/
+    * stopword profile, not a trained model). Priority order below breaks
+    * score ties. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "you"))
+
+  private def markerScore(t: Column, lex: Seq[String]): Column =
+    size(filter(t, tok => array_contains(
+      array(lex.map(lit): _*), tok)))
+
+  /** Heuristic language ID: highest marker-hit count wins, priority order
+    * breaks ties, zero hits → "und". `lang` (the fixture's labeled column)
+    * rides along for accuracy eyeballing. */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +: col("lang") +:
+        markers.map { case (l, lex) => markerScore(t, lex).as(s"s_$l") }): _*)
+    val langs = markers.map(_._1)
+    val best = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("und")) { case (l, els) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(els)
+    }
+    // foldRight gives first-match-wins in declaration (priority) order
+    scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+  }
+
+  /** Quality score in [0,1]: 0.4·length + 0.4·stopword-hit + 0.2·(1-punct).
+    * Fixed evaluation order keeps the double arithmetic bit-identical to
+    * the oracle. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val lengthScore = least(nTok / lit(100.0), lit(1.0))
+    val stopHits = markerScore(t, markers.head._2) // en stopwords
+    val stopScore = least((stopHits * lit(10.0)) / nTok, lit(1.0))
+    val punct = length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
+    val punctRatio = punct / length(col("text")).cast("double")
+    docs.select(col("doc_id"),
+      (lengthScore * lit(0.4) + stopScore * lit(0.4) +
+        (lit(1.0) - punctRatio) * lit(0.2)).as("quality"))
+  }
+
+  /** Rabin-Karp-style rolling-hash fingerprint over the character stream:
+    * fp = fold(chars)(acc → (acc·31 + codepoint) mod 1e9+7). Stays well
+    * inside Long, so no ANSI overflow; reproducible in any SQL dialect. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L)))
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, TestSpark.sfDir).cache()
+
+  test("topK returns exactly k ranked neighbors per query, no self-matches") {
+    val out = Similarity.topK(emb, emb.filter($"vec_id" < 3), k = 5).cache()
+    assert(out.count() == 15)
+    val byQuery = out.groupBy("query_id").agg(count(lit(1)).as("n"),
+      max("rank").as("maxr")).collect()
+    byQuery.foreach { r =>
+      assert(r.getLong(1) == 5 && r.getLong(2) == 5)
+    }
+    assert(out.filter($"query_id" === $"neighbor_id").count() == 0)
+  }
+
+  test("topK rank 1 is the true nearest neighbor (exact check on one query)") {
+    val q = emb.filter($"vec_id" === 0)
+    val got = Similarity.topK(emb, q, k = 1)
+      .select("neighbor_id").as[Long].head()
+    val want = emb.as("a").join(q.as("b"), $"a.vec_id" =!= 0)
+      .select($"a.vec_id",
+        Dedup.cosine($"a.embedding".cast("array<double>"),
+          $"b.embedding".cast("array<double>")).as("c"))
+      .orderBy($"c".desc, $"a.vec_id").select("vec_id").as[Long].head()
+    assert(got == want)
+  }
+
+  test("annTopK finds identical-vector clones as rank-1 with certainty") {
+    val clones = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding", $"label")
+    val corpus = emb.unionAll(clones)
+    val out = Similarity.annTopK(corpus, emb.filter($"vec_id" < 5), k = 3)
+    val rank1 = out.filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { q =>
+      assert(rank1(q) == q + 10000, s"query $q rank-1 should be its clone")
+    }
+  }
+
+  test("annTopK is a subset of the exact ranking's candidate pool semantics") {
+    val out = Similarity.annTopK(emb, emb.filter($"vec_id" < 3), k = 10)
+    // ranks contiguous from 1 per query; neighbor ids valid
+    out.groupBy("query_id").agg(collect_list("rank").as("rs")).collect()
+      .foreach { r =>
+        val rs = r.getSeq[Long](1).sorted
+        assert(rs == (1L to rs.length))
+      }
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stats computes hand-checked values") {
+    val df = Seq((1L, "the quick brown fox the end")).toDF("doc_id", "text")
+    val r = TextAnalysis.stats(df).collect()(0)
+    assert(r.getLong(1) == 6)          // n_tokens
+    assert(r.getLong(2) == 5)          // n_distinct ("the" twice)
+    assert(r.getLong(3) == 27)         // n_chars
+    assert(math.abs(r.getDouble(5) - 5.0 / 6.0) < 1e-12) // ttr
+  }
+
+  test("regex token count segments letters/digits/symbols") {
+    val df = Seq((1L, "abc123 def!")).toDF("doc_id", "text")
+    val n = df.select(TextAnalysis.regexTokenCount($"text")).collect()(0).getInt(0)
+    assert(n == 4) // abc | 123 | def | !
+  }
+
+  test("langId prefers the highest marker count with priority tie-break") {
+    val df = Seq(
+      (1L, "xx", "the cat and the dog of it"),   // en markers
+      (2L, "xx", "der hund und die katze"),      // de markers
+      (3L, "xx", "zz yy ww")                     // no markers -> und
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langId(df).orderBy("doc_id")
+      .select("pred_lang").as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("quality score stays in [0,1] on the corpus") {
+    val q = TextAnalysis.qualityScore(Tables.documents(spark, TestSpark.sfDir))
+      .select("quality").as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("fingerprint matches a hand-rolled rolling hash and detects changes") {
+    val df = Seq((1L, "ab"), (2L, "ab"), (3L, "ba")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(df).orderBy("doc_id")
+      .select("fp").as[Long].collect()
+    val expected = "ab".foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    assert(fps(0) == expected)
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2)) // rolling hash is order-sensitive
+  }
+}
