@@ -70,10 +70,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature: element i = min over shingles of xxhash64(sh, i). */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+  /** MinHash signature: element i = min over shingles of xxhash64(sh, i) —
+    * native one-pass kernel (see [[VectorExpressions.MinhashSig]]). */
+  def minhashSignature(spark: org.apache.spark.sql.SparkSession,
+      sh: Column, numHashes: Int): Column =
+    VectorExpressions.minhashSig(spark, sh, numHashes)
 
   /** MinHash + LSH banding near-dup candidates with estimated Jaccard.
     *
@@ -87,7 +88,8 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
     val sig = docs.select(col("doc_id"),
-      minhashSignature(shingles(split(col("text"), " "), n), numHashes).as("sig"))
+      minhashSignature(docs.sparkSession,
+        shingles(split(col("text"), " "), n), numHashes).as("sig"))
     val bucketed = sig.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -106,15 +108,11 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash of a token array. Each (token, bit) contributes an
-    * independent hash-derived ±1; bit set iff the sum is positive. */
-  def simhash(tokens: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(63)),
-        b => when(aggregate(tokens, lit(0L),
-          (acc, t) => acc + when(pmod(xxhash64(t, b), lit(2)) === 0, 1L).otherwise(-1L)
-        ) > 0, 1L).otherwise(0L)),
-      lit(0L), (acc, bit) => shiftleft(acc, 1).bitwiseOR(bit)) // wraps, no ANSI overflow
+  /** 64-bit SimHash of a token array: one xxhash64 per token, its 64 bits
+    * vote ±1 per output bit — native one-pass kernel
+    * (see [[VectorExpressions.SimhashExpr]]). */
+  def simhash(spark: org.apache.spark.sql.SparkSession, tokens: Column): Column =
+    VectorExpressions.simhash(spark, tokens)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
     * Banding into 4×16-bit chunks is EXACT for maxDist ≤ 3 (pigeonhole: 3
@@ -124,7 +122,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4x16-bit banding is only exact for maxDist <= 3")
     val sh = docs.select(col("doc_id"),
-      simhash(split(col("text"), " ")).as("simhash"))
+      simhash(docs.sparkSession, split(col("text"), " ")).as("simhash"))
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(k => struct(lit(k).as("band"),
         shiftrightunsigned(col("simhash"), 16 * k).bitwiseAND(lit(0xFFFFL))
@@ -148,16 +146,17 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs by exact cosine ≥ threshold.
-    * Quadratic — the oracle-checkable baseline; [[embeddingNearDupLsh]] is
-    * the scale path. */
+    * Vectors are l2-normalized ONCE (O(n·dim)), so each pair costs a single
+    * native dot product. Quadratic — the oracle-checkable baseline;
+    * [[embeddingNearDupLsh]] is the scale path. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val spark = embeddings.sparkSession
     val e = embeddings.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
+      VectorExpressions.vecNormalize(spark,
+        col("embedding").cast("array<double>")).as("v"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select("id_a", "id_b")
+      .filter(VectorExpressions.vecDot(spark, col("a.v"), col("b.v")) >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
   }
 
   /** Deterministic random hyperplanes for sign-LSH (seeded, no wall-clock). */
@@ -173,31 +172,21 @@ object Dedup {
     */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.5,
       dim: Int = 64, bitsPerTable: Int = 8, numTables: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
     val planes = hyperplanes(bitsPerTable * numTables, dim)
     val e = embeddings.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
-    // sign bit per plane, packed per table
-    val sigCols = (0 until numTables).map { t =>
-      val bits = (0 until bitsPerTable).map { p =>
-        val plane = planes(t * bitsPerTable + p)
-        val dot = (0 until dim).map(d => element_at(col("v"), d + 1) * lit(plane(d)))
-          .reduce(_ + _)
-        when(dot > 0, 1L << p).otherwise(0L)
-      }
-      bits.reduce(_ + _).as(s"b$t")
-    }
-    val bucketed = e.select(col("vec_id") +: col("v") +: sigCols: _*)
-      .select(col("vec_id"), col("v"),
-        explode(array((0 until numTables).map(t =>
-          struct(lit(t).as("t"), col(s"b$t").as("h"))): _*)).as("bk"))
-      .select(col("vec_id"), col("v"), col("bk.t"), col("bk.h"))
+      VectorExpressions.vecNormalize(spark,
+        col("embedding").cast("array<double>")).as("v"))
+    val bucketed = e.select(col("vec_id"), col("v"),
+      posexplode(VectorExpressions.hyperplaneSig(spark, col("v"), planes,
+        bitsPerTable)).as(Seq("t", "h")))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         col("a.v").as("va"), col("b.v").as("vb"))
       .dropDuplicates("id_a", "id_b")
-      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .filter(VectorExpressions.vecDot(spark, col("va"), col("vb")) >= threshold)
       .select("id_a", "id_b")
   }
 }

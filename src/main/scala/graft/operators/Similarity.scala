@@ -17,22 +17,26 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine rounded to 9 dp: well above accumulation-order noise (~1e-15),
-    * well below any real similarity gap — makes rank ties deterministic and
-    * oracle-reproducible. */
-  private def roundedCosine(a: Column, b: Column): Column =
-    round(Dedup.cosine(a, b), 9)
+  /** Cosine (dot of pre-normalized vectors) rounded to 9 dp: well above
+    * accumulation-order noise (~1e-15), well below any real similarity
+    * gap — makes rank ties deterministic and oracle-reproducible. */
+  private def roundedDot(df: DataFrame, a: Column, b: Column): Column =
+    round(VectorExpressions.vecDot(df.sparkSession, a, b), 9)
+
+  private def normalized(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs),
+      VectorExpressions.vecNormalize(df.sparkSession,
+        col("embedding").cast("array<double>")).as(vecAs))
 
   /** Exact top-k neighbors (by cosine) for each query vector. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val e = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").cast("array<double>").as("qv"))
+    val e = normalized(corpus, "vec_id", "v")
+    val q = normalized(queries, "query_id", "qv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        roundedCosine(col("qv"), col("v")).as("cos"))
+        roundedDot(corpus, col("qv"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
@@ -45,24 +49,16 @@ object Similarity {
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int = 64, bitsPerTable: Int = 8, numTables: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
     val planes = Dedup.hyperplanes(bitsPerTable * numTables, dim)
-    def buckets(v: Column): Column =
-      array((0 until numTables).map { t =>
-        val bits = (0 until bitsPerTable).map { p =>
-          val plane = planes(t * bitsPerTable + p)
-          val dot = (0 until dim).map(d => element_at(v, d + 1) * lit(plane(d)))
-            .reduce(_ + _)
-          when(dot > 0, 1L << p).otherwise(0L)
-        }
-        struct(lit(t).as("t"), bits.reduce(_ + _).as("h"))
-      }: _*)
-    val e = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), col("v"), explode(buckets(col("v"))).as("bk"))
-      .select(col("vec_id"), col("v"), col("bk.t"), col("bk.h"))
-    val q = queries.select(col("vec_id").as("query_id"),
-        col("embedding").cast("array<double>").as("qv"))
-      .select(col("query_id"), col("qv"), explode(buckets(col("qv"))).as("bk"))
-      .select(col("query_id"), col("qv"), col("bk.t"), col("bk.h"))
+    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val nn = normalized(df, idAs, vecAs)
+      nn.select(col(idAs), col(vecAs),
+        posexplode(VectorExpressions.hyperplaneSig(spark, col(vecAs), planes,
+          bitsPerTable)).as(Seq("t", "h")))
+    }
+    val e = bucketed(corpus, "vec_id", "v")
+    val q = bucketed(queries, "query_id", "qv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     e.as("e").join(broadcast(q).as("q"),
@@ -71,7 +67,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"), col("v"))
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        roundedCosine(col("qv"), col("v")).as("cos"))
+        roundedDot(corpus, col("qv"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))

@@ -49,7 +49,7 @@ class DedupSpec extends AnyFunSuite {
     val recall = exact.count(sh.contains).toDouble / exact.size
     assert(recall >= 0.6, s"simhash recall $recall over ${exact.size} exact pairs")
     // hamming is exact: re-check one pair's distance independently
-    val sig = docs.select($"doc_id", Dedup.simhash(split($"text", " ")).as("s"))
+    val sig = docs.select($"doc_id", Dedup.simhash(spark, split($"text", " ")).as("s"))
       .as[(Long, Long)].collect().toMap
     sh.take(5).foreach { case (a, b) =>
       assert(java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3)
