@@ -90,4 +90,24 @@ object Ops {
       df.select(col(f.name).as("value"))
     case _ => df
   }
+
+  /** `op.inspect` error-logging parity (reference: operators.py:33,
+    * connector.py:65-66 — a per-record logger on the err stream). Driver-side
+    * per-record logging does not scale; the Spark-native form is an
+    * `observe()` metric: the error count (and a bounded sample of messages)
+    * surfaces on the driver per action / micro-batch with zero extra passes
+    * over the data.
+    */
+  def inspectErrors(errs: DataFrame, name: String = "graft_errors"): DataFrame =
+    errs.observe(name,
+      count(lit(1)).as("n_errors"),
+      slice(collect_list(col(ErrorCol)), 1, 10).as("sample_errors"))
+
+  /** Same, with a driver-side [[org.apache.spark.sql.Observation]] handle
+    * for synchronous metric retrieval after an action. */
+  def inspectErrors(errs: DataFrame,
+      obs: org.apache.spark.sql.Observation): DataFrame =
+    errs.observe(obs,
+      count(lit(1)).as("n_errors"),
+      slice(collect_list(col(ErrorCol)), 1, 10).as("sample_errors"))
 }

@@ -78,6 +78,15 @@ class OpsSpec extends AnyFunSuite {
     assert(Ops.ensureMessage(already).columns.toSeq == Seq("id", "name"))
   }
 
+  test("inspectErrors surfaces error count and samples via observe") {
+    val df = Seq((1, 50.0), (2, 150.0), (3, 200.0)).toDF("id", "v")
+    val out = Ops.validateSchema(df, $"v" < 100, "too big")
+    val obs = org.apache.spark.sql.Observation()
+    Ops.inspectErrors(out.errs, obs).collect()
+    assert(obs.get("n_errors") == 2L)
+    assert(obs.get("sample_errors").asInstanceOf[Seq[String]] == Seq("too big", "too big"))
+  }
+
   test("enrichWithMetadata adds columns and keeps all rows ok") {
     val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
     val out = Ops.enrichWithMetadata(df, Seq("v" -> lit("1.0")))
