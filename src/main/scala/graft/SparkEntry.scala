@@ -28,6 +28,10 @@ object SparkEntry {
     "q_blob_roundtrip" -> ParityQueries.blobRoundtrip _,
     "q_sink_roundtrip" -> ParityQueries.sinkRoundtrip _,
     "q_stream_window" -> StreamPipeline.streamWindowQuery _,
+    "q_stream_stateful" -> StreamPipeline.statefulUserCounts _,
+    "q_semi_anti_join" -> Relational.semiAntiJoin _,
+    "q_outer_join_stats" -> Relational.outerJoinStats _,
+    "q_setops" -> Relational.setOps _,
     "dedup_exact" -> PipelineQueries.dedupExact _,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgram _,
     "dedup_minhash" -> PipelineQueries.dedupMinhash _,
@@ -58,6 +62,10 @@ object SparkEntry {
     "q_blob_roundtrip" -> ParityQueries.blobRoundtripSql,
     "q_sink_roundtrip" -> ParityQueries.sinkRoundtripSql,
     "q_stream_window" -> StreamPipeline.streamWindowSql,
+    "q_stream_stateful" -> StreamPipeline.statefulUserCountsSql,
+    "q_semi_anti_join" -> Relational.semiAntiJoinSql,
+    "q_outer_join_stats" -> Relational.outerJoinStatsSql,
+    "q_setops" -> Relational.setOpsSql,
     "dedup_exact" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramSql,
     "dedup_embedding" -> PipelineQueries.dedupEmbeddingSql,

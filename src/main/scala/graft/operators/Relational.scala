@@ -133,4 +133,79 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Semi/anti join showcase: customers with vs without any order (EXISTS /
+    * NOT EXISTS). Both sides broadcast the key set at real scale when the
+    * dim is small; here the semi/anti hash join needs only the key column.
+    */
+  def semiAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).select($"o_custkey")
+    val withOrders = c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .select(lit("with_orders").as("status"), $"c_custkey")
+    val withoutOrders = c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select(lit("no_orders").as("status"), $"c_custkey")
+    withOrders.unionAll(withoutOrders)
+      .groupBy($"status").agg(count(lit(1)).as("n"))
+      .orderBy($"status")
+  }
+
+  val semiAntiJoinSql: String =
+    """SELECT status, COUNT(*) AS n FROM (
+      |  SELECT 'with_orders' AS status, c_custkey FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  UNION ALL
+      |  SELECT 'no_orders' AS status, c_custkey FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      |GROUP BY status ORDER BY status""".stripMargin
+
+  /** Outer join + distinct aggregation: per-customer order stats including
+    * order-less customers (the LEFT OUTER + countDistinct surface). */
+  def outerJoinStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_mktsegment")
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_mktsegment")
+      .agg(countDistinct($"c_custkey").as("n_customers"),
+        count($"o_orderkey").as("n_orders"),
+        countDistinct($"o_orderpriority").as("n_priorities"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val outerJoinStatsSql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(DISTINCT c_custkey) AS n_customers,
+      |  COUNT(o_orderkey) AS n_orders,
+      |  COUNT(DISTINCT o_orderpriority) AS n_priorities
+      |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Set-operation showcase: users who clicked INTERSECT/EXCEPT purchased
+    * (distinct set semantics — the reference's branch split is disjoint
+    * partitioning, these are the real relational set ops).
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    def users(t: String) = e.filter($"event_type" === t).select($"user_id")
+    val both = users("click").intersect(users("purchase"))
+      .select(lit("click_and_purchase").as("cohort"), $"user_id")
+    val onlyClick = users("click").except(users("purchase"))
+      .select(lit("click_only").as("cohort"), $"user_id")
+    both.unionAll(onlyClick).orderBy($"cohort", $"user_id")
+  }
+
+  val setOpsSql: String =
+    """SELECT 'click_and_purchase' AS cohort, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT 'click_only' AS cohort, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |ORDER BY cohort, user_id""".stripMargin
 }

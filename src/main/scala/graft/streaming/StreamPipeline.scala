@@ -76,4 +76,33 @@ object StreamPipeline {
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Custom-state surface (`mapGroupsWithState`): per-user running event
+    * count held in the state store. Emits the running total per update; the
+    * final per-user maximum equals the batch count regardless of how the
+    * source is micro-batched, which keeps the query deterministic and
+    * oracle-checkable.
+    */
+  def statefulUserCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val name = "stream_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val users = eventsStream(spark, sfDir).select($"user_id").as[Long]
+    val counted = users.groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Long], state) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counted.toDF("user_id", "n_events")
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy($"user_id").agg(max($"n_events").as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  val statefulUserCountsSql: String =
+    "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id"
 }
