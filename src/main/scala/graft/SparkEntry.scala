@@ -9,9 +9,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * in [[oracleSql]] where the semantics are SQL-expressible.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The end-to-end pipeline exercises every engine layer: validation,
+    * quality scoring, dedup, aggregation, and the partitioned sink. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+    PipelineE2E.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -32,6 +34,7 @@ object SparkEntry {
     "q_semi_anti_join" -> Relational.semiAntiJoin _,
     "q_outer_join_stats" -> Relational.outerJoinStats _,
     "q_setops" -> Relational.setOps _,
+    "q_pipeline_e2e" -> PipelineE2E.run _,
     "dedup_exact" -> PipelineQueries.dedupExact _,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgram _,
     "dedup_minhash" -> PipelineQueries.dedupMinhash _,
@@ -66,6 +69,7 @@ object SparkEntry {
     "q_semi_anti_join" -> Relational.semiAntiJoinSql,
     "q_outer_join_stats" -> Relational.outerJoinStatsSql,
     "q_setops" -> Relational.setOpsSql,
+    "q_pipeline_e2e" -> PipelineE2E.sql,
     "dedup_exact" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramSql,
     "dedup_embedding" -> PipelineQueries.dedupEmbeddingSql,

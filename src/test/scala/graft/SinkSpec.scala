@@ -70,6 +70,18 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("orc file format knob is honored end-to-end") {
+    val sink = new TableSink(SinkConfig("orc_t", TestSpark.tmpDir("sink_orc"),
+      fileFormat = "orc",
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity))))
+    val e = Tables.events(spark, TestSpark.sfDir).limit(200)
+    sink.append(e)
+    assert(sink.read(spark).count() == 200)
+    val files = new java.io.File(sink.config.tablePath).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+    assert(files.exists(_.getName.endsWith(".orc")))
+  }
+
   test("config presets mirror the reference and validators warn") {
     val ht = SinkConfig.forHighThroughput("t", "/w")
     assert(ht.batchSize == 10000 && ht.batchIntervalSeconds == 30 && ht.numPartitions == 8)
