@@ -24,11 +24,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word-n-gram shingles of a token array. */
+  /** Distinct word-n-gram shingles of a token array (declarative form —
+    * kept as the reference semantics / spec cross-check for the native
+    * kernel used on the hot paths). */
   def shingles(tokens: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
       i => array_join(slice(tokens, i, lit(n)), " ")))
+
+  /** Ordered (a < b) pairs from a posting list — the key trick shared by
+    * every banded/bucketed candidate generator here: group members by
+    * bucket key ONCE, then explode the within-bucket pairs, instead of
+    * self-joining two full copies of the corpus-derived stream (which
+    * scans and computes signatures twice). */
+  private def pairExplode(ids: Column): Column =
+    flatten(transform(ids, a =>
+      transform(filter(ids, b => b > a), b => struct(a.as("a"), b.as("b")))))
 
   /** Exact dedup via md5 fingerprint: one row per distinct text with the
     * surviving (minimum) doc id and the duplicate count. */
@@ -47,19 +58,19 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh0 = docs
-      .select(col("doc_id"), explode(shingles(split(col("text"), " "), n)).as("sh"))
-    val sh = maxShingleDf match {
-      case Some(cap) =>
-        val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("sh")
-        sh0.join(rare, "sh")
-      case None => sh0
-    }
+    val sh = docs.select(col("doc_id"),
+      explode(VectorExpressions.shinglesOf(docs.sparkSession,
+        split(col("text"), " "), n)).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // posting list per shingle (one scan, one shuffle on the shingle);
+    // singleton postings carry no pairs, capped postings bound skew
+    val postings = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val capped = maxShingleDf.fold(postings)(cap =>
+      postings.filter(size(col("ids")) <= cap))
+    val pairs = capped
+      .select(explode(pairExplode(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))
@@ -89,18 +100,23 @@ object Dedup {
     val rpb = numHashes / bands
     val sig = docs.select(col("doc_id"),
       minhashSignature(docs.sparkSession,
-        shingles(split(col("text"), " "), n), numHashes).as("sig"))
+        VectorExpressions.shinglesOf(docs.sparkSession,
+          split(col("text"), " "), n), numHashes).as("sig"))
     val bucketed = sig.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(slice(col("sig"), b * lit(rpb) + 1, lit(rpb))).as("h"))))
         .as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.h"))
-    val cand = bucketed.as("a").join(bucketed.as("b"),
-        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    // posting list per (band, bucket): signatures computed once, pairs
+    // exploded within buckets, candidate dedup across bands on (id_a,id_b)
+    val cand = bucketed
+      .groupBy(col("band"), col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(pairExplode(col("ms"))).as("p"))
+      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
+        col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
     cand.select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),

@@ -151,6 +151,44 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Distinct word-n-gram shingles of an ARRAY<STRING> token array — one
+    * pass with a linked set, matching the semantics of
+    * array_distinct(transform(sequence(...), i -> array_join(slice(t,i,n))))
+    * (and the DuckDB oracle's list-comprehension form) exactly. */
+  case class ShinglesExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val count = math.max(m - n + 1, 1)
+      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]
+      var i = 0
+      while (i < count) {
+        val sb = new java.lang.StringBuilder
+        val end = math.min(i + n, m)
+        var j = i
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(arr.getUTF8String(j).toString)
+          j += 1
+        }
+        seen.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray())
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def shinglesOf(spark: SparkSession, tokens: Column, n: Int): Column = {
+    val name = s"graft_shingles_$n"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, es => ShinglesExpr(es.head, n), "built-in")
+    call_function(name, tokens)
+  }
+
   /** Idempotent session registration; Column-side accessors below. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

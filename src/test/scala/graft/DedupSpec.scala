@@ -11,6 +11,19 @@ class DedupSpec extends AnyFunSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
 
+  test("native shingle kernel matches the declarative reference semantics") {
+    val tok = split($"text", " ")
+    val both = docs.select(
+      Dedup.shingles(tok, 5).as("ref"),
+      VectorExpressions.shinglesOf(spark, tok, 5).as("native"))
+    assert(both.filter(not($"ref" === $"native")).count() == 0)
+    // edge: fewer tokens than n -> single whole-text shingle
+    val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
+    val s = tiny.select(VectorExpressions.shinglesOf(spark, split($"text", " "), 5))
+      .collect()(0).getSeq[String](0)
+    assert(s == Seq("a b"))
+  }
+
   test("exact dedup keeps one survivor per distinct text") {
     val d = docs.unionAll(docs.limit(50)) // inject 50 true duplicates
     val out = Dedup.exact(d)
