@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TypedOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("mapRecords captures per-record exceptions and keeps the stream flowing") {
+    val ds = Seq("1", "2", "boom", "4").toDS()
+    val out = TypedOps.mapRecords(ds)(_.toInt * 10)
+    assert(out.oks.collect().sorted.toSeq == Seq(10, 20, 40))
+    val errs = out.errs.collect()
+    assert(errs.length == 1)
+    assert(errs(0).startsWith("NumberFormatException"))
+  }
+
+  test("validateRecords routes predicate failures with the configured message") {
+    val ds = Seq(1, 50, 200).toDS()
+    val out = TypedOps.validateRecords(ds)(_ < 100, "too big")
+    assert(out.oks.collect().sorted.toSeq == Seq(1, 50))
+    assert(out.errs.collect().toSeq == Seq("IllegalArgumentException: too big"))
+  }
+
+  test("error messages are truncated to the reference's 1000-char cap") {
+    val ds = Seq(1).toDS()
+    val out = TypedOps.mapRecords(ds) { _ =>
+      val e: Int = throw new RuntimeException("x" * 5000)
+      e
+    }
+    assert(out.errs.head().length == 1000)
+  }
+}
