@@ -41,13 +41,17 @@ object ParityQueries {
       |FROM events ORDER BY event_id""".stripMargin
 
   /** bucket[N] transform — murmur3-based, not reproducible in DuckDB SQL, so
-    * rows-only checked; the spec asserts the bucket range + stability. */
+    * rows-only checked; specs assert range/stability and Iceberg-spec test
+    * vectors. Emits both the Spark-native bucket and the Iceberg-bit-exact
+    * bucket (IcebergBucketing). */
   def bucketTransform(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, sfDir)
     e.select($"event_id",
       Transform.Bucket(16)(col("user_id"), e.schema("user_id").dataType)
-        .cast("long").as("bucket"))
+        .cast("long").as("bucket"),
+      IcebergBucketing.icebergBucket(spark, $"user_id", 16)
+        .cast("long").as("iceberg_bucket"))
       .orderBy($"event_id")
   }
 
