@@ -35,6 +35,8 @@ object SparkEntry {
     "q_outer_join_stats" -> Relational.outerJoinStats _,
     "q_setops" -> Relational.setOps _,
     "q_pipeline_e2e" -> PipelineE2E.run _,
+    "q5_local_revenue" -> Relational.localSupplierRevenue _,
+    "q6_forecast_revenue" -> Relational.forecastRevenue _,
     "dedup_exact" -> PipelineQueries.dedupExact _,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgram _,
     "dedup_minhash" -> PipelineQueries.dedupMinhash _,
@@ -70,6 +72,8 @@ object SparkEntry {
     "q_outer_join_stats" -> Relational.outerJoinStatsSql,
     "q_setops" -> Relational.setOpsSql,
     "q_pipeline_e2e" -> PipelineE2E.sql,
+    "q5_local_revenue" -> Relational.localSupplierRevenueSql,
+    "q6_forecast_revenue" -> Relational.forecastRevenueSql,
     "dedup_exact" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramSql,
     "dedup_embedding" -> PipelineQueries.dedupEmbeddingSql,

@@ -134,6 +134,68 @@ object Relational {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** TPC-H Q5-style local-supplier revenue: 5-way join through the full
+    * star schema (region→nation→{customer,supplier}→orders→lineitem). The
+    * three dimension legs are broadcast; only orders⋈lineitem shuffles.
+    */
+  def localSupplierRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val r = Tables.region(spark, sfDir)
+    val n = Tables.nation(spark, sfDir).join(broadcast(r),
+      $"n_regionkey" === $"r_regionkey")
+    val c = Tables.customer(spark, sfDir).join(broadcast(n),
+      $"c_nationkey" === $"n_nationkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1994-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+    val revenue = $"l_extendedprice".cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val localSupplierRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** TPC-H Q6-style forecasting revenue change: the selective-scan
+    * aggregate — every predicate reaches the parquet scan as a pushed
+    * filter, no shuffle at all until the single-row aggregate.
+    */
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+    l.filter($"l_shipdate" >= lit("1994-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1995-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") *
+        $"l_discount".cast("decimal(18,2)"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val forecastRevenueSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
   /** Semi/anti join showcase: customers with vs without any order (EXISTS /
     * NOT EXISTS). Both sides broadcast the key set at real scale when the
     * dim is small; here the semi/anti hash join needs only the key column.

@@ -20,9 +20,11 @@ import org.apache.spark.sql.types._
   */
 object VectorExpressions {
 
-  /** dot(a, b) over ARRAY<DOUBLE> — one fused loop, no per-element lambda. */
+  /** dot(a, b) over ARRAY<DOUBLE> — one fused loop, no per-element lambda.
+    * Full codegen (doGenCode) so the surrounding pair-filter stage keeps
+    * its whole-stage-codegen span. */
   case class VecDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData].toDoubleArray()
@@ -33,6 +35,23 @@ object VectorExpressions {
       while (i < n) { s += x(i) * y(i); i += 1 }
       s
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
