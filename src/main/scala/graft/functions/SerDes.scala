@@ -15,6 +15,11 @@ import org.apache.spark.sql.types._
 trait SerDe {
   def serialize(df: DataFrame): DataFrame
   def deserialize(df: DataFrame): DataFrame
+
+  /** The single payload column whose NULL signals a per-record serde
+    * failure (the declarative analogue of the reference's caught
+    * exception), or None when this serde cannot fail per record. */
+  def payloadColumn: Option[String] = None
 }
 
 /** JSON SerDe (reference: operators.py:102-153).
@@ -37,6 +42,8 @@ final case class JsonSerDe(
     df.withColumn("_parsed", from_json(col(jsonField), s))
       .select(col("_parsed.*"))
   }
+
+  override def payloadColumn: Option[String] = Some(jsonField)
 }
 
 /** Parquet-compat coercion SerDe (reference: operators.py:156-210).
@@ -83,4 +90,6 @@ final case class BlobSerDe(
     df.withColumn("_parsed", from_json(decode(unbase64(col(blobField)), "UTF-8"), s))
       .select(col("_parsed.*"))
   }
+
+  override def payloadColumn: Option[String] = Some(blobField)
 }

@@ -72,9 +72,11 @@ object Dedup {
       .select(explode(pairExplode(col("ids"))).as("p"))
       .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    // no broadcast hint: sizes has one row per corpus document, so the
+    // planner (AQE) must stay free to pick a shuffle join at real scale
     pairs
-      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"),
         (col("inter") / (col("sa.n_sh") + col("sb.n_sh") - col("inter")))
           .as("jaccard"))

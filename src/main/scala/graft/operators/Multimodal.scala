@@ -42,7 +42,10 @@ object Multimodal {
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { r =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val checksum = md.digest(r.payload).map("%02x".format(_)).mkString
-      val first = if (r.payload.nonEmpty) r.payload(0) & 0xff else 0
+      // first UNICODE CODEPOINT of the utf-8 payload (not the first byte):
+      // matches DuckDB unicode() for non-ASCII leading characters too
+      val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+      val first = if (s.nonEmpty) s.codePointAt(0) else 0
       MediaFeatures(r.doc_id, r.media_type,
         n_bytes = r.payload.length.toLong,
         checksum = checksum,
@@ -87,6 +90,6 @@ object Multimodal {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  md5(text) AS checksum,
       |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-      |  CAST(unicode(text) % 480 AS BIGINT) AS height
+      |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE unicode(text) % 480 END AS BIGINT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 }

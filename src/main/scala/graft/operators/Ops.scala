@@ -55,10 +55,11 @@ object Ops {
         serialized.withColumn("event_timestamp",
           (unix_micros(current_timestamp()) / 1000).cast(LongType))
       else serialized
-    // A serde emitting a single payload column (Json/Blob) signals failure
-    // with NULL; multi-column coercion (ParquetSerDe) cannot fail.
-    val payloadCols = stamped.columns.filterNot(_ == "event_timestamp")
-    val failed = payloadCols.map(c => col(c).isNull).reduce(_ && _)
+    // Only a serde's designated payload column signals failure with NULL;
+    // serdes without one (ParquetSerDe coercion) cannot fail per record,
+    // and legitimately-NULL data columns are never misread as failures.
+    val failed = serde.payloadColumn
+      .map(c => col(c).isNull).getOrElse(lit(false))
     errorSplit(stamped.withColumn(ErrorCol,
       when(failed, lit("Serialization failed")).otherwise(lit(null).cast(StringType))))
   }
@@ -96,12 +97,14 @@ object Ops {
     * per-record logging does not scale; the Spark-native form is an
     * `observe()` metric: the error count (and a bounded sample of messages)
     * surfaces on the driver per action / micro-batch with zero extra passes
-    * over the data.
+    * over the data. Metrics stay bounded (count + one sample), so a 100 TB
+    * err stream cannot blow the aggregation buffer the way an unbounded
+    * collect would.
     */
   def inspectErrors(errs: DataFrame, name: String = "graft_errors"): DataFrame =
     errs.observe(name,
       count(lit(1)).as("n_errors"),
-      slice(collect_list(col(ErrorCol)), 1, 10).as("sample_errors"))
+      first(col(ErrorCol), ignoreNulls = true).as("sample_error"))
 
   /** Same, with a driver-side [[org.apache.spark.sql.Observation]] handle
     * for synchronous metric retrieval after an action. */
@@ -109,5 +112,5 @@ object Ops {
       obs: org.apache.spark.sql.Observation): DataFrame =
     errs.observe(obs,
       count(lit(1)).as("n_errors"),
-      slice(collect_list(col(ErrorCol)), 1, 10).as("sample_errors"))
+      first(col(ErrorCol), ignoreNulls = true).as("sample_error"))
 }

@@ -29,9 +29,10 @@ object PipelineE2E {
       $"text".isNotNull && length($"text") > 0 && $"lang".isNotNull,
       "invalid document")
 
-    // 2. quality scoring + filter
+    // 2. quality scoring + filter — attached in-place, no self-join:
+    // Catalyst keeps the whole predicate inside the document scan stage
     val scored = validated.oks
-      .join(TextAnalysis.qualityScore(validated.oks), "doc_id")
+      .withColumn("quality", TextAnalysis.qualityExpr($"text"))
       .filter($"quality" >= QualityThreshold)
 
     // 3. exact dedup: keep the minimum doc_id per fingerprint

@@ -63,20 +63,22 @@ object TextAnalysis {
 
   /** Quality score in [0,1]: 0.4·length + 0.4·stopword-hit + 0.2·(1-punct).
     * Fixed evaluation order keeps the double arithmetic bit-identical to
-    * the oracle. */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
+    * the oracle. Exposed as a Column so pipelines attach it in-place
+    * (no self-join, stays inside the document scan). */
+  def qualityExpr(text: Column): Column = {
+    val t = tokens(text)
     val nTok = size(t)
     val lengthScore = least(nTok / lit(100.0), lit(1.0))
     val stopHits = markerScore(t, markers.head._2) // en stopwords
     val stopScore = least((stopHits * lit(10.0)) / nTok, lit(1.0))
-    val punct = length(col("text")) -
-      length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
-    val punctRatio = punct / length(col("text")).cast("double")
-    docs.select(col("doc_id"),
-      (lengthScore * lit(0.4) + stopScore * lit(0.4) +
-        (lit(1.0) - punctRatio) * lit(0.2)).as("quality"))
+    val punct = length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))
+    val punctRatio = punct / length(text).cast("double")
+    lengthScore * lit(0.4) + stopScore * lit(0.4) +
+      (lit(1.0) - punctRatio) * lit(0.2)
   }
+
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), qualityExpr(col("text")).as("quality"))
 
   /** Rabin-Karp-style rolling-hash fingerprint over the character stream:
     * fp = fold(chars)(acc → (acc·31 + codepoint) mod 1e9+7). Stays well

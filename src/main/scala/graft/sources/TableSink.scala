@@ -54,18 +54,32 @@ final class TableSink(val config: SinkConfig) {
     */
   private def clusterForWrite(df: DataFrame): DataFrame = {
     val parts = partitionColNames.map(col)
+    // salt over ALL columns: uncorrelated with any single partition source,
+    // so each partition value genuinely spreads over ~numPartitions writers
+    val salt = pmod(hash(df.columns.map(col).toSeq: _*), lit(config.numPartitions))
     val clustered =
       if (parts.isEmpty) df.repartition(config.numPartitions)
-      else if (config.numPartitions > 1)
-        df.repartition(parts :+ (pmod(hash(col(df.columns.head)), lit(config.numPartitions))): _*)
+      else if (config.numPartitions > 1) df.repartition(parts :+ salt: _*)
       else df.repartition(parts: _*)
     if (config.sortOrder.nonEmpty)
       clustered.sortWithinPartitions(config.sortOrder.map(col): _*)
     else clustered
   }
 
+  /** Guard against mixing the batch and streaming writers on one table:
+    * once a streaming file sink has created `_spark_metadata`, reads trust
+    * only that log and batch-appended files would silently disappear. */
+  private def requireNoStreamingLog(): Unit = {
+    val meta = new java.io.File(s"${config.tablePath}/_spark_metadata")
+    require(!meta.exists(),
+      s"table ${config.tablePath} is a streaming-sink table " +
+        "(_spark_metadata present); batch append would write files the " +
+        "sink log hides from readers — use startStream, or a different table")
+  }
+
   /** K5/K6 batch append: coerce → derive → cluster → atomic append. */
   def append(df: DataFrame): Unit = {
+    requireNoStreamingLog()
     val prepared = clusterForWrite(withDerived(Ops.ensureMessage(df)))
     val writer = prepared.write
       .mode("append")

@@ -32,13 +32,19 @@ object StreamPipeline {
   }
 
   private def stageDir(sfDir: String, table: String): String = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, LinkOption, Paths}
+    val target = Paths.get(sfDir).toAbsolutePath.resolve(s"$table.parquet")
     val dir = Paths.get(
-      s"/root/repo/target/tmp/stream_src_${table}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      s"/root/repo/target/tmp/stream_src_${table}_${target.getParent.toString.replaceAll("[^A-Za-z0-9.]", "_")}")
     Files.createDirectories(dir)
     val link = dir.resolve(s"$table.parquet")
-    if (!Files.exists(link))
-      Files.createSymbolicLink(link, Paths.get(s"$sfDir/$table.parquet"))
+    // NOFOLLOW: a dangling staged link must be detected (exists() follows
+    // links and would report false, then createSymbolicLink would throw)
+    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) &&
+        !Files.exists(link)) // dangling → re-stage
+      Files.delete(link)
+    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+      Files.createSymbolicLink(link, target)
     dir.toString
   }
 

@@ -41,6 +41,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out.errs.count() == 1)
   }
 
+  test("serializeRecords keeps all-NULL records ok under ParquetSerDe (cannot fail)") {
+    val df = Seq((None: Option[Long], None: Option[String]),
+      (Some(1L), Some("a"))).toDF("a", "b")
+    val out = Ops.serializeRecords(df, ParquetSerDe)
+    assert(out.oks.count() == 2, "all-NULL row is legitimate data, not a failure")
+    assert(out.errs.count() == 0)
+  }
+
+  test("serializeRecords flags only the serde payload column as failure signal") {
+    // BlobSerDe's constant 'type' column must not mask a NULL payload
+    val serde = BlobSerDe()
+    val ser = serde.serialize(Seq((1L, "x")).toDF("id", "name"))
+      .withColumn("pickle_data", lit(null).cast("string")) // simulate failure
+    val out = Ops.errorSplit(ser.withColumn(Ops.ErrorCol,
+      when(col(serde.payloadColumn.get).isNull, "Serialization failed")
+        .otherwise(lit(null).cast(StringType))))
+    assert(out.errs.count() == 1)
+  }
+
   test("json serde round-trips records") {
     val serde = JsonSerDe(schema = Some(StructType.fromDDL("id BIGINT, name STRING")))
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
@@ -84,7 +103,7 @@ class OpsSpec extends AnyFunSuite {
     val obs = org.apache.spark.sql.Observation()
     Ops.inspectErrors(out.errs, obs).collect()
     assert(obs.get("n_errors") == 2L)
-    assert(obs.get("sample_errors").asInstanceOf[Seq[String]] == Seq("too big", "too big"))
+    assert(obs.get("sample_error") == "too big")
   }
 
   test("enrichWithMetadata adds columns and keeps all rows ok") {

@@ -41,5 +41,12 @@ class StreamingSpec extends AnyFunSuite {
     val afterSecond = sink.read(spark).count()
     assert(afterSecond == afterFirst,
       s"restart duplicated rows: $afterFirst -> $afterSecond")
+
+    // a streaming-sink table refuses batch appends: the _spark_metadata
+    // log would hide batch files from readers
+    val ex = intercept[IllegalArgumentException] {
+      sink.append(Tables.events(spark, TestSpark.sfDir).limit(1))
+    }
+    assert(ex.getMessage.contains("_spark_metadata"))
   }
 }

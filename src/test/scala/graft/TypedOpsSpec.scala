@@ -22,6 +22,16 @@ class TypedOpsSpec extends AnyFunSuite {
     assert(out.errs.collect().toSeq == Seq("IllegalArgumentException: too big"))
   }
 
+  test("user function runs exactly once per record across both branches") {
+    val acc = spark.sparkContext.longAccumulator("calls")
+    val ds = Seq(1, 2, 3, 4, 5).toDS()
+    val out = TypedOps.mapRecords(ds) { x => acc.add(1); x * 2 }
+    assert(out.oks.count() == 5)
+    assert(out.errs.count() == 0)
+    assert(acc.value == 5, s"f evaluated ${acc.value} times for 5 records")
+    out.release()
+  }
+
   test("error messages are truncated to the reference's 1000-char cap") {
     val ds = Seq(1).toDS()
     val out = TypedOps.mapRecords(ds) { _ =>

@@ -49,6 +49,14 @@ def main():
     results = sorted(d for d in os.listdir(OUT_DIR)
                      if os.path.isdir(f"{OUT_DIR}/{d}"))
     n_pass = n_fail = 0
+    # a declared query with no output dir is a FAILURE, not a skip
+    qpath = f"{OUT_DIR}/queries.json"
+    if os.path.exists(qpath):
+        declared = set(json.load(open(qpath)))
+        for missing in sorted(declared - set(results)):
+            print(f"FAIL {missing}: declared in SparkEntry.queries but "
+                  f"produced no output (threw in Verify?)")
+            n_fail += 1
     for name in results:
         files = glob.glob(f"{OUT_DIR}/{name}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
