@@ -37,6 +37,7 @@ object SparkEntry {
     "q_pipeline_e2e" -> PipelineE2E.run _,
     "q5_local_revenue" -> Relational.localSupplierRevenue _,
     "q6_forecast_revenue" -> Relational.forecastRevenue _,
+    "q_sketches" -> Sketches.eventSketches _,
     "dedup_exact" -> PipelineQueries.dedupExact _,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgram _,
     "dedup_minhash" -> PipelineQueries.dedupMinhash _,
