@@ -31,6 +31,7 @@ object SparkEntry {
     "q_sink_roundtrip" -> ParityQueries.sinkRoundtrip _,
     "q_stream_window" -> StreamPipeline.streamWindowQuery _,
     "q_stream_stateful" -> StreamPipeline.statefulUserCounts _,
+    "q_session_windows" -> StreamPipeline.sessionWindows _,
     "q_semi_anti_join" -> Relational.semiAntiJoin _,
     "q_outer_join_stats" -> Relational.outerJoinStats _,
     "q_setops" -> Relational.setOps _,
@@ -38,6 +39,8 @@ object SparkEntry {
     "q5_local_revenue" -> Relational.localSupplierRevenue _,
     "q6_forecast_revenue" -> Relational.forecastRevenue _,
     "q_sketches" -> Sketches.eventSketches _,
+    "q10_returned_revenue" -> Relational.returnedItemRevenue _,
+    "q12_ship_priority" -> Relational.shipModePriority _,
     "dedup_exact" -> PipelineQueries.dedupExact _,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgram _,
     "dedup_minhash" -> PipelineQueries.dedupMinhash _,
@@ -69,12 +72,15 @@ object SparkEntry {
     "q_sink_roundtrip" -> ParityQueries.sinkRoundtripSql,
     "q_stream_window" -> StreamPipeline.streamWindowSql,
     "q_stream_stateful" -> StreamPipeline.statefulUserCountsSql,
+    "q_session_windows" -> StreamPipeline.sessionWindowsSql,
     "q_semi_anti_join" -> Relational.semiAntiJoinSql,
     "q_outer_join_stats" -> Relational.outerJoinStatsSql,
     "q_setops" -> Relational.setOpsSql,
     "q_pipeline_e2e" -> PipelineE2E.sql,
     "q5_local_revenue" -> Relational.localSupplierRevenueSql,
     "q6_forecast_revenue" -> Relational.forecastRevenueSql,
+    "q10_returned_revenue" -> Relational.returnedItemRevenueSql,
+    "q12_ship_priority" -> Relational.shipModePrioritySql,
     "dedup_exact" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramSql,
     "dedup_embedding" -> PipelineQueries.dedupEmbeddingSql,

@@ -146,8 +146,8 @@ object Relational {
     val c = Tables.customer(spark, sfDir).join(broadcast(n),
       $"c_nationkey" === $"n_nationkey")
     val o = Tables.orders(spark, sfDir)
-      .filter($"o_orderdate" >= lit("1994-01-01").cast("timestamp") &&
-        $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
     val l = Tables.lineitem(spark, sfDir)
     val revenue = $"l_extendedprice".cast("decimal(18,2)") *
       (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))
@@ -168,8 +168,8 @@ object Relational {
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
-      |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
   /** TPC-H Q6-style forecasting revenue change: the selective-scan
@@ -179,8 +179,8 @@ object Relational {
   def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val l = Tables.lineitem(spark, sfDir)
-    l.filter($"l_shipdate" >= lit("1994-01-01").cast("timestamp") &&
-        $"l_shipdate" < lit("1995-01-01").cast("timestamp") &&
+    l.filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
         $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
       .agg(sum(($"l_extendedprice".cast("decimal(18,2)") *
         $"l_discount".cast("decimal(18,2)"))).cast("double").as("revenue"),
@@ -192,9 +192,69 @@ object Relational {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
-      |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10-style returned-item revenue: which customers returned the
+    * most value. Filter on the fact side reaches the scan; customer is
+    * broadcast into the post-aggregation join. */
+  def returnedItemRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir).filter($"l_returnflag" === "R")
+    val o = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_name")
+    val revenue = $"l_extendedprice".cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(sum(revenue).as("rev_exact"), count(lit(1)).as("n_items"))
+      .orderBy($"rev_exact".desc, $"c_custkey")
+      .limit(20)
+      .select($"c_custkey", $"c_name", $"rev_exact".cast("double").as("revenue"),
+        $"n_items")
+  }
+
+  val returnedItemRevenueSql: String =
+    """SELECT c_custkey, c_name, CAST(rev_exact AS DOUBLE) AS revenue, n_items
+      |FROM (
+      |  SELECT c_custkey, c_name,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_exact,
+      |    COUNT(*) AS n_items
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE l_returnflag = 'R'
+      |  GROUP BY c_custkey, c_name
+      |  ORDER BY rev_exact DESC, c_custkey LIMIT 20)
+      |ORDER BY revenue DESC, c_custkey""".stripMargin
+
+  /** TPC-H Q12-style shipping-priority counts by order priority class. */
+  def shipModePriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_linestatus")
+    val o = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderpriority")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  val shipModePrioritySql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
   /** Semi/anti join showcase: customers with vs without any order (EXISTS /
     * NOT EXISTS). Both sides broadcast the key set at real scale when the

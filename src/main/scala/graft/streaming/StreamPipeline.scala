@@ -111,4 +111,37 @@ object StreamPipeline {
 
   val statefulUserCountsSql: String =
     "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id"
+
+  /** Session windows: per-user activity sessions separated by >30-minute
+    * gaps (`session_window` — the gap-based window the category checklist
+    * calls out). Works identically over batch and streaming input; exposed
+    * over batch for the oracle (DuckDB reproduces it via islands-and-gaps).
+    */
+  def sessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max($"n_events").as("busiest_session"))
+      .orderBy($"user_id")
+  }
+
+  val sessionWindowsSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM lagged),
+      |per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events
+      |  FROM sessions GROUP BY user_id, session_id)
+      |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS busiest_session
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -49,4 +49,37 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("_spark_metadata"))
   }
+
+  test("watermark drops late data in append-mode windowed aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = src.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val name = "wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // window [10:00,10:10) gets 2 events
+      src.addData((t("2024-01-01 10:00:01"), 1L), (t("2024-01-01 10:05:00"), 2L))
+      q.processAllAvailable()
+      // watermark advances far past that window -> it finalizes and emits
+      src.addData((t("2024-01-01 11:00:00"), 3L))
+      q.processAllAvailable()
+      // a LATE event for the already-finalized window must be dropped
+      src.addData((t("2024-01-01 10:06:00"), 99L))
+      q.processAllAvailable()
+      src.addData((t("2024-01-01 12:00:00"), 4L))
+      q.processAllAvailable()
+      val emitted = spark.table(name)
+        .select(col("window.start").cast("string"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(emitted("2024-01-01 10:00:00") == 2,
+        s"late event must not inflate the finalized window: $emitted")
+    } finally q.stop()
+  }
 }
