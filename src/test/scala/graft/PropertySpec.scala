@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ScalaCheck properties over the transform/serde/fingerprint surfaces —
+  * generated inputs catch the encodings hand-written cases miss (quotes,
+  * newlines, unicode, negatives, empty strings).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(p: Prop, min: Int = 15): Unit = {
+    val r = SCTest.check(p)(_.withMinSuccessfulTests(min))
+    assert(r.passed, r.status.toString)
+  }
+
+  test("truncate[W] is idempotent, a lower multiple of W, within W of input") {
+    check(Prop.forAll(Gen.chooseNum(-100000L, 100000L),
+        Gen.chooseNum(1, 1000)) { (v, w) =>
+      val t = Seq(v).toDF("v")
+        .select(Transform.Truncate(w)(col("v"), LongType)).as[Long].head()
+      t % w == 0 && t <= v && v - t < w
+    })
+  }
+
+  test("bucket[N] is always in [0, N) for arbitrary longs") {
+    check(Prop.forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+        Gen.chooseNum(1, 64)) { (v, n) =>
+      val b = Seq(v).toDF("v")
+        .select(Transform.Bucket(n)(col("v"), LongType)).as[Int].head()
+      b >= 0 && b < n
+    }, min = 10)
+  }
+
+  test("iceberg bucket is always in [0, N) and int/long consistent") {
+    check(Prop.forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue),
+        Gen.chooseNum(1, 64)) { (v, n) =>
+      val bi = Seq(v).toDF("v")
+        .select(IcebergBucketing.icebergBucket(spark, col("v"), n)).as[Int].head()
+      val bl = Seq(v.toLong).toDF("v")
+        .select(IcebergBucketing.icebergBucket(spark, col("v"), n)).as[Int].head()
+      bi == bl && bi >= 0 && bi < n
+    }, min = 10)
+  }
+
+  test("json serde round-trips hostile strings (quotes, newlines, unicode)") {
+    val hostile = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.oneOf("""he said "hi"""", "line1\nline2", "tab\there",
+        "unicode: é中文", "back\\slash", "", "{\"fake\":1}"))
+    check(Prop.forAll(Gen.chooseNum(0L, 1000L), hostile) { (id, s) =>
+      val serde = JsonSerDe(schema =
+        Some(StructType.fromDDL("id BIGINT, txt STRING")))
+      val df = Seq((id, s)).toDF("id", "txt")
+      val back = serde.deserialize(serde.serialize(df))
+        .as[(Long, String)].head()
+      back == ((id, s))
+    }, min = 25)
+  }
+
+  test("blob serde round-trips hostile strings") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val serde = BlobSerDe(schema = Some(StructType.fromDDL("txt STRING")))
+      val df = Seq(Tuple1(s)).toDF("txt")
+      serde.deserialize(serde.serialize(df)).as[String].head() == s
+    }, min = 15)
+  }
+
+  test("fingerprint is deterministic and respects the modulus") {
+    check(Prop.forAll(Gen.alphaNumStr) { s =>
+      val df = Seq((1L, s)).toDF("doc_id", "text")
+      val a = TextAnalysis.fingerprints(df).select("fp").as[Long].head()
+      val b = TextAnalysis.fingerprints(df).select("fp").as[Long].head()
+      a == b && a >= 0 && a < 1000000007L
+    }, min = 15)
+  }
+}
