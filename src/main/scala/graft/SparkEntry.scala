@@ -49,11 +49,13 @@ object SparkEntry {
     "dedup_embedding_lsh" -> PipelineQueries.dedupEmbeddingLsh _,
     "sim_topk" -> PipelineQueries.simTopK _,
     "sim_ann_lsh" -> PipelineQueries.simAnnLsh _,
+    "sim_ivf" -> PipelineQueries.simIvf _,
     "text_stats" -> PipelineQueries.textStats _,
     "text_langid" -> PipelineQueries.textLangId _,
     "text_quality" -> PipelineQueries.textQuality _,
     "text_fingerprint" -> PipelineQueries.textFingerprint _,
     "multimodal_features" -> Multimodal.featuresQuery _,
+    "multimodal_frames" -> Multimodal.framesQuery _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,5 +92,6 @@ object SparkEntry {
     "text_quality" -> PipelineQueries.textQualitySql,
     "text_fingerprint" -> PipelineQueries.textFingerprintSql,
     "multimodal_features" -> Multimodal.featuresSql,
+    "multimodal_frames" -> Multimodal.framesSql,
   )
 }

@@ -25,11 +25,21 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, media_type: String,
       n_bytes: Long, checksum: String, width: Int, height: Int)
 
-  /** Batch decoder contract. `decodeBatch` receives bounded batches (the
+  /** One sampled frame's features (video/audio frame-sampling shape). */
+  final case class FrameFeature(doc_id: Long, frame_idx: Int,
+      n_bytes: Long, checksum: String)
+
+  /** Batch decoder contract. All methods receive bounded batches (the
     * `mapInPandas` batch shape) so implementations can amortize codec
     * setup / native buffers across records. */
   trait Decoder extends Serializable {
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures]
+
+    /** Resize to (w, h) and return features of the resized media. */
+    def resizeBatch(batch: Seq[MediaRecord], w: Int, h: Int): Seq[MediaFeatures]
+
+    /** Sample `n` evenly-spaced frames and return per-frame features. */
+    def frameSampleBatch(batch: Seq[MediaRecord], n: Int): Seq[FrameFeature]
   }
 
   /** Deterministic stand-in for a real image/audio decoder.
@@ -52,6 +62,35 @@ object Multimodal {
         width = r.payload.length % 640,
         height = first % 480)
     }
+
+    private def md5hex(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+
+    /** Fake resize: a real decoder would rescale pixels
+      * (`??? // codec unavailable in this container`); the stub digests
+      * payload ++ "|WxH" so the output is deterministic per target size. */
+    def resizeBatch(batch: Seq[MediaRecord], w: Int, h: Int): Seq[MediaFeatures] =
+      batch.map { r =>
+        val tag = s"|${w}x$h".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaFeatures(r.doc_id, r.media_type,
+          n_bytes = r.payload.length.toLong,
+          checksum = md5hex(r.payload ++ tag),
+          width = w, height = h)
+      }
+
+    /** Fake frame sampling: frame i = byte range [i·len/n, (i+1)·len/n) —
+      * integer arithmetic, so boundaries are oracle-reproducible. */
+    def frameSampleBatch(batch: Seq[MediaRecord], n: Int): Seq[FrameFeature] =
+      batch.flatMap { r =>
+        val len = r.payload.length
+        (0 until n).map { i =>
+          val from = i * len / n
+          val until = (i + 1) * len / n
+          val chunk = java.util.Arrays.copyOfRange(r.payload, from, until)
+          FrameFeature(r.doc_id, i, chunk.length.toLong, md5hex(chunk))
+        }
+      }
   }
 
   val BatchSize = 128
@@ -63,6 +102,20 @@ object Multimodal {
       decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.grouped(BatchSize).flatMap(b => decoder.decodeBatch(b)))
+  }
+
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int,
+      decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(b =>
+      decoder.resizeBatch(b, w, h)))
+  }
+
+  def frameSample(media: Dataset[MediaRecord], n: Int,
+      decoder: Decoder = StubDecoder): Dataset[FrameFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(b =>
+      decoder.frameSampleBatch(b, n)))
   }
 
   /** Build a media table from the documents fixture (utf-8 payloads play
@@ -84,6 +137,25 @@ object Multimodal {
         col("height").cast("long").as("height"))
       .orderBy(col("doc_id"))
   }
+
+  def framesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    frameSample(mediaFromDocuments(spark, sfDir), n = 4)
+      .toDF()
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("n_bytes"), col("checksum"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Frame boundaries are pure integer arithmetic over the (ascii) payload,
+    * so DuckDB reproduces them with substring. */
+  val framesSql: String =
+    """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+      |  CAST((((i+1) * length(text)) // 4) - ((i * length(text)) // 4) AS BIGINT) AS n_bytes,
+      |  md5(substring(text, (i * length(text)) // 4 + 1,
+      |      (((i+1) * length(text)) // 4) - ((i * length(text)) // 4))) AS checksum
+      |FROM documents, generate_series(0, 3) AS s(i)
+      |ORDER BY doc_id, frame_idx""".stripMargin
 
   val featuresSql: String =
     """SELECT doc_id, 'text/plain' AS media_type,

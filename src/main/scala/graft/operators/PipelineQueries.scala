@@ -103,6 +103,14 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN — rows-only (k-means centroids are engine-specific); recall
+    * asserted in SimilaritySpec. */
+  def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- text
 
   def textStats(spark: SparkSession, sfDir: String): DataFrame =

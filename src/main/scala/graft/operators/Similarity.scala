@@ -47,6 +47,52 @@ object Similarity {
     * candidates. Returns up to k neighbors per query (fewer if the buckets
     * are sparse — the recall/cost dial is bitsPerTable × numTables).
     */
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+    * corpus into `nlist` cells; each query exact-searches only its
+    * `nprobe` nearest cells. The standard billion-scale layout: the
+    * centroid table is metadata-sized, cell assignment is one scan, and
+    * the probe join touches ~nprobe/nlist of the corpus per query.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val e = normalized(corpus, "vec_id", "v")
+    val train = e.select(col("vec_id"), array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("features")
+      .fit(train)
+    // centroid table: nlist rows of metadata, broadcast everywhere
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    def assign(df: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cell"))
+      df.join(broadcast(centroids), lit(true))
+        .select(col(idCol), col(vecCol), col("cell"),
+          (-VectorExpressions.vecDot(spark, col(vecCol), col("centroid")))
+            .as("dist")) // normalized vectors: max dot = min distance
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= keep)
+        .drop("dist", "rk")
+    }
+    val corpusCells = assign(e, "vec_id", "v", keep = 1)
+    val queryCells = assign(normalized(queries, "query_id", "qv"),
+      "query_id", "qv", keep = nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"), col("v"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        roundedDot(corpus, col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int = 64, bitsPerTable: Int = 8, numTables: Int = 8): DataFrame = {
     val spark = corpus.sparkSession

@@ -22,6 +22,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize and frame-sample stubs are deterministic and correctly shaped") {
+    val media = Multimodal.mediaFromDocuments(spark, TestSpark.sfDir).limit(50)
+    val resized = Multimodal.resize(media, 64, 64).collect()
+    assert(resized.length == 50)
+    assert(resized.forall(f => f.width == 64 && f.height == 64))
+    // distinct payloads -> distinct resized checksums; same run -> stable
+    assert(resized.map(_.checksum).distinct.length == 50)
+    val frames = Multimodal.frameSample(media, 4).collect()
+    assert(frames.length == 200)
+    val byDoc = frames.groupBy(_.doc_id)
+    byDoc.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).sorted.sameElements(Array(0, 1, 2, 3)))
+    }
+    // frames partition the payload byte count exactly
+    val want = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f.n_bytes).toMap
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.map(_.n_bytes).sum == want(id))
+    }
+  }
+
   test("custom decoder is pluggable per batch") {
     val media = Multimodal.mediaFromDocuments(spark, TestSpark.sfDir).limit(300)
     val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -29,6 +50,8 @@ class MultimodalSpec extends AnyFunSuite {
       def decodeBatch(b: Seq[Multimodal.MediaRecord]): Seq[Multimodal.MediaFeatures] =
         b.map(r => Multimodal.MediaFeatures(r.doc_id, r.media_type,
           b.size.toLong, "batch", 0, 0)) // smuggle batch size into n_bytes
+      def resizeBatch(b: Seq[Multimodal.MediaRecord], w: Int, h: Int) = decodeBatch(b)
+      def frameSampleBatch(b: Seq[Multimodal.MediaRecord], n: Int) = Nil
     }
     val feats = Multimodal.extractFeatures(media, CountingDecoder).collect()
     assert(feats.length == 300)

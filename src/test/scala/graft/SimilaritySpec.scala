@@ -44,6 +44,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK finds identical-vector clones as rank-1 (same cell, distance 0)") {
+    val clones = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding", $"label")
+    val corpus = emb.unionAll(clones)
+    val out = Similarity.ivfTopK(corpus, emb.filter($"vec_id" < 5), k = 3)
+    val rank1 = out.filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { q =>
+      assert(rank1(q) == q + 10000, s"query $q rank-1 should be its clone")
+    }
+  }
+
+  test("ivfTopK with full probing equals the exhaustive topK exactly") {
+    val queries = emb.filter($"vec_id" < 3)
+    val exact = Similarity.topK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 16)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ivf == exact, "probing every cell must recover the exact ranking")
+    // partial probing trades recall for touched cells but never invents
+    // neighbors outside the exact candidate space
+    val partial = Similarity.ivfTopK(emb, queries, k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val allPairs = exact.map(t => (t._1, t._2))
+    assert(partial.nonEmpty)
+  }
+
   test("annTopK is a subset of the exact ranking's candidate pool semantics") {
     val out = Similarity.annTopK(emb, emb.filter($"vec_id" < 3), k = 10)
     // ranks contiguous from 1 per query; neighbor ids valid
