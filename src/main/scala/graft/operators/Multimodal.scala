@@ -50,8 +50,7 @@ object Multimodal {
     */
   object StubDecoder extends Decoder {
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { r =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val checksum = md.digest(r.payload).map("%02x".format(_)).mkString
+      val checksum = md5hex(r.payload)
       // first UNICODE CODEPOINT of the utf-8 payload (not the first byte):
       // matches DuckDB unicode() for non-ASCII leading characters too
       val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
@@ -79,15 +78,20 @@ object Multimodal {
           width = w, height = h)
       }
 
-    /** Fake frame sampling: frame i = byte range [i·len/n, (i+1)·len/n) —
-      * integer arithmetic, so boundaries are oracle-reproducible. */
+    /** Fake frame sampling: frame i = CODEPOINT range [i·len/n, (i+1)·len/n)
+      * of the utf-8-decoded payload (codepoints, not bytes or UTF-16 units,
+      * so boundaries never split a character and are reproducible by any
+      * engine's character substring). Features are computed over the
+      * chunk's utf-8 re-encoding. */
     def frameSampleBatch(batch: Seq[MediaRecord], n: Int): Seq[FrameFeature] =
       batch.flatMap { r =>
-        val len = r.payload.length
+        val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+        val len = s.codePointCount(0, s.length)
         (0 until n).map { i =>
-          val from = i * len / n
-          val until = (i + 1) * len / n
-          val chunk = java.util.Arrays.copyOfRange(r.payload, from, until)
+          val from = s.offsetByCodePoints(0, i * len / n)
+          val until = s.offsetByCodePoints(0, (i + 1) * len / n)
+          val chunk = s.substring(from, until)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           FrameFeature(r.doc_id, i, chunk.length.toLong, md5hex(chunk))
         }
       }
@@ -147,14 +151,17 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  /** Frame boundaries are pure integer arithmetic over the (ascii) payload,
-    * so DuckDB reproduces them with substring. */
+  /** Frame boundaries are pure integer arithmetic over CODEPOINT counts;
+    * DuckDB's character substring + utf-8 re-encoding reproduces the Scala
+    * chunking exactly, including non-ASCII text. */
   val framesSql: String =
-    """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-      |  CAST((((i+1) * length(text)) // 4) - ((i * length(text)) // 4) AS BIGINT) AS n_bytes,
-      |  md5(substring(text, (i * length(text)) // 4 + 1,
-      |      (((i+1) * length(text)) // 4) - ((i * length(text)) // 4))) AS checksum
-      |FROM documents, generate_series(0, 3) AS s(i)
+    """WITH b AS (SELECT doc_id, text, length(text) AS len FROM documents)
+      |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+      |  CAST(octet_length(encode(substring(text, (i * len) // 4 + 1,
+      |      (((i+1) * len) // 4) - ((i * len) // 4)))) AS BIGINT) AS n_bytes,
+      |  md5(substring(text, (i * len) // 4 + 1,
+      |      (((i+1) * len) // 4) - ((i * len) // 4))) AS checksum
+      |FROM b, generate_series(0, 3) AS s(i)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
   val featuresSql: String =

@@ -62,31 +62,23 @@ object Similarity {
     val train = e.select(col("vec_id"), array_to_vector(col("v")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("features")
       .fit(train)
-    // centroid table: nlist rows of metadata, broadcast everywhere
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
-    def assign(df: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cell"))
-      df.join(broadcast(centroids), lit(true))
-        .select(col(idCol), col(vecCol), col("cell"),
-          (-VectorExpressions.vecDot(spark, col(vecCol), col("centroid")))
-            .as("dist")) // normalized vectors: max dot = min distance
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= keep)
-        .drop("dist", "rk")
-    }
-    val corpusCells = assign(e, "vec_id", "v", keep = 1)
-    val queryCells = assign(normalized(queries, "query_id", "qv"),
-      "query_id", "qv", keep = nprobe)
+    // centroids ride inside the cell-assignment kernel: one map-side pass
+    // per row, no centroid join, no row amplification
+    val cents = model.clusterCenters.map(_.toArray)
+    val corpusCells = e.select(col("vec_id"), col("v"),
+      element_at(VectorExpressions.nearestCells(spark, col("v"), cents, 1), 1)
+        .as("cell"))
+    val queryCells = normalized(queries, "query_id", "qv")
+      .select(col("query_id"), col("qv"),
+        explode(VectorExpressions.nearestCells(spark, col("qv"), cents, nprobe))
+          .as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
+    // each corpus vector lives in exactly one cell and (query, cell) rows
+    // are distinct, so the join cannot emit duplicate pairs — no dedup step
     corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"), col("v"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
         roundedDot(corpus, col("qv"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

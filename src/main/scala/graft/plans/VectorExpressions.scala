@@ -208,6 +208,44 @@ object VectorExpressions {
     call_function(name, tokens)
   }
 
+  /** Top-`nprobe` nearest centroids (by dot product over normalized
+    * vectors) — the IVF cell-assignment argmin as one map-side pass over a
+    * broadcast-in-expression centroid array: no join, no shuffle, no row
+    * amplification. */
+  case class NearestCells(child: Expression, centroids: Array[Array[Double]],
+      nprobe: Int) extends UnaryExpression with CodegenFallback {
+    require(nprobe >= 1 && nprobe <= centroids.length)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData].toDoubleArray()
+      val dots = new Array[Double](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        val n = math.min(cent.length, x.length)
+        var d = 0
+        var s = 0.0
+        while (d < n) { s += x(d) * cent(d); d += 1 }
+        dots(c) = s
+        c += 1
+      }
+      val top = (0 until centroids.length)
+        .sortBy(i => (-dots(i), i)).take(nprobe).toArray
+      new GenericArrayData(top)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def nearestCells(spark: SparkSession, v: Column,
+      centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val name = s"graft_ivf_${java.lang.Integer.toHexString(
+      java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]]))}_$nprobe"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, es => NearestCells(es.head, centroids, nprobe), "built-in")
+    call_function(name, v)
+  }
+
   /** Idempotent session registration; Column-side accessors below. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -115,7 +115,10 @@ object StreamPipeline {
   /** Session windows: per-user activity sessions separated by >30-minute
     * gaps (`session_window` — the gap-based window the category checklist
     * calls out). Works identically over batch and streaming input; exposed
-    * over batch for the oracle (DuckDB reproduces it via islands-and-gaps).
+    * over batch for the oracle (DuckDB reproduces it via islands-and-gaps;
+    * Spark merges events exactly gap-apart into one session, so a new
+    * session starts only when the gap is strictly greater — verified
+    * empirically, hence `>` in the oracle).
     */
   def sessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -132,7 +135,7 @@ object StreamPipeline {
     """WITH lagged AS (
       |  SELECT user_id, ts,
       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-      |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
       |  FROM events),
       |sessions AS (
       |  SELECT user_id,

