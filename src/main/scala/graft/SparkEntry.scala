@@ -21,6 +21,7 @@ object SparkEntry {
     "q3_shipping_priority" -> Relational.shippingPriority _,
     "q_window_topk" -> Relational.topOrdersPerCustomer _,
     "q_rollup" -> Relational.orderRollup _,
+    "q_cube" -> Relational.orderCube _,
     "q_partition_transforms" -> ParityQueries.partitionTransforms _,
     "q_transform_bucket" -> ParityQueries.bucketTransform _,
     "q_serde_json" -> ParityQueries.serdeJsonRoundtrip _,
@@ -65,6 +66,7 @@ object SparkEntry {
     "q3_shipping_priority" -> Relational.shippingPrioritySql,
     "q_window_topk" -> Relational.topOrdersPerCustomerSql,
     "q_rollup" -> Relational.orderRollupSql,
+    "q_cube" -> Relational.orderCubeSql,
     "q_partition_transforms" -> ParityQueries.partitionTransformsSql,
     "q_serde_json" -> ParityQueries.serdeJsonRoundtripSql,
     "q_validate_split" -> ParityQueries.validateSplitSql,

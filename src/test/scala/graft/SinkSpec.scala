@@ -82,6 +82,16 @@ class SinkSpec extends AnyFunSuite {
     assert(files.exists(_.getName.endsWith(".orc")))
   }
 
+  test("compression codec rides through extraOptions (zstd)") {
+    val sink = new TableSink(SinkConfig("zstd_t", TestSpark.tmpDir("sink_zstd"),
+      extraOptions = Map("compression" -> "zstd")))
+    sink.append(Tables.events(spark, TestSpark.sfDir).limit(100))
+    assert(sink.read(spark).count() == 100)
+    val files = new java.io.File(sink.config.tablePath).listFiles()
+    assert(files.exists(_.getName.contains(".zstd.parquet")),
+      files.map(_.getName).mkString(","))
+  }
+
   test("config presets mirror the reference and validators warn") {
     val ht = SinkConfig.forHighThroughput("t", "/w")
     assert(ht.batchSize == 10000 && ht.batchIntervalSeconds == 30 && ht.numPartitions == 8)
