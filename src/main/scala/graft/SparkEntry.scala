@@ -23,6 +23,7 @@ object SparkEntry {
     "q_rollup" -> Relational.orderRollup _,
     "q_cube" -> Relational.orderCube _,
     "q_partition_transforms" -> ParityQueries.partitionTransforms _,
+    "q_scalar_fns" -> ParityQueries.scalarFunctions _,
     "q_transform_bucket" -> ParityQueries.bucketTransform _,
     "q_serde_json" -> ParityQueries.serdeJsonRoundtrip _,
     "q_validate_split" -> ParityQueries.validateSplit _,
@@ -68,6 +69,7 @@ object SparkEntry {
     "q_rollup" -> Relational.orderRollupSql,
     "q_cube" -> Relational.orderCubeSql,
     "q_partition_transforms" -> ParityQueries.partitionTransformsSql,
+    "q_scalar_fns" -> ParityQueries.scalarFunctionsSql,
     "q_serde_json" -> ParityQueries.serdeJsonRoundtripSql,
     "q_validate_split" -> ParityQueries.validateSplitSql,
     "q_enrich" -> ParityQueries.enrichMetadataSql,

@@ -55,6 +55,48 @@ object ParityQueries {
       .orderBy($"event_id")
   }
 
+  /** Scalar-function breadth (SURVEY §2.5 "string/date/math/array" row):
+    * a curated set whose semantics are bit-identical across engines
+    * (IEEE-exact math only — no libm-dependent pow/log in outputs). */
+  def scalarFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    e.select(
+      $"event_id",
+      upper($"event_type").as("upper_type"),
+      lpad($"event_type", 10, "_").as("padded"),
+      regexp_replace($"event_type", "c", "k").as("replaced"),
+      reverse($"event_type").as("reversed"),
+      concat_ws("-", $"event_type", $"user_id").as("concatenated"),
+      date_add(to_date($"ts"), 7).cast("string").as("week_later"),
+      datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+        .cast("long").as("days_since"),
+      round(abs($"value" - 100.0), 2).as("abs_diff"),
+      floor($"value").cast("long").as("floored"),
+      ceil($"value").cast("long").as("ceiled"),
+      ($"value" * $"value").as("squared"),
+      array_join(array_sort(split($"event_type", "")), "").as("sorted_chars"),
+      size(split($"event_type", "")).cast("long").as("n_chars"))
+      .orderBy($"event_id")
+  }
+
+  val scalarFunctionsSql: String =
+    """SELECT event_id,
+      |  upper(event_type) AS upper_type,
+      |  lpad(event_type, 10, '_') AS padded,
+      |  regexp_replace(event_type, 'c', 'k', 'g') AS replaced,
+      |  reverse(event_type) AS reversed,
+      |  event_type || '-' || user_id AS concatenated,
+      |  CAST(CAST(ts AS DATE) + 7 AS VARCHAR) AS week_later,
+      |  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since,
+      |  round(abs("value" - 100.0), 2) AS abs_diff,
+      |  CAST(floor("value") AS BIGINT) AS floored,
+      |  CAST(ceil("value") AS BIGINT) AS ceiled,
+      |  "value" * "value" AS squared,
+      |  array_to_string(list_sort(string_split(event_type, '')), '') AS sorted_chars,
+      |  CAST(length(event_type) AS BIGINT) AS n_chars
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** S1/S2 JSON SerDe round-trip: parse `props` (from_json), extract k, and
     * re-serialize a record struct (to_json). */
   def serdeJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
