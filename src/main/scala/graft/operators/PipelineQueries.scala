@@ -107,7 +107,8 @@ object PipelineQueries {
     * asserted in SimilaritySpec. */
   def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10,
+      centroidCacheKey = Some(s"embeddings_$sfDir"))
       .orderBy(col("query_id"), col("rank"))
   }
 

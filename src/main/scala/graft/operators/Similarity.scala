@@ -53,18 +53,38 @@ object Similarity {
     * centroid table is metadata-sized, cell assignment is one scan, and
     * the probe join touches ~nprobe/nlist of the corpus per query.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+  /** Fitted coarse quantizers, keyed by caller-provided identity — an IVF
+    * index is built once and queried many times; retraining k-means per
+    * query batch would dominate the probe cost. Seeded fit ⇒ deterministic
+    * per key. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  def trainCentroids(corpus: DataFrame, nlist: Int,
+      cacheKey: Option[String] = None): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    def fit(): Array[Array[Double]] = {
+      val train = normalized(corpus, "vec_id", "v")
+        .select(array_to_vector(col("v")).as("features"))
+      new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("features")
+        .fit(train).clusterCenters.map(_.toArray)
+    }
+    cacheKey match {
+      case Some(key) =>
+        centroidCache.computeIfAbsent(s"${key}_$nlist", _ => fit())
+      case None => fit()
+    }
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      centroidCacheKey: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
     val e = normalized(corpus, "vec_id", "v")
-    val train = e.select(col("vec_id"), array_to_vector(col("v")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("features")
-      .fit(train)
     // centroids ride inside the cell-assignment kernel: one map-side pass
     // per row, no centroid join, no row amplification
-    val cents = model.clusterCenters.map(_.toArray)
+    val cents = trainCentroids(corpus, nlist, centroidCacheKey)
     val corpusCells = e.select(col("vec_id"), col("v"),
       element_at(VectorExpressions.nearestCells(spark, col("v"), cents, 1), 1)
         .as("cell"))
