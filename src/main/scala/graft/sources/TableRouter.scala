@@ -33,8 +33,16 @@ object TableRouter {
   }
 
   /** Streaming fan-out via foreachBatch: each micro-batch routes its rows,
-    * checkpointed as one unit (exactly-once per micro-batch across all
-    * destination tables). */
+    * checkpointed as one unit.
+    *
+    * Delivery note: unlike the single-table file sink (whose
+    * `_spark_metadata` log makes replays invisible to readers —
+    * StreamingSpec), `foreachBatch` re-executes a batch whose write
+    * completed but whose checkpoint commit did not, so routed fan-out is
+    * AT-LEAST-ONCE unless the per-table write is idempotent. This matches
+    * the reference's actual delivery semantics (its exactly-once tracking
+    * is dead code — SURVEY.md §2.6); callers needing exactly-once routing
+    * should dedupe downstream on a record key. */
   def startRoutedStream(df: DataFrame, tableCol: String,
       mkConfig: String => SinkConfig, checkpointLocation: String,
       intervalSeconds: Int = 15): StreamingQuery =
