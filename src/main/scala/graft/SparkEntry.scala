@@ -41,6 +41,8 @@ object SparkEntry {
     "q5_local_revenue" -> Relational.localSupplierRevenue _,
     "q6_forecast_revenue" -> Relational.forecastRevenue _,
     "q_sketches" -> Sketches.eventSketches _,
+    "q_sketch_bounds" -> Sketches.sketchBounds _,
+    "sim_ivf_full" -> PipelineQueries.simIvfFull _,
     "q10_returned_revenue" -> Relational.returnedItemRevenue _,
     "q12_ship_priority" -> Relational.shipModePriority _,
     "dedup_exact" -> PipelineQueries.dedupExact _,
@@ -89,8 +91,15 @@ object SparkEntry {
     "q12_ship_priority" -> Relational.shipModePrioritySql,
     "dedup_exact" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramSql,
+    "dedup_minhash" -> OracleSql.dedupMinhashSql,
+    "dedup_simhash" -> OracleSql.dedupSimhashSql,
     "dedup_embedding" -> PipelineQueries.dedupEmbeddingSql,
+    "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLshSql,
+    "q_transform_bucket" -> OracleSql.bucketTransformSql,
+    "q_sketch_bounds" -> Sketches.sketchBoundsSql,
     "sim_topk" -> PipelineQueries.simTopKSql,
+    "sim_ann_lsh" -> OracleSql.simAnnLshSql,
+    "sim_ivf_full" -> PipelineQueries.simTopKSql,
     "text_stats" -> PipelineQueries.textStatsSql,
     "text_langid" -> PipelineQueries.textLangIdSql,
     "text_quality" -> PipelineQueries.textQualitySql,

@@ -1,0 +1,215 @@
+package graft
+
+/** DuckDB-oracle SQL for the hash-based operators (MinHash, SimHash,
+  * hyperplane LSH, murmur3 bucket transforms).
+  *
+  * The engine's hash kernels ([[VectorExpressions]], [[IcebergBucketing]],
+  * [[Transform.Bucket]]) are deliberately defined over integer recurrences a
+  * SQL engine can replay exactly — rolling codepoint fingerprints, affine
+  * rehash families, splitmix64, murmur3_x86_32 — so every one of these
+  * operators is hash-checkable against an independent engine instead of
+  * rows-only. This object *generates* the equivalent DuckDB SQL: 32/64-bit
+  * modular arithmetic is spelled out over BIGINT/HUGEINT (DuckDB integers
+  * error on overflow rather than wrap, so every multiply is followed by an
+  * explicit mod; u64 xor round-trips through signed BIGINT).
+  */
+object OracleSql {
+
+  private val U64 = "18446744073709551616" // 2^64
+  private val U32 = "4294967296" // 2^32
+
+  // ------------------------------------------------------------- u32 ops
+  // All u32 values live in non-negative BIGINT; multiplies detour through
+  // HUGEINT (u32·u32 can reach 2^64).
+  private def u32Mul(x: String, c: Long): String =
+    s"CAST((CAST($x AS HUGEINT) * $c) % $U32 AS BIGINT)"
+
+  /** rotate-left on u32: the shifted-out high bits and the shifted-in low
+    * bits occupy disjoint ranges, so OR becomes +. */
+  private def rotl32(x: String, r: Int): String =
+    s"((($x) * ${1L << r}) % $U32 + ($x) // ${1L << (32 - r)})"
+
+  // ------------------------------------------------------------- u64 ops
+  // u64 values live in non-negative HUGEINT. u64·u64 exceeds HUGEINT, so
+  // the multiply splits the left operand into 32-bit halves.
+  private def u64Mul(h: String, c: java.math.BigInteger): String =
+    s"((($h) % $U32) * $c % $U64 + ((($h) // $U32) * $c % $U32) * $U32) % $U64"
+
+  private def signed64(x: String): String =
+    s"CAST(CASE WHEN ($x) >= 9223372036854775808 THEN ($x) - $U64 ELSE ($x) END AS BIGINT)"
+
+  private def unsigned64(y: String): String =
+    s"(CASE WHEN ($y) < 0 THEN CAST(($y) AS HUGEINT) + $U64 ELSE CAST(($y) AS HUGEINT) END)"
+
+  /** h XOR (h >>> k) on u64, via signed BIGINT xor. */
+  private def xorShr64(h: String, k: Int): String =
+    unsigned64(s"xor(${signed64(h)}, ${signed64(s"($h) // ${1L << k}")})")
+
+  private def big(l: Long) = new java.math.BigInteger(java.lang.Long.toUnsignedString(l))
+
+  // --------------------------------------------------- rolling fingerprints
+  /** fp(s) = fold codepoints: acc -> (acc*31 + cp) mod 1e9+7, as BIGINT.
+    * Mirrors [[VectorExpressions.codepointFp]]. */
+  private def fp31(strExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [CAST(unicode(c) AS BIGINT) FOR c IN string_split($strExpr, '')]),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
+  /** Rolling codepoint hash mod 2^64 as HUGEINT (pre-splitmix stage of
+    * [[VectorExpressions.codepointHash64]]). */
+  private def rolling64(strExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      [CAST(unicode(c) AS HUGEINT) FOR c IN string_split($strExpr, '')]),
+       |      (acc, x) -> (acc * 31 + x) % $U64)""".stripMargin
+
+  // ----------------------------------------------------------- dedup_minhash
+  /** Full MinHash+LSH replay: shingle fingerprints, the affine lane family
+    * a_i·fp+b_i mod p of [[VectorExpressions.MinhashSig]], band-slice
+    * candidacy (16 bands × 4 rows), and the estimated-Jaccard filter. */
+  val dedupMinhashSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([array_to_string(t[i:i+4], ' ')
+       |                 FOR i IN generate_series(1, greatest(len(t) - 4, 1))]) AS shs
+       |  FROM toks),
+       |fps AS (SELECT doc_id,
+       |  [${fp31("s")} FOR s IN shs] AS f
+       |  FROM sh),
+       |sigs AS (SELECT doc_id,
+       |  [list_min([(((2654435761 * (i + 1)) % 1000000007) * fp
+       |              + ((40503 * (i + 1) + 12345) % 1000000007)) % 1000000007
+       |             FOR fp IN f]) FOR i IN generate_series(0, 63)] AS sig
+       |  FROM fps),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |  WHERE len(list_filter([a.sig[4*bb+1:4*bb+4] = b.sig[4*bb+1:4*bb+4]
+       |                         FOR bb IN generate_series(0, 15)], x -> x)) > 0)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_filter([sa[i] = sb[i] FOR i IN generate_series(1, 64)],
+       |                       x -> x)) AS DOUBLE) / 64 AS est_jaccard
+       |FROM cand
+       |WHERE est_jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ----------------------------------------------------------- dedup_simhash
+  /** SimHash replay: per-token rolling64 + splitmix64 (each finalizer stage
+    * is one list-rewrite CTE), per-bit ±1 votes, brute-force pairs with
+    * hamming ≤ 3 (banding in the engine is exact for maxDist ≤ 3, so the
+    * brute-force pair set is identical). */
+  val dedupSimhashSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |h0 AS (SELECT doc_id,
+       |  [${rolling64("tok")} FOR tok IN t] AS hs
+       |  FROM toks),
+       |h1 AS (SELECT doc_id, [${xorShr64("h", 30)} FOR h IN hs] AS hs FROM h0),
+       |h2 AS (SELECT doc_id, [${u64Mul("h", big(0xBF58476D1CE4E5B9L))} FOR h IN hs] AS hs FROM h1),
+       |h3 AS (SELECT doc_id, [${xorShr64("h", 27)} FOR h IN hs] AS hs FROM h2),
+       |h4 AS (SELECT doc_id, [${u64Mul("h", big(0x94D049BB133111EBL))} FOR h IN hs] AS hs FROM h3),
+       |h5 AS (SELECT doc_id, [${xorShr64("h", 31)} FOR h IN hs] AS hs FROM h4),
+       |bits AS (SELECT doc_id,
+       |  [CASE WHEN list_sum([CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) % 2 = 1
+       |                            THEN 1 ELSE -1 END FOR h IN hs]) > 0
+       |        THEN 1 ELSE 0 END
+       |   FOR b IN generate_series(0, 63)] AS bv
+       |  FROM h5)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_filter([a.bv[i] <> b.bv[i] FOR i IN generate_series(1, 64)],
+       |                       x -> x)) AS BIGINT) AS hamming
+       |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+       |WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------- hyperplane LSH
+  /** 8 tables × 8 sign bits over the RAW double vector `v`, planes from the
+    * closed-form LCG of [[Dedup.hyperplanes]]; the sequential
+    * multiply-accumulate replays the engine kernel's IEEE op order. */
+  private def hyperplaneSigList(v: String): String =
+    s"""[CAST(list_sum([CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      [$v[d] * (CAST((1103515245 * ((t * 8 + j) * 64 + (d - 1)) + 12345)
+       |                     % 2147483648 AS DOUBLE) / 2147483648
+       |                - CAST(0.5 AS DOUBLE))
+       |       FOR d IN generate_series(1, 64)]), (a, x) -> a + x) > 0
+       |     THEN CAST(power(2, j) AS BIGINT) ELSE 0 END
+       |    FOR j IN generate_series(0, 7)]) AS BIGINT)
+       |   FOR t IN generate_series(0, 7)]""".stripMargin
+
+  val dedupEmbeddingLshSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v,
+       |  ${hyperplaneSigList("v")} AS hs
+       |  FROM e)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+       |WHERE len(list_filter([a.hs[t] = b.hs[t] FOR t IN generate_series(1, 8)],
+       |                      x -> x)) > 0
+       |  AND list_cosine_similarity(a.v, b.v) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val simAnnLshSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v,
+       |  ${hyperplaneSigList("v")} AS hs
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, hs AS qhs FROM sig WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT q.query_id, s.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.qv, s.v), 9) AS cos
+       |  FROM sig s, q
+       |  WHERE s.vec_id <> q.query_id
+       |    AND len(list_filter([s.hs[t] = q.qhs[t] FOR t IN generate_series(1, 8)],
+       |                        x -> x)) > 0)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM cand)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------- bucket transform
+  /** murmur3_x86_32 of an 8-byte little-endian long, unrolled into lateral
+    * column aliases (two 4-byte blocks + finalizer). Matches
+    * [[IcebergBucketing.murmur3]] (seed 0) and Spark's `hash()` (seed 42)
+    * — validated against the Iceberg spec vector hashLong(34) = 2017239379. */
+  private def murmurLongChain(prefix: String, seed: Int): String = {
+    val steps = scala.collection.mutable.ArrayBuffer[String]()
+    def step(name: String, expr: String): String = {
+      steps += s"$expr AS $prefix$name"
+      s"$prefix$name"
+    }
+    def block(tag: String, in: String, hIn: String): String = {
+      val ka = step(s"k${tag}a", u32Mul(in, 3432918353L))
+      val kb = step(s"k${tag}b", rotl32(ka, 15))
+      val kc = step(s"k${tag}c", u32Mul(kb, 461845907L))
+      val h1 = step(s"h${tag}a", s"xor($hIn, $kc)")
+      val h2 = step(s"h${tag}b", rotl32(h1, 13))
+      step(s"h${tag}c", s"(($h2 * 5 + 3864292196) % $U32)")
+    }
+    val h1 = block("1", "b1", seed.toString)
+    val h2 = block("2", "b2", h1)
+    val f0 = step("f0", s"xor($h2, 8)")
+    val f1 = step("f1", s"xor($f0, $f0 // 65536)")
+    val f2 = step("f2", u32Mul(f1, 2246822507L))
+    val f3 = step("f3", s"xor($f2, $f2 // 8192)")
+    val f4 = step("f4", u32Mul(f3, 3266489909L))
+    step("h", s"xor($f4, $f4 // 65536)")
+    steps.mkString(",\n  ")
+  }
+
+  /** Oracle for [[ParityQueries.bucketTransform]]: both the Spark-native
+    * bucket (seed-42 murmur3, signed pmod) and the Iceberg-spec bucket
+    * (seed-0 murmur3, `(h & Int.MaxValue) % N`). */
+  val bucketTransformSql: String =
+    s"""WITH base AS (SELECT event_id,
+       |  ((CAST(user_id AS HUGEINT) % $U64) + $U64) % $U64 AS u
+       |  FROM events),
+       |m AS (SELECT event_id,
+       |  CAST(u % $U32 AS BIGINT) AS b1, CAST(u // $U32 AS BIGINT) AS b2,
+       |  ${murmurLongChain("sp_", 42)},
+       |  ${murmurLongChain("ib_", 0)}
+       |  FROM base)
+       |SELECT event_id,
+       |  CAST(((CASE WHEN sp_h >= 2147483648 THEN sp_h - $U32 ELSE sp_h END % 16)
+       |        + 16) % 16 AS BIGINT) AS bucket,
+       |  CAST((ib_h % 2147483648) % 16 AS BIGINT) AS iceberg_bucket
+       |FROM m ORDER BY event_id""".stripMargin
+}

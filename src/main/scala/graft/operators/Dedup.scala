@@ -177,11 +177,16 @@ object Dedup {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
   }
 
-  /** Deterministic random hyperplanes for sign-LSH (seeded, no wall-clock). */
-  private[graft] def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(numPlanes, dim)(rnd.nextGaussian())
-  }
+  /** Deterministic pseudo-random hyperplanes for sign-LSH. Component (p, d)
+    * is an LCG draw mapped to [-0.5, 0.5): a closed-form integer formula
+    * (not a stateful RNG) so the DuckDB oracle rebuilds the identical
+    * planes inline and sign bits match bit-for-bit — every value is a
+    * dyadic rational, exactly representable in a double on both engines. */
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      val k = p.toLong * dim + d
+      ((1103515245L * k + 12345L) % 2147483648L) / 2147483648.0 - 0.5
+    }
 
   /** Scale path: hyperplane-sign LSH bucketing, exact cosine only within
     * buckets. Multiple independent tables (bands of sign bits) trade
@@ -192,11 +197,15 @@ object Dedup {
       dim: Int = 64, bitsPerTable: Int = 8, numTables: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     val planes = hyperplanes(bitsPerTable * numTables, dim)
+    // sign bits are computed on the RAW vector (sign(dot(v,p)) is
+    // normalization-invariant): the oracle replays the identical IEEE
+    // multiply-accumulate sequence without a normalize step in between
     val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("raw"),
       VectorExpressions.vecNormalize(spark,
         col("embedding").cast("array<double>")).as("v"))
     val bucketed = e.select(col("vec_id"), col("v"),
-      posexplode(VectorExpressions.hyperplaneSig(spark, col("v"), planes,
+      posexplode(VectorExpressions.hyperplaneSig(spark, col("raw"), planes,
         bitsPerTable)).as(Seq("t", "h")))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.h") === col("b.h") &&

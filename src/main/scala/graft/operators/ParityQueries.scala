@@ -40,10 +40,10 @@ object ParityQueries {
       |  substring(event_type, 1, 3) AS type_trunc
       |FROM events ORDER BY event_id""".stripMargin
 
-  /** bucket[N] transform — murmur3-based, not reproducible in DuckDB SQL, so
-    * rows-only checked; specs assert range/stability and Iceberg-spec test
-    * vectors. Emits both the Spark-native bucket and the Iceberg-bit-exact
-    * bucket (IcebergBucketing). */
+  /** bucket[N] transform — hash-checked against [[OracleSql.bucketTransformSql]]
+    * (murmur3_x86_32 unrolled into SQL, seeds 42 and 0); specs additionally
+    * assert range/stability and Iceberg-spec test vectors. Emits both the
+    * Spark-native bucket and the Iceberg-bit-exact bucket (IcebergBucketing). */
   def bucketTransform(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, sfDir)

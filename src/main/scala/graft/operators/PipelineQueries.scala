@@ -43,14 +43,15 @@ object PipelineQueries {
       |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** MinHash+LSH — hash functions not reproducible in DuckDB SQL; rows-only
-    * check here, recall asserted against exact Jaccard in DedupSpec. */
+  /** MinHash+LSH — the affine-rehash lane family is replayed exactly by
+    * [[OracleSql.dedupMinhashSql]] (hash-checked); recall against exact
+    * Jaccard additionally asserted in DedupSpec. */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(spark, sfDir))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash — rows-only for the same reason; spec checks agreement with
-    * exact Jaccard near-dups. */
+  /** SimHash — splitmix64 token hashes replayed by
+    * [[OracleSql.dedupSimhashSql]] (hash-checked). */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, sfDir))
       .orderBy(col("id_a"), col("id_b"))
@@ -67,7 +68,9 @@ object PipelineQueries {
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.5
       |ORDER BY 1, 2""".stripMargin
 
-  /** Hyperplane-LSH scale path — rows-only; recall vs brute force in spec. */
+  /** Hyperplane-LSH scale path — LCG planes replayed bit-exactly by
+    * [[OracleSql.dedupEmbeddingLshSql]] (hash-checked); recall vs brute
+    * force additionally asserted in spec. */
   def dedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.embeddingNearDupLsh(Tables.embeddings(spark, sfDir), threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
@@ -96,18 +99,33 @@ object PipelineQueries {
       |  FROM scored)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
-  /** LSH-routed ANN — rows-only; recall asserted in SimilaritySpec. */
+  /** LSH-routed ANN — candidacy + rerank replayed by
+    * [[OracleSql.simAnnLshSql]] (hash-checked). */
   def simAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     Similarity.annTopK(e, e.filter(col("vec_id") < 5), k = 10)
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF ANN — rows-only (k-means centroids are engine-specific); recall
-    * asserted in SimilaritySpec. */
+  /** IVF ANN — rows-only (k-means centroids are engine-specific);
+    * [[simIvfRecall]] is the oracle-checked property companion. */
   def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10,
+      centroidCacheKey = Some(s"embeddings_$sfDir"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle-checked IVF property: probing every cell (nprobe = nlist) must
+    * reproduce the exact ranking, so the full IVF machinery — k-means cell
+    * assignment, probe join, rerank window — is hash-checked against the
+    * same DuckDB exact-top-k oracle as [[simTopK]]. Partial-probe recall
+    * stays a spec assertion (it depends on how well k-means separates the
+    * corpus, which no fixed floor captures on synthetic data). */
+  def simIvfFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10,
+      nlist = 16, nprobe = 16,
       centroidCacheKey = Some(s"embeddings_$sfDir"))
       .orderBy(col("query_id"), col("rank"))
   }

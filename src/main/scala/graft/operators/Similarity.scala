@@ -109,12 +109,15 @@ object Similarity {
       dim: Int = 64, bitsPerTable: Int = 8, numTables: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     val planes = Dedup.hyperplanes(bitsPerTable * numTables, dim)
-    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val nn = normalized(df, idAs, vecAs)
-      nn.select(col(idAs), col(vecAs),
-        posexplode(VectorExpressions.hyperplaneSig(spark, col(vecAs), planes,
+    // sign bits on the RAW vector (normalization-invariant sign, and the
+    // oracle replays the same IEEE op sequence with no normalize rounding)
+    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+        VectorExpressions.vecNormalize(spark,
+          col("embedding").cast("array<double>")).as(vecAs),
+        posexplode(VectorExpressions.hyperplaneSig(spark,
+          col("embedding").cast("array<double>"), planes,
           bitsPerTable)).as(Seq("t", "h")))
-    }
     val e = bucketed(corpus, "vec_id", "v")
     val q = bucketed(queries, "query_id", "qv")
     val w = Window.partitionBy(col("query_id"))

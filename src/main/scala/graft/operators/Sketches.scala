@@ -6,13 +6,21 @@ import org.apache.spark.sql.functions._
 /** Sketch aggregates — the constant-memory summaries a 100 TB pipeline
   * substitutes for exact distinct/quantile computations (HyperLogLog++ and
   * Greenwald-Khanna via Spark built-ins; no custom Aggregator needed).
-  * Sketch outputs are engine-specific, so these queries are rows-only for
-  * the oracle; SketchesSpec bounds their error against exact answers.
+  *
+  * Sketch *outputs* are engine-specific, so [[eventSketches]] is rows-only
+  * for the oracle (all columns scalar — an array column would break the
+  * driver's sorted compare). [[sketchBounds]] is the oracle-checked
+  * counterpart: the exact aggregates are cross-checked value-for-value
+  * against DuckDB, and the sketch columns are folded into error-bound
+  * booleans the oracle pins to TRUE — i.e. the oracle verifies "the sketch
+  * is within its published error of the (independently verified) exact
+  * answer".
   */
 object Sketches {
 
-  /** Per-event-type approx vs exact distinct users + approx quantiles of
-    * the value column. rsd 0.01 → ~1% standard error on the HLL. */
+  /** Per-event-type approx vs exact distinct users + approx p50/p95/p99 of
+    * the value column, all scalar. rsd 0.01 → ~1% standard error on the
+    * HLL; GK accuracy 10000 → ≤ n/10000 rank error per quantile. */
   def eventSketches(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
@@ -20,8 +28,46 @@ object Sketches {
       .agg(
         approx_count_distinct($"user_id", rsd = 0.01).as("approx_users"),
         countDistinct($"user_id").as("exact_users"),
-        percentile_approx($"value", array(lit(0.5), lit(0.95), lit(0.99)),
-          lit(10000)).as("value_quantiles"))
+        percentile_approx($"value", lit(0.5), lit(10000)).as("p50"),
+        percentile_approx($"value", lit(0.95), lit(10000)).as("p95"),
+        percentile_approx($"value", lit(0.99), lit(10000)).as("p99"))
       .orderBy($"event_type")
   }
+
+  /** Oracle-checked sketch error bounds: HLL within 5% (5 standard errors
+    * at rsd 0.01) of exact, each GK quantile inside the exact ±0.02-quantile
+    * band. `exact_users` is genuinely cross-checked against DuckDB
+    * COUNT(DISTINCT); the booleans must come out TRUE to hash-match. */
+  def sketchBounds(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", rsd = 0.01).as("approx_users"),
+        countDistinct($"user_id").as("exact_users"),
+        percentile_approx($"value", lit(0.5), lit(10000)).as("p50"),
+        percentile_approx($"value", lit(0.95), lit(10000)).as("p95"),
+        percentile_approx($"value", lit(0.99), lit(10000)).as("p99"),
+        percentile($"value", lit(0.48)).as("lo50"),
+        percentile($"value", lit(0.52)).as("hi50"),
+        percentile($"value", lit(0.93)).as("lo95"),
+        percentile($"value", lit(0.97)).as("hi95"),
+        percentile($"value", lit(0.97)).as("lo99"),
+        percentile($"value", lit(1.0)).as("hi99"))
+      .select(
+        $"event_type",
+        $"exact_users",
+        (abs($"approx_users" - $"exact_users") <=
+          $"exact_users" * 0.05).as("hll_ok"),
+        ($"p50".between($"lo50", $"hi50") &&
+          $"p95".between($"lo95", $"hi95") &&
+          $"p99".between($"lo99", $"hi99")).as("q_ok"))
+      .orderBy($"event_type")
+  }
+
+  val sketchBoundsSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS hll_ok, TRUE AS q_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
@@ -78,11 +78,59 @@ object VectorExpressions {
       copy(child = c)
   }
 
-  /** MinHash signature over ARRAY<STRING> shingles: element i =
-    * min over shingles of xxhash64(shingle, seed = i). Single pass over the
-    * shingles computing all `numHashes` lanes. */
+  /** Rolling polynomial codepoint hash mod 1e9+7 — the same fold the
+    * DuckDB oracle writes as
+    * `list_reduce(list_prepend(0, [unicode(c) ...]), (acc,x) -> (acc*31+x) % p)`,
+    * so MinHash signatures are oracle-reproducible (and ~64× cheaper than
+    * rehashing the full shingle bytes once per lane). */
+  private[graft] def codepointFp(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var fp = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      fp = (fp * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    fp
+  }
+
+  /** Rolling codepoint hash mod 2^64 (Long wrap IS mod 2^64) followed by the
+    * splitmix64 finalizer for avalanche — both stages are pure integer
+    * arithmetic a SQL oracle can replay in 128-bit columns. */
+  private[graft] def codepointHash64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = h * 31 + cp
+      i += Character.charCount(cp)
+    }
+    mix64(h)
+  }
+
+  /** splitmix64 finalizer (public-domain constant set). */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature over ARRAY<STRING> shingles: lane i =
+    * min over shingles of (a_i·fp(sh) + b_i) mod p — a universal affine
+    * rehash of one rolling fingerprint per shingle. Single pass over the
+    * shingles computing all `numHashes` lanes; the (a_i, b_i) family is a
+    * fixed integer recurrence so the DuckDB oracle derives the identical
+    * lanes inline. */
   case class MinhashSig(child: Expression, numHashes: Int)
       extends UnaryExpression with CodegenFallback {
+    private val P = 1000000007L
+    private lazy val as: Array[Long] =
+      Array.tabulate(numHashes)(i => (2654435761L * (i + 1)) % P)
+    private lazy val bs: Array[Long] =
+      Array.tabulate(numHashes)(i => (40503L * (i + 1) + 12345L) % P)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
@@ -90,11 +138,10 @@ object VectorExpressions {
       val sig = Array.fill(numHashes)(Long.MaxValue)
       var i = 0
       while (i < n) {
-        val s = arr.getUTF8String(i)
+        val fp = codepointFp(arr.getUTF8String(i))
         var h = 0
         while (h < numHashes) {
-          val hv = XXH64.hashUnsafeBytes(
-            s.getBaseObject, s.getBaseOffset, s.numBytes(), h.toLong)
+          val hv = (as(h) * fp + bs(h)) % P
           if (hv < sig(h)) sig(h) = hv
           h += 1
         }
@@ -106,8 +153,8 @@ object VectorExpressions {
       copy(child = c)
   }
 
-  /** 64-bit SimHash over ARRAY<STRING> tokens: one xxhash64 per token, its
-    * 64 bits vote ±1 per output bit. */
+  /** 64-bit SimHash over ARRAY<STRING> tokens: one splitmix64-finalized
+    * rolling hash per token, its 64 bits vote ±1 per output bit. */
   case class SimhashExpr(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
@@ -117,9 +164,7 @@ object VectorExpressions {
       val counts = new Array[Int](64)
       var i = 0
       while (i < n) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes(), 0L)
+        val h = codepointHash64(arr.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

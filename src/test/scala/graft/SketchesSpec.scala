@@ -15,8 +15,17 @@ class SketchesSpec extends AnyFunSuite {
       val exact = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"${r.getString(0)}: approx $approx vs exact $exact")
-      val qs = r.getSeq[Double](3)
-      assert(qs.length == 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
+      val (p50, p95, p99) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p50 <= p95 && p95 <= p99)
+    }
+  }
+
+  test("sketchBounds booleans hold (the oracle pins them TRUE)") {
+    val rows = Sketches.sketchBounds(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: hll_ok false")
+      assert(r.getBoolean(3), s"${r.getString(0)}: q_ok false")
     }
   }
 
