@@ -131,6 +131,67 @@ object StreamPipeline {
       .orderBy($"user_id")
   }
 
+  /** Stream-stream inner join: click→purchase conversions per user within
+    * one hour. Both sides carry watermarks and the join condition bounds
+    * event time in both directions, so the state store provably evicts —
+    * the only stream-stream join shape that survives unbounded input.
+    * The per-pair emission is batching-invariant for an inner join; the
+    * batch aggregation after completion makes the output deterministic. */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val clicks = eventsStream(spark, sfDir)
+      .filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 day")
+    val purchases = eventsStream(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 day")
+    val joined = clicks.join(purchases,
+      $"c_user" === $"p_user" &&
+        $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy($"c_user".as("user_id"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy($"user_id")
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT a.user_id, COUNT(*) AS n_conversions
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'click' AND b.event_type = 'purchase'
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Streaming deduplication: `dropDuplicates` over the (user_id,
+    * event_type) key with a watermark bounding the dedup state. The
+    * surviving key *set* is batching-invariant (first-seen wins), so the
+    * per-type distinct-user counts are deterministic and oracle-checkable. */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val deduped = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("user_id", "event_type")
+      .select($"user_id", $"event_type")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_distinct_users"))
+      .orderBy($"event_type")
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val sessionWindowsSql: String =
     """WITH lagged AS (
       |  SELECT user_id, ts,
