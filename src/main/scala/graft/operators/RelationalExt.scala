@@ -255,14 +255,18 @@ object RelationalExt {
     * threshold is exact-sum/count so the inequality is bit-deterministic. */
   def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val p = Tables.part(spark, sfDir).filter($"p_brand" === "Brand#1")
       .select($"p_partkey")
     val l = Tables.lineitem(spark, sfDir)
-    val lp = l.join(broadcast(p), $"l_partkey" === $"p_partkey")
-    val avgQty = lp.groupBy($"l_partkey".as("ak"))
-      .agg((sum(dec($"l_quantity")).cast("double") / count(lit(1)))
-        .as("avg_qty"))
-    lp.join(broadcast(avgQty), $"l_partkey" === $"ak")
+    // per-part average as a window over the single filtered scan — one
+    // lineitem pass and one shuffle on l_partkey (an aggregate-then-rejoin
+    // would scan the fact table twice)
+    val w = Window.partitionBy($"l_partkey")
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .withColumn("avg_qty",
+        sum(dec($"l_quantity")).over(w).cast("double") /
+          count(lit(1)).over(w))
       .filter($"l_quantity" < $"avg_qty" * 0.5)
       .agg(dsumOf($"l_extendedprice").as("total_price"),
         count(lit(1)).as("n_items"))
