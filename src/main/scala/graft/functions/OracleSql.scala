@@ -50,16 +50,19 @@ object OracleSql {
   // --------------------------------------------------- rolling fingerprints
   /** fp(s) = fold codepoints: acc -> (acc*31 + cp) mod 1e9+7, as BIGINT.
     * Mirrors [[VectorExpressions.codepointFp]]. */
+  // The `IF c <> ''` guard matches the engine's zero-codepoint fold for
+  // empty tokens: DuckDB string_split('', '') yields [''] with
+  // unicode('') = -1, where codepointFp("")/codepointHash64("") return 0.
   private def fp31(strExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      [CAST(unicode(c) AS BIGINT) FOR c IN string_split($strExpr, '')]),
+       |      [CAST(unicode(c) AS BIGINT) FOR c IN string_split($strExpr, '') IF c <> '']),
        |      (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
 
   /** Rolling codepoint hash mod 2^64 as HUGEINT (pre-splitmix stage of
     * [[VectorExpressions.codepointHash64]]). */
   private def rolling64(strExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |      [CAST(unicode(c) AS HUGEINT) FOR c IN string_split($strExpr, '')]),
+       |      [CAST(unicode(c) AS HUGEINT) FOR c IN string_split($strExpr, '') IF c <> '']),
        |      (acc, x) -> (acc * 31 + x) % $U64)""".stripMargin
 
   // ----------------------------------------------------------- dedup_minhash

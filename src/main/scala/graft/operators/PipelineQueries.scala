@@ -108,7 +108,7 @@ object PipelineQueries {
   }
 
   /** IVF ANN — rows-only (k-means centroids are engine-specific);
-    * [[simIvfRecall]] is the oracle-checked property companion. */
+    * [[simIvfFull]] is the oracle-checked property companion. */
   def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10,

@@ -222,14 +222,18 @@ object RelationalExt {
     * comparison so ties are well-defined). */
   def topSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val l = Tables.lineitem(spark, sfDir)
       .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
     val rev = l.groupBy($"l_suppkey")
       .agg(sum(revenue).as("total_exact"))
-    val maxRev = rev.agg(max($"total_exact").as("mx"))
+    // the scalar max rides a global window over the per-supplier aggregate
+    // (supplier-cardinality rows — tiny), so lineitem is scanned ONCE; a
+    // separate agg + rejoin would scan the fact table twice
     val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name")
-    rev.join(broadcast(maxRev), $"total_exact" === $"mx")
+    rev.withColumn("mx", max($"total_exact").over(Window.partitionBy()))
+      .filter($"total_exact" === $"mx")
       .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name",
         $"total_exact".cast("double").as("total_revenue"))

@@ -18,19 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** The one sketch configuration both queries bound: rsd 0.01 → ~1%
+    * standard error on the HLL; GK accuracy 10000 → ≤ n/10000 rank error
+    * per quantile. Shared so [[sketchBounds]]' pinned error bounds always
+    * test exactly the configuration [[eventSketches]] ships. */
+  private def sketchAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+    countDistinct(col("user_id")).as("exact_users"),
+    percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+    percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"),
+    percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"))
+
   /** Per-event-type approx vs exact distinct users + approx p50/p95/p99 of
-    * the value column, all scalar. rsd 0.01 → ~1% standard error on the
-    * HLL; GK accuracy 10000 → ≤ n/10000 rank error per quantile. */
+    * the value column, all scalar. */
   def eventSketches(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
       .groupBy($"event_type")
-      .agg(
-        approx_count_distinct($"user_id", rsd = 0.01).as("approx_users"),
-        countDistinct($"user_id").as("exact_users"),
-        percentile_approx($"value", lit(0.5), lit(10000)).as("p50"),
-        percentile_approx($"value", lit(0.95), lit(10000)).as("p95"),
-        percentile_approx($"value", lit(0.99), lit(10000)).as("p99"))
+      .agg(sketchAggs.head, sketchAggs.tail: _*)
       .orderBy($"event_type")
   }
 
@@ -42,18 +47,13 @@ object Sketches {
     import spark.implicits._
     Tables.events(spark, sfDir)
       .groupBy($"event_type")
-      .agg(
-        approx_count_distinct($"user_id", rsd = 0.01).as("approx_users"),
-        countDistinct($"user_id").as("exact_users"),
-        percentile_approx($"value", lit(0.5), lit(10000)).as("p50"),
-        percentile_approx($"value", lit(0.95), lit(10000)).as("p95"),
-        percentile_approx($"value", lit(0.99), lit(10000)).as("p99"),
+      .agg(sketchAggs.head, (sketchAggs.tail ++ Seq(
         percentile($"value", lit(0.48)).as("lo50"),
         percentile($"value", lit(0.52)).as("hi50"),
         percentile($"value", lit(0.93)).as("lo95"),
         percentile($"value", lit(0.97)).as("hi95"),
         percentile($"value", lit(0.97)).as("lo99"),
-        percentile($"value", lit(1.0)).as("hi99"))
+        percentile($"value", lit(1.0)).as("hi99"))): _*)
       .select(
         $"event_type",
         $"exact_users",

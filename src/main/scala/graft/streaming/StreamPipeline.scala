@@ -169,14 +169,18 @@ object StreamPipeline {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Streaming deduplication: `dropDuplicates` over the (user_id,
-    * event_type) key with a watermark bounding the dedup state. The
-    * surviving key *set* is batching-invariant (first-seen wins), so the
-    * per-type distinct-user counts are deterministic and oracle-checkable. */
+    * event_type) key. This is GLOBAL dedup — state is one entry per
+    * distinct key, bounded by key cardinality, not by time (a watermark
+    * not in the key subset would not evict anything, so none is declared).
+    * For time-scoped dedup at 100 TB key cardinalities, use
+    * `dropDuplicatesWithinWatermark`, which trades global uniqueness for
+    * watermark-evicted state. The surviving key *set* here is
+    * batching-invariant (first-seen wins), so the per-type distinct-user
+    * counts are deterministic and oracle-checkable. */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val deduped = eventsStream(spark, sfDir)
-      .withWatermark("ts", "1 day")
       .dropDuplicates("user_id", "event_type")
       .select($"user_id", $"event_type")
     val q = deduped.writeStream.outputMode("append")
