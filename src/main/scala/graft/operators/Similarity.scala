@@ -67,7 +67,13 @@ object Similarity {
     def fit(): Array[Array[Double]] = {
       val train = normalized(corpus, "vec_id", "v")
         .select(array_to_vector(col("v")).as("features"))
+      // seeded random init + capped iterations: a coarse quantizer needs
+      // rough cells, not converged clusters — kmeans|| init alone costs
+      // several extra Spark jobs, and every iteration is a full pass over
+      // the corpus. Probe correctness never depends on centroid quality
+      // (sim_ivf_full proves exact recovery at nprobe=nlist for ANY cells).
       new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("features")
+        .setInitMode("random").setMaxIter(10)
         .fit(train).clusterCenters.map(_.toArray)
     }
     cacheKey match {

@@ -48,6 +48,20 @@ object StreamPipeline {
     dir.toString
   }
 
+  /** Run `body` with a reduced shuffle-partition count and restore after.
+    * Stateful streaming creates one state store per shuffle partition per
+    * operator; at micro-batch sizes the per-store fixed cost (provider
+    * init, snapshot, commit) dominates, so streaming queries run with
+    * fewer, larger state partitions. Results are partition-count-invariant
+    * (asserted by the 4-vs-32-thread oracle runs); on a real cluster the
+    * state partition count is sized to executors × cores instead. */
+  private def withStreamShuffle[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Event-time daily windowed aggregation over the stream. */
   def dailyCounts(stream: DataFrame): DataFrame = {
     import stream.sparkSession.implicits._
@@ -64,13 +78,15 @@ object StreamPipeline {
   def streamWindowQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val name = "stream_win_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = dailyCounts(eventsStream(spark, sfDir))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(spark, 8) {
+      val q = dailyCounts(eventsStream(spark, sfDir))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
       .select($"window.start".cast("date").cast("string").as("day"),
         $"event_type", $"n", $"total")
@@ -101,9 +117,11 @@ object StreamPipeline {
           state.update(n)
           (user, n)
       }
-    val q = counted.toDF("user_id", "n_events")
-      .writeStream.outputMode("update").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(spark, 8) {
+      val q = counted.toDF("user_id", "n_events")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
       .groupBy($"user_id").agg(max($"n_events").as("n_events"))
       .orderBy($"user_id")
@@ -151,9 +169,11 @@ object StreamPipeline {
     val joined = clicks.join(purchases,
       $"c_user" === $"p_user" &&
         $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(spark, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
       .groupBy($"c_user".as("user_id"))
       .agg(count(lit(1)).as("n_conversions"))
@@ -183,9 +203,11 @@ object StreamPipeline {
     val deduped = eventsStream(spark, sfDir)
       .dropDuplicates("user_id", "event_type")
       .select($"user_id", $"event_type")
-    val q = deduped.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(spark, 8) {
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_distinct_users"))
