@@ -180,6 +180,33 @@ object ParityQueries {
   val blobRoundtripSql: String =
     "SELECT event_id, event_type FROM events ORDER BY event_id"
 
+  /** `op.inspect` parity (reference composition surface, operators.py:33,
+    * connector.py:65-66): the reference taps the stream to log errors;
+    * Spark's native tap is `Dataset.observe` — named aggregate metrics
+    * collected ON the existing job, no second scan, delivered to the
+    * driver/listeners after the action. The observed metrics are returned
+    * as a one-row DataFrame so the oracle can pin them. */
+  def observeMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val e = Tables.events(spark, sfDir).observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when($"value" >= 100.0, 1L).otherwise(0L)).as("n_big"),
+      sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+    e.write.mode("overwrite")
+      .format("noop").save() // one pass, populates the observation
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("n_big").asInstanceOf[Long],
+      m("total_value").asInstanceOf[Double]))
+      .toDF("n_rows", "n_big", "total_value")
+  }
+
+  val observeMetricsSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events""".stripMargin
+
   /** K5-K7 sink round-trip: write `events` through [[TableSink]] with a
     * (identity event_type, day ts) hidden-partition spec, read the table
     * back, aggregate. Matching the direct aggregation over the source

@@ -130,6 +130,41 @@ object StreamPipeline {
   val statefulUserCountsSql: String =
     "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id"
 
+  /** flatMapGroupsWithState — the multi-emission custom-state shape
+    * (mapGroupsWithState emits exactly one row per group per batch; this
+    * emits zero-to-many). Per-user milestone rows: one emission each time
+    * the running event count crosses a multiple of 10. The emitted *set* is
+    * batching-invariant (milestones ≤ final count, each crossed exactly
+    * once), so the query is deterministic and oracle-checkable. */
+  def statefulMilestones(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val name = "stream_miles_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val users = eventsStream(spark, sfDir).select($"user_id").as[Long]
+    val milestones = users.groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Long], state) =>
+          val prev = state.getOption.getOrElse(0L)
+          val n = prev + events.size
+          state.update(n)
+          ((prev / 10 + 1) to n / 10).iterator.map(k => (user, k * 10))
+      }
+    withStreamShuffle(spark, 8) {
+      val q = milestones.toDF("user_id", "milestone")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name).orderBy($"user_id", $"milestone")
+  }
+
+  val statefulMilestonesSql: String =
+    """SELECT user_id, CAST(g * 10 AS BIGINT) AS milestone
+      |FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+      |     generate_series(1, 100000) s(g)
+      |WHERE g * 10 <= n
+      |ORDER BY user_id, milestone""".stripMargin
+
   /** Session windows: per-user activity sessions separated by >30-minute
     * gaps (`session_window` — the gap-based window the category checklist
     * calls out). Works identically over batch and streaming input; exposed
