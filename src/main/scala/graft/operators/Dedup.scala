@@ -155,6 +155,47 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Connected components over the near-duplicate pair graph: the step
+    * that turns pairwise matches into dedup GROUPS (one canonical survivor
+    * per component). Iterative min-label propagation — each round every
+    * node takes the minimum label among itself and its neighbors; converged
+    * when the label-sum stops changing (it is strictly decreasing while any
+    * label moves, and one cheap scalar aggregate per round is the whole
+    * convergence test — no plan-comparison or collect of labels).
+    *
+    * Scale notes: rounds needed = graph diameter (near-dup components are
+    * short chains/cliques in practice, so a handful); each round is one
+    * shuffle-join on the edge list + one aggregation; labels are
+    * checkpointed via localCheckpoint every few rounds so the lineage (and
+    * the task binary) does not grow unboundedly — the standard
+    * Pregel-on-DataFrames shape.
+    */
+  def nearDupComponents(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
+      maxIter: Int = 20): DataFrame = {
+    val pairs = ngramJaccard(docs, n, threshold).select(col("id_a"), col("id_b"))
+    val edges = pairs.unionAll(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint() // pairs are reused every round: cut the recompute
+    var labels = docs.select(col("doc_id"), col("doc_id").as("component"))
+    var prevSum = Long.MaxValue
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges.join(labels, edges("id_b") === labels("doc_id"))
+        .groupBy(col("id_a")).agg(min(col("component")).as("nbr_comp"))
+      labels = labels.join(nbrMin, labels("doc_id") === nbrMin("id_a"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_comp"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val s = labels.agg(sum(col("component"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    labels.withColumn("is_canonical", col("component") === col("doc_id"))
+  }
+
   /** Cosine similarity between two double-array columns — sequential
     * left-to-right accumulation, bit-compatible with the DuckDB oracle. */
   def cosine(a: Column, b: Column): Column = {

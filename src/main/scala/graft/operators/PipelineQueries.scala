@@ -56,6 +56,41 @@ object PipelineQueries {
     Dedup.simhashPairs(Tables.documents(spark, sfDir))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Dedup groups: connected components of the exact-Jaccard pair graph,
+    * one canonical survivor (min doc_id) per component. Oracle replays the
+    * reachability closure with a recursive CTE. */
+  def dedupComponents(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.nearDupComponents(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  val dedupComponentsSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([array_to_string(t[i:i+4], ' ')
+      |            FOR i IN generate_series(1, greatest(len(t)-4, 1))]) AS s
+      |  FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM p
+      |  JOIN sz sa ON p.id_a = sa.doc_id
+      |  JOIN sz sb ON p.id_b = sb.doc_id
+      |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)
+      |SELECT node AS doc_id, MIN(lbl) AS component,
+      |  (MIN(lbl) = node) AS is_canonical
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.embeddingNearDup(Tables.embeddings(spark, sfDir), threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))

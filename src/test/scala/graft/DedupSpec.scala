@@ -69,6 +69,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components merge chained near-dups to one canonical id") {
+    val comps = Dedup.nearDupComponents(docs)
+    val byDoc = comps.select("doc_id", "component")
+      .as[(Long, Long)].collect().toMap
+    // every pair must share a component; components are min-reachable ids
+    val pairs = pairSet(Dedup.ngramJaccard(docs, threshold = 0.5))
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) split across components")
+      assert(byDoc(a) <= a && byDoc(a) <= b, "component id must be the min")
+    }
+    // canonical flag marks exactly the component representatives
+    val canon = comps.filter($"is_canonical").select("doc_id")
+      .as[Long].collect().toSet
+    assert(canon == byDoc.values.toSet)
+  }
+
   test("embedding LSH finds identical-vector clones with certainty and only true pairs") {
     val e = Tables.embeddings(spark, TestSpark.sfDir)
     val clones = e.filter($"vec_id" < 10)
