@@ -114,4 +114,64 @@ final class TableSink(val config: SinkConfig) {
     val r = spark.read.format(config.fileFormat)
     config.tableSchema.fold(r)(s => r.schema(s)).load(config.tablePath)
   }
+
+  /** Table maintenance: rewrite each partition's files into
+    * ~`targetFileBytes` outputs — the compaction dual of the reference's
+    * `batch_size` knob (small batches → small files; the reference has no
+    * maintenance story for them). Per-partition output counts are derived
+    * from on-disk bytes, so a hot partition compacts to many files while a
+    * cold one collapses to one; rows are salted into exactly that many
+    * writers. The rewrite lands in a temp dir and swaps in with directory
+    * renames (single-FS semantics; an object-store deployment swaps a
+    * metadata pointer instead — Iceberg's rewrite-files commit).
+    */
+  def compact(spark: SparkSession,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    requireNoStreamingLog()
+    val root = Paths.get(config.tablePath)
+    if (!Files.exists(root)) return
+    // bytes per partition directory (driver-side listing: one entry per
+    // partition, metadata-sized — never the data itself)
+    val dataFiles = Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .toVector
+    if (dataFiles.isEmpty) return
+    val dirBytes: Map[String, Long] = dataFiles
+      .groupBy(p => p.getParent.toAbsolutePath.toString)
+      .map { case (d, fs) => d -> fs.map(Files.size).sum }
+    val nFiles = dirBytes.map { case (d, b) =>
+      d -> math.max(1L, (b + targetFileBytes - 1) / targetFileBytes) }
+    import spark.implicits._
+    val nFilesDf = nFiles.toSeq.toDF("__dir", "__nf")
+    // per-row partition dir from input_file_name (scheme-normalized), so no
+    // fragile partition-value parsing; same-dir rows share one __nf
+    val cur = read(spark)
+      .withColumn("__dir", regexp_replace(
+        regexp_replace(input_file_name(), "^file:/+", "/"), "/[^/]+$", ""))
+      .join(broadcast(nFilesDf), Seq("__dir"))
+    val salt = pmod(hash(cur.columns.filterNot(_.startsWith("__")).map(col): _*),
+      col("__nf"))
+    val parts = partitionColNames
+    val tmp = Paths.get(config.tablePath + "_compacting")
+    val prepared = cur
+      .repartition((parts.map(col) :+ salt): _*)
+      .drop("__dir", "__nf")
+    val writer = prepared.write.mode("overwrite")
+      .format(config.fileFormat).options(config.extraOptions)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .save(tmp.toString)
+    // swap: old table -> trash, compacted -> table, drop trash
+    val trash = Paths.get(config.tablePath + "_pre_compact")
+    Files.move(root, trash, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+    def rmTree(p: Path): Unit = {
+      Files.walk(p).iterator().asScala.toVector.reverseIterator
+        .foreach(Files.delete)
+    }
+    rmTree(trash)
+  }
 }

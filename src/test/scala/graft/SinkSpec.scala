@@ -32,6 +32,37 @@ class SinkSpec extends AnyFunSuite {
       e.filter($"event_type" === "click").count())
   }
 
+  test("compact collapses salted small files without changing the data") {
+    val e = Tables.events(spark, TestSpark.sfDir)
+    val sink = mkSink(TestSpark.tmpDir("sink_compact"), numPartitions = 4)
+    sink.append(e)
+    sink.append(e.limit(200)) // second commit: more small files
+    def files(): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(sink.config.tablePath))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .toVector
+    }
+    val before = files()
+    val sumBefore = sink.read(spark).agg(
+      count(lit(1)), sum($"event_id"), sum($"value".cast("decimal(18,2)")))
+      .head()
+    sink.compact(spark) // default 128 MB target >> data: one file per dir
+    val after = files()
+    assert(after.size < before.size, s"${before.size} -> ${after.size}")
+    val dirs = after.groupBy(_.getParent)
+    dirs.foreach { case (d, fs) =>
+      assert(fs.size == 1, s"partition $d should compact to one file")
+    }
+    val sumAfter = sink.read(spark).agg(
+      count(lit(1)), sum($"event_id"), sum($"value".cast("decimal(18,2)")))
+      .head()
+    assert(sumBefore == sumAfter, "compaction must preserve the data")
+  }
+
   test("create-if-missing: first append creates the table directory") {
     val wh = TestSpark.tmpDir("sink_create")
     val sink = mkSink(wh)
