@@ -165,6 +165,29 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ----------------------------------------------------------- data splits
+
+  /** Deterministic train/val/test assignment (90/5/5) by multiplicative
+    * hash of the stable document id — the split survives reprocessing,
+    * re-partitioning, and engine changes, which is the property that
+    * matters when the corpus is rebuilt at 100 TB (random() splits do
+    * not). Pure 64-bit arithmetic, so any engine reproduces it. */
+  def datasetSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val datasetSplitSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN ((doc_id * 2654435761) % 100 + 100) % 100 < 90 THEN 'train'
+      |       WHEN ((doc_id * 2654435761) % 100 + 100) % 100 < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- text
 
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
