@@ -177,7 +177,13 @@ object Dedup {
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint() // pairs are reused every round: cut the recompute
     var labels = docs.select(col("doc_id"), col("doc_id").as("component"))
-    var prevSum = Long.MaxValue
+    // exact decimal sum: overflow-proof at any corpus size, and coalesced
+    // so an empty corpus converges immediately instead of NPE-ing
+    def labelSum(): java.math.BigDecimal = labels
+      .agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -188,11 +194,16 @@ object Dedup {
           least(col("component"), coalesce(col("nbr_comp"), col("component")))
             .as("component"))
         .localCheckpoint()
-      val s = labels.agg(sum(col("component"))).head().getLong(0)
+      val s = labelSum()
       converged = s == prevSum
       prevSum = s
       iter += 1
     }
+    // a silently truncated propagation would report duplicate canonicals —
+    // refuse to return wrong components
+    if (!converged) throw new IllegalStateException(
+      s"component propagation did not converge in $maxIter rounds " +
+        "(graph diameter exceeds maxIter) — raise maxIter")
     labels.withColumn("is_canonical", col("component") === col("doc_id"))
   }
 

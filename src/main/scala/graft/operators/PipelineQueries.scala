@@ -173,7 +173,11 @@ object PipelineQueries {
     * matters when the corpus is rebuilt at 100 TB (random() splits do
     * not). Pure 64-bit arithmetic, so any engine reproduces it. */
   def datasetSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+    // doc_id is reduced mod 1e9+7 BEFORE the multiply so the product stays
+    // under 2^63 for any id — overflow-free under ANSI mode and identical
+    // in engines that trap on int64 overflow (DuckDB)
+    val bucket = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+      lit(100L))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         when(bucket < 90, "train").when(bucket < 95, "val")
@@ -183,10 +187,13 @@ object PipelineQueries {
 
   val datasetSplitSql: String =
     """SELECT doc_id,
-      |  CASE WHEN ((doc_id * 2654435761) % 100 + 100) % 100 < 90 THEN 'train'
-      |       WHEN ((doc_id * 2654435761) % 100 + 100) % 100 < 95 THEN 'val'
+      |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
       |       ELSE 'test' END AS split
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM (SELECT doc_id,
+      |        ((((doc_id % 1000000007 + 1000000007) % 1000000007)
+      |          * 2654435761) % 100 + 100) % 100 AS b
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- text
 

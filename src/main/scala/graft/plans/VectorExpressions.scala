@@ -291,14 +291,11 @@ object VectorExpressions {
     call_function(name, v)
   }
 
-  /** Idempotent session registration; Column-side accessors below. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_vec_dot",
-      es => VecDot(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_vec_normalize",
-      es => VecNormalize(es.head), "built-in")
-  }
+  /** Idempotent session registration — delegates to the single builder
+    * table in [[GraftExtensions]] so the Column API and the SQL-extension
+    * install path can never diverge. Column-side accessors below. */
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.register(spark)
 
   def vecDot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
@@ -320,8 +317,7 @@ object VectorExpressions {
   }
 
   def simhash(spark: SparkSession, tokens: Column): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash", es => SimhashExpr(es.head), "built-in")
+    register(spark) // graft_simhash comes from the shared builder table
     call_function("graft_simhash", tokens)
   }
 

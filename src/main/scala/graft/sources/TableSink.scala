@@ -129,49 +129,64 @@ final class TableSink(val config: SinkConfig) {
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.expressions.Window
     requireNoStreamingLog()
     val root = Paths.get(config.tablePath)
     if (!Files.exists(root)) return
-    // bytes per partition directory (driver-side listing: one entry per
-    // partition, metadata-sized — never the data itself)
-    val dataFiles = Files.walk(root).iterator().asScala
+    def rmTree(p: Path): Unit =
+      Files.walk(p).iterator().asScala.toVector.reverseIterator
+        .foreach(Files.delete)
+    // Sizing is bytes-per-row × per-partition row count — deliberately NOT
+    // a join on file paths: input_file_name() is percent-encoded while the
+    // FS listing is raw (and Hive-style dirs escape specials themselves),
+    // and a silent key mismatch there would DROP the affected partition.
+    val totalBytes = Files.walk(root).iterator().asScala
       .filter(p => Files.isRegularFile(p) &&
         !p.getFileName.toString.startsWith("_") &&
         !p.getFileName.toString.startsWith("."))
-      .toVector
-    if (dataFiles.isEmpty) return
-    val dirBytes: Map[String, Long] = dataFiles
-      .groupBy(p => p.getParent.toAbsolutePath.toString)
-      .map { case (d, fs) => d -> fs.map(Files.size).sum }
-    val nFiles = dirBytes.map { case (d, b) =>
-      d -> math.max(1L, (b + targetFileBytes - 1) / targetFileBytes) }
-    import spark.implicits._
-    val nFilesDf = nFiles.toSeq.toDF("__dir", "__nf")
-    // per-row partition dir from input_file_name (scheme-normalized), so no
-    // fragile partition-value parsing; same-dir rows share one __nf
+      .map(Files.size).sum
+    if (totalBytes == 0) return
     val cur = read(spark)
-      .withColumn("__dir", regexp_replace(
-        regexp_replace(input_file_name(), "^file:/+", "/"), "/[^/]+$", ""))
-      .join(broadcast(nFilesDf), Seq("__dir"))
-    val salt = pmod(hash(cur.columns.filterNot(_.startsWith("__")).map(col): _*),
-      col("__nf"))
+    val totalRows = cur.count()
+    if (totalRows == 0) return
+    val bytesPerRow = totalBytes.toDouble / totalRows
     val parts = partitionColNames
+    val nf =
+      if (parts.isEmpty) // unpartitioned: global count is already known
+        lit(math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes))
+      else greatest(lit(1L),
+        ceil(count(lit(1)).over(Window.partitionBy(parts.map(col): _*)) *
+          lit(bytesPerRow) / lit(targetFileBytes.toDouble)).cast("long"))
     val tmp = Paths.get(config.tablePath + "_compacting")
-    val prepared = cur
-      .repartition((parts.map(col) :+ salt): _*)
-      .drop("__dir", "__nf")
+    if (Files.exists(tmp)) rmTree(tmp) // stale leftover from a crashed run
+    // window expressions cannot ride inside repartition: materialize the
+    // salt as a column, cluster on it, then drop it before the write
+    val withSalt = cur
+      .withColumn("__salt", pmod(hash(cur.columns.map(col).toSeq: _*), nf))
+    val clustered = withSalt
+      .repartition((parts.map(col) :+ col("__salt")): _*)
+      .drop("__salt")
+    val prepared = // preserve the sink's sorted-within-file invariant
+      if (config.sortOrder.nonEmpty)
+        clustered.sortWithinPartitions(config.sortOrder.map(col): _*)
+      else clustered
     val writer = prepared.write.mode("overwrite")
       .format(config.fileFormat).options(config.extraOptions)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .save(tmp.toString)
+    // verify BEFORE the destructive swap: a rewrite that lost rows aborts
+    val rewrittenRows = spark.read.format(config.fileFormat)
+      .load(tmp.toString).count()
+    if (rewrittenRows != totalRows) {
+      rmTree(tmp)
+      throw new IllegalStateException(
+        s"compaction rewrite produced $rewrittenRows rows, expected " +
+          s"$totalRows — aborted, original table untouched")
+    }
     // swap: old table -> trash, compacted -> table, drop trash
     val trash = Paths.get(config.tablePath + "_pre_compact")
     Files.move(root, trash, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
-    def rmTree(p: Path): Unit = {
-      Files.walk(p).iterator().asScala.toVector.reverseIterator
-        .foreach(Files.delete)
-    }
     rmTree(trash)
   }
 }

@@ -55,12 +55,19 @@ object StreamPipeline {
     * fewer, larger state partitions. Results are partition-count-invariant
     * (asserted by the 4-vs-32-thread oracle runs); on a real cluster the
     * state partition count is sized to executors × cores instead. */
-  private def withStreamShuffle[A](spark: SparkSession, n: Int)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
-  }
+  private val shuffleConfLock = new Object
+  private def withStreamShuffle[A](spark: SparkSession, n: Int)(body: => A): A =
+    // session conf is global, so the save/set/restore is serialized across
+    // graft streaming queries (two interleaved restores would otherwise
+    // leave the reduced value behind permanently). Unrelated work on the
+    // same session during the window still observes the reduced value —
+    // inherent to session-scoped conf; use a dedicated session to avoid it.
+    shuffleConfLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, prev)
+    }
 
   /** Event-time daily windowed aggregation over the stream. */
   def dailyCounts(stream: DataFrame): DataFrame = {
@@ -159,11 +166,12 @@ object StreamPipeline {
   }
 
   val statefulMilestonesSql: String =
-    """SELECT user_id, CAST(g * 10 AS BIGINT) AS milestone
-      |FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
-      |     generate_series(1, 100000) s(g)
-      |WHERE g * 10 <= n
-      |ORDER BY user_id, milestone""".stripMargin
+    """WITH RECURSIVE c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+      |m(user_id, milestone, n) AS (
+      |  SELECT user_id, CAST(10 AS BIGINT), n FROM c WHERE n >= 10
+      |  UNION ALL
+      |  SELECT user_id, milestone + 10, n FROM m WHERE milestone + 10 <= n)
+      |SELECT user_id, milestone FROM m ORDER BY user_id, milestone""".stripMargin
 
   /** Session windows: per-user activity sessions separated by >30-minute
     * gaps (`session_window` — the gap-based window the category checklist
