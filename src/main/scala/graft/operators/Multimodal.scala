@@ -142,6 +142,25 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  def resizeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    resize(mediaFromDocuments(spark, sfDir), w = 64, h = 64)
+      .toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("checksum"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The stub's resize digest is md5(payload ++ "|WxH"); for UTF-8 text
+    * payloads that is exactly md5 of the concatenated string. */
+  val resizeSql: String =
+    """SELECT doc_id, 'text/plain' AS media_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text || '|64x64') AS checksum,
+      |  CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def framesQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     frameSample(mediaFromDocuments(spark, sfDir), n = 4)
