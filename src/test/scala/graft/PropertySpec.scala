@@ -47,6 +47,33 @@ class PropertySpec extends AnyFunSuite {
     }, min = 10)
   }
 
+  test("murmur3 kernel matches Guava's independent implementation") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    import com.google.common.hash.Hashing
+    val guava = Hashing.murmur3_32_fixed(0)
+    check(forAll(Gen.long) { v =>
+      // Guava hashLong is little-endian over 8 bytes, seed 0 — exactly the
+      // Iceberg spec's bucket hash input
+      IcebergBucketing.hashLong(v) == guava.hashLong(v).asInt()
+    })
+    check(forAll(Gen.asciiPrintableStr) { s =>
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      IcebergBucketing.murmur3(bytes) == guava.hashBytes(bytes).asInt()
+    })
+  }
+
+  test("splitmix64 finalizer matches published test vectors") {
+    // fixed vectors cross-computed against an independent u64 reference
+    // (python arbitrary-precision arithmetic); unsigned values shown in
+    // comments, stored as the equivalent two's-complement longs
+    assert(VectorExpressions.mix64(97L) ==
+      -5836808829438595943L) // 12609935244270955673
+    assert(VectorExpressions.mix64(1234567890123456789L) ==
+      -4020178596217861550L) // 14426565477491690066
+    assert(VectorExpressions.mix64(0L) == 0L) // splitmix64 fixed point at 0
+  }
+
   test("json serde round-trips hostile strings (quotes, newlines, unicode)") {
     val hostile = Gen.oneOf(
       Gen.alphaNumStr,
