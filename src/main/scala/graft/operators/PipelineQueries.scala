@@ -195,6 +195,59 @@ object PipelineQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified sample: ~10% of each event_type stratum by
+    * arithmetic hash of the stable id — reproducible across engines and
+    * reprocessing runs (engine `sample()` is seed- and partitioning-
+    * dependent, so it can never be oracle-checked or replayed). */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(pmod(col("event_id"), lit(1000000007L)) * lit(2654435761L),
+      lit(100L))
+    Tables.events(spark, sfDir)
+      .filter(bucket < 10)
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT event_id, event_type FROM events
+      |WHERE ((((event_id % 1000000007 + 1000000007) % 1000000007)
+      |        * 2654435761) % 100 + 100) % 100 < 10
+      |ORDER BY event_id""".stripMargin
+
+  /** Fuzzy (edit-distance) join: match slightly-corrupted probe texts back
+    * to the corpus by levenshtein ≤ 2 over a fixed-length prefix, with a
+    * cheap length-difference block ahead of the quadratic distance. The
+    * probe set is tiny by construction → broadcast nested-loop with the
+    * blocking predicate evaluated first; at corpus×corpus scale the block
+    * becomes a join key (length band) instead. */
+  def fuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.select(col("doc_id"), substring(col("text"), 1, 40).as("pfx"))
+    // deterministic corruption: drop the probe prefix's last character
+    val probes = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("probe_id"),
+        substring(col("text"), 1, 39).as("probe_pfx"))
+    corpus.join(broadcast(probes),
+        abs(length(col("pfx")) - length(col("probe_pfx"))) <= 2 &&
+          levenshtein(col("pfx"), col("probe_pfx")) <= 2)
+      .select(col("probe_id"), col("doc_id"),
+        levenshtein(col("pfx"), col("probe_pfx")).cast("long").as("dist"))
+      .orderBy(col("probe_id"), col("doc_id"))
+  }
+
+  val fuzzyJoinSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, substring(text, 1, 40) AS pfx FROM documents),
+      |probes AS (
+      |  SELECT doc_id AS probe_id, substring(text, 1, 39) AS probe_pfx
+      |  FROM documents WHERE doc_id < 20)
+      |SELECT probe_id, doc_id,
+      |  CAST(levenshtein(pfx, probe_pfx) AS BIGINT) AS dist
+      |FROM corpus JOIN probes
+      |  ON abs(length(pfx) - length(probe_pfx)) <= 2
+      | AND levenshtein(pfx, probe_pfx) <= 2
+      |ORDER BY probe_id, doc_id""".stripMargin
+
   // ---------------------------------------------------------------- text
 
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
