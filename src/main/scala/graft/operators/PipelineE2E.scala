@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * the way a 100 TB corpus build would —
   *
   *   documents → validate (schema/emptiness) → quality score → filter
-  *     → exact dedup survivor join → per-language corpus stats → sink
+  *     → exact dedup survivor join → deterministic split assignment
+  *     → per-language corpus stats → sink
   *
   * Everything is one declarative plan until the sink write: Catalyst fuses
   * the validation predicate, quality expression and dedup fingerprint into
@@ -40,14 +41,19 @@ object PipelineE2E {
       .select($"keep_id".as("doc_id"))
     val deduped = scored.join(survivors, "doc_id")
 
-    // 4. per-language corpus stats over the kept set
+    // 4. deterministic train-split assignment (same arithmetic hash as
+    // q_dataset_split — survives reprocessing), then per-language corpus
+    // stats over the kept set
     // exact-decimal quality sum → order-independent, oracle-bit-identical avg
+    val bucket = pmod(pmod($"doc_id", lit(1000000007L)) * lit(2654435761L),
+      lit(100L))
     val stats = deduped
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_chars").as("total_chars"),
         (sum($"quality".cast("decimal(28,15)")).cast("double") / count(lit(1)))
-          .as("avg_quality"))
+          .as("avg_quality"),
+        sum(when(bucket < 90, 1L).otherwise(0L)).as("n_train"))
 
     // 5. sink: language-partitioned corpus table (hidden partitioning)
     val sink = new TableSink(SinkConfig(
@@ -62,7 +68,8 @@ object PipelineE2E {
     sink.read(spark)
       .groupBy($"lang").agg(count(lit(1)).as("n_docs_sunk"))
       .join(stats, "lang")
-      .select($"lang", $"n_docs", $"n_docs_sunk", $"total_chars", $"avg_quality")
+      .select($"lang", $"n_docs", $"n_docs_sunk", $"total_chars",
+        $"avg_quality", $"n_train")
       .orderBy($"lang")
   }
 
@@ -82,7 +89,10 @@ object PipelineE2E {
       |                   WHERE q2.quality >= 0.5 GROUP BY q2.fp))
       |SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS n_docs_sunk,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-      |  CAST(SUM(CAST(quality AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*) AS avg_quality
+      |  CAST(SUM(CAST(quality AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*) AS avg_quality,
+      |  CAST(SUM(CASE WHEN ((((doc_id % 1000000007 + 1000000007) % 1000000007)
+      |                       * 2654435761) % 100 + 100) % 100 < 90
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_train
       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin.replace("STOPLIST", stop)
   }
 }
