@@ -41,12 +41,11 @@ object PipelineE2E {
       .select($"keep_id".as("doc_id"))
     val deduped = scored.join(survivors, "doc_id")
 
-    // 4. deterministic train-split assignment (same arithmetic hash as
-    // q_dataset_split — survives reprocessing), then per-language corpus
-    // stats over the kept set
+    // 4. deterministic train-split assignment (THE shared splitBucket hash,
+    // so flagship membership can never diverge from q_dataset_split), then
+    // per-language corpus stats over the kept set
     // exact-decimal quality sum → order-independent, oracle-bit-identical avg
-    val bucket = pmod(pmod($"doc_id", lit(1000000007L)) * lit(2654435761L),
-      lit(100L))
+    val bucket = PipelineQueries.splitBucket($"doc_id")
     val stats = deduped
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -90,9 +89,10 @@ object PipelineE2E {
       |SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS n_docs_sunk,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  CAST(SUM(CAST(quality AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*) AS avg_quality,
-      |  CAST(SUM(CASE WHEN ((((doc_id % 1000000007 + 1000000007) % 1000000007)
-      |                       * 2654435761) % 100 + 100) % 100 < 90
+      |  CAST(SUM(CASE WHEN SPLIT_BUCKET < 90
       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_train
-      |FROM kept GROUP BY lang ORDER BY lang""".stripMargin.replace("STOPLIST", stop)
+      |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+      .replace("STOPLIST", stop)
+      .replace("SPLIT_BUCKET", PipelineQueries.splitBucketSql("doc_id"))
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-contract query wrappers for the LLM-pipeline operators
@@ -167,17 +167,34 @@ object PipelineQueries {
 
   // ----------------------------------------------------------- data splits
 
-  /** Deterministic train/val/test assignment (90/5/5) by multiplicative
-    * hash of the stable document id — the split survives reprocessing,
-    * re-partitioning, and engine changes, which is the property that
-    * matters when the corpus is rebuilt at 100 TB (random() splits do
-    * not). Pure 64-bit arithmetic, so any engine reproduces it. */
+  /** THE split-bucket hash: id → [0, 100), shared by every split/sample
+    * site (q_dataset_split, q_stratified_sample, the flagship pipeline) so
+    * split membership can never desynchronize between operators.
+    *
+    * Multiplicative hash MOD PRIME: reduce mod p=1e9+7, multiply by an odd
+    * constant, reduce mod p again, THEN take mod 100. The inner mod-prime
+    * step is what makes this a real hash — without it the composite-modulus
+    * product collapses to a permutation of `id mod 100`, and any periodic
+    * id structure (sharded ranges, round-robin generators) would skew a
+    * stratum to 0% or 2×. All intermediates stay under 2^63: overflow-free
+    * under ANSI mode and in engines that trap (DuckDB). */
+  private[graft] def splitBucket(id: Column): Column =
+    pmod(pmod(pmod(id, lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L)), lit(100L))
+
+  /** The identical arithmetic as ANSI SQL (the leading (+p)%p dance keeps
+    * negative ids non-negative before the multiply). */
+  private[graft] def splitBucketSql(idCol: String): String =
+    s"(((($idCol % 1000000007 + 1000000007) % 1000000007) * 2654435761) " +
+      "% 1000000007) % 100"
+
+  /** Deterministic train/val/test assignment (90/5/5) by the shared
+    * [[splitBucket]] hash of the stable document id — the split survives
+    * reprocessing, re-partitioning, and engine changes, which is the
+    * property that matters when the corpus is rebuilt at 100 TB (random()
+    * splits do not). */
   def datasetSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    // doc_id is reduced mod 1e9+7 BEFORE the multiply so the product stays
-    // under 2^63 for any id — overflow-free under ANSI mode and identical
-    // in engines that trap on int64 overflow (DuckDB)
-    val bucket = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
-      lit(100L))
+    val bucket = splitBucket(col("doc_id"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         when(bucket < 90, "train").when(bucket < 95, "val")
@@ -186,33 +203,28 @@ object PipelineQueries {
   }
 
   val datasetSplitSql: String =
-    """SELECT doc_id,
-      |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
-      |       ELSE 'test' END AS split
-      |FROM (SELECT doc_id,
-      |        ((((doc_id % 1000000007 + 1000000007) % 1000000007)
-      |          * 2654435761) % 100 + 100) % 100 AS b
-      |      FROM documents)
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, ${splitBucketSql("doc_id")} AS b
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
 
   /** Deterministic stratified sample: ~10% of each event_type stratum by
-    * arithmetic hash of the stable id — reproducible across engines and
-    * reprocessing runs (engine `sample()` is seed- and partitioning-
-    * dependent, so it can never be oracle-checked or replayed). */
-  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = pmod(pmod(col("event_id"), lit(1000000007L)) * lit(2654435761L),
-      lit(100L))
+    * the shared [[splitBucket]] hash of the stable id — reproducible
+    * across engines and reprocessing runs (engine `sample()` is seed- and
+    * partitioning-dependent, so it can never be oracle-checked or
+    * replayed). */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
-      .filter(bucket < 10)
+      .filter(splitBucket(col("event_id")) < 10)
       .select(col("event_id"), col("event_type"))
       .orderBy(col("event_id"))
-  }
 
   val stratifiedSampleSql: String =
-    """SELECT event_id, event_type FROM events
-      |WHERE ((((event_id % 1000000007 + 1000000007) % 1000000007)
-      |        * 2654435761) % 100 + 100) % 100 < 10
-      |ORDER BY event_id""".stripMargin
+    s"""SELECT event_id, event_type FROM events
+       |WHERE ${splitBucketSql("event_id")} < 10
+       |ORDER BY event_id""".stripMargin
 
   /** Fuzzy (edit-distance) join: match slightly-corrupted probe texts back
     * to the corpus by levenshtein ≤ 2 over a fixed-length prefix, with a
@@ -222,24 +234,35 @@ object PipelineQueries {
     * becomes a join key (length band) instead. */
   def fuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val corpus = docs.select(col("doc_id"), substring(col("text"), 1, 40).as("pfx"))
+    // ASCII-fold before the distance: Spark levenshtein counts CHARACTERS
+    // while DuckDB's counts BYTES, so any multi-byte character would skew
+    // parity — mapping every non-ASCII codepoint to one '?' makes the two
+    // definitions coincide for ALL inputs, not just ASCII fixtures
+    def pfx(n: Int) = regexp_replace(
+      substring(col("text"), 1, n), "[^\\x20-\\x7e]", "?")
+    val corpus = docs.select(col("doc_id"), pfx(40).as("pfx"))
     // deterministic corruption: drop the probe prefix's last character
     val probes = docs.filter(col("doc_id") < 20)
-      .select(col("doc_id").as("probe_id"),
-        substring(col("text"), 1, 39).as("probe_pfx"))
+      .select(col("doc_id").as("probe_id"), pfx(39).as("probe_pfx"))
+    // thresholded levenshtein: early-exits once the band is exceeded —
+    // O(len·k) per pair instead of O(len²), the term that dominates at
+    // corpus×corpus scale
+    val dist = levenshtein(col("pfx"), col("probe_pfx"), 2)
     corpus.join(broadcast(probes),
         abs(length(col("pfx")) - length(col("probe_pfx"))) <= 2 &&
-          levenshtein(col("pfx"), col("probe_pfx")) <= 2)
-      .select(col("probe_id"), col("doc_id"),
-        levenshtein(col("pfx"), col("probe_pfx")).cast("long").as("dist"))
+          dist >= 0)
+      .select(col("probe_id"), col("doc_id"), dist.cast("long").as("dist"))
       .orderBy(col("probe_id"), col("doc_id"))
   }
 
   val fuzzyJoinSql: String =
     """WITH corpus AS (
-      |  SELECT doc_id, substring(text, 1, 40) AS pfx FROM documents),
+      |  SELECT doc_id,
+      |    regexp_replace(substring(text, 1, 40), '[^ -~]', '?', 'g') AS pfx
+      |  FROM documents),
       |probes AS (
-      |  SELECT doc_id AS probe_id, substring(text, 1, 39) AS probe_pfx
+      |  SELECT doc_id AS probe_id,
+      |    regexp_replace(substring(text, 1, 39), '[^ -~]', '?', 'g') AS probe_pfx
       |  FROM documents WHERE doc_id < 20)
       |SELECT probe_id, doc_id,
       |  CAST(levenshtein(pfx, probe_pfx) AS BIGINT) AS dist
