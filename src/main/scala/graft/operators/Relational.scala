@@ -118,6 +118,35 @@ object Relational {
       |  FROM orders)
       |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
 
+  /** Analytic-function breadth: lag, ntile, and a bounded moving-frame
+    * aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the frame
+    * semantics row_number alone doesn't exercise. The frame sum is exact
+    * decimal then cast, and the ordering carries an orderkey tie-break, so
+    * every column is deterministic and oracle-checkable. */
+  def windowAnalytics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val frame = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey",
+        lag($"o_orderkey", 1).over(w).as("prev_order"),
+        sum($"o_totalprice".cast("decimal(18,2)")).over(frame)
+          .cast("double").as("moving_total"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val windowAnalyticsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_orderkey) OVER w AS prev_order,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_total,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Rollup aggregation (grouping-sets family) over orders. */
   def orderRollup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
