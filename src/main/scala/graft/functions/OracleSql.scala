@@ -125,13 +125,16 @@ object OracleSql {
   // ------------------------------------------------------- hyperplane LSH
   /** 8 tables × 8 sign bits over the RAW double vector `v`, planes from the
     * closed-form LCG of [[Dedup.hyperplanes]]; the sequential
-    * multiply-accumulate replays the engine kernel's IEEE op order. */
+    * multiply-accumulate replays the engine kernel's IEEE op order. The
+    * dot runs over `least(len(v), 64)` exactly like the kernel's
+    * `math.min(plane.length, x.length)` — indexing past the vector end
+    * would NULL-poison the sum and zero every sign bit. */
   private def hyperplaneSigList(v: String): String =
     s"""[CAST(list_sum([CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      [$v[d] * (CAST((1103515245 * ((t * 8 + j) * 64 + (d - 1)) + 12345)
        |                     % 2147483648 AS DOUBLE) / 2147483648
        |                - CAST(0.5 AS DOUBLE))
-       |       FOR d IN generate_series(1, 64)]), (a, x) -> a + x) > 0
+       |       FOR d IN generate_series(1, least(len($v), 64))]), (a, x) -> a + x) > 0
        |     THEN CAST(power(2, j) AS BIGINT) ELSE 0 END
        |    FOR j IN generate_series(0, 7)]) AS BIGINT)
        |   FOR t IN generate_series(0, 7)]""".stripMargin

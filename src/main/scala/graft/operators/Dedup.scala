@@ -189,11 +189,14 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val nbrMin = edges.join(labels, edges("id_b") === labels("doc_id"))
         .groupBy(col("id_a")).agg(min(col("component")).as("nbr_comp"))
-      labels = labels.join(nbrMin, labels("doc_id") === nbrMin("id_a"), "left")
+      val updated = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("id_a"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_comp"), col("component")))
             .as("component"))
-        .localCheckpoint()
+      // checkpoint every 3rd round: enough to keep lineage (and the task
+      // binary) bounded without materializing a full label copy per round
+      labels = if (iter % 3 == 2) updated.localCheckpoint() else updated
       val s = labelSum()
       converged = s == prevSum
       prevSum = s

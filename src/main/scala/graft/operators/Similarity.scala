@@ -8,6 +8,11 @@ import org.apache.spark.sql.expressions.Window
   * (driver north star). Brute-force cosine top-k is the oracle-checkable
   * baseline; hyperplane-LSH candidate routing is the scale path.
   *
+  * Input contract (all operators here): corpus/query DataFrames carry the
+  * fixture schema — `vec_id BIGINT, embedding ARRAY<FLOAT>`. The idAs/vecAs
+  * parameters threaded through the helpers rename OUTPUT columns; input
+  * column names are fixed.
+  *
   * Scale design: the query set is broadcast (it is small by construction —
   * a probe batch), so the corpus is scanned exactly once with no shuffle at
   * all for the score phase; only the per-query top-k window shuffles, and

@@ -132,19 +132,34 @@ final class TableSink(val config: SinkConfig) {
     import org.apache.spark.sql.expressions.Window
     requireNoStreamingLog()
     val root = Paths.get(config.tablePath)
-    if (!Files.exists(root)) return
+    val trash = Paths.get(config.tablePath + "_pre_compact")
+    // walk streams hold directory FDs until closed — every traversal goes
+    // through this bracket (a long-lived driver compacting periodically
+    // would otherwise leak FDs until finalization)
+    def walked[A](p: Path)(f: Iterator[Path] => A): A = {
+      val s = Files.walk(p)
+      try f(s.iterator().asScala) finally s.close()
+    }
     def rmTree(p: Path): Unit =
-      Files.walk(p).iterator().asScala.toVector.reverseIterator
-        .foreach(Files.delete)
+      walked(p)(_.toVector).reverseIterator.foreach(Files.delete)
+    // crash recovery BEFORE the existence check: a kill between the two
+    // swap renames leaves the data stranded in _pre_compact with no table
+    // dir — restore it; a kill after both renames just leaves trash to drop
+    if (Files.exists(trash)) {
+      if (!Files.exists(root))
+        Files.move(trash, root, StandardCopyOption.ATOMIC_MOVE)
+      else rmTree(trash)
+    }
+    if (!Files.exists(root)) return
     // Sizing is bytes-per-row × per-partition row count — deliberately NOT
     // a join on file paths: input_file_name() is percent-encoded while the
     // FS listing is raw (and Hive-style dirs escape specials themselves),
     // and a silent key mismatch there would DROP the affected partition.
-    val totalBytes = Files.walk(root).iterator().asScala
+    val totalBytes = walked(root)(_
       .filter(p => Files.isRegularFile(p) &&
         !p.getFileName.toString.startsWith("_") &&
         !p.getFileName.toString.startsWith("."))
-      .map(Files.size).sum
+      .map(Files.size).sum)
     if (totalBytes == 0) return
     val cur = read(spark)
     val totalRows = cur.count()
@@ -183,8 +198,8 @@ final class TableSink(val config: SinkConfig) {
         s"compaction rewrite produced $rewrittenRows rows, expected " +
           s"$totalRows — aborted, original table untouched")
     }
-    // swap: old table -> trash, compacted -> table, drop trash
-    val trash = Paths.get(config.tablePath + "_pre_compact")
+    // swap: old table -> trash, compacted -> table, drop trash (a crash
+    // mid-swap is repaired by the recovery block on the next compact call)
     Files.move(root, trash, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
     rmTree(trash)

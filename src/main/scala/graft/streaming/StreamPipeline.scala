@@ -196,19 +196,23 @@ object StreamPipeline {
     * one hour. Both sides carry watermarks and the join condition bounds
     * event time in both directions, so the state store provably evicts —
     * the only stream-stream join shape that survives unbounded input.
-    * The per-pair emission is batching-invariant for an inner join; the
-    * batch aggregation after completion makes the output deterministic. */
+    * Determinism caveat (inherent to watermarking, not this query): pair
+    * emission is batching-invariant only while arrival order respects the
+    * watermark bound — input arriving more than the watermark delay behind
+    * the observed max event time is dropped as late. The staged source
+    * here is one file = one micro-batch, so no input can ever be late; a
+    * production deployment sizes the delay to its real arrival skew. */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val clicks = eventsStream(spark, sfDir)
       .filter($"event_type" === "click")
       .select($"user_id".as("c_user"), $"ts".as("c_ts"))
-      .withWatermark("c_ts", "1 day")
+      .withWatermark("c_ts", "30 days")
     val purchases = eventsStream(spark, sfDir)
       .filter($"event_type" === "purchase")
       .select($"user_id".as("p_user"), $"ts".as("p_ts"))
-      .withWatermark("p_ts", "1 day")
+      .withWatermark("p_ts", "30 days")
     val joined = clicks.join(purchases,
       $"c_user" === $"p_user" &&
         $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))

@@ -39,12 +39,14 @@ class SinkSpec extends AnyFunSuite {
     sink.append(e.limit(200)) // second commit: more small files
     def files(): Seq[java.nio.file.Path] = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(sink.config.tablePath))
-        .iterator().asScala
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(sink.config.tablePath))
+      try s.iterator().asScala
         .filter(p => java.nio.file.Files.isRegularFile(p) &&
           !p.getFileName.toString.startsWith("_") &&
           !p.getFileName.toString.startsWith("."))
         .toVector
+      finally s.close()
     }
     val before = files()
     val sumBefore = sink.read(spark).agg(
