@@ -97,6 +97,38 @@ object ParityQueries {
       |  CAST(length(event_type) AS BIGINT) AS n_chars
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Aggregate-function breadth (the families the relational queries don't
+    * touch): bitwise aggregates, boolean aggregates, conditional counting,
+    * and arg-min/max selection. All order-independent (bitwise/boolean ops
+    * commute; min_by keys on the unique event_id) → hash-deterministic. */
+  def aggBreadth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        bit_and($"user_id").as("band"),
+        bit_or($"user_id").as("bor"),
+        bit_xor($"user_id").as("bxor"),
+        bool_and($"value" < 1000.0).as("all_small"),
+        bool_or($"value" > 90.0).as("any_big"),
+        count_if($"value" > 50.0).as("n_over_50"),
+        min_by($"user_id", $"event_id").as("first_user"),
+        max_by($"user_id", $"event_id").as("last_user"))
+      .orderBy($"event_type")
+  }
+
+  val aggBreadthSql: String =
+    """SELECT event_type,
+      |  bit_and(user_id) AS band,
+      |  bit_or(user_id) AS bor,
+      |  bit_xor(user_id) AS bxor,
+      |  bool_and(value < 1000.0) AS all_small,
+      |  bool_or(value > 90.0) AS any_big,
+      |  CAST(count_if(value > 50.0) AS BIGINT) AS n_over_50,
+      |  arg_min(user_id, event_id) AS first_user,
+      |  arg_max(user_id, event_id) AS last_user
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** S1/S2 JSON SerDe round-trip: parse `props` (from_json), extract k, and
     * re-serialize a record struct (to_json). */
   def serdeJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
