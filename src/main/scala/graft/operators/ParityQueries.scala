@@ -129,6 +129,35 @@ object ParityQueries {
       |  arg_max(user_id, event_id) AS last_user
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Datetime-function breadth beyond the partition transforms: quarter,
+    * weekday (Spark's 1=Sunday convention vs DuckDB's 0=Sunday is bridged
+    * with +1 in the oracle), month-end, week truncation, clamped month
+    * arithmetic, and epoch seconds — all rendered to engine-neutral
+    * strings/longs. */
+  def datetimeBreadth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id",
+        quarter($"ts").cast("long").as("qtr"),
+        dayofweek($"ts").cast("long").as("dow"),
+        last_day(to_date($"ts")).cast("string").as("month_end"),
+        date_trunc("week", $"ts").cast("string").as("week_start"),
+        add_months(to_date($"ts"), 1).cast("string").as("next_month"),
+        floor(unix_timestamp($"ts")).cast("long").as("epoch_s"))
+      .orderBy($"event_id")
+  }
+
+  val datetimeBreadthSql: String =
+    """SELECT event_id,
+      |  CAST(quarter(ts) AS BIGINT) AS qtr,
+      |  CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+      |  CAST(last_day(CAST(ts AS DATE)) AS VARCHAR) AS month_end,
+      |  CAST(CAST(date_trunc('week', ts) AS TIMESTAMP) AS VARCHAR) AS week_start,
+      |  CAST(CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS next_month,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** S1/S2 JSON SerDe round-trip: parse `props` (from_json), extract k, and
     * re-serialize a record struct (to_json). */
   def serdeJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
