@@ -158,6 +158,45 @@ object ParityQueries {
       |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Array-function breadth: set operations (sorted + joined to strings —
+    * element ORDER of intersect/union/except differs between engines, the
+    * set itself does not), position (Spark's 0-for-missing vs DuckDB's
+    * NULL bridged with coalesce), containment, extrema and slicing, over
+    * deterministic integer sequences derived from the row. */
+  def arrayBreadth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = sequence(lit(1), pmod($"user_id", lit(5)) + 2) // 1..(3..7)
+    val b = sequence(lit(2), lit(5))
+    def s(c: org.apache.spark.sql.Column) = array_join(array_sort(c), ",")
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id",
+        s(array_intersect(a, b)).as("inter_s"),
+        s(array_union(a, b)).as("union_s"),
+        s(array_except(a, b)).as("except_s"),
+        array_position(a, 3).cast("long").as("pos3"),
+        array_contains(a, 4).as("has4"),
+        array_max(a).cast("long").as("amax"),
+        array_join(slice(a, 2, 2), ",").as("sliced"))
+      .orderBy($"event_id")
+  }
+
+  val arrayBreadthSql: String =
+    """WITH t AS (
+      |  SELECT event_id,
+      |    generate_series(1, CAST(((user_id % 5) + 5) % 5 + 2 AS INT)) AS a,
+      |    generate_series(2, 5) AS b
+      |  FROM events)
+      |SELECT event_id,
+      |  array_to_string(list_sort(list_intersect(a, b)), ',') AS inter_s,
+      |  array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS union_s,
+      |  array_to_string(list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))), ',') AS except_s,
+      |  CAST(coalesce(list_position(a, 3), 0) AS BIGINT) AS pos3,
+      |  list_contains(a, 4) AS has4,
+      |  CAST(list_max(a) AS BIGINT) AS amax,
+      |  array_to_string(a[2:3], ',') AS sliced
+      |FROM t ORDER BY event_id""".stripMargin
+
   /** S1/S2 JSON SerDe round-trip: parse `props` (from_json), extract k, and
     * re-serialize a record struct (to_json). */
   def serdeJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
