@@ -197,6 +197,41 @@ object ParityQueries {
       |  array_to_string(a[2:3], ',') AS sliced
       |FROM t ORDER BY event_id""".stripMargin
 
+  /** Higher-order-function breadth — the lambda surface (transform /
+    * filter / aggregate / zip_with / exists / forall) over integer arrays,
+    * where DuckDB's list comprehensions and list_reduce replay the exact
+    * semantics. Integer lambdas only: exact on both engines. */
+  def hofBreadth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = sequence(lit(1), pmod($"user_id", lit(6)) + 2)
+    val b = sequence(lit(3), pmod($"user_id", lit(6)) + 4) // same length as a
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id",
+        array_join(transform(a, x => x * x), ",").as("squares"),
+        array_join(filter(a, x => x % 2 === 0), ",").as("evens"),
+        aggregate(a, lit(0L), (acc, x) => acc + x).as("total"),
+        array_join(zip_with(a, b, (x, y) => x + y), ",").as("pairsums"),
+        exists(a, x => x > 5).as("any_gt5"),
+        forall(a, x => x < 10).as("all_lt10"))
+      .orderBy($"event_id")
+  }
+
+  val hofBreadthSql: String =
+    """WITH t AS (
+      |  SELECT event_id,
+      |    generate_series(1, CAST(((user_id % 6) + 6) % 6 + 2 AS INT)) AS a,
+      |    generate_series(3, CAST(((user_id % 6) + 6) % 6 + 4 AS INT)) AS b
+      |  FROM events)
+      |SELECT event_id,
+      |  array_to_string([x * x FOR x IN a], ',') AS squares,
+      |  array_to_string([x FOR x IN a IF x % 2 = 0], ',') AS evens,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), a), (acc, x) -> acc + x) AS total,
+      |  array_to_string([a[i] + b[i] FOR i IN generate_series(1, len(a))], ',') AS pairsums,
+      |  len(list_filter(a, x -> x > 5)) > 0 AS any_gt5,
+      |  len(list_filter(a, x -> x < 10)) = len(a) AS all_lt10
+      |FROM t ORDER BY event_id""".stripMargin
+
   /** S1/S2 JSON SerDe round-trip: parse `props` (from_json), extract k, and
     * re-serialize a record struct (to_json). */
   def serdeJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
