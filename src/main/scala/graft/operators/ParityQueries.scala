@@ -136,27 +136,35 @@ object ParityQueries {
     * strings/longs. */
   def datetimeBreadth(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // the fixture's ts all falls in one month — spread rows over 12 months
+    // (by user_id) so quarter/month-end/clamping are exercised across the
+    // whole year, not just January
+    val vts = expr("timestampadd(MONTH, pmod(user_id, 12), ts)")
     Tables.events(spark, sfDir)
       .select(
         $"event_id",
-        quarter($"ts").cast("long").as("qtr"),
-        dayofweek($"ts").cast("long").as("dow"),
-        last_day(to_date($"ts")).cast("string").as("month_end"),
-        date_trunc("week", $"ts").cast("string").as("week_start"),
-        add_months(to_date($"ts"), 1).cast("string").as("next_month"),
-        floor(unix_timestamp($"ts")).cast("long").as("epoch_s"))
+        quarter(vts).cast("long").as("qtr"),
+        dayofweek(vts).cast("long").as("dow"),
+        last_day(to_date(vts)).cast("string").as("month_end"),
+        date_trunc("week", vts).cast("string").as("week_start"),
+        add_months(to_date(vts), 1).cast("string").as("next_month"),
+        unix_timestamp($"ts").cast("long").as("epoch_s"))
       .orderBy($"event_id")
   }
 
   val datetimeBreadthSql: String =
-    """SELECT event_id,
-      |  CAST(quarter(ts) AS BIGINT) AS qtr,
-      |  CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
-      |  CAST(last_day(CAST(ts AS DATE)) AS VARCHAR) AS month_end,
-      |  CAST(CAST(date_trunc('week', ts) AS TIMESTAMP) AS VARCHAR) AS week_start,
-      |  CAST(CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS next_month,
+    """WITH t AS (
+      |  SELECT event_id, ts,
+      |    ts + to_months(CAST(((user_id % 12) + 12) % 12 AS INT)) AS vts
+      |  FROM events)
+      |SELECT event_id,
+      |  CAST(quarter(vts) AS BIGINT) AS qtr,
+      |  CAST(dayofweek(vts) + 1 AS BIGINT) AS dow,
+      |  CAST(last_day(CAST(vts AS DATE)) AS VARCHAR) AS month_end,
+      |  CAST(CAST(date_trunc('week', vts) AS TIMESTAMP) AS VARCHAR) AS week_start,
+      |  CAST(CAST(CAST(vts AS DATE) + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS next_month,
       |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
-      |FROM events ORDER BY event_id""".stripMargin
+      |FROM t ORDER BY event_id""".stripMargin
 
   /** Array-function breadth: set operations (sorted + joined to strings —
     * element ORDER of intersect/union/except differs between engines, the
@@ -165,7 +173,10 @@ object ParityQueries {
     * deterministic integer sequences derived from the row. */
   def arrayBreadth(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val a = sequence(lit(1), pmod($"user_id", lit(5)) + 2) // 1..(3..7)
+    // upper bound ranges 2..6, so a = [1..2] up to [1..6]: length-2 arrays
+    // DO occur (user_id % 5 == 0), which is what exercises the 3-absent
+    // and single-element-slice branches
+    val a = sequence(lit(1), pmod($"user_id", lit(5)) + 2)
     val b = sequence(lit(2), lit(5))
     def s(c: org.apache.spark.sql.Column) = array_join(array_sort(c), ",")
     Tables.events(spark, sfDir)
@@ -174,7 +185,9 @@ object ParityQueries {
         s(array_intersect(a, b)).as("inter_s"),
         s(array_union(a, b)).as("union_s"),
         s(array_except(a, b)).as("except_s"),
-        array_position(a, 3).cast("long").as("pos3"),
+        // coalesce on BOTH engines: a NULL input array must agree (Spark
+        // would give NULL, the oracle's coalesced list_position gives 0)
+        coalesce(array_position(a, 3), lit(0L)).cast("long").as("pos3"),
         array_contains(a, 4).as("has4"),
         array_max(a).cast("long").as("amax"),
         array_join(slice(a, 2, 2), ",").as("sliced"))
