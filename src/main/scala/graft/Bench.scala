@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,20 +12,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm-up: absorb session/codegen JIT (~5 s) that would otherwise
-    // be attributed to whichever query the Map happens to iterate first.
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-    }
+    // Warm-of-2 per query: the first (untimed) run absorbs session JIT,
+    // whole-stage-codegen compilation, AND each custom kernel family's
+    // first-use cost (MinhashSig / SimhashExpr / HyperplaneSig JIT lands in
+    // whichever query hits it first); the second run is recorded. This makes
+    // per-query numbers plan-faithful — they match graft.Scratch warm times
+    // — instead of charging one query per kernel family with its JIT.
+    // NonFatal only: an OOM/LinkageError must abort the bench, not be eaten.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch {
+        case NonFatal(e) =>
+          System.err.println(s"WARN bench warm-up of $name failed: $e")
+      }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case NonFatal(e) =>
+          System.err.println(s"WARN bench timed run of $name failed: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"warm_of_2"}""")
     spark.stop()
   }
 }

@@ -27,7 +27,15 @@ final case class SinkConfig(
     sortOrder: Seq[String] = Nil,
     tableSchema: Option[StructType] = None,
     location: Option[String] = None,
-    extraOptions: Map[String, String] = Map.empty) {
+    extraOptions: Map[String, String] = Map.empty,
+    // Catalog-surface passthroughs (models.py:131-147, 174-177). A
+    // path-based parquet/orc warehouse has no external catalog service and
+    // Spark manages its own write staging, so these are accepted for
+    // config-compatibility and carried, not consulted — a deployment that
+    // fronts the warehouse with a real catalog reads them from here.
+    catalogUri: Option[String] = None,
+    catalogType: Option[String] = None,
+    tempDir: String = "/tmp") {
 
   require(tableName.nonEmpty, "tableName must be non-empty")
   require(batchSize >= 1 && batchSize <= 100000,
@@ -36,8 +44,15 @@ final case class SinkConfig(
     s"batchIntervalSeconds must be in [1, 300], got $batchIntervalSeconds") // models.py:155-160
   require(numPartitions >= 1 && numPartitions <= 100,
     s"numPartitions must be in [1, 100], got $numPartitions") // models.py:161-166
+  // The reference enum (models.py:16-24) also lists avro; this build cannot
+  // honor it and says so precisely rather than failing later in the writer.
+  require(fileFormat != "avro",
+    "fileFormat avro is declared by the reference (models.py:23) but not " +
+      "available here: the spark-avro datasource jar is not in " +
+      "/opt/spark/jars — use parquet or orc")
   require(Set("parquet", "orc").contains(fileFormat),
     s"fileFormat must be parquet or orc, got $fileFormat")
+  require(tempDir.nonEmpty, "tempDir must be non-empty") // models.py:174-177
 
   /** Physical path of the table (reference: custom `location` override wins,
     * else warehouse/tableName — connector.py:380-386). */

@@ -48,15 +48,19 @@ object OracleSql {
   private def big(l: Long) = new java.math.BigInteger(java.lang.Long.toUnsignedString(l))
 
   // --------------------------------------------------- rolling fingerprints
-  /** fp(s) = fold codepoints: acc -> (acc*31 + cp) mod 1e9+7, as BIGINT.
+  private val M61 = "2305843009213693951" // 2^61 - 1, Mersenne prime
+
+  /** fp(s) = fold codepoints: acc -> (acc*31 + cp) mod 2^61-1, as HUGEINT
+    * (acc*31 reaches 2^66, past BIGINT; every value stays < 2^61 so the
+    * engine's Long lanes agree exactly).
     * Mirrors [[VectorExpressions.codepointFp]]. */
   // The `IF c <> ''` guard matches the engine's zero-codepoint fold for
   // empty tokens: DuckDB string_split('', '') yields [''] with
   // unicode('') = -1, where codepointFp("")/codepointHash64("") return 0.
-  private def fp31(strExpr: String): String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      [CAST(unicode(c) AS BIGINT) FOR c IN string_split($strExpr, '') IF c <> '']),
-       |      (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+  private def fp61(strExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      [CAST(unicode(c) AS HUGEINT) FOR c IN string_split($strExpr, '') IF c <> '']),
+       |      (acc, x) -> (acc * 31 + x) % $M61)""".stripMargin
 
   /** Rolling codepoint hash mod 2^64 as HUGEINT (pre-splitmix stage of
     * [[VectorExpressions.codepointHash64]]). */
@@ -67,8 +71,10 @@ object OracleSql {
 
   // ----------------------------------------------------------- dedup_minhash
   /** Full MinHash+LSH replay: shingle fingerprints, the affine lane family
-    * a_i·fp+b_i mod p of [[VectorExpressions.MinhashSig]], band-slice
-    * candidacy (16 bands × 4 rows), and the estimated-Jaccard filter. */
+    * a_i·fp+b_i mod 2^61-1 of [[VectorExpressions.MinhashSig]] (the product
+    * reaches 2^99 — HUGEINT carries it; the engine uses multiplyHigh),
+    * band-slice candidacy (16 bands × 4 rows), and the estimated-Jaccard
+    * filter. */
   val dedupMinhashSql: String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (SELECT doc_id,
@@ -76,11 +82,11 @@ object OracleSql {
        |                 FOR i IN generate_series(1, greatest(len(t) - 4, 1))]) AS shs
        |  FROM toks),
        |fps AS (SELECT doc_id,
-       |  [${fp31("s")} FOR s IN shs] AS f
+       |  [${fp61("s")} FOR s IN shs] AS f
        |  FROM sh),
        |sigs AS (SELECT doc_id,
-       |  [list_min([(((2654435761 * (i + 1)) % 1000000007) * fp
-       |              + ((40503 * (i + 1) + 12345) % 1000000007)) % 1000000007
+       |  [list_min([(CAST(2654435761 * (i + 1) AS HUGEINT) * fp
+       |              + (40503 * (i + 1) + 12345)) % $M61
        |             FOR fp IN f]) FOR i IN generate_series(0, 63)] AS sig
        |  FROM fps),
        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb

@@ -136,8 +136,19 @@ object Dedup {
     * Banding into 4×16-bit chunks is EXACT for maxDist ≤ 3 (pigeonhole: 3
     * differing bits cannot touch all 4 bands), so candidates are complete;
     * the final bit_count filter gives exact distances.
+    *
+    * Same posting-list `pairExplode` shape as [[minhashLsh]]: one signature
+    * pass, one shuffle on (band, bucket), pairs exploded within buckets —
+    * not a banded self-join, which would evaluate the signature stream
+    * twice and shuffle both copies.
+    *
+    * @param maxBucket drop buckets larger than this many docs (skew guard
+    *   for a degenerate hot bucket, e.g. a corpus full of one boilerplate
+    *   page). None (default) keeps the ≤3-distance guarantee exact; a cap
+    *   trades completeness on pathological buckets for bounded memory.
     */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(maxDist <= 3, "4x16-bit banding is only exact for maxDist <= 3")
     val sh = docs.select(col("doc_id"),
       simhash(docs.sparkSession, split(col("text"), " ")).as("simhash"))
@@ -146,11 +157,17 @@ object Dedup {
         shiftrightunsigned(col("simhash"), 16 * k).bitwiseAND(lit(0xFFFFL))
           .as("h"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.h"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+    val buckets = banded
+      .groupBy(col("band"), col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val capped = maxBucket.fold(buckets)(cap =>
+      buckets.filter(size(col("ms")) <= cap))
+    capped
+      .select(explode(pairExplode(col("ms"))).as("p"))
+      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
+          .as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
   }
@@ -171,8 +188,9 @@ object Dedup {
     * Pregel-on-DataFrames shape.
     */
   def nearDupComponents(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
-      maxIter: Int = 20): DataFrame = {
-    val pairs = ngramJaccard(docs, n, threshold).select(col("id_a"), col("id_b"))
+      maxIter: Int = 20, maxShingleDf: Option[Int] = None): DataFrame = {
+    val pairs = ngramJaccard(docs, n, threshold, maxShingleDf)
+      .select(col("id_a"), col("id_b"))
     val edges = pairs.unionAll(
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint() // pairs are reused every round: cut the recompute

@@ -334,13 +334,22 @@ object ParityQueries {
     * collected ON the existing job, no second scan, delivered to the
     * driver/listeners after the action. The observed metrics are returned
     * as a one-row DataFrame so the oracle can pin them. */
-  def observeMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+  def observeMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    observeMetricsOf(Tables.events(spark, sfDir))
+
+  /** Core of [[observeMetrics]], over any events-shaped frame. SUM over an
+    * empty input observes NULL, so both sums are coalesced to typed zeros —
+    * an empty table yields (0, 0, 0.0) instead of an NPE at the casts. */
+  private[graft] def observeMetricsOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     val obs = org.apache.spark.sql.Observation()
-    val e = Tables.events(spark, sfDir).observe(obs,
+    val e = events.observe(obs,
       count(lit(1)).as("n_rows"),
-      sum(when($"value" >= 100.0, 1L).otherwise(0L)).as("n_big"),
-      sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+      coalesce(sum(when($"value" >= 100.0, 1L).otherwise(0L)), lit(0L))
+        .as("n_big"),
+      coalesce(sum($"value".cast("decimal(18,2)")).cast("double"), lit(0.0))
+        .as("total_value"))
     e.write.mode("overwrite")
       .format("noop").save() // one pass, populates the observation
     val m = obs.get

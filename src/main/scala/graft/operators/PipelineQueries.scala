@@ -43,6 +43,43 @@ object PipelineQueries {
       |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Skew-capped exact-Jaccard near-dup pairs — THE scale-safe exposed
+    * path: shingles seen in more than 64 documents are dropped before the
+    * posting-list pair explosion, so a boilerplate shingle in 10⁶ docs
+    * costs nothing instead of one executor-resident posting array and
+    * O(df²) pairs. Near-dup pairs share rare shingles too, so intersection
+    * counts only move for pairs glued together by ultra-common shingles —
+    * exactly the pairs that are not meaningful near-dups. The cap is
+    * SQL-replayable (a HAVING on the posting CTE), so this path is
+    * oracle-hash-checked, not just spec'd. */
+  def dedupNgramCapped(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(spark, sfDir), n = 5, threshold = 0.5,
+      maxShingleDf = Some(64))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupNgramCappedSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([array_to_string(t[i:i+4], ' ')
+      |            FOR i IN generate_series(1, greatest(len(t)-4, 1))]) AS s
+      |  FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |keep AS (
+      |  SELECT s FROM sh GROUP BY s HAVING count(*) > 1 AND count(*) <= 64),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN keep k ON a.s = k.s
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+      |FROM p
+      |JOIN sz sa ON p.id_a = sa.doc_id
+      |JOIN sz sb ON p.id_b = sb.doc_id
+      |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** MinHash+LSH — the affine-rehash lane family is replayed exactly by
     * [[OracleSql.dedupMinhashSql]] (hash-checked); recall against exact
     * Jaccard additionally asserted in DedupSpec. */
@@ -75,6 +112,48 @@ object PipelineQueries {
       |p AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM p
+      |  JOIN sz sa ON p.id_a = sa.doc_id
+      |  JOIN sz sb ON p.id_b = sb.doc_id
+      |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)
+      |SELECT node AS doc_id, MIN(lbl) AS component,
+      |  (MIN(lbl) = node) AS is_canonical
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** Dedup groups over the SKEW-CAPPED pair graph — the components variant
+    * a 100 TB corpus actually runs: the pair edges come from the
+    * maxShingleDf=64 path of [[dedupNgramCapped]], so no hot shingle can
+    * materialize an O(df²) edge set, and the propagation loop inherits the
+    * same bounded per-round shuffle. Oracle replays the capped pair CTE
+    * inside the same recursive reachability closure. */
+  def dedupComponentsCapped(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.nearDupComponents(Tables.documents(spark, sfDir),
+      maxShingleDf = Some(64))
+      .orderBy(col("doc_id"))
+
+  val dedupComponentsCappedSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([array_to_string(t[i:i+4], ' ')
+      |            FOR i IN generate_series(1, greatest(len(t)-4, 1))]) AS s
+      |  FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |keep AS (
+      |  SELECT s FROM sh GROUP BY s HAVING count(*) > 1 AND count(*) <= 64),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN keep k ON a.s = k.s
       |  GROUP BY 1, 2),
       |pairs AS (
       |  SELECT id_a, id_b FROM p

@@ -56,8 +56,11 @@ object Relational {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3-style shipping priority: 3-way join, revenue top-10.
-    * customer is tiny (150 rows/SF-unit) → broadcast; orders⋈lineitem
-    * shuffles on the join key only after both sides are filtered.
+    * customer grows with scale factor, so no forced broadcast hint — AQE
+    * picks a broadcast join while the filtered side fits under
+    * autoBroadcastJoinThreshold and falls back to shuffle join at scale;
+    * orders⋈lineitem shuffles on the join key only after both sides are
+    * filtered.
     */
   def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -72,7 +75,7 @@ object Relational {
     val revenue = ($"l_extendedprice".cast("decimal(18,2)") *
       (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate")
       .agg(sum(revenue).as("rev_exact"))
       .orderBy($"rev_exact".desc, $"l_orderkey")
@@ -178,8 +181,10 @@ object Relational {
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
   /** TPC-H Q5-style local-supplier revenue: 5-way join through the full
-    * star schema (region→nation→{customer,supplier}→orders→lineitem). The
-    * three dimension legs are broadcast; only orders⋈lineitem shuffles.
+    * star schema (region→nation→{customer,supplier}→orders→lineitem).
+    * region and nation are fixed-cardinality (5/25 rows at any SF) →
+    * forced broadcast; customer is SF-proportional, so its join is left
+    * to AQE (broadcast while small, shuffle join at scale).
     */
   def localSupplierRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -195,7 +200,7 @@ object Relational {
     val revenue = $"l_extendedprice".cast("decimal(18,2)") *
       (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .groupBy($"r_name", $"n_name")
       .agg(sum(revenue).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
@@ -240,8 +245,8 @@ object Relational {
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
   /** TPC-H Q10-style returned-item revenue: which customers returned the
-    * most value. Filter on the fact side reaches the scan; customer is
-    * broadcast into the post-aggregation join. */
+    * most value. Filter on the fact side reaches the scan; the customer
+    * join carries no forced hint (SF-proportional — AQE decides). */
   def returnedItemRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val l = Tables.lineitem(spark, sfDir).filter($"l_returnflag" === "R")
@@ -250,7 +255,7 @@ object Relational {
     val revenue = $"l_extendedprice".cast("decimal(18,2)") *
       (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name")
       .agg(sum(revenue).as("rev_exact"), count(lit(1)).as("n_items"))
       .orderBy($"rev_exact".desc, $"c_custkey")

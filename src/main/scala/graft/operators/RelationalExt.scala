@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   * through DECIMAL(18,2) then cast to DOUBLE, ratios divide two exact sums
   * in double space (both engines perform the identical single rounding).
   *
-  * Scale notes: every dimension leg (customer/supplier/nation/region/part)
-  * is broadcast — only lineitem⋈orders shuffles; correlated subqueries are
+  * Scale notes: only fixed-cardinality legs (nation: 25 rows, region: 5
+  * rows, single-row scalar aggregates) carry a forced broadcast hint.
+  * customer/supplier/part grow with scale factor, so their joins carry no
+  * hint — AQE broadcasts them while they fit under
+  * autoBroadcastJoinThreshold and falls back to a shuffle join at 100 TB,
+  * where a forced hint would OOM the driver. Correlated subqueries are
   * rewritten as aggregate-then-join (no per-row re-scan, which is the only
   * plan that survives 100 TB).
   */
@@ -70,8 +74,8 @@ object RelationalExt {
       .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(s, $"l_suppkey" === $"s_suppkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .join(broadcast(n1), $"s_nationkey" === $"s_nkey")
       .join(broadcast(n2), $"c_nationkey" === $"c_nkey")
       .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
@@ -127,11 +131,11 @@ object RelationalExt {
         $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
       .select($"o_orderkey", $"o_custkey", $"o_orderdate")
     val l = Tables.lineitem(spark, sfDir)
-    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+    l.join(p, $"l_partkey" === $"p_partkey")
       .join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .join(broadcast(nC), $"c_nationkey" === $"c_nkey")
-      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .join(s, $"l_suppkey" === $"s_suppkey")
       .join(broadcast(nS), $"s_nationkey" === $"s_nkey")
       .groupBy(year($"o_orderdate").cast("long").as("o_year"))
       .agg(
@@ -198,7 +202,7 @@ object RelationalExt {
     val l = Tables.lineitem(spark, sfDir)
       .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
         $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
-    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+    l.join(p, $"l_partkey" === $"p_partkey")
       .agg(
         (sum(when($"p_type" === "PROMO", revenue)
           .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") * 100 /
@@ -234,7 +238,7 @@ object RelationalExt {
     val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name")
     rev.withColumn("mx", max($"total_exact").over(Window.partitionBy()))
       .filter($"total_exact" === $"mx")
-      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .join(s, $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name",
         $"total_exact".cast("double").as("total_revenue"))
       .orderBy($"s_suppkey")
@@ -267,7 +271,7 @@ object RelationalExt {
     // lineitem pass and one shuffle on l_partkey (an aggregate-then-rejoin
     // would scan the fact table twice)
     val w = Window.partitionBy($"l_partkey")
-    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+    l.join(p, $"l_partkey" === $"p_partkey")
       .withColumn("avg_qty",
         sum(dec($"l_quantity")).over(w).cast("double") /
           count(lit(1)).over(w))
@@ -304,7 +308,7 @@ object RelationalExt {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_name")
     o.join(big, $"o_orderkey" === $"bk")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .select($"c_name", $"c_custkey", $"o_orderkey",
         $"o_orderdate", $"o_totalprice",
         $"sum_qty_exact".cast("double").as("sum_qty"))
@@ -330,7 +334,7 @@ object RelationalExt {
     import spark.implicits._
     val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_brand", $"p_size")
     val l = Tables.lineitem(spark, sfDir)
-    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+    l.join(p, $"l_partkey" === $"p_partkey")
       .filter(
         ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
           $"l_quantity".between(1, 20)) ||

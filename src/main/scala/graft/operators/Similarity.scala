@@ -8,10 +8,12 @@ import org.apache.spark.sql.expressions.Window
   * (driver north star). Brute-force cosine top-k is the oracle-checkable
   * baseline; hyperplane-LSH candidate routing is the scale path.
   *
-  * Input contract (all operators here): corpus/query DataFrames carry the
-  * fixture schema — `vec_id BIGINT, embedding ARRAY<FLOAT>`. The idAs/vecAs
-  * parameters threaded through the helpers rename OUTPUT columns; input
-  * column names are fixed.
+  * Input contract (all operators here): corpus/query DataFrames carry an
+  * id column (BIGINT) and a vector column (ARRAY<FLOAT> or ARRAY<DOUBLE>).
+  * The `idCol`/`vecCol` parameters name those INPUT columns (defaults match
+  * the `embeddings` fixture: vec_id/embedding) and apply to both the corpus
+  * and the query frame; output columns are always
+  * (query_id, neighbor_id, rank).
   *
   * Scale design: the query set is broadcast (it is small by construction —
   * a probe batch), so the corpus is scanned exactly once with no shuffle at
@@ -28,15 +30,17 @@ object Similarity {
   private def roundedDot(df: DataFrame, a: Column, b: Column): Column =
     round(VectorExpressions.vecDot(df.sparkSession, a, b), 9)
 
-  private def normalized(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-    df.select(col("vec_id").as(idAs),
+  private def normalized(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String): DataFrame =
+    df.select(col(idCol).as(idAs),
       VectorExpressions.vecNormalize(df.sparkSession,
-        col("embedding").cast("array<double>")).as(vecAs))
+        col(vecCol).cast("array<double>")).as(vecAs))
 
   /** Exact top-k neighbors (by cosine) for each query vector. */
-  def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val e = normalized(corpus, "vec_id", "v")
-    val q = normalized(queries, "query_id", "qv")
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = normalized(corpus, idCol, vecCol, "vec_id", "v")
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -66,11 +70,12 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
   def trainCentroids(corpus: DataFrame, nlist: Int,
-      cacheKey: Option[String] = None): Array[Array[Double]] = {
+      cacheKey: Option[String] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     def fit(): Array[Array[Double]] = {
-      val train = normalized(corpus, "vec_id", "v")
+      val train = normalized(corpus, idCol, vecCol, "vec_id", "v")
         .select(array_to_vector(col("v")).as("features"))
       // seeded random init + capped iterations: a coarse quantizer needs
       // rough cells, not converged clusters — kmeans|| init alone costs
@@ -90,16 +95,17 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
-      centroidCacheKey: Option[String] = None): DataFrame = {
+      centroidCacheKey: Option[String] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    val e = normalized(corpus, "vec_id", "v")
+    val e = normalized(corpus, idCol, vecCol, "vec_id", "v")
     // centroids ride inside the cell-assignment kernel: one map-side pass
     // per row, no centroid join, no row amplification
-    val cents = trainCentroids(corpus, nlist, centroidCacheKey)
+    val cents = trainCentroids(corpus, nlist, centroidCacheKey, idCol, vecCol)
     val corpusCells = e.select(col("vec_id"), col("v"),
       element_at(VectorExpressions.nearestCells(spark, col("v"), cents, 1), 1)
         .as("cell"))
-    val queryCells = normalized(queries, "query_id", "qv")
+    val queryCells = normalized(queries, idCol, vecCol, "query_id", "qv")
       .select(col("query_id"), col("qv"),
         explode(VectorExpressions.nearestCells(spark, col("qv"), cents, nprobe))
           .as("cell"))
@@ -117,17 +123,18 @@ object Similarity {
   }
 
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      dim: Int = 64, bitsPerTable: Int = 8, numTables: Int = 8): DataFrame = {
+      dim: Int = 64, bitsPerTable: Int = 8, numTables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val planes = Dedup.hyperplanes(bitsPerTable * numTables, dim)
     // sign bits on the RAW vector (normalization-invariant sign, and the
     // oracle replays the same IEEE op sequence with no normalize rounding)
     def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs),
+      df.select(col(idCol).as(idAs),
         VectorExpressions.vecNormalize(spark,
-          col("embedding").cast("array<double>")).as(vecAs),
+          col(vecCol).cast("array<double>")).as(vecAs),
         posexplode(VectorExpressions.hyperplaneSig(spark,
-          col("embedding").cast("array<double>"), planes,
+          col(vecCol).cast("array<double>"), planes,
           bitsPerTable)).as(Seq("t", "h")))
     val e = bucketed(corpus, "vec_id", "v")
     val q = bucketed(queries, "query_id", "qv")

@@ -78,18 +78,49 @@ object VectorExpressions {
       copy(child = c)
   }
 
-  /** Rolling polynomial codepoint hash mod 1e9+7 — the same fold the
-    * DuckDB oracle writes as
-    * `list_reduce(list_prepend(0, [unicode(c) ...]), (acc,x) -> (acc*31+x) % p)`,
+  /** 2^61 - 1 — the Mersenne prime modulus for MinHash fingerprints and
+    * lanes. Mersenne form keeps Scala-side reduction branch-free (shift/
+    * mask, no division) while every intermediate the DuckDB oracle replays
+    * (a·fp+b < 2^99, acc·31+cp < 2^66) fits HUGEINT. */
+  private[graft] val M61 = 2305843009213693951L
+
+  /** (a · b) mod M61 for a, b < M61 — 128-bit product via multiplyHigh,
+    * reduced with 2^61 ≡ 1 (mod M61): full = hi·2^64 + lo ≡ hi·8 +
+    * (lo >>> 61) + (lo & M61). hi < 2^58 so hi<<3 stays clear of the
+    * low 3 bits of (lo >>> 61); the sum is < 2^62, two conditional
+    * subtractions complete the reduction. */
+  private[graft] def mulmodM61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = ((hi << 3) | (lo >>> 61)) + (lo & M61)
+    if (r >= M61) r -= M61
+    if (r >= M61) r -= M61
+    r
+  }
+
+  /** Rolling polynomial codepoint hash mod M61 — the same fold the DuckDB
+    * oracle writes as
+    * `list_reduce(list_prepend(CAST(0 AS HUGEINT), [unicode(c) ...]),
+    *  (acc,x) -> (acc*31+x) % (2^61-1))`,
     * so MinHash signatures are oracle-reproducible (and ~64× cheaper than
-    * rehashing the full shingle bytes once per lane). */
+    * rehashing the full shingle bytes once per lane).
+    *
+    * Collision bound: two distinct shingles collide with probability
+    * ≲ len/2^61 under the polynomial-hash model — at 10^9 distinct
+    * shingles the expected number of colliding pairs is ~10^18/2^61 ≈
+    * 10^-0.4, i.e. O(1) collisions corpus-wide, each biasing only pairs
+    * containing the two colliding shingles. The previous mod-(1e9+7)
+    * (~2^30) fingerprint expected ~10^17/2^30 ≈ 10^8 colliding pairs at
+    * that scale, and a collision biased EVERY lane identically because all
+    * lanes are affine in the one fingerprint. */
   private[graft] def codepointFp(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val str = s.toString
     var fp = 0L
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      fp = (fp * 31 + cp) % 1000000007L
+      fp = mulmodM61(fp, 31L) + cp
+      if (fp >= M61) fp -= M61
       i += Character.charCount(cp)
     }
     fp
@@ -119,14 +150,15 @@ object VectorExpressions {
   }
 
   /** MinHash signature over ARRAY<STRING> shingles: lane i =
-    * min over shingles of (a_i·fp(sh) + b_i) mod p — a universal affine
-    * rehash of one rolling fingerprint per shingle. Single pass over the
-    * shingles computing all `numHashes` lanes; the (a_i, b_i) family is a
-    * fixed integer recurrence so the DuckDB oracle derives the identical
-    * lanes inline. */
+    * min over shingles of (a_i·fp(sh) + b_i) mod M61 — a universal affine
+    * rehash of one rolling 61-bit fingerprint per shingle (collision bound
+    * at [[codepointFp]]). Single pass over the shingles computing all
+    * `numHashes` lanes; the (a_i, b_i) family is a fixed integer recurrence
+    * so the DuckDB oracle derives the identical lanes inline (a_i·fp <
+    * 2^99 rides in HUGEINT there, multiplyHigh here). */
   case class MinhashSig(child: Expression, numHashes: Int)
       extends UnaryExpression with CodegenFallback {
-    private val P = 1000000007L
+    private val P = M61
     private lazy val as: Array[Long] =
       Array.tabulate(numHashes)(i => (2654435761L * (i + 1)) % P)
     private lazy val bs: Array[Long] =
@@ -141,7 +173,8 @@ object VectorExpressions {
         val fp = codepointFp(arr.getUTF8String(i))
         var h = 0
         while (h < numHashes) {
-          val hv = (as(h) * fp + bs(h)) % P
+          var hv = mulmodM61(as(h), fp) + bs(h)
+          if (hv >= P) hv -= P
           if (hv < sig(h)) sig(h) = hv
           h += 1
         }

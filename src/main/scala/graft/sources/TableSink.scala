@@ -29,6 +29,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * over several writers (the reference's `num_partitions` parallel writers,
   * connector.py:456-468) while still writing into the same directories.
   */
+object TableSink {
+  /** Name of the optional per-row partition-override map column consumed by
+    * [[TableSink.withDerived]] (reference models.py:62-63 `partition_data`). */
+  val PartitionDataCol = "_partition_data"
+}
+
 final class TableSink(val config: SinkConfig) {
 
   /** Derived partition columns per the spec (K7 `_partition_records`). */
@@ -39,11 +45,40 @@ final class TableSink(val config: SinkConfig) {
     }
 
   /** Input df + derived partition columns appended (idempotent for identity
-    * transforms, which reuse the source column). */
-  def withDerived(df: DataFrame): DataFrame =
-    derivedColumns(df).foldLeft(df) { case (d, (name, c)) =>
+    * transforms, which reuse the source column).
+    *
+    * `partition_data` per-message override (reference models.py:62-63 — the
+    * reference declares the field and never consumes it; here it is honored):
+    * if the input carries a `_partition_data` MAP<STRING,STRING> column, an
+    * entry keyed by a derived partition column's name overrides the
+    * transform-derived value for that row (cast to the derived type); rows
+    * without an entry fall back to the transform. The map column itself is
+    * metadata, not record data, and is dropped before the write. Identity
+    * partition columns that already exist in the data are the data — they
+    * are not overridable (a row cannot carry two values in one column).
+    */
+  def withDerived(df: DataFrame): DataFrame = {
+    val hasOverride = df.columns.contains(TableSink.PartitionDataCol)
+    val derived = derivedColumns(df)
+    // resolve each derived column's type once, from a plan-only probe (no
+    // job): the override string is cast to exactly that type
+    lazy val probeSchema = derived.foldLeft(df) { case (d, (name, c)) =>
       if (d.columns.contains(name)) d else d.withColumn(name, c)
+    }.schema
+    val withCols = derived.foldLeft(df) { case (d, (name, c)) =>
+      if (d.columns.contains(name)) d
+      else {
+        val value =
+          if (hasOverride)
+            coalesce(
+              element_at(col(TableSink.PartitionDataCol), lit(name))
+                .cast(probeSchema(name).dataType), c)
+          else c
+        d.withColumn(name, value)
+      }
     }
+    if (hasOverride) withCols.drop(TableSink.PartitionDataCol) else withCols
+  }
 
   private def partitionColNames: Seq[String] =
     config.partitionSpec.map(_.columnName)

@@ -48,6 +48,38 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == all, "df-cap at 50 should not lose near-dup pairs on this corpus")
   }
 
+  test("shingle-df cap drops hot-boilerplate pairs but keeps rare-shingle near-dups") {
+    // 40 docs that share ONE boilerplate 5-gram (df = 40 — the hot shuffle
+    // key that O(df²)-explodes at corpus scale) plus 2 true near-dups that
+    // share only rare (df = 2) shingles
+    val boiler = (0L until 40L).map(i => (i,
+      s"terms of service apply here u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h"))
+    val near = Seq(
+      (100L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12"),
+      (101L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 wx"))
+    val df = (boiler ++ near).toDF("doc_id", "text")
+    // threshold 0.05 is low enough that boilerplate-only pairs (J = 1/17)
+    // qualify, so the cap's effect is observable at the pair level
+    val uncapped = pairSet(Dedup.ngramJaccard(df, threshold = 0.05))
+    val capped = pairSet(
+      Dedup.ngramJaccard(df, threshold = 0.05, maxShingleDf = Some(8)))
+    assert(uncapped.contains((100L, 101L)))
+    assert(uncapped.count { case (a, b) => a < 40 && b < 40 } == 40 * 39 / 2,
+      "uncapped path must enumerate every boilerplate-glued pair")
+    assert(capped.contains((100L, 101L)),
+      "rare-shingle near-dup must survive the cap")
+    assert(!capped.exists { case (a, b) => a < 40 && b < 40 },
+      "pairs glued only by the hot shingle must be dropped")
+    // capped components inherit the capped pair graph: exactly one
+    // non-singleton component (100, 101)
+    val comps = Dedup.nearDupComponents(df, threshold = 0.05,
+      maxShingleDf = Some(8))
+    val byDoc = comps.select("doc_id", "component")
+      .as[(Long, Long)].collect().toMap
+    assert(byDoc(100L) == 100L && byDoc(101L) == 100L)
+    assert(byDoc.count { case (d, c) => d != c } == 1)
+  }
+
   test("minhash LSH recalls >=90% of exact jaccard>=0.7 pairs") {
     val exact = pairSet(Dedup.ngramJaccard(docs, threshold = 0.7))
     val mh = pairSet(Dedup.minhashLsh(docs, threshold = 0.5))

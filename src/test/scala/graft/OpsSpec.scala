@@ -8,6 +8,14 @@ class OpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("observeMetrics returns typed zeros on an empty input instead of NPE") {
+    val empty = Tables.events(spark, TestSpark.sfDir).filter(lit(false))
+    val m = ParityQueries.observeMetricsOf(empty).head()
+    assert(m.getLong(0) == 0L)
+    assert(m.getLong(1) == 0L)
+    assert(m.getDouble(2) == 0.0)
+  }
+
   test("validateSchema splits ok/err disjointly and completely") {
     val df = Seq((1, 50.0), (2, 150.0), (3, 99.9), (4, 100.0)).toDF("id", "v")
     val out = Ops.validateSchema(df, $"v" < 100, "too big")

@@ -97,6 +97,24 @@ class PropertySpec extends AnyFunSuite {
     }, min = 15)
   }
 
+  test("mulmodM61 matches arbitrary-precision arithmetic over the full range") {
+    val M = VectorExpressions.M61
+    check(Prop.forAll(Gen.chooseNum(0L, M - 1), Gen.chooseNum(0L, M - 1)) {
+      (a, b) =>
+        VectorExpressions.mulmodM61(a, b) ==
+          (BigInt(a) * BigInt(b) % BigInt(M)).toLong
+    }, min = 500)
+  }
+
+  test("codepoint fingerprint stays in [0, 2^61-1) on arbitrary strings") {
+    check(Prop.forAll(Gen.oneOf(Gen.alphaNumStr,
+        Gen.oneOf("", "é中文", "a b c", "\n\t"))) { s =>
+      val fp = VectorExpressions.codepointFp(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      fp >= 0 && fp < VectorExpressions.M61
+    }, min = 50)
+  }
+
   test("fingerprint is deterministic and respects the modulus") {
     check(Prop.forAll(Gen.alphaNumStr) { s =>
       val df = Seq((1L, s)).toDF("doc_id", "text")

@@ -71,6 +71,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(partial.nonEmpty)
   }
 
+  test("idCol/vecCol input parameters are honored on renamed-column frames") {
+    val renamed = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val q = emb.filter($"vec_id" < 3)
+    val qr = renamed.filter($"id" < 3)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(rows(Similarity.topK(renamed, qr, k = 5, idCol = "id", vecCol = "vec"))
+      == rows(Similarity.topK(emb, q, k = 5)))
+    assert(rows(Similarity.annTopK(renamed, qr, k = 5, idCol = "id", vecCol = "vec"))
+      == rows(Similarity.annTopK(emb, q, k = 5)))
+    assert(rows(Similarity.ivfTopK(renamed, qr, k = 5, nlist = 16, nprobe = 16,
+        idCol = "id", vecCol = "vec"))
+      == rows(Similarity.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 16)))
+  }
+
   test("annTopK is a subset of the exact ranking's candidate pool semantics") {
     val out = Similarity.annTopK(emb, emb.filter($"vec_id" < 3), k = 10)
     // ranks contiguous from 1 per query; neighbor ids valid

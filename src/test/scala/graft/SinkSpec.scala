@@ -125,6 +125,37 @@ class SinkSpec extends AnyFunSuite {
       files.map(_.getName).mkString(","))
   }
 
+  test("partition_data per-message override wins over the derived transform") {
+    val e = Tables.events(spark, TestSpark.sfDir).limit(100)
+    // even event_ids carry an explicit partition value; odd rows derive
+    val withOverride = e.withColumn(TableSink.PartitionDataCol,
+      when($"event_id" % 2 === 0, map(lit("event_date"), lit("1970-01-01"))))
+    val sink = mkSink(TestSpark.tmpDir("sink_pdata"))
+    sink.append(withOverride)
+    val back = sink.read(spark)
+    assert(!back.columns.contains(TableSink.PartitionDataCol),
+      "override map is metadata, must not be written")
+    assert(back.count() == 100)
+    val sentinel = lit("1970-01-01").cast(back.schema("event_date").dataType)
+    assert(back.filter($"event_date" === sentinel).count() ==
+      e.filter($"event_id" % 2 === 0).count())
+    // rows without an override keep the transform-derived day
+    assert(back.filter($"event_date" =!= sentinel)
+      .filter($"event_date".cast("date") =!= $"ts".cast("date")).count() == 0)
+  }
+
+  test("catalog passthroughs are carried; avro is rejected citing the missing jar") {
+    val c = SinkConfig("t", "/w", catalogUri = Some("thrift://h:9083"),
+      catalogType = Some("hive"), tempDir = "/tmp/stage")
+    assert(c.catalogUri.contains("thrift://h:9083"))
+    assert(c.catalogType.contains("hive"))
+    assert(c.tempDir == "/tmp/stage")
+    val ex = intercept[IllegalArgumentException](
+      SinkConfig("t", "/w", fileFormat = "avro"))
+    assert(ex.getMessage.contains("spark-avro"), ex.getMessage)
+    intercept[IllegalArgumentException](SinkConfig("t", "/w", tempDir = ""))
+  }
+
   test("config presets mirror the reference and validators warn") {
     val ht = SinkConfig.forHighThroughput("t", "/w")
     assert(ht.batchSize == 10000 && ht.batchIntervalSeconds == 30 && ht.numPartitions == 8)
