@@ -125,9 +125,15 @@ final class TableSink(val config: SinkConfig) {
   }
 
   /** Streaming path (§3.1): micro-batch append with checkpointed recovery.
-    * `batchIntervalSeconds` maps to the processing-time trigger — the
-    * reference's time-based flush; size-based flush maps to source rate
-    * options (maxFilesPerTrigger etc.), set via `extraOptions`.
+    * The reference's size-OR-time buffer flush (connector.py:147-199) maps
+    * to BOTH bounds natively:
+    *  - time: `batchIntervalSeconds` → the processing-time trigger (no
+    *    micro-batch waits longer than the interval);
+    *  - size: `batchSize` → the writer's `maxRecordsPerFile`, so no data
+    *    file exceeds batch_size records — the same unit the reference's
+    *    buffer flush produces (one bounded file batch per flush), while
+    *    the micro-batch commit stays atomic. Upstream admission control
+    *    (maxFilesPerTrigger etc.) composes via `extraOptions`.
     */
   def startStream(df: DataFrame, checkpointLocation: String): StreamingQuery = {
     val prepared = withDerived(Ops.ensureMessage(df))
@@ -136,6 +142,7 @@ final class TableSink(val config: SinkConfig) {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"${config.batchIntervalSeconds} seconds"))
       .option("checkpointLocation", checkpointLocation)
+      .option("maxRecordsPerFile", config.batchSize.toLong)
       .options(config.extraOptions)
     (if (partitionColNames.nonEmpty) writer.partitionBy(partitionColNames: _*)
      else writer).start(config.tablePath)

@@ -50,6 +50,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("_spark_metadata"))
   }
 
+  test("size flush: no streamed data file exceeds batchSize records") {
+    val cfg = SinkConfig(
+      tableName = "events_sized",
+      warehousePath = TestSpark.tmpDir("stream_sized"),
+      batchSize = 64,
+      batchIntervalSeconds = 1)
+    val sink = new TableSink(cfg)
+    val q = sink.startStream(
+      StreamPipeline.eventsStream(spark, TestSpark.sfDir),
+      TestSpark.tmpDir("stream_sized_cp"))
+    try q.processAllAvailable() finally q.stop()
+    assert(sink.read(spark).count() == 1000)
+    val files = new java.io.File(cfg.tablePath).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 64, s"file ${f.getName} has $n rows > batchSize")
+    }
+  }
+
   test("watermark drops late data in append-mode windowed aggregation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
