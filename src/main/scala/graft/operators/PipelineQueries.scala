@@ -402,6 +402,46 @@ object PipelineQueries {
       |FROM t ORDER BY doc_id""".stripMargin.replace("STOPLIST", stop)
   }
 
+  def textVocab(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.vocabulary(Tables.documents(spark, sfDir), k = 100)
+      .orderBy(col("rank"))
+
+  val textVocabSql: String =
+    """SELECT rank, tok, n FROM (
+      |  SELECT tok, COUNT(*) AS n,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS BIGINT) AS rank
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok)
+      |WHERE rank <= 100 ORDER BY rank""".stripMargin
+
+  /** Decontamination screen: docs with id < 20 act as the held-out
+    * benchmark set; every other document reports its shingle-overlap share
+    * against them. */
+  def textContamination(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.contamination(Tables.documents(spark, sfDir),
+      col("doc_id") < 20)
+      .orderBy(col("doc_id"))
+
+  val textContaminationSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([array_to_string(t[i:i+4], ' ')
+      |            FOR i IN generate_series(1, greatest(len(t)-4, 1))]) AS s
+      |  FROM toks),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+      |train AS (SELECT doc_id, s FROM sh WHERE NOT doc_id < 20),
+      |tot AS (SELECT doc_id, count(*) AS n_sh FROM train GROUP BY 1),
+      |hit AS (
+      |  SELECT doc_id, count(*) AS n_hit FROM train
+      |  WHERE s IN (SELECT s FROM bench) GROUP BY 1)
+      |SELECT t.doc_id, n_sh,
+      |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+      |  COALESCE(n_hit, 0) / CAST(n_sh AS DOUBLE) AS contamination
+      |FROM tot t LEFT JOIN hit USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.fingerprints(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
 

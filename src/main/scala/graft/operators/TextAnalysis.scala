@@ -80,6 +80,47 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), qualityExpr(col("text")).as("quality"))
 
+  /** Corpus vocabulary: the `k` most frequent tokens with deterministic
+    * rank (count desc, token asc). The explode+count is one shuffle with
+    * map-side partial aggregation; the ranking window runs over the
+    * AGGREGATED vocabulary (distinct tokens, not token occurrences), which
+    * is bounded — a 100 TB corpus still has a metadata-sized vocab, so the
+    * single-partition top-k window is safe where one over raw tokens would
+    * not be. */
+  def vocabulary(docs: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy().orderBy(col("n").desc, col("tok").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("tok"), col("n"))
+  }
+
+  /** Benchmark-contamination check — the share of each training document's
+    * distinct shingles that also appear in a benchmark/probe document set
+    * (the standard decontamination screen before LLM training). One shingle
+    * explosion, one semi-join on the shingle (the benchmark shingle set is
+    * bounded → broadcast), one aggregation; training docs with zero overlap
+    * are kept at ratio 0. */
+  def contamination(docs: DataFrame, benchmarkDocIds: Column, n: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val sh = docs.select(col("doc_id"),
+      explode(VectorExpressions.shinglesOf(spark,
+        tokens(col("text")), n)).as("sh"))
+    val bench = sh.filter(benchmarkDocIds).select(col("sh")).distinct()
+    val train = sh.filter(!benchmarkDocIds)
+    val tot = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hit = train.join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / col("n_sh").cast("double"))
+          .as("contamination"))
+  }
+
   /** Rabin-Karp-style rolling-hash fingerprint over the character stream:
     * fp = fold(chars)(acc → (acc·31 + codepoint) mod 1e9+7). Stays well
     * inside Long, so no ANSI overflow; reproducible in any SQL dialect. */

@@ -22,6 +22,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n == 4) // abc | 123 | def | !
   }
 
+  test("vocabulary ranks by count desc with token tie-break") {
+    val df = Seq((1L, "b a a c b a"), (2L, "c b d")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(df, k = 3)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(v == Seq((1L, "a", 3L), (2L, "b", 3L), (3L, "c", 2L)),
+      s"ties (a=3, b=3) must break on token order: $v")
+  }
+
+  test("contamination reports shingle-overlap share against the benchmark set") {
+    // doc 0 is the benchmark; doc 100 copies half of it; doc 101 is clean
+    val df = Seq(
+      (0L, "a b c d e f g h"),             // shingles: 4
+      (100L, "a b c d e x y z"),           // shares "a b c d e" only
+      (101L, "p q r s t u v w"))           // no overlap
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(df, col("doc_id") < 20)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!out.contains(0L), "benchmark docs are screened, not scored")
+    assert(out(100L)._2 == 4 && out(100L)._3 == 1 &&
+      out(100L)._4 == 0.25, s"${out(100L)}")
+    assert(out(101L)._3 == 0 && out(101L)._4 == 0.0)
+  }
+
   test("langId prefers the highest marker count with priority tie-break") {
     val df = Seq(
       (1L, "xx", "the cat and the dog of it"),   // en markers
