@@ -151,9 +151,16 @@ final class TableSink(val config: SinkConfig) {
   /** Read the table back (declared schema wins over inference — README.md:68
     * "static schemas only"). Partition pruning on derived columns is
     * automatic (`PruneFileSourcePartitions`).
+    *
+    * `mergeSchema = true` unions the schemas of all data files (additive
+    * schema evolution: appends that introduced new columns read back with
+    * nulls for pre-evolution rows — the Iceberg add-column behavior).
+    * Ignored when a `tableSchema` is declared, since the declared schema
+    * already pins the read shape.
     */
-  def read(spark: SparkSession): DataFrame = {
-    val r = spark.read.format(config.fileFormat)
+  def read(spark: SparkSession, mergeSchema: Boolean = false): DataFrame = {
+    val r0 = spark.read.format(config.fileFormat)
+    val r = if (mergeSchema) r0.option("mergeSchema", "true") else r0
     config.tableSchema.fold(r)(s => r.schema(s)).load(config.tablePath)
   }
 

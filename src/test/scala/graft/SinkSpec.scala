@@ -144,6 +144,18 @@ class SinkSpec extends AnyFunSuite {
       .filter($"event_date".cast("date") =!= $"ts".cast("date")).count() == 0)
   }
 
+  test("additive schema evolution: mergeSchema read unions appended columns") {
+    val sink = new TableSink(SinkConfig("evolve", TestSpark.tmpDir("sink_evolve")))
+    sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    sink.append(Seq((3L, "c", 0.5)).toDF("id", "name", "score"))
+    val merged = sink.read(spark, mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "name", "score"))
+    assert(merged.count() == 3)
+    // pre-evolution rows read the new column as null
+    assert(merged.filter($"score".isNull).count() == 2)
+    assert(merged.filter($"id" === 3L).select("score").head().getDouble(0) == 0.5)
+  }
+
   test("catalog passthroughs are carried; avro is rejected citing the missing jar") {
     val c = SinkConfig("t", "/w", catalogUri = Some("thrift://h:9083"),
       catalogType = Some("hive"), tempDir = "/tmp/stage")
