@@ -402,6 +402,27 @@ object PipelineQueries {
       |FROM t ORDER BY doc_id""".stripMargin.replace("STOPLIST", stop)
   }
 
+  def textLengthBand(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.lengthBand(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  val textLengthBandSql: String =
+    """WITH lengths AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |hist AS (SELECT n_tokens, count(*) AS cnt FROM lengths GROUP BY 1),
+      |cum AS (
+      |  SELECT n_tokens, cnt,
+      |    SUM(cnt) OVER (ORDER BY n_tokens ROWS UNBOUNDED PRECEDING) AS cum_le
+      |  FROM hist),
+      |tot AS (SELECT count(*) AS total FROM lengths),
+      |kept AS (
+      |  SELECT n_tokens FROM cum, tot
+      |  WHERE cum_le * 100 > total * 5 AND (cum_le - cnt) * 100 < total * 95)
+      |SELECT doc_id, n_tokens FROM lengths
+      |WHERE n_tokens IN (SELECT n_tokens FROM kept)
+      |ORDER BY doc_id""".stripMargin
+
   def textVocab(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.vocabulary(Tables.documents(spark, sfDir), k = 100)
       .orderBy(col("rank"))

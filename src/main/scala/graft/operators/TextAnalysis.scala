@@ -80,6 +80,38 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), qualityExpr(col("text")).as("quality"))
 
+  /** Robust length-band filter — drop documents outside the corpus's
+    * [loPct, hiPct] token-length percentile band (the standard
+    * outlier/truncation screen before training).
+    *
+    * Scale design: exact global percentiles normally need a global sort;
+    * instead the corpus aggregates to its length HISTOGRAM (distinct
+    * lengths — bounded metadata at any corpus size), the cumulative sum
+    * runs over that histogram, and the surviving length set broadcasts
+    * back as a semi-join. Two shuffles on bounded keys, no global sort,
+    * and all-integer arithmetic (cnt·100 vs total·pct) so there is no
+    * float threshold for engines to disagree on. A length L survives iff
+    * count(len ≤ L)·100 > total·loPct and count(len < L)·100 <
+    * total·hiPct — boundary masses stay in. */
+  def lengthBand(docs: DataFrame, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100, "need 0 <= lo < hi <= 100")
+    val lengths = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val hist = lengths.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+    // window over the aggregated histogram (bounded), never over documents
+    val w = Window.partitionBy().orderBy(col("n_tokens").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum_le", sum(col("cnt")).over(w))
+    val tot = lengths.agg(count(lit(1)).as("total"))
+    val kept = cum.crossJoin(broadcast(tot))
+      .filter(col("cum_le") * 100 > col("total") * loPct &&
+        (col("cum_le") - col("cnt")) * 100 < col("total") * hiPct)
+      .select(col("n_tokens"))
+    lengths.join(broadcast(kept), Seq("n_tokens"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent tokens with deterministic
     * rank (count desc, token asc). The explode+count is one shuffle with
     * map-side partial aggregation; the ranking window runs over the

@@ -22,6 +22,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n == 4) // abc | 123 | def | !
   }
 
+  test("lengthBand keeps the middle percentile band with integer-exact cutoffs") {
+    // 20 docs with token lengths 1..20, one each: 5%/95% band = lengths 2..19
+    val docs = (1 to 20).map(n => (n.toLong, Seq.fill(n)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = TextAnalysis.lengthBand(docs, loPct = 5, hiPct = 95)
+      .select("n_tokens").as[Long].collect().sorted.toSeq
+    assert(kept == (2L to 19L), s"expected 2..19, got $kept")
+  }
+
   test("vocabulary ranks by count desc with token tie-break") {
     val df = Seq((1L, "b a a c b a"), (2L, "c b d")).toDF("doc_id", "text")
     val v = TextAnalysis.vocabulary(df, k = 3)
