@@ -19,7 +19,8 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q3_shipping_priority", "q_window_topk",
-        "dedup_ngram_jaccard", "dedup_minhash", "sim_topk", "text_stats")
+        "dedup_ngram_jaccard", "dedup_minhash", "sim_topk", "text_stats",
+        "q_asof_attribution", "q_range_proximity", "text_contamination")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

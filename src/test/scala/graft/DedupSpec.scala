@@ -101,6 +101,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash bucket cap bounds a degenerate hot bucket") {
+    // 30 byte-identical docs: hamming 0 pairwise, one hot bucket per band
+    val clones = (0L until 30L)
+      .map(i => (i, "the same boilerplate text repeated on every page"))
+    val df = clones.toDF("doc_id", "text")
+    val uncapped = pairSet(Dedup.simhashPairs(df, maxDist = 3))
+    val capped = pairSet(Dedup.simhashPairs(df, maxDist = 3,
+      maxBucket = Some(8)))
+    assert(uncapped.size == 30 * 29 / 2, "identical docs must all pair up")
+    assert(capped.isEmpty, "buckets over the cap must not explode to pairs")
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("connected components merge chained near-dups to one canonical id") {
     val comps = Dedup.nearDupComponents(docs)
     val byDoc = comps.select("doc_id", "component")
