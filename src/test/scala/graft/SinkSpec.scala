@@ -144,6 +144,33 @@ class SinkSpec extends AnyFunSuite {
       .filter($"event_date".cast("date") =!= $"ts".cast("date")).count() == 0)
   }
 
+  test("upsert replaces matching keys, keeps the rest, rewrites only touched partitions") {
+    val e = Tables.events(spark, TestSpark.sfDir)
+    val sink = mkSink(TestSpark.tmpDir("sink_upsert"))
+    sink.append(e)
+    val before = sink.read(spark).count()
+    val updates = e.filter($"event_type" === "click").limit(5)
+      .withColumn("value", lit(-1.0))
+    val inserts = e.filter($"event_type" === "click").limit(2)
+      .withColumn("event_id", $"event_id" + 1000000L)
+    val purchaseDir = new java.io.File(
+      sink.config.tablePath + "/event_type=purchase")
+    def snapshot(): Set[(String, Long, Long)] = purchaseDir.listFiles()
+      .flatMap(d => if (d.isDirectory) d.listFiles() else Array(d))
+      .map(f => (f.getPath, f.length, f.lastModified)).toSet
+    val snap = snapshot()
+    sink.upsert(updates.unionByName(inserts), Seq("event_id"))
+    val after = sink.read(spark)
+    assert(after.count() == before + 2, "5 replaced in place, 2 inserted")
+    val updatedIds = updates.select("event_id").as[Long].collect().toSet
+    val got = after.filter($"event_id".isin(updatedIds.toSeq: _*))
+      .select("value").as[Double].collect()
+    assert(got.length == 5 && got.forall(_ == -1.0),
+      s"matched keys must carry the incoming values: ${got.toSeq}")
+    assert(snapshot() == snap,
+      "partitions with no incoming keys must not be rewritten")
+  }
+
   test("additive schema evolution: mergeSchema read unions appended columns") {
     val sink = new TableSink(SinkConfig("evolve", TestSpark.tmpDir("sink_evolve")))
     sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
