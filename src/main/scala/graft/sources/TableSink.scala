@@ -161,19 +161,101 @@ final class TableSink(val config: SinkConfig) {
     val survivors = touched.join(
       incoming.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
       .localCheckpoint() // cut lineage off the files about to be replaced
-    val merged = clusterForWrite(
-      survivors.unionByName(incoming.select(survivors.columns.map(col): _*)))
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    dynamicOverwrite(spark, clusterForWrite(
+      survivors.unionByName(incoming.select(survivors.columns.map(col): _*))))
+  }
+
+  /** Commit `df` with DYNAMIC partition overwrite: exactly the partitions
+    * present in `df` are replaced, every other partition is untouched.
+    * `df`'s lineage must not read the table's own files (checkpoint first).
+    */
+  private def dynamicOverwrite(spark: SparkSession, df: DataFrame): Unit = {
+    val parts = partitionColNames
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
     try {
-      val writer = merged.write.mode("overwrite")
+      val writer = df.write.mode("overwrite")
         .format(config.fileFormat).options(config.extraOptions)
       (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
         .save(config.tablePath)
     } finally prevMode match {
-      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      case Some(m) => spark.conf.set(key, m)
+      case None => spark.conf.unset(key)
     }
+  }
+
+  /** Delete rows matching `condition`; returns the deleted count.
+    *
+    * Two commit paths, chosen by what the predicate sweeps:
+    *  - normal case — every touched partition keeps at least one row:
+    *    rewrite ONLY the touched partitions via dynamic overwrite (same
+    *    shape as [[upsert]]);
+    *  - a partition is emptied entirely (or the table is unpartitioned):
+    *    dynamic overwrite CANNOT express an emptied partition (it only
+    *    replaces partitions present in the written frame — the stale
+    *    directory would silently survive), so the whole surviving table
+    *    rewrites into a temp dir and swaps in with the same crash-safe
+    *    rename protocol as [[compact]], row-count-verified before the
+    *    destructive step.
+    */
+  def delete(spark: SparkSession, condition: Column): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    requireNoStreamingLog()
+    val root = Paths.get(config.tablePath)
+    val trash = Paths.get(config.tablePath + "_pre_delete")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val s = Files.walk(p)
+      val all = try s.iterator().asScala.toVector finally s.close()
+      all.reverseIterator.foreach(Files.delete)
+    }
+    // crash recovery, mirroring compact: restore a stranded swap
+    if (Files.exists(trash)) {
+      if (!Files.exists(root))
+        Files.move(trash, root, StandardCopyOption.ATOMIC_MOVE)
+      else rmTree(trash)
+    }
+    if (!Files.exists(root)) return 0L
+    val current = read(spark)
+    val totalRows = current.count()
+    val nDeleted = current.filter(condition).count()
+    if (nDeleted == 0L) return 0L
+    val parts = partitionColNames
+    val sweepsWholePartition = parts.nonEmpty && {
+      val touchedVals = current.filter(condition)
+        .select(parts.map(col): _*).distinct()
+      val survivingVals = current.filter(!condition)
+        .select(parts.map(col): _*).distinct()
+      touchedVals.join(survivingVals, parts, "left_anti").limit(1).count() > 0
+    }
+    if (parts.isEmpty || sweepsWholePartition) {
+      val tmp = Paths.get(config.tablePath + "_deleting")
+      if (Files.exists(tmp)) rmTree(tmp)
+      val prepared = clusterForWrite(current.filter(!condition))
+      val writer = prepared.write.mode("overwrite")
+        .format(config.fileFormat).options(config.extraOptions)
+      (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+        .save(tmp.toString)
+      val rewritten = spark.read.format(config.fileFormat)
+        .load(tmp.toString).count()
+      if (rewritten != totalRows - nDeleted) {
+        rmTree(tmp)
+        throw new IllegalStateException(
+          s"delete rewrite produced $rewritten rows, expected " +
+            s"${totalRows - nDeleted} — aborted, original table untouched")
+      }
+      Files.move(root, trash, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+      rmTree(trash)
+    } else {
+      val touched = current.join(
+        broadcast(current.filter(condition)
+          .select(parts.map(col): _*).distinct()), parts, "left_semi")
+      val survivors = touched.filter(!condition).localCheckpoint()
+      dynamicOverwrite(spark, clusterForWrite(survivors))
+    }
+    nDeleted
   }
 
   /** Streaming path (§3.1): micro-batch append with checkpointed recovery.

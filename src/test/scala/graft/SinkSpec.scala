@@ -171,6 +171,32 @@ class SinkSpec extends AnyFunSuite {
       "partitions with no incoming keys must not be rewritten")
   }
 
+  test("delete rewrites touched partitions; emptied partitions actually vanish") {
+    val e = Tables.events(spark, TestSpark.sfDir)
+    val sink = mkSink(TestSpark.tmpDir("sink_delete"))
+    sink.append(e)
+    val total = sink.read(spark).count()
+    // partial delete inside partitions: negative-value clicks
+    val cond1 = $"event_type" === "click" && $"value" < 50.0
+    val expect1 = e.filter(cond1).count()
+    assert(expect1 > 0)
+    assert(sink.delete(spark, cond1) == expect1)
+    val after1 = sink.read(spark)
+    assert(after1.count() == total - expect1)
+    assert(after1.filter(cond1).count() == 0)
+    // sweep an entire partition value: every 'view' row goes
+    val expect2 = after1.filter($"event_type" === "view").count()
+    assert(expect2 > 0)
+    assert(sink.delete(spark, $"event_type" === "view") == expect2)
+    val after2 = sink.read(spark)
+    assert(after2.filter($"event_type" === "view").count() == 0)
+    assert(!new java.io.File(sink.config.tablePath + "/event_type=view").exists(),
+      "an emptied partition directory must not survive the delete")
+    // deleting nothing is a no-op
+    assert(sink.delete(spark, lit(false)) == 0L)
+    assert(sink.read(spark).count() == total - expect1 - expect2)
+  }
+
   test("additive schema evolution: mergeSchema read unions appended columns") {
     val sink = new TableSink(SinkConfig("evolve", TestSpark.tmpDir("sink_evolve")))
     sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
