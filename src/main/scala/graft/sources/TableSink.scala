@@ -282,6 +282,28 @@ final class TableSink(val config: SinkConfig) {
      else writer).start(config.tablePath)
   }
 
+  /** CDC streaming path: every micro-batch MERGES into the table by key
+    * instead of appending — `foreachBatch` + [[upsert]], the standard
+    * Spark shape for change-data-capture sinks. foreachBatch alone gives
+    * at-least-once (a crashed batch replays); the merge is idempotent —
+    * replaying the same keys re-converges to the same table state — which
+    * upgrades the end-to-end guarantee to effectively-once. Batch commits
+    * go through the normal writer (no `_spark_metadata` sink log), so the
+    * table stays readable by [[read]] and writable by batch [[upsert]]/
+    * [[delete]] between runs.
+    */
+  def startStreamUpsert(df: DataFrame, keyCols: Seq[String],
+      checkpointLocation: String): StreamingQuery = {
+    df.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"${config.batchIntervalSeconds} seconds"))
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) upsert(batch, keyCols)
+      }
+      .start()
+  }
+
   /** Read the table back (declared schema wins over inference — README.md:68
     * "static schemas only"). Partition pruning on derived columns is
     * automatic (`PruneFileSourcePartitions`).

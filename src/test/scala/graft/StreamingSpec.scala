@@ -71,6 +71,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming upsert merges each micro-batch by key (CDC sink)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sink = new TableSink(SinkConfig(
+      tableName = "cdc",
+      warehousePath = TestSpark.tmpDir("cdc_sink"),
+      batchIntervalSeconds = 1,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity))))
+    val src = MemoryStream[(Long, String, Double)]
+    val q = sink.startStreamUpsert(
+      src.toDF().toDF("event_id", "event_type", "value"),
+      keyCols = Seq("event_id"),
+      checkpointLocation = TestSpark.tmpDir("cdc_cp"))
+    try {
+      src.addData((1L, "click", 1.0), (2L, "click", 2.0), (3L, "view", 3.0))
+      q.processAllAvailable()
+      assert(sink.read(spark).count() == 3)
+      // second batch: update key 2, insert key 4
+      src.addData((2L, "click", 20.0), (4L, "view", 4.0))
+      q.processAllAvailable()
+      val rows = sink.read(spark)
+        .select($"event_id", $"value").as[(Long, Double)].collect().toMap
+      assert(rows == Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0, 4L -> 4.0),
+        s"key 2 must be replaced, key 4 inserted: $rows")
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append-mode windowed aggregation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
