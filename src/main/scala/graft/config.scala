@@ -35,7 +35,12 @@ final case class SinkConfig(
     // fronts the warehouse with a real catalog reads them from here.
     catalogUri: Option[String] = None,
     catalogType: Option[String] = None,
-    tempDir: String = "/tmp") {
+    tempDir: String = "/tmp",
+    // Snapshot log: when true, every batch commit records the table's data-
+    // file manifest under _graft_log, enabling TableSink.readVersion time
+    // travel over the append history (rewriting ops expire prior snapshots
+    // — see TableSink.readVersion).
+    versioned: Boolean = false) {
 
   require(tableName.nonEmpty, "tableName must be non-empty")
   require(batchSize >= 1 && batchSize <= 100000,

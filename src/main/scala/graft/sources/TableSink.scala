@@ -122,6 +122,86 @@ final class TableSink(val config: SinkConfig) {
       .options(config.extraOptions)
     (if (partitionColNames.nonEmpty) writer.partitionBy(partitionColNames: _*)
      else writer).save(config.tablePath)
+    if (config.versioned) writeSnapshot()
+  }
+
+  // ------------------------------------------------------- snapshot log
+  // Iceberg-style commit history, scoped to what an append-path warehouse
+  // can promise: every versioned commit records the table's complete
+  // data-file manifest (one relative path per line — no parser to drift)
+  // under _graft_log/vNNNNN.list. Appends never touch existing files, so
+  // every recorded snapshot stays readable. Rewriting ops (upsert /
+  // delete / compact) replace files in place, which invalidates earlier
+  // manifests — they EXPIRE the history (log resets to a single snapshot
+  // of the post-rewrite state), the same contract as Iceberg snapshot
+  // expiry after rewrite-files maintenance.
+
+  private def logPath = java.nio.file.Paths.get(config.tablePath, "_graft_log")
+
+  private def listDataFiles(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(config.tablePath)
+    val s = java.nio.file.Files.walk(root)
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) && {
+        val rel = root.relativize(p).toString
+        !rel.startsWith("_") && !rel.contains("/_") &&
+          !p.getFileName.toString.startsWith(".")
+      })
+      .map(p => root.relativize(p).toString).toVector.sorted
+    finally s.close()
+  }
+
+  /** Record the current data-file set as the next snapshot version. */
+  private def writeSnapshot(): Int = {
+    java.nio.file.Files.createDirectories(logPath)
+    val v = snapshotVersions().lastOption.getOrElse(0) + 1
+    java.nio.file.Files.writeString(
+      logPath.resolve(f"v$v%05d.list"), listDataFiles().mkString("\n"))
+    v
+  }
+
+  /** Drop all history and record the current state as version 1 — called
+    * by rewriting ops, whose file replacement invalidates old manifests. */
+  private def expireSnapshots(): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(logPath)) {
+      val s = java.nio.file.Files.list(logPath)
+      try s.iterator().asScala.toVector.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
+    if (config.versioned) writeSnapshot()
+  }
+
+  /** Committed snapshot versions, oldest first (empty when unversioned). */
+  def snapshotVersions(): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(logPath)) Nil
+    else {
+      val s = java.nio.file.Files.list(logPath)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+          n.stripPrefix("v").stripSuffix(".list").toInt }
+        .toVector.sorted
+      finally s.close()
+    }
+  }
+
+  /** Time travel: read the table as of snapshot `version`. Partition
+    * columns still derive from the directory layout (`basePath`). Fails if
+    * the snapshot was expired by a rewriting op. */
+  def readVersion(spark: SparkSession, version: Int): DataFrame = {
+    val manifest = logPath.resolve(f"v$version%05d.list")
+    require(java.nio.file.Files.exists(manifest),
+      s"snapshot v$version does not exist (expired by a rewrite, or never " +
+        s"committed); available: ${snapshotVersions().mkString(", ")}")
+    val files = java.nio.file.Files.readString(manifest)
+      .split("\n").filter(_.nonEmpty)
+      .map(rel => s"${config.tablePath}/$rel")
+    val r = spark.read.format(config.fileFormat)
+      .option("basePath", config.tablePath)
+    config.tableSchema.fold(r)(s => r.schema(s)).load(files.toIndexedSeq: _*)
   }
 
   /** Upsert (merge-by-key): rows whose `keyCols` match an incoming row are
@@ -163,6 +243,7 @@ final class TableSink(val config: SinkConfig) {
       .localCheckpoint() // cut lineage off the files about to be replaced
     dynamicOverwrite(spark, clusterForWrite(
       survivors.unionByName(incoming.select(survivors.columns.map(col): _*))))
+    if (config.versioned) expireSnapshots() // rewrites invalidate history
   }
 
   /** Commit `df` with DYNAMIC partition overwrite: exactly the partitions
@@ -255,6 +336,7 @@ final class TableSink(val config: SinkConfig) {
       val survivors = touched.filter(!condition).localCheckpoint()
       dynamicOverwrite(spark, clusterForWrite(survivors))
     }
+    if (config.versioned) expireSnapshots() // rewrites invalidate history
     nDeleted
   }
 
@@ -408,5 +490,6 @@ final class TableSink(val config: SinkConfig) {
     Files.move(root, trash, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
     rmTree(trash)
+    if (config.versioned) expireSnapshots() // rewrite invalidates history
   }
 }

@@ -197,6 +197,31 @@ class SinkSpec extends AnyFunSuite {
     assert(sink.read(spark).count() == total - expect1 - expect2)
   }
 
+  test("versioned sink time-travels over append history; rewrites expire it") {
+    val sink = new TableSink(SinkConfig("vt", TestSpark.tmpDir("sink_vt"),
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity))))
+    val e = Tables.events(spark, TestSpark.sfDir)
+    sink.append(e.limit(100)) // v1
+    sink.append(e.limit(50))  // v2
+    sink.append(e.limit(25))  // v3
+    assert(sink.snapshotVersions() == Seq(1, 2, 3))
+    assert(sink.readVersion(spark, 1).count() == 100)
+    assert(sink.readVersion(spark, 2).count() == 150)
+    assert(sink.readVersion(spark, 3).count() == 175)
+    assert(sink.read(spark).count() == 175)
+    // partition columns still derive under time travel (basePath)
+    assert(sink.readVersion(spark, 1).columns.contains("event_type"))
+    assert(sink.readVersion(spark, 1)
+      .filter($"event_type".isNull).count() == 0)
+    // a rewriting op expires history down to the post-rewrite state
+    val deleted = sink.delete(spark, $"value" < 50.0)
+    assert(deleted > 0)
+    assert(sink.snapshotVersions() == Seq(1))
+    assert(sink.readVersion(spark, 1).count() == sink.read(spark).count())
+    intercept[IllegalArgumentException](sink.readVersion(spark, 3))
+  }
+
   test("additive schema evolution: mergeSchema read unions appended columns") {
     val sink = new TableSink(SinkConfig("evolve", TestSpark.tmpDir("sink_evolve")))
     sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
