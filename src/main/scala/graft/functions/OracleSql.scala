@@ -154,7 +154,7 @@ object OracleSql {
        |FROM sig a JOIN sig b ON a.vec_id < b.vec_id
        |WHERE len(list_filter([a.hs[t] = b.hs[t] FOR t IN generate_series(1, 8)],
        |                      x -> x)) > 0
-       |  AND list_cosine_similarity(a.v, b.v) >= 0.5
+       |  AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
   val simAnnLshSql: String =

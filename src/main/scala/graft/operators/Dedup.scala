@@ -238,15 +238,19 @@ object Dedup {
 
   /** Embedding near-duplicate pairs by exact cosine ≥ threshold.
     * Vectors are l2-normalized ONCE (O(n·dim)), so each pair costs a single
-    * native dot product. Quadratic — the oracle-checkable baseline;
-    * [[embeddingNearDupLsh]] is the scale path. */
+    * native dot product. The threshold compares the cosine ROUNDED to 9 dp
+    * — far above accumulation-order noise (~1e-15), far below any real
+    * similarity gap — so a borderline pair can never flip between this
+    * engine's and the oracle's IEEE op orders. Quadratic — the
+    * oracle-checkable baseline; [[embeddingNearDupLsh]] is the scale path. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5): DataFrame = {
     val spark = embeddings.sparkSession
     val e = embeddings.select(col("vec_id"),
       VectorExpressions.vecNormalize(spark,
         col("embedding").cast("array<double>")).as("v"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .filter(VectorExpressions.vecDot(spark, col("a.v"), col("b.v")) >= threshold)
+      .filter(round(VectorExpressions.vecDot(spark, col("a.v"), col("b.v")), 9)
+        >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
   }
 
@@ -286,7 +290,10 @@ object Dedup {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         col("a.v").as("va"), col("b.v").as("vb"))
       .dropDuplicates("id_a", "id_b")
-      .filter(VectorExpressions.vecDot(spark, col("va"), col("vb")) >= threshold)
+      // 9-dp rounding before the threshold: same borderline-pair armor as
+      // embeddingNearDup / the sim_* rankings
+      .filter(round(VectorExpressions.vecDot(spark, col("va"), col("vb")), 9)
+        >= threshold)
       .select("id_a", "id_b")
   }
 }

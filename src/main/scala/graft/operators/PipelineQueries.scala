@@ -179,7 +179,7 @@ object PipelineQueries {
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+      |WHERE round(list_cosine_similarity(a.v, b.v), 9) >= 0.5
       |ORDER BY 1, 2""".stripMargin
 
   /** Hyperplane-LSH scale path — LCG planes replayed bit-exactly by

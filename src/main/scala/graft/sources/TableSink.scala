@@ -188,20 +188,57 @@ final class TableSink(val config: SinkConfig) {
     }
   }
 
-  /** Time travel: read the table as of snapshot `version`. Partition
-    * columns still derive from the directory layout (`basePath`). Fails if
-    * the snapshot was expired by a rewriting op. */
-  def readVersion(spark: SparkSession, version: Int): DataFrame = {
+  private def manifestFiles(version: Int): Seq[String] = {
     val manifest = logPath.resolve(f"v$version%05d.list")
     require(java.nio.file.Files.exists(manifest),
       s"snapshot v$version does not exist (expired by a rewrite, or never " +
         s"committed); available: ${snapshotVersions().mkString(", ")}")
-    val files = java.nio.file.Files.readString(manifest)
-      .split("\n").filter(_.nonEmpty)
-      .map(rel => s"${config.tablePath}/$rel")
-    val r = spark.read.format(config.fileFormat)
-      .option("basePath", config.tablePath)
-    config.tableSchema.fold(r)(s => r.schema(s)).load(files.toIndexedSeq: _*)
+    java.nio.file.Files.readString(manifest)
+      .split("\n").filter(_.nonEmpty).toIndexedSeq
+  }
+
+  private def readFiles(spark: SparkSession, rels: Seq[String]): DataFrame = {
+    // an empty file set cannot infer a schema — an empty diff (e.g.
+    // readChanges(v, v)) borrows the live table's schema instead
+    if (rels.isEmpty) read(spark).limit(0)
+    else {
+      val files = rels.map(rel => s"${config.tablePath}/$rel")
+      val r = spark.read.format(config.fileFormat)
+        .option("basePath", config.tablePath)
+      config.tableSchema.fold(r)(s => r.schema(s)).load(files: _*)
+    }
+  }
+
+  /** Time travel: read the table as of snapshot `version`. Partition
+    * columns still derive from the directory layout (`basePath`). Fails if
+    * the snapshot was expired by a rewriting op. */
+  def readVersion(spark: SparkSession, version: Int): DataFrame =
+    readFiles(spark, manifestFiles(version))
+
+  /** Incremental (CDC-style) read: exactly the rows appended after
+    * `fromVersion`, up to and including `toVersion` — the file-set
+    * difference of the two manifests, so the incremental consumer never
+    * rescans history it has already processed. */
+  def readChanges(spark: SparkSession, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val before = manifestFiles(fromVersion).toSet
+    readFiles(spark, manifestFiles(toVersion).filterNot(before))
+  }
+
+  /** Roll the table back to snapshot `version`: data files not in that
+    * manifest are deleted and later snapshots are dropped. Only reaches
+    * files appends created after `version` (rewrites would have expired
+    * the manifest first), so the restored state is exactly what
+    * [[readVersion]] showed. */
+  def rollbackTo(version: Int): Unit = {
+    val keep = manifestFiles(version).toSet
+    val root = java.nio.file.Paths.get(config.tablePath)
+    listDataFiles().filterNot(keep)
+      .foreach(rel => java.nio.file.Files.delete(root.resolve(rel)))
+    snapshotVersions().filter(_ > version).foreach(v =>
+      java.nio.file.Files.delete(logPath.resolve(f"v$v%05d.list")))
   }
 
   /** Upsert (merge-by-key): rows whose `keyCols` match an incoming row are

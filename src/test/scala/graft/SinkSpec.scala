@@ -215,6 +215,15 @@ class SinkSpec extends AnyFunSuite {
     assert(sink.readVersion(spark, 1)
       .filter($"event_type".isNull).count() == 0)
     // a rewriting op expires history down to the post-rewrite state
+    // incremental read: exactly the rows the later commits appended
+    assert(sink.readChanges(spark, 1, 2).count() == 50)
+    assert(sink.readChanges(spark, 1, 3).count() == 75)
+    assert(sink.readChanges(spark, 3, 3).count() == 0)
+    // rollback restores the v2 state and drops later history
+    sink.rollbackTo(2)
+    assert(sink.read(spark).count() == 150)
+    assert(sink.snapshotVersions() == Seq(1, 2))
+    // a rewriting op expires history down to the post-rewrite state
     val deleted = sink.delete(spark, $"value" < 50.0)
     assert(deleted > 0)
     assert(sink.snapshotVersions() == Seq(1))
