@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks in the broadcast-hint policy: forced `broadcast()` is reserved
+  * for fixed-cardinality legs (nation: 25 rows, region: 5 rows, single-row
+  * scalar aggregates, probe batches). SF-proportional tables (customer,
+  * supplier, part) must carry NO hint — at 100× scale a forced hint OOMs
+  * where AQE would pick a shuffle join; these counts fail if one sneaks
+  * back in.
+  */
+class PlanHintSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def hintCount(name: String): Int = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+    "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).length
+  }
+
+  test("queries touching only SF-proportional dimensions carry no forced hints") {
+    Seq("q3_shipping_priority", "q4_order_priority", "q10_returned_revenue",
+      "q12_ship_priority", "q13_order_distribution", "q14_promo_revenue",
+      "q15_top_supplier", "q17_small_qty_revenue", "q18_large_orders",
+      "q19_disjunctive_revenue").foreach { q =>
+      assert(hintCount(q) == 0, s"$q must leave join strategy to the planner")
+    }
+  }
+
+  test("fixed-cardinality legs keep exactly their intended hints") {
+    assert(hintCount("q5_local_revenue") == 2, "region + nation")
+    assert(hintCount("q7_nation_volume") == 2, "two nation legs")
+    assert(hintCount("q8_market_share") == 3, "region + two nation legs")
+    assert(hintCount("q22_idle_customers") == 1, "single-row avg-balance scalar")
+  }
+}

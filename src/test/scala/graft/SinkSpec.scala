@@ -144,6 +144,16 @@ class SinkSpec extends AnyFunSuite {
       .filter($"event_date".cast("date") =!= $"ts".cast("date")).count() == 0)
   }
 
+  test("sink reads prune partitions on derived columns") {
+    val sink = mkSink(TestSpark.tmpDir("sink_prune"))
+    sink.append(Tables.events(spark, TestSpark.sfDir))
+    val plan = sink.read(spark).filter($"event_type" === "click")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(event_type"),
+      s"the event_type predicate must prune partitions, not filter rows:\n$plan")
+  }
+
   test("upsert replaces matching keys, keeps the rest, rewrites only touched partitions") {
     val e = Tables.events(spark, TestSpark.sfDir)
     val sink = mkSink(TestSpark.tmpDir("sink_upsert"))
