@@ -157,6 +157,26 @@ object OracleSql {
        |  AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Cross-corpus contamination replay: same LCG planes and bucket-share
+    * candidacy as [[dedupEmbeddingLshSql]], probe set = vec_id < 5. */
+  val dedupCrossEmbeddingSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v,
+       |  ${hyperplaneSigList("v")} AS hs
+       |  FROM e),
+       |c AS (SELECT vec_id, v, hs FROM sig WHERE vec_id >= 5),
+       |p AS (SELECT vec_id AS probe_id, v AS pv, hs AS phs FROM sig WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT c.vec_id, p.probe_id,
+       |    round(list_cosine_similarity(c.v, p.pv), 9) AS cos
+       |  FROM c, p
+       |  WHERE len(list_filter([c.hs[t] = p.phs[t] FOR t IN generate_series(1, 8)],
+       |                        x -> x)) > 0)
+       |SELECT vec_id, max(cos) AS max_cos,
+       |  CAST(count(DISTINCT probe_id) AS BIGINT) AS n_matches
+       |FROM cand WHERE cos >= 0.3
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val simAnnLshSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sig AS (SELECT vec_id, v,

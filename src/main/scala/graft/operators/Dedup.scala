@@ -254,6 +254,41 @@ object Dedup {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
   }
 
+  /** Cross-corpus embedding contamination: for each corpus vector, the
+    * best (9-dp-rounded) cosine against a PROBE set — restricted to
+    * hyperplane-LSH bucket-sharing candidates — plus the match count at
+    * the threshold. The embedding-space sibling of the shingle-based
+    * decontamination screen: "is this training vector suspiciously close
+    * to a held-out benchmark vector?".
+    *
+    * Scale shape: probes are a bounded benchmark set → broadcast; the
+    * corpus streams through its bucket signatures once, candidates are
+    * bucket-joined, and only candidates pay the exact dot product. A pair
+    * sharing several tables appears once per table — max / countDistinct
+    * absorb the duplicates without a pre-dedup shuffle. */
+  def embeddingCrossMatches(corpus: DataFrame, probes: DataFrame,
+      threshold: Double = 0.3, dim: Int = 64, bitsPerTable: Int = 8,
+      numTables: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val planes = hyperplanes(bitsPerTable * numTables, dim)
+    def bucketed(df: DataFrame, idAs: String, vAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+        VectorExpressions.vecNormalize(spark,
+          col("embedding").cast("array<double>")).as(vAs),
+        posexplode(VectorExpressions.hyperplaneSig(spark,
+          col("embedding").cast("array<double>"), planes, bitsPerTable))
+          .as(Seq("t", "h")))
+    val c = bucketed(corpus, "vec_id", "v")
+    val p = bucketed(probes, "probe_id", "pv")
+    c.join(broadcast(p), Seq("t", "h"))
+      .select(col("vec_id"), col("probe_id"),
+        round(VectorExpressions.vecDot(spark, col("v"), col("pv")), 9).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_cos"),
+        countDistinct(col("probe_id")).as("n_matches"))
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH. Component (p, d)
     * is an LCG draw mapped to [-0.5, 0.5): a closed-form integer formula
     * (not a stateful RNG) so the DuckDB oracle rebuilds the identical

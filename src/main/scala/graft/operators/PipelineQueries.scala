@@ -189,6 +189,17 @@ object PipelineQueries {
     Dedup.embeddingNearDupLsh(Tables.embeddings(spark, sfDir), threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Embedding-space decontamination: vectors 0-4 act as the held-out
+    * benchmark; every other vector reports its best bucket-sharing cosine
+    * against them (threshold 0.3 — the fixture's similarity band). */
+  def dedupCrossEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    Dedup.embeddingCrossMatches(
+      e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+      threshold = 0.3)
+      .orderBy(col("vec_id"))
+  }
+
   // ----------------------------------------------------------- similarity
 
   /** Exact cosine top-10 for the first five vectors as the probe batch. */
@@ -434,6 +445,21 @@ object PipelineQueries {
       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       |  GROUP BY tok)
       |WHERE rank <= 100 ORDER BY rank""".stripMargin
+
+  def textBigrams(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.bigrams(Tables.documents(spark, sfDir), k = 50)
+      .orderBy(col("rank"))
+
+  val textBigramsSql: String =
+    """SELECT rank, bg, n FROM (
+      |  SELECT bg, COUNT(*) AS n,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bg) AS BIGINT) AS rank
+      |  FROM (
+      |    SELECT unnest([t[i] || ' ' || t[i+1]
+      |                   FOR i IN generate_series(1, len(t) - 1)]) AS bg
+      |    FROM (SELECT string_split(text, ' ') AS t FROM documents))
+      |  GROUP BY bg)
+      |WHERE rank <= 50 ORDER BY rank""".stripMargin
 
   /** Decontamination screen: docs with id < 20 act as the held-out
     * benchmark set; every other document reports its shingle-overlap share

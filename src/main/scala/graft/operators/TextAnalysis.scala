@@ -130,6 +130,26 @@ object TextAnalysis {
       .select(col("rank"), col("tok"), col("n"))
   }
 
+  /** Adjacent-token (bigram) statistics — the pair-count table the first
+    * BPE-style merge step reads, and the standard collocation screen.
+    * Same aggregated-then-rank shape as [[vocabulary]]: one shuffle with
+    * map-side partial counts, ranking window over the bounded bigram
+    * vocabulary only. */
+  def bigrams(docs: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val pairs = docs.select(explode(
+      when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val counts = pairs.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy().orderBy(col("n").desc, col("bg").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("bg"), col("n"))
+  }
+
   /** Benchmark-contamination check — the share of each training document's
     * distinct shingles that also appear in a benchmark/probe document set
     * (the standard decontamination screen before LLM training). One shingle

@@ -31,6 +31,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(kept == (2L to 19L), s"expected 2..19, got $kept")
   }
 
+  test("bigrams count adjacent pairs; single-token docs contribute none") {
+    val df = Seq((1L, "a b a b c"), (2L, "solo"), (3L, "a b")).toDF("doc_id", "text")
+    val v = TextAnalysis.bigrams(df, k = 2)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(v == Seq((1L, "a b", 3L), (2L, "b a", 1L)),
+      s"'a b' appears 3x (2 in doc 1, 1 in doc 3): $v")
+  }
+
   test("vocabulary ranks by count desc with token tie-break") {
     val df = Seq((1L, "b a a c b a"), (2L, "c b d")).toDF("doc_id", "text")
     val v = TextAnalysis.vocabulary(df, k = 3)
