@@ -32,7 +32,13 @@ object AsOfJoin {
       asofCol: String = "asof_ts"): DataFrame = {
     val src = "__asof_src"
     val p = probe.withColumn(src, lit(1))
-    val b = build.select(col(key), col(ts)).withColumn(src, lit(0))
+    // NULL-keyed build rows can never match under join semantics (NULL =
+    // NULL is not true) — but Window.partitionBy groups NULL keys into one
+    // partition, so without this filter a NULL-keyed probe would "match"
+    // NULL-keyed build rows, diverging from ASOF JOIN. Dropping them keeps
+    // NULL-keyed probes at asof = null, exactly the join result.
+    val b = build.select(col(key), col(ts)).filter(col(key).isNotNull)
+      .withColumn(src, lit(0))
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col(src).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -144,8 +144,12 @@ object Dedup {
     *
     * @param maxBucket drop buckets larger than this many docs (skew guard
     *   for a degenerate hot bucket, e.g. a corpus full of one boilerplate
-    *   page). None (default) keeps the ≤3-distance guarantee exact; a cap
-    *   trades completeness on pathological buckets for bounded memory.
+    *   page). None (default) keeps the ≤3-distance guarantee exact — but
+    *   note the posting-list form materializes each bucket (and its
+    *   within-bucket pair array) inside single rows, so an uncapped
+    *   mega-bucket (~10⁶ identical docs) is an executor OOM where a
+    *   self-join would have spilled; at corpus scale ALWAYS set a cap
+    *   (duplicates that extreme are caught by exact dedup first anyway).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       maxBucket: Option[Int] = None): DataFrame = {

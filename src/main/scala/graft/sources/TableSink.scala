@@ -68,10 +68,16 @@ final class TableSink(val config: SinkConfig) {
     val withCols = derived.foldLeft(df) { case (d, (name, c)) =>
       if (d.columns.contains(name)) d
       else {
+        // try_element_at: under ANSI mode (Spark 4 default) element_at
+        // THROWS on a missing key, but a row legitimately overrides only
+        // some partition columns — absent keys must fall back, not fail.
+        // A PRESENT but malformed value still fails the job (ANSI cast):
+        // a caller-supplied partition value that cannot be honored is a
+        // data error, not something to silently ignore.
         val value =
           if (hasOverride)
             coalesce(
-              element_at(col(TableSink.PartitionDataCol), lit(name))
+              try_element_at(col(TableSink.PartitionDataCol), lit(name))
                 .cast(probeSchema(name).dataType), c)
           else c
         d.withColumn(name, value)
@@ -244,42 +250,62 @@ final class TableSink(val config: SinkConfig) {
   /** Upsert (merge-by-key): rows whose `keyCols` match an incoming row are
     * replaced; all other rows are kept; incoming rows append. The copy-on-
     * write merge Iceberg-class tables provide and an append-only connector
-    * cannot.
+    * cannot. `incoming` must carry at most one row per key (dedup upstream;
+    * [[startStreamUpsert]] does).
     *
-    * Scale shape: only partitions that contain an incoming key are
-    * rewritten — the incoming partition-value set (bounded: it is the
-    * incoming batch's distinct partition values) broadcast-semi-joins the
-    * current table to select touched rows, survivors anti-join the
-    * incoming keys, and the union lands via DYNAMIC partition overwrite,
-    * which replaces exactly the partitions present in the written frame.
-    * Untouched partitions' files are never read or rewritten. On an
-    * unpartitioned table this degrades to a full rewrite (documented
-    * Iceberg copy-on-write behavior for unpartitioned tables; use a
-    * partition spec if upserts are frequent).
+    * Scale shape: only AFFECTED partitions are rewritten — both the
+    * partitions the incoming rows land in AND the partitions currently
+    * holding a matching key (a key may move partitions; missing the old
+    * home would leave a stale duplicate). Both sets are bounded
+    * partition-value frames, broadcast into semi-joins; survivors
+    * anti-join the incoming keys and the union lands via DYNAMIC partition
+    * overwrite, which replaces exactly the partitions present in the
+    * written frame. Unaffected partitions' files are never rewritten.
     *
-    * The survivors are localCheckpoint-materialized before the write:
-    * Spark refuses to overwrite a path that is still being lazily read,
-    * and materialization also makes the read-modify-write window atomic
-    * with respect to the final commit.
+    * When a key migration empties an affected partition entirely — which
+    * dynamic overwrite cannot express — or the table is unpartitioned,
+    * the merge falls back to a full crash-safe rewrite-and-swap
+    * ([[delete]]'s protocol).
+    *
+    * The survivors are localCheckpoint-materialized before the dynamic
+    * overwrite: Spark refuses to overwrite a path that is still being
+    * lazily read.
     */
   def upsert(df: DataFrame, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     requireNoStreamingLog()
+    recoverSwap()
     val spark = df.sparkSession
     if (!new java.io.File(config.tablePath).exists()) { append(df); return }
     val incoming = withDerived(Ops.ensureMessage(df))
     val parts = partitionColNames
     val current = read(spark)
-    val touched =
-      if (parts.isEmpty) current
-      else current.join(
-        broadcast(incoming.select(parts.map(col): _*).distinct()),
-        parts, "left_semi")
-    val survivors = touched.join(
-      incoming.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-      .localCheckpoint() // cut lineage off the files about to be replaced
-    dynamicOverwrite(spark, clusterForWrite(
-      survivors.unionByName(incoming.select(survivors.columns.map(col): _*))))
+    val incomingKeys = incoming.select(keyCols.map(col): _*).distinct()
+    def merged(base: DataFrame): DataFrame = {
+      val survivors = base.join(incomingKeys, keyCols, "left_anti")
+      survivors.unionByName(incoming.select(survivors.columns.map(col): _*))
+    }
+    if (parts.isEmpty) {
+      // unpartitioned: a merge is a full rewrite either way — swap protocol
+      rewriteSwap(spark, merged(current), expectRows = None)
+    } else {
+      val affected = incoming.select(parts.map(col): _*)
+        .unionByName(current.join(incomingKeys, keyCols, "left_semi")
+          .select(parts.map(col): _*))
+        .distinct() // bounded: partition values of the incoming batch + old key homes
+      val touched = current.join(broadcast(affected), parts, "left_semi")
+      val finalRows = merged(touched)
+      val emptied = affected.join(
+        finalRows.select(parts.map(col): _*).distinct(), parts, "left_anti")
+        .limit(1).count() > 0
+      if (emptied) rewriteSwap(spark, merged(current), expectRows = None)
+      else {
+        val survivors = touched.join(incomingKeys, keyCols, "left_anti")
+          .localCheckpoint() // cut lineage off the files about to be replaced
+        dynamicOverwrite(spark, clusterForWrite(
+          survivors.unionByName(incoming.select(survivors.columns.map(col): _*))))
+      }
+    }
     if (config.versioned) expireSnapshots() // rewrites invalidate history
   }
 
@@ -303,7 +329,67 @@ final class TableSink(val config: SinkConfig) {
     }
   }
 
-  /** Delete rows matching `condition`; returns the deleted count.
+  // ------------------------------------------- crash-safe rewrite & swap
+  // Shared by delete and upsert's fallback path. compact keeps its own
+  // interleaved copy (its swap is entangled with file-sizing); the
+  // _pre_* recovery contract is identical.
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(p)
+    val all = try s.iterator().asScala.toVector finally s.close()
+    all.reverseIterator.foreach(java.nio.file.Files.delete)
+  }
+
+  /** Repair a swap interrupted between its two renames: the table data
+    * sits stranded in `_pre_rewrite` — restore it; a leftover trash dir
+    * next to an intact table is just dropped. */
+  private def recoverSwap(): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(config.tablePath)
+    val trash = Paths.get(config.tablePath + "_pre_rewrite")
+    if (Files.exists(trash)) {
+      if (!Files.exists(root))
+        Files.move(trash, root, StandardCopyOption.ATOMIC_MOVE)
+      else rmTree(trash)
+    }
+  }
+
+  /** Rewrite the whole table as `finalRows` via temp-dir + double rename.
+    * When `expectRows` is set the rewrite aborts (table untouched) on a
+    * row-count mismatch; None skips the check (callers whose expected
+    * count is not independently known). */
+  private def rewriteSwap(spark: SparkSession, finalRows: DataFrame,
+      expectRows: Option[Long]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(config.tablePath)
+    val trash = Paths.get(config.tablePath + "_pre_rewrite")
+    val tmp = Paths.get(config.tablePath + "_rewriting")
+    if (Files.exists(tmp)) rmTree(tmp)
+    val parts = partitionColNames
+    val writer = clusterForWrite(finalRows).write.mode("overwrite")
+      .format(config.fileFormat).options(config.extraOptions)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .save(tmp.toString)
+    expectRows.foreach { expect =>
+      val rewritten = spark.read.format(config.fileFormat)
+        .load(tmp.toString).count()
+      if (rewritten != expect) {
+        rmTree(tmp)
+        throw new IllegalStateException(
+          s"rewrite produced $rewritten rows, expected $expect — aborted, " +
+            "original table untouched")
+      }
+    }
+    Files.move(root, trash, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+    rmTree(trash)
+  }
+
+  /** Delete rows matching `condition`; returns the deleted count. A
+    * condition evaluating to NULL keeps the row (SQL DELETE semantics —
+    * the predicate is coalesced to false, never silently dropping
+    * NULL-predicate rows).
     *
     * Two commit paths, chosen by what the predicate sweeps:
     *  - normal case — every touched partition keeps at least one row:
@@ -313,68 +399,46 @@ final class TableSink(val config: SinkConfig) {
     *    dynamic overwrite CANNOT express an emptied partition (it only
     *    replaces partitions present in the written frame — the stale
     *    directory would silently survive), so the whole surviving table
-    *    rewrites into a temp dir and swaps in with the same crash-safe
-    *    rename protocol as [[compact]], row-count-verified before the
-    *    destructive step.
+    *    rewrites and swaps via [[rewriteSwap]], row-count-verified before
+    *    the destructive step.
     */
   def delete(spark: SparkSession, condition: Column): Long = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
     requireNoStreamingLog()
-    val root = Paths.get(config.tablePath)
-    val trash = Paths.get(config.tablePath + "_pre_delete")
-    def rmTree(p: java.nio.file.Path): Unit = {
-      val s = Files.walk(p)
-      val all = try s.iterator().asScala.toVector finally s.close()
-      all.reverseIterator.foreach(Files.delete)
-    }
-    // crash recovery, mirroring compact: restore a stranded swap
-    if (Files.exists(trash)) {
-      if (!Files.exists(root))
-        Files.move(trash, root, StandardCopyOption.ATOMIC_MOVE)
-      else rmTree(trash)
-    }
-    if (!Files.exists(root)) return 0L
+    recoverSwap()
+    if (!new java.io.File(config.tablePath).exists()) return 0L
     val current = read(spark)
-    val totalRows = current.count()
-    val nDeleted = current.filter(condition).count()
-    if (nDeleted == 0L) return 0L
+    val cond = coalesce(condition, lit(false)) // NULL predicate keeps the row
     val parts = partitionColNames
-    val sweepsWholePartition = parts.nonEmpty && {
-      val touchedVals = current.filter(condition)
-        .select(parts.map(col): _*).distinct()
-      val survivingVals = current.filter(!condition)
-        .select(parts.map(col): _*).distinct()
-      touchedVals.join(survivingVals, parts, "left_anti").limit(1).count() > 0
+    if (parts.isEmpty) {
+      val totalRows = current.count()
+      val nDeleted = current.filter(cond).count()
+      if (nDeleted == 0L) return 0L
+      rewriteSwap(spark, current.filter(!cond), Some(totalRows - nDeleted))
+      if (config.versioned) expireSnapshots()
+      return nDeleted
     }
-    if (parts.isEmpty || sweepsWholePartition) {
-      val tmp = Paths.get(config.tablePath + "_deleting")
-      if (Files.exists(tmp)) rmTree(tmp)
-      val prepared = clusterForWrite(current.filter(!condition))
-      val writer = prepared.write.mode("overwrite")
-        .format(config.fileFormat).options(config.extraOptions)
-      (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
-        .save(tmp.toString)
-      val rewritten = spark.read.format(config.fileFormat)
-        .load(tmp.toString).count()
-      if (rewritten != totalRows - nDeleted) {
-        rmTree(tmp)
-        throw new IllegalStateException(
-          s"delete rewrite produced $rewritten rows, expected " +
-            s"${totalRows - nDeleted} — aborted, original table untouched")
+    // matched partition values: a bounded, column-pruned projection —
+    // cached so the count, the distinct set, and the sweep check share one
+    // scan instead of re-reading the table per question
+    val matchedParts = current.filter(cond).select(parts.map(col): _*).cache()
+    try {
+      val nDeleted = matchedParts.count()
+      if (nDeleted == 0L) return 0L
+      val touchedVals = matchedParts.distinct()
+      val touched = current.join(broadcast(touchedVals), parts, "left_semi")
+      val survivors = touched.filter(!cond)
+      val emptied = touchedVals.join(
+        survivors.select(parts.map(col): _*).distinct(), parts, "left_anti")
+        .limit(1).count() > 0
+      if (emptied) {
+        val totalRows = current.count()
+        rewriteSwap(spark, current.filter(!cond), Some(totalRows - nDeleted))
+      } else {
+        dynamicOverwrite(spark, clusterForWrite(survivors.localCheckpoint()))
       }
-      Files.move(root, trash, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
-      rmTree(trash)
-    } else {
-      val touched = current.join(
-        broadcast(current.filter(condition)
-          .select(parts.map(col): _*).distinct()), parts, "left_semi")
-      val survivors = touched.filter(!condition).localCheckpoint()
-      dynamicOverwrite(spark, clusterForWrite(survivors))
-    }
-    if (config.versioned) expireSnapshots() // rewrites invalidate history
-    nDeleted
+      if (config.versioned) expireSnapshots() // rewrites invalidate history
+      nDeleted
+    } finally matchedParts.unpersist()
   }
 
   /** Streaming path (§3.1): micro-batch append with checkpointed recovery.
@@ -389,6 +453,14 @@ final class TableSink(val config: SinkConfig) {
     *    (maxFilesPerTrigger etc.) composes via `extraOptions`.
     */
   def startStream(df: DataFrame, checkpointLocation: String): StreamingQuery = {
+    // the streaming file sink manages its own commit log (_spark_metadata)
+    // and its table rejects all batch ops — the snapshot log would record
+    // nothing; versioned streaming ingest goes through startStreamUpsert
+    // (foreachBatch → batch commits, which DO snapshot)
+    require(!config.versioned,
+      "versioned=true is a batch-table feature: the streaming file sink " +
+        "has its own exactly-once log; use startStreamUpsert for " +
+        "versioned streaming ingest")
     val prepared = withDerived(Ops.ensureMessage(df))
     val writer = prepared.writeStream
       .format(config.fileFormat)
@@ -418,7 +490,11 @@ final class TableSink(val config: SinkConfig) {
       .trigger(Trigger.ProcessingTime(s"${config.batchIntervalSeconds} seconds"))
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) upsert(batch, keyCols)
+        // a micro-batch can carry several events for one key; upsert
+        // requires key-unique input, so collapse to one row per key first
+        // (arbitrary winner — upstream supplies a sequence column and
+        // pre-aggregates if last-writer ordering matters)
+        if (!batch.isEmpty) upsert(batch.dropDuplicates(keyCols), keyCols)
       }
       .start()
   }

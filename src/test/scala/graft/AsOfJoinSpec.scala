@@ -23,6 +23,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(cols == Seq("event_id", "k", "t", "m"))
   }
 
+  test("NULL keys never match, per join semantics") {
+    val probe = Seq((1L, Option(5L), 10L), (2L, Option.empty[Long], 10L))
+      .toDF("event_id", "k", "t")
+    val build = Seq((Option(5L), 8L), (Option.empty[Long], 9L)).toDF("k", "t")
+    val out = AsOfJoin.asOf(probe, build, "k", "t", "m")
+      .select($"event_id", $"m").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) == Some(8L))
+    assert(out(2L) == None,
+      "a NULL-keyed probe must not match NULL-keyed build rows")
+  }
+
   test("asOf plan is one shuffle + sort, never a range self-join") {
     val plan = AsOfJoin.attributionQuery(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString

@@ -241,6 +241,45 @@ class SinkSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](sink.readVersion(spark, 3))
   }
 
+  test("upsert follows a key that migrates partitions (no stale duplicate)") {
+    val e = Tables.events(spark, TestSpark.sfDir)
+    val sink = mkSink(TestSpark.tmpDir("sink_migrate"))
+    sink.append(e)
+    val total = sink.read(spark).count()
+    val moved = e.filter($"event_type" === "click").limit(1)
+      .withColumn("event_type", lit("view"))
+    val movedId = moved.select("event_id").as[Long].head()
+    sink.upsert(moved, Seq("event_id"))
+    val after = sink.read(spark)
+    assert(after.count() == total, "a migrating key must not duplicate")
+    val rows = after.filter($"event_id" === movedId)
+      .select("event_type").as[String].collect().toSeq
+    assert(rows == Seq("view"),
+      s"key must exist exactly once, in its new partition: $rows")
+  }
+
+  test("delete keeps rows where the predicate evaluates to NULL") {
+    val sink = new TableSink(SinkConfig("nulls", TestSpark.tmpDir("sink_nulls")))
+    sink.append(Seq((1L, Some(10.0)), (2L, None), (3L, Some(99.0)))
+      .toDF("id", "v"))
+    assert(sink.delete(spark, $"v" < 50.0) == 1L,
+      "only the definitively-matching row counts as deleted")
+    assert(sink.read(spark).select("id").as[Long].collect().toSet ==
+      Set(2L, 3L), "the NULL-predicate row must survive")
+  }
+
+  test("partition_data map lacking a derived key falls back instead of failing (ANSI)") {
+    val e = Tables.events(spark, TestSpark.sfDir).limit(10)
+    val withOverride = e.withColumn(TableSink.PartitionDataCol,
+      map(lit("some_other_col"), lit("x"))) // non-null map, no event_date entry
+    val sink = mkSink(TestSpark.tmpDir("sink_pdata_partial"))
+    sink.append(withOverride) // ANSI element_at would throw MAP_KEY_DOES_NOT_EXIST
+    val back = sink.read(spark)
+    assert(back.count() == 10)
+    assert(back.filter($"event_date".cast("date") =!= $"ts".cast("date"))
+      .count() == 0, "all rows must carry the transform-derived day")
+  }
+
   test("additive schema evolution: mergeSchema read unions appended columns") {
     val sink = new TableSink(SinkConfig("evolve", TestSpark.tmpDir("sink_evolve")))
     sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))

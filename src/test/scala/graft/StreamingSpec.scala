@@ -95,7 +95,21 @@ class StreamingSpec extends AnyFunSuite {
         .select($"event_id", $"value").as[(Long, Double)].collect().toMap
       assert(rows == Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0, 4L -> 4.0),
         s"key 2 must be replaced, key 4 inserted: $rows")
+      // two events for one key INSIDE a micro-batch collapse to one row
+      src.addData((7L, "click", 1.0), (7L, "click", 2.0))
+      q.processAllAvailable()
+      assert(sink.read(spark).filter($"event_id" === 7L).count() == 1,
+        "intra-batch duplicate keys must not produce duplicate rows")
     } finally q.stop()
+  }
+
+  test("versioned config rejects the raw streaming sink, pointing at the CDC path") {
+    val sink = new TableSink(SinkConfig("vs", TestSpark.tmpDir("vs_sink"),
+      versioned = true))
+    val ex = intercept[IllegalArgumentException](
+      sink.startStream(StreamPipeline.eventsStream(spark, TestSpark.sfDir),
+        TestSpark.tmpDir("vs_cp")))
+    assert(ex.getMessage.contains("startStreamUpsert"))
   }
 
   test("watermark drops late data in append-mode windowed aggregation") {
