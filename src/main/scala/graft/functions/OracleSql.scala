@@ -128,6 +128,50 @@ object OracleSql {
        |WHERE hamming <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Capped-bucket SimHash replay: same splitmix64 bit votes as
+    * [[dedupSimhashSql]], but candidacy replays the engine's posting-list
+    * path — a pair qualifies only via a shared (band, bucket) whose
+    * population is ≤ 64 — so the skew cap itself is hash-checked. */
+  val dedupSimhashCappedSql: String = {
+    val bitsCtes =
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |h0 AS (SELECT doc_id,
+         |  [${rolling64("tok")} FOR tok IN t] AS hs
+         |  FROM toks),
+         |h1 AS (SELECT doc_id, [${xorShr64("h", 30)} FOR h IN hs] AS hs FROM h0),
+         |h2 AS (SELECT doc_id, [${u64Mul("h", big(0xBF58476D1CE4E5B9L))} FOR h IN hs] AS hs FROM h1),
+         |h3 AS (SELECT doc_id, [${xorShr64("h", 27)} FOR h IN hs] AS hs FROM h2),
+         |h4 AS (SELECT doc_id, [${u64Mul("h", big(0x94D049BB133111EBL))} FOR h IN hs] AS hs FROM h3),
+         |h5 AS (SELECT doc_id, [${xorShr64("h", 31)} FOR h IN hs] AS hs FROM h4),
+         |bits AS (SELECT doc_id,
+         |  [CASE WHEN list_sum([CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) % 2 = 1
+         |                            THEN 1 ELSE -1 END FOR h IN hs]) > 0
+         |        THEN 1 ELSE 0 END
+         |   FOR b IN generate_series(0, 63)] AS bv
+         |  FROM h5)""".stripMargin
+    s"""$bitsCtes,
+       |bands AS (
+       |  SELECT doc_id, b,
+       |    list_sum([bv[16*b + j + 1] * CAST(power(2, j) AS BIGINT)
+       |              FOR j IN generate_series(0, 15)]) AS h
+       |  FROM bits, generate_series(0, 3) AS g(b)),
+       |sizes AS (SELECT b, h, count(*) AS n FROM bands GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM bands a
+       |  JOIN bands c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id
+       |  JOIN sizes s ON s.b = a.b AND s.h = a.h
+       |  WHERE s.n <= 64)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_filter([a.bv[i] <> c.bv[i] FOR i IN generate_series(1, 64)],
+       |                       x -> x)) AS BIGINT) AS hamming
+       |FROM cand
+       |JOIN bits a ON a.doc_id = id_a
+       |JOIN bits c ON c.doc_id = id_b
+       |WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ------------------------------------------------------- hyperplane LSH
   /** 8 tables × 8 sign bits over the RAW double vector `v`, planes from the
     * closed-form LCG of [[Dedup.hyperplanes]]; the sequential

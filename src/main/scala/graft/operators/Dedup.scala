@@ -171,7 +171,7 @@ object Dedup {
       .select(explode(pairExplode(col("ms"))).as("p"))
       .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
         bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
-          .as("hamming"))
+          .cast("long").as("hamming")) // long: matches the oracle's BIGINT
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
   }

@@ -93,6 +93,13 @@ object PipelineQueries {
     Dedup.simhashPairs(Tables.documents(spark, sfDir))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Skew-capped SimHash — the scale-safe exposed path (buckets over 64
+    * docs dropped before pair explosion); the oracle replays the bucket
+    * populations, so the cap semantics themselves are hash-checked. */
+  def dedupSimhashCapped(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, sfDir), maxBucket = Some(64))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Dedup groups: connected components of the exact-Jaccard pair graph,
     * one canonical survivor (min doc_id) per component. Oracle replays the
     * reachability closure with a recursive CTE. */
