@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-backed queries for the [[ZOrder]] / [[ZoneMaps]] layout layer.
+  *
+  * Dimension encoding shared by both queries (exact integer parity with
+  * DuckDB, per the repo's hash-parity conventions):
+  *  - time: `unix_micros(ts)` ≡ DuckDB `epoch_us(ts)`;
+  *  - money: `CAST(value AS DECIMAL(18,2)) * 100 → BIGINT` cents — never
+  *    raw-double math, which has no cross-engine bit guarantee through a
+  *    division.
+  */
+object LayoutQueries {
+
+  private val Bits = 16
+
+  private def withDims(e: DataFrame): DataFrame = e
+    .withColumn("x_us", unix_micros(col("ts")))
+    .withColumn("y_c", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+
+  /** Per-event z-value over (time, value-cents): checks the whole integer
+    * pipeline — normalization `div` and 16+16 bit interleave — against a
+    * DuckDB replay. The z-value IS the persisted layout key, so bit parity
+    * here is what makes a z-ordered table portable across writers. */
+  def zorderCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withDims(Tables.events(spark, sfDir))
+    val b = ZOrder.boundsOf(e, Seq("x_us", "y_c"))
+    e.select(col("event_id"),
+        ZOrder.zvalue(Seq(
+          ("x_us", b("x_us")._1, b("x_us")._2),
+          ("y_c", b("y_c")._1, b("y_c")._2)), Bits).as("zval"))
+      .orderBy(col("event_id"))
+  }
+
+  val zorderCellsSql: String =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS x,
+      |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |           FROM events),
+      |b AS (SELECT min(x) AS mnx, max(x) AS mxx,
+      |             min(y) AS mny, max(y) AS mxy FROM e),
+      |n AS (SELECT event_id,
+      |        ((x - mnx) * 65535) // greatest(mxx - mnx, 1) AS nx,
+      |        ((y - mny) * 65535) // greatest(mxy - mny, 1) AS ny
+      |      FROM e CROSS JOIN b)
+      |SELECT event_id,
+      |  CAST(list_sum([((nx >> bb) & 1) * CAST(power(2, 2*bb) AS BIGINT)
+      |               + ((ny >> bb) & 1) * CAST(power(2, 2*bb+1) AS BIGINT)
+      |               FOR bb IN generate_series(0, 15)]) AS BIGINT) AS zval
+      |FROM n ORDER BY event_id""".stripMargin
+
+  /** End-to-end layout round-trip: events are z-order-clustered into 48
+    * range files, zone maps are computed, and a 2-D rectangle predicate
+    * (3 days × value band) is answered from the PRUNED file set only. The
+    * aggregate must equal the plain full-scan oracle — if pruning ever
+    * skipped a file containing a matching row, the hash would differ — and
+    * `pruned` (files_read < files_total) is pinned TRUE, so the oracle also
+    * proves skipping actually engaged. */
+  def zonemapPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withDims(Tables.events(spark, sfDir))
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig("events_z", dest))
+    val b = ZOrder.boundsOf(e, Seq("x_us", "y_c"))
+    sink.appendClustered(
+      ZOrder.cluster(e, Seq(
+        ("x_us", b("x_us")._1, b("x_us")._2),
+        ("y_c", b("y_c")._1, b("y_c")._2)), nRanges = 48, Bits)
+        .drop("x_us", "y_c"))
+    val zm = new ZoneMaps(sink)
+    zm.analyze(spark, Seq("ts", "value"))
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-12 23:59:59.999999").cast("timestamp")
+    val pruned = zm.readBetween(spark,
+      ("ts", lo, hi), ("value", lit(100.0), lit(200.0)))
+    val total = sink.read(spark).inputFiles.length
+    val kept = pruned.inputFiles.length
+    pruned
+      .filter(col("ts").between(lo, hi) &&
+        col("value").between(lit(100.0), lit(200.0)))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .withColumn("pruned", lit(kept < total))
+  }
+
+  val zonemapPruneSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  min(event_id) AS min_id,
+      |  max(event_id) AS max_id,
+      |  TRUE AS pruned
+      |FROM events
+      |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+      |             AND TIMESTAMP '2024-01-12 23:59:59.999999'
+      |  AND value BETWEEN 100.0 AND 200.0""".stripMargin
+}

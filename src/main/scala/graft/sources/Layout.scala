@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering so that a
+  * range predicate on ANY clustered dimension touches few files — the
+  * standard lakehouse answer (Delta `OPTIMIZE ZORDER BY`, Iceberg
+  * `rewrite_data_files(sort_order => zorder(...))`) to the problem the
+  * reference's single-column partition transforms cannot solve: a table
+  * partitioned by day still scans every file of every matching day when
+  * filtered by a second column.
+  *
+  * All arithmetic is 64-bit integer (integer `div`, shifts, masks) — no
+  * floating point — so the z-value is bit-reproducible across engines and
+  * safely usable as a persisted layout key.
+  *
+  * Scale shape: computing z-values is a codegen'd per-row expression (no
+  * shuffle); `cluster` adds exactly one range-repartition shuffle — the
+  * same cost as any clustered rewrite — and the payoff is read-side: with
+  * [[ZoneMaps]] stats, a 2-D rectangle predicate reads O(perimeter) files
+  * instead of O(table).
+  */
+object ZOrder {
+
+  /** Interleaved z-value over integer dimensions given as
+    * `(columnName, globalMin, globalMax)`. Each dimension is normalized to
+    * `bits` bits by exact integer arithmetic
+    * `((v - min) * (2^bits - 1)) div max(max - min, 1)` and the bits are
+    * interleaved LSB-first (dimension i owns bit positions
+    * `b * nDims + i`). Maximum `bits * nDims` is 63 (signed long).
+    *
+    * Column names (not Columns) because integer division must not detour
+    * through doubles — `(x * 65535)` exceeds 2^53 for microsecond
+    * timestamps — and the exact `div` operator is only reachable through
+    * the SQL parser.
+    */
+  def zvalue(dims: Seq[(String, Long, Long)], bits: Int = 16): Column = {
+    require(dims.nonEmpty, "zvalue needs at least one dimension")
+    require(bits * dims.size <= 63,
+      s"bits ($bits) * dims (${dims.size}) must fit a signed long")
+    val m = (1L << bits) - 1
+    val norms = dims.map { case (name, mn, mx) =>
+      val span = math.max(mx - mn, 1L)
+      expr(s"((($name) - ${mn}L) * ${m}L) div ${span}L")
+    }
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      norms.zipWithIndex.foldLeft(acc) { case (a, (norm, i)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(norm, b).bitwiseAND(lit(1L)), b * dims.size + i))
+      }
+    }
+  }
+
+  /** Global (min, max) per dimension column — the one bounded aggregate a
+    * z-order rewrite needs (2 longs per dimension on the driver). */
+  def boundsOf(df: DataFrame, cols: Seq[String]): Map[String, (Long, Long)] = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> (row.getLong(2 * i), row.getLong(2 * i + 1))
+    }.toMap
+  }
+
+  /** Range-cluster `df` by z-value into `nRanges` contiguous z-intervals,
+    * sorted by z within each — written as-is (one file per range via
+    * [[TableSink.appendClustered]]) this yields files whose per-dimension
+    * min/max zones are tight rectangles, which is what makes [[ZoneMaps]]
+    * pruning effective on every clustered dimension at once. */
+  def cluster(df: DataFrame, dims: Seq[(String, Long, Long)],
+      nRanges: Int, bits: Int = 16): DataFrame =
+    df.withColumn("__z", zvalue(dims, bits))
+      .repartitionByRange(nRanges, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+}
+
+/** File-level zone maps (per-file column min/max) + data-skipping reads —
+  * the Iceberg/Delta manifest-stats idea for a path-based table: skip
+  * files by METADATA, before any footer or row is touched. At 100 TB the
+  * win is not just I/O: a scan that opens 1M parquet footers to prune
+  * row-groups still pays 1M object-store requests; zone maps cut the file
+  * LIST itself to the candidate set.
+  *
+  * Correctness contract: pruning is candidate SELECTION, never filtering —
+  * [[readBetween]] returns every row of every file whose zone intersects
+  * the bounds (plus all unanalyzed files, conservatively), and the caller
+  * applies the actual predicate on top. A file is skipped only when its
+  * zone proves no row can match (`max < lo` or `min > hi`, null-safe: an
+  * all-null zone cannot satisfy a range predicate).
+  *
+  * Stats live under `<table>/_graft_stats` (underscore-prefixed: invisible
+  * to table scans and to the snapshot log). Files appended after the last
+  * [[analyze]] are unanalyzed → always read; files deleted since are
+  * ignored (stats are intersected with the live listing). So stale stats
+  * degrade to less pruning, never to wrong results.
+  */
+final class ZoneMaps(sink: TableSink) {
+
+  private def statsPath = s"${sink.config.tablePath}/_graft_stats"
+
+  /** One distributed scan of the table: per-file min/max for `cols` (plus
+    * a row count), written as a single small parquet. Stats rows are one
+    * per data file — bounded metadata, the same class the snapshot log
+    * stores. */
+  def analyze(spark: SparkSession, cols: Seq[String]): Unit = {
+    val df = sink.read(spark)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath)
+  }
+
+  /** `input_file_name` is a percent-encoded URI while the FS listing is a
+    * raw path — decode through URI so the two keys actually meet (the same
+    * trap [[TableSink.compact]] documents; here a mismatch is conservative
+    * — the file reads as "unanalyzed" — not data loss). */
+  private def decode(uri: String): String = new java.net.URI(uri).getPath
+
+  /** The candidate file set for closed bounds `[lo, hi]` per column (all
+    * bounds must intersect), plus the number of files pruned. Driver-side
+    * work is one collect of the per-file stats frame — bounded metadata. */
+  def candidates(spark: SparkSession,
+      bounds: Seq[(String, Column, Column)]): (Seq[String], Int) = {
+    require(bounds.nonEmpty, "candidates needs at least one column bound")
+    val root = java.nio.file.Paths.get(sink.config.tablePath)
+    val live = sink.dataFilesRel().map(r => root.resolve(r).toString)
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(statsPath)))
+      return (live, 0) // never analyzed: everything is a candidate
+    val stats = spark.read.parquet(statsPath)
+    // null-safe: an all-null zone gives NULL min/max -> NULL predicate ->
+    // coalesced to false -> pruned (no non-null value can match BETWEEN)
+    val pred = coalesce(bounds.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _), lit(false))
+    val rows = stats.select(col("file"), pred.as("keep")).collect()
+    val analyzed = rows.map(r => decode(r.getString(0))).toSet
+    val keep = rows.filter(_.getBoolean(1))
+      .map(r => decode(r.getString(0))).toSet
+    val files = live.filter(f => !analyzed.contains(f) || keep.contains(f))
+    (files, live.size - files.size)
+  }
+
+  /** Read only the files whose zones intersect every `(col, lo, hi)` bound
+    * (closed intervals). The caller still applies its real predicate — this
+    * narrows I/O, it does not filter rows. */
+  def readBetween(spark: SparkSession,
+      bounds: (String, Column, Column)*): DataFrame = {
+    val (files, _) = candidates(spark, bounds)
+    if (files.isEmpty) sink.read(spark).limit(0)
+    else {
+      val r = spark.read.format(sink.config.fileFormat)
+        .option("basePath", sink.config.tablePath)
+      sink.config.tableSchema.fold(r)(s => r.schema(s)).load(files: _*)
+    }
+  }
+}

@@ -131,6 +131,25 @@ final class TableSink(val config: SinkConfig) {
     if (config.versioned) writeSnapshot()
   }
 
+  /** Batch append that PRESERVES the caller's physical clustering (e.g. a
+    * [[ZOrder.cluster]] layout): the sink's own repartition/sort is
+    * skipped — each incoming partition writes straight to one file — while
+    * everything else (input coercion, derived partition columns, format,
+    * snapshot log) matches [[append]]. The normal append would re-shuffle
+    * into `numPartitions` writers and destroy the range-clustered layout
+    * zone maps depend on. */
+  def appendClustered(df: DataFrame): Unit = {
+    requireNoStreamingLog()
+    val prepared = withDerived(Ops.ensureMessage(df))
+    val writer = prepared.write
+      .mode("append")
+      .format(config.fileFormat)
+      .options(config.extraOptions)
+    (if (partitionColNames.nonEmpty) writer.partitionBy(partitionColNames: _*)
+     else writer).save(config.tablePath)
+    if (config.versioned) writeSnapshot()
+  }
+
   // ------------------------------------------------------- snapshot log
   // Iceberg-style commit history, scoped to what an append-path warehouse
   // can promise: every versioned commit records the table's complete
@@ -143,6 +162,10 @@ final class TableSink(val config: SinkConfig) {
   // expiry after rewrite-files maintenance.
 
   private def logPath = java.nio.file.Paths.get(config.tablePath, "_graft_log")
+
+  /** Live data-file paths relative to the table root (excludes `_`-prefixed
+    * metadata dirs: snapshot log, zone-map stats, streaming sink log). */
+  private[graft] def dataFilesRel(): Seq[String] = listDataFiles()
 
   private def listDataFiles(): Seq[String] = {
     import scala.jdk.CollectionConverters._

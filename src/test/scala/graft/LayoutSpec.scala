@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpWarehouse(): String =
+    s"/root/repo/target/tmp/graft_layout_${java.util.UUID.randomUUID()}"
+
+  test("zvalue interleaves bits LSB-first, dimension i at position b*n+i") {
+    // x=3 (011), y=5 (101), 3 bits, spans 0..7 -> identity normalization:
+    // z bits: b0: x0=1@0, y0=1@1; b1: x1=1@2, y1=0@3; b2: x2=0@4, y2=1@5
+    // z = 1 + 2 + 4 + 32 = 39
+    val df = Seq((3L, 5L)).toDF("x", "y")
+    val z = df.select(ZOrder.zvalue(Seq(("x", 0L, 7L), ("y", 0L, 7L)),
+      bits = 3).as("z")).head().getLong(0)
+    assert(z == 39L)
+  }
+
+  test("zvalue normalization is exact integer math beyond 2^53") {
+    // a double detour would round (v - mn) * 65535 for microsecond epochs;
+    // two adjacent micros must map to the exact div results
+    val mn = 1704067200000000L // 2024-01-01 in micros
+    val mx = mn + 2592000000000L // +30 days
+    val df = Seq(mn + 1234567890123L, mn + 1234567890124L).toDF("x")
+    val norms = df.select(
+      ZOrder.zvalue(Seq(("x", mn, mx)), bits = 16).as("z"))
+      .as[Long].collect()
+    val expect = df.as[Long].collect()
+      .map(v => (v - mn) * 65535L / (mx - mn))
+    // 1-D z-value with LSB-first interleave is the normalized value itself
+    assert(norms.toSeq == expect.toSeq)
+  }
+
+  test("zvalue guards: degenerate span, bit budget") {
+    val df = Seq((7L, 7L)).toDF("x", "y")
+    // mn == mx: normalizes to 0, no division by zero
+    assert(df.select(ZOrder.zvalue(Seq(("x", 7L, 7L)), 16).as("z"))
+      .head().getLong(0) == 0L)
+    intercept[IllegalArgumentException] {
+      ZOrder.zvalue(Seq(("x", 0L, 1L), ("y", 0L, 1L)), bits = 32)
+    }
+  }
+
+  test("z-order + zone maps: 2-D rectangle reads few files, loses no rows") {
+    val n = 20000
+    val df = spark.range(n).select(
+      $"id".as("event_id"),
+      ($"id" % 1000).as("x"), // uniform grid over both dims
+      (($"id" * 131) % 1000).as("y"),
+      concat(lit("p"), $"id").as("payload"))
+    val sink = new TableSink(SinkConfig("grid_z", tmpWarehouse()))
+    val b = ZOrder.boundsOf(df, Seq("x", "y"))
+    sink.appendClustered(ZOrder.cluster(df,
+      Seq(("x", b("x")._1, b("x")._2), ("y", b("y")._1, b("y")._2)),
+      nRanges = 32))
+    val zm = new ZoneMaps(sink)
+    zm.analyze(spark, Seq("x", "y"))
+
+    val total = sink.read(spark).inputFiles.length
+    assert(total >= 32, s"expected >=32 range files, got $total")
+    val pruned = zm.readBetween(spark,
+      ("x", lit(100L), lit(199L)), ("y", lit(100L), lit(199L)))
+    val kept = pruned.inputFiles.length
+    assert(kept < total / 2,
+      s"a 1% rectangle kept $kept of $total files — zone maps not engaging")
+
+    val expect = sink.read(spark)
+      .filter($"x".between(100, 199) && $"y".between(100, 199))
+      .select("event_id").as[Long].collect().toSet
+    val got = pruned
+      .filter($"x".between(100, 199) && $"y".between(100, 199))
+      .select("event_id").as[Long].collect().toSet
+    assert(got == expect, "pruned read lost or invented rows")
+  }
+
+  test("files appended after analyze are conservatively always read") {
+    val sink = new TableSink(SinkConfig("late_append", tmpWarehouse()))
+    val early = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    sink.append(early)
+    new ZoneMaps(sink).analyze(spark, Seq("v"))
+    // this row's v=999 is outside the stats' only zone [10,20] — but its
+    // file postdates the stats, so it must still be read
+    sink.append(Seq((3L, 999L)).toDF("id", "v"))
+    val zm = new ZoneMaps(sink)
+    val got = zm.readBetween(spark, ("v", lit(900L), lit(1000L)))
+      .filter($"v".between(900L, 1000L)).select("id").as[Long].collect()
+    assert(got.toSeq == Seq(3L))
+  }
+
+  test("empty candidate set returns an empty frame with the table schema") {
+    val sink = new TableSink(SinkConfig("all_pruned", tmpWarehouse()))
+    sink.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    val zm = new ZoneMaps(sink)
+    zm.analyze(spark, Seq("v"))
+    val out = zm.readBetween(spark, ("v", lit(500L), lit(600L)))
+    assert(out.count() == 0)
+    assert(out.columns.toSet == Set("id", "v"))
+  }
+
+  test("unanalyzed table: everything is a candidate, nothing pruned") {
+    val sink = new TableSink(SinkConfig("no_stats", tmpWarehouse()))
+    sink.append(Seq((1L, 10L)).toDF("id", "v"))
+    val (files, prunedN) =
+      new ZoneMaps(sink).candidates(spark, Seq(("v", lit(0L), lit(1L))))
+    assert(files.nonEmpty && prunedN == 0)
+  }
+
+  test("appendClustered preserves the range layout the normal append undoes") {
+    val df = spark.range(4096).select($"id", ($"id" % 64).as("k"))
+    val clustered = ZOrder.cluster(df, Seq(("k", 0L, 63L)), nRanges = 8)
+    val a = new TableSink(SinkConfig("clustered", tmpWarehouse()))
+    a.appendClustered(clustered)
+    assert(a.read(spark).inputFiles.length >= 8)
+    // each file covers a disjoint k-range: max total overlap == 0
+    new ZoneMaps(a).analyze(spark, Seq("k"))
+    val zones = spark.read.parquet(s"${a.config.tablePath}/_graft_stats")
+      .select("min_k", "max_k").as[(Long, Long)].collect().sortBy(_._1)
+    zones.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
+        s"file zones overlap: $hi1 > $lo2 — layout not preserved")
+      case _ =>
+    }
+  }
+}
