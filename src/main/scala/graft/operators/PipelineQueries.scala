@@ -453,6 +453,22 @@ object PipelineQueries {
       |  GROUP BY tok)
       |WHERE rank <= 100 ORDER BY rank""".stripMargin
 
+  /** Heavy hitters through the scale path (sample candidacy + exact counts
+    * on candidates + CMS bound checks); the oracle is the plain exact
+    * top-k, so a candidate-generation miss or a violated sketch bound both
+    * break the hash. */
+  def textHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.heavyHitters(Tables.documents(spark, sfDir), k = 5)
+      .orderBy(col("rank"))
+
+  val textHeavyHittersSql: String =
+    """SELECT rank, tok, n, TRUE AS est_ok_lower, TRUE AS est_ok_upper FROM (
+      |  SELECT tok, COUNT(*) AS n,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS BIGINT) AS rank
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok)
+      |WHERE rank <= 5 ORDER BY rank""".stripMargin
+
   def textBigrams(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.bigrams(Tables.documents(spark, sfDir), k = 50)
       .orderBy(col("rank"))

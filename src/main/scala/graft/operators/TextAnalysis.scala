@@ -184,4 +184,66 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Approximate heavy hitters over token occurrences — the answer to
+    * "top-k most frequent items" when the full vocabulary is too large to
+    * shuffle in one exact group-by (user ids, URLs, n-grams at corpus
+    * scale). Three bounded stages, none of which shuffles the full key
+    * space:
+    *
+    *  1. CANDIDATES from a deterministic occurrence sample: each token
+    *     OCCURRENCE (not each token — a token-keyed sample would keep or
+    *     drop all occurrences of a key together) is kept when the shared
+    *     [[PipelineQueries.splitBucket]] hash of its (doc, position)
+    *     coordinate falls under `samplePct`, and the top `candidateK` of
+    *     the sampled counts become candidates. A true heavy hitter has
+    *     occurrences ~ N/k, so missing every one of them in a samplePct
+    *     sample has probability (1-p)^(N/k) — astronomically small, and
+    *     deterministic (hash, not random()) so a passing corpus keeps
+    *     passing on reprocessing.
+    *  2. EXACT counts for candidates only: a broadcast semi-join keeps the
+    *     aggregation state at `candidateK` groups regardless of vocabulary
+    *     size.
+    *  3. count-min-sketch BOUNDS from one mergeable aggregate (sketches
+    *     combine associatively — the shuffle carries kilobytes): for every
+    *     reported item the CMS estimate must sit in
+    *     `[exact, exact + eps * N]`, and both checks ride in the output as
+    *     pinned booleans, so the verification is part of the query's hash.
+    *
+    * Driver-side work is the sketch bytes plus `candidateK` count rows —
+    * bounded metadata, independent of corpus size.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 5, samplePct: Int = 10,
+      candidateK: Int = 50, eps: Double = 0.0005): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val sampled = toks
+      .filter(PipelineQueries.splitBucket(
+        col("doc_id") * lit(131071L) + col("pos")) < samplePct)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_sample"))
+    val w = Window.partitionBy().orderBy(col("n_sample").desc, col("tok").asc)
+    val cands = sampled.withColumn("r", row_number().over(w))
+      .filter(col("r") <= candidateK).select(col("tok"))
+    val exact = toks.join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val Array(cmsRow) = toks
+      .agg(count_min_sketch(col("tok"), lit(eps), lit(0.99), lit(42))
+        .as("cms"), count(lit(1)).as("n_total"))
+      .collect()
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(cmsRow.getAs[Array[Byte]]("cms"))
+    val nTotal = cmsRow.getAs[Long]("n_total")
+    val slack = math.ceil(eps * nTotal).toLong
+    val rows = exact.orderBy(col("n").desc, col("tok").asc).limit(k)
+      .collect() // <= k rows of (token, count): bounded metadata
+      .zipWithIndex.map { case (r, i) =>
+        val (tok, n) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(tok)
+        (i + 1L, tok, n, est >= n, est <= n + slack)
+      }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("rank", "tok", "n", "est_ok_lower", "est_ok_upper")
+  }
 }

@@ -89,4 +89,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2)) // rolling hash is order-sensitive
   }
+
+  test("heavy hitters: scale path matches exact top-k, bounds hold") {
+    // zipf-ish synthetic corpus: token t_i appears ~ (40 - i) * 30 times,
+    // scattered across docs so the occurrence sample sees every hot token
+    val docs = spark.range(300).select(
+      $"id".as("doc_id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        when($"id" % (i + 1) === 0, lit(s"t$i")).otherwise(lit(""))): _*)
+        .as("text"))
+    val hh = TextAnalysis.heavyHitters(docs, k = 3)
+      .orderBy("rank").collect()
+    // exact ranks: "" tokens from the otherwise-branches flood rank 1;
+    // t0 (300 docs) beats t1 (150) beats t2 (100)
+    val exact = docs.select(explode(split($"text", " ")).as("tok"))
+      .groupBy("tok").count().orderBy($"count".desc, $"tok".asc)
+      .limit(3).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.map(r => (r.getString(1), r.getLong(2))).toSeq == exact.toSeq)
+    assert(hh.forall(r => r.getBoolean(3) && r.getBoolean(4)),
+      "CMS estimate outside [exact, exact + eps*N]")
+  }
+
+  test("heavy hitters ranks deterministically under count ties") {
+    val docs = Seq((1L, "b a"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    // a and b tie at 2 -> token tie-break, c=1 third
+    val hh = TextAnalysis.heavyHitters(docs, k = 3, samplePct = 100)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hh.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
 }
