@@ -20,7 +20,8 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q3_shipping_priority", "q_window_topk",
         "dedup_ngram_jaccard", "dedup_minhash", "sim_topk", "text_stats",
-        "q_asof_attribution", "q_range_proximity", "text_contamination")
+        "q_asof_attribution", "q_range_proximity", "text_contamination",
+        "q_zorder_cells", "text_heavy_hitters")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

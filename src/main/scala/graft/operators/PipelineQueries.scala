@@ -453,6 +453,30 @@ object PipelineQueries {
       |  GROUP BY tok)
       |WHERE rank <= 100 ORDER BY rank""".stripMargin
 
+  /** Sequence packing over the documents table (seqLen 512 so shard
+    * streams span many sequences at sf0.01); the oracle replays the shard
+    * hash, the running token sum, and the integer div/mod exactly. */
+  def textPackSequences(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.packSequences(Tables.documents(spark, sfDir), seqLen = 512)
+      .orderBy(col("doc_id"))
+
+  val textPackSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    (${splitBucketSql("doc_id")}) % 8 AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - n_tokens AS pack_start
+       |  FROM t)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+       |  pack_start // 512 AS seq_id,
+       |  pack_start % 512 AS seq_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Heavy hitters through the scale path (sample candidacy + exact counts
     * on candidates + CMS bound checks); the oracle is the plain exact
     * top-k, so a candidate-generation miss or a violated sketch bound both

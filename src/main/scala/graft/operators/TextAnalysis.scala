@@ -185,6 +185,39 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Sequence packing: assign every document a (shard, sequence, offset)
+    * slot in a stream of fixed-`seqLen`-token training sequences — the step
+    * that turns a deduped corpus into the packed batches an LLM trainer
+    * reads. Greedy global packing is inherently sequential; the scalable
+    * form packs WITHIN deterministic shards: shard by the shared
+    * [[PipelineQueries.splitBucket]] hash (reprocessing-stable, like the
+    * train/val/test split), then one running token sum per shard gives each
+    * document its start position, and integer division by `seqLen` its
+    * sequence id + offset. Documents longer than the remaining budget span
+    * sequence boundaries — (sequence, offset) is exactly what a downstream
+    * chunker needs either way.
+    *
+    * Scale shape: one shuffle on shard, one within-shard sort by doc_id
+    * (the window); `nShards` is chosen well above executor count so no
+    * single sort dominates. All arithmetic is exact integer — the layout is
+    * bit-reproducible across engines and corpus rebuilds. */
+  def packSequences(docs: DataFrame, seqLen: Long = 2048,
+      nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen >= 1 && nShards >= 1, "seqLen and nShards must be >= 1")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        pmod(PipelineQueries.splitBucket(col("doc_id")), lit(nShards.toLong))
+          .as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("pack_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"pack_start div ${seqLen}L").as("seq_id"),
+        pmod(col("pack_start"), lit(seqLen)).as("seq_offset"))
+  }
+
   /** Approximate heavy hitters over token occurrences — the answer to
     * "top-k most frequent items" when the full vocabulary is too large to
     * shuffle in one exact group-by (user ids, URLs, n-grams at corpus

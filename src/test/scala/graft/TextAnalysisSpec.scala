@@ -90,6 +90,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(0) != fps(2)) // rolling hash is order-sensitive
   }
 
+  test("packSequences lays docs head-to-tail per shard with exact offsets") {
+    val docs = spark.range(200).select(
+      $"id".as("doc_id"),
+      // doc i has (i % 7) + 1 tokens
+      concat_ws(" ", (0 until 7).map(j =>
+        when($"id" % 7 >= j, lit("w")).otherwise(lit(null))): _*).as("text"))
+    val seqLen = 10L
+    val packed = TextAnalysis.packSequences(docs, seqLen, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(packed.length == 200)
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      var expectStart = 0L
+      rows.sortBy(_._1).foreach { case (id, _, n, seq, off) =>
+        assert(seq == expectStart / seqLen && off == expectStart % seqLen,
+          s"doc $id expected start $expectStart, got seq=$seq off=$off")
+        expectStart += n
+      }
+    }
+    // shard assignment is the shared deterministic hash
+    val byHash = docs.select($"doc_id",
+      pmod(PipelineQueries.splitBucket($"doc_id"), lit(4L)).as("s"))
+      .as[(Long, Long)].collect().toMap
+    packed.foreach { case (id, shard, _, _, _) => assert(shard == byHash(id)) }
+  }
+
   test("heavy hitters: scale path matches exact top-k, bounds hold") {
     // zipf-ish synthetic corpus: token t_i appears ~ (40 - i) * 30 times,
     // scattered across docs so the occurrence sample sees every hot token
