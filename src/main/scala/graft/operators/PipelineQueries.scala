@@ -453,6 +453,38 @@ object PipelineQueries {
       |  GROUP BY tok)
       |WHERE rank <= 100 ORDER BY rank""".stripMargin
 
+  /** PII scrub over documents with deterministic synthetic PII injected
+    * first (the fixture corpus is clean): both engines build the identical
+    * dirty text, scrub with the same portable patterns, and the full
+    * redacted string rides in the hash. */
+  def textRedactPii(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirty = Tables.documents(spark, sfDir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact_"), col("doc_id"), lit("@mail.example.org or "),
+        lit("212-555-"),
+        lpad(pmod(col("doc_id") * 7919, lit(10000)).cast("string"), 4, "0"))
+        .as("text"))
+    TextAnalysis.redactPii(dirty).orderBy(col("doc_id"))
+  }
+
+  val textRedactPiiSql: String =
+    """WITH dirty AS (
+      |  SELECT doc_id,
+      |    text || ' contact_' || CAST(doc_id AS VARCHAR) ||
+      |    '@mail.example.org or 212-555-' ||
+      |    lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0') AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{3}-555-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(text,
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |     + len(regexp_extract_all(text, '[0-9]{3}-555-[0-9]{4}'))
+      |    AS BIGINT) AS n_redactions
+      |FROM dirty ORDER BY doc_id""".stripMargin
+
   /** Sequence packing over the documents table (seqLen 512 so shard
     * streams span many sequences at sf0.01); the oracle replays the shard
     * hash, the running token sum, and the integer div/mod exactly. */

@@ -185,6 +185,31 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** PII-ish patterns safe in BOTH Java regex (Spark) and RE2 (DuckDB,
+    * Hyperscan-class scanners): no backrefs, no lookaround, plain classes
+    * and bounded repetition — the subset that stays portable when the
+    * scrubbing rules ship to a different engine. */
+  val defaultPiiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}-555-[0-9]{4}" -> "<PHONE>")
+
+  /** PII redaction: replace every match of each rule with its placeholder
+    * and count the redactions per document — the scrubbing pass an LLM
+    * training pipeline runs before anything else sees the text. Pure
+    * codegen'd `regexp_replace`/`regexp_count` per row: no shuffle, no
+    * state, trivially parallel at any scale. Counts are taken BEFORE
+    * replacement so overlapping rules can't hide each other's matches. */
+  def redactPii(docs: DataFrame,
+      rules: Seq[(String, String)] = defaultPiiRules): DataFrame = {
+    require(rules.nonEmpty, "redactPii needs at least one rule")
+    val n = rules.map { case (p, _) => regexp_count(col("text"), lit(p)) }
+      .reduce(_ + _).cast("long")
+    val redacted = rules.foldLeft(col("text")) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    docs.select(col("doc_id"), redacted.as("redacted"), n.as("n_redactions"))
+  }
+
   /** Sequence packing: assign every document a (shard, sequence, offset)
     * slot in a stream of fixed-`seqLen`-token training sequences — the step
     * that turns a deduped corpus into the packed batches an LLM trainer

@@ -90,6 +90,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(0) != fps(2)) // rolling hash is order-sensitive
   }
 
+  test("redactPii scrubs all matches and counts before replacement") {
+    val docs = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org end"),
+      (2L, "call 212-555-0187 twice 999-555-0000"),
+      (3L, "clean text"),
+      (4L, "a@b.co 123-555-4567 both")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs).orderBy("doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out(0) == ("mail <EMAIL> and <EMAIL> end", 2L))
+    assert(out(1) == ("call <PHONE> twice <PHONE>", 2L))
+    assert(out(2) == ("clean text", 0L))
+    assert(out(3) == ("<EMAIL> <PHONE> both", 2L))
+  }
+
   test("packSequences lays docs head-to-tail per shard with exact offsets") {
     val docs = spark.range(200).select(
       $"id".as("doc_id"),
