@@ -485,6 +485,33 @@ object PipelineQueries {
       |    AS BIGINT) AS n_redactions
       |FROM dirty ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition filters over the documents table; the oracle
+    * replays the non-distinct bigram explosion, the arg-max with
+    * lexicographic tie-break, and the integer/integer IEEE divisions. */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  val textRepetitionSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+      |        FOR i IN generate_series(1, greatest(len(t)-1, 1))]) AS g
+      |      FROM toks),
+      |c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |p AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+      |        max(cnt) AS topc,
+      |        CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS dup
+      |      FROM c GROUP BY 1),
+      |tg AS (SELECT c.doc_id, min(c.g) AS top_gram
+      |       FROM c JOIN p ON c.doc_id = p.doc_id AND c.cnt = p.topc
+      |       GROUP BY 1)
+      |SELECT p.doc_id, p.n_grams, tg.top_gram,
+      |  p.topc / p.n_grams AS top_frac,
+      |  p.dup / p.n_grams AS dup_frac,
+      |  p.topc / p.n_grams <= 0.08 AND p.dup / p.n_grams <= 0.12 AS keep
+      |FROM p JOIN tg ON p.doc_id = tg.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
   /** Sequence packing over the documents table (seqLen 512 so shard
     * streams span many sequences at sf0.01); the oracle replays the shard
     * hash, the running token sum, and the integer div/mod exactly. */

@@ -210,6 +210,45 @@ object TextAnalysis {
     docs.select(col("doc_id"), redacted.as("redacted"), n.as("n_redactions"))
   }
 
+  /** Non-distinct token n-grams, order-preserving and WITH duplicates —
+    * unlike [[VectorExpressions.ShinglesExpr]] (a set, for dedup) this keeps
+    * every occurrence, which is what repetition statistics need. Docs
+    * shorter than `n` yield their single truncated gram, mirroring the
+    * shingle convention. Pure built-ins (`sequence`/`slice`/`array_join`). */
+  def ngramsAll(tokens: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
+      i => array_join(slice(tokens, i, lit(n)), " "))
+
+  /** Gopher-style repetition filters: the fraction of n-grams taken by the
+    * single most frequent n-gram (`top_frac`) and by all n-grams occurring
+    * more than once (`dup_frac`) — the standard boilerplate/loop detector a
+    * pretraining pipeline runs alongside the length/quality filters
+    * (cf. Rae et al. 2021, "Scaling Language Models", table A1).
+    *
+    * Scale shape: explode is linear in corpus tokens; both groupBys run
+    * map-side partial aggregation, and per-key state is bounded by a single
+    * document's vocabulary — no corpus-wide state, no skew (the key always
+    * includes doc_id). `min(struct(-cnt, gram))` is the arg-max with a
+    * deterministic lexicographic tie-break, avoiding a second join or a
+    * window over the counts. */
+  def repetitionStats(docs: DataFrame, n: Int = 2,
+      topFracMax: Double = 0.08, dupFracMax: Double = 0.12): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(ngramsAll(tokens(col("text")), n)).as("g"))
+    val counts = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_grams"),
+        min(struct((-col("cnt")).as("negc"), col("g").as("g"))).as("top"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup"))
+      .select(col("doc_id"), col("n_grams"),
+        col("top.g").as("top_gram"),
+        (-col("top.negc") / col("n_grams")).as("top_frac"),
+        (col("dup") / col("n_grams")).as("dup_frac"))
+      .withColumn("keep",
+        col("top_frac") <= topFracMax && col("dup_frac") <= dupFracMax)
+  }
+
   /** Sequence packing: assign every document a (shard, sequence, offset)
     * slot in a stream of fixed-`seqLen`-token training sequences — the step
     * that turns a deduped corpus into the packed batches an LLM trainer

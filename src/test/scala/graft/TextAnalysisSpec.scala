@@ -104,6 +104,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3) == ("<EMAIL> <PHONE> both", 2L))
   }
 
+  test("repetitionStats measures top-gram and duplicate-gram fractions") {
+    val docs = Seq(
+      (1L, "a b a b a b"),          // grams: ab,ba,ab,ba,ab -> top 3/5, dup 5/5
+      (2L, "x y z w v u"),          // all bigrams unique
+      (3L, "q")                     // shorter than n: single truncated gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 5L && out(0).getString(2) == "a b")
+    assert(out(0).getDouble(3) == 0.6 && out(0).getDouble(4) == 1.0)
+    assert(!out(0).getBoolean(5))
+    assert(out(1).getLong(1) == 5L && out(1).getDouble(4) == 0.0)
+    assert(out(1).getString(2) == "v u") // lexicographic tie-break on count 1
+    assert(out(2).getLong(1) == 1L && out(2).getString(2) == "q")
+    assert(out(2).getDouble(3) == 1.0) // degenerate doc: top gram is all of it
+  }
+
   test("packSequences lays docs head-to-tail per shard with exact offsets") {
     val docs = spark.range(200).select(
       $"id".as("doc_id"),
