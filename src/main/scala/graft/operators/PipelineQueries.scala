@@ -512,6 +512,24 @@ object PipelineQueries {
       |FROM p JOIN tg ON p.doc_id = tg.doc_id
       |ORDER BY p.doc_id""".stripMargin
 
+  /** Overlapping chunking over the documents table (chunk 32 / overlap 8 so
+    * the fixture's 8-110-token docs produce multi-chunk output); the oracle
+    * replays the ceil-division chunk count and the inclusive-slice windows. */
+  def textChunk(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.chunk(Tables.documents(spark, sfDir),
+      chunkTokens = 32, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val textChunkSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ch AS (SELECT doc_id, t, len(t) AS n,
+      |         unnest(generate_series(0, (greatest(len(t)-8, 1)+23)//24 - 1)) AS i
+      |       FROM toks)
+      |SELECT doc_id, i AS chunk_id, i*24 AS start_tok,
+      |  least(32, n - i*24) AS n_chunk_tokens,
+      |  array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Sequence packing over the documents table (seqLen 512 so shard
     * streams span many sequences at sf0.01); the oracle replays the shard
     * hash, the running token sum, and the integer div/mod exactly. */

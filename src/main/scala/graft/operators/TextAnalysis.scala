@@ -249,6 +249,38 @@ object TextAnalysis {
         col("top_frac") <= topFracMax && col("dup_frac") <= dupFracMax)
   }
 
+  /** Overlapping token-window chunking — the RAG/pretraining chunker that
+    * turns long documents into fixed-size windows with `overlap` tokens of
+    * context carried across boundaries. Chunk i starts at token
+    * `i * (chunkTokens - overlap)`; the chunk count
+    * `ceil(max(n - overlap, 1) / stride)` guarantees full coverage with no
+    * chunk that is wholly contained in its predecessor.
+    *
+    * Scale shape: entirely row-local (sequence/slice/array_join + one
+    * explode) — no shuffle, no state; output amplification is the intended
+    * ~n/stride rows per document. All arithmetic is exact integer, so the
+    * chunk layout is bit-reproducible across engines. */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      "need chunkTokens > overlap >= 0")
+    val stride = chunkTokens - overlap
+    val t = tokens(col("text"))
+    val n = size(t).cast("long")
+    val nch = floor((greatest(n - overlap, lit(1L)) + (stride - 1))
+      / lit(stride)).cast("long")
+    val chunks = transform(sequence(lit(0L), nch - 1), i => {
+      val start = i * stride
+      struct(i.as("chunk_id"), start.as("start_tok"),
+        least(lit(chunkTokens.toLong), n - start).as("n_chunk_tokens"),
+        array_join(slice(t, (start + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+    })
+    docs.select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.start_tok"),
+        col("c.n_chunk_tokens"), col("c.chunk_text"))
+  }
+
   /** Sequence packing: assign every document a (shard, sequence, offset)
     * slot in a stream of fixed-`seqLen`-token training sequences — the step
     * that turns a deduped corpus into the packed batches an LLM trainer

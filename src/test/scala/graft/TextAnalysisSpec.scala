@@ -120,6 +120,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2).getDouble(3) == 1.0) // degenerate doc: top gram is all of it
   }
 
+  test("chunk covers every token with the declared overlap") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4"), // 5 tokens, chunk 3 stride 2 -> 2 chunks
+      (2L, "a b c"),          // exactly one chunk
+      (3L, "x")               // shorter than chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, chunkTokens = 3, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 3L, "t0 t1 t2"),
+      (1L, 1L, 2L, 3L, "t2 t3 t4"),
+      (2L, 0L, 0L, 3L, "a b c"),
+      (3L, 0L, 0L, 1L, "x")))
+  }
+
   test("packSequences lays docs head-to-tail per shard with exact offsets") {
     val docs = spark.range(200).select(
       $"id".as("doc_id"),
