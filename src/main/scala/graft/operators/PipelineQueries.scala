@@ -530,6 +530,30 @@ object PipelineQueries {
       |  array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text
       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** TF-IDF top-3 terms per document; the oracle replays the smoothed idf,
+    * the 9-dp double rounding, and the rank tie-break exactly. */
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"), col("rank"))
+
+  val textTfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tfc AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tfc GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (SELECT doc_id, tfc.tok AS tok,
+      |        round(tf * round(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 9), 9)
+      |          AS score
+      |      FROM tfc JOIN df USING (tok) CROSS JOIN n),
+      |r AS (SELECT doc_id, tok, score,
+      |        CAST(row_number() OVER (
+      |          PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT)
+      |          AS rank
+      |      FROM s)
+      |SELECT doc_id, tok, rank, score FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** Sequence packing over the documents table (seqLen 512 so shard
     * streams span many sequences at sf0.01); the oracle replays the shard
     * hash, the running token sum, and the integer div/mod exactly. */

@@ -281,6 +281,36 @@ object TextAnalysis {
         col("c.n_chunk_tokens"), col("c.chunk_text"))
   }
 
+  /** TF-IDF top-`k` terms per document: raw term frequency × smoothed
+    * inverse document frequency `ln((N+1)/(df+1)) + 1`, ranked per doc with
+    * a lexicographic tie-break. The irrational `ln` is rounded to 9 dp
+    * before the multiply and the product re-rounded, so the score is
+    * engine-portable (the proven cosine-parity pattern).
+    *
+    * Scale shape: tf aggregates on (doc_id, token) with map-side partials;
+    * the df table is one row per DISTINCT token — it grows with vocabulary,
+    * not corpus, but web-scale vocabularies (typos, ids) can still be
+    * large, so the tf⋈df join carries NO broadcast hint: AQE picks
+    * broadcast when df is actually small. Only the 1-row corpus count is
+    * hint-broadcast. The final ranking shuffles once on doc_id. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * round(
+          log((col("n_docs") + 1).cast("double")
+            / (col("df") + 1).cast("double")) + 1, 9), 9).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("tok"), col("rank"), col("score"))
+  }
+
   /** Sequence packing: assign every document a (shard, sequence, offset)
     * slot in a stream of fixed-`seqLen`-token training sequences — the step
     * that turns a deduped corpus into the packed batches an LLM trainer

@@ -137,6 +137,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, 0L, 0L, 1L, "x")))
   }
 
+  test("tfidfTopTerms ranks rare repeated terms over common ones") {
+    val docs = Seq(
+      (1L, "rare rare common"),
+      (2L, "common other"),
+      (3L, "common third")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // "rare" (tf=2, df=1) must outscore "common" (tf=1, df=3) in doc 1
+    assert(out(0) == ((1L, "rare", 1L)) && out(1) == ((1L, "common", 2L)))
+    // doc 2: "other" (df=1) beats "common" (df=3) despite equal tf
+    assert(out(2) == ((2L, "other", 1L)) && out(3) == ((2L, "common", 2L)))
+  }
+
   test("packSequences lays docs head-to-tail per shard with exact offsets") {
     val docs = spark.range(200).select(
       $"id".as("doc_id"),
