@@ -275,15 +275,22 @@ object PipelineQueries {
     * id structure (sharded ranges, round-robin generators) would skew a
     * stratum to 0% or 2×. All intermediates stay under 2^63: overflow-free
     * under ANSI mode and in engines that trap (DuckDB). */
-  private[graft] def splitBucket(id: Column): Column =
+  private[graft] def splitBucket(id: Column): Column = hashBucket(id, 100L)
+
+  /** [[splitBucket]] at arbitrary granularity (same recurrence, final mod
+    * `buckets`) — finer grains serve per-group keep-fraction thresholds. */
+  private[graft] def hashBucket(id: Column, buckets: Long): Column =
     pmod(pmod(pmod(id, lit(1000000007L)) * lit(2654435761L),
-      lit(1000000007L)), lit(100L))
+      lit(1000000007L)), lit(buckets))
 
   /** The identical arithmetic as ANSI SQL (the leading (+p)%p dance keeps
     * negative ids non-negative before the multiply). */
   private[graft] def splitBucketSql(idCol: String): String =
+    hashBucketSql(idCol, 100L)
+
+  private[graft] def hashBucketSql(idCol: String, buckets: Long): String =
     s"(((($idCol % 1000000007 + 1000000007) % 1000000007) * 2654435761) " +
-      "% 1000000007) % 100"
+      s"% 1000000007) % $buckets"
 
   /** Deterministic train/val/test assignment (90/5/5) by the shared
     * [[splitBucket]] hash of the stable document id — the split survives
@@ -322,6 +329,49 @@ object PipelineQueries {
     s"""SELECT event_id, event_type FROM events
        |WHERE ${splitBucketSql("event_id")} < 10
        |ORDER BY event_id""".stripMargin
+
+  /** Temperature-based corpus rebalancing (multilingual "data mixing",
+    * cf. XLM-R): resample so group sizes follow n_g^(1/T) instead of n_g,
+    * downsample-only — keep_frac_g = (n_min/n_g)^(1-1/T), anchored so the
+    * SMALLEST group keeps everything and no group is upsampled. The
+    * fraction is realized deterministically: keep a doc iff
+    * hashBucket(doc_id, 1e6) < floor(round(keep_frac, 9) * 1e6) — the same
+    * reprocessing-stable hash as the train/val/test split, at 1e-6 grain.
+    * `pow` is rounded to 9 dp before the integer threshold so the cutoff
+    * is engine-portable.
+    *
+    * Scale shape: one count-by-group aggregate (map-side partial), a
+    * per-GROUP threshold table broadcast back (bounded by group
+    * cardinality — languages/domains, not corpus), then a stateless filter.
+    * No doc-level shuffle at all. */
+  def temperatureRebalance(docs: DataFrame, groupCol: String = "lang",
+      idCol: String = "doc_id", temperature: Double = 2.0): DataFrame = {
+    require(temperature >= 1.0, "temperature < 1 would sharpen, not flatten")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    val nMin = counts.agg(min(col("n_g")).as("n_min"))
+    val thresh = counts.crossJoin(broadcast(nMin)).select(col(groupCol),
+      floor(round(pow(col("n_min").cast("double") / col("n_g"),
+        1.0 - 1.0 / temperature), 9) * 1e6).cast("long").as("keep_thresh"))
+    docs.join(broadcast(thresh), groupCol)
+      .filter(hashBucket(col(idCol), 1000000L) < col("keep_thresh"))
+      .select(col(idCol), col(groupCol))
+  }
+
+  def textRebalance(spark: SparkSession, sfDir: String): DataFrame =
+    temperatureRebalance(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  val textRebalanceSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
+       |m AS (SELECT min(n_g) AS n_min FROM c),
+       |t AS (SELECT lang,
+       |        CAST(floor(round(pow(n_min / CAST(n_g AS DOUBLE), 0.5), 9)
+       |          * 1e6) AS BIGINT) AS keep_thresh
+       |      FROM c CROSS JOIN m)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN t USING (lang)
+       |WHERE ${hashBucketSql("d.doc_id", 1000000L)} < keep_thresh
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Fuzzy (edit-distance) join: match slightly-corrupted probe texts back
     * to the corpus by levenshtein ≤ 2 over a fixed-length prefix, with a

@@ -151,6 +151,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2) == ((2L, "other", 1L)) && out(3) == ((2L, "common", 2L)))
   }
 
+  test("temperatureRebalance keeps the smallest group whole and flattens") {
+    // 400 majority docs vs 100 minority docs, T=2:
+    // keep_frac(maj) = (100/400)^0.5 = 0.5, keep_frac(min) = 1.0
+    val docs = spark.range(500).select($"id".as("doc_id"),
+      when($"id" < 400, "en").otherwise("rare").as("lang"))
+    val out = PipelineQueries.temperatureRebalance(docs)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("rare") == 100L)                 // smallest group untouched
+    assert(out("en") > 150L && out("en") < 250L) // ~200 expected of 400
+    // deterministic: a second run selects the exact same docs
+    val a = PipelineQueries.temperatureRebalance(docs).collect().toSet
+    val b = PipelineQueries.temperatureRebalance(docs).collect().toSet
+    assert(a == b)
+  }
+
   test("packSequences lays docs head-to-tail per shard with exact offsets") {
     val docs = spark.range(200).select(
       $"id".as("doc_id"),
