@@ -241,6 +241,53 @@ object OracleSql {
        |  FROM cand)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------------ JL projection
+  /** splitmix64(k) as a scalar HUGEINT chain (the simhash replay runs the
+    * same stages over token lists; this one runs them over the plane
+    * index). */
+  private def mix64Scalar(k: String): String = {
+    val h0 = s"CAST($k AS HUGEINT)"
+    val h1 = xorShr64(h0, 30)
+    val h2 = u64Mul(h1, big(0xBF58476D1CE4E5B9L))
+    val h3 = xorShr64(h2, 27)
+    val h4 = u64Mul(h3, big(0x94D049BB133111EBL))
+    xorShr64(h4, 31)
+  }
+
+  /** Oracle for [[PipelineQueries.embedProject]]: rebuilds the 16×64
+    * [[EmbeddingCompression.jlPlanes]] matrix — top 31 bits of
+    * splitmix64(j·64+d) mapped to [-0.5, 0.5), every value a dyadic
+    * rational both engines hold exactly — as a CTE (plane rows assembled
+    * with ORDER BY d, deterministic), then runs the same sequential
+    * multiply-accumulate per projected component as the engine's VecDot
+    * kernel. */
+  val embedProjectSql: String =
+    s"""WITH ks AS (SELECT unnest(generate_series(0, 16 * 64 - 1)) AS k),
+       |pw AS (SELECT k // 64 AS j, k % 64 AS d,
+       |  CAST(${mix64Scalar("k")} // 8589934592 AS DOUBLE) / 2147483648
+       |    - CAST(0.5 AS DOUBLE) AS w
+       |  FROM ks),
+       |pl AS (SELECT j, list(w ORDER BY d) AS pv FROM pw GROUP BY j),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dots AS (
+       |  SELECT e.vec_id, pl.j,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      [e.v[d] * pl.pv[d]
+       |       FOR d IN generate_series(1, least(len(e.v), 64))]),
+       |      (acc, x) -> acc + x) AS dot
+       |  FROM e CROSS JOIN pl),
+       |p AS (
+       |  SELECT d.vec_id, e.v, list(d.dot ORDER BY d.j) AS pv
+       |  FROM dots d JOIN e ON d.vec_id = e.vec_id
+       |  GROUP BY d.vec_id, e.v)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_cosine_similarity(a.v, b.v), 9) AS cos_orig,
+       |  round(list_cosine_similarity(a.pv, b.pv), 9) AS cos_proj,
+       |  round(abs(round(list_cosine_similarity(a.v, b.v), 9)
+       |            - round(list_cosine_similarity(a.pv, b.pv), 9)), 9) AS gap9
+       |FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+       |ORDER BY id_a""".stripMargin
+
   // -------------------------------------------------------- bucket transform
   /** murmur3_x86_32 of an 8-byte little-endian long, unrolled into lateral
     * column aliases (two 4-byte blocks + finalizer). Matches

@@ -232,6 +232,33 @@ object Dedup {
     labels.withColumn("is_canonical", col("component") === col("doc_id"))
   }
 
+  /** The user-facing form of near-dup dedup: one SURVIVOR per duplicate
+    * cluster, keeping the longest copy (ties broken by smallest doc id) —
+    * the standard "keep the best representative" policy, since truncated
+    * scrapes of a page near-dup against the full copy and the full copy is
+    * the one worth training on.
+    *
+    * Scale shape: [[nearDupComponents]] supplies (doc_id, component); the
+    * survivor pick is one `row_number` window PER COMPONENT — partitions
+    * are duplicate clusters (bounded by cluster size, never corpus size),
+    * so the window never concentrates data. `n_members` rides the same
+    * window spec, adding no extra shuffle.
+    */
+  def canonicalSurvivors(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
+      maxIter: Int = 20, maxShingleDf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = nearDupComponents(docs, n, threshold, maxIter, maxShingleDf)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    comps.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("component"), col("n_chars"),
+        col("n_members"))
+  }
+
   /** Cosine similarity between two double-array columns — sequential
     * left-to-right accumulation, bit-compatible with the DuckDB oracle. */
   def cosine(a: Column, b: Column): Column = {

@@ -177,6 +177,53 @@ object PipelineQueries {
       |  (MIN(lbl) = node) AS is_canonical
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** Canonical-survivor dedup over the skew-capped pair graph: the corpus
+    * a user actually keeps — longest copy per duplicate cluster, singletons
+    * kept as-is. Oracle replays the capped reachability closure plus the
+    * same (n_chars DESC, doc_id ASC) pick as a window rank. */
+  def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.canonicalSurvivors(Tables.documents(spark, sfDir),
+      maxShingleDf = Some(64))
+      .orderBy(col("component"))
+
+  val dedupCanonicalSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([array_to_string(t[i:i+4], ' ')
+      |            FOR i IN generate_series(1, greatest(len(t)-4, 1))]) AS s
+      |  FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |keep AS (
+      |  SELECT s FROM sh GROUP BY s HAVING count(*) > 1 AND count(*) <= 64),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN keep k ON a.s = k.s
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM p
+      |  JOIN sz sa ON p.id_a = sa.doc_id
+      |  JOIN sz sb ON p.id_b = sb.doc_id
+      |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+      |comp AS (SELECT node AS doc_id, MIN(lbl) AS component
+      |         FROM reach GROUP BY node),
+      |ranked AS (
+      |  SELECT c.doc_id, c.component, d.n_chars,
+      |    row_number() OVER (PARTITION BY c.component
+      |                       ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk,
+      |    count(*) OVER (PARTITION BY c.component) AS n_members
+      |  FROM comp c JOIN documents d USING (doc_id))
+      |SELECT doc_id, component, n_chars, n_members
+      |FROM ranked WHERE rk = 1 ORDER BY component""".stripMargin
+
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.embeddingNearDup(Tables.embeddings(spark, sfDir), threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
@@ -261,6 +308,38 @@ object PipelineQueries {
       centroidCacheKey = Some(s"embeddings_$sfDir"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // -------------------------------------------- embedding compression
+
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    EmbeddingCompression.quantizeInt8(Tables.embeddings(spark, sfDir))
+      .orderBy(col("vec_id"))
+
+  val embedQuantizeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |a AS (
+      |  SELECT vec_id, v,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), [abs(x) FOR x IN v]),
+      |                (acc, x) -> greatest(acc, x)) AS amax
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id, v, amax / 127.0 AS s,
+      |    [round(x / (amax / 127.0), 0) FOR x IN v] AS qs
+      |  FROM a)
+      |SELECT vec_id, round(s, 9) AS scale9,
+      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    [abs(qs[i] * s - v[i]) FOR i IN generate_series(1, len(v))]),
+      |    (acc, x) -> greatest(acc, x)), 9) AS max_err9,
+      |  CAST(len(list_filter(qs, x -> abs(x) = 127.0)) AS BIGINT) AS n_sat
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  /** Projection-distortion audit — plane replay lives in
+    * [[OracleSql.embedProjectSql]] (it owns the HUGEINT splitmix64
+    * helpers). */
+  def embedProject(spark: SparkSession, sfDir: String): DataFrame =
+    EmbeddingCompression.projectionAudit(Tables.embeddings(spark, sfDir))
+      .orderBy(col("id_a"))
 
   // ----------------------------------------------------------- data splits
 
@@ -490,6 +569,41 @@ object PipelineQueries {
       |SELECT doc_id, n_tokens FROM lengths
       |WHERE n_tokens IN (SELECT n_tokens FROM kept)
       |ORDER BY doc_id""".stripMargin
+
+  def textQualityFloor(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityFloor(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  /** Oracle replays the quantized score (identical arithmetic to
+    * [[textQualitySql]], then floor(round(q,9)·10000)), the per-lang
+    * histogram cumsum, and the all-integer boundary rule. */
+  val textQualityFloorSql: String = {
+    val stop = TextAnalysis.markers.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks, text
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(floor(round(
+      |      least(len(toks) / 100.0, 1.0) * 0.4
+      |      + least((len(list_filter(toks, x -> list_contains(STOPLIST, x))) * 10.0) / len(toks), 1.0) * 0.4
+      |      + (1.0 - (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * 0.2
+      |    , 9) * 10000) AS BIGINT) AS qb
+      |  FROM t),
+      |hist AS (SELECT lang, qb, count(*) AS cnt FROM scored GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, qb, cnt,
+      |    SUM(cnt) OVER (PARTITION BY lang ORDER BY qb
+      |                   ROWS UNBOUNDED PRECEDING) AS cum_le
+      |  FROM hist),
+      |tot AS (SELECT lang, count(*) AS total FROM scored GROUP BY 1),
+      |kept AS (
+      |  SELECT c.lang, c.qb FROM cum c JOIN tot USING (lang)
+      |  WHERE cum_le * 100 > total * 25)
+      |SELECT doc_id, s.lang, s.qb FROM scored s
+      |JOIN kept k ON s.lang = k.lang AND s.qb = k.qb
+      |ORDER BY doc_id""".stripMargin.replace("STOPLIST", stop)
+  }
 
   def textVocab(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.vocabulary(Tables.documents(spark, sfDir), k = 100)

@@ -112,6 +112,38 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"))
   }
 
+  /** Per-language quality floor — drop each language's bottom `pct`% by
+    * [[qualityExpr]] score, the calibrated alternative to one global
+    * threshold (a global cutoff over-prunes whichever language the scorer
+    * is hardest on).
+    *
+    * Scale design mirrors [[lengthBand]], per group: scores quantize to a
+    * 1e-4 grain (`floor(round(q,9)·10000)` — integer buckets both engines
+    * compute identically), the per-language HISTOGRAM of buckets is
+    * bounded (≤ languages × 10001 rows) so the cumulative window runs over
+    * metadata, not documents, and the surviving (lang, bucket) set
+    * broadcasts back as a semi-join. No global or per-group document sort.
+    * Boundary convention matches lengthBand's lower bound: a bucket
+    * survives iff count(score ≤ bucket)·100 > total_lang·pct, so boundary
+    * mass stays in. */
+  def qualityFloor(docs: DataFrame, pct: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(0 <= pct && pct < 100, "need 0 <= pct < 100")
+    val scored = docs.select(col("doc_id"), col("lang"),
+      floor(round(qualityExpr(col("text")), 9) * 10000).cast("long").as("qb"))
+    val hist = scored.groupBy(col("lang"), col("qb"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("qb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum_le", sum(col("cnt")).over(w))
+    val tot = scored.groupBy(col("lang")).agg(count(lit(1)).as("total"))
+    val kept = cum.join(broadcast(tot), "lang")
+      .filter(col("cum_le") * 100 > col("total") * pct)
+      .select(col("lang"), col("qb"))
+    scored.join(broadcast(kept), Seq("lang", "qb"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("qb"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent tokens with deterministic
     * rank (count desc, token asc). The explode+count is one shuffle with
     * map-side partial aggregation; the ranking window runs over the

@@ -130,6 +130,30 @@ class DedupSpec extends AnyFunSuite {
     assert(canon == byDoc.values.toSet)
   }
 
+  test("canonical survivors keep the longest copy per cluster and all singletons") {
+    // three near-identical docs of different lengths + one unrelated doc
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", 35L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", 45L), // longest
+      (3L, "alpha beta gamma delta epsilon", 30L),
+      (9L, "totally different words nothing shared here at all", 50L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.canonicalSurvivors(d, n = 2, threshold = 0.5)
+      .select("doc_id", "component", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L, 3L), (9L, 9L, 1L)))
+  }
+
+  test("canonical survivor ties break to the smallest doc id") {
+    val d = Seq(
+      (7L, "one two three four five six", 27L),
+      (4L, "one two three four five six", 27L)) // same length, lower id
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.canonicalSurvivors(d, n = 2, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(4L))
+  }
+
   test("embedding LSH finds identical-vector clones with certainty and only true pairs") {
     val e = Tables.embeddings(spark, TestSpark.sfDir)
     val clones = e.filter($"vec_id" < 10)

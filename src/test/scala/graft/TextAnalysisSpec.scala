@@ -167,6 +167,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("qualityFloor drops each language's bottom quartile independently") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val out = PipelineQueries.textQualityFloor(spark, TestSpark.sfDir)
+    val keptByLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totByLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totByLang.foreach { case (lang, tot) =>
+      val kept = keptByLang.getOrElse(lang, 0L)
+      // boundary-mass-in convention: at least 75% survives, never all-drop;
+      // quantized score ties can only push the kept share ABOVE the floor
+      assert(kept * 100 >= tot * 75 && kept <= tot,
+        s"$lang kept $kept of $tot — outside [75%, 100%]")
+    }
+    // the floor is per-language: survivors' min quantized score differs
+    // from a global cutoff whenever languages score on different bands
+    assert(out.count() < docs.count(), "a 25% floor must drop something")
+  }
+
   test("packSequences lays docs head-to-tail per shard with exact offsets") {
     val docs = spark.range(200).select(
       $"id".as("doc_id"),
