@@ -288,6 +288,24 @@ object OracleSql {
        |FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
        |ORDER BY id_a""".stripMargin
 
+  // ------------------------------------------------------- epoch shuffle
+  /** Oracle for [[PipelineQueries.epochShuffle]]: doc_id XOR mix64(epoch)
+    * (signed BIGINT xor), the splitmix64 chain in HUGEINT, back to the
+    * signed key Spark orders by, then the same shard pmod and within-shard
+    * rank. Epoch and shard count are pinned to the query's (1, 32). */
+  val epochShuffleSql: String = {
+    val salt = VectorExpressions.mix64(1L)
+    val mixed = mix64Scalar(s"(${unsigned64(s"xor(doc_id, CAST($salt AS BIGINT))")})")
+    s"""WITH k AS (
+       |  SELECT doc_id, ${signed64(mixed)} AS order_key FROM documents)
+       |SELECT doc_id, order_key,
+       |  CAST(((order_key % 32) + 32) % 32 AS BIGINT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY ((order_key % 32) + 32) % 32
+       |    ORDER BY order_key, doc_id) AS BIGINT) AS pos
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------- bucket transform
   /** murmur3_x86_32 of an 8-byte little-endian long, unrolled into lateral
     * column aliases (two 4-byte blocks + finalizer). Matches

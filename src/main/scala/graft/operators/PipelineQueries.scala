@@ -452,6 +452,48 @@ object PipelineQueries {
        |WHERE ${hashBucketSql("d.doc_id", 1000000L)} < keep_thresh
        |ORDER BY d.doc_id""".stripMargin
 
+  /** One epoch of the deterministic training shuffle (epoch 1, 32 shards)
+    * — hash-order assignment, per-shard ranking, no global sort. */
+  def epochShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    TrainingOrder.epochShuffle(Tables.documents(spark, sfDir),
+      epoch = 1L, nShards = 32)
+      .orderBy(col("doc_id"))
+
+  /** Fixed-size deterministic sample per source: the K lowest full-range
+    * hash values (doc_id tie-break) of each source stratum — the
+    * fixed-COUNT companion to [[stratifiedSample]]'s fixed-FRACTION form
+    * (dashboards and eval sets want "20 docs per source", not "2%").
+    *
+    * Scale shape: the rank window partitions by source — each stratum
+    * sorts only its own rows, and the hash order means the sample is
+    * reprocessing-stable. The full-granularity [[hashBucket]] (mod the
+    * prime itself) gives a collision-free-in-practice total order. */
+  def samplePerSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"),
+        hashBucket(col("doc_id"), 1000000007L).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val samplePerSourceSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |    ${hashBucketSql("doc_id", 1000000007L)} AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY h, doc_id) AS BIGINT) AS rk
+       |  FROM h)
+       |SELECT doc_id, source, rk FROM r
+       |WHERE rk <= 20 ORDER BY source, rk""".stripMargin
+
   /** Fuzzy (edit-distance) join: match slightly-corrupted probe texts back
     * to the corpus by levenshtein ≤ 2 over a fixed-length prefix, with a
     * cheap length-difference block ahead of the quadratic distance. The
@@ -604,6 +646,50 @@ object PipelineQueries {
       |JOIN kept k ON s.lang = k.lang AND s.qb = k.qb
       |ORDER BY doc_id""".stripMargin.replace("STOPLIST", stop)
   }
+
+  def textTokenRarity(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tokenRarity(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  val textTokenRaritySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1)
+      |SELECT doc_id,
+      |  CAST(sum(n) AS BIGINT) AS freq_sum,
+      |  count(*) AS n_tokens,
+      |  round(CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / count(*), 9)
+      |    AS mean_freq9
+      |FROM toks JOIN vocab USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Data-mixture report: the per-source composition table a pipeline
+    * publishes before a training run — counts, token mass, language
+    * spread, corpus share. One aggregate over the scan plus a broadcast of
+    * the single-row total; integer sums keep it engine-exact. */
+  def textMixtureReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val perSource = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      countDistinct(col("lang")).as("n_langs"))
+    val tot = docs.agg(count(lit(1)).as("total"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("n_langs"),
+        round(col("n_docs").cast("double") / col("total"), 9).as("share9"))
+      .orderBy(col("source"))
+  }
+
+  val textMixtureReportSql: String =
+    """WITH t AS (SELECT count(*) AS total FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  round(CAST(count(*) AS DOUBLE) / any_value(t.total), 9) AS share9
+      |FROM documents CROSS JOIN t
+      |GROUP BY source ORDER BY source""".stripMargin
 
   def textVocab(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.vocabulary(Tables.documents(spark, sfDir), k = 100)

@@ -144,6 +144,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("qb"))
   }
 
+  /** Mean token rarity — the integer-exact stand-in for a unigram-LM
+    * perplexity filter: for each document, the average CORPUS frequency of
+    * its tokens. Boilerplate-heavy documents (all stopwords / template
+    * text) score high, rare-vocabulary documents score low, and unlike a
+    * log-prob the statistic is a ratio of two integers — order-independent
+    * and bit-identical on any engine (no transcendental functions to
+    * disagree on).
+    *
+    * Scale shape: one token-count aggregate (map-side partial, shuffle on
+    * token), one re-join of the exploded tokens to their counts (shuffle on
+    * token — both sides partition the same way, so AQE plans it off the
+    * first shuffle's output), one per-document sum. No collect, no window.
+    */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    toks.join(vocab, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("freq_sum"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("freq_sum"), col("n_tokens"),
+        round(col("freq_sum").cast("double") / col("n_tokens"), 9)
+          .as("mean_freq9"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent tokens with deterministic
     * rank (count desc, token asc). The explode+count is one shuffle with
     * map-side partial aggregation; the ranking window runs over the

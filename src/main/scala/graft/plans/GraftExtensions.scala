@@ -60,6 +60,9 @@ object GraftExtensions {
     ("graft_simhash",
       info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash"),
       es => VectorExpressions.SimhashExpr(es.head)),
+    ("graft_mix64",
+      info("graft_mix64", "graft_mix64(x) - splitmix64 finalizer of a long"),
+      es => VectorExpressions.Mix64Expr(es.head)),
     ("graft_iceberg_bucket",
       info("graft_iceberg_bucket", "graft_iceberg_bucket(col, n) - Iceberg-spec bucket transform"),
       es => IcebergBucketing.IcebergBucket(es(0), litInt(es(1), "bucket count n"))))

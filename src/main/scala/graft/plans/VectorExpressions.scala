@@ -57,6 +57,32 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** splitmix64 of a LONG as a columnar expression. ANSI mode traps the
+    * wrapping multiplies splitmix64 needs, so the spray of
+    * xor/shift/multiply can't be spelled in built-ins — here the JVM's
+    * natural Long wrap IS mod-2^64, and doGenCode keeps call sites (epoch
+    * shuffle keys, shard routing) inside whole-stage codegen. The oracle
+    * replays the identical chain in HUGEINT ([[OracleSql]]'s mix64). */
+  case class Mix64Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = mix64(v.asInstanceOf[Long])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, z => {
+        val t = ctx.freshName("z")
+        s"""
+           |long $t = $z;
+           |$t ^= ($t >>> 30); $t *= 0xBF58476D1CE4E5B9L;
+           |$t ^= ($t >>> 27); $t *= 0x94D049BB133111EBL;
+           |${ev.value} = $t ^ ($t >>> 31);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** l2-normalized copy of an ARRAY<DOUBLE> (zero vector passes through). */
   case class VecNormalize(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -338,6 +364,11 @@ object VectorExpressions {
   def vecNormalize(spark: SparkSession, v: Column): Column = {
     register(spark)
     call_function("graft_vec_normalize", v)
+  }
+
+  def mix64Col(spark: SparkSession, x: Column): Column = {
+    register(spark)
+    call_function("graft_mix64", x)
   }
 
   /** Parameterized expressions get per-use registrations (name carries the

@@ -186,6 +186,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.count() < docs.count(), "a 25% floor must drop something")
   }
 
+  test("tokenRarity averages corpus frequencies exactly") {
+    // corpus counts: a=3, b=2, c=1  →  doc 1 "a b" mean (3+2)/2
+    val d = Seq((1L, "a b"), (2L, "a b c"), (3L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenRarity(d)
+      .select("doc_id", "freq_sum", "n_tokens", "mean_freq9")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 5L, 2L, 2.5)))
+    assert(out(1) == ((2L, 6L, 3L, 2.0)))
+    assert(out(2) == ((3L, 3L, 1L, 3.0)))
+  }
+
+  test("samplePerSource takes at most K per stratum, deterministically") {
+    val out = PipelineQueries.samplePerSource(spark, TestSpark.sfDir)
+    val perSource = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perSource.values.forall(_ <= 20))
+    val again = PipelineQueries.samplePerSource(spark, TestSpark.sfDir)
+    assert(out.collect().toSeq == again.collect().toSeq)
+  }
+
+  test("mixture report shares sum to one") {
+    val shares = PipelineQueries.textMixtureReport(spark, TestSpark.sfDir)
+      .select("share9").as[Double].collect()
+    assert(math.abs(shares.sum - 1.0) < 1e-6)
+  }
+
   test("packSequences lays docs head-to-tail per shard with exact offsets") {
     val docs = spark.range(200).select(
       $"id".as("doc_id"),
