@@ -887,6 +887,33 @@ object PipelineQueries {
       |FROM tot t LEFT JOIN hit USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Bloom-prefiltered contamination (same doc<20 benchmark split as
+    * [[textContamination]]); the oracle's bloom-free exact counts double
+    * as the no-false-negatives proof. */
+  def textContaminationBloom(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.contaminationBloom(Tables.documents(spark, sfDir),
+      col("doc_id") < 20)
+      .orderBy(col("doc_id"))
+
+  val textContaminationBloomSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([array_to_string(t[i:i+4], ' ')
+      |            FOR i IN generate_series(1, greatest(len(t)-4, 1))]) AS s
+      |  FROM toks),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+      |train AS (SELECT doc_id, s FROM sh WHERE NOT doc_id < 20),
+      |tot AS (SELECT doc_id, count(*) AS n_sh FROM train GROUP BY 1),
+      |hit AS (
+      |  SELECT doc_id, count(*) AS n_exact FROM train
+      |  WHERE s IN (SELECT s FROM bench) GROUP BY 1)
+      |SELECT t.doc_id, n_sh,
+      |  CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact
+      |FROM tot t LEFT JOIN hit USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.fingerprints(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
 

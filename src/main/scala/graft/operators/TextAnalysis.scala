@@ -230,6 +230,48 @@ object TextAnalysis {
           .as("contamination"))
   }
 
+  /** Bloom-prefiltered decontamination — the shape [[contamination]] takes
+    * when the benchmark shingle set is too large to broadcast raw (a full
+    * eval-suite shingle inventory runs to billions): build a Bloom filter
+    * over the benchmark shingles with Spark's own distributed
+    * BloomFilterAggregate (partial blooms OR-merged, ~1 byte/item), ship
+    * the bytes into the probe predicate as a literal — exactly what
+    * Spark's runtime row-group filtering does — and only bloom-positive
+    * shingles reach the exact verify join. The driver touches ONLY the
+    * bloom bytes (bounded metadata, like Spark's own runtime filters),
+    * never data rows.
+    *
+    * Emitted audit: per training doc, total shingles and the EXACT hit
+    * count — computed downstream OF the bloom. The oracle computes the
+    * same counts with no bloom anywhere, so the hash comparison itself is
+    * the no-false-negatives proof: one true member dropped by the bloom
+    * and the counts diverge. The bloom-positive count is fpp-dependent
+    * engine detail and deliberately not emitted. */
+  def contaminationBloom(docs: DataFrame, benchmarkDocIds: Column,
+      n: Int = 5, estItems: Long = 4096L, numBits: Long = 65536L): DataFrame = {
+    val spark = docs.sparkSession
+    VectorExpressions.register(spark)
+    val sh = docs.select(col("doc_id"),
+      explode(VectorExpressions.shinglesOf(spark,
+        tokens(col("text")), n)).as("sh"))
+    val bench = sh.filter(benchmarkDocIds).select(col("sh")).distinct()
+    val bfBytes = bench
+      .agg(call_function("graft_bloom_agg", xxhash64(col("sh")),
+        lit(estItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val train = sh.filter(!benchmarkDocIds)
+    val tot = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val candidates = train.filter(
+      call_function("graft_bloom_contains", lit(bfBytes), xxhash64(col("sh"))))
+    // exact verify ONLY over bloom survivors — the join the bloom exists
+    // to shrink
+    val hit = candidates.join(bench, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+  }
+
   /** Rabin-Karp-style rolling-hash fingerprint over the character stream:
     * fp = fold(chars)(acc → (acc·31 + codepoint) mod 1e9+7). Stays well
     * inside Long, so no ANSI overflow; reproducible in any SQL dialect. */

@@ -63,6 +63,21 @@ object GraftExtensions {
     ("graft_mix64",
       info("graft_mix64", "graft_mix64(x) - splitmix64 finalizer of a long"),
       es => VectorExpressions.Mix64Expr(es.head)),
+    // Spark's own runtime-filter bloom machinery, surfaced as callable
+    // functions: the distributed build (partial blooms OR-merged by the
+    // aggregate) and the probe. Spark keeps them internal-only; exposing
+    // them through the same registry as the graft kernels makes the
+    // 100 TB decontamination prefilter expressible in one line of SQL.
+    ("graft_bloom_agg",
+      info("graft_bloom_agg",
+        "graft_bloom_agg(xxhash64(x), est_items, num_bits) - bloom filter bytes"),
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es(0), es(1), es(2))),
+    ("graft_bloom_contains",
+      info("graft_bloom_contains",
+        "graft_bloom_contains(bloom, xxhash64(x)) - bloom membership probe"),
+      es => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es(0), es(1))),
     ("graft_iceberg_bucket",
       info("graft_iceberg_bucket", "graft_iceberg_bucket(col, n) - Iceberg-spec bucket transform"),
       es => IcebergBucketing.IcebergBucket(es(0), litInt(es(1), "bucket count n"))))

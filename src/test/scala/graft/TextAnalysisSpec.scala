@@ -186,6 +186,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.count() < docs.count(), "a 25% floor must drop something")
   }
 
+  test("bloom prefilter never drops a true member and matches exact counts") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val exact = TextAnalysis.contamination(docs, $"doc_id" < 20)
+      .select("doc_id", "n_hit").as[(Long, Long)].collect().toMap
+    val bloom = TextAnalysis.contaminationBloom(docs, $"doc_id" < 20)
+      .select("doc_id", "n_exact").as[(Long, Long)].collect().toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, n) =>
+      assert(bloom(id) == n, s"doc $id: bloom path $n vs exact ${bloom(id)}")
+    }
+  }
+
+  test("graft_bloom functions are callable from pure SQL") {
+    VectorExpressions.register(spark)
+    // might_contain demands a constant or scalar-subquery bloom — the
+    // planner inlines the subquery result, same as runtime row-group
+    // filters
+    val n = spark.sql(
+      """WITH b AS (
+        |  SELECT graft_bloom_agg(xxhash64(CAST(id AS STRING)), 100L, 1024L) AS bf
+        |  FROM range(50))
+        |SELECT count(*) AS n FROM range(50)
+        |WHERE graft_bloom_contains((SELECT bf FROM b),
+        |                           xxhash64(CAST(id AS STRING)))""".stripMargin)
+      .as[Long].head()
+    assert(n == 50L, "every inserted member must probe positive")
+  }
+
   test("tokenRarity averages corpus frequencies exactly") {
     // corpus counts: a=3, b=2, c=1  →  doc 1 "a b" mean (3+2)/2
     val d = Seq((1L, "a b"), (2L, "a b c"), (3L, "a")).toDF("doc_id", "text")
