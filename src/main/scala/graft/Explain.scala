@@ -21,7 +21,10 @@ object Explain {
       else Seq("q1_pricing_summary", "q3_shipping_priority", "q_window_topk",
         "dedup_ngram_jaccard", "dedup_minhash", "sim_topk", "text_stats",
         "q_asof_attribution", "q_range_proximity", "text_contamination",
-        "q_zorder_cells", "text_heavy_hitters")
+        "q_zorder_cells", "text_heavy_hitters", "dedup_canonical",
+        "text_quality_floor", "text_rebalance", "q_embed_quantize",
+        "q_epoch_shuffle", "q_sample_per_source", "text_token_rarity",
+        "text_contamination_bloom")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
