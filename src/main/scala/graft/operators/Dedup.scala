@@ -259,6 +259,25 @@ object Dedup {
         col("n_members"))
   }
 
+  /** Incremental ingest dedup — the continuous-pipeline form of [[exact]]:
+    * an incoming batch is deduplicated (a) against the already-ingested
+    * corpus and (b) within itself, WITHOUT re-reading corpus text. The
+    * corpus side reduces to its fingerprint set (one md5 per distinct
+    * text — at 100 TB that set is the compact state a streaming ingester
+    * checkpoints, not the corpus itself); the batch joins it anti on the
+    * fingerprint, then keeps its own min-id survivor per remaining
+    * fingerprint. One map-side md5 per row, one anti-join shuffle on the
+    * fingerprint, one partial-agg groupBy — no text column ever shuffles.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("fp")).distinct()
+    batch.select(md5(col(textCol)).as("fp"), col(idCol))
+      .join(seen, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
   /** Cosine similarity between two double-array columns — sequential
     * left-to-right accumulation, bit-compatible with the DuckDB oracle. */
   def cosine(a: Column, b: Column): Column = {

@@ -177,6 +177,33 @@ object PipelineQueries {
       |  (MIN(lbl) = node) AS is_canonical
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** Incremental ingest dedup: docs < 400 play the already-ingested
+    * corpus, docs ≥ 400 the incoming batch. The fixture corpus has unique
+    * texts, so the interesting work is exercised by the duplicates the
+    * oracle replays identically: a batch row surviving means its text
+    * fingerprint is genuinely new. */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // make the batch overlap the corpus: half its rows repeat corpus text
+    val corpus = docs.filter(col("doc_id") < 400)
+    val fresh = docs.filter(col("doc_id") >= 400)
+    val replayed = corpus.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val batch = fresh.select(col("doc_id"), col("text")).unionAll(replayed)
+    Dedup.incrementalDedup(corpus, batch).orderBy(col("keep_id"))
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
+      |batch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM corpus WHERE doc_id < 50),
+      |seen AS (SELECT DISTINCT md5(text) AS fp FROM corpus)
+      |SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM batch WHERE md5(text) NOT IN (SELECT fp FROM seen)
+      |GROUP BY 1 ORDER BY keep_id""".stripMargin
+
   /** Canonical-survivor dedup over the skew-capped pair graph: the corpus
     * a user actually keeps — longest copy per duplicate cluster, singletons
     * kept as-is. Oracle replays the capped reachability closure plus the

@@ -130,6 +130,18 @@ class DedupSpec extends AnyFunSuite {
     assert(canon == byDoc.values.toSet)
   }
 
+  test("incremental dedup drops corpus repeats and dedups within the batch") {
+    val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // dup of corpus -> dropped
+      (11L, "brand new"),     // survives
+      (12L, "brand new"),     // in-batch dup -> folded into 11
+      (13L, "another new")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch)
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(out == Set((11L, 2L), (13L, 1L)))
+  }
+
   test("canonical survivors keep the longest copy per cluster and all singletons") {
     // three near-identical docs of different lengths + one unrelated doc
     val d = Seq(

@@ -32,4 +32,17 @@ class PlanHintSpec extends AnyFunSuite {
     assert(hintCount("q8_market_share") == 3, "region + two nation legs")
     assert(hintCount("q22_idle_customers") == 1, "single-row avg-balance scalar")
   }
+
+  test("pipeline operators hint only bounded-metadata legs") {
+    // histogram/threshold tables are bounded by group cardinality or
+    // quantization grain, never by corpus size — hints are principled
+    assert(hintCount("text_rebalance") == 2, "single-row n_min + per-group thresholds")
+    assert(hintCount("text_quality_floor") == 2, "per-lang totals + kept buckets")
+    assert(hintCount("text_mixture") == 1, "single-row corpus total")
+    // hash-order operators must leave everything to the planner
+    Seq("q_epoch_shuffle", "q_sample_per_source", "dedup_canonical",
+      "q_embed_quantize", "q_embed_project", "text_token_rarity").foreach { q =>
+      assert(hintCount(q) == 0, s"$q must leave join strategy to the planner")
+    }
+  }
 }
