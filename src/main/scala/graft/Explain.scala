@@ -24,7 +24,8 @@ object Explain {
         "q_zorder_cells", "text_heavy_hitters", "dedup_canonical",
         "text_quality_floor", "text_rebalance", "q_embed_quantize",
         "q_epoch_shuffle", "q_sample_per_source", "text_token_rarity",
-        "text_contamination_bloom")
+        "text_contamination_bloom", "text_bm25", "text_unigram_lp",
+        "q_event_funnel", "q_cohort_retention")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the events stream — the funnel / cohort
+  * queries a product-analytics deployment of the engine runs next to its
+  * data-pipeline workloads. Both operators are pure relational plans
+  * (joins + aggregates on user_id), so Catalyst owns the physical strategy
+  * and every shuffle is keyed on the same column.
+  */
+object EventAnalytics {
+
+  /** Ordered-step funnel: how many users performed step 1, then step 2
+    * strictly after their first step-1 event, then step 3 strictly after
+    * that, … Each stage keeps one row per user — the timestamp of the
+    * user's first qualifying event — so the data volume SHRINKS
+    * monotonically down the funnel.
+    *
+    * Scale shape: every group-by and join in the chain is keyed on
+    * user_id, so after the first shuffle the stages reuse the same hash
+    * partitioning (Spark's EnsureRequirements sees the co-partitioning;
+    * no re-shuffle between stages). No broadcast hints: per-step reach
+    * tables start at |users| and shrink, but |users| grows with the
+    * corpus, so AQE must stay free to pick the join side. The final
+    * output is one row per step — bounded metadata. */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    var prev: DataFrame = null
+    val stages = steps.zipWithIndex.map { case (step, i) =>
+      val cur =
+        if (i == 0)
+          events.filter(col("event_type") === step)
+            .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        else
+          events.filter(col("event_type") === step)
+            .join(prev.select(col("user_id"), col("t").as("t_prev")),
+              "user_id")
+            .filter(col("ts") > col("t_prev"))
+            .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      prev = cur
+      cur.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1L).as("step_idx"), lit(step).as("step"),
+          col("users"))
+    }
+    stages.reduce(_ union _).orderBy(col("step_idx"))
+  }
+
+  /** DuckDB oracle for [[funnel]] with the default three steps. */
+  val funnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+      |         count(*) AS users FROM s1
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3)
+      |ORDER BY step_idx""".stripMargin
+
+  /** Weekly cohort retention: users are cohorted by the ISO week
+    * (date_trunc 'week' — Monday in both Spark and DuckDB) of their FIRST
+    * event; for each (cohort, week-offset) cell, how many distinct cohort
+    * members were active that week. All week arithmetic is exact integer
+    * (both weeks are Monday-truncated, so the day difference is a
+    * multiple of 7) — no float anywhere.
+    *
+    * Scale shape: first-event and active-week tables both aggregate on
+    * user_id (map-side partials; active weeks are DISTINCT so the
+    * per-user row count is bounded by the observation window, not the
+    * event count); their join is keyed user_id with no broadcast hint
+    * (|users| grows with data — AQE decides). The final cell aggregation
+    * uses count(DISTINCT user_id), which Spark expands into a two-phase
+    * exact aggregate; cells are |cohorts| × |offsets| — bounded by the
+    * calendar, not the data. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    // cohort/activity weeks stay TIMESTAMP (Monday 00:00): parquet DATE
+    // round-trips as a different dtype than DuckDB's in the driver compare
+    val first = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    active.join(first, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / lit(7))
+          .cast("long").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** DuckDB oracle for [[cohortRetention]]. */
+  val cohortRetentionSql: String =
+    """WITH first AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+      |           AS cohort_week
+      |  FROM events GROUP BY 1),
+      |active AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP)
+      |           AS week
+      |  FROM events),
+      |j AS (
+      |  SELECT f.cohort_week,
+      |         CAST(date_diff('day', f.cohort_week, a.week) // 7 AS BIGINT)
+      |           AS week_offset,
+      |         a.user_id
+      |  FROM active a JOIN first f USING (user_id))
+      |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS users
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------ driver-contract hooks
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnel(Tables.events(spark, sfDir))
+
+  def qCohortRetention(spark: SparkSession, sfDir: String): DataFrame =
+    cohortRetention(Tables.events(spark, sfDir))
+}

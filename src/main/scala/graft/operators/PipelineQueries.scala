@@ -951,4 +951,25 @@ object PipelineQueries {
       |      [CAST(unicode(c) AS BIGINT) FOR c IN string_split(text, '')]),
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** BM25 query-term set shared by the Spark plan and the oracle: all
+    * three occur in the fixture vocabulary with distinct df, so the idf
+    * spread is non-trivial. */
+  private val bm25Terms = Seq("spark", "join", "window")
+
+  /** BM25 top-20 retrieval; the oracle replays the 9-dp idf rounding and
+    * the nano-unit integer per-document sum exactly. */
+  def textBm25(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables.documents(spark, sfDir), bm25Terms)
+      .orderBy(col("rank"))
+
+  val textBm25Sql: String = TextAnalysis.bm25TopKSql(bm25Terms)
+
+  /** Corpus-unigram LM score per document (perplexity-proxy quality
+    * signal); all cross-row sums run over exact nano-unit integers. */
+  def textUnigramLp(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.unigramLogProb(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  val textUnigramLpSql: String = TextAnalysis.unigramLogProbSql
 }

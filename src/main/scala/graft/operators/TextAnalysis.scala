@@ -504,4 +504,150 @@ object TextAnalysis {
     spark.createDataFrame(rows.toSeq)
       .toDF("rank", "tok", "n", "est_ok_lower", "est_ok_upper")
   }
+
+  /** BM25 ranked retrieval: top-`k` documents for a bag-of-words query —
+    * the lexical-search side of a training-data pipeline (mining documents
+    * that match a topic, building retrieval eval sets). Okapi BM25 with
+    * the non-negative smoothed idf `ln(1 + (N - df + 0.5)/(df + 0.5))`.
+    *
+    * Engine portability: the idf is rounded to 9 dp, each per-term score is
+    * scaled to integer nano-units (`CAST(round(s * 1e9) AS BIGINT)`), and
+    * the per-document SUM runs over those exact integers — associative, so
+    * the aggregation order Spark picks cannot change the result, unlike a
+    * double sum (the same trick [[unigramLogProb]] uses).
+    *
+    * Scale shape: the token explode is filtered to the query's terms BEFORE
+    * the tf group-by, so only matching postings shuffle; df is at most
+    * |query| rows and the corpus aggregate one row (both hint-broadcast —
+    * bounded by the query, not the corpus); doc lengths join tf on doc_id.
+    * The global ranking is orderBy+limit — Spark's TakeOrdered — so only
+    * per-partition top-k rows reach the driver-side merge, and the
+    * row_number window runs over k rows, not the corpus. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty && k >= 1, "need query terms and k >= 1")
+    val withDl = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"), col("text"))
+    val corpus = withDl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_toks"))
+    val tf = withDl
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isInCollection(terms))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_toks").cast("double") / col("n_docs")
+    val idf = round(log(lit(1.0)
+      + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 9)
+    val norm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val scored = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(corpus))
+      .join(withDl.select(col("doc_id"), col("dl")), "doc_id")
+      .select(col("doc_id"),
+        round(idf * norm * 1000000000.0).cast("long").as("score_e9"))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(sum(col("score_e9")).as("bm25_e9"))
+      .orderBy(col("bm25_e9").desc, col("doc_id").asc).limit(k)
+    val w = Window.partitionBy().orderBy(col("bm25_e9").desc, col("doc_id").asc)
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("rank"), col("bm25_e9"),
+        round(col("bm25_e9").cast("double") / 1000000000.0, 9).as("bm25"))
+  }
+
+  /** DuckDB oracle for [[bm25TopK]]; numeric constants are interpolated
+    * from the SAME Scala doubles the Spark plan uses (Double.toString
+    * round-trips exactly), so both engines evaluate identical IEEE ops. */
+  def bm25TopKSql(terms: Seq[String], k: Int = 20, k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks FROM dl),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+       |       WHERE tok IN ($inList) GROUP BY 1, 2),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |s AS (SELECT tf.doc_id,
+       |        CAST(round(
+       |          round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 9)
+       |          * (tf * ${k1 + 1.0}
+       |             / (tf + $k1 * (${1.0 - b} + $b * dl
+       |                / (CAST(total_toks AS DOUBLE) / n_docs))))
+       |          * 1000000000.0) AS BIGINT) AS score_e9
+       |      FROM tf JOIN df USING (tok) CROSS JOIN corpus
+       |      JOIN dl ON tf.doc_id = dl.doc_id),
+       |agg AS (SELECT doc_id, CAST(sum(score_e9) AS BIGINT) AS bm25_e9
+       |        FROM s GROUP BY 1
+       |        ORDER BY bm25_e9 DESC, doc_id LIMIT $k)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY bm25_e9 DESC, doc_id) AS BIGINT)
+       |    AS rank,
+       |  bm25_e9,
+       |  round(CAST(bm25_e9 AS DOUBLE) / 1000000000.0, 9) AS bm25
+       |FROM agg ORDER BY rank""".stripMargin
+  }
+
+  /** Corpus-unigram language-model score per document — the classic
+    * perplexity-proxy quality signal (KenLM-style filtering with the LM
+    * reduced to unigrams): `avg_logp = (1/|d|) Σ_tok ln(ctf(tok)/total)`.
+    * The true log-prob companion to [[tokenRarity]]: that operator stays
+    * in exact integers by averaging raw counts (an arithmetic-mean proxy);
+    * this one delivers the real geometric-mean statistic and buys back
+    * engine-exactness with the nano-unit trick below.
+    * Low values flag documents full of corpus-rare tokens (gibberish, OCR
+    * noise); high values flag boilerplate. Downstream filters cut on a
+    * quantile of `avg_logp`.
+    *
+    * Engine portability: per-token log-probs are rounded to 9 dp and scaled
+    * to integer nano-units once per VOCABULARY entry; each document then
+    * sums exact integers (`tf * lp_e9`), so Spark's aggregation order
+    * cannot perturb the result. The only double ops — `ln`, the final
+    * division — are single expressions evaluated identically by DuckDB.
+    *
+    * Scale shape: the corpus term-frequency table is a word-count (one
+    * shuffle over tokens WITH map-side partial aggregation); the tf⋈lp join
+    * is keyed on token and carries NO broadcast hint — vocabulary grows
+    * with corpus at web scale, so AQE must stay free to pick the join side
+    * (same policy as [[tfidfTopTerms]]). The per-document aggregation
+    * shuffles once on doc_id. Nothing touches the driver. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
+    val tot = ctf.agg(sum(col("ctf")).as("total"))
+    val lp = ctf.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(round(log(col("ctf").cast("double") / col("total")), 9)
+          * 1000000000.0).cast("long").as("lp_e9"))
+    tf.join(lp, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("lp_e9")).as("sum_lp_e9"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_lp_e9"),
+        round(col("sum_lp_e9").cast("double") / 1000000000.0
+          / col("n_tokens"), 9).as("avg_logp"))
+  }
+
+  /** DuckDB oracle for [[unigramLogProb]]. */
+  val unigramLogProbSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |ctf AS (SELECT tok, sum(tf) AS ctf FROM tf GROUP BY 1),
+      |tot AS (SELECT sum(ctf) AS total FROM ctf),
+      |lp AS (SELECT tok,
+      |         CAST(round(round(ln(CAST(ctf AS DOUBLE) / total), 9)
+      |           * 1000000000.0) AS BIGINT) AS lp_e9
+      |       FROM ctf CROSS JOIN tot),
+      |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |          CAST(sum(tf * lp_e9) AS BIGINT) AS sum_lp_e9
+      |        FROM tf JOIN lp USING (tok) GROUP BY 1)
+      |SELECT doc_id, n_tokens, sum_lp_e9,
+      |  round(CAST(sum_lp_e9 AS DOUBLE) / 1000000000.0 / n_tokens, 9)
+      |    AS avg_logp
+      |FROM agg ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel requires steps strictly ordered per user") {
+    val events = Seq(
+      // u1 completes the whole funnel in order
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // u2 purchases but never clicks: stops at step 1
+      (2L, ts("2024-01-02 10:00:00"), "signup"),
+      (2L, ts("2024-01-02 12:00:00"), "purchase"),
+      // u3 clicks BEFORE signup: the click cannot count, stops at step 1
+      (3L, ts("2024-01-03 09:00:00"), "click"),
+      (3L, ts("2024-01-03 10:00:00"), "signup"),
+      // u4 never signs up: not even step 1
+      (4L, ts("2024-01-04 10:00:00"), "click"),
+      (4L, ts("2024-01-04 11:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val r = EventAnalytics.funnel(events)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(r == Seq((1L, "signup", 3L), (2L, "click", 1L),
+      (3L, "purchase", 1L)), s"got $r")
+  }
+
+  test("funnel step-2 event must follow the user's FIRST step-1 event") {
+    // signup(10:00) click(09:00, too early) click(10:30, counts)
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "click"),
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 10:30:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val r = EventAnalytics.funnel(events, Seq("signup", "click"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(r == Seq((1L, "signup", 1L), (2L, "click", 1L)), s"got $r")
+  }
+
+  test("cohortRetention cohorts by Monday week of first event") {
+    val events = Seq(
+      // u1 first active Mon 2024-01-01 week; active again the next week
+      (1L, ts("2024-01-02 10:00:00"), "view"),
+      (1L, ts("2024-01-10 10:00:00"), "view"),
+      // u2 same cohort, only active in week 0 (Sunday is still that week)
+      (2L, ts("2024-01-07 23:00:00"), "view"),
+      // u3 cohort week of 2024-01-08, active weeks 0 and 2
+      (3L, ts("2024-01-08 00:00:00"), "view"),
+      (3L, ts("2024-01-22 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val r = EventAnalytics.cohortRetention(events)
+      .as[(Timestamp, Long, Long)].collect().toSeq
+    val w0 = ts("2024-01-01 00:00:00"); val w1 = ts("2024-01-08 00:00:00")
+    assert(r == Seq(
+      (w0, 0L, 2L), // u1 + u2 active in their first week
+      (w0, 1L, 1L), // u1 retained one week later
+      (w1, 0L, 1L), (w1, 2L, 1L)), s"got $r")
+  }
+}

@@ -293,4 +293,40 @@ class TextAnalysisSpec extends AnyFunSuite {
       .orderBy("rank").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(hh.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("bm25 ranks term-dense docs first and ignores non-query terms") {
+    val docs = Seq(
+      (1L, "spark spark spark"),       // dense in one query term
+      (2L, "spark join pad pad pad"),  // two query terms, longer doc
+      (3L, "pad pad pad pad"),         // no query terms: absent from top-k
+      (4L, "spark pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(docs, Seq("spark", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(r.map(_._1).toSeq == Seq(2L, 1L, 4L),
+      s"doc 2 hits two terms (idf of 'join' is higher: df=1), doc 3 absent: ${r.toSeq}")
+    assert(r.map(_._2).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("bm25 length normalization favors the shorter doc at equal tf") {
+    val docs = Seq(
+      (1L, "spark pad"),
+      (2L, "spark pad pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(docs, Seq("spark"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(1L, 2L), s"got $r")
+  }
+
+  test("unigram log-prob matches hand-computed corpus probabilities") {
+    val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    // corpus: a=2, b=1, total=3
+    val r = TextAnalysis.unigramLogProb(docs).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(3)))
+    assert(r(0)._2 == 2 && r(1)._2 == 1)
+    assert(math.abs(r(0)._3 - math.log(2.0 / 3.0)) < 1e-8)
+    assert(math.abs(r(1)._3 - math.log(1.0 / 3.0)) < 1e-8)
+    // rarer-token doc scores LOWER (the filter-signal direction)
+    assert(r(1)._3 < r(0)._3)
+  }
 }
