@@ -381,4 +381,54 @@ object Dedup {
         >= threshold)
       .select("id_a", "id_b")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space with a coarse
+    * k-means quantizer, compare cosines only WITHIN each cell, and keep
+    * one survivor per duplicate set — the published recipe for semantic
+    * dedup at LAION/web scale, where the quadratic [[embeddingNearDup]]
+    * is unpayable. Survivor policy: a vector is dropped iff some
+    * smaller-id vector in its cell matches at `threshold` (greedy min-id,
+    * the same deterministic policy as [[exact]]'s min-id survivor).
+    *
+    * Output: (vec_id, cell, n_dups_lower, kept) — one row per vector, so
+    * the result is audit-friendly (drop rate per cell falls out of a
+    * group-by).
+    *
+    * Scale shape: one k-means fit (capped iterations, seeded — see
+    * [[Similarity.trainCentroids]]), one map-side cell assignment with
+    * centroids riding in-expression, then a self-join ON CELL — cost is
+    * Σ|cell|², the SemDeDup contract, tuned by `nlist`; the shuffle is
+    * keyed on cell, duplicate counting aggregates map-side on vec_id.
+    * `nlist = 1` degenerates to the exact quadratic form, which is what
+    * the DuckDB oracle replays (k-means centroids are engine-specific,
+    * same adjudication as `sim_ivf` / `sim_ivf_full`).
+    */
+  def semanticDedup(embeddings: DataFrame, nlist: Int = 8,
+      threshold: Double = 0.35,
+      centroidCacheKey: Option[String] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    require(nlist >= 1, "nlist must be >= 1")
+    val e = embeddings.select(col("vec_id"),
+      VectorExpressions.vecNormalize(spark,
+        col("embedding").cast("array<double>")).as("v"))
+    val cells =
+      if (nlist == 1) e.withColumn("cell", lit(0))
+      else {
+        val cents = Similarity.trainCentroids(embeddings, nlist,
+          centroidCacheKey)
+        e.withColumn("cell", element_at(
+          VectorExpressions.nearestCells(spark, col("v"), cents, 1), 1))
+      }
+    val dupCounts = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .filter(round(VectorExpressions.vecDot(spark, col("a.v"), col("b.v")), 9)
+        >= threshold)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups_lower"))
+    cells.join(dupCounts, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        coalesce(col("n_dups_lower"), lit(0L)).as("n_dups_lower"),
+        (coalesce(col("n_dups_lower"), lit(0L)) === 0).as("kept"))
+  }
 }

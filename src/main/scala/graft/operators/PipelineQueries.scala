@@ -263,6 +263,33 @@ object PipelineQueries {
       |WHERE round(list_cosine_similarity(a.v, b.v), 9) >= 0.5
       |ORDER BY 1, 2""".stripMargin
 
+  /** SemDeDup at the operating point (nlist 8): cells are engine-specific
+    * k-means output, so like `sim_ivf` this records rows-only; the `_full`
+    * companion hash-checks the identical pair/survivor machinery. */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(spark, sfDir), nlist = 8,
+      threshold = 0.35, centroidCacheKey = Some(sfDir))
+      .orderBy(col("vec_id"))
+
+  /** nlist = 1 degenerates SemDeDup to the exact quadratic form — the
+    * DuckDB-replayable proof of the pair filter + survivor policy. */
+  def dedupSemanticFull(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(spark, sfDir), nlist = 1,
+      threshold = 0.35)
+      .orderBy(col("vec_id"))
+
+  val dedupSemanticFullSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |d AS (SELECT a.vec_id AS vec_id, count(*) AS n
+      |      FROM e a JOIN e b ON a.vec_id > b.vec_id
+      |      WHERE round(list_cosine_similarity(a.v, b.v), 9) >= 0.35
+      |      GROUP BY 1)
+      |SELECT e.vec_id, CAST(0 AS BIGINT) AS cell,
+      |  CAST(COALESCE(d.n, 0) AS BIGINT) AS n_dups_lower,
+      |  COALESCE(d.n, 0) = 0 AS kept
+      |FROM e LEFT JOIN d USING (vec_id) ORDER BY vec_id""".stripMargin
+
   /** Hyperplane-LSH scale path — LCG planes replayed bit-exactly by
     * [[OracleSql.dedupEmbeddingLshSql]] (hash-checked); recall vs brute
     * force additionally asserted in spec. */
@@ -972,4 +999,20 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   val textUnigramLpSql: String = TextAnalysis.unigramLogProbSql
+
+  /** PMI top-20 collocations at minCount 5; the oracle replays the single
+    * 9-dp-rounded ln and the rank tie-break exactly. */
+  def textPmi(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.pmiTopK(Tables.documents(spark, sfDir))
+      .orderBy(col("rank"))
+
+  val textPmiSql: String = TextAnalysis.pmiTopKSql()
+
+  /** Per-source unigram KL divergence (domain-skew report); nano-unit
+    * integer per-source sums. */
+  def textDomainKl(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.domainKl(Tables.documents(spark, sfDir))
+      .orderBy(col("source"))
+
+  val textDomainKlSql: String = TextAnalysis.domainKlSql
 }

@@ -632,6 +632,136 @@ object TextAnalysis {
           / col("n_tokens"), 9).as("avg_logp"))
   }
 
+  /** PMI-ranked collocations: the top-`k` adjacent token pairs by
+    * pointwise mutual information `ln(p(ab) / (p(a)·p(b)))` among bigrams
+    * with at least `minCount` occurrences — the standard corpus-mining
+    * pass for multi-word expressions (and for spotting boilerplate phrases
+    * a near-dup pass should treat as one token). PMI is a per-bigram
+    * SCALAR (no cross-row float sum), so one 9-dp rounding after the `ln`
+    * makes it engine-exact.
+    *
+    * Scale shape: unigram and bigram counts are word-counts (map-side
+    * partials, one shuffle each on the gram); the count-join is keyed on
+    * token with NO broadcast hint (vocabulary grows with the corpus);
+    * only the two 1-row totals are hint-broadcast. The `minCount` filter
+    * runs BEFORE the unigram joins, so only candidate collocations join.
+    * Ranking is TakeOrdered top-k like [[bm25TopK]]. */
+  def pmiTopK(docs: DataFrame, k: Int = 20, minCount: Long = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val toks = docs.select(explode(t).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nUni = toks.agg(count(lit(1)).as("n_uni"))
+    val bi = docs.select(explode(
+      when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val nBi = bi.agg(count(lit(1)).as("n_bi"))
+    val cand = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .select(col("bg"), col("c_ab"),
+        element_at(split(col("bg"), " "), 1).as("tok_a"),
+        element_at(split(col("bg"), " "), 2).as("tok_b"))
+    val scored = cand
+      .join(uni.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
+      .join(uni.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("bg"), col("c_ab"),
+        round(log((col("c_ab").cast("double") / col("n_bi"))
+          / ((col("c_a").cast("double") / col("n_uni"))
+            * (col("c_b").cast("double") / col("n_uni")))), 9).as("pmi"))
+    val top = scored.orderBy(col("pmi").desc, col("bg").asc).limit(k)
+    val w = Window.partitionBy().orderBy(col("pmi").desc, col("bg").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("bg"), col("c_ab"), col("pmi"))
+  }
+
+  /** DuckDB oracle for [[pmiTopK]]. */
+  def pmiTopKSql(k: Int = 20, minCount: Long = 5): String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+       |n_u AS (SELECT count(*) AS n_uni FROM toks),
+       |bi AS (
+       |  SELECT unnest([t[i] || ' ' || t[i+1]
+       |                 FOR i IN generate_series(1, len(t) - 1)]) AS bg
+       |  FROM (SELECT string_split(text, ' ') AS t FROM documents)),
+       |n_b AS (SELECT count(*) AS n_bi FROM bi),
+       |cand AS (SELECT bg, count(*) AS c_ab FROM bi GROUP BY 1
+       |         HAVING count(*) >= $minCount),
+       |scored AS (
+       |  SELECT bg, c_ab,
+       |    round(ln((CAST(c_ab AS DOUBLE) / n_bi)
+       |      / ((CAST(a.c AS DOUBLE) / n_uni)
+       |        * (CAST(b.c AS DOUBLE) / n_uni))), 9) AS pmi
+       |  FROM cand
+       |  JOIN uni a ON a.tok = string_split(bg, ' ')[1]
+       |  JOIN uni b ON b.tok = string_split(bg, ' ')[2]
+       |  CROSS JOIN n_u CROSS JOIN n_b)
+       |SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bg) AS BIGINT)
+       |    AS rank, bg, c_ab, pmi
+       |FROM (SELECT * FROM scored ORDER BY pmi DESC, bg LIMIT $k)
+       |ORDER BY rank""".stripMargin
+
+  /** Per-source KL divergence `KL(p_source ‖ p_corpus)` over the unigram
+    * distribution — the domain-skew report a mixture designer reads next
+    * to [[PipelineQueries.textMixtureReport]]: sources with high KL
+    * contribute distinctive vocabulary; near-zero KL sources duplicate
+    * the corpus average. Each (source, token) term is a scalar double
+    * (9-dp-rounded `ln`), scaled to integer nano-units before the
+    * per-source sum — the [[unigramLogProb]] exactness trick, so Spark's
+    * aggregation order cannot perturb the report.
+    *
+    * Scale shape: one (source, token) count (map-side partials), source
+    * and token marginals re-aggregated FROM that table (no second corpus
+    * scan), the marginal joins keyed on source/token with no broadcast
+    * hints (both grow), one final per-source sum — |sources| rows out. */
+  def domainKl(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val st = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val tokTot = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val tot = tokTot.agg(sum(col("c_t")).as("n"))
+    val term = st.join(srcTot, "source").join(tokTot, "tok")
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        round((col("c_st").cast("double") / col("n_s"))
+          * round(log((col("c_st").cast("double") / col("n_s"))
+            / (col("c_t").cast("double") / col("n"))), 9)
+          * 1000000000.0).cast("long").as("term_e9"))
+    term.groupBy(col("source")).agg(sum(col("term_e9")).as("kl_e9"))
+      .join(srcTot, "source")
+      .select(col("source"), col("n_s").cast("long").as("n_tokens"),
+        col("kl_e9"),
+        round(col("kl_e9").cast("double") / 1000000000.0, 9).as("kl"))
+  }
+
+  /** DuckDB oracle for [[domainKl]]. */
+  val domainKlSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |st AS (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY 1, 2),
+      |src_tot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+      |            FROM st GROUP BY 1),
+      |tok_tot AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t
+      |            FROM st GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM tok_tot),
+      |term AS (
+      |  SELECT source,
+      |    CAST(round((CAST(c_st AS DOUBLE) / n_s)
+      |      * round(ln((CAST(c_st AS DOUBLE) / n_s)
+      |        / (CAST(c_t AS DOUBLE) / n)), 9)
+      |      * 1000000000.0) AS BIGINT) AS term_e9
+      |  FROM st JOIN src_tot USING (source) JOIN tok_tot USING (tok)
+      |  CROSS JOIN tot),
+      |agg AS (SELECT source, CAST(sum(term_e9) AS BIGINT) AS kl_e9
+      |        FROM term GROUP BY 1)
+      |SELECT a.source, s.n_s AS n_tokens, a.kl_e9,
+      |  round(CAST(a.kl_e9 AS DOUBLE) / 1000000000.0, 9) AS kl
+      |FROM agg a JOIN src_tot s USING (source) ORDER BY source""".stripMargin
+
   /** DuckDB oracle for [[unigramLogProb]]. */
   val unigramLogProbSql: String =
     """WITH toks AS (

@@ -297,6 +297,69 @@ object StreamPipeline {
 
   val streamDedupWatermarkedSql: String = streamDedupSql
 
+  /** Streaming funnel — the stateful-processing twin of
+    * [[EventAnalytics.funnel]]: one state machine per user tracking the
+    * furthest strictly-ordered step reached, advanced by a forward scan of
+    * each micro-batch in event-time order. A first-in-ts-order scan with a
+    * strict `ts > reached_ts` guard reproduces the batch semantics exactly
+    * (the first qualifying event in time order IS the min-timestamp
+    * qualifying event), so emissions — one row per user per step, emitted
+    * when the step is first reached — aggregate to the batch funnel counts.
+    *
+    * Determinism caveat (same as [[streamStreamJoin]]): a micro-batch whose
+    * events precede already-processed event time cannot rewind the machine.
+    * The staged source is one file = one micro-batch, so replay here is
+    * exact; a production deployment orders by source partition time or
+    * accepts arrival-order funnel semantics.
+    *
+    * Scale shape: state is (step index, timestamp) per user — constant per
+    * key, the smallest possible streaming-funnel state; the per-batch sort
+    * is per-user-per-batch (bounded by a user's in-batch events, not the
+    * stream). The terminal aggregation is |steps| rows. */
+  def streamFunnel(spark: SparkSession, sfDir: String,
+      steps: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "need at least one funnel step")
+    val name = "stream_funnel_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ev = eventsStream(spark, sfDir)
+      .filter($"event_type".isInCollection(steps))
+      .select($"user_id", expr("unix_micros(ts)").as("ts_us"), $"event_type")
+      .as[(Long, Long, String)]
+    val advances = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), (Long, Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[(Long, Long, String)], state) =>
+          var (reached, tsReached) =
+            state.getOption.getOrElse((0, Long.MinValue))
+          val out = Seq.newBuilder[(Long, Long, String)]
+          events.toSeq.sortBy(_._2).foreach { case (_, tsUs, eventType) =>
+            if (reached < steps.length && eventType == steps(reached) &&
+                tsUs > tsReached) {
+              reached += 1
+              tsReached = tsUs
+              out += ((user, reached.toLong, steps(reached - 1)))
+            }
+          }
+          state.update((reached, tsReached))
+          out.result().iterator
+      }
+    withStreamShuffle(spark, 8) {
+      val q = advances.toDF("user_id", "step_idx", "step")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // each user emits a given step at most once (state is monotone), so the
+    // count per step is the number of users that ever reached it
+    spark.table(name)
+      .groupBy($"step_idx", $"step").agg(count(lit(1)).as("users"))
+      .select($"step_idx", $"step", $"users")
+      .orderBy($"step_idx")
+  }
+
+  /** The streaming funnel replays the BATCH funnel oracle exactly. */
+  val streamFunnelSql: String = EventAnalytics.funnelSql
+
   val sessionWindowsSql: String =
     """WITH lagged AS (
       |  SELECT user_id, ts,

@@ -178,4 +178,33 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(lsh.subsetOf(brute), "LSH must not invent pairs (exact cosine verify)")
   }
+
+  test("semantic dedup keeps the min-id survivor of each duplicate set") {
+    val data = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(2.0f, 0.0f, 0.0f), 0),  // same direction as 1: duplicate
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),  // orthogonal: kept
+      (4L, Array(1.0f, 0.01f, 0.0f), 0)) // near-dup of 1 AND 2
+      .toDF("vec_id", "embedding", "label")
+    val r = Dedup.semanticDedup(data, nlist = 1, threshold = 0.9)
+      .orderBy($"vec_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq((1L, 0L, 0L, true), (2L, 0L, 1L, false),
+      (3L, 0L, 0L, true), (4L, 0L, 2L, false)), s"got $r")
+  }
+
+  test("semantic dedup with cells is deterministic and never drops more than nlist=1") {
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val cellRun = Dedup.semanticDedup(e, nlist = 4, threshold = 0.35)
+    val again = Dedup.semanticDedup(e, nlist = 4, threshold = 0.35)
+    assert(cellRun.orderBy($"vec_id").collect()
+      .sameElements(again.orderBy($"vec_id").collect()),
+      "seeded k-means must make cell dedup deterministic")
+    val keptCells = cellRun.filter($"kept").count()
+    val keptFull = Dedup.semanticDedup(e, nlist = 1, threshold = 0.35)
+      .filter($"kept").count()
+    // cells only REMOVE comparisons: the exact form drops at least as many
+    assert(keptCells >= keptFull, s"$keptCells vs $keptFull")
+    assert(cellRun.count() === e.count(), "one audit row per vector")
+  }
 }

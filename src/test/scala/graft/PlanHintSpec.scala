@@ -45,4 +45,16 @@ class PlanHintSpec extends AnyFunSuite {
       assert(hintCount(q) == 0, s"$q must leave join strategy to the planner")
     }
   }
+
+  test("retrieval/analytics operators hint only query-bounded or 1-row legs") {
+    assert(hintCount("text_bm25") == 2, "df (≤|query terms| rows) + 1-row corpus")
+    assert(hintCount("text_unigram_lp") == 1, "1-row token total only — vocab join stays free")
+    assert(hintCount("text_pmi") == 2, "1-row unigram + bigram totals — count joins stay free")
+    assert(hintCount("text_domain_kl") == 1, "1-row corpus total — marginal joins stay free")
+    // user-keyed chains and cell self-joins: entirely planner-owned
+    Seq("q_event_funnel", "q_cohort_retention", "dedup_semantic",
+      "dedup_semantic_full").foreach { q =>
+      assert(hintCount(q) == 0, s"$q must leave join strategy to the planner")
+    }
+  }
 }

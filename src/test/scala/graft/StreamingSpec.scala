@@ -18,6 +18,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("streaming funnel equals the batch funnel") {
+    val got = StreamPipeline.streamFunnel(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = EventAnalytics.funnel(Tables.events(spark, TestSpark.sfDir))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sameElements(want), s"${got.toSeq} vs ${want.toSeq}")
+    assert(got.head._3 > 0, "fixture should have signups")
+  }
+
   test("streaming sink is exactly-once across a checkpointed restart") {
     val cfg = SinkConfig(
       tableName = "events_stream",

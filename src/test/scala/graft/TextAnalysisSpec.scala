@@ -318,6 +318,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r == Seq(1L, 2L), s"got $r")
   }
 
+  test("pmi ranks the always-together pair above the independent pair") {
+    // "x y" always adjacent (perfect association); "a b" co-occurs once
+    // out of many appearances of each
+    val docs = Seq(
+      (1L, "x y a c x y b d"),
+      (2L, "a e b f x y a b"),
+      (3L, "x y a g b h")).toDF("doc_id", "text")
+    val r = TextAnalysis.pmiTopK(docs, k = 5, minCount = 2)
+      .orderBy("rank").collect().map(x => (x.getString(1), x.getDouble(3)))
+    assert(r.nonEmpty && r.head._1 == "x y", s"got ${r.toSeq}")
+    val m = r.toMap
+    assert(!m.contains("a b") || m("x y") > m("a b"))
+  }
+
+  test("domain KL matches hand-computed divergences") {
+    // corpus: a=b=c=z=3, N=12 → p=1/4 each.
+    // same*: p_s=1/3 over {a,b,c} → KL = ln(4/3).
+    // skew: p_s = 1/6,1/6,1/6,1/2 → KL = ln(2)/2 + ln(2/3)/2 — LOWER than
+    // same* because skew dominates the corpus and so DEFINES its average.
+    val docs = Seq(
+      (1L, "a b c", "en", "same1"), (2L, "a b c", "en", "same2"),
+      (3L, "a b c", "en", "skew"), (4L, "z z z", "en", "skew"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.domainKl(docs).orderBy("source")
+      .collect().map(x => (x.getString(0), x.getDouble(3))).toMap
+    assert(r("same1") == r("same2"))
+    assert(math.abs(r("same1") - math.log(4.0 / 3.0)) < 1e-8, s"got $r")
+    assert(math.abs(r("skew")
+      - (math.log(2.0) / 2 + math.log(2.0 / 3.0) / 2)) < 1e-8, s"got $r")
+    assert(r.values.forall(_ >= 0.0), s"KL must be non-negative: $r")
+  }
+
   test("unigram log-prob matches hand-computed corpus probabilities") {
     val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
     // corpus: a=2, b=1, total=3
