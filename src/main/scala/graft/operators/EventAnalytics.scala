@@ -121,10 +121,72 @@ object EventAnalytics {
       |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS users
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Per-user daily activity with rolling 7-day features — the
+    * feature-engineering pass an events-driven model (churn, anomaly,
+    * recommendation) trains on: events and value per active day, the
+    * trailing-week RANGE-window aggregates, and the previous active day's
+    * count. The window key is an exact integer day index (days since
+    * 1970-01-01), so the RANGE frame `[-6, 0]` is calendar-correct across
+    * gaps (a user inactive for a month does NOT drag old days into the
+    * frame, which a ROWS frame would). Money-like sums go through
+    * DECIMAL(18,2) (exact, order-independent) and cast to double only at
+    * the output edge — the repo-wide float-sum armor.
+    *
+    * Scale shape: the daily aggregate shuffles once on (user_id, day) with
+    * map-side partials — the row count drops from |events| to |active user
+    * days| before any window runs; the rolling windows then re-shuffle the
+    * AGGREGATED table on user_id and sort each user's days — bounded by
+    * the observation window, never by event volume. */
+  def rollingFeatures(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.groupBy(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("value_sum"))
+    val range7 = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+      .rangeBetween(-6, 0)
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+    daily
+      .withColumn("roll7_events", sum(col("n_events")).over(range7))
+      .withColumn("roll7_value",
+        sum(col("value_sum")).over(range7).cast("double"))
+      .withColumn("prev_n_events",
+        coalesce(lag(col("n_events"), 1).over(byDay), lit(0L)))
+      .select(col("user_id"), col("day_idx"), col("n_events"),
+        col("value_sum").cast("double").as("value_sum"),
+        col("roll7_events"), col("roll7_value"), col("prev_n_events"))
+  }
+
+  /** DuckDB oracle for [[rollingFeatures]]. */
+  val rollingFeaturesSql: String =
+    """WITH daily AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS day_idx,
+      |    count(*) AS n_events,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS value_sum
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day_idx, n_events,
+      |  CAST(value_sum AS DOUBLE) AS value_sum,
+      |  CAST(sum(n_events) OVER w7 AS BIGINT) AS roll7_events,
+      |  CAST(sum(value_sum) OVER w7 AS DOUBLE) AS roll7_value,
+      |  CAST(COALESCE(lag(n_events) OVER
+      |    (PARTITION BY user_id ORDER BY day_idx), 0) AS BIGINT)
+      |    AS prev_n_events
+      |FROM daily
+      |WINDOW w7 AS (PARTITION BY user_id ORDER BY day_idx
+      |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day_idx""".stripMargin
+
   // ------------------------------------------------ driver-contract hooks
   def qFunnel(spark: SparkSession, sfDir: String): DataFrame =
     funnel(Tables.events(spark, sfDir))
 
   def qCohortRetention(spark: SparkSession, sfDir: String): DataFrame =
     cohortRetention(Tables.events(spark, sfDir))
+
+  def qRollingFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    rollingFeatures(Tables.events(spark, sfDir))
+      .orderBy(col("user_id"), col("day_idx"))
 }

@@ -43,6 +43,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r == Seq((1L, "signup", 1L), (2L, "click", 1L)), s"got $r")
   }
 
+  test("rolling features use a calendar RANGE frame, not a row frame") {
+    val events = Seq(
+      // three active days: Jan 1, Jan 5, Jan 20 (a 15-day gap)
+      (1L, ts("2024-01-01 10:00:00"), "view", 1.0),
+      (1L, ts("2024-01-01 11:00:00"), "view", 2.0),
+      (1L, ts("2024-01-05 10:00:00"), "view", 4.0),
+      (1L, ts("2024-01-20 10:00:00"), "view", 8.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = EventAnalytics.rollingFeatures(events)
+      .orderBy("day_idx")
+      .as[(Long, Long, Long, Double, Long, Double, Long)].collect().toSeq
+    val d0 = 19723L // 2024-01-01 as days since 1970-01-01
+    assert(r == Seq(
+      // day 0: both events; window = itself
+      (1L, d0, 2L, 3.0, 2L, 3.0, 0L),
+      // day 4: Jan 1 is 4 days back -> inside [-6, 0]
+      (1L, d0 + 4, 1L, 4.0, 3L, 7.0, 2L),
+      // day 19: nothing within 6 days -> frame is just itself,
+      // though the PREVIOUS ACTIVE day (Jan 5) still feeds the lag
+      (1L, d0 + 19, 1L, 8.0, 1L, 8.0, 1L)), s"got $r")
+  }
+
   test("cohortRetention cohorts by Monday week of first event") {
     val events = Seq(
       // u1 first active Mon 2024-01-01 week; active again the next week

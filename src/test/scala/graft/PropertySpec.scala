@@ -123,4 +123,55 @@ class PropertySpec extends AnyFunSuite {
       a == b && a >= 0 && a < 1000000007L
     }, min = 15)
   }
+
+  private val eventsGen: Gen[Seq[(Long, java.sql.Timestamp, String)]] =
+    Gen.listOf(for {
+      u <- Gen.chooseNum(1L, 5L)
+      sec <- Gen.chooseNum(0L, 86400L)
+      t <- Gen.oneOf("signup", "click", "purchase", "view")
+    } yield (u, new java.sql.Timestamp(1700000000000L + sec * 1000), t))
+
+  test("funnel step counts are monotonically non-increasing") {
+    check(Prop.forAll(eventsGen) { evs =>
+      val df = evs.toDF("user_id", "ts", "event_type")
+      val counts = EventAnalytics.funnel(df)
+        .orderBy("step_idx").select("users").as[Long].collect().toSeq
+      counts.size == 3 && counts.sliding(2).forall {
+        case Seq(a, b) => a >= b
+        case _ => true
+      }
+    }, min = 10)
+  }
+
+  test("domain KL is non-negative for arbitrary corpora") {
+    val docsGen = Gen.nonEmptyListOf(for {
+      src <- Gen.oneOf("s1", "s2", "s3")
+      toks <- Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield (src, toks.mkString(" ")))
+    check(Prop.forAll(docsGen) { docs =>
+      val df = docs.zipWithIndex
+        .map { case ((s, t), i) => (i.toLong, t, "en", s) }
+        .toDF("doc_id", "text", "lang", "source")
+      // mathematically >= 0; allow the 9-dp per-term rounding its dust
+      TextAnalysis.domainKl(df).select("kl").as[Double].collect()
+        .forall(_ >= -1e-6)
+    }, min = 10)
+  }
+
+  test("semantic dedup with cells never drops a vector the exact form keeps") {
+    val vecsGen = Gen.nonEmptyListOf(
+      Gen.listOfN(4, Gen.chooseNum(-5, 5)).map(_.map(_.toFloat)))
+      .map(_.filter(_.exists(_ != 0f)).zipWithIndex)
+      .suchThat(_.size >= 2)
+    check(Prop.forAll(vecsGen) { vecs =>
+      val df = vecs.map { case (v, i) => (i.toLong, v.toArray, 0) }
+        .toDF("vec_id", "embedding", "label")
+      def keptSet(nlist: Int) =
+        Dedup.semanticDedup(df, nlist = nlist, threshold = 0.9)
+          .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+      // within-cell comparisons are a subset of all-pairs comparisons,
+      // so every exact-form survivor must survive the cell form too
+      keptSet(1).subsetOf(keptSet(2))
+    }, min = 5)
+  }
 }
