@@ -306,6 +306,25 @@ object OracleSql {
        |FROM k ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------- weighted sample
+  /** Oracle for [[TextAnalysis.weightedSample]]: the same splitmix64
+    * chain in HUGEINT, top-53-bits-plus-half uniform (a dyadic rational,
+    * exact in both engines), and the `ln(u)/w` A-ES ranking key with the
+    * 9-dp round + doc_id tie-break. */
+  val weightedSampleSql: String = {
+    val h = mix64Scalar(s"(${unsigned64("doc_id")})")
+    s"""WITH k AS (
+       |  SELECT doc_id, CAST(greatest(n_chars, 1) AS BIGINT) AS w,
+       |    round(ln((CAST(($h) // 2048 AS DOUBLE) + 0.5)
+       |        / 9007199254740992.0)
+       |      / greatest(n_chars, 1), 9) AS key9
+       |  FROM documents)
+       |SELECT CAST(row_number() OVER (ORDER BY key9 DESC, doc_id)
+       |    AS BIGINT) AS rank, doc_id, w, key9
+       |FROM (SELECT * FROM k ORDER BY key9 DESC, doc_id LIMIT 20)
+       |ORDER BY rank""".stripMargin
+  }
+
   // -------------------------------------------------------- bucket transform
   /** murmur3_x86_32 of an 8-byte little-endian long, unrolled into lateral
     * column aliases (two 4-byte blocks + finalizer). Matches

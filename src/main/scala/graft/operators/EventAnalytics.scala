@@ -179,6 +179,70 @@ object EventAnalytics {
       |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, day_idx""".stripMargin
 
+  /** Anomalous-activity days: for each user with at least `minDays` active
+    * days, flag days whose event count deviates from the user's mean by
+    * more than `nSigma` population standard deviations — the volume-spike
+    * detector that runs over the same daily aggregate as
+    * [[rollingFeatures]].
+    *
+    * Engine portability: the per-user moments are EXACT integer sums
+    * (Σx, Σx² of bigint counts — no float accumulation to disagree on);
+    * mean, variance, and the z-score are then single double expressions
+    * evaluated identically by DuckDB, with the z 9-dp-rounded. A constant
+    * series has variance exactly 0 and is never flagged (no epsilon, no
+    * division: the flag compares |x−μ| against nSigma·σ directly, and z
+    * is emitted via a var>0 guard).
+    *
+    * Scale shape: daily aggregate shuffles once on (user, day); the
+    * moment table aggregates that on user (map-side partials); their join
+    * is keyed user_id, unhinted. Output is only the flagged days. */
+  def anomalousDays(events: DataFrame, nSigma: Double = 3.0,
+      minDays: Int = 7): DataFrame = {
+    val daily = events.groupBy(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("x"))
+    val moments = daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= minDays)
+    val mean = col("sx").cast("double") / col("n")
+    val variance = (col("sxx").cast("double") / col("n")) -
+      ((col("sx").cast("double") / col("n"))
+        * (col("sx").cast("double") / col("n")))
+    val diff = col("x").cast("double") - mean
+    daily.join(moments, "user_id")
+      .filter(abs(diff) > lit(nSigma) * sqrt(variance))
+      .select(col("user_id"), col("day_idx"), col("x").as("n_events"),
+        when(variance > 0, round(diff / sqrt(variance), 9))
+          .otherwise(lit(0.0)).as("z9"))
+  }
+
+  /** DuckDB oracle for [[anomalousDays]] at the default (3σ, 7 days). */
+  val anomalousDaysSql: String =
+    """WITH daily AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS day_idx,
+      |    count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT user_id, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM daily GROUP BY 1 HAVING count(*) >= 7)
+      |SELECT d.user_id, d.day_idx, d.x AS n_events,
+      |  CASE WHEN CAST(sxx AS DOUBLE) / n
+      |         - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) > 0
+      |    THEN round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+      |      / sqrt(CAST(sxx AS DOUBLE) / n
+      |        - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)), 9)
+      |    ELSE 0.0 END AS z9
+      |FROM daily d JOIN m USING (user_id)
+      |WHERE abs(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+      |  > 3.0 * sqrt(CAST(sxx AS DOUBLE) / n
+      |    - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+      |ORDER BY user_id, day_idx""".stripMargin
+
   // ------------------------------------------------ driver-contract hooks
   def qFunnel(spark: SparkSession, sfDir: String): DataFrame =
     funnel(Tables.events(spark, sfDir))
@@ -188,5 +252,9 @@ object EventAnalytics {
 
   def qRollingFeatures(spark: SparkSession, sfDir: String): DataFrame =
     rollingFeatures(Tables.events(spark, sfDir))
+      .orderBy(col("user_id"), col("day_idx"))
+
+  def qAnomalousDays(spark: SparkSession, sfDir: String): DataFrame =
+    anomalousDays(Tables.events(spark, sfDir))
       .orderBy(col("user_id"), col("day_idx"))
 }

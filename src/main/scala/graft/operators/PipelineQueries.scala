@@ -1015,4 +1015,12 @@ object PipelineQueries {
       .orderBy(col("source"))
 
   val textDomainKlSql: String = TextAnalysis.domainKlSql
+
+  /** A-ES weighted sample, top-20 by `n_chars` weight; the oracle replays
+    * the splitmix64 uniform and the ln(u)/w key exactly. */
+  def textWeightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.weightedSample(Tables.documents(spark, sfDir))
+      .orderBy(col("rank"))
+
+  val textWeightedSampleSql: String = OracleSql.weightedSampleSql
 }

@@ -704,6 +704,38 @@ object TextAnalysis {
        |FROM (SELECT * FROM scored ORDER BY pmi DESC, bg LIMIT $k)
        |ORDER BY rank""".stripMargin
 
+  /** Weight-proportional sampling WITHOUT replacement via the
+    * Efraimidis–Spirakis A-ES scheme: each document draws a deterministic
+    * hash-uniform `u ∈ (0,1)` and the k largest `u^(1/w)` win — inclusion
+    * probability proportional to weight `w` (here `n_chars`; any positive
+    * score column works). The quality-weighted subset selection a
+    * training-data pipeline runs when it wants "pick 1M docs, favoring
+    * high quality" rather than a uniform sample.
+    *
+    * Determinism/portability: `u` comes from splitmix64(doc_id) — top 53
+    * bits plus ½, over 2^53, a dyadic rational both engines hold exactly —
+    * and ranking uses `ln(u)/w` (monotone in `u^(1/w)`, avoids pow()
+    * whose libm rounding differs across engines), 9-dp-rounded with a
+    * doc_id tie-break. Reprocessing-stable like every sampler here: the
+    * sample never changes across reruns or engine versions.
+    *
+    * Scale shape: one map-side key per row, TakeOrdered top-k — no full
+    * sort, no shuffle beyond the per-partition top-k merge. */
+  def weightedSample(docs: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val w = greatest(col("n_chars"), lit(1L))
+    val u53 = shiftrightunsigned(
+      VectorExpressions.mix64Col(spark, col("doc_id")), 11)
+    val u = (u53.cast("double") + lit(0.5)) / lit(9007199254740992.0)
+    val top = docs.select(col("doc_id"), w.cast("long").as("w"),
+        round(log(u) / w, 9).as("key9"))
+      .orderBy(col("key9").desc, col("doc_id").asc).limit(k)
+    val win = Window.partitionBy().orderBy(col("key9").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(win).cast("long"))
+      .select(col("rank"), col("doc_id"), col("w"), col("key9"))
+  }
+
   /** Per-source KL divergence `KL(p_source ‖ p_corpus)` over the unigram
     * distribution — the domain-skew report a mixture designer reads next
     * to [[PipelineQueries.textMixtureReport]]: sources with high KL

@@ -65,6 +65,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (1L, d0 + 19, 1L, 8.0, 1L, 8.0, 1L)), s"got $r")
   }
 
+  test("anomalousDays flags only the spike day and skips constant series") {
+    // u1: 19 days at 1 event + one day at 50 -> z = 4.36 (a single
+    // outlier among n days caps at z = (n-1)/sqrt(n), so n must be >10
+    // for 3 sigma to be reachable at all).
+    // u2: 10 identical days -> variance 0, nothing flagged.
+    val u1 = (1 to 19).map(d =>
+      (1L, ts(f"2024-01-$d%02d 10:00:00"), "view")) ++
+      Seq.fill(50)((1L, ts("2024-01-25 10:00:00"), "view"))
+    val u2 = (10 to 19).map(d => (2L, ts(s"2024-02-$d 10:00:00"), "view"))
+    val events = (u1 ++ u2).toDF("user_id", "ts", "event_type")
+    val r = EventAnalytics.anomalousDays(events)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r.map(x => (x._1, x._3)) == Seq((1L, 50L)), s"got $r")
+    assert(r.head._4 > 2.8, s"z-score should be large: $r")
+  }
+
   test("cohortRetention cohorts by Monday week of first event") {
     val events = Seq(
       // u1 first active Mon 2024-01-01 week; active again the next week

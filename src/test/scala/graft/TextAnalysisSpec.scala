@@ -350,6 +350,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.values.forall(_ >= 0.0), s"KL must be non-negative: $r")
   }
 
+  test("weighted sample ranks overwhelming-weight docs first, deterministically") {
+    // 50 docs at weight 1 vs 3 at weight 1e9: a weight-1 doc would need
+    // u > 1 - ~4e-8 to outrank ANY heavy doc — outside the 53-bit hash
+    // lattice for these ids, so the heavy trio must occupy ranks 1-3
+    val docs = ((1L to 50L).map(i => (i, 1L))
+      ++ Seq((100L, 1000000000L), (101L, 1000000000L), (102L, 1000000000L)))
+      .toDF("doc_id", "n_chars")
+    val r = TextAnalysis.weightedSample(docs, k = 5)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r.take(3).map(_._2).toSet == Set(100L, 101L, 102L), s"got $r")
+    assert(r == TextAnalysis.weightedSample(docs, k = 5)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect().toSeq,
+      "sample must be reprocessing-stable")
+  }
+
   test("unigram log-prob matches hand-computed corpus probabilities") {
     val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
     // corpus: a=2, b=1, total=3
