@@ -387,4 +387,98 @@ object RelationalExt {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
       |                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q9 (product-type profit), adapted: no partsupp in the fixture, so
+    * supply cost is approximated by `p_retailprice · l_quantity` — the
+    * five-table star join and its plan shape (fact shuffles once; every
+    * dimension joins on its own key; only the 25-row nation leg is
+    * hint-broadcast) are the point, not the costing model. */
+  def productProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val amount = (revenue - dec($"p_retailprice") * dec($"l_quantity"))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter($"p_name".contains("red"))
+        .select($"p_partkey", $"p_retailprice"),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables.supplier(spark, sfDir)
+        .select($"s_suppkey", $"s_nationkey"), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy($"nation", $"o_year")
+  }
+
+  val productProfitSql: String =
+    """SELECT n_name AS nation,
+      |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    - CAST(p_retailprice AS DECIMAL(18,2))
+      |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Q21 (suppliers who kept orders waiting), adapted: the fixture has no
+    * l_commitdate/l_receiptdate, so "waiting" becomes: in a multi-supplier
+    * order, THIS supplier was the unique latest shipper. Same relational
+    * skeleton as the original — EXISTS (another supplier) + NOT EXISTS
+    * (another equally-late supplier) — rewritten as aggregate-then-join:
+    * per-(order, supplier) max ship date, per-order max + supplier count,
+    * then the at-max count distinguishes the unique-latest case. Every
+    * stage before the supplier name join is keyed on l_orderkey (one
+    * shuffle, reused); the supplier join is keyed s_suppkey and unhinted
+    * (SF-proportional). Final ranking is TakeOrdered top-10. */
+  def lateSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perSupp = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"l_shipdate").as("m"))
+    val perOrder = perSupp.groupBy($"l_orderkey")
+      .agg(max($"m").as("mx"), count(lit(1)).as("n_supp"))
+    val atMax = perSupp.join(perOrder, "l_orderkey").filter($"m" === $"mx")
+    val nAtMax = atMax.groupBy($"l_orderkey").agg(count(lit(1)).as("n_max"))
+    val blamed = atMax.join(nAtMax, "l_orderkey")
+      .filter($"n_supp" >= 2 && $"n_max" === 1)
+    val counts = blamed
+      .join(Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name".asc).limit(10)
+    val w = Window.partitionBy().orderBy($"numwait".desc, $"s_name".asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .select($"rank", $"s_name", $"numwait")
+  }
+
+  val lateSuppliersSql: String =
+    """WITH per_supp AS (
+      |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS m
+      |  FROM lineitem GROUP BY 1, 2),
+      |per_order AS (
+      |  SELECT l_orderkey, max(m) AS mx, count(*) AS n_supp
+      |  FROM per_supp GROUP BY 1),
+      |at_max AS (
+      |  SELECT p.l_orderkey, p.l_suppkey, o.n_supp
+      |  FROM per_supp p JOIN per_order o USING (l_orderkey)
+      |  WHERE p.m = o.mx),
+      |n_at_max AS (
+      |  SELECT l_orderkey, count(*) AS n_max FROM at_max GROUP BY 1),
+      |counts AS (
+      |  SELECT s_name, count(*) AS numwait
+      |  FROM at_max a JOIN n_at_max USING (l_orderkey)
+      |  JOIN supplier ON a.l_suppkey = s_suppkey
+      |  WHERE a.n_supp >= 2 AND n_max = 1
+      |  GROUP BY 1
+      |  ORDER BY numwait DESC, s_name LIMIT 10)
+      |SELECT CAST(row_number() OVER (ORDER BY numwait DESC, s_name)
+      |    AS BIGINT) AS rank, s_name, numwait
+      |FROM counts ORDER BY rank""".stripMargin
 }

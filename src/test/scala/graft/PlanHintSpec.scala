@@ -31,6 +31,8 @@ class PlanHintSpec extends AnyFunSuite {
     assert(hintCount("q7_nation_volume") == 2, "two nation legs")
     assert(hintCount("q8_market_share") == 3, "region + two nation legs")
     assert(hintCount("q22_idle_customers") == 1, "single-row avg-balance scalar")
+    assert(hintCount("q9_product_profit") == 1, "25-row nation leg only")
+    assert(hintCount("q21_late_suppliers") == 0, "supplier join stays planner-owned")
   }
 
   test("pipeline operators hint only bounded-metadata legs") {
