@@ -25,7 +25,10 @@ object Explain {
         "text_quality_floor", "text_rebalance", "q_embed_quantize",
         "q_epoch_shuffle", "q_sample_per_source", "text_token_rarity",
         "text_contamination_bloom", "text_bm25", "text_unigram_lp",
-        "q_event_funnel", "q_cohort_retention")
+        "q_event_funnel", "q_cohort_retention", "q_rolling_features",
+        "q_profile_events", "text_pmi", "text_domain_kl",
+        "text_weighted_sample", "q9_product_profit", "q21_late_suppliers",
+        "dedup_semantic")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -360,6 +360,42 @@ object StreamPipeline {
   /** The streaming funnel replays the BATCH funnel oracle exactly. */
   val streamFunnelSql: String = EventAnalytics.funnelSql
 
+  /** Stream-static enrichment — the remaining classic streaming join
+    * shape next to [[streamStreamJoin]]: each micro-batch of the event
+    * stream joins a STATIC dimension (per-user cohort week, computed once
+    * in batch) and feeds a running per-cohort count. Stream-static inner
+    * joins are STATELESS — no watermark, no join state store; the static
+    * side is re-planned per micro-batch, so at scale it should be a
+    * broadcast-friendly dimension or a bucketed table (here it is
+    * |users| rows of (user, week) — metadata-shaped, AQE broadcasts it).
+    * Aggregation runs in complete mode over |cohort-weeks| groups —
+    * bounded by the calendar. */
+  def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = "stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val cohorts = Tables.events(spark, sfDir).groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+    val counted = eventsStream(spark, sfDir).select($"user_id")
+      .join(cohorts, "user_id")
+      .groupBy($"cohort_week").agg(count(lit(1)).as("n_events"))
+    withStreamShuffle(spark, 8) {
+      val q = counted.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name).orderBy($"cohort_week")
+  }
+
+  /** Batch replay of [[streamStaticEnrich]]: same join, same counts. */
+  val streamStaticEnrichSql: String =
+    """WITH first AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+      |           AS cohort_week
+      |  FROM events GROUP BY 1)
+      |SELECT cohort_week, count(*) AS n_events
+      |FROM events JOIN first USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val sessionWindowsSql: String =
     """WITH lagged AS (
       |  SELECT user_id, ts,

@@ -27,6 +27,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.head._3 > 0, "fixture should have signups")
   }
 
+  test("stream-static enrichment equals the batch join") {
+    val got = StreamPipeline.streamStaticEnrich(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    val cohorts = Tables.events(spark, TestSpark.sfDir)
+      .groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+    val want = Tables.events(spark, TestSpark.sfDir)
+      .join(cohorts, "user_id")
+      .groupBy($"cohort_week").agg(count(lit(1)).as("n_events"))
+      .orderBy($"cohort_week")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    assert(got.sameElements(want), s"${got.toSeq} vs ${want.toSeq}")
+  }
+
   test("streaming sink is exactly-once across a checkpointed restart") {
     val cfg = SinkConfig(
       tableName = "events_stream",
