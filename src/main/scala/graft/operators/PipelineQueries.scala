@@ -1023,4 +1023,11 @@ object PipelineQueries {
       .orderBy(col("rank"))
 
   val textWeightedSampleSql: String = OracleSql.weightedSampleSql
+
+  /** Nearest-class-mean confusion matrix over the labeled embeddings. */
+  def simCentroidClassify(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.centroidClassify(Tables.embeddings(spark, sfDir))
+      .orderBy(col("label"), col("pred"))
+
+  val simCentroidClassifySql: String = Similarity.centroidClassifySql
 }

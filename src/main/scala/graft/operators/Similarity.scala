@@ -151,4 +151,80 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
+
+  /** Nearest-class-mean classification over the labeled embedding table —
+    * the standard linear probe for "do these embeddings separate the
+    * classes?": per-label mean vectors (centroids), every vector assigned
+    * to its highest-dot-product centroid, reported as a confusion matrix
+    * (label, pred, n). Run after an embedding refresh to catch representa-
+    * tion regressions before they hit retrieval.
+    *
+    * Engine portability: centroid components come from EXACT integer sums
+    * (each float32 component scaled to nano-units — the corpus sum order
+    * cannot perturb them), divided once in double space; the score is the
+    * sequential-fold dot product both engines replay term-for-term
+    * ([[VectorExpressions.vecDot]] ↔ DuckDB list_reduce), rounded to 9 dp
+    * with a label tie-break.
+    *
+    * Scale shape: the moment pass explodes to |rows|·dim entries but
+    * aggregates map-side down to |labels|·dim — one shuffle bounded by
+    * the class count; the centroid table is |labels| rows (bounded
+    * metadata → hint-broadcast) so assignment is one scan with a
+    * per-vector top-1 window over |labels| candidates. */
+  def centroidClassify(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val dims = e.select(col("label"), posexplode(col("v")).as(Seq("d0", "x")))
+      .select(col("label"), (col("d0") + 1).as("d"),
+        round(col("x") * 1000000000.0).cast("long").as("x_e9"))
+    val cent = dims.groupBy(col("label"), col("d"))
+      .agg(sum(col("x_e9")).as("s_e9"), count(lit(1)).as("n"))
+      .select(col("label"), col("d"),
+        (col("s_e9").cast("double") / col("n") / 1000000000.0).as("c"))
+    val carr = cent.groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val scored = e.crossJoin(
+        broadcast(carr.select(col("label").as("cand"), col("cv"))))
+      .select(col("vec_id"), col("label"), col("cand"),
+        round(VectorExpressions.vecDot(spark, col("v"), col("cv")), 9)
+          .as("dot9"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dot9").desc, col("cand").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("label"), col("cand").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB oracle for [[centroidClassify]] (embeddings table, dim 64). */
+  val centroidClassifySql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT label, d,
+      |    CAST(round(v[d] * 1000000000.0) AS BIGINT) AS x_e9
+      |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)),
+      |cent AS (
+      |  SELECT label, d,
+      |    CAST(CAST(sum(x_e9) AS BIGINT) AS DOUBLE) / count(*)
+      |      / 1000000000.0 AS c
+      |  FROM dims GROUP BY 1, 2),
+      |carr AS (SELECT label, list(c ORDER BY d) AS cv FROM cent GROUP BY 1),
+      |scored AS (
+      |  SELECT e.vec_id, e.label, c.label AS cand,
+      |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      [e.v[d] * c.cv[d] FOR d IN generate_series(1, 64)]),
+      |      (acc, x) -> acc + x), 9) AS dot9
+      |  FROM e CROSS JOIN carr c),
+      |top AS (
+      |  SELECT vec_id, label, cand,
+      |    row_number() OVER (PARTITION BY vec_id
+      |                       ORDER BY dot9 DESC, cand) AS rk
+      |  FROM scored)
+      |SELECT label, cand AS pred, count(*) AS n
+      |FROM top WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

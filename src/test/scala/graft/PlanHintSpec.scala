@@ -53,6 +53,8 @@ class PlanHintSpec extends AnyFunSuite {
     assert(hintCount("text_unigram_lp") == 1, "1-row token total only — vocab join stays free")
     assert(hintCount("text_pmi") == 2, "1-row unigram + bigram totals — count joins stay free")
     assert(hintCount("text_domain_kl") == 1, "1-row corpus total — marginal joins stay free")
+    assert(hintCount("sim_centroid_classify") == 1,
+      "|labels|-row centroid table only")
     // user-keyed chains and cell self-joins: entirely planner-owned
     Seq("q_event_funnel", "q_cohort_retention", "dedup_semantic",
       "dedup_semantic_full").foreach { q =>

@@ -96,4 +96,25 @@ class SimilaritySpec extends AnyFunSuite {
         assert(rs == (1L to rs.length))
       }
   }
+
+  test("centroid classifier separates well-separated clusters perfectly") {
+    // two axis-aligned clusters with small within-class jitter
+    val data = Seq(
+      (1L, Array(1.0f, 0.1f, 0f, 0f), 0), (2L, Array(0.9f, 0f, 0.1f, 0f), 0),
+      (3L, Array(1.1f, 0f, 0f, 0.1f), 0),
+      (4L, Array(0f, 1.0f, 0.1f, 0f), 1), (5L, Array(0.1f, 0.9f, 0f, 0f), 1),
+      (6L, Array(0f, 1.1f, 0f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidClassify(data, dim = 4)
+      .orderBy("label", "pred")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 0L, 3L), (1L, 1L, 3L)), s"got $r")
+  }
+
+  test("centroid confusion matrix accounts for every vector exactly once") {
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val total = Similarity.centroidClassify(e)
+      .agg(sum($"n")).as[Long].head()
+    assert(total == e.count(), "every vector gets exactly one prediction")
+  }
 }
