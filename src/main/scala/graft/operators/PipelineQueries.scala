@@ -1024,6 +1024,12 @@ object PipelineQueries {
 
   val textWeightedSampleSql: String = OracleSql.weightedSampleSql
 
+  /** Corpus-derived stopwords at the 50% document-frequency threshold. */
+  def textStopwords(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.stopwords(Tables.documents(spark, sfDir))
+
+  val textStopwordsSql: String = TextAnalysis.stopwordsSql
+
   /** Nearest-class-mean confusion matrix over the labeled embeddings. */
   def simCentroidClassify(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.centroidClassify(Tables.embeddings(spark, sfDir))

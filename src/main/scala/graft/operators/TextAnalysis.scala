@@ -632,6 +632,45 @@ object TextAnalysis {
           / col("n_tokens"), 9).as("avg_logp"))
   }
 
+  /** Corpus-derived stopword list: tokens appearing in at least `pct`% of
+    * documents — the data-driven replacement for a hand-curated stopword
+    * file, feeding the quality/rarity operators (a multilingual corpus
+    * derives per-corpus stopwords instead of assuming English). The ratio
+    * is kept as exact integers (df·100 ≥ n_docs·pct) for the cut and
+    * exposed as a single-division double for reporting.
+    *
+    * Scale shape: one document-frequency aggregate (distinct (doc, tok)
+    * explode, two map-side-partial shuffles), a 1-row corpus count
+    * hint-broadcast; output is the high-df tail of the vocabulary —
+    * metadata-sized by construction. */
+  def stopwords(docs: DataFrame, pct: Int = 50): DataFrame = {
+    require(pct >= 1 && pct <= 100, "pct must be in [1, 100]")
+    val df = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+        .as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    df.crossJoin(broadcast(n))
+      .filter(col("df") * 100 >= col("n_docs") * pct)
+      .select(col("tok"), col("df"),
+        round(col("df").cast("double") / col("n_docs"), 9).as("doc_ratio"))
+      .orderBy(col("df").desc, col("tok").asc)
+  }
+
+  /** DuckDB oracle for [[stopwords]] at the default 50% threshold. */
+  val stopwordsSql: String =
+    """WITH df AS (
+      |  SELECT tok, count(*) AS df FROM (
+      |    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)
+      |  GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT tok, df,
+      |  round(CAST(df AS DOUBLE) / n_docs, 9) AS doc_ratio
+      |FROM df CROSS JOIN n
+      |WHERE df * 100 >= n_docs * 50
+      |ORDER BY df DESC, tok""".stripMargin
+
   /** PMI-ranked collocations: the top-`k` adjacent token pairs by
     * pointwise mutual information `ln(p(ab) / (p(a)·p(b)))` among bigrams
     * with at least `minCount` occurrences — the standard corpus-mining

@@ -318,6 +318,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r == Seq(1L, 2L), s"got $r")
   }
 
+  test("stopwords keep high-df tokens; repeats within a doc count once") {
+    val docs = Seq(
+      (1L, "the the cat"), (2L, "the dog"), (3L, "the fish"), (4L, "bird"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.stopwords(docs, pct = 75)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(r == Seq(("the", 3L, 0.75)), s"'the' in 3/4 docs (>=75%): $r")
+  }
+
   test("pmi ranks the always-together pair above the independent pair") {
     // "x y" always adjacent (perfect association); "a b" co-occurs once
     // out of many appearances of each
