@@ -34,7 +34,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"warm_of_2"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"warm_of_2"}"""
+    println(json)
+    // The driver keeps only a stdout tail, which truncates the per-query
+    // map; persist the full record too (SPARK_GRAFT_BENCH_OUT overrides).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/target/bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    catch { case NonFatal(e) =>
+      System.err.println(s"WARN could not write bench record to $out: $e") }
     spark.stop()
   }
 }
