@@ -115,15 +115,17 @@ final class ZoneMaps(sink: TableSink) {
       .write.mode("overwrite").parquet(statsPath)
   }
 
-  /** `input_file_name` is a percent-encoded URI while the FS listing is a
-    * raw path — decode through URI so the two keys actually meet (the same
-    * trap [[TableSink.compact]] documents; here a mismatch is conservative
-    * — the file reads as "unanalyzed" — not data loss). */
-  private def decode(uri: String): String = new java.net.URI(uri).getPath
-
   /** The candidate file set for closed bounds `[lo, hi]` per column (all
-    * bounds must intersect), plus the number of files pruned. Driver-side
-    * work is one collect of the per-file stats frame — bounded metadata. */
+    * bounds must intersect), plus the number of files pruned.
+    *
+    * The zone predicate AND the live-listing membership test run IN SPARK
+    * over the stats parquet (the predicate on `min_*`/`max_*` pushes into
+    * the parquet scan), so the driver collects only the SURVIVING file
+    * names — O(kept + unanalyzed), not O(files). At 100 TB / O(10⁶)
+    * analyzed files with selective bounds, that is the difference between
+    * collecting a handful of names and materializing the whole manifest a
+    * second time. (The live listing itself is the planner's unavoidable
+    * manifest metadata, shared with every table read.) */
   def candidates(spark: SparkSession,
       bounds: Seq[(String, Column, Column)]): (Seq[String], Int) = {
     require(bounds.nonEmpty, "candidates needs at least one column bound")
@@ -131,18 +133,25 @@ final class ZoneMaps(sink: TableSink) {
     val live = sink.dataFilesRel().map(r => root.resolve(r).toString)
     if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(statsPath)))
       return (live, 0) // never analyzed: everything is a candidate
-    val stats = spark.read.parquet(statsPath)
+    import spark.implicits._
     // null-safe: an all-null zone gives NULL min/max -> NULL predicate ->
     // coalesced to false -> pruned (no non-null value can match BETWEEN)
     val pred = coalesce(bounds.map { case (c, lo, hi) =>
       col(s"max_$c") >= lo && col(s"min_$c") <= hi
     }.reduce(_ && _), lit(false))
-    val rows = stats.select(col("file"), pred.as("keep")).collect()
-    val analyzed = rows.map(r => decode(r.getString(0))).toSet
-    val keep = rows.filter(_.getBoolean(1))
-      .map(r => decode(r.getString(0))).toSet
-    val files = live.filter(f => !analyzed.contains(f) || keep.contains(f))
-    (files, live.size - files.size)
+    // stats `file` is a percent-encoded URI while the FS listing is a raw
+    // path — decode inside the scan so the two keys actually meet (the same
+    // trap TableSink.compact documents; here a mismatch is conservative —
+    // the file reads as "unanalyzed" — not data loss)
+    val statsByPath = spark.read.parquet(statsPath)
+      .select(regexp_replace(url_decode(col("file")), "^file:(//)?", "")
+        .as("path"), pred.as("keep"))
+    val liveDf = live.toDF("path")
+    val files = liveDf.join(statsByPath, Seq("path"), "left")
+      .where(col("keep").isNull || col("keep")) // unanalyzed OR intersecting
+      .select(col("path")).as[String].collect().toSeq
+    val fileSet = files.toSet
+    (live.filter(fileSet), live.size - files.size)
   }
 
   /** Read only the files whose zones intersect every `(col, lo, hi)` bound

@@ -109,6 +109,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(files.nonEmpty && prunedN == 0)
   }
 
+  test("many-file table: candidates collects only survivors, exact prune count") {
+    // 64 range-clustered files over a 0..63 key, a 2-key bound, plus one
+    // post-analyze (unanalyzed) file. The stats read filters IN SPARK, so
+    // the driver-side result is exactly the survivor list: the files whose
+    // zones intersect [8,9] plus the unanalyzed straggler — everything else
+    // pruned. Guards the O(kept + unanalyzed) collect contract.
+    val df = spark.range(65536).select($"id", ($"id" % 64).as("k"))
+    val sink = new TableSink(SinkConfig("many_files", tmpWarehouse()))
+    sink.appendClustered(ZOrder.cluster(df, Seq(("k", 0L, 63L)), nRanges = 64))
+    val zm = new ZoneMaps(sink)
+    zm.analyze(spark, Seq("k"))
+    val analyzed = sink.read(spark).inputFiles.length
+    assert(analyzed >= 40, s"expected a many-file table, got $analyzed")
+    sink.append(Seq((999999L, 999L)).toDF("id", "k")) // unanalyzed straggler
+    val total = sink.read(spark).inputFiles.length
+    assert(total == analyzed + 1)
+    val (files, prunedN) =
+      zm.candidates(spark, Seq(("k", lit(8L), lit(9L))))
+    assert(files.size + prunedN == total, "partition of the live set")
+    assert(files.size <= 5,
+      s"a 2/64-key bound + 1 straggler should keep <=5 files, kept ${files.size}")
+    // correctness on top: the pruned read still returns every matching row
+    val got = zm.readBetween(spark, ("k", lit(8L), lit(9L)))
+      .filter($"k".between(8L, 9L)).count()
+    assert(got == 65536L / 64 * 2, s"pruned read lost rows: $got")
+  }
+
   test("appendClustered preserves the range layout the normal append undoes") {
     val df = spark.range(4096).select($"id", ($"id" % 64).as("k"))
     val clustered = ZOrder.cluster(df, Seq(("k", 0L, 63L)), nRanges = 8)
