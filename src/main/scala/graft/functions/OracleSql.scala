@@ -309,19 +309,21 @@ object OracleSql {
   // ----------------------------------------------------- weighted sample
   /** Oracle for [[TextAnalysis.weightedSample]]: the same splitmix64
     * chain in HUGEINT, top-53-bits-plus-half uniform (a dyadic rational,
-    * exact in both engines), and the `ln(u)/w` A-ES ranking key with the
-    * 9-dp round + doc_id tie-break. */
+    * exact in both engines), and the `ln(u)/w` A-ES ranking key — ranked
+    * UNROUNDED (mirroring the Spark side; both engines evaluate the
+    * literally identical expression tree) with a doc_id tie-break; the
+    * 9-dp round is applied only to the reported `key9` column. */
   val weightedSampleSql: String = {
     val h = mix64Scalar(s"(${unsigned64("doc_id")})")
     s"""WITH k AS (
        |  SELECT doc_id, CAST(greatest(n_chars, 1) AS BIGINT) AS w,
-       |    round(ln((CAST(($h) // 2048 AS DOUBLE) + 0.5)
+       |    ln((CAST(($h) // 2048 AS DOUBLE) + 0.5)
        |        / 9007199254740992.0)
-       |      / greatest(n_chars, 1), 9) AS key9
+       |      / greatest(n_chars, 1) AS key
        |  FROM documents)
-       |SELECT CAST(row_number() OVER (ORDER BY key9 DESC, doc_id)
-       |    AS BIGINT) AS rank, doc_id, w, key9
-       |FROM (SELECT * FROM k ORDER BY key9 DESC, doc_id LIMIT 20)
+       |SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id)
+       |    AS BIGINT) AS rank, doc_id, w, round(key, 9) AS key9
+       |FROM (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 20)
        |ORDER BY rank""".stripMargin
   }
 

@@ -754,9 +754,13 @@ object TextAnalysis {
     * Determinism/portability: `u` comes from splitmix64(doc_id) — top 53
     * bits plus ½, over 2^53, a dyadic rational both engines hold exactly —
     * and ranking uses `ln(u)/w` (monotone in `u^(1/w)`, avoids pow()
-    * whose libm rounding differs across engines), 9-dp-rounded with a
-    * doc_id tie-break. Reprocessing-stable like every sampler here: the
-    * sample never changes across reruns or engine versions.
+    * whose libm rounding differs across engines) with a doc_id tie-break.
+    * Ranking is on the UNROUNDED key — rounding belongs to the report
+    * column only (`key9`), because a rounded ranking key collapses onto a
+    * 1e-9 lattice for weights near 1e9 and would degrade selection among
+    * heavy documents to the tie-break instead of A-ES inclusion.
+    * Reprocessing-stable like every sampler here: the sample never changes
+    * across reruns or engine versions.
     *
     * Scale shape: one map-side key per row, TakeOrdered top-k — no full
     * sort, no shuffle beyond the per-partition top-k merge. */
@@ -768,11 +772,12 @@ object TextAnalysis {
       VectorExpressions.mix64Col(spark, col("doc_id")), 11)
     val u = (u53.cast("double") + lit(0.5)) / lit(9007199254740992.0)
     val top = docs.select(col("doc_id"), w.cast("long").as("w"),
-        round(log(u) / w, 9).as("key9"))
-      .orderBy(col("key9").desc, col("doc_id").asc).limit(k)
-    val win = Window.partitionBy().orderBy(col("key9").desc, col("doc_id").asc)
+        (log(u) / w).as("key"))
+      .orderBy(col("key").desc, col("doc_id").asc).limit(k)
+    val win = Window.partitionBy().orderBy(col("key").desc, col("doc_id").asc)
     top.withColumn("rank", row_number().over(win).cast("long"))
-      .select(col("rank"), col("doc_id"), col("w"), col("key9"))
+      .select(col("rank"), col("doc_id"), col("w"),
+        round(col("key"), 9).as("key9"))
   }
 
   /** Per-source KL divergence `KL(p_source ‖ p_corpus)` over the unigram

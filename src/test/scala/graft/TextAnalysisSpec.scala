@@ -374,6 +374,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       "sample must be reprocessing-stable")
   }
 
+  test("extreme weights rank by the unrounded A-ES key, not the doc_id tie-break") {
+    // At w = 2e9 every ln(u)/w key rounds onto the 1e-9 lattice (mostly to
+    // -0.0), so a 9-dp-rounded ranking key would collapse selection to the
+    // doc_id tie-break. Ranking must instead follow the unrounded key —
+    // i.e. descending u — which for these ids is NOT doc_id order.
+    val w = 2000000000L
+    val ids = (1L to 8L).toSeq
+    def u(id: Long): Double =
+      ((VectorExpressions.mix64(id) >>> 11).toDouble + 0.5) / 9007199254740992.0
+    val expected = ids.sortBy(id => (-u(id), id))
+    assert(expected != ids, "fixture ids must not already be in u order")
+    val docs = ids.map(i => (i, w)).toDF("doc_id", "n_chars")
+    val r = TextAnalysis.weightedSample(docs, k = 8).orderBy("rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r.map(_._2) == expected, s"got ${r.map(_._2)}, want $expected")
+    assert(r.map(_._4).distinct.size < r.size,
+      "the 9-dp report column should collapse on the lattice here — " +
+        "otherwise this test no longer exercises the rounding hazard")
+  }
+
   test("unigram log-prob matches hand-computed corpus probabilities") {
     val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
     // corpus: a=2, b=1, total=3
