@@ -48,6 +48,56 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** PARAGRAPH-level exact dedup — the granularity document-level [[exact]]
+    * misses: repeated boilerplate (headers, license blocks, navigation
+    * chrome) recurs across documents whose full texts differ, and a
+    * training pipeline strips the repeats while keeping each document's
+    * unique remainder.
+    *
+    * Paragraph boundary: split on blank lines (`\n{2,}`), then segment any
+    * paragraph longer than `maxParaTokens` tokens into fixed windows — the
+    * bound keeps a pathological single-paragraph document from defeating
+    * the granularity (and on fixtures with no blank lines, IS the
+    * paragraph structure). Both stages are row-local array ops flattened
+    * into one ordered per-doc paragraph list.
+    *
+    * Output: one row per (doc_id, para_idx) with the paragraph fingerprint
+    * and `keep` — true iff this occurrence is the canonical owner (first by
+    * (doc_id, para_idx)) of its fingerprint. The kept spans per doc are
+    * exactly the rows with `keep`; a writer emits those and drops the rest.
+    *
+    * Scale shape: identical to [[exact]] — splitting/segmenting is
+    * codegen'd per-row (no shuffle), then ONE shuffle on the fingerprint;
+    * the per-fingerprint window is bounded by duplicate multiplicity (the
+    * posting-list shape, never all-pairs). Reference: the dedup family in
+    * SURVEY.md §2.5; same granularity ladder as Dolma/CCNet paragraph
+    * dedup. */
+  def paragraphs(docs: DataFrame, maxParaTokens: Int = 25): DataFrame = {
+    require(maxParaTokens >= 1, "need maxParaTokens >= 1")
+    val m = maxParaTokens
+    val blocks = split(col("text"), "\\n{2,}")
+    val paras = flatten(transform(blocks, p => {
+      val t = split(p, " ")
+      val nseg = floor((greatest(size(t), lit(1)) + (m - 1)) / lit(m))
+        .cast("int")
+      transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(t, i * m + 1, lit(m)), " "))
+    }))
+    docs.select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
+        md5(col("para")).as("fp"))
+  }
+
+  /** [[paragraphs]] + canonical-occurrence marking (see above). */
+  def paragraphDedup(docs: DataFrame, maxParaTokens: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id"), col("para_idx"))
+    paragraphs(docs, maxParaTokens)
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("para_idx"), col("fp"), col("keep"))
+  }
+
   /** Near-duplicate pairs by exact n-gram Jaccard similarity.
     * Exact (no approximation): pairs sharing zero shingles are not near-dups
     * at any useful threshold, so the shingle self-join enumerates exactly
