@@ -5,15 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (driver north star): image/audio/video
   * payloads ride as opaque `binary` columns with typed metadata; decode /
-  * feature-extraction runs batch-wise over partitions (the Scala analogue
-  * of `mapInPandas`) behind a pluggable [[Multimodal.Decoder]].
+  * feature-extraction runs batch-wise inside `mapPartitions` behind a
+  * pluggable [[Multimodal.Decoder]].
   *
-  * The real decoders (JPEG/audio/video codecs) are NOT in this container;
-  * [[Multimodal.StubDecoder]] is a clearly-marked deterministic fake. The
-  * Spark-side plumbing — schema, batch shape, partition-wise execution,
-  * feature schema — is real and tested, and is the part that matters at
-  * 100 TB: payload bytes never leave the executor, the driver only sees
-  * fixed-width feature rows.
+  * [[Multimodal.StubDecoder]] is a clearly-marked deterministic fake used
+  * for media types with no codec in this container (audio/video); for
+  * IMAGES, [[RealMedia]] provides an actual JDK `javax.imageio` PNG
+  * decode/resize/strip-sample path over the same plumbing. Either way the
+  * Spark-side shape — schema, batching, partition-wise execution, feature
+  * schema — is the part that matters at 100 TB: payload bytes never leave
+  * the executor, the driver only sees fixed-width feature rows.
   */
 object Multimodal {
 
@@ -29,9 +30,9 @@ object Multimodal {
   final case class FrameFeature(doc_id: Long, frame_idx: Int,
       n_bytes: Long, checksum: String)
 
-  /** Batch decoder contract. All methods receive bounded batches (the
-    * `mapInPandas` batch shape) so implementations can amortize codec
-    * setup / native buffers across records. */
+  /** Batch decoder contract. All methods receive bounded batches so
+    * implementations can amortize codec setup / native buffers across
+    * records. */
   trait Decoder extends Serializable {
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures]
 
@@ -42,11 +43,12 @@ object Multimodal {
     def frameSampleBatch(batch: Seq[MediaRecord], n: Int): Seq[FrameFeature]
   }
 
-  /** Deterministic stand-in for a real image/audio decoder.
-    * A production decoder would parse the payload with an imaging library
-    * (`??? // real codec not available in this container`); the stub
-    * derives pseudo-dimensions and a checksum purely from the bytes, so
-    * results are stable and oracle-checkable.
+  /** Deterministic stand-in for codecs this container lacks (audio/video).
+    * The stub derives pseudo-dimensions and a checksum purely from the
+    * bytes, so results are stable and oracle-checkable. For images the
+    * engine has the REAL path — [[RealMedia]] decodes actual PNG payloads
+    * with the JDK's `javax.imageio` reader; compare `multimodal_decode_real`
+    * vs the stub-backed `multimodal_features`.
     */
   object StubDecoder extends Decoder {
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { r =>
@@ -66,9 +68,9 @@ object Multimodal {
       java.security.MessageDigest.getInstance("MD5")
         .digest(bytes).map("%02x".format(_)).mkString
 
-    /** Fake resize: a real decoder would rescale pixels
-      * (`??? // codec unavailable in this container`); the stub digests
-      * payload ++ "|WxH" so the output is deterministic per target size. */
+    /** Fake resize (real pixel rescale for images lives in
+      * [[RealMedia.resizeFeatures]]): the stub digests payload ++ "|WxH"
+      * so the output is deterministic per target size. */
     def resizeBatch(batch: Seq[MediaRecord], w: Int, h: Int): Seq[MediaFeatures] =
       batch.map { r =>
         val tag = s"|${w}x$h".getBytes(java.nio.charset.StandardCharsets.UTF_8)
