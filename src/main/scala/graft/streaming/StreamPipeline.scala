@@ -317,12 +317,20 @@ object StreamPipeline {
     * is per-user-per-batch (bounded by a user's in-batch events, not the
     * stream). The terminal aggregation is |steps| rows. */
   def streamFunnel(spark: SparkSession, sfDir: String,
+      steps: Seq[String] = Seq("signup", "click", "purchase")): DataFrame =
+    streamFunnelOver(spark, eventsStream(spark, sfDir), steps)
+
+  /** [[streamFunnel]] over any streaming events frame — split out so specs
+    * can pin the ARRIVAL-ORDER semantics with a multi-file, out-of-order
+    * source (one file per micro-batch via `maxFilesPerTrigger`), where the
+    * monotone state machine must NOT rewind on late event times. */
+  def streamFunnelOver(spark: SparkSession, stream: DataFrame,
       steps: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     require(steps.nonEmpty, "need at least one funnel step")
     val name = "stream_funnel_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ev = eventsStream(spark, sfDir)
+    val ev = stream
       .filter($"event_type".isInCollection(steps))
       .select($"user_id", expr("unix_micros(ts)").as("ts_us"), $"event_type")
       .as[(Long, Long, String)]
@@ -359,6 +367,93 @@ object StreamPipeline {
 
   /** The streaming funnel replays the BATCH funnel oracle exactly. */
   val streamFunnelSql: String = EventAnalytics.funnelSql
+
+  /** Per-user running totals carried in [[StatefulProcessor]] value state. */
+  final case class UserTotals(n: Long, cents: Long)
+
+  /** The Spark-4 `transformWithState` surface — successor to the
+    * (flat)MapGroupsWithState pair above, with named state variables
+    * (value/list/map), per-state TTL, and timers behind
+    * [[org.apache.spark.sql.streaming.StatefulProcessorHandle]]. The
+    * processor keeps one [[UserTotals]] value state per user (count +
+    * exact integer cents — a double running sum would be order-sensitive)
+    * and emits the running totals each micro-batch.
+    *
+    * Requires the RocksDB state-store provider; the conf is set for the
+    * query and restored after (session-scoped, same caveat as
+    * [[withStreamShuffle]]).
+    *
+    * Batching-invariance: both per-user totals are MONOTONE over batches,
+    * so `max` over the update-mode emissions equals the batch aggregate no
+    * matter how the source micro-batches — deterministic and
+    * oracle-checkable, like [[statefulUserCounts]].
+    *
+    * Scale shape: state is one fixed-width row per user, partitioned by
+    * the group key across the state-store shards; RocksDB keeps it
+    * off-heap and incrementally checkpointed — the 100 TB-stream answer to
+    * in-memory state growth. */
+  private class RunningTotals
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      var t = Option(totals.get()).getOrElse(UserTotals(0L, 0L))
+      rows.foreach { case (_, cents) => t = UserTotals(t.n + 1, t.cents + cents) }
+      totals.update(t)
+      Iterator.single((user, t.n, t.cents))
+    }
+  }
+
+  def streamTransformWithState(spark: SparkSession, sfDir: String): DataFrame =
+    transformWithStateOver(spark, eventsStream(spark, sfDir))
+
+  /** [[streamTransformWithState]] over any events-shaped streaming frame
+    * (split out so specs can drive multi-batch sources). */
+  def transformWithStateOver(spark: SparkSession, stream: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val name = "stream_tws_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ev = stream.select($"user_id",
+        round($"value" * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+    val out = ev.groupByKey(_._1)
+      .transformWithState(new RunningTotals, TimeMode.None(),
+        OutputMode.Update())
+    shuffleConfLock.synchronized {
+      val shuffleKey = "spark.sql.shuffle.partitions"
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevShuffle = spark.conf.get(shuffleKey)
+      val prevProvider = spark.conf.getOption(providerKey)
+      spark.conf.set(shuffleKey, "8")
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = out.toDF("user_id", "n_events", "cents")
+          .writeStream.outputMode("update").format("memory").queryName(name)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        spark.conf.set(shuffleKey, prevShuffle)
+        prevProvider.fold(spark.conf.unset(providerKey))(
+          spark.conf.set(providerKey, _))
+      }
+    }
+    spark.table(name)
+      .groupBy($"user_id")
+      .agg(max($"n_events").as("n_events"),
+        (max($"cents").cast("double") / 100.0).as("total"))
+      .orderBy($"user_id")
+  }
+
+  val streamTransformWithStateSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Stream-static enrichment — the remaining classic streaming join
     * shape next to [[streamStreamJoin]]: each micro-batch of the event
