@@ -394,4 +394,32 @@ object ParityQueries {
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** [[sinkRoundtrip]] through the `fileFormat = orc` knob (§2.4): same
+    * hidden-partition write, same aggregate oracle. The oracle never touches
+    * the ORC files themselves (DuckDB compares the query's parquet output);
+    * a hash match proves the knob is honored end-to-end — ORC writer, ORC
+    * partitioned read — with no loss or duplication. */
+  def sinkRoundtripOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_rt_orc",
+      warehousePath = dest,
+      numPartitions = 4,
+      fileFormat = "orc",
+      partitionSpec = Seq(
+        PartitionField("event_type", Transform.Identity),
+        PartitionField("ts", Transform.Day, Some("event_date"))),
+      sortOrder = Seq("event_id")))
+    sink.append(e)
+    sink.read(spark)
+      .groupBy($"event_type", $"event_date".cast("string").as("event_date"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"event_type", $"event_date")
+  }
+
+  val sinkRoundtripOrcSql: String = sinkRoundtripSql
 }

@@ -19,6 +19,37 @@ object PipelineQueries {
     """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  /** Paragraph-level exact dedup (blank-line split + 25-token segmentation;
+    * the fixture has no blank lines, so segmentation IS the paragraph
+    * structure there — DedupSpec pins the regex path on multi-paragraph
+    * text). The oracle replays the split, the per-paragraph windowing, the
+    * flattened per-doc ordering, and the canonical-owner window. */
+  def dedupParagraph(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.paragraphDedup(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"), col("para_idx"))
+
+  val dedupParagraphSql: String =
+    """WITH blocks AS (
+      |  SELECT doc_id, string_split_regex(text, '\n{2,}') AS ps
+      |  FROM documents),
+      |bi0 AS (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS pi
+      |        FROM blocks),
+      |bi AS (SELECT doc_id, pi, string_split(ps[pi], ' ') AS t FROM bi0),
+      |seg AS (SELECT doc_id, pi, t,
+      |          unnest(generate_series(0, (greatest(len(t), 1)+24)//25 - 1))
+      |            AS j
+      |        FROM bi),
+      |paras AS (SELECT doc_id,
+      |            CAST(row_number() OVER (
+      |              PARTITION BY doc_id ORDER BY pi, j) - 1 AS BIGINT)
+      |              AS para_idx,
+      |            md5(array_to_string(t[j*25+1 : j*25+25], ' ')) AS fp
+      |          FROM seg)
+      |SELECT doc_id, para_idx, fp,
+      |  row_number() OVER (PARTITION BY fp ORDER BY doc_id, para_idx) = 1
+      |    AS keep
+      |FROM paras ORDER BY doc_id, para_idx""".stripMargin
+
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(spark, sfDir), n = 5, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
@@ -1035,5 +1066,5 @@ object PipelineQueries {
     Similarity.centroidClassify(Tables.embeddings(spark, sfDir))
       .orderBy(col("label"), col("pred"))
 
-  val simCentroidClassifySql: String = Similarity.centroidClassifySql
+  val simCentroidClassifySql: String = Similarity.centroidClassifySql(dim = 64)
 }

@@ -173,9 +173,13 @@ object Similarity {
     * per-vector top-1 window over |labels| candidates. */
   def centroidClassify(embeddings: DataFrame, dim: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
+    // `dim` pins the evaluated prefix on BOTH sides: the plan slices every
+    // vector to exactly `dim` components, and [[centroidClassifySql]](dim)
+    // generates the matching generate_series bound — the pair cannot
+    // silently diverge on non-default dimensions.
     val e = embeddings.select(col("vec_id"),
       col("label").cast("long").as("label"),
-      col("embedding").cast("array<double>").as("v"))
+      slice(col("embedding").cast("array<double>"), 1, dim).as("v"))
     val dims = e.select(col("label"), posexplode(col("v")).as(Seq("d0", "x")))
       .select(col("label"), (col("d0") + 1).as("d"),
         round(col("x") * 1000000000.0).cast("long").as("x_e9"))
@@ -198,33 +202,35 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** DuckDB oracle for [[centroidClassify]] (embeddings table, dim 64). */
-  val centroidClassifySql: String =
-    """WITH e AS (
-      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
-      |    CAST(embedding AS DOUBLE[]) AS v
-      |  FROM embeddings),
-      |dims AS (
-      |  SELECT label, d,
-      |    CAST(round(v[d] * 1000000000.0) AS BIGINT) AS x_e9
-      |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)),
-      |cent AS (
-      |  SELECT label, d,
-      |    CAST(CAST(sum(x_e9) AS BIGINT) AS DOUBLE) / count(*)
-      |      / 1000000000.0 AS c
-      |  FROM dims GROUP BY 1, 2),
-      |carr AS (SELECT label, list(c ORDER BY d) AS cv FROM cent GROUP BY 1),
-      |scored AS (
-      |  SELECT e.vec_id, e.label, c.label AS cand,
-      |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |      [e.v[d] * c.cv[d] FOR d IN generate_series(1, 64)]),
-      |      (acc, x) -> acc + x), 9) AS dot9
-      |  FROM e CROSS JOIN carr c),
-      |top AS (
-      |  SELECT vec_id, label, cand,
-      |    row_number() OVER (PARTITION BY vec_id
-      |                       ORDER BY dot9 DESC, cand) AS rk
-      |  FROM scored)
-      |SELECT label, cand AS pred, count(*) AS n
-      |FROM top WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  /** DuckDB oracle for [[centroidClassify]] at the same `dim` — generated,
+    * not hardcoded, so the Spark slice and the SQL generate_series bound
+    * stay pinned to the same dimension. */
+  def centroidClassifySql(dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    CAST(embedding AS DOUBLE[])[1:$dim] AS v
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT label, d,
+       |    CAST(round(v[d] * 1000000000.0) AS BIGINT) AS x_e9
+       |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS d)),
+       |cent AS (
+       |  SELECT label, d,
+       |    CAST(CAST(sum(x_e9) AS BIGINT) AS DOUBLE) / count(*)
+       |      / 1000000000.0 AS c
+       |  FROM dims GROUP BY 1, 2),
+       |carr AS (SELECT label, list(c ORDER BY d) AS cv FROM cent GROUP BY 1),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.label AS cand,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      [e.v[d] * c.cv[d] FOR d IN generate_series(1, $dim)]),
+       |      (acc, x) -> acc + x), 9) AS dot9
+       |  FROM e CROSS JOIN carr c),
+       |top AS (
+       |  SELECT vec_id, label, cand,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY dot9 DESC, cand) AS rk
+       |  FROM scored)
+       |SELECT label, cand AS pred, count(*) AS n
+       |FROM top WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -11,6 +11,34 @@ class DedupSpec extends AnyFunSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
 
+  test("paragraph dedup: blank-line split, segmentation, canonical owner") {
+    // d1 and d2 share a boilerplate paragraph (d1 owns it: lower doc_id);
+    // d3 repeats a paragraph WITHIN itself (first occurrence owns); d4 has
+    // one long paragraph that must segment into 3-token windows, one of
+    // which ("x y z") collides with d1's second paragraph
+    val docs = Seq(
+      (1L, "same boilerplate here\n\nx y z"),
+      (2L, "same boilerplate here\n\nunique tail two"),
+      (3L, "repeat me\n\nrepeat me"),
+      (4L, "a b c x y z d"))
+      .toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(docs, maxParaTokens = 3)
+      .orderBy("doc_id", "para_idx")
+      .select("doc_id", "para_idx", "keep")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq(
+      (1L, 0L, true),  // boilerplate, canonical
+      (1L, 1L, true),  // "x y z", canonical (beats d4's segment)
+      (2L, 0L, false), // boilerplate repeat across docs
+      (2L, 1L, true),
+      (3L, 0L, true),  // intra-doc repeat: first occurrence owns
+      (3L, 1L, false),
+      (4L, 0L, true),  // "a b c"
+      (4L, 1L, false), // "x y z" — owned by d1's paragraph
+      (4L, 2L, true)), // "d" remainder window
+      s"got $r")
+  }
+
   test("native shingle kernel matches the declarative reference semantics") {
     val tok = split($"text", " ")
     val both = docs.select(

@@ -59,6 +59,80 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(_.n_bytes <= Multimodal.BatchSize))
   }
 }
+class RealMediaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("PNG round trip: ImageIO decode recovers the generator's exact pixels") {
+    val path = RealMedia.stage(spark, TestSpark.sfDir)
+    // the staged fixture records generation-time ground truth; the decoder
+    // works from payload bytes alone and must land on the same values
+    val recorded = spark.read.parquet(path)
+      .select($"doc_id", $"expected_width", $"expected_height",
+        $"expected_px_sum")
+      .as[(Long, Int, Int, Long)].collect()
+      .map { case (id, w, h, s) => id -> ((w, h, s)) }.toMap
+    assert(recorded.size == 500)
+    val decoded = RealMedia.decodeFeatures(
+      RealMedia.readStaged(spark, path)).collect()
+    assert(decoded.length == 500)
+    decoded.foreach { f =>
+      assert((f.width, f.height, f.px_sum) == recorded(f.doc_id),
+        s"doc ${f.doc_id}: decode diverged from generation-time truth")
+      // and the recorded truth matches the closed form the oracle replays
+      assert(f.width == RealMedia.widthOf(f.doc_id))
+      assert(f.height == RealMedia.heightOf(f.doc_id))
+    }
+  }
+
+  test("nearest-neighbor resize matches hand-computed sampling on a known image") {
+    // doc_id 0: 8x8 image; resize to 2x2 samples source pixels (0,0),(4,0),
+    // (0,4),(4,4) — hand-fold the generator's channel functions
+    val media = Seq((0L, {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, (RealMedia.red(0, x, y) << 16) |
+          (RealMedia.green(0, x, y) << 8) | RealMedia.blue(0, x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    })).toDF("doc_id", "payload")
+    val want = Seq((0, 0), (4, 0), (0, 4), (4, 4)).map { case (x, y) =>
+      RealMedia.red(0, x, y).toLong * 65536 +
+        RealMedia.green(0, x, y) * 256 + RealMedia.blue(0, x, y)
+    }.sum
+    val got = RealMedia.resizeFeatures(media, 2, 2).head()
+    assert((got.width, got.height, got.px_sum) == (2, 2, want))
+  }
+
+  test("strips partition the image rows exactly and sum to the full image") {
+    val path = RealMedia.stage(spark, TestSpark.sfDir)
+    val media = RealMedia.readStaged(spark, path).limit(64)
+    val full = RealMedia.decodeFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    val strips = RealMedia.stripFeatures(media, RealMedia.NStrips).collect()
+      .groupBy(_.doc_id)
+    assert(strips.size == full.size)
+    strips.foreach { case (id, ss) =>
+      assert(ss.map(_.frame_idx).sorted.sameElements(Array(0, 1, 2, 3)))
+      assert(ss.map(_.n_px).sum == full(id).width.toLong * full(id).height)
+      assert(ss.map(_.px_sum).sum == full(id).px_sum)
+    }
+  }
+
+  test("a corrupt payload fails with the offending row named") {
+    val media = Seq((7L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val e = intercept[Exception] {
+      RealMedia.decodeFeatures(media).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+    assert(messages.exists(_.contains("doc_id=7")),
+      "error must name the offending row")
+  }
+}
+
 class MultimodalNonAsciiSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._

@@ -61,4 +61,12 @@ class PlanHintSpec extends AnyFunSuite {
       assert(hintCount(q) == 0, s"$q must leave join strategy to the planner")
     }
   }
+
+  test("round-5 additions: fingerprint shuffle and decode paths stay hint-free") {
+    // dedup_paragraph: one shuffle on the fingerprint, window per group —
+    // no join at all; the real-decode queries are scan + mapPartitions
+    Seq("dedup_paragraph", "multimodal_decode_real").foreach { q =>
+      assert(hintCount(q) == 0, s"$q must carry no forced hints")
+    }
+  }
 }

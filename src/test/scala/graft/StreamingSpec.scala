@@ -27,6 +27,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.head._3 > 0, "fixture should have signups")
   }
 
+  test("funnel over out-of-order multi-file arrival keeps arrival-order semantics") {
+    // Two source files, one micro-batch each (maxFilesPerTrigger=1), where
+    // the SECOND batch carries EARLIER event times. Pins the documented
+    // caveat: the monotone state machine advances in arrival order and
+    // cannot rewind — so (a) an already-reached step ignores late earlier
+    // events, and (b) a step whose qualifying event arrived in an earlier
+    // batch than its predecessor is NOT retro-credited, diverging from the
+    // event-time batch funnel on exactly that user.
+    def ns(s: String): Long =
+      java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    def rows(data: (Long, Long, String)*) =
+      data.map { case (id, ts, et) => (id, ts, id, et, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val srcDir = new java.io.File(TestSpark.tmpDir("funnel_ooo"))
+    srcDir.mkdirs()
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val tmp = TestSpark.tmpDir(s"funnel_ooo_$name")
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(srcDir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtime))
+    }
+    // arrival 1: u1 full funnel, u2 signup only, u4 click (no signup yet)
+    stage("a", rows(
+      (1L, ns("2024-01-01 10:00:00"), "signup"),
+      (1L, ns("2024-01-01 10:05:00"), "click"),
+      (1L, ns("2024-01-01 10:10:00"), "purchase"),
+      (2L, ns("2024-01-01 10:00:00"), "signup"),
+      (4L, ns("2024-01-01 10:00:00"), "click")), 1000000L)
+    // arrival 2, EARLIER event times: u2 late click (must not advance past
+    // the reached ts), u4 signup (the batch-1 click is not retro-credited),
+    // u3 full funnel within one batch
+    stage("b", rows(
+      (2L, ns("2024-01-01 09:50:00"), "click"),
+      (4L, ns("2024-01-01 09:00:00"), "signup"),
+      (3L, ns("2024-01-01 09:00:00"), "signup"),
+      (3L, ns("2024-01-01 09:05:00"), "click"),
+      (3L, ns("2024-01-01 09:10:00"), "purchase")), 2000000L)
+    val stream = spark.readStream
+      .schema(StreamPipeline.eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val got = StreamPipeline.streamFunnelOver(spark, stream)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(1L -> 4L, 2L -> 2L, 3L -> 2L),
+      s"arrival-order funnel: signup=4, click=2 (u4 not retro-credited), " +
+        s"purchase=2 — got $got")
+    // the event-time batch funnel DOES credit u4's click: divergence pinned
+    val batch = EventAnalytics.funnel(
+      rows((1L, ns("2024-01-01 10:00:00"), "signup"),
+        (1L, ns("2024-01-01 10:05:00"), "click"),
+        (1L, ns("2024-01-01 10:10:00"), "purchase"),
+        (2L, ns("2024-01-01 10:00:00"), "signup"),
+        (4L, ns("2024-01-01 10:00:00"), "click"),
+        (2L, ns("2024-01-01 09:50:00"), "click"),
+        (4L, ns("2024-01-01 09:00:00"), "signup"),
+        (3L, ns("2024-01-01 09:00:00"), "signup"),
+        (3L, ns("2024-01-01 09:05:00"), "click"),
+        (3L, ns("2024-01-01 09:10:00"), "purchase"))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(batch(2L) == 3L,
+      s"batch funnel must credit u4's pre-arrived click: $batch")
+  }
+
   test("stream-static enrichment equals the batch join") {
     val got = StreamPipeline.streamStaticEnrich(spark, TestSpark.sfDir)
       .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
@@ -39,6 +107,34 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy($"cohort_week")
       .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
     assert(got.sameElements(want), s"${got.toSeq} vs ${want.toSeq}")
+  }
+
+  test("transformWithState totals accumulate across micro-batches (RocksDB state)") {
+    // three source files, one micro-batch each (maxFilesPerTrigger=1),
+    // touching overlapping users: value state must CARRY totals across
+    // batches, not recompute per batch
+    val srcDir = new java.io.File(TestSpark.tmpDir("tws_src"))
+    srcDir.mkdirs()
+    def stage(name: String, mtime: Long, data: (Long, Double)*): Unit = {
+      val tmp = TestSpark.tmpDir(s"tws_$name")
+      data.toDF("user_id", "value").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(srcDir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtime))
+    }
+    stage("a", 1000000L, (1L, 1.50), (1L, 2.25), (2L, 10.00))
+    stage("b", 2000000L, (1L, 0.25), (3L, 5.00))
+    stage("c", 3000000L, (2L, 0.01))
+    val stream = spark.readStream
+      .schema("user_id BIGINT, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val got = StreamPipeline.transformWithStateOver(spark, stream)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 4.00), (2L, 2L, 10.01), (3L, 1L, 5.00)),
+      s"got $got")
   }
 
   test("streaming sink is exactly-once across a checkpointed restart") {
