@@ -201,6 +201,27 @@ object OracleSql {
        |  AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** [[dedupEmbeddingLshSql]] with the bucket cap replayed: only (table,
+    * hash) buckets with ≤ `cap` members confer candidacy — the HAVING-side
+    * mirror of `Dedup.embeddingNearDupLsh(maxBucket)`. */
+  def dedupEmbeddingLshCappedSql(cap: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v,
+       |  ${hyperplaneSigList("v")} AS hs
+       |  FROM e),
+       |fb0 AS (SELECT vec_id, hs, unnest(generate_series(1, 8)) AS t FROM sig),
+       |fb AS (SELECT vec_id, t, hs[t] AS h FROM fb0),
+       |sizes AS (SELECT t, h, count(*) AS n FROM fb GROUP BY 1, 2),
+       |ok AS (SELECT fb.vec_id, fb.t, fb.h
+       |       FROM fb JOIN sizes USING (t, h) WHERE n <= $cap),
+       |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |          FROM ok a JOIN ok b
+       |            ON a.t = b.t AND a.h = b.h AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b
+       |FROM pairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+       |WHERE round(list_cosine_similarity(ea.v, eb.v), 9) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Cross-corpus contamination replay: same LCG planes and bucket-share
     * candidacy as [[dedupEmbeddingLshSql]], probe set = vec_id < 5. */
   val dedupCrossEmbeddingSql: String =

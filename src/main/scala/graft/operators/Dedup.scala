@@ -404,9 +404,20 @@ object Dedup {
     * buckets. Multiple independent tables (bands of sign bits) trade
     * recall for candidate count; recall is asserted against the brute-force
     * result in the spec rather than an oracle.
+    *
+    * @param maxBucket drop (table, hash) buckets with more members than
+    *   this before pairing — the skew guard the sf1 scaling run proved
+    *   necessary: when the corpus has a DENSE cosine tail (correlated
+    *   vectors collapse onto few sign patterns), the within-bucket join
+    *   degenerates toward quadratic; the cap bounds per-bucket work at the
+    *   cost of recall inside mega-clusters, which a dedup pass usually
+    *   WANTS to handle via the component/canonical path anyway. None =
+    *   exact bucketing (the oracle baseline).
     */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.5,
-      dim: Int = 64, bitsPerTable: Int = 8, numTables: Int = 8): DataFrame = {
+      dim: Int = 64, bitsPerTable: Int = 8, numTables: Int = 8,
+      maxBucket: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spark = embeddings.sparkSession
     val planes = hyperplanes(bitsPerTable * numTables, dim)
     // sign bits are computed on the RAW vector (sign(dot(v,p)) is
@@ -416,9 +427,14 @@ object Dedup {
       col("embedding").cast("array<double>").as("raw"),
       VectorExpressions.vecNormalize(spark,
         col("embedding").cast("array<double>")).as("v"))
-    val bucketed = e.select(col("vec_id"), col("v"),
+    val all = e.select(col("vec_id"), col("v"),
       posexplode(VectorExpressions.hyperplaneSig(spark, col("raw"), planes,
         bitsPerTable)).as(Seq("t", "h")))
+    val bucketed = maxBucket.fold(all) { cap =>
+      val w = Window.partitionBy(col("t"), col("h"))
+      all.withColumn("bsz", count(lit(1)).over(w))
+        .filter(col("bsz") <= cap).drop("bsz")
+    }
     bucketed.as("a").join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
           col("a.vec_id") < col("b.vec_id"))

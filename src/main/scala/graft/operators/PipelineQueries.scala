@@ -328,6 +328,18 @@ object PipelineQueries {
     Dedup.embeddingNearDupLsh(Tables.embeddings(spark, sfDir), threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Bucket-capped LSH (maxBucket 64) — the density-skew guard the sf1
+    * scaling run motivated (BENCH_SCALING.md): correlated embeddings
+    * collapse sign buckets, and the uncapped within-bucket join trends
+    * quadratic. Cap replayed by the oracle via bucket-size HAVING. */
+  def dedupEmbeddingLshCapped(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.embeddingNearDupLsh(Tables.embeddings(spark, sfDir),
+      threshold = 0.5, maxBucket = Some(64))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupEmbeddingLshCappedSql: String =
+    OracleSql.dedupEmbeddingLshCappedSql(cap = 64)
+
   /** Embedding-space decontamination: vectors 0-4 act as the held-out
     * benchmark; every other vector reports its best bucket-sharing cosine
     * against them (threshold 0.3 — the fixture's similarity band). */

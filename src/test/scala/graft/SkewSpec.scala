@@ -24,4 +24,26 @@ class SkewSpec extends AnyFunSuite {
       .select(spark_partition_id().as("p")).distinct().count()
     assert(parts > 1, "hot key should span multiple partitions after salting")
   }
+
+  test("embedding LSH bucket cap drops mega-clusters, keeps small ones") {
+    // 100 identical vectors collapse onto ONE sign bucket per table — the
+    // dense-cosine-tail shape the sf1 scaling run hit, where the
+    // within-bucket join trends quadratic. A 3-member cluster in another
+    // direction must survive the cap untouched.
+    val mega = Array.fill(8)(0.5f)
+    val alt = Array(0.5f, -0.5f, 0.5f, -0.5f, 0.5f, -0.5f, 0.5f, -0.5f)
+    val rows = (0L until 100L).map(i => (i, mega)) ++
+      (1000L until 1003L).map(i => (i, alt))
+    val df = rows.toDF("vec_id", "embedding")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val unc = pairs(Dedup.embeddingNearDupLsh(df, threshold = 0.9, dim = 8))
+    val cap = pairs(Dedup.embeddingNearDupLsh(df, threshold = 0.9, dim = 8,
+      maxBucket = Some(10)))
+    assert(cap.subsetOf(unc), "cap must only remove pairs")
+    assert(cap == Set((1000L, 1001L), (1000L, 1002L), (1001L, 1002L)),
+      s"small cluster survives, mega-cluster dropped: $cap")
+    assert(unc.count(p => p._1 < 100) == 100 * 99 / 2,
+      "uncapped baseline sees the full mega-cluster")
+  }
 }
