@@ -19,7 +19,13 @@ object Bench {
     // per-query numbers plan-faithful — they match graft.Scratch warm times
     // — instead of charging one query per kernel family with its JIT.
     // NonFatal only: an OOM/LinkageError must abort the bench, not be eaten.
+    // The System.gc() barrier between queries keeps a shuffle-heavy
+    // mega-query's garbage debt from being collected (and billed) inside its
+    // neighbors' timed runs: at sf1 the queries following the 280 s uncapped
+    // simhash baseline measured 10-100x their isolated warm times until the
+    // debt was paid down. GC cost lands between timings, not inside them.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      System.gc()
       try { fn(spark, sfDir).count() } catch {
         case NonFatal(e) =>
           System.err.println(s"WARN bench warm-up of $name failed: $e")
