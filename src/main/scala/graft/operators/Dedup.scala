@@ -98,6 +98,48 @@ object Dedup {
       .select(col("doc_id"), col("para_idx"), col("fp"), col("keep"))
   }
 
+  /** Substring-level duplicate-span detection (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): slide a `w`-token window over every document
+    * (stride 1) and mark each position whose window text also occurs in at
+    * least one OTHER document. Catches repeated boilerplate/quotes inside
+    * otherwise-unique documents — the case document- and paragraph-level
+    * dedup both miss. Documents shorter than `w` tokens contribute their
+    * whole text as one window (mirrors [[ngramJaccard]]'s short-doc rule).
+    *
+    * Output: one row per doc with total window positions, positions whose
+    * window is shared cross-doc, and the duplicated fraction — the
+    * per-document signal a span-removal pass would key on.
+    *
+    * Scale shape: window fingerprints are md5 (fixed 32-byte shuffle key,
+    * never the window text). Stage 1 groups by fingerprint with map-side
+    * partial aggregation to find cross-doc fingerprints; stage 2 is a
+    * semi-join of the positions against that (much smaller) set, keyed on
+    * the same fingerprint so AQE can reuse/skew-split the exchange; stage 3
+    * re-keys by doc_id for bounded per-doc counts. No stage materializes
+    * pairs, so hot boilerplate windows cost their posting count, not its
+    * square. */
+  def substringDedup(docs: DataFrame, w: Int = 8): DataFrame = {
+    require(w >= 2, "need window width >= 2")
+    val toks = split(col("text"), " ")
+    val starts = sequence(lit(1), greatest(size(toks) - lit(w - 1), lit(1)))
+    val wins = docs.select(col("doc_id"),
+      explode(transform(starts,
+        i => md5(array_join(slice(toks, i, lit(w)), " ")))).as("fp"))
+    val crossDoc = wins.groupBy(col("fp"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("fp"))
+    val dupCounts = wins.join(crossDoc, Seq("fp"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+      .join(dupCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"))
+          .as("dup_ratio"))
+  }
+
   /** Near-duplicate pairs by exact n-gram Jaccard similarity.
     * Exact (no approximation): pairs sharing zero shingles are not near-dups
     * at any useful threshold, so the shingle self-join enumerates exactly

@@ -422,4 +422,68 @@ object ParityQueries {
   }
 
   val sinkRoundtripOrcSql: String = sinkRoundtripSql
+
+  /** Snapshot time travel end-to-end (§2.4 snapshot log; reference
+    * README.md:95-105 commit coordination): two appends to a `versioned`
+    * sink commit snapshots v1 and v2; reading as-of v1 must surface exactly
+    * the first batch — no leakage from later commits, no loss. The batches
+    * split `events` on a deterministic key so the oracle replays snapshot
+    * v1 as a plain filter over the fixture: a hash match proves the
+    * manifest captured the v1 file set exactly. */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_tt",
+      warehousePath = dest,
+      numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 0))
+    sink.readVersion(spark, 1)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"event_type")
+  }
+
+  val timeTravelSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events WHERE event_id % 3 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Incremental (CDC-style) consumption: `readChanges(v1, v2)` must
+    * surface exactly the rows the second commit appended — the file-set
+    * difference of the two manifests, never a rescan of history. Same
+    * deterministic split as [[timeTravel]], so the oracle is the
+    * complementary filter. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_cdc",
+      warehousePath = dest,
+      numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 0))
+    sink.readChanges(spark, 1, 2)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"event_type")
+  }
+
+  val snapshotDiffSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events WHERE event_id % 3 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -50,6 +50,27 @@ object PipelineQueries {
       |    AS keep
       |FROM paras ORDER BY doc_id, para_idx""".stripMargin
 
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.substringDedup(Tables.documents(spark, sfDir), w = 8)
+      .orderBy(col("doc_id"))
+
+  val dedupSubstringSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |wins AS (
+      |  SELECT doc_id,
+      |    unnest([md5(array_to_string(t[i:i+7], ' '))
+      |            FOR i IN generate_series(1, greatest(len(t)-7, 1))]) AS fp
+      |  FROM toks),
+      |cross_doc AS (
+      |  SELECT fp FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) > 1),
+      |tot AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY 1),
+      |dup AS (SELECT doc_id, count(*) AS n_dup
+      |        FROM wins JOIN cross_doc USING (fp) GROUP BY 1)
+      |SELECT t.doc_id, t.n_windows, COALESCE(d.n_dup, 0) AS n_dup,
+      |  CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / t.n_windows AS dup_ratio
+      |FROM tot t LEFT JOIN dup d USING (doc_id) ORDER BY doc_id""".stripMargin
+
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(spark, sfDir), n = 5, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
@@ -955,6 +976,27 @@ object PipelineQueries {
       |    FROM (SELECT string_split(text, ' ') AS t FROM documents))
       |  GROUP BY bg)
       |WHERE rank <= 50 ORDER BY rank""".stripMargin
+
+  def textBpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.bpeMergePairs(Tables.documents(spark, sfDir), k = 20)
+      .orderBy(col("rank"))
+
+  val textBpeMergesSql: String =
+    """WITH words AS (
+      |  SELECT w AS word, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 2 GROUP BY 1),
+      |pairs AS (
+      |  SELECT freq,
+      |    unnest([substring(word, i, 2)
+      |            FOR i IN generate_series(1, length(word)-1)]) AS pair
+      |  FROM words)
+      |SELECT rank, pair, n FROM (
+      |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, pair) AS BIGINT)
+      |      AS rank
+      |  FROM pairs GROUP BY pair)
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
 
   /** Decontamination screen: docs with id < 20 act as the held-out
     * benchmark set; every other document reports its shingle-overlap share

@@ -207,6 +207,33 @@ object TextAnalysis {
       .select(col("rank"), col("bg"), col("n"))
   }
 
+  /** First BPE merge iteration (Sennrich et al. 2016, arXiv:1508.07909) —
+    * adjacent CHARACTER-pair frequencies over the corpus vocabulary,
+    * weighted by word frequency: the pair ranked first is the merge a BPE
+    * tokenizer trainer would apply next. Complements [[bigrams]] (token
+    * pairs): this is the sub-word layer tokenizer training actually reads.
+    *
+    * Scale shape: the corpus collapses to its vocabulary FIRST (one
+    * map-side-partial shuffle on the word), so the character-pair explode
+    * runs over Σ|word| distinct-vocab characters — bounded by vocabulary
+    * size, not corpus size. Pair counts aggregate map-side again, and the
+    * rank-≤k filter lets the optimizer cut to TakeOrderedAndProject before
+    * the single-partition window (same shape as [[vocabulary]]). */
+  def bpeMergePairs(docs: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val pairs = words.select(col("freq"),
+      explode(transform(sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+    val counts = pairs.groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+    val w = Window.partitionBy().orderBy(col("n").desc, col("pair").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("pair"), col("n"))
+  }
+
   /** Benchmark-contamination check — the share of each training document's
     * distinct shingles that also appear in a benchmark/probe document set
     * (the standard decontamination screen before LLM training). One shingle

@@ -11,6 +11,27 @@ class DedupSpec extends AnyFunSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
 
+  test("substring dedup: cross-doc windows counted, intra-doc repeats not") {
+    // d1/d2 share the 3-token spans "a b c" and "b c d"; d3 is shorter
+    // than the window (whole text = one window, unique); d4 repeats a
+    // window WITHIN itself only — cross-doc definition must not flag it
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d y"),
+      (3L, "q r"),
+      (4L, "m m m m"))
+      .toDF("doc_id", "text")
+    val r = Dedup.substringDedup(docs, w = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_windows", "n_dup")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 3L, 2L), (2L, 4L, 2L), (3L, 1L, 0L),
+      (4L, 2L, 0L)), s"got $r")
+    val ratios = Dedup.substringDedup(docs, w = 3)
+      .orderBy("doc_id").select("dup_ratio").as[Double].collect().toSeq
+    assert(ratios == Seq(2.0 / 3, 0.5, 0.0, 0.0), s"got $ratios")
+  }
+
   test("paragraph dedup: blank-line split, segmentation, canonical owner") {
     // d1 and d2 share a boilerplate paragraph (d1 owns it: lower doc_id);
     // d3 repeats a paragraph WITHIN itself (first occurrence owns); d4 has

@@ -280,6 +280,17 @@ class SinkSpec extends AnyFunSuite {
       .count() == 0, "all rows must carry the transform-derived day")
   }
 
+  test("time-travel and snapshot-diff queries partition the two appends") {
+    val e = Tables.events(spark, TestSpark.sfDir)
+    val n1 = ParityQueries.timeTravel(spark, TestSpark.sfDir)
+      .agg(sum("n")).as[Long].head()
+    val n2 = ParityQueries.snapshotDiff(spark, TestSpark.sfDir)
+      .agg(sum("n")).as[Long].head()
+    assert(n1 == e.filter(pmod(col("event_id"), lit(3)) =!= 0).count())
+    assert(n2 == e.filter(pmod(col("event_id"), lit(3)) === 0).count())
+    assert(n1 + n2 == e.count(), "v1 plus the diff must cover every row")
+  }
+
   test("additive schema evolution: mergeSchema read unions appended columns") {
     val sink = new TableSink(SinkConfig("evolve", TestSpark.tmpDir("sink_evolve")))
     sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))

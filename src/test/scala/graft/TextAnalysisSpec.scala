@@ -39,6 +39,16 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"'a b' appears 3x (2 in doc 1, 1 in doc 3): $v")
   }
 
+  test("bpe merge pairs weight character pairs by corpus word frequency") {
+    // vocab: "aab" freq 2, "ab" freq 1; "x" dropped (single char).
+    // pairs: "aa" from aab (x2) = 2; "ab" from aab (x2) + ab (x1) = 3.
+    val df = Seq((1L, "aab aab x"), (2L, "ab")).toDF("doc_id", "text")
+    val v = TextAnalysis.bpeMergePairs(df, k = 5)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(v == Seq((1L, "ab", 3L), (2L, "aa", 2L)),
+      s"'ab' (3) must outrank 'aa' (2): $v")
+  }
+
   test("vocabulary ranks by count desc with token tie-break") {
     val df = Seq((1L, "b a a c b a"), (2L, "c b d")).toDF("doc_id", "text")
     val v = TextAnalysis.vocabulary(df, k = 3)
