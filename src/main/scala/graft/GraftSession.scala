@@ -25,7 +25,20 @@ object GraftSession {
       // 128 MB splits keep scan tasks balanced on large parquet
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // the engine's SQL surface: native kernels as SQL functions
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
     master.fold(b)(b.master)
+  }
+
+  /** Register a [[GraftCatalog]] named `catalogName` over `warehouse` on an
+    * existing session, enabling `SELECT ... FROM <name>.<table> [VERSION AS
+    * OF v | TIMESTAMP AS OF t]` over every versioned sink table there.
+    * Idempotent; callable any time (v2 catalogs resolve lazily). */
+  def registerCatalog(spark: SparkSession, warehouse: String,
+      catalogName: String = "graft"): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$catalogName",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catalogName.warehouse", warehouse)
   }
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -98,6 +98,53 @@ object Dedup {
       .select(col("doc_id"), col("para_idx"), col("fp"), col("keep"))
   }
 
+  /** The WRITE side of paragraph dedup: reconstruct each document's text
+    * with only the paragraphs it canonically owns (first occurrence by
+    * (doc_id, para_idx) corpus-wide — same ownership rule as
+    * [[paragraphDedup]], same boundary rule as [[paragraphs]]). This is the
+    * operator a cleaning pipeline actually materializes; `paragraphDedup`'s
+    * keep-marks are its audit trail.
+    *
+    * Output: one row per doc with paragraph counts and `clean_text` — the
+    * kept paragraphs in original order joined by a blank line (the same
+    * boundary that split them; a doc whose every paragraph is owned
+    * elsewhere keeps an empty string, letting a downstream length filter
+    * drop it).
+    *
+    * Scale shape: [[paragraphDedup]]'s single fingerprint shuffle, plus one
+    * doc_id shuffle to reassemble — per-doc state is the document's own
+    * paragraph list, so memory is bounded by document size exactly as the
+    * input rows are. No all-pairs stage anywhere. */
+  def cleanParagraphs(docs: DataFrame, maxParaTokens: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxParaTokens >= 1, "need maxParaTokens >= 1")
+    val m = maxParaTokens
+    val blocks = split(col("text"), "\\n{2,}")
+    val paras = flatten(transform(blocks, p => {
+      val t = split(p, " ")
+      val nseg = floor((greatest(size(t), lit(1)) + (m - 1)) / lit(m))
+        .cast("int")
+      transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(t, i * m + 1, lit(m)), " "))
+    }))
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id"), col("para_idx"))
+    val marked = docs
+      .select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
+        col("para"), md5(col("para")).as("fp"))
+      .withColumn("keep", row_number().over(w) === 1)
+    marked.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_paras"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      // collect_list drops nulls, so the when() keeps only owned paragraphs;
+      // struct sort restores original order without a per-doc window
+      array_join(transform(
+        array_sort(collect_list(
+          when(col("keep"), struct(col("para_idx"), col("para"))))),
+        s => s.getField("para")), "\n\n").as("clean_text"))
+  }
+
   /** Substring-level duplicate-span detection (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499): slide a `w`-token window over every document

@@ -486,4 +486,39 @@ object ParityQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events WHERE event_id % 3 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Same snapshot-v1 contract as [[timeTravel]], exercised through the SQL
+    * front door: [[GraftCatalog]] resolves `graft_cat.<table> VERSION AS OF
+    * 1` against the sink's manifest log and hands Spark the exact v1 file
+    * set as a native vectorized scan. A hash match proves the whole chain —
+    * catalog registration, identifier resolution, time-travel manifest
+    * lookup, partition-directory recovery — end to end, not just the
+    * library-API path. */
+  def catalogTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    // fixed warehouse + unique table name: catalog plugin instances (and
+    // their options) are cached per session, so the warehouse must be
+    // stable across invocations while each run still gets a fresh table
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_ct_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val sink = new TableSink(SinkConfig(
+      tableName = tbl,
+      warehousePath = wh,
+      numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 0))
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM graft_cat.$tbl VERSION AS OF 1
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val catalogTimeTravelSql: String = timeTravelSql
 }

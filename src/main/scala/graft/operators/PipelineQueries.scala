@@ -50,6 +50,43 @@ object PipelineQueries {
       |    AS keep
       |FROM paras ORDER BY doc_id, para_idx""".stripMargin
 
+  /** Cleaned-corpus materialization: [[Dedup.cleanParagraphs]] over the
+    * documents table. The oracle replays the split/segment/ownership chain
+    * of [[dedupParagraphSql]] and reassembles kept paragraphs with ordered
+    * string_agg. */
+  def dedupCleanText(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.cleanParagraphs(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  val dedupCleanTextSql: String =
+    """WITH blocks AS (
+      |  SELECT doc_id, string_split_regex(text, '\n{2,}') AS ps
+      |  FROM documents),
+      |bi0 AS (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS pi
+      |        FROM blocks),
+      |bi AS (SELECT doc_id, pi, string_split(ps[pi], ' ') AS t FROM bi0),
+      |seg AS (SELECT doc_id, pi, t,
+      |          unnest(generate_series(0, (greatest(len(t), 1)+24)//25 - 1))
+      |            AS j
+      |        FROM bi),
+      |paras AS (SELECT doc_id,
+      |            CAST(row_number() OVER (
+      |              PARTITION BY doc_id ORDER BY pi, j) - 1 AS BIGINT)
+      |              AS para_idx,
+      |            array_to_string(t[j*25+1 : j*25+25], ' ') AS para
+      |          FROM seg),
+      |marked AS (SELECT doc_id, para_idx, para,
+      |             row_number() OVER (
+      |               PARTITION BY md5(para) ORDER BY doc_id, para_idx) = 1
+      |               AS keep
+      |           FROM paras)
+      |SELECT doc_id, COUNT(*) AS n_paras,
+      |  CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS n_kept,
+      |  COALESCE(string_agg(para, e'\n\n' ORDER BY para_idx)
+      |             FILTER (WHERE keep), '') AS clean_text
+      |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.substringDedup(Tables.documents(spark, sfDir), w = 8)
       .orderBy(col("doc_id"))
@@ -1114,6 +1151,18 @@ object PipelineQueries {
     TextAnalysis.stopwords(Tables.documents(spark, sfDir))
 
   val textStopwordsSql: String = TextAnalysis.stopwordsSql
+
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tokenEntropy(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  val textEntropySql: String = TextAnalysis.tokenEntropySql
+
+  def textGopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.gopherRules(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  val textGopherRulesSql: String = TextAnalysis.gopherRulesSql
 
   /** Nearest-class-mean confusion matrix over the labeled embeddings. */
   def simCentroidClassify(spark: SparkSession, sfDir: String): DataFrame =

@@ -375,6 +375,89 @@ object TextAnalysis {
         col("top_frac") <= topFracMax && col("dup_frac") <= dupFracMax)
   }
 
+  /** The remaining Gopher document-level rules (Rae et al. 2021, table A1)
+    * not covered by [[repetitionStats]] (n-gram repetition), [[qualityExpr]]
+    * (length/stopword/punct), or [[lengthBand]] (length percentiles):
+    * mean word length in [3, 10]; ≥80% of words contain an alphabetic
+    * character; symbol-to-word ratio (`#` and `...`) ≤ 0.1; ≤30% of lines
+    * end with an ellipsis; ≤90% of lines start with a bullet. Together
+    * these close out the standard pretraining rule battery.
+    *
+    * Every threshold is evaluated in cross-multiplied INTEGER arithmetic
+    * (`n_alpha·10 ≥ n_words·8`, never `frac ≥ 0.8`), so the keep decision
+    * has no float boundary for engines to disagree on; the reported ratio
+    * columns are display-rounded doubles. Symbol occurrences are counted by
+    * replace-length deltas — exact string ops both engines share, no regex
+    * dialect in play.
+    *
+    * Scale shape: entirely row-local (split + higher-order filters +
+    * length arithmetic, all codegen'd) — zero shuffles; composes with any
+    * scan without changing its plan. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nWords = size(t).cast("long")
+    val sumLen = aggregate(transform(t, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nAlpha = size(filter(t, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val nSym = ((length(col("text"))
+      - length(regexp_replace(col("text"), lit("#"), lit("")))) +
+      (length(col("text"))
+        - length(regexp_replace(col("text"), lit("\\.\\.\\."), lit("")))) / 3)
+      .cast("long")
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("long")
+    val nEll = size(filter(lines, l =>
+      endswith(l, lit("...")) || endswith(l, lit("…")))).cast("long")
+    val nBullet = size(filter(lines, l =>
+      startswith(l, lit("- ")) || startswith(l, lit("* ")) ||
+        startswith(l, lit("• ")))).cast("long")
+    docs.select(col("doc_id"), nWords.as("n_words"),
+      round(sumLen.cast("double") / nWords, 9).as("mean_word_len"),
+      round(nAlpha.cast("double") / nWords, 9).as("alpha_frac"),
+      round(nSym.cast("double") / nWords, 9).as("symbol_ratio"),
+      round(nEll.cast("double") / nLines, 9).as("ellipsis_line_frac"),
+      round(nBullet.cast("double") / nLines, 9).as("bullet_line_frac"),
+      (sumLen >= nWords * 3 && sumLen <= nWords * 10 &&
+        nAlpha * 10 >= nWords * 8 && nSym * 10 <= nWords &&
+        nEll * 10 <= nLines * 3 && nBullet * 10 <= nLines * 9).as("keep"))
+  }
+
+  /** DuckDB oracle for [[gopherRules]] — replays the split/filter/replace
+    * chain with the same integer cross-multiplications. */
+  val gopherRulesSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    string_split(text, ' ') AS t,
+      |    string_split(text, chr(10)) AS lines
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(t) AS BIGINT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(t, w -> length(w))), 0)
+      |      AS BIGINT) AS sum_len,
+      |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
+      |      AS BIGINT) AS n_alpha,
+      |    CAST((length(text) - length(replace(text, '#', ''))) +
+      |      (length(text) - length(replace(text, '...', ''))) // 3
+      |      AS BIGINT) AS n_sym,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(lines, l -> ends_with(l, '...')
+      |      OR ends_with(l, chr(8230)))) AS BIGINT) AS n_ell,
+      |    CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+      |      OR starts_with(l, '* ') OR starts_with(l, chr(8226) || ' ')))
+      |      AS BIGINT) AS n_bullet
+      |  FROM base)
+      |SELECT doc_id, n_words,
+      |  round(CAST(sum_len AS DOUBLE) / n_words, 9) AS mean_word_len,
+      |  round(CAST(n_alpha AS DOUBLE) / n_words, 9) AS alpha_frac,
+      |  round(CAST(n_sym AS DOUBLE) / n_words, 9) AS symbol_ratio,
+      |  round(CAST(n_ell AS DOUBLE) / n_lines, 9) AS ellipsis_line_frac,
+      |  round(CAST(n_bullet AS DOUBLE) / n_lines, 9) AS bullet_line_frac,
+      |  (sum_len >= n_words * 3 AND sum_len <= n_words * 10 AND
+      |   n_alpha * 10 >= n_words * 8 AND n_sym * 10 <= n_words AND
+      |   n_ell * 10 <= n_lines * 3 AND n_bullet * 10 <= n_lines * 9) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** Overlapping token-window chunking — the RAG/pretraining chunker that
     * turns long documents into fixed-size windows with `overlap` tokens of
     * context carried across boundaries. Chunk i starts at token
@@ -658,6 +741,65 @@ object TextAnalysis {
         round(col("sum_lp_e9").cast("double") / 1000000000.0
           / col("n_tokens"), 9).as("avg_logp"))
   }
+
+  /** Per-document token-distribution entropy — the low-diversity / spam
+    * signal the ratio-based filters miss: keyword-stuffed or
+    * template-generated text can pass length and punctuation screens while
+    * its token distribution collapses onto a few values. `H = ln(N) -
+    * (1/N)·Σ_t c_t·ln(c_t)` in nats (0 for a one-token document, ln(N)
+    * when every token is distinct); downstream filters cut on a low
+    * quantile. `ttr` (type-token ratio) rides along as the cheap linear
+    * companion.
+    *
+    * Engine portability (the [[unigramLogProb]] nano-unit discipline):
+    * `ln(c_t)` is rounded to 9 dp and scaled to integer nano-units once
+    * per (doc, token) COUNT — the sum `Σ c_t·lnc_e9` is exact integer
+    * arithmetic, immune to aggregation order; the only double ops (`ln N`,
+    * one division) are single expressions both engines evaluate
+    * identically.
+    *
+    * Scale shape: one shuffle to (doc, tok) counts with map-side partial
+    * aggregation, one re-key to doc_id for the bounded per-doc sums.
+    * Per-doc state is three integers — no token list is ever held. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") *
+          round(round(log(col("tf").cast("double")), 9) * 1000000000.0)
+            .cast("long")).as("sum_clnc_e9"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens").cast("double"))
+          - col("sum_clnc_e9").cast("double") / 1000000000.0
+            / col("n_tokens"), 9).as("entropy"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 9)
+          .as("ttr"))
+  }
+
+  /** DuckDB oracle for [[tokenEntropy]]. */
+  val tokenEntropySql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id,
+      |    CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_distinct,
+      |    CAST(sum(tf * CAST(round(round(ln(CAST(tf AS DOUBLE)), 9)
+      |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_clnc_e9
+      |  FROM tf GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  round(ln(CAST(n_tokens AS DOUBLE))
+      |    - CAST(sum_clnc_e9 AS DOUBLE) / 1000000000.0 / n_tokens, 9)
+      |    AS entropy,
+      |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 9) AS ttr
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Corpus-derived stopword list: tokens appearing in at least `pct`% of
     * documents — the data-driven replacement for a hand-curated stopword

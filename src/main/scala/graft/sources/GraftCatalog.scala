@@ -1,0 +1,249 @@
+package graft
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FileTable
+import org.apache.spark.sql.execution.datasources.v2.orc.OrcTable
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 `TableCatalog` over a [[TableSink]] warehouse — the SQL
+  * front door to the engine's table format (reference: connector.py:358-393
+  * loads tables from a real Iceberg catalog; this is the analogous catalog
+  * surface for the parquet/orc + `_graft_log` manifest warehouse, SURVEY
+  * §2.4). Install per session, then query by name:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/warehouse")
+  * spark.sql("SELECT * FROM graft.events")                      // latest
+  * spark.sql("SELECT * FROM graft.events VERSION AS OF 1")      // snapshot
+  * spark.sql("SELECT * FROM graft.events TIMESTAMP AS OF '...'") // as-of time
+  * }}}
+  *
+  * Reads resolve through the snapshot manifest when the table is versioned
+  * (`_graft_log` present): `VERSION AS OF n` pins the exact file set commit
+  * `n` recorded, and `TIMESTAMP AS OF t` picks the last snapshot committed
+  * at or before `t` — Iceberg's snapshot-id / as-of-timestamp semantics on
+  * the sink's own log. Unversioned tables read the live directory.
+  *
+  * The returned table is READ-ONLY (`BATCH_READ` capability only): an
+  * `INSERT INTO` through the catalog would drop files into the directory
+  * without a manifest commit, silently corrupting the snapshot history, so
+  * writes are refused at analysis time and routed to [[TableSink]] (whose
+  * commits maintain the log). Scans are Spark's native vectorized
+  * parquet/orc readers with full pushdown — the catalog only decides WHICH
+  * files are in the table; scan planning, filter pushdown, and partition
+  * pruning (hive-style directories, recovered via `basePath`) are stock.
+  *
+  * Scale: `loadTable` touches only the manifest (one small text file) and
+  * directory metadata — no data I/O on the driver; file-set size is the
+  * same O(files) Spark's own file index holds.
+  */
+final class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  // tables live at warehouse/<namespace dirs...>/<table>
+  private def tableDir(ident: Identifier): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      (warehouse +: (ident.namespace() :+ ident.name())).mkString("/"))
+
+  private def logDir(ident: Identifier): java.nio.file.Path =
+    tableDir(ident).resolve("_graft_log")
+
+  private def isTableDir(p: java.nio.file.Path): Boolean =
+    java.nio.file.Files.isDirectory(p) &&
+      !p.getFileName.toString.startsWith("_") &&
+      !p.getFileName.toString.contains("=") // hive partition dir, not a table
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get((warehouse +: namespace).mkString("/"))
+    if (!java.nio.file.Files.isDirectory(dir))
+      throw new NoSuchNamespaceException(namespace.toSeq)
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala.filter(isTableDir)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(tableDir(ident))
+
+  /** Snapshot versions recorded for the table, oldest first. */
+  private def versions(ident: Identifier): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    val log = logDir(ident)
+    if (!java.nio.file.Files.isDirectory(log)) Nil
+    else {
+      val s = java.nio.file.Files.list(log)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+          n.stripPrefix("v").stripSuffix(".list").toInt }
+        .toVector.sorted
+      finally s.close()
+    }
+  }
+
+  private def manifestPath(ident: Identifier, v: Int): java.nio.file.Path =
+    logDir(ident).resolve(f"v$v%05d.list")
+
+  /** The absolute data-file paths snapshot `v` recorded. */
+  private def manifestFiles(ident: Identifier, v: Int): Seq[String] = {
+    val m = manifestPath(ident, v)
+    // NOT NoSuchTableException: the analyzer rewrites that into its generic
+    // table-not-found error, burying WHICH snapshot is missing — and the
+    // table itself does exist
+    if (!java.nio.file.Files.exists(m))
+      throw new IllegalArgumentException(
+        s"${ident.name()}: snapshot v$v does not exist (expired by a " +
+          "rewrite, or never committed); available: " +
+          versions(ident).mkString(", "))
+    java.nio.file.Files.readString(m).split("\n").filter(_.nonEmpty)
+      .map(rel => s"${tableDir(ident)}/$rel").toIndexedSeq
+  }
+
+  /** Wrap the file set in the matching native v2 file table. Format is
+    * detected from the data-file extensions (the sink writes exactly one
+    * format per table), so catalog reads need no per-table config. */
+  private def fileTable(ident: Identifier, paths: Seq[String],
+      firstFile: Option[String]): Table = {
+    val spark = SparkSession.active
+    val opts = new CaseInsensitiveStringMap(
+      util.Map.of("basePath", tableDir(ident).toString))
+    val orc = firstFile.exists(_.endsWith(".orc"))
+    val delegate: FileTable =
+      if (orc) OrcTable(ident.name(), spark, opts, paths,
+        None, classOf[OrcFileFormat])
+      else ParquetTable(ident.name(), spark, opts, paths,
+        None, classOf[ParquetFileFormat])
+    new GraftReadOnlyTable(delegate, ident.toString)
+  }
+
+  /** First data file under the live table dir (format sniff + existence). */
+  private def firstDataFile(ident: Identifier): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val root = tableDir(ident)
+    if (!java.nio.file.Files.isDirectory(root)) return None
+    val s = java.nio.file.Files.walk(root)
+    try s.iterator().asScala.find { p =>
+      java.nio.file.Files.isRegularFile(p) && {
+        val rel = root.relativize(p).toString
+        !rel.startsWith("_") && !rel.contains("/_") &&
+          !p.getFileName.toString.startsWith(".")
+      }
+    }.map(_.toString)
+    finally s.close()
+  }
+
+  /** Latest state: the live directory (works versioned or not — the newest
+    * manifest is always the full current file set). */
+  override def loadTable(ident: Identifier): Table = {
+    val first = firstDataFile(ident).getOrElse(
+      throw new NoSuchTableException(ident))
+    fileTable(ident, Seq(tableDir(ident).toString), Some(first))
+  }
+
+  /** `VERSION AS OF v` — the exact file set snapshot `v` recorded. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"${ident.name()}: version must be an integer snapshot id, got '$version'"))
+    val files = manifestFiles(ident, v)
+    fileTable(ident, files, files.headOption)
+  }
+
+  /** `TIMESTAMP AS OF t` (micros since epoch): the last snapshot committed
+    * at or before `t`, by manifest commit time — Iceberg's as-of-timestamp
+    * resolution against the sink's log. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val vs = versions(ident)
+    if (vs.isEmpty) throw new IllegalArgumentException(
+      s"table ${ident.name()} has no snapshot log (unversioned); " +
+        "TIMESTAMP AS OF needs versioned=true commits")
+    val cutoffMs = timestampMicros / 1000L
+    val v = vs.filter(v => java.nio.file.Files
+        .getLastModifiedTime(manifestPath(ident, v)).toMillis <= cutoffMs)
+      .lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"${ident.name()}: no snapshot committed at or before timestamp " +
+          s"$timestampMicros"))
+    loadTable(ident, v.toString)
+  }
+
+  // ------------------------------------------------------------- DDL
+  // The write path is TableSink (create-if-missing on first append, commits
+  // maintain the manifest); catalog DDL that would bypass it is refused.
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created by TableSink.append (create-if-missing, " +
+        "manifest-committed); the catalog is the read surface")
+
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    createTable(ident, info.schema(), info.partitions(), info.properties())
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolution is additive via " +
+        "TableSink.append + mergeSchema reads")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val root = tableDir(ident)
+    if (!isTableDir(root)) return false
+    val s = java.nio.file.Files.walk(root)
+    val all = try s.iterator().asScala.toVector finally s.close()
+    all.reverseIterator.foreach(java.nio.file.Files.delete)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!isTableDir(tableDir(oldIdent)))
+      throw new NoSuchTableException(oldIdent)
+    if (isTableDir(tableDir(newIdent)))
+      throw new TableAlreadyExistsException(newIdent)
+    java.nio.file.Files.createDirectories(tableDir(newIdent).getParent)
+    java.nio.file.Files.move(tableDir(oldIdent), tableDir(newIdent))
+  }
+}
+
+/** Read-only facade over a native v2 file table: exposes scan building
+  * untouched (vectorized read, pushdown, partition pruning) but advertises
+  * only `BATCH_READ`, so `INSERT INTO` fails at analysis instead of writing
+  * files the snapshot manifest never recorded. */
+private[graft] final class GraftReadOnlyTable(delegate: FileTable,
+    fullName: String) extends Table with SupportsRead {
+  override def name(): String = fullName
+  override def schema(): StructType = delegate.schema
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def properties(): util.Map[String, String] = delegate.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+}

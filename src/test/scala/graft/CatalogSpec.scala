@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[GraftCatalog]]: SQL reads over the versioned sink warehouse — latest,
+  * VERSION AS OF, TIMESTAMP AS OF, DDL surface, and the read-only guard. */
+class CatalogSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val wh = TestSpark.tmpDir("catalog_wh")
+  spark.conf.set("spark.sql.catalog.gtest", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gtest.warehouse", wh)
+
+  private def mkVersioned(name: String): TableSink = {
+    val sink = new TableSink(SinkConfig(tableName = name, warehousePath = wh,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "cat", "v"))
+    sink.append(Seq((4L, "b", 40.0), (5L, "c", 50.0)).toDF("id", "cat", "v"))
+    sink
+  }
+
+  test("latest read sees both commits; VERSION AS OF 1 only the first") {
+    mkVersioned("tt1")
+    assert(spark.sql("SELECT * FROM gtest.tt1").count() == 5)
+    val v1 = spark.sql("SELECT id FROM gtest.tt1 VERSION AS OF 1")
+      .as[Long].collect().sorted.toSeq
+    assert(v1 == Seq(1L, 2L, 3L), s"snapshot v1 must be the first batch: $v1")
+  }
+
+  test("partition pruning and filter pushdown survive the catalog") {
+    mkVersioned("tt2")
+    val plan = spark.sql(
+      "SELECT id FROM gtest.tt2 VERSION AS OF 1 WHERE cat = 'a' AND id > 1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)"),
+      s"data filter must reach the parquet scan:\n$plan")
+    // cat is a hive-partition column recovered via basePath: it must be
+    // pruned at planning, never scanned as data
+    assert(plan.contains("PartitionFilters: [isnotnull(cat"),
+      s"partition filter must prune directories:\n$plan")
+    assert(spark.sql(
+      "SELECT id FROM gtest.tt2 VERSION AS OF 1 WHERE cat = 'a' AND id > 1")
+      .as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("TIMESTAMP AS OF resolves by manifest commit time") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    mkVersioned("tt3")
+    val log = Paths.get(s"$wh/tt3/_graft_log")
+    // pin commit times: v1 at t=100000s, v2 at t=200000s (epoch)
+    Files.setLastModifiedTime(log.resolve("v00001.list"),
+      FileTime.fromMillis(100000000L))
+    Files.setLastModifiedTime(log.resolve("v00002.list"),
+      FileTime.fromMillis(200000000L))
+    val asOf = spark.sql(
+      "SELECT id FROM gtest.tt3 TIMESTAMP AS OF '1970-01-02 07:00:00Z'")
+      .as[Long].collect().sorted.toSeq // 111600s: after v1, before v2
+    assert(asOf == Seq(1L, 2L, 3L), s"as-of between commits must see v1: $asOf")
+    val late = spark.sql(
+      "SELECT count(*) FROM gtest.tt3 TIMESTAMP AS OF '1970-01-04 00:00:00Z'")
+      .as[Long].head()
+    assert(late == 5, "as-of after the last commit must see everything")
+    val early = intercept[Exception](spark.sql(
+      "SELECT * FROM gtest.tt3 TIMESTAMP AS OF '1970-01-01 00:00:01Z'")
+      .collect())
+    assert(early.getMessage.contains("no snapshot"),
+      s"as-of before the first commit must fail: ${early.getMessage}")
+  }
+
+  test("INSERT INTO is refused — writes must go through the sink's commits") {
+    mkVersioned("tt4")
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO gtest.tt4 VALUES (9, 'z', 90.0, null)"))
+    assert(e.isInstanceOf[AnalysisException] ||
+      e.isInstanceOf[UnsupportedOperationException],
+      s"insert must fail at analysis, got: $e")
+  }
+
+  test("orc tables read through the same catalog (format sniffed)") {
+    val sink = new TableSink(SinkConfig(tableName = "ttorc",
+      warehousePath = wh, versioned = true, fileFormat = "orc"))
+    sink.append(Seq((1L, "x"), (2L, "y")).toDF("id", "s"))
+    val rows = spark.sql("SELECT id FROM gtest.ttorc VERSION AS OF 1")
+      .as[Long].collect().sorted.toSeq
+    assert(rows == Seq(1L, 2L))
+  }
+
+  test("SHOW TABLES lists sink tables; DROP and RENAME work") {
+    mkVersioned("tt5")
+    val listed = spark.sql("SHOW TABLES IN gtest").select("tableName")
+      .as[String].collect().toSet
+    assert(listed.contains("tt5"), s"tt5 must be listed: $listed")
+    spark.sql("ALTER TABLE gtest.tt5 RENAME TO tt5renamed")
+    assert(spark.sql("SELECT count(*) FROM gtest.tt5renamed")
+      .as[Long].head() == 5)
+    spark.sql("DROP TABLE gtest.tt5renamed")
+    assert(!new java.io.File(s"$wh/tt5renamed").exists())
+  }
+
+  test("GraftSession.registerCatalog wires the same catalog by name") {
+    mkVersioned("tt7")
+    GraftSession.registerCatalog(spark, wh, catalogName = "greg")
+    assert(spark.sql("SELECT count(*) FROM greg.tt7 VERSION AS OF 1")
+      .as[Long].head() == 3)
+  }
+
+  test("unknown table and expired snapshot produce clear errors") {
+    val missing = intercept[AnalysisException](
+      spark.sql("SELECT * FROM gtest.nope").collect())
+    assert(missing.getMessage.toLowerCase.contains("table"))
+    mkVersioned("tt6")
+    val bad = intercept[Exception](
+      spark.sql("SELECT * FROM gtest.tt6 VERSION AS OF 99").collect())
+    assert(bad.getMessage.contains("snapshot v99"),
+      s"expired/missing snapshot must name what exists: ${bad.getMessage}")
+  }
+}

@@ -11,6 +11,33 @@ class DedupSpec extends AnyFunSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
 
+  test("clean paragraphs: owned paragraphs reassembled in order, rest dropped") {
+    // maxParaTokens=3 so segmentation is visible. d1 owns everything; d2's
+    // first paragraph is d1's boilerplate (dropped) but its tail is unique;
+    // d3 is d1's text verbatim — every paragraph owned elsewhere, so its
+    // cleaned text must be empty
+    val docs = Seq(
+      (1L, "a b c\n\nx y z"),
+      (2L, "a b c\n\nq r s"),
+      (3L, "a b c\n\nx y z"))
+      .toDF("doc_id", "text")
+    val r = Dedup.cleanParagraphs(docs, maxParaTokens = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_paras", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq(
+      (1L, 2L, 2L, "a b c\n\nx y z"),
+      (2L, 2L, 1L, "q r s"),
+      (3L, 2L, 0L, "")), s"got $r")
+    // long paragraphs segment before ownership: the repeated 3-token window
+    // inside one paragraph dedups against its first occurrence
+    val seg = Dedup.cleanParagraphs(
+      Seq((1L, "p q r p q r")).toDF("doc_id", "text"), maxParaTokens = 3)
+      .select("n_paras", "n_kept", "clean_text")
+      .as[(Long, Long, String)].head()
+    assert(seg == ((2L, 1L, "p q r")), s"got $seg")
+  }
+
   test("substring dedup: cross-doc windows counted, intra-doc repeats not") {
     // d1/d2 share the 3-token spans "a b c" and "b c d"; d3 is shorter
     // than the window (whole text = one window, unique); d4 repeats a

@@ -39,6 +39,46 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"'a b' appears 3x (2 in doc 1, 1 in doc 3): $v")
   }
 
+  test("token entropy: uniform maxes at ln(N), constant floors at 0") {
+    val df = Seq(
+      (1L, "a b c d"),    // uniform: H = ln(4)
+      (2L, "a a a a"),    // constant: H = 0
+      (3L, "a a b b b c")) // H = ln(6) - (2ln2 + 3ln3)/6
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.tokenEntropy(df).orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_distinct", "entropy", "ttr")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r(0) == ((1L, 4L, 4L,
+      BigDecimal(math.log(4)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, 1.0)), s"got ${r(0)}")
+    assert(r(1) == ((2L, 4L, 1L, 0.0, 0.25)), s"got ${r(1)}")
+    val h3 = math.log(6) -
+      (2 * math.rint(math.log(2) * 1e9) + 3 * math.rint(math.log(3) * 1e9)) /
+        1e9 / 6
+    assert(r(2)._1 == 3L && r(2)._2 == 6L && r(2)._3 == 3L &&
+      math.abs(r(2)._4 - h3) < 1e-9, s"got ${r(2)}, want entropy ~$h3")
+  }
+
+  test("gopher rules: each rule trips on its designed offender") {
+    val docs = Seq(
+      (1L, "clean healthy prose with normal words here"), // passes all
+      (2L, "a b c d e f"),                       // mean word len 1 < 3
+      (3L, "1 2 33 44 55 678 999 000 11 22"),    // zero alphabetic words
+      (4L, "# # # tag # # word # # more # #"),   // symbol ratio > 0.1
+      (5L, "one...\ntwo...\nthree...\nkeep"),    // 3/4 lines end ...
+      (6L, "- a point\n- another\n- third\n- more\n- all bullets")) // 5/5
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs).orderBy("doc_id")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toSeq
+    assert(r == Seq((1L, true), (2L, false), (3L, false), (4L, false),
+      (5L, false), (6L, false)), s"got $r")
+    val m = TextAnalysis.gopherRules(docs).orderBy("doc_id")
+      .select("mean_word_len", "alpha_frac", "ellipsis_line_frac")
+      .as[(Double, Double, Double)].collect()
+    assert(m(1)._1 == 1.0 && m(2)._2 == 0.0 && m(4)._3 == 0.75,
+      s"ratio columns must report the offending stat: ${m.toSeq}")
+  }
+
   test("bpe merge pairs weight character pairs by corpus word frequency") {
     // vocab: "aab" freq 2, "ab" freq 1; "x" dropped (single char).
     // pairs: "aa" from aab (x2) = 2; "ab" from aab (x2) + ab (x1) = 3.
