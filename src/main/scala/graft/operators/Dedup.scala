@@ -158,33 +158,36 @@ object Dedup {
     * window is shared cross-doc, and the duplicated fraction — the
     * per-document signal a span-removal pass would key on.
     *
-    * Scale shape: window fingerprints are md5 (fixed 32-byte shuffle key,
-    * never the window text). Stage 1 groups by fingerprint with map-side
-    * partial aggregation to find cross-doc fingerprints; stage 2 is a
-    * semi-join of the positions against that (much smaller) set, keyed on
-    * the same fingerprint so AQE can reuse/skew-split the exchange; stage 3
-    * re-keys by doc_id for bounded per-doc counts. No stage materializes
-    * pairs, so hot boilerplate windows cost their posting count, not its
-    * square. */
+    * Scale shape: ONE corpus scan, three keyed exchanges of shrinking
+    * frames, zero self-joins. Window fingerprints are md5 (fixed 32-byte
+    * shuffle key, never the window text); the position stream collapses to
+    * (doc, fp) counts first (map-side partial aggregation), the cross-doc
+    * test is a count over the fp-partitioned window of that DISTINCT
+    * (doc, fp) frame — so a window partition is one fingerprint's
+    * document-posting list, the same bounded shape [[paragraphDedup]]
+    * windows over — and the per-doc statistics aggregate once more on
+    * doc_id. The join-based formulation was measured to re-scan the corpus
+    * once per statistic (the optimizer prunes the shared aggregate into
+    * unequal subtrees, defeating exchange reuse); this pipeline cannot. */
   def substringDedup(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(w >= 2, "need window width >= 2")
     val toks = split(col("text"), " ")
     val starts = sequence(lit(1), greatest(size(toks) - lit(w - 1), lit(1)))
     val wins = docs.select(col("doc_id"),
       explode(transform(starts,
         i => md5(array_join(slice(toks, i, lit(w)), " ")))).as("fp"))
-    val crossDoc = wins.groupBy(col("fp"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
-      .select(col("fp"))
-    val dupCounts = wins.join(crossDoc, Seq("fp"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
-    wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
-      .join(dupCounts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_windows"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"))
-          .as("dup_ratio"))
+    // rows are distinct (doc, fp) after the aggregate, so a plain count
+    // over the fp window IS the distinct-document count for that window
+    val nd = count(lit(1)).over(Window.partitionBy(col("fp")))
+    wins.groupBy(col("doc_id"), col("fp"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("nd", nd)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_windows"),
+        sum(when(col("nd") > 1, col("cnt")).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_windows")).as("dup_ratio"))
   }
 
   /** Near-duplicate pairs by exact n-gram Jaccard similarity.
