@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs batch-wise inside `mapPartitions` behind a
   * pluggable [[Multimodal.Decoder]].
   *
-  * [[Multimodal.StubDecoder]] is a clearly-marked deterministic fake used
-  * for media types with no codec in this container (audio/video); for
-  * IMAGES, [[RealMedia]] provides an actual JDK `javax.imageio` PNG
-  * decode/resize/strip-sample path over the same plumbing. Either way the
+  * [[Multimodal.StubDecoder]] is a clearly-marked deterministic fake kept
+  * for the one media type with no JDK parser (VIDEO); for IMAGES,
+  * [[RealMedia]] decodes real PNGs via `javax.imageio`, and for AUDIO,
+  * [[RealAudio]] parses real WAV clips via `javax.sound.sampled` — both
+  * zero-dependency JDK paths over the same plumbing. Either way the
   * Spark-side shape — schema, batching, partition-wise execution, feature
   * schema — is the part that matters at 100 TB: payload bytes never leave
   * the executor, the driver only sees fixed-width feature rows.
@@ -43,12 +44,13 @@ object Multimodal {
     def frameSampleBatch(batch: Seq[MediaRecord], n: Int): Seq[FrameFeature]
   }
 
-  /** Deterministic stand-in for codecs this container lacks (audio/video).
+  /** Deterministic stand-in for the codec the JDK genuinely lacks (video).
     * The stub derives pseudo-dimensions and a checksum purely from the
-    * bytes, so results are stable and oracle-checkable. For images the
-    * engine has the REAL path — [[RealMedia]] decodes actual PNG payloads
-    * with the JDK's `javax.imageio` reader; compare `multimodal_decode_real`
-    * vs the stub-backed `multimodal_features`.
+    * bytes, so results are stable and oracle-checkable. Images and audio
+    * have REAL paths — [[RealMedia]] decodes actual PNG payloads with
+    * `javax.imageio`, [[RealAudio]] parses actual WAV clips with
+    * `javax.sound.sampled`; compare `multimodal_decode_real` /
+    * `multimodal_audio_real` vs the stub-backed `multimodal_features`.
     */
   object StubDecoder extends Decoder {
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { r =>
