@@ -157,12 +157,19 @@ final class GraftCatalog extends TableCatalog {
     finally s.close()
   }
 
-  /** Latest state: the live directory (works versioned or not — the newest
-    * manifest is always the full current file set). */
+  /** Latest state. A VERSIONED table resolves through its newest manifest
+    * — not the live directory — so data files a crashed or in-flight write
+    * left behind stay invisible until their commit lands (Iceberg's
+    * snapshot-isolation contract). Unversioned tables have no manifest and
+    * read the live directory. */
   override def loadTable(ident: Identifier): Table = {
-    val first = firstDataFile(ident).getOrElse(
-      throw new NoSuchTableException(ident))
-    fileTable(ident, Seq(tableDir(ident).toString), Some(first))
+    versions(ident).lastOption match {
+      case Some(v) => loadTable(ident, v.toString)
+      case None =>
+        val first = firstDataFile(ident).getOrElse(
+          throw new NoSuchTableException(ident))
+        fileTable(ident, Seq(tableDir(ident).toString), Some(first))
+    }
   }
 
   /** `VERSION AS OF v` — the exact file set snapshot `v` recorded. */

@@ -256,6 +256,29 @@ final class TableSink(val config: SinkConfig) {
     readFiles(spark, manifestFiles(toVersion).filterNot(before))
   }
 
+  /** Iceberg's `remove_orphan_files` analogue: delete data files present
+    * in the table directory but referenced by NO committed snapshot — the
+    * debris a crashed or killed write leaves behind (its files landed, its
+    * manifest commit never did). Snapshot reads already ignore orphans
+    * ([[readVersion]], GraftCatalog latest-commit resolution); this
+    * reclaims the space and keeps the unversioned live-directory read
+    * honest. Returns the deleted relative paths.
+    *
+    * Only meaningful on versioned tables — without manifests there is no
+    * commit record to distinguish an orphan from data, so the call refuses
+    * rather than guessing. Driver-side work is bounded file metadata (the
+    * same listing the snapshot log itself writes). */
+  def removeOrphans(): Seq[String] = {
+    require(config.versioned && snapshotVersions().nonEmpty,
+      "removeOrphans needs a versioned table with at least one commit — " +
+        "an unversioned directory has no manifest to define 'orphan'")
+    val referenced = snapshotVersions().flatMap(manifestFiles).toSet
+    val root = java.nio.file.Paths.get(config.tablePath)
+    val orphans = listDataFiles().filterNot(referenced)
+    orphans.foreach(rel => java.nio.file.Files.delete(root.resolve(rel)))
+    orphans
+  }
+
   /** Roll the table back to snapshot `version`: data files not in that
     * manifest are deleted and later snapshots are dropped. Only reaches
     * files appends created after `version` (rewrites would have expired

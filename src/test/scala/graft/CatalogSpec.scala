@@ -103,6 +103,41 @@ class CatalogSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$wh/tt5renamed").exists())
   }
 
+  test("latest read of a versioned table is the newest COMMIT, not the dir") {
+    mkVersioned("tt8")
+    // simulate a crashed write: a data file lands without a manifest commit
+    val orphan = java.nio.file.Paths.get(s"$wh/tt8/cat=zz")
+    java.nio.file.Files.createDirectories(orphan)
+    val stray = Seq((99L, 999.0)).toDF("id", "v")
+    stray.write.mode("overwrite").parquet(orphan.toString + "_tmp")
+    val f = java.nio.file.Files.list(
+        java.nio.file.Paths.get(orphan.toString + "_tmp"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst.get
+    java.nio.file.Files.move(f, orphan.resolve("part-orphan.parquet"))
+    assert(spark.sql("SELECT count(*) FROM gtest.tt8").as[Long].head() == 5,
+      "uncommitted files must stay invisible to snapshot reads")
+  }
+
+  test("removeOrphans deletes only uncommitted files; commits stay readable") {
+    val sink = mkVersioned("tt9")
+    val orphan = java.nio.file.Paths.get(s"$wh/tt9/cat=a/part-orphan.parquet")
+    Seq((99L, 999.0)).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(orphan.getParent.toString + "_tmp")
+    val f = java.nio.file.Files.list(
+        java.nio.file.Paths.get(orphan.getParent.toString + "_tmp"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst.get
+    java.nio.file.Files.move(f, orphan)
+    val removed = sink.removeOrphans()
+    assert(removed == Seq("cat=a/part-orphan.parquet"), s"got $removed")
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(sink.readVersion(spark, 2).count() == 5,
+      "every committed snapshot must survive orphan cleanup")
+    assert(sink.removeOrphans().isEmpty, "idempotent on a clean table")
+    val unversioned = new TableSink(SinkConfig("tt9u", wh))
+    unversioned.append(Seq((1L, "x")).toDF("id", "s"))
+    intercept[IllegalArgumentException](unversioned.removeOrphans())
+  }
+
   test("GraftSession.registerCatalog wires the same catalog by name") {
     mkVersioned("tt7")
     GraftSession.registerCatalog(spark, wh, catalogName = "greg")
