@@ -1158,6 +1158,12 @@ object PipelineQueries {
 
   val textEntropySql: String = TextAnalysis.tokenEntropySql
 
+  def textBigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.bigramLm(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  val textBigramLmSql: String = TextAnalysis.bigramLmSql
+
   def textGopherRules(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.gopherRules(Tables.documents(spark, sfDir))
       .orderBy(col("doc_id"))

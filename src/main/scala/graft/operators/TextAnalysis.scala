@@ -207,6 +207,112 @@ object TextAnalysis {
       .select(col("rank"), col("bg"), col("n"))
   }
 
+  /** Bigram language-model document scoring with Stupid Backoff (Brants et
+    * al. 2007, "Large Language Models in Machine Translation" — the
+    * web-scale LM the backoff was invented for): an LM is built from the
+    * TRAIN half of the corpus (`doc_id % 2 = 0`) and scores the held-out
+    * half, so unseen bigrams actually occur and the backoff path is
+    * exercised — scoring a corpus against itself never backs off, which
+    * would leave the interesting branch dead. Per scored bigram position:
+    *
+    *   score(cur | prev) = c2(prev,cur) / c1(prev)        if c2 > 0
+    *                     = 0.4 · max(c1(cur), 1) / total   otherwise
+    *
+    * (the `max(·,1)` floor keeps fully-unseen tokens finite — documented
+    * engine choice, replayed identically by the oracle). Output per scored
+    * doc: bigram count, backed-off (OOV) count, and the mean log score —
+    * the bigram upgrade of [[unigramLogProb]]'s perplexity proxy.
+    *
+    * Engine portability: each DISTINCT (prev, cur) pair's log score is
+    * rounded to 9 dp and scaled to integer nano-units once; per-doc sums
+    * are exact integer `tf · lp_e9` — aggregation-order-proof.
+    *
+    * Scale shape: the LM tables are token-keyed aggregates with map-side
+    * partials; the score joins key on (prev, cur) / prev / cur with NO
+    * broadcast hints (vocabulary and bigram tables grow with the corpus —
+    * AQE picks the side while it fits); only the 1-row total is
+    * hint-broadcast. One final doc_id shuffle. */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    def docBigrams(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      explode(when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur"))))
+        .otherwise(array().cast("array<struct<prev:string,cur:string>>")))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval_ = docs.filter(col("doc_id") % 2 =!= 0)
+    val c2 = docBigrams(train).groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = train.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val total = c1.agg(sum(col("c1")).as("total"))
+    val tf2 = docBigrams(eval_).groupBy(col("doc_id"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("tf"))
+    val lpE9 = round(
+      round(when(col("c2").isNotNull,
+        log(col("c2").cast("double") / col("c1_prev")))
+        .otherwise(log(lit(0.4)
+          * greatest(coalesce(col("c1_cur"), lit(0L)), lit(1L))
+            .cast("double") / col("total"))), 9) * 1000000000.0).cast("long")
+    tf2
+      .join(c2, Seq("prev", "cur"), "left")
+      .join(c1.select(col("tok").as("prev"), col("c1").as("c1_prev")),
+        Seq("prev"), "left")
+      .join(c1.select(col("tok").as("cur"), col("c1").as("c1_cur")),
+        Seq("cur"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tf"),
+        when(col("c2").isNull, col("tf")).otherwise(lit(0L)).as("oov"),
+        lpE9.as("lp_e9"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("oov")).as("oov_bigrams"),
+        sum(col("tf") * col("lp_e9")).as("sum_lp_e9"))
+      .select(col("doc_id"), col("n_bigrams"), col("oov_bigrams"),
+        round(col("sum_lp_e9").cast("double") / 1000000000.0
+          / col("n_bigrams"), 9).as("avg_logp"))
+  }
+
+  /** DuckDB oracle for [[bigramLm]]. */
+  val bigramLmSql: String =
+    """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |ev AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |       WHERE doc_id % 2 <> 0),
+      |tb0 AS (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+      |        FROM (SELECT string_split(text, ' ') AS t FROM train)
+      |        WHERE len(t) >= 2),
+      |tb AS (SELECT t[i] AS prev, t[i+1] AS cur FROM tb0),
+      |c2 AS (SELECT prev, cur, count(*) AS c2 FROM tb GROUP BY 1, 2),
+      |c1 AS (SELECT tok, count(*) AS c1 FROM (
+      |         SELECT unnest(string_split(text, ' ')) AS tok FROM train)
+      |       GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM c1),
+      |ev0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+      |        FROM ev WHERE len(t) >= 2),
+      |tf2 AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur, count(*) AS tf
+      |        FROM ev0 GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT doc_id, tf,
+      |    CASE WHEN c2.c2 IS NULL THEN tf ELSE 0 END AS oov,
+      |    CAST(round(round(
+      |      CASE WHEN c2.c2 IS NOT NULL
+      |        THEN ln(CAST(c2.c2 AS DOUBLE) / p.c1)
+      |        ELSE ln(0.4 * greatest(coalesce(c.c1, 0), 1) / total) END, 9)
+      |      * 1000000000.0) AS BIGINT) AS lp_e9
+      |  FROM tf2
+      |  LEFT JOIN c2 USING (prev, cur)
+      |  LEFT JOIN c1 p ON tf2.prev = p.tok
+      |  LEFT JOIN c1 c ON tf2.cur = c.tok
+      |  CROSS JOIN tot)
+      |SELECT doc_id,
+      |  CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(oov) AS BIGINT) AS oov_bigrams,
+      |  round(CAST(sum(tf * lp_e9) AS BIGINT) / 1000000000.0 / sum(tf), 9)
+      |    AS avg_logp
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** First BPE merge iteration (Sennrich et al. 2016, arXiv:1508.07909) —
     * adjacent CHARACTER-pair frequencies over the corpus vocabulary,
     * weighted by word frequency: the pair ranked first is the merge a BPE

@@ -59,6 +59,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       math.abs(r(2)._4 - h3) < 1e-9, s"got ${r(2)}, want entropy ~$h3")
   }
 
+  test("bigram LM scores seen bigrams from counts, backs off on unseen") {
+    // train (even ids): "a b a c" + "a b" → c2(a,b)=2, c2(b,a)=1,
+    // c2(a,c)=1; c1(a)=3, c1(b)=2, c1(c)=1, total=6.
+    // eval doc 1: "a b b c" → (a,b) seen: ln(2/3); (b,b) UNSEEN,
+    // c1(b)=2 → ln(0.4·2/6); (b,c) UNSEEN, c1(c)=1 → ln(0.4·1/6).
+    val docs = Seq(
+      (2L, "a b a c"), (4L, "a b"),
+      (1L, "a b b c"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLm(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    def e9(x: Double): Double = math.rint(
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e9)
+    val want1 = math.rint(
+      (e9(math.log(2.0 / 3)) + e9(math.log(0.4 * 2 / 6)) +
+        e9(math.log(0.4 * 1 / 6))) / 3.0) / 1e9
+    assert(r.map(x => (x._1, x._2, x._3)) == Seq((1L, 3L, 2L), (3L, 1L, 1L)),
+      s"counts/oov: $r")
+    assert(math.abs(r(0)._4 - want1) < 1e-9, s"got ${r(0)._4}, want $want1")
+    // doc 3's (z,z) is fully unseen: both bigram and unigram back off to
+    // the max(c1,1)=1 floor
+    val want3 = math.rint(e9(math.log(0.4 * 1 / 6))) / 1e9
+    assert(math.abs(r(1)._4 - want3) < 1e-9, s"got ${r(1)._4}, want $want3")
+  }
+
   test("gopher rules: each rule trips on its designed offender") {
     val docs = Seq(
       (1L, "clean healthy prose with normal words here"), // passes all
