@@ -174,4 +174,68 @@ class PropertySpec extends AnyFunSuite {
       keptSet(1).subsetOf(keptSet(2))
     }, min = 5)
   }
+
+  // shared corpus generator for the text-operator properties: unique ids,
+  // short docs over a tiny alphabet so duplicates/collisions actually occur
+  private val corpusGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "aa", "bb")).map(_.mkString(" ")))
+    .map(_.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) })
+    .suchThat(_.nonEmpty)
+
+  test("substring dedup: counts bounded, ratio consistent, clones fully dup") {
+    check(Prop.forAll(corpusGen) { docs =>
+      val r = Dedup.substringDedup(docs.toDF("doc_id", "text"), w = 2)
+        .select("doc_id", "n_windows", "n_dup", "dup_ratio")
+        .as[(Long, Long, Long, Double)].collect()
+      r.length == docs.size && r.forall { case (_, nw, nd, ratio) =>
+        nw >= 1 && nd >= 0 && nd <= nw &&
+          math.abs(ratio - nd.toDouble / nw) < 1e-12
+      }
+    }, min = 8)
+    // a verbatim clone pair: every window of both docs is cross-doc shared
+    val cloned = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val ratios = Dedup.substringDedup(cloned, w = 2)
+      .orderBy("doc_id").select("dup_ratio").as[Double].collect().toSeq
+    assert(ratios == Seq(1.0, 1.0, 0.0), s"got $ratios")
+  }
+
+  test("clean paragraphs: kept spans across the corpus = distinct fingerprints") {
+    check(Prop.forAll(corpusGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val agg = Dedup.cleanParagraphs(df, maxParaTokens = 2)
+        .select("n_paras", "n_kept").as[(Long, Long)].collect()
+      val distinctFps = Dedup.paragraphs(df, maxParaTokens = 2)
+        .select("fp").distinct().count()
+      agg.forall { case (np, nk) => nk >= 0 && nk <= np } &&
+        agg.map(_._2).sum == distinctFps
+    }, min = 8)
+  }
+
+  test("token entropy: within [0, ln(n_distinct)], ttr exact") {
+    check(Prop.forAll(corpusGen) { docs =>
+      val r = TextAnalysis.tokenEntropy(docs.toDF("doc_id", "text"))
+        .select("n_tokens", "n_distinct", "entropy", "ttr")
+        .as[(Long, Long, Double, Double)].collect()
+      r.forall { case (n, d, h, ttr) =>
+        h >= -1e-9 && h <= math.log(d.toDouble) + 1e-9 &&
+          math.abs(ttr - BigDecimal(d.toDouble / n).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12
+      }
+    }, min = 8)
+  }
+
+  test("bigram LM: every log score non-positive, oov bounded by count") {
+    // scores are probabilities ≤ 1 by construction: c2(prev,cur) ≤ c1(prev)
+    // (non-final occurrences of prev), and backoff 0.4·c1(cur)/total < 1
+    check(Prop.forAll(corpusGen.suchThat(ds =>
+        ds.exists(_._1 % 2 == 0) && ds.exists(_._1 % 2 == 1))) { docs =>
+      val r = TextAnalysis.bigramLm(docs.toDF("doc_id", "text"))
+        .select("n_bigrams", "oov_bigrams", "avg_logp")
+        .as[(Long, Long, Double)].collect()
+      r.forall { case (n, oov, lp) =>
+        n >= 1 && oov >= 0 && oov <= n && lp <= 1e-9
+      }
+    }, min = 8)
+  }
 }
