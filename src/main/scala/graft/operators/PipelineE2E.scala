@@ -95,4 +95,127 @@ object PipelineE2E {
       .replace("STOPLIST", stop)
       .replace("SPLIT_BUCKET", PipelineQueries.splitBucketSql("doc_id"))
   }
+
+  /** Curation end-to-end: the round-5 text-cleaning operators composed the
+    * way a corpus build chains them —
+    *
+    *   documents → Gopher rule gate → corpus-wide paragraph dedup over the
+    *     SURVIVORS (ownership is decided on the gated corpus, so boilerplate
+    *     from rejected docs cannot claim a paragraph) → drop docs whose
+    *     every paragraph is owned elsewhere → per-source retention report.
+    *
+    * Output: one row per source with the full funnel — docs in, docs past
+    * the Gopher gate, docs surviving paragraph cleaning, paragraph
+    * totals/kept, and the cleaned character volume.
+    *
+    * Scale shape: the Gopher gate is row-local (codegen'd into the scan);
+    * paragraph ownership is [[Dedup.cleanParagraphs]]'s single fingerprint
+    * shuffle + one doc_id re-key; the report is two |sources|-row
+    * aggregates joined — every stage is the bounded-state shape its
+    * component operator already proved, composition adds no new shuffle
+    * beyond the per-source rollup. */
+  def curationReport(spark: SparkSession, sfDir: String): DataFrame =
+    curationReportOf(Tables.documents(spark, sfDir))
+
+  /** [[curationReport]] over any (doc_id, text, source) frame. */
+  def curationReportOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val gateIds = TextAnalysis.gopherRules(docs)
+      .filter($"keep").select($"doc_id")
+    val gated = docs.join(gateIds, "doc_id")
+    val cleaned = Dedup.cleanParagraphs(gated)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+    val funnel = cleaned.groupBy($"source").agg(
+      count(lit(1)).as("n_gated"),
+      sum($"n_paras").as("n_paras"),
+      sum($"n_kept").as("n_kept_paras"),
+      sum(when(length($"clean_text") > 0, 1L).otherwise(0L)).as("n_final"),
+      sum(length($"clean_text").cast("long")).as("clean_chars"))
+    docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(funnel, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"n_gated", lit(0L)).as("n_gated"),
+        coalesce($"n_paras", lit(0L)).as("n_paras"),
+        coalesce($"n_kept_paras", lit(0L)).as("n_kept_paras"),
+        coalesce($"n_final", lit(0L)).as("n_final"),
+        coalesce($"clean_chars", lit(0L)).as("clean_chars"))
+      .orderBy($"source")
+  }
+
+  /** DuckDB oracle for [[curationReport]] — replays the Gopher gate
+    * ([[TextAnalysis.gopherRulesSql]]'s integer cross-multiplications), the
+    * paragraph pipeline on the gated set
+    * ([[PipelineQueries.dedupCleanTextSql]]'s split/segment/own chain), and
+    * the per-source funnel rollup. */
+  val curationReportSql: String =
+    """WITH gm AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
+      |      w -> length(w))), 0) AS BIGINT) AS sum_len,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+      |    CAST((length(text) - length(replace(text, '#', ''))) +
+      |      (length(text) - length(replace(text, '...', ''))) // 3
+      |      AS BIGINT) AS n_sym,
+      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(string_split(text, chr(10)),
+      |      l -> ends_with(l, '...') OR ends_with(l, chr(8230))))
+      |      AS BIGINT) AS n_ell,
+      |    CAST(len(list_filter(string_split(text, chr(10)),
+      |      l -> starts_with(l, '- ') OR starts_with(l, '* ')
+      |        OR starts_with(l, chr(8226) || ' '))) AS BIGINT) AS n_bullet
+      |  FROM documents),
+      |gate AS (
+      |  SELECT doc_id FROM gm
+      |  WHERE sum_len >= n_words * 3 AND sum_len <= n_words * 10
+      |    AND n_alpha * 10 >= n_words * 8 AND n_sym * 10 <= n_words
+      |    AND n_ell * 10 <= n_lines * 3 AND n_bullet * 10 <= n_lines * 9),
+      |gated AS (
+      |  SELECT d.doc_id, d.text, d.source
+      |  FROM documents d JOIN gate USING (doc_id)),
+      |blocks AS (SELECT doc_id, string_split_regex(text, '\n{2,}') AS ps
+      |           FROM gated),
+      |bi0 AS (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS pi
+      |        FROM blocks),
+      |bi AS (SELECT doc_id, pi, string_split(ps[pi], ' ') AS t FROM bi0),
+      |seg AS (SELECT doc_id, pi, t,
+      |          unnest(generate_series(0, (greatest(len(t), 1)+24)//25 - 1))
+      |            AS j
+      |        FROM bi),
+      |paras AS (SELECT doc_id,
+      |            CAST(row_number() OVER (
+      |              PARTITION BY doc_id ORDER BY pi, j) - 1 AS BIGINT)
+      |              AS para_idx,
+      |            array_to_string(t[j*25+1 : j*25+25], ' ') AS para
+      |          FROM seg),
+      |marked AS (SELECT doc_id, para_idx, para,
+      |             row_number() OVER (
+      |               PARTITION BY md5(para) ORDER BY doc_id, para_idx) = 1
+      |               AS keep
+      |           FROM paras),
+      |perdoc AS (SELECT doc_id, COUNT(*) AS n_paras,
+      |             CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0)
+      |               AS BIGINT) AS n_kept,
+      |             COALESCE(string_agg(para, e'\n\n' ORDER BY para_idx)
+      |                        FILTER (WHERE keep), '') AS clean_text
+      |           FROM marked GROUP BY doc_id),
+      |funnel AS (
+      |  SELECT g.source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_gated,
+      |    CAST(SUM(p.n_paras) AS BIGINT) AS n_paras,
+      |    CAST(SUM(p.n_kept) AS BIGINT) AS n_kept_paras,
+      |    CAST(SUM(CASE WHEN length(p.clean_text) > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_final,
+      |    CAST(SUM(length(p.clean_text)) AS BIGINT) AS clean_chars
+      |  FROM perdoc p JOIN gated g USING (doc_id) GROUP BY 1)
+      |SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+      |  COALESCE(f.n_gated, 0) AS n_gated,
+      |  COALESCE(f.n_paras, 0) AS n_paras,
+      |  COALESCE(f.n_kept_paras, 0) AS n_kept_paras,
+      |  COALESCE(f.n_final, 0) AS n_final,
+      |  COALESCE(f.clean_chars, 0) AS clean_chars
+      |FROM (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1) t
+      |LEFT JOIN funnel f USING (source)
+      |ORDER BY t.source""".stripMargin
 }

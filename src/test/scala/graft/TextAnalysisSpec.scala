@@ -480,4 +480,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     // rarer-token doc scores LOWER (the filter-signal direction)
     assert(r(1)._3 < r(0)._3)
   }
+
+  test("curation report: gate drops symbol docs, dedup reassigns shared paragraphs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps\n\nshared boilerplate paragraph here", "a"),
+      (2L, "another clean document text\n\nshared boilerplate paragraph here", "b"),
+      (3L, "# # # # #", "b")) // zero alpha tokens → Gopher gate rejects
+      .toDF("doc_id", "text", "source")
+    val r = PipelineE2E.curationReportOf(docs).collect()
+      .map(x => (x.getString(0), (1 to 6).map(x.getLong)))
+    // source a: doc 1 passes the gate and owns both its paragraphs
+    assert(r(0) == ("a", Seq(1L, 1L, 2L, 2L, 1L,
+      "the quick brown fox jumps\n\nshared boilerplate paragraph here".length.toLong)))
+    // source b: doc 3 gated out; doc 2's shared paragraph is owned by
+    // doc 1, so only its lead paragraph survives into clean_text
+    assert(r(1) == ("b", Seq(2L, 1L, 2L, 1L, 1L,
+      "another clean document text".length.toLong)))
+  }
 }
