@@ -28,7 +28,8 @@ object Explain {
         "q_event_funnel", "q_cohort_retention", "q_rolling_features",
         "q_profile_events", "text_pmi", "text_domain_kl",
         "text_weighted_sample", "q9_product_profit", "q21_late_suppliers",
-        "dedup_semantic", "dedup_paragraph", "multimodal_decode_real")
+        "dedup_semantic", "dedup_paragraph", "multimodal_decode_real",
+        "q_curation_report", "text_mixture_epochs", "q_pivot_daily")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -129,6 +129,33 @@ object ParityQueries {
       |  arg_max(user_id, event_id) AS last_user
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Pivot (wide-format conditional aggregation): daily event counts with
+    * one column per event type. The pivot values are DECLARED, not
+    * discovered — `pivot(col, values)` with an explicit list keeps the
+    * plan a single groupBy with conditional aggregates (one shuffle,
+    * map-side partial); omitting the list adds a blocking distinct-values
+    * job over the full input before the plan can even be built, which at
+    * 100 TB is a scan you pay twice. Day is emitted as a formatted string
+    * so both engines compare the same lexical value. */
+  def pivotDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"day")
+  }
+
+  val pivotDailySql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |  CAST(count_if(event_type = 'click') AS BIGINT) AS click,
+      |  CAST(count_if(event_type = 'error') AS BIGINT) AS error,
+      |  CAST(count_if(event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(count_if(event_type = 'signup') AS BIGINT) AS signup,
+      |  CAST(count_if(event_type = 'view') AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   /** Datetime-function breadth beyond the partition transforms: quarter,
     * weekday (Spark's 1=Sunday convention vs DuckDB's 0=Sunday is bridged
     * with +1 in the oracle), month-end, week truncation, clamped month

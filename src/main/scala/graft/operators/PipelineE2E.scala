@@ -120,11 +120,12 @@ object PipelineE2E {
   /** [[curationReport]] over any (doc_id, text, source) frame. */
   def curationReportOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val gateIds = TextAnalysis.gopherRules(docs)
-      .filter($"keep").select($"doc_id")
-    val gated = docs.join(gateIds, "doc_id")
+    // the gate is a bare row-local predicate fused into the document scan —
+    // NOT a self-join against the gopherRules table (that plan rescans and
+    // reshuffles the corpus for a decision each row can make alone)
+    val gated = docs.filter(TextAnalysis.gopherKeep($"text"))
     val cleaned = Dedup.cleanParagraphs(gated)
-      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .join(gated.select($"doc_id", $"source"), "doc_id")
     val funnel = cleaned.groupBy($"source").agg(
       count(lit(1)).as("n_gated"),
       sum($"n_paras").as("n_paras"),

@@ -607,6 +607,63 @@ object PipelineQueries {
        |WHERE ${hashBucketSql("d.doc_id", 1000000L)} < keep_thresh
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Fractional-epoch upsampling mixer — the complement of
+    * [[temperatureRebalance]]'s downsample-only form. Training mixtures are
+    * usually specified as epochs per source ("2.3 epochs of the small
+    * corpus, 1 epoch of the big one"); here the targets flatten toward the
+    * LARGEST group with temperature T: epochs_g = (n_max/n_g)^(1-1/T), so
+    * the biggest group trains exactly once and every smaller group is
+    * repeated, never dropped.
+    *
+    * The fractional epoch is realized deterministically: epochs_g is
+    * quantized once to integer micro-epochs (round(e,9)·1e6 — all
+    * arithmetic after the single pow is integer, so engines cannot drift),
+    * every doc gets `micro / 1e6` whole copies, and the residual
+    * `micro % 1e6` fraction selects docs by the reprocessing-stable
+    * [[hashBucket]] — the same id-hash discipline as the train/val/test
+    * split, so mixture membership survives rebuilds.
+    *
+    * Scale shape: one count-by-group aggregate (map-side partial), a
+    * |groups|-row epoch table broadcast back, then a stateless
+    * explode(sequence) — no doc-level shuffle; output amplification IS the
+    * requested mixture. */
+  def epochMixture(docs: DataFrame, groupCol: String = "lang",
+      idCol: String = "doc_id", temperature: Double = 2.0): DataFrame = {
+    require(temperature >= 1.0, "temperature < 1 would sharpen, not flatten")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    val nMax = counts.agg(max(col("n_g")).as("n_max"))
+    val micro = counts.crossJoin(broadcast(nMax)).select(col(groupCol),
+      round(round(pow(col("n_max").cast("double") / col("n_g"),
+        1.0 - 1.0 / temperature), 9) * 1e6).cast("long").as("micro"))
+    docs.join(broadcast(micro), groupCol)
+      .select(col(idCol), col(groupCol),
+        (floor(col("micro") / lit(1000000L)).cast("long") +
+          when(hashBucket(col(idCol), 1000000L) < col("micro") % 1000000L,
+            1L).otherwise(0L)).as("n_copies"))
+      .select(col(idCol), col(groupCol),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
+  def textMixtureEpochs(spark: SparkSession, sfDir: String): DataFrame =
+    epochMixture(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"), col("copy"))
+
+  val textMixtureEpochsSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
+       |m AS (SELECT max(n_g) AS n_max FROM c),
+       |t AS (SELECT lang,
+       |        CAST(round(round(pow(n_max / CAST(n_g AS DOUBLE), 0.5), 9)
+       |          * 1e6) AS BIGINT) AS micro
+       |      FROM c CROSS JOIN m),
+       |x AS (SELECT d.doc_id, d.lang,
+       |        micro // 1000000 +
+       |        CASE WHEN ${hashBucketSql("d.doc_id", 1000000L)}
+       |               < micro % 1000000 THEN 1 ELSE 0 END AS n_copies
+       |      FROM documents d JOIN t USING (lang))
+       |SELECT doc_id, lang,
+       |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
+       |FROM x ORDER BY doc_id, copy""".stripMargin
+
   /** One epoch of the deterministic training shuffle (epoch 1, 32 shards)
     * — hash-order assignment, per-shard ranking, no global sort. */
   def epochShuffle(spark: SparkSession, sfDir: String): DataFrame =

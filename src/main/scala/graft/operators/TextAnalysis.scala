@@ -499,24 +499,42 @@ object TextAnalysis {
     * Scale shape: entirely row-local (split + higher-order filters +
     * length arithmetic, all codegen'd) — zero shuffles; composes with any
     * scan without changing its plan. */
-  def gopherRules(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
+  private def gopherCounts(text: Column) = {
+    val t = tokens(text)
     val nWords = size(t).cast("long")
     val sumLen = aggregate(transform(t, w => length(w).cast("long")),
       lit(0L), (acc, x) => acc + x)
     val nAlpha = size(filter(t, w => w.rlike("[a-zA-Z]"))).cast("long")
-    val nSym = ((length(col("text"))
-      - length(regexp_replace(col("text"), lit("#"), lit("")))) +
-      (length(col("text"))
-        - length(regexp_replace(col("text"), lit("\\.\\.\\."), lit("")))) / 3)
+    val nSym = ((length(text)
+      - length(regexp_replace(text, lit("#"), lit("")))) +
+      (length(text)
+        - length(regexp_replace(text, lit("\\.\\.\\."), lit("")))) / 3)
       .cast("long")
-    val lines = split(col("text"), "\n")
+    val lines = split(text, "\n")
     val nLines = size(lines).cast("long")
     val nEll = size(filter(lines, l =>
       endswith(l, lit("...")) || endswith(l, lit("…")))).cast("long")
     val nBullet = size(filter(lines, l =>
       startswith(l, lit("- ")) || startswith(l, lit("* ")) ||
         startswith(l, lit("• ")))).cast("long")
+    (nWords, sumLen, nAlpha, nSym, nLines, nEll, nBullet)
+  }
+
+  /** [[gopherRules]]' keep decision as a bare predicate `Column` — the form
+    * a curation pipeline composes into its document scan (a row-local
+    * filter, no self-join against the rule table). Single source of truth
+    * with [[gopherRules]] via [[gopherCounts]]. */
+  def gopherKeep(text: Column): Column = {
+    val (nWords, sumLen, nAlpha, nSym, nLines, nEll, nBullet) =
+      gopherCounts(text)
+    sumLen >= nWords * 3 && sumLen <= nWords * 10 &&
+      nAlpha * 10 >= nWords * 8 && nSym * 10 <= nWords &&
+      nEll * 10 <= nLines * 3 && nBullet * 10 <= nLines * 9
+  }
+
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val (nWords, sumLen, nAlpha, nSym, nLines, nEll, nBullet) =
+      gopherCounts(col("text"))
     docs.select(col("doc_id"), nWords.as("n_words"),
       round(sumLen.cast("double") / nWords, 9).as("mean_word_len"),
       round(nAlpha.cast("double") / nWords, 9).as("alpha_frac"),

@@ -120,4 +120,15 @@ class OpsSpec extends AnyFunSuite {
     assert(out.oks.columns.toSeq == Seq("id", "name", "v"))
     assert(out.oks.count() == 2 && out.errs.count() == 0)
   }
+
+  test("pivotDaily: per-type columns sum back to the day's event count") {
+    val df = ParityQueries.pivotDaily(spark, TestSpark.sfDir)
+    assert(df.columns.toSeq ==
+      Seq("day", "click", "error", "purchase", "signup", "view"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val pivotTotal = rows.map(r => (1 to 5).map(r.getLong).sum).sum
+    val total = Tables.events(spark, TestSpark.sfDir).count()
+    assert(pivotTotal == total, "pivot cells must partition the events")
+  }
 }

@@ -242,6 +242,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("epochMixture repeats small groups, never touches the largest, splits fractions") {
+    // 400 majority vs 100 minority docs, T=2:
+    // epochs(en) = 1.0 exactly; epochs(rare) = (400/100)^0.5 = 2.0 exactly
+    val docs = spark.range(500).select($"id".as("doc_id"),
+      when($"id" < 400, "en").otherwise("rare").as("lang"))
+    val copies = PipelineQueries.epochMixture(docs)
+      .groupBy("lang", "doc_id").count()
+    val byLang = copies.groupBy("lang")
+      .agg(min("count").as("lo"), max("count").as("hi"), sum("count").as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(byLang("en") == ((1L, 1L, 400L)))    // largest group: 1 epoch flat
+    assert(byLang("rare") == ((2L, 2L, 200L)))  // integral 2.0 epochs flat
+    // fractional case: 9 vs 4 → epochs(b) = 1.5 — every b doc gets 1 or 2
+    // copies and the total lands near 6 (hash decides which get the extra)
+    val frac = spark.range(13).select($"id".as("doc_id"),
+      when($"id" < 9, "a").otherwise("b").as("lang"))
+    val bCopies = PipelineQueries.epochMixture(frac)
+      .filter($"lang" === "b").groupBy("doc_id").count()
+      .collect().map(_.getLong(1))
+    assert(bCopies.forall(c => c == 1L || c == 2L))
+    assert(bCopies.length == 4)
+    // deterministic: a second run yields the identical multiset
+    val a = PipelineQueries.epochMixture(frac).collect().toSet
+    val b = PipelineQueries.epochMixture(frac).collect().toSet
+    assert(a == b)
+  }
+
   test("qualityFloor drops each language's bottom quartile independently") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val out = PipelineQueries.textQualityFloor(spark, TestSpark.sfDir)
