@@ -106,6 +106,52 @@ object StreamPipeline {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Sliding event-time windows (1-day width, 6-hour slide): every event
+    * lands in exactly width/slide = 4 overlapping windows, all aligned to
+    * the epoch like Spark's `window()` default. Overlap is realized by the
+    * streaming engine's window replication — state is 4× the tumbling
+    * case, still bounded by (windows in watermark) × (event types), never
+    * by the stream. */
+  def slidingCounts(stream: DataFrame): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupBy(window($"ts", "1 day", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Batch query entry for [[slidingCounts]] (complete mode, memory sink —
+    * same determinism argument as [[streamWindowQuery]]). */
+  def streamSlidingQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = "stream_slide_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamShuffle(spark, 8) {
+      val q = slidingCounts(eventsStream(spark, sfDir))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        $"event_type", $"n")
+      .orderBy($"wstart", $"event_type")
+  }
+
+  /** The oracle replays the window replication arithmetically: the µs slot
+    * index floor(epoch_us/6h) names the LAST window start covering an
+    * event, and starts k = 0..3 slides earlier complete the width/slide
+    * set (start > ts − 1 day holds for every k ≤ 3 by construction). */
+  val streamSlidingSql: String =
+    """WITH w AS (
+      |  SELECT event_type,
+      |    to_timestamp((epoch_us(ts) // 21600000000 - k) * 21600) AS ws
+      |  FROM events, unnest(generate_series(0, 3)) AS t(k))
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+      |  COUNT(*) AS n
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Custom-state surface (`mapGroupsWithState`): per-user running event
     * count held in the state store. Emits the running total per update; the
     * final per-user maximum equals the batch count regardless of how the

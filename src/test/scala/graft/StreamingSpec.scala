@@ -18,6 +18,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("streaming sliding windows equal batch window() with 4x replication") {
+    val got = StreamPipeline.streamSlidingQuery(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = Tables.events(spark, TestSpark.sfDir)
+      .groupBy(window($"ts", "1 day", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        $"event_type", $"n")
+      .orderBy($"wstart", $"event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.sameElements(want))
+    // every event must appear in exactly width/slide = 4 windows
+    val total = Tables.events(spark, TestSpark.sfDir).count()
+    assert(got.map(_._3).sum == 4 * total)
+  }
+
   test("streaming funnel equals the batch funnel") {
     val got = StreamPipeline.streamFunnel(spark, TestSpark.sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
