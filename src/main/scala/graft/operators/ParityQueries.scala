@@ -450,6 +450,57 @@ object ParityQueries {
 
   val sinkRoundtripOrcSql: String = sinkRoundtripSql
 
+  /** Batch MERGE (copy-on-write upsert) end-to-end: seed a partitioned
+    * table with a third of the events, then upsert one batch carrying both
+    * UPDATEs (every sixth event, value shifted +1000 — these keys exist in
+    * the base) and INSERTs (a disjoint third of the events), and aggregate
+    * the final table state. A hash match proves the merge rewrote exactly
+    * the matched keys, kept the rest, and added the inserts — the write
+    * mode an append-only connector lacks and Iceberg-class tables provide.
+    *
+    * Scale shape: [[TableSink.upsert]] rewrites only the partitions the
+    * incoming keys touch (partition-pruned anti-join + union), never the
+    * whole table; the final aggregate is the usual one-shuffle rollup. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_merge",
+      warehousePath = dest,
+      numPartitions = 4,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter($"event_id" % 3 === 0))
+    val updates = e.filter($"event_id" % 6 === 0)
+      .withColumn("value", $"value" + 1000.0)
+    val inserts = e.filter($"event_id" % 3 === 1)
+    sink.upsert(updates.unionByName(inserts), Seq("event_id"))
+    sink.read(spark)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"event_type")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH base AS (
+      |  SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0),
+      |incoming AS (
+      |  SELECT event_id, event_type, value + 1000.0 AS value
+      |  FROM events WHERE event_id % 6 = 0
+      |  UNION ALL
+      |  SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 1),
+      |merged AS (
+      |  SELECT * FROM incoming
+      |  UNION ALL
+      |  SELECT * FROM base
+      |  WHERE event_id NOT IN (SELECT event_id FROM incoming))
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Snapshot time travel end-to-end (§2.4 snapshot log; reference
     * README.md:95-105 commit coordination): two appends to a `versioned`
     * sink commit snapshots v1 and v2; reading as-of v1 must surface exactly
