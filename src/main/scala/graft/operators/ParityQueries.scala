@@ -501,6 +501,101 @@ object ParityQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Additive schema evolution end-to-end (§2.4; SinkSpec covers the unit
+    * case): the first append writes (event_id, event_type, value), the
+    * second adds a `quality` column the first batch never saw, and a
+    * `mergeSchema` read unions the file schemas — pre-evolution rows
+    * surface the new column as NULL, exactly as an Iceberg-class additive
+    * ALTER would. The oracle replays the two batches with an explicit
+    * NULL for the first. `quality` is `(event_id mod 7) * 0.125` — a
+    * dyadic rational both engines hold exactly, so the sums are bit-stable.
+    *
+    * Scale shape: schema union is per-file-footer metadata (no data
+    * rewrite — old files are never touched); the aggregate is the usual
+    * one-shuffle rollup. */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value")
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_evolve",
+      warehousePath = dest,
+      numPartitions = 4,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter($"event_id" % 2 === 0))
+    sink.append(e.filter($"event_id" % 2 === 1)
+      .withColumn("quality", pmod($"event_id", lit(7)).cast("double") * 0.125))
+    sink.read(spark, mergeSchema = true)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        count($"quality").as("n_scored"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"),
+        sum(coalesce($"quality", lit(0.0)).cast("decimal(18,3)"))
+          .cast("double").as("total_quality"))
+      .orderBy($"event_type")
+  }
+
+  val schemaEvolutionSql: String =
+    """WITH merged AS (
+      |  SELECT event_type, value, CAST(NULL AS DOUBLE) AS quality
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT event_type, value,
+      |    CAST(event_id % 7 AS DOUBLE) * 0.125 AS quality
+      |  FROM events WHERE event_id % 2 = 1)
+      |SELECT event_type, COUNT(*) AS n, COUNT(quality) AS n_scored,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(SUM(CAST(COALESCE(quality, 0.0) AS DECIMAL(18,3))) AS DOUBLE)
+      |    AS total_quality
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DELETE-by-predicate end-to-end (§2.4; SinkSpec covers the emptied-
+    * partition unit case): load the table, delete rows matching a
+    * value+key predicate, and aggregate the survivors plus the reported
+    * delete count. A hash match proves the rewrite removed exactly the
+    * matched rows and nothing else — GDPR-style row deletion, the second
+    * write mode append-only connectors lack.
+    *
+    * Scale shape: [[TableSink.delete]] rewrites only partitions holding
+    * matches (partition-pruned dynamic overwrite); the matched-partition
+    * projection is column-pruned and cached so count/distinct/sweep share
+    * one scan. */
+  def deletePredicate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value")
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_del",
+      warehousePath = dest,
+      numPartitions = 4,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e)
+    val nDeleted = sink.delete(spark,
+      col("value") < 50.0 && pmod(col("event_id"), lit(5)) === 0)
+    sink.read(spark)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .withColumn("n_deleted", lit(nDeleted))
+      .orderBy($"event_type")
+  }
+
+  val deletePredicateSql: String =
+    """WITH survivors AS (
+      |  SELECT event_type, value FROM events
+      |  WHERE NOT (value < 50.0 AND event_id % 5 = 0)),
+      |del AS (
+      |  SELECT COUNT(*) AS n_deleted FROM events
+      |  WHERE value < 50.0 AND event_id % 5 = 0)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  (SELECT n_deleted FROM del) AS n_deleted
+      |FROM survivors GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Snapshot time travel end-to-end (§2.4 snapshot log; reference
     * README.md:95-105 commit coordination): two appends to a `versioned`
     * sink commit snapshots v1 and v2; reading as-of v1 must surface exactly
