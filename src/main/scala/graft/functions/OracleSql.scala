@@ -262,6 +262,52 @@ object OracleSql {
        |  FROM cand)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Shared CTE chain for the self-kNN graph replays: signatures →
+    * bucket-capped membership (cap 64, the [[dedupEmbeddingLshCappedSql]]
+    * HAVING mirror) → distinct candidate pairs → exact 9-dp rerank →
+    * per-query rank, kept at k=5 — the [[graft.Similarity.knnGraph]]
+    * pipeline stage for stage. */
+  private val knnGraphCte: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT vec_id,
+       |  ${hyperplaneSigList("v")} AS hs
+       |  FROM e),
+       |fb0 AS (SELECT vec_id, hs, unnest(generate_series(1, 8)) AS t FROM sig),
+       |fb AS (SELECT vec_id, t, hs[t] AS h FROM fb0),
+       |sizes AS (SELECT t, h, count(*) AS n FROM fb GROUP BY 1, 2),
+       |ok AS (SELECT fb.vec_id, fb.t, fb.h
+       |       FROM fb JOIN sizes USING (t, h) WHERE n <= 64),
+       |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |         FROM ok a JOIN ok b
+       |           ON a.t = b.t AND a.h = b.h AND a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    round(list_cosine_similarity(ea.v, eb.v), 9) AS cos
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.query_id
+       |  JOIN e eb ON eb.vec_id = c.neighbor_id),
+       |g AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |    FROM scored)
+       |  WHERE rank <= 5)""".stripMargin
+
+  val simKnnGraphSql: String =
+    s"""$knnGraphCte
+       |SELECT query_id, neighbor_id, rank FROM g
+       |ORDER BY query_id, rank""".stripMargin
+
+  val simKnnMutualSql: String =
+    s"""$knnGraphCte
+       |SELECT f.query_id AS id_a, f.neighbor_id AS id_b,
+       |  CAST(f.rank + r.rank AS BIGINT) AS rank_sum
+       |FROM g f JOIN g r
+       |  ON f.query_id = r.neighbor_id AND f.neighbor_id = r.query_id
+       |WHERE f.query_id < f.neighbor_id
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------------ JL projection
   /** splitmix64(k) as a scalar HUGEINT chain (the simhash replay runs the
     * same stages over token lists; this one runs them over the plane

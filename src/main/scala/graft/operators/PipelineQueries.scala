@@ -441,6 +441,23 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Corpus self-kNN graph (k=5, bucket cap 64): LSH-bucketed candidates,
+    * capped, exact-reranked — candidacy, cap, and rerank all replayed by
+    * [[OracleSql.simKnnGraphSql]] (hash-checked). */
+  def simKnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    Similarity.knnGraph(e, k = 5, maxBucket = Some(64))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Mutual-kNN pairs from the same graph — the reciprocity join replayed
+    * by [[OracleSql.simKnnMutualSql]] (hash-checked). */
+  def simKnnMutual(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    Similarity.mutualKnn(e, k = 5, maxBucket = Some(64))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** IVF ANN — rows-only (k-means centroids are engine-specific);
     * [[simIvfFull]] is the oracle-checked property companion. */
   def simIvf(spark: SparkSession, sfDir: String): DataFrame = {

@@ -152,6 +152,81 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** Corpus self-kNN graph: for EVERY vector, its top-k neighbors among
+    * hyperplane-LSH bucket-mates (exact 9-dp cosine rerank, neighbor-id
+    * tie-break). The structure a curation pipeline builds once and reuses
+    * everywhere — duplicate clustering, diversity sampling, and
+    * density-based quality screens all read the same graph.
+    *
+    * Unlike [[annTopK]] (bounded probe batch → broadcast), BOTH sides here
+    * are the corpus, so the candidate join shuffles on the (table, hash)
+    * bucket key — the partitioning a self-join wants at 100 TB — and
+    * `maxBucket` caps the per-bucket fan-out exactly as
+    * [[Dedup.embeddingNearDupLsh]] does (sign-collapsed mega-buckets
+    * degenerate toward quadratic without it). Candidate pairs dedup on
+    * (query, neighbor) before the exact rerank so a pair sharing several
+    * tables pays one dot product.
+    */
+  def knnGraph(corpus: DataFrame, k: Int = 5,
+      dim: Int = 64, bitsPerTable: Int = 8, numTables: Int = 8,
+      maxBucket: Option[Int] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val planes = Dedup.hyperplanes(bitsPerTable * numTables, dim)
+    // sign bits on the RAW vector (normalization-invariant), same as
+    // annTopK, so the oracle replays the identical IEEE op sequence
+    val all = corpus.select(col(idCol).as("vec_id"),
+      VectorExpressions.vecNormalize(spark,
+        col(vecCol).cast("array<double>")).as("v"),
+      posexplode(VectorExpressions.hyperplaneSig(spark,
+        col(vecCol).cast("array<double>"), planes, bitsPerTable))
+        .as(Seq("t", "h")))
+    val bucketed = maxBucket.fold(all) { cap =>
+      val wb = Window.partitionBy(col("t"), col("h"))
+      all.withColumn("bsz", count(lit(1)).over(wb))
+        .filter(col("bsz") <= cap).drop("bsz")
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        col("a.v").as("qv"), col("b.v").as("nv"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        roundedDot(corpus, col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Mutual-kNN pairs: (a, b) where each is in the other's top-k — the
+    * standard symmetric-neighbor filter that strips hub vectors (high
+    * in-degree points that appear in everyone's top-k without reciprocity)
+    * before clustering. `rank_sum` (sum of the two directed ranks, 2 =
+    * closest-mutual) orders pairs by tie strength.
+    *
+    * Scale shape: the directed graph is k·|corpus| rows; the reciprocity
+    * join is keyed on the (query, neighbor) pair — at 100 TB the graph is
+    * materialized to a table once and this join reads it twice rather
+    * than recomputing (here the optimizer shares the scan where it can).
+    */
+  def mutualKnn(corpus: DataFrame, k: Int = 5,
+      dim: Int = 64, bitsPerTable: Int = 8, numTables: Int = 8,
+      maxBucket: Option[Int] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val g = knnGraph(corpus, k, dim, bitsPerTable, numTables, maxBucket,
+      idCol, vecCol)
+    g.as("f").join(g.as("r"),
+        col("f.query_id") === col("r.neighbor_id") &&
+          col("f.neighbor_id") === col("r.query_id") &&
+          col("f.query_id") < col("f.neighbor_id"))
+      .select(col("f.query_id").as("id_a"), col("f.neighbor_id").as("id_b"),
+        (col("f.rank") + col("r.rank")).cast("long").as("rank_sum"))
+  }
+
   /** Nearest-class-mean classification over the labeled embedding table —
     * the standard linear probe for "do these embeddings separate the
     * classes?": per-label mean vectors (centroids), every vector assigned

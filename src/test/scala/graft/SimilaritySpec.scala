@@ -117,4 +117,43 @@ class SimilaritySpec extends AnyFunSuite {
       .agg(sum($"n")).as[Long].head()
     assert(total == e.count(), "every vector gets exactly one prediction")
   }
+
+  test("knnGraph caps per-node degree at k, no self-edges, ranks contiguous") {
+    val g = Similarity.knnGraph(emb, k = 5, maxBucket = Some(64)).cache()
+    assert(g.filter($"query_id" === $"neighbor_id").count() == 0)
+    val per = g.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("maxr")).collect()
+    per.foreach { r =>
+      assert(r.getLong(1) <= 5 && r.getLong(1) == r.getLong(2),
+        s"degree must be <= k and ranks 1..n: $r")
+    }
+    // no duplicate directed edges survive the multi-table candidacy
+    assert(g.count() == g.select("query_id", "neighbor_id").distinct().count())
+  }
+
+  test("knnGraph finds identical-vector clones as rank-1") {
+    val clones = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding", $"label")
+    val g = Similarity.knnGraph(emb.unionAll(clones), k = 3)
+    val rank1 = g.filter($"query_id" >= 10000 && $"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { i =>
+      assert(rank1(i + 10000) == i, "a clone's nearest neighbor is its twin")
+    }
+  }
+
+  test("mutualKnn pairs are reciprocal edges of the directed graph") {
+    val g = Similarity.knnGraph(emb, k = 5, maxBucket = Some(64)).cache()
+    val m = Similarity.mutualKnn(emb, k = 5, maxBucket = Some(64)).cache()
+    val edges = g.select($"query_id", $"neighbor_id")
+    // every mutual pair exists in BOTH directions in the directed graph
+    val fwd = m.join(edges,
+      m("id_a") === edges("query_id") && m("id_b") === edges("neighbor_id"))
+    val rev = m.join(edges,
+      m("id_b") === edges("query_id") && m("id_a") === edges("neighbor_id"))
+    assert(fwd.count() == m.count() && rev.count() == m.count())
+    val bad = m.filter($"id_a" >= $"id_b" ||
+      $"rank_sum" < 2 || $"rank_sum" > 10).count()
+    assert(bad == 0, "pairs canonical a<b with rank_sum in [2, 2k]")
+  }
 }
