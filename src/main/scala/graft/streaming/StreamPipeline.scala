@@ -281,6 +281,79 @@ object StreamPipeline {
       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Stream-stream LEFT OUTER join — the state-EVICTION surface the inner
+    * join never exercises: an unmatched click is held in state until the
+    * watermark proves no purchase can still arrive for its one-hour match
+    * window, then emitted with NULLs. Per user: conversions (matched
+    * pairs, inner semantics) and abandoned clicks (watermark-flushed
+    * unmatched). Clicks younger than (watermark − 1 h) at end-of-input
+    * remain in state and are NOT emitted — inherent to outer-join
+    * watermarking, replayed by the oracle's explicit watermark cutoff
+    * (`least(max click ts, max purchase ts)`, zero delay; the global
+    * watermark is the min across inputs). Users with only unflushed
+    * clicks produce no rows at all — the oracle's HAVING mirrors that.
+    *
+    * Scale shape: identical state layout to [[streamStreamJoin]] (keyed
+    * by user, range-bounded on event time, both sides evict); the outer
+    * flush adds no state — it re-reads rows already held. */
+  def streamLeftJoin(spark: SparkSession, sfDir: String): DataFrame =
+    streamLeftJoinOver(spark, () => eventsStream(spark, sfDir))
+
+  /** [[streamLeftJoin]] over a caller-built stream factory (called once
+    * per join side — stream-stream joins want independent source
+    * instances); specs pass multi-file staged sources to pin cross-batch
+    * matching and watermark-flush timing. */
+  private[graft] def streamLeftJoinOver(spark: SparkSession,
+      mkStream: () => DataFrame): DataFrame = {
+    import spark.implicits._
+    val name = "stream_loj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val clicks = mkStream()
+      .filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "0 seconds")
+    val purchases = mkStream()
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "0 seconds")
+    val joined = clicks.join(purchases,
+      $"c_user" === $"p_user" &&
+        $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+    withStreamShuffle(spark, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+      .groupBy($"c_user".as("user_id"))
+      .agg(count($"p_user").as("n_conversions"),
+        (count(lit(1)) - count($"p_user")).as("n_abandoned"))
+      .orderBy($"user_id")
+  }
+
+  val streamLeftJoinSql: String =
+    """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(ts) FROM c),
+      |                    (SELECT max(ts) FROM p)) AS w),
+      |pairs AS (
+      |  SELECT c.user_id, c.ts,
+      |    (SELECT count(*) FROM p
+      |     WHERE p.user_id = c.user_id
+      |       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR) AS m
+      |  FROM c)
+      |SELECT user_id,
+      |  CAST(SUM(m) AS BIGINT) AS n_conversions,
+      |  CAST(SUM(CASE WHEN m = 0
+      |                 AND ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+      |FROM pairs GROUP BY 1
+      |HAVING SUM(m) > 0
+      |    OR SUM(CASE WHEN m = 0
+      |                 AND ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+      |            THEN 1 ELSE 0 END) > 0
+      |ORDER BY 1""".stripMargin
+
   /** Streaming deduplication: `dropDuplicates` over the (user_id,
     * event_type) key. This is GLOBAL dedup — state is one entry per
     * distinct key, bounded by key cardinality, not by time (a watermark

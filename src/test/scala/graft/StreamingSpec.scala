@@ -111,6 +111,53 @@ class StreamingSpec extends AnyFunSuite {
       s"batch funnel must credit u4's pre-arrived click: $batch")
   }
 
+  test("left outer join matches across batches and flushes only watermark-safe clicks") {
+    // Two files, one micro-batch each. Pins the three outer-join behaviors:
+    // (a) a purchase arriving a BATCH AFTER its click still matches (state
+    // held across batches); (b) an unmatched click whose one-hour match
+    // window closed before the final watermark flushes with NULLs;
+    // (c) an unmatched click whose window is still open at end-of-input is
+    // withheld (no row at all) — the inherent outer-join incompleteness
+    // the Scaladoc documents.
+    def ns(s: String): Long =
+      java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    def rows(data: (Long, Long, String)*) =
+      data.map { case (id, ts, et) => (id, ts, id, et, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val srcDir = new java.io.File(TestSpark.tmpDir("loj_batches"))
+    srcDir.mkdirs()
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val tmp = TestSpark.tmpDir(s"loj_batches_$name")
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(srcDir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtime))
+    }
+    // batch 1: clicks u1, u2; an unrelated u9 purchase late in the day
+    stage("a", rows(
+      (1L, ns("2024-01-01 10:00:00"), "click"),
+      (2L, ns("2024-01-01 10:00:00"), "click"),
+      (9L, ns("2024-01-01 18:00:00"), "purchase")), 1000000L)
+    // batch 2: u1's purchase (matches the batch-1 click), u3's fresh click
+    stage("b", rows(
+      (1L, ns("2024-01-01 10:30:00"), "purchase"),
+      (3L, ns("2024-01-01 17:30:00"), "click")), 2000000L)
+    // final watermark = min(max click ts, max purchase ts) = 17:30, so
+    // u2's window (closes 11:00) flushes; u3's (closes 18:30) does not
+    val got = StreamPipeline.streamLeftJoinOver(spark, () =>
+        spark.readStream
+          .schema(StreamPipeline.eventsRawSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 0L)), 2L -> ((0L, 1L))),
+      s"u1 cross-batch conversion, u2 flushed abandoned, u3 withheld, " +
+        s"u9 right-unmatched ignored — got $got")
+  }
+
   test("stream-static enrichment equals the batch join") {
     val got = StreamPipeline.streamStaticEnrich(spark, TestSpark.sfDir)
       .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
