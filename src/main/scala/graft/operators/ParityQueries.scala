@@ -660,6 +660,50 @@ object ParityQueries {
       |FROM events WHERE event_id % 3 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Incremental materialized-view maintenance — the consumer side of the
+    * CDC surface [[snapshotDiff]] proves: a per-type (count, sum) summary
+    * is materialized at snapshot v1, a second commit lands, and the view
+    * is brought current by merging ONLY the delta's partial aggregate
+    * (`readChanges(1, 2)`) — count and sum are algebraically mergeable, so
+    * the base rows are never rescanned. The oracle is the full recompute
+    * over all events: a hash match proves view-after-merge ≡ recompute,
+    * which is the MV maintenance contract.
+    *
+    * Scale shape: the merge cost is |delta| + |view| (view is
+    * |event_type| rows), independent of the base table size — at 100 TB
+    * this is the difference between a per-commit summary refresh being
+    * free and being a full-table scan. Sums stay in decimal until the
+    * final cast, so merge order cannot perturb them. */
+  def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_mv",
+      warehousePath = dest,
+      numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    def partial(df: DataFrame): DataFrame = df.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).as("total_dec"))
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))
+    val view = partial(sink.readVersion(spark, 1)) // materialized at v1
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 0))
+    val delta = partial(sink.readChanges(spark, 1, 2)) // delta rows only
+    view.unionByName(delta)
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n"),
+        sum($"total_dec").cast("double").as("total"))
+      .orderBy($"event_type")
+  }
+
+  val incrementalAggSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Same snapshot-v1 contract as [[timeTravel]], exercised through the SQL
     * front door: [[GraftCatalog]] resolves `graft_cat.<table> VERSION AS OF
     * 1` against the sink's manifest log and hands Spark the exact v1 file
