@@ -660,6 +660,42 @@ object ParityQueries {
       |FROM events WHERE event_id % 3 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bucketed co-located join end-to-end (BucketingSpec asserts the
+    * no-Exchange plan; this pins the VALUES): orders and lineitem are
+    * persisted bucketed by orderkey, joined through the bucket metadata,
+    * and aggregated to revenue per order priority. The oracle joins the
+    * raw fixtures — a hash match proves bucketed write + bucket-aware
+    * read lose and duplicate nothing.
+    *
+    * Scale shape: both sides pre-bucketed on the join key means the join
+    * shuffles NEITHER input — the layout investment that turns repeated
+    * fact⋈fact joins from the dominant shuffle into a local merge. */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (ot, lt) = (s"orders_bj_$sfx", s"lineitem_bj_$sfx")
+    Bucketing.writeBucketed(Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderpriority"), ot, "o_orderkey")
+    Bucketing.writeBucketed(Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("o_orderkey"), $"l_extendedprice", $"l_discount"),
+      lt, "o_orderkey")
+    val revenue = $"l_extendedprice".cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))
+    Bucketing.colocatedJoin(spark, ot, lt, "o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(revenue).cast("double").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |    AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Incremental materialized-view maintenance — the consumer side of the
     * CDC surface [[snapshotDiff]] proves: a per-type (count, sum) summary
     * is materialized at snapshot v1, a second commit lands, and the view
