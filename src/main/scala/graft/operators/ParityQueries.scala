@@ -696,6 +696,62 @@ object ParityQueries {
       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Skew-salted join end-to-end (SkewSpec covers the salt mechanics):
+    * the same orders⋈lineitem aggregate as [[bucketedJoin]], but joined
+    * through [[SkewTools.saltedJoin]] — lineitem rows get a deterministic
+    * salt, orders replicate salts×, and the join key becomes (key, salt)
+    * so a hot orderkey spreads over `salts` reducers. The oracle is the
+    * PLAIN join: a hash match proves salting is result-invariant, the
+    * contract that makes it safe to deploy on a skewed 100 TB corpus. */
+  def saltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("o_orderkey"), $"l_extendedprice", $"l_discount")
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderpriority")
+    val revenue = $"l_extendedprice".cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))
+    SkewTools.saltedJoin(l, o, "o_orderkey", salts = 8)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(revenue).cast("double").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val saltedJoinSql: String = bucketedJoinSql
+
+  /** Compaction round-trip (SinkSpec covers file-count mechanics): three
+    * small appends fragment the table, [[TableSink.compact]] rewrites each
+    * partition to ~target-sized files behind a crash-safe directory swap,
+    * and the aggregate of the compacted table must equal the direct
+    * fixture aggregate — the rewrite loses and duplicates nothing. */
+  def compactRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value")
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_compact",
+      warehousePath = dest,
+      numPartitions = 4,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter($"event_id" % 3 === 0))
+    sink.append(e.filter($"event_id" % 3 === 1))
+    sink.append(e.filter($"event_id" % 3 === 2))
+    sink.compact(spark)
+    sink.read(spark)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"event_type")
+  }
+
+  val compactRoundtripSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Incremental materialized-view maintenance — the consumer side of the
     * CDC surface [[snapshotDiff]] proves: a per-type (count, sum) summary
     * is materialized at snapshot v1, a second commit lands, and the view

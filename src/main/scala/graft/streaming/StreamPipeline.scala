@@ -32,19 +32,33 @@ object StreamPipeline {
   }
 
   private def stageDir(sfDir: String, table: String): String = {
-    import java.nio.file.{Files, LinkOption, Paths}
+    import java.nio.file.{Files, LinkOption, Path, Paths}
+    import scala.jdk.CollectionConverters._
     val target = Paths.get(sfDir).toAbsolutePath.resolve(s"$table.parquet")
     val dir = Paths.get(
       s"/root/repo/target/tmp/stream_src_${table}_${target.getParent.toString.replaceAll("[^A-Za-z0-9.]", "_")}")
     Files.createDirectories(dir)
-    val link = dir.resolve(s"$table.parquet")
-    // NOFOLLOW: a dangling staged link must be detected (exists() follows
-    // links and would report false, then createSymbolicLink would throw)
-    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) &&
-        !Files.exists(link)) // dangling → re-stage
-      Files.delete(link)
-    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
-      Files.createSymbolicLink(link, target)
+    def link(name: String, tgt: Path): Unit = {
+      val l = dir.resolve(name)
+      // NOFOLLOW: a dangling staged link must be detected (exists() follows
+      // links and would report false, then createSymbolicLink would throw)
+      if (Files.exists(l, LinkOption.NOFOLLOW_LINKS) &&
+          !Files.exists(l)) // dangling → re-stage
+        Files.delete(l)
+      if (!Files.exists(l, LinkOption.NOFOLLOW_LINKS))
+        Files.createSymbolicLink(l, tgt)
+    }
+    if (Files.isDirectory(target)) {
+      // directory-style parquet (the generated bench fixtures): the file
+      // stream source does not recurse into a linked subdirectory, so
+      // stage each part file directly — a directory symlink reads as ZERO
+      // input rows and would silently void the run
+      val s = Files.list(target)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => link(p.getFileName.toString, p))
+      finally s.close()
+    } else link(s"$table.parquet", target)
     dir.toString
   }
 
