@@ -180,6 +180,38 @@ object Relational {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS with `grouping()` provenance flags — the
+    * general form [[orderRollup]]/[[orderCube]] specialize: an arbitrary
+    * subset of grouping combinations (here (status, priority), (status),
+    * (priority), ()) computed in ONE pass with `grouping()` columns
+    * disambiguating a grouped-out NULL from a data NULL. One Expand +
+    * one shuffle, exactly like rollup/cube — no per-set rescan. */
+  def orderGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"),
+          Seq($"o_orderpriority"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(grouping($"o_orderstatus").cast("long").as("g_status"),
+        grouping($"o_orderpriority").cast("long").as("g_priority"),
+        count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"g_status", $"g_priority",
+        $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val orderGroupingSetsSql: String =
+    """SELECT CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_priority,
+      |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   /** TPC-H Q5-style local-supplier revenue: 5-way join through the full
     * star schema (region→nation→{customer,supplier}→orders→lineitem).
     * region and nation are fixed-cardinality (5/25 rows at any SF) →
