@@ -252,6 +252,39 @@ object StreamPipeline {
       .orderBy($"user_id")
   }
 
+  /** STREAMING sessionization — [[sessionWindows]]' unbounded twin: the
+    * same gap-merged `session_window` aggregate run through the streaming
+    * engine (complete mode, so late-merging sessions re-emit corrected).
+    * The streaming engine merges a key's overlapping session fragments
+    * across micro-batches in its session-window state store; on the
+    * staged single-batch source the result equals the batch query, which
+    * is what the shared oracle checks.
+    *
+    * Scale shape: state is (open sessions per key) — for append mode a
+    * watermark would close and evict sessions; complete mode here is for
+    * the bounded fixture. One shuffle keyed on user_id. */
+  def streamSessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val sessions = eventsStream(spark, sfDir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+    withStreamShuffle(spark, 8) {
+      val q = sessions.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max($"n_events").as("busiest_session"))
+      .orderBy($"user_id")
+  }
+
+  // def, not val: sessionWindowsSql is defined later in this object and a
+  // val here would capture null during textual initialization
+  def streamSessionWindowsSql: String = sessionWindowsSql
+
   /** Stream-stream inner join: click→purchase conversions per user within
     * one hour. Both sides carry watermarks and the join condition bounds
     * event time in both directions, so the state store provably evicts —
