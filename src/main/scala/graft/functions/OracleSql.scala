@@ -75,7 +75,7 @@ object OracleSql {
     * reaches 2^99 — HUGEINT carries it; the engine uses multiplyHigh),
     * band-slice candidacy (16 bands × 4 rows), and the estimated-Jaccard
     * filter. */
-  val dedupMinhashSql: String =
+  private val minhashCandCte: String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (SELECT doc_id,
        |  list_distinct([array_to_string(t[i:i+4], ' ')
@@ -92,13 +92,34 @@ object OracleSql {
        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |  WHERE len(list_filter([a.sig[4*bb+1:4*bb+4] = b.sig[4*bb+1:4*bb+4]
-       |                         FOR bb IN generate_series(0, 15)], x -> x)) > 0)
-       |SELECT id_a, id_b,
+       |                         FOR bb IN generate_series(0, 15)], x -> x)) > 0),
+       |est AS (SELECT id_a, id_b,
        |  CAST(len(list_filter([sa[i] = sb[i] FOR i IN generate_series(1, 64)],
        |                       x -> x)) AS DOUBLE) / 64 AS est_jaccard
-       |FROM cand
-       |WHERE est_jaccard >= 0.5
+       |  FROM cand
+       |  WHERE CAST(len(list_filter([sa[i] = sb[i] FOR i IN generate_series(1, 64)],
+       |                             x -> x)) AS DOUBLE) / 64 >= 0.5)""".stripMargin
+
+  val dedupMinhashSql: String =
+    s"""$minhashCandCte
+       |SELECT id_a, id_b, est_jaccard FROM est
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash accuracy audit replay: the [[dedupMinhashSql]] candidate+
+    * estimate chain joined back to the TRUE shingle-set Jaccard, with the
+    * 9-dp absolute error — both sides of the audit replayed exactly. */
+  val dedupMinhashAuditSql: String =
+    s"""$minhashCandCte,
+       |tj AS (SELECT e.id_a, e.id_b, e.est_jaccard,
+       |  CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+       |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
+       |    AS true_jaccard
+       |  FROM est e
+       |  JOIN sh a ON a.doc_id = e.id_a
+       |  JOIN sh b ON b.doc_id = e.id_b)
+       |SELECT id_a, id_b, est_jaccard, true_jaccard,
+       |  round(abs(est_jaccard - true_jaccard), 9) AS err9
+       |FROM tj ORDER BY id_a, id_b""".stripMargin
 
   // ----------------------------------------------------------- dedup_simhash
   /** SimHash replay: per-token rolling64 + splitmix64 (each finalizer stage

@@ -268,6 +268,33 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** MinHash accuracy audit: every [[minhashLsh]] candidate pair carries
+    * BOTH its signature-estimated Jaccard and the true shingle-set
+    * Jaccard, plus the 9-dp absolute error — the QA report that tells a
+    * pipeline owner whether 64 hashes are enough for their corpus before
+    * they trust the estimate at 100 TB. (Expected |err| ≈ √(j(1−j)/64)
+    * ≈ 0.06 at j=0.5; the report shows the realized distribution.)
+    *
+    * Scale shape: the candidate set is the LSH output (already bounded);
+    * the true-Jaccard join ships each candidate's distinct-shingle array
+    * — at full scale this runs as a sampled audit (LIMIT the candidates),
+    * not over every pair; the shape is the same either way. */
+  def minhashAudit(docs: DataFrame, n: Int = 5, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val cand = minhashLsh(docs, n, numHashes, bands, threshold)
+    val shs = docs.select(col("doc_id"),
+      VectorExpressions.shinglesOf(spark, split(col("text"), " "), n).as("shs"))
+    val inter = size(array_intersect(col("a.shs"), col("b.shs")))
+    cand.join(shs.as("a"), col("id_a") === col("a.doc_id"))
+      .join(shs.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        (inter.cast("double") /
+          (size(col("a.shs")) + size(col("b.shs")) - inter))
+          .as("true_jaccard"))
+      .withColumn("err9", round(abs(col("est_jaccard") - col("true_jaccard")), 9))
+  }
+
   /** 64-bit SimHash of a token array: one xxhash64 per token, its 64 bits
     * vote ±1 per output bit — native one-pass kernel
     * (see [[VectorExpressions.SimhashExpr]]). */

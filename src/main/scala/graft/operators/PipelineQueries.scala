@@ -176,6 +176,13 @@ object PipelineQueries {
     Dedup.minhashLsh(Tables.documents(spark, sfDir))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** MinHash estimate-vs-truth audit — candidates, estimates, true
+    * shingle Jaccard, and the error column all replayed by
+    * [[OracleSql.dedupMinhashAuditSql]] (hash-checked). */
+  def dedupMinhashAudit(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashAudit(Tables.documents(spark, sfDir))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** SimHash — splitmix64 token hashes replayed by
     * [[OracleSql.dedupSimhashSql]] (hash-checked). */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
