@@ -696,6 +696,60 @@ object ParityQueries {
       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** JSONL ingest round-trip (TextSourcesSpec covers the unit cases): the
+    * documents table is dumped to JSON-lines, read back through
+    * [[TextSources.jsonl]] with the declared schema, and aggregated —
+    * count, exact text length sum, and md5-of-text sum pin byte-level
+    * content integrity through the serialize/parse cycle, per source.
+    * The oracle aggregates the original fixture: a hash match proves the
+    * interchange format loses nothing (escaping, unicode, nulls).
+    *
+    * Scale shape: JSONL splits by line for parallel scans; the declared
+    * schema avoids the inference pre-scan. One shuffle for the rollup. */
+  def jsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_jsonl_${java.util.UUID.randomUUID()}"
+    d.write.json(dest)
+    TextSources.jsonl(spark, dest, d.schema)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(length($"text")).as("len_sum"),
+        sum(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long"))
+          .as("md5_sum"))
+      .orderBy($"source")
+  }
+
+  val jsonlRoundtripSql: String =
+    """SELECT source, COUNT(*) AS n,
+      |  CAST(SUM(LENGTH(text)) AS BIGINT) AS len_sum,
+      |  CAST(SUM(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT))
+      |    AS BIGINT) AS md5_sum
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Exact interpolated percentiles per group — `percentile()` (the exact
+    * sort-based aggregate, not the approx sketch; [[Sketches]] carries the
+    * approx path) at the standard p50/p90/p99 operating points, 9-dp
+    * rounded: both engines interpolate rank p·(n−1) between order
+    * statistics, so the rounded values pin the whole sorted-aggregate
+    * machinery against DuckDB's quantile_cont. */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 9).as("p50"),
+        round(expr("percentile(value, 0.9)"), 9).as("p90"),
+        round(expr("percentile(value, 0.99)"), 9).as("p99"))
+      .orderBy($"event_type")
+  }
+
+  val percentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 9) AS p50,
+      |  round(quantile_cont(value, 0.9), 9) AS p90,
+      |  round(quantile_cont(value, 0.99), 9) AS p99
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Skew-salted join end-to-end (SkewSpec covers the salt mechanics):
     * the same orders⋈lineitem aggregate as [[bucketedJoin]], but joined
     * through [[SkewTools.saltedJoin]] — lineitem rows get a deterministic

@@ -283,4 +283,19 @@ class DedupSpec extends AnyFunSuite {
     assert(keptCells >= keptFull, s"$keptCells vs $keptFull")
     assert(cellRun.count() === e.count(), "one audit row per vector")
   }
+
+  test("minhash audit bounds the estimate error and covers every candidate") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val audit = Dedup.minhashAudit(docs).cache()
+    val cand = Dedup.minhashLsh(docs)
+    assert(audit.count() == cand.count(),
+      "one audit row per LSH candidate pair")
+    // 64 hashes: binomial std dev at j=0.5 is ~0.0625; 5 sigma = 0.31.
+    // A bigger error means the signature kernel and the shingle sets
+    // disagree about WHICH sets they hash — a wiring bug, not noise.
+    val bad = audit.filter($"err9" > 0.32).count()
+    assert(bad == 0, s"$bad pairs exceed any plausible 64-hash error")
+    val off = audit.filter($"true_jaccard" < 0 || $"true_jaccard" > 1).count()
+    assert(off == 0, "true Jaccard stays in [0, 1]")
+  }
 }
