@@ -320,6 +320,38 @@ object OracleSql {
        |SELECT query_id, neighbor_id, rank FROM g
        |ORDER BY query_id, rank""".stripMargin
 
+  /** PageRank replay: the [[knnGraphCte]] edge list, then
+    * [[graft.Similarity.pageRank]]'s five integer power steps UNROLLED as
+    * chained CTEs (standard SQL recursion cannot aggregate per step).
+    * All arithmetic is BIGINT floor division, so the replay is bit-exact:
+    * r0 = NANO//N, step r' = base + (85·Σ r//outdeg)//100, base =
+    * ((NANO·15)//100)//N, dangling mass dropped on both sides. */
+  val simPagerankSql: String = {
+    val steps = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT n.vec_id,
+         |    (SELECT b FROM base) + 85 * COALESCE(s.s, 0) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT g.neighbor_id AS vec_id, SUM(p.r // o.outdeg) AS s
+         |    FROM g JOIN outdeg o ON g.query_id = o.query_id
+         |    JOIN r${i - 1} p ON g.query_id = p.vec_id
+         |    GROUP BY 1) s ON n.vec_id = s.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnGraphCte,
+       |nodes AS (SELECT vec_id FROM e),
+       |outdeg AS (SELECT query_id, COUNT(*) AS outdeg FROM g GROUP BY 1),
+       |base AS (SELECT (CAST(1000000000 AS BIGINT) * 15 // 100) // COUNT(*)
+       |  AS b FROM nodes),
+       |r0 AS (SELECT vec_id,
+       |  CAST(1000000000 AS BIGINT) // (SELECT COUNT(*) FROM nodes) AS r
+       |  FROM nodes),
+       |$steps
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY r DESC, vec_id) AS BIGINT)
+       |    AS rank,
+       |  vec_id, CAST(r AS BIGINT) AS r_nano
+       |FROM r5 ORDER BY r DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   val simKnnMutualSql: String =
     s"""$knnGraphCte
        |SELECT f.query_id AS id_a, f.neighbor_id AS id_b,

@@ -465,6 +465,12 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** PageRank centrality over the kNN graph — the five integer power
+    * steps replayed bit-exactly by [[OracleSql.simPagerankSql]]. */
+  def simPagerank(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.pageRank(Tables.embeddings(spark, sfDir))
+      .orderBy(col("rank"))
+
   /** IVF ANN — rows-only (k-means centroids are engine-specific);
     * [[simIvfFull]] is the oracle-checked property companion. */
   def simIvf(spark: SparkSession, sfDir: String): DataFrame = {

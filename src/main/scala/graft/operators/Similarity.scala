@@ -227,6 +227,54 @@ object Similarity {
         (col("f.rank") + col("r.rank")).cast("long").as("rank_sum"))
   }
 
+  /** PageRank over the directed kNN graph — similarity centrality: vectors
+    * many neighbors point at rank high, the signal a curation pass uses to
+    * pick canonical representatives (high rank = well-connected cluster
+    * core) or to downweight redundant mass. Fixed `iters` power steps of
+    * the standard d=0.85 update, dangling mass dropped (every engine
+    * replaying the same rule).
+    *
+    * Engine portability: ranks live in integer NANO units and every step
+    * is integer-only — r/outdeg and (85·s)/100 use floor division — so
+    * iteration order and float accumulation cannot perturb a single unit;
+    * the oracle unrolls the same five integer steps as chained CTEs.
+    *
+    * Scale shape: per iteration, one join of the edge list with the rank
+    * vector (both keyed on the source id) and one aggregate keyed on the
+    * destination — the textbook distributed power iteration; the rank
+    * vector is |nodes| rows, never materialized on the driver (the one
+    * driver scalar is N, a count). */
+  def pageRank(corpus: DataFrame, k: Int = 5, iters: Int = 5,
+      maxBucket: Option[Int] = Some(64),
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val NANO = 1000000000L
+    val edges = knnGraph(corpus, k, maxBucket = maxBucket,
+      idCol = idCol, vecCol = vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val outdeg = edges.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val nodes = corpus.select(col(idCol).as("vec_id"))
+    val n = nodes.count() // the one driver scalar: graph size
+    val base = (NANO * 15L / 100L) / n
+    var r = nodes.withColumn("r", lit(NANO / n))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(outdeg, "query_id")
+        .join(r.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .select(col("neighbor_id"),
+          expr("r div outdeg").as("c"))
+      val s = contrib.groupBy(col("neighbor_id")).agg(sum(col("c")).as("s"))
+      r = nodes.join(s, nodes("vec_id") === s("neighbor_id"), "left")
+        .select(col("vec_id"),
+          (lit(base) +
+            expr("85 * coalesce(s, CAST(0 AS BIGINT)) div 100")).as("r"))
+    }
+    val w = Window.orderBy(col("r").desc, col("vec_id").asc)
+    r.orderBy(col("r").desc, col("vec_id").asc).limit(20)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("vec_id"), col("r").as("r_nano"))
+  }
+
   /** Nearest-class-mean classification over the labeled embedding table —
     * the standard linear probe for "do these embeddings separate the
     * classes?": per-label mean vectors (centroids), every vector assigned

@@ -142,6 +142,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank concentrates mass on the connected cluster, not the outlier") {
+    // five identical vectors (a 5-clique in the kNN graph) + one orthogonal
+    // outlier: the clique members receive five in-links each, the outlier
+    // only what the clique's leftover k-slots donate — clique must outrank
+    val base = Array.fill(8)(0.5f)
+    val data = ((1L to 5L).map(i => (i, base, 0)) :+
+      (9L, Array(-1f, 1f, -1f, 1f, -1f, 1f, -1f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.pageRank(data, k = 3, maxBucket = None)
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toMap
+    assert(r.size == 6)
+    assert(r.values.forall(_ > 0), "ranks stay positive")
+    // with k=3 and the neighbor-id tie-break, in-links flow to 1..4 only;
+    // node 5 and the outlier both sit at the dangling base rank
+    val linked = (1L to 4L).map(r).min
+    assert(linked > r(9L),
+      s"in-linked clique members ${linked} must outrank outlier ${r(9L)}")
+    assert(r(5L) == r(9L), "no in-links -> base rank for both")
+    val again = Similarity.pageRank(data, k = 3, maxBucket = None)
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toMap
+    assert(again == r, "integer iteration is bit-deterministic")
+  }
+
   test("mutualKnn pairs are reciprocal edges of the directed graph") {
     val g = Similarity.knnGraph(emb, k = 5, maxBucket = Some(64)).cache()
     val m = Similarity.mutualKnn(emb, k = 5, maxBucket = Some(64)).cache()
