@@ -352,6 +352,33 @@ object OracleSql {
        |FROM r5 ORDER BY r DESC, vec_id LIMIT 20""".stripMargin
   }
 
+  /** Recall/precision replay: exact pairs recomputed quadratically from
+    * the SAME distinct-shingle sets the minhash chain hashes (a pair at
+    * Jaccard ≥ 0.5 necessarily shares a shingle, so the quadratic form
+    * equals the engine's posting-list form), joined against the est set. */
+  val dedupMinhashRecallSql: String =
+    s"""$minhashCandCte,
+       |exact AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+       |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
+       |    >= 0.5),
+       |u AS (
+       |  SELECT COALESCE(e.id_a, f.id_a) AS id_a,
+       |    COALESCE(e.id_b, f.id_b) AS id_b,
+       |    CASE WHEN e.id_a IS NULL THEN 0 ELSE 1 END AS in_exact,
+       |    CASE WHEN f.id_a IS NULL THEN 0 ELSE 1 END AS in_found
+       |  FROM exact e FULL OUTER JOIN est f
+       |    ON e.id_a = f.id_a AND e.id_b = f.id_b)
+       |SELECT CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+       |  CAST(SUM(in_found) AS BIGINT) AS n_found,
+       |  CAST(SUM(in_exact * in_found) AS BIGINT) AS n_both,
+       |  CAST(SUM(in_exact * in_found) AS DOUBLE)
+       |    / CAST(SUM(in_exact) AS BIGINT) AS recall,
+       |  CAST(SUM(in_exact * in_found) AS DOUBLE)
+       |    / CAST(SUM(in_found) AS BIGINT) AS precision
+       |FROM u""".stripMargin
+
   val simKnnMutualSql: String =
     s"""$knnGraphCte
        |SELECT f.query_id AS id_a, f.neighbor_id AS id_b,

@@ -295,6 +295,33 @@ object Dedup {
       .withColumn("err9", round(abs(col("est_jaccard") - col("true_jaccard")), 9))
   }
 
+  /** MinHash recall/precision report — one row quantifying the LSH dial
+    * against ground truth on the same corpus: |exact ∩ found| / |exact|
+    * (recall: near-dup pairs at true Jaccard ≥ threshold the sketch
+    * surfaced) and / |found| (precision: surfaced pairs that are truly
+    * near-dups). The companion to [[minhashAudit]]'s per-pair error — run
+    * both on a sample before trusting the 16-band knee at full scale.
+    *
+    * Scale shape: both inputs are pair lists (posting-list shaped); the
+    * full-outer join keys on the pair and the final aggregate is one row.
+    * At 100 TB the exact side is the expensive input — run on a sampled
+    * partition, same shape. */
+  def minhashRecall(docs: DataFrame, n: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val exact = ngramJaccard(docs, n, threshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_exact"))
+    val found = minhashLsh(docs, n, threshold = threshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_found"))
+    exact.join(found, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(coalesce(col("in_exact"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("in_found"), lit(0L))).as("n_found"),
+        sum(coalesce(col("in_exact"), lit(0L)) *
+          coalesce(col("in_found"), lit(0L))).as("n_both"))
+      .select(col("n_exact"), col("n_found"), col("n_both"),
+        (col("n_both").cast("double") / col("n_exact")).as("recall"),
+        (col("n_both").cast("double") / col("n_found")).as("precision"))
+  }
+
   /** 64-bit SimHash of a token array: one xxhash64 per token, its 64 bits
     * vote ±1 per output bit — native one-pass kernel
     * (see [[VectorExpressions.SimhashExpr]]). */

@@ -727,6 +727,29 @@ object ParityQueries {
       |    AS BIGINT) AS md5_sum
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CSV ingest round-trip — [[jsonlRoundtrip]]'s harder sibling: CSV must
+    * QUOTE embedded newlines/commas/quotes, and reading them back needs
+    * `multiLine` (a quoted field may span physical lines, so files — not
+    * byte ranges — become the split unit; the write keeps multiple files
+    * to preserve parallelism). Same md5-pinned integrity oracle over the
+    * original fixture: a hash match proves quoting+escaping round-trips
+    * every byte of every document. */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_csv_${java.util.UUID.randomUUID()}"
+    d.write.option("header", "true").csv(dest)
+    TextSources.csv(spark, dest, d.schema, header = true, multiLine = true)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(length($"text")).as("len_sum"),
+        sum(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long"))
+          .as("md5_sum"))
+      .orderBy($"source")
+  }
+
+  val csvRoundtripSql: String = jsonlRoundtripSql
+
   /** Exact interpolated percentiles per group — `percentile()` (the exact
     * sort-based aggregate, not the approx sketch; [[Sketches]] carries the
     * approx path) at the standard p50/p90/p99 operating points, 9-dp

@@ -183,6 +183,11 @@ object PipelineQueries {
     Dedup.minhashAudit(Tables.documents(spark, sfDir))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** MinHash recall/precision vs exact Jaccard — both pair sets and the
+    * two ratios replayed by [[OracleSql.dedupMinhashRecallSql]]. */
+  def dedupMinhashRecall(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashRecall(Tables.documents(spark, sfDir))
+
   /** SimHash — splitmix64 token hashes replayed by
     * [[OracleSql.dedupSimhashSql]] (hash-checked). */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =

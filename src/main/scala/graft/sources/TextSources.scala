@@ -24,10 +24,16 @@ object TextSources {
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
-  /** CSV input with declared schema. */
+  /** CSV input with declared schema.
+    *
+    * @param multiLine quoted fields may span lines (embedded newlines in
+    *   text columns). Costs parallelism — a multiLine file cannot be
+    *   split at arbitrary byte offsets, so each FILE becomes the split
+    *   unit; write many files when round-tripping large text corpora. */
   def csv(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true): DataFrame =
+      header: Boolean = true, multiLine: Boolean = false): DataFrame =
     spark.read.schema(schema)
       .option("header", header.toString)
+      .option("multiLine", multiLine.toString)
       .csv(path)
 }
