@@ -727,6 +727,42 @@ object ParityQueries {
       |    AS BIGINT) AS md5_sum
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Router fan-out end-to-end (RouterSpec covers the mechanics): events
+    * are routed to per-event-type destination TABLES via the
+    * `message.table` semantics ([[TableRouter.appendRouted]] — the
+    * reference declares the field but never consults it), then every
+    * destination is read back and re-unioned for the aggregate. A hash
+    * match against the unrouted fixture proves fan-out is a partition of
+    * the input: nothing lost, nothing duplicated, nothing misrouted.
+    *
+    * Scale shape: one cached scan filtered per destination (the driver
+    * holds only the distinct table-name set); each destination keeps its
+    * own partition-transform clustering. */
+  def routerFanout(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value",
+        concat(lit("evt_"), $"event_type").as("dest"))
+    val wh = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    def cfg(t: String) = SinkConfig(tableName = t, warehousePath = wh,
+      numPartitions = 2, sortOrder = Seq("event_id"))
+    TableRouter.appendRouted(e, "dest", cfg)
+    val dests = e.select($"dest").distinct().as[String].collect().sorted
+    dests.map(t => new TableSink(cfg(t)).read(spark)
+        .withColumn("routed_table", lit(t)))
+      .reduce(_ unionByName _)
+      .groupBy($"routed_table", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"routed_table", $"event_type")
+  }
+
+  val routerFanoutSql: String =
+    """SELECT 'evt_' || event_type AS routed_table, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** CSV ingest round-trip — [[jsonlRoundtrip]]'s harder sibling: CSV must
     * QUOTE embedded newlines/commas/quotes, and reading them back needs
     * `multiLine` (a quoted field may span physical lines, so files — not

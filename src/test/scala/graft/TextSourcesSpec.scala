@@ -32,6 +32,23 @@ class TextSourcesSpec extends AnyFunSuite {
       docs.as[(Long, String, String)].collect().toSet)
   }
 
+  test("JSONL reads unchanged under readStream (the claimed streaming path)") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id", $"lang", $"text")
+    val dir = TestSpark.tmpDir("jsonl_stream")
+    docs.write.json(dir)
+    val stream = spark.readStream.schema(docSchema).json(dir)
+    assert(stream.isStreaming)
+    val name = "jsonl_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table(name).count() == docs.count())
+    assert(spark.table(name).agg(sum(length($"text"))).as[Long].head() ==
+      docs.agg(sum(length($"text"))).as[Long].head(),
+      "streamed content matches the batch read byte-for-byte in length")
+  }
+
   test("unparseable JSONL rows surface as null rows for the ok/err split") {
     val dir = TestSpark.tmpDir("jsonl_bad")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
