@@ -950,6 +950,11 @@ object PipelineQueries {
       |  GROUP BY tok)
       |WHERE rank <= 100 ORDER BY rank""".stripMargin
 
+  /** Zipf slope — the integer least-squares path replayed by
+    * [[TextAnalysis.zipfSlopeSql]]. */
+  def textZipf(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.zipfSlope(Tables.documents(spark, sfDir))
+
   /** PII scrub over documents with deterministic synthetic PII injected
     * first (the fixture corpus is clean): both engines build the identical
     * dirty text, scrub with the same portable patterns, and the full

@@ -187,6 +187,58 @@ object TextAnalysis {
       .select(col("rank"), col("tok"), col("n"))
   }
 
+  /** Zipf rank-frequency slope over the top-k tokens — the one-number
+    * sanity check that a corpus looks like natural language (slope ≈ −1;
+    * boilerplate-heavy or synthetic corpora flatten or steepen it). Least
+    * squares of ln(freq) on ln(rank), computed over exactly k points.
+    *
+    * Engine portability: ln values are rounded to MICRO units (1e-6) and
+    * the regression runs entirely in 64-bit integer sums — micro (not
+    * nano) so Σx·y stays ~1e15, far under Long overflow — with the final
+    * slope one double division, 9-dp rounded. Both engines replay the
+    * identical integer path.
+    *
+    * Scale shape: one token count shuffle (map-side partials), a top-k
+    * rank (TakeOrdered), and a 50-row aggregate — corpus-size-independent
+    * after the count. */
+  def zipfSlope(docs: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy().orderBy(col("f").desc, col("tok").asc)
+    val pts = counts.withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= k)
+      .select(round(log(col("r")) * 1000000.0).cast("long").as("x"),
+        round(log(col("f")) * 1000000.0).cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n_points"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_points"),
+        round((col("n_points") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n_points") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 9).as("slope9"))
+  }
+
+  val zipfSlopeSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |counts AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY 1),
+      |pts AS (
+      |  SELECT CAST(round(ln(r) * 1000000) AS BIGINT) AS x,
+      |    CAST(round(ln(f) * 1000000) AS BIGINT) AS y
+      |  FROM (SELECT f, tok,
+      |          ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r
+      |        FROM counts)
+      |  WHERE r <= 50),
+      |s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |        SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM pts)
+      |SELECT CAST(n AS BIGINT) AS n_points,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope9
+      |FROM s""".stripMargin
+
   /** Adjacent-token (bigram) statistics — the pair-count table the first
     * BPE-style merge step reads, and the standard collocation screen.
     * Same aggregated-then-rank shape as [[vocabulary]]: one shuffle with
