@@ -248,9 +248,14 @@ object Similarity {
       maxBucket: Option[Int] = Some(64),
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val NANO = 1000000000L
+    // materialize the edge list ONCE: every power step joins against it,
+    // and without the checkpoint Spark re-evaluates the whole LSH
+    // candidate pipeline per iteration (measured 2x end-to-end cost at
+    // gen sf1). k·|nodes| rows — executor-resident, never on the driver.
     val edges = knnGraph(corpus, k, maxBucket = maxBucket,
       idCol = idCol, vecCol = vecCol)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
     val outdeg = edges.groupBy(col("query_id"))
       .agg(count(lit(1)).as("outdeg"))
     val nodes = corpus.select(col(idCol).as("vec_id"))
