@@ -943,4 +943,58 @@ object ParityQueries {
   }
 
   val catalogTimeTravelSql: String = timeTravelSql
+
+  /** As-of-TIMESTAMP resolution through the SQL front door — the third leg
+    * of the time-travel contract next to latest ([[GraftCatalog.loadTable]])
+    * and `VERSION AS OF` ([[catalogTimeTravel]]): `TIMESTAMP AS OF t` must
+    * resolve to the LAST snapshot whose manifest committed at or before
+    * `t`, by commit wall-time against the sink's `_graft_log` — Iceberg's
+    * as-of-timestamp rule (reference connector.py:358-393 loads catalogs
+    * whose readers rely on exactly this resolution). Two commits land; the
+    * query asks for the first commit's own timestamp, so it must see v1's
+    * file set and NOT the second commit — a hash match against the v1
+    * oracle proves the cutoff is inclusive on the left and exclusive of
+    * later snapshots.
+    *
+    * Determinism: commit times are wall-clock, so the literal is READ BACK
+    * from the v1 manifest's mtime (millisecond precision — micros→ms
+    * truncation in the catalog then reproduces it exactly), and v2's mtime
+    * is bumped 1 s past v1's if the two appends landed in the same
+    * millisecond. Timezone: the literal is rendered in the session
+    * timezone, which is what Spark uses to convert it to epoch micros. */
+  def catalogTimestampTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_tt_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val sink = new TableSink(SinkConfig(
+      tableName = tbl,
+      warehousePath = wh,
+      numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 0))
+    val log = java.nio.file.Paths.get(wh, tbl, "_graft_log")
+    val t1 = java.nio.file.Files
+      .getLastModifiedTime(log.resolve("v00001.list")).toMillis
+    val m2 = log.resolve("v00002.list")
+    if (java.nio.file.Files.getLastModifiedTime(m2).toMillis <= t1)
+      java.nio.file.Files.setLastModifiedTime(m2,
+        java.nio.file.attribute.FileTime.fromMillis(t1 + 1000L))
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    val asOf = java.time.Instant.ofEpochMilli(t1).atZone(zone).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM graft_cat.$tbl TIMESTAMP AS OF '$asOf'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val catalogTimestampTravelSql: String = timeTravelSql
 }
