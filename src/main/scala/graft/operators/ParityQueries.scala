@@ -660,6 +660,59 @@ object ParityQueries {
       |FROM events WHERE event_id % 3 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Write-audit-publish end-to-end over [[TableSink]] branches — the
+    * staging workflow Iceberg builds on named branches (reference
+    * README.md:95-105 commit coordination): batch 1 commits to main (v1),
+    * batch 2 is staged on branch `audit` via [[TableSink.appendToBranch]],
+    * audited with a full branch read, then published (fast-forward, v2).
+    * One output row per event_type pins all three surfaces at once:
+    *  - `n_main_pre`: main read AFTER the branch append but BEFORE publish
+    *    — must still be exactly batch 1, even though the staged files are
+    *    physically in the table directory (snapshot isolation);
+    *  - `n_audit`: the branch-head read — inherited + staged rows;
+    *  - `n_final` / `total_final`: main after publish — everything.
+    * The oracle replays all three as plain filters over the fixture, so a
+    * hash match proves the staged rows were invisible to main, fully
+    * visible to the audit, and published losslessly as pure metadata.
+    *
+    * Scale shape: branching is manifest metadata only — no data file is
+    * copied or rewritten by create/read/publish; the three aggregates are
+    * |event_type| rows each, joined broadcast-small. */
+  def branchWap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_wap",
+      warehousePath = dest,
+      numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))       // main v1
+    sink.createBranch("audit")
+    sink.appendToBranch("audit", e.filter(pmod($"event_id", lit(3)) === 0))
+    val mainPre = sink.readVersion(spark, sink.snapshotVersions().last)
+      .groupBy($"event_type").agg(count(lit(1)).as("n_main_pre"))
+    val audit = sink.readBranch(spark, "audit")
+      .groupBy($"event_type").agg(count(lit(1)).as("n_audit"))
+    val v2 = sink.publishBranch("audit")                          // main v2
+    val fin = sink.readVersion(spark, v2)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_final"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total_final"))
+    mainPre.join(audit, "event_type").join(fin, "event_type")
+      .orderBy($"event_type")
+  }
+
+  val branchWapSql: String =
+    """SELECT event_type,
+      |  COUNT(*) FILTER (WHERE event_id % 3 <> 0) AS n_main_pre,
+      |  COUNT(*) AS n_audit,
+      |  COUNT(*) AS n_final,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_final
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Bucketed co-located join end-to-end (BucketingSpec asserts the
     * no-Exchange plan; this pins the VALUES): orders and lineitem are
     * persisted bucketed by orderkey, joined through the bucket metadata,

@@ -172,12 +172,36 @@ final class GraftCatalog extends TableCatalog {
     }
   }
 
-  /** `VERSION AS OF v` — the exact file set snapshot `v` recorded. */
+  /** `VERSION AS OF v` — an integer resolves the exact file set snapshot
+    * `v` recorded; a non-integer resolves a BRANCH head (Iceberg's
+    * `VERSION AS OF 'branch'` convention), so an audit branch staged by
+    * `TableSink.appendToBranch` is queryable by name through SQL before
+    * it is published to main. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
-      s"${ident.name()}: version must be an integer snapshot id, got '$version'"))
-    val files = manifestFiles(ident, v)
+    val files = version.toIntOption match {
+      case Some(v) => manifestFiles(ident, v)
+      case None =>
+        val dir = logDir(ident).resolve(s"branch_$version")
+        val head: Option[Int] = {
+          import scala.jdk.CollectionConverters._
+          if (!java.nio.file.Files.isDirectory(dir)) None
+          else {
+            val s = java.nio.file.Files.list(dir)
+            try s.iterator().asScala.map(_.getFileName.toString)
+              .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+                n.stripPrefix("v").stripSuffix(".list").toInt }
+              .toVector.sorted.lastOption
+            finally s.close()
+          }
+        }
+        val v = head.getOrElse(throw new IllegalArgumentException(
+          s"${ident.name()}: '$version' is neither an integer snapshot id " +
+            "nor a live branch name"))
+        java.nio.file.Files.readString(dir.resolve(f"v$v%05d.list"))
+          .split("\n").filter(_.nonEmpty)
+          .map(rel => s"${tableDir(ident)}/$rel").toIndexedSeq
+    }
     fileTable(ident, files, files.headOption)
   }
 

@@ -182,22 +182,31 @@ final class TableSink(val config: SinkConfig) {
   }
 
   /** Record the current data-file set as the next snapshot version. */
-  private def writeSnapshot(): Int = {
+  private def writeSnapshot(): Int = writeSnapshotOf(listDataFiles())
+
+  /** Record an EXPLICIT file set as the next main snapshot (used by
+    * [[publishBranch]], whose published state is the branch head's file
+    * list, not whatever happens to be in the live directory). */
+  private def writeSnapshotOf(files: Seq[String]): Int = {
     java.nio.file.Files.createDirectories(logPath)
     val v = snapshotVersions().lastOption.getOrElse(0) + 1
     java.nio.file.Files.writeString(
-      logPath.resolve(f"v$v%05d.list"), listDataFiles().mkString("\n"))
+      logPath.resolve(f"v$v%05d.list"), files.mkString("\n"))
     v
   }
 
   /** Drop all history and record the current state as version 1 — called
-    * by rewriting ops, whose file replacement invalidates old manifests. */
+    * by rewriting ops, whose file replacement invalidates old manifests.
+    * Branches expire too (their manifests reference the replaced files),
+    * the same contract as Iceberg snapshot expiry after rewrite-files
+    * maintenance — publish audit branches before running rewriting ops. */
   private def expireSnapshots(): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.isDirectory(logPath)) {
-      val s = java.nio.file.Files.list(logPath)
-      try s.iterator().asScala.toVector.foreach(java.nio.file.Files.delete)
-      finally s.close()
+      val s = java.nio.file.Files.walk(logPath)
+      val entries = try s.iterator().asScala.toVector finally s.close()
+      entries.reverseIterator.filter(_ != logPath)
+        .foreach(java.nio.file.Files.delete)
     }
     if (config.versioned) writeSnapshot()
   }
@@ -272,7 +281,11 @@ final class TableSink(val config: SinkConfig) {
     require(config.versioned && snapshotVersions().nonEmpty,
       "removeOrphans needs a versioned table with at least one commit — " +
         "an unversioned directory has no manifest to define 'orphan'")
-    val referenced = snapshotVersions().flatMap(manifestFiles).toSet
+    // live branches count as references: an unpublished audit branch's
+    // files are staged-but-committed (to the branch), not debris
+    val referenced = (snapshotVersions().flatMap(manifestFiles) ++
+      branches().flatMap(b => branchVersions(b).flatMap(branchManifest(b, _)))
+      ).toSet
     val root = java.nio.file.Paths.get(config.tablePath)
     val orphans = listDataFiles().filterNot(referenced)
     orphans.foreach(rel => java.nio.file.Files.delete(root.resolve(rel)))
@@ -285,12 +298,144 @@ final class TableSink(val config: SinkConfig) {
     * the manifest first), so the restored state is exactly what
     * [[readVersion]] showed. */
   def rollbackTo(version: Int): Unit = {
-    val keep = manifestFiles(version).toSet
+    // files a live branch still references survive the rollback — the
+    // branch remains readable/publishable against the rolled-back main
+    val keep = (manifestFiles(version) ++
+      branches().flatMap(b => branchVersions(b).flatMap(branchManifest(b, _)))
+      ).toSet
     val root = java.nio.file.Paths.get(config.tablePath)
     listDataFiles().filterNot(keep)
       .foreach(rel => java.nio.file.Files.delete(root.resolve(rel)))
     snapshotVersions().filter(_ > version).foreach(v =>
       java.nio.file.Files.delete(logPath.resolve(f"v$v%05d.list")))
+  }
+
+  // ------------------------------------------------- branches (WAP)
+  // Iceberg-style named branches over the same snapshot-manifest machinery:
+  // a branch is an independent head under _graft_log/branch_<name>/, whose
+  // manifests use the identical one-relative-path-per-line format as main.
+  // The flagship use is WRITE-AUDIT-PUBLISH (reference README.md:95-105
+  // positions the connector as the commit-coordination layer; WAP is the
+  // staging workflow Iceberg builds on exactly this primitive): stage a
+  // batch on a branch, audit it with full queries — main's readers never
+  // see a row of it — then publish (fast-forward main to the branch head)
+  // or drop the branch and reclaim its files via removeOrphans.
+  //
+  // Scale shape: branching is pure manifest metadata — creating, reading,
+  // publishing, and dropping a branch never copies or rewrites a data
+  // file. An appendToBranch writes exactly the files a main append would.
+
+  private def branchLogPath(name: String): java.nio.file.Path = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"branch name must be [A-Za-z0-9_-]+, got '$name'")
+    logPath.resolve(s"branch_$name")
+  }
+
+  /** Live branch names (empty when none or unversioned). */
+  def branches(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(logPath)) Nil
+    else {
+      val s = java.nio.file.Files.list(logPath)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("branch_") =>
+          n.stripPrefix("branch_") }
+        .toVector.sorted
+      finally s.close()
+    }
+  }
+
+  /** Committed versions on a branch, oldest first. */
+  def branchVersions(name: String): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    val dir = branchLogPath(name)
+    if (!java.nio.file.Files.isDirectory(dir)) Nil
+    else {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+          n.stripPrefix("v").stripSuffix(".list").toInt }
+        .toVector.sorted
+      finally s.close()
+    }
+  }
+
+  private def branchManifest(name: String, v: Int): Seq[String] = {
+    val m = branchLogPath(name).resolve(f"v$v%05d.list")
+    require(java.nio.file.Files.exists(m),
+      s"branch '$name' has no version $v; available: " +
+        branchVersions(name).mkString(", "))
+    java.nio.file.Files.readString(m)
+      .split("\n").filter(_.nonEmpty).toIndexedSeq
+  }
+
+  private def branchHeadFiles(name: String): Seq[String] = {
+    val vs = branchVersions(name)
+    require(vs.nonEmpty, s"branch '$name' does not exist; live branches: " +
+      branches().mkString(", "))
+    branchManifest(name, vs.last)
+  }
+
+  /** Create branch `name` at main snapshot `fromVersion` (default: the
+    * latest commit). The branch's v1 is a copy of that manifest. */
+  def createBranch(name: String, fromVersion: Option[Int] = None): Unit = {
+    require(config.versioned && snapshotVersions().nonEmpty,
+      "branches need a versioned table with at least one commit")
+    require(branchVersions(name).isEmpty, s"branch '$name' already exists")
+    val v = fromVersion.getOrElse(snapshotVersions().last)
+    val files = manifestFiles(v)
+    java.nio.file.Files.createDirectories(branchLogPath(name))
+    java.nio.file.Files.writeString(
+      branchLogPath(name).resolve("v00001.list"), files.mkString("\n"))
+  }
+
+  /** Append `df` to branch `name`: the physical write is identical to
+    * [[append]] (coerce → derive → cluster → land files in the table
+    * directory), but the commit goes to the BRANCH manifest — main's head
+    * does not move, and snapshot-resolved readers (readVersion, the
+    * catalog) cannot see the new files until [[publishBranch]]. */
+  def appendToBranch(name: String, df: DataFrame): Unit = {
+    requireNoStreamingLog()
+    val head = branchHeadFiles(name)          // fails fast if no branch
+    val before = listDataFiles().toSet
+    val prepared = clusterForWrite(withDerived(Ops.ensureMessage(df)))
+    val writer = prepared.write
+      .mode("append")
+      .format(config.fileFormat)
+      .options(config.extraOptions)
+    (if (partitionColNames.nonEmpty) writer.partitionBy(partitionColNames: _*)
+     else writer).save(config.tablePath)
+    val added = listDataFiles().filterNot(before)
+    val v = branchVersions(name).last + 1
+    java.nio.file.Files.writeString(
+      branchLogPath(name).resolve(f"v$v%05d.list"),
+      (head ++ added).mkString("\n"))
+  }
+
+  /** Read the branch head — the audit surface of WAP: every query the
+    * table supports runs against staged-plus-inherited data while main
+    * stays untouched. */
+  def readBranch(spark: SparkSession, name: String): DataFrame =
+    readFiles(spark, branchHeadFiles(name))
+
+  /** Publish (fast-forward): main's next snapshot becomes the branch
+    * head's exact file list. Pure metadata — no data file moves. Returns
+    * the new main version. The branch stays live (Iceberg fast_forward
+    * semantics); drop it when done. */
+  def publishBranch(name: String): Int = writeSnapshotOf(branchHeadFiles(name))
+
+  /** Drop branch `name`. Files only the branch referenced become orphans —
+    * [[removeOrphans]] reclaims them (the abandoned-audit cleanup path). */
+  def dropBranch(name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dir = branchLogPath(name)
+    require(java.nio.file.Files.isDirectory(dir),
+      s"branch '$name' does not exist; live branches: " +
+        branches().mkString(", "))
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala.toVector.foreach(java.nio.file.Files.delete)
+    finally s.close()
+    java.nio.file.Files.delete(dir)
   }
 
   /** Upsert (merge-by-key): rows whose `keyCols` match an incoming row are

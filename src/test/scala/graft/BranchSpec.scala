@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[TableSink]] branches — the write-audit-publish staging surface:
+  * isolation before publish, fast-forward publish, abandoned-branch
+  * cleanup via removeOrphans, and the catalog's VERSION AS OF 'branch'. */
+class BranchSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val wh = TestSpark.tmpDir("branch_wh")
+  spark.conf.set("spark.sql.catalog.gbr", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gbr.warehouse", wh)
+
+  private def mkSink(name: String): TableSink = {
+    val sink = new TableSink(SinkConfig(tableName = name, warehousePath = wh,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "cat", "v"))
+    sink
+  }
+
+  test("staged branch rows are invisible to main until publish") {
+    val sink = mkSink("wap1")
+    sink.createBranch("audit")
+    sink.appendToBranch("audit", Seq((4L, "b", 40.0), (5L, "c", 50.0))
+      .toDF("id", "cat", "v"))
+    // main's head has not moved: still v1, still 3 rows — even though the
+    // staged files are physically in the table directory
+    assert(sink.snapshotVersions() == Seq(1))
+    assert(sink.readVersion(spark, 1).count() == 3)
+    // the audit surface sees inherited + staged
+    val audit = sink.readBranch(spark, "audit")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(audit == Seq(1L, 2L, 3L, 4L, 5L))
+    // publish fast-forwards main as pure metadata
+    val v2 = sink.publishBranch("audit")
+    assert(v2 == 2)
+    assert(sink.readVersion(spark, 2).count() == 5)
+    // v1 time travel still works after publish (appends never remove files)
+    assert(sink.readVersion(spark, 1).count() == 3)
+  }
+
+  test("dropped branch's files become orphans and are reclaimed") {
+    val sink = mkSink("wap2")
+    sink.createBranch("audit")
+    sink.appendToBranch("audit", Seq((9L, "z", 90.0)).toDF("id", "cat", "v"))
+    // while the branch is live its staged files are NOT orphans
+    assert(sink.removeOrphans().isEmpty,
+      "live branch files must survive removeOrphans")
+    assert(sink.readBranch(spark, "audit").count() == 4)
+    sink.dropBranch("audit")
+    val reclaimed = sink.removeOrphans()
+    assert(reclaimed.nonEmpty, "dropped branch's staged files must be reclaimed")
+    assert(reclaimed.forall(_.contains("cat=z")), s"only staged files: $reclaimed")
+    assert(sink.readVersion(spark, 1).count() == 3)
+  }
+
+  test("catalog resolves VERSION AS OF 'branch' to the branch head") {
+    val sink = mkSink("wap3")
+    sink.createBranch("audit")
+    sink.appendToBranch("audit", Seq((4L, "c", 40.0)).toDF("id", "cat", "v"))
+    val viaSql = spark.sql("SELECT id FROM gbr.wap3 VERSION AS OF 'audit'")
+      .as[Long].collect().sorted.toSeq
+    assert(viaSql == Seq(1L, 2L, 3L, 4L))
+    // main through the catalog still resolves its own head
+    assert(spark.sql("SELECT count(*) FROM gbr.wap3").as[Long].head() == 3)
+    val bad = intercept[Exception](
+      spark.sql("SELECT * FROM gbr.wap3 VERSION AS OF 'nope'").collect())
+    assert(bad.getMessage.contains("nope"))
+  }
+
+  test("branch bookkeeping: list, double-create refused, unknown refused") {
+    val sink = mkSink("wap4")
+    assert(sink.branches().isEmpty)
+    sink.createBranch("a")
+    sink.createBranch("b")
+    assert(sink.branches() == Seq("a", "b"))
+    assert(intercept[IllegalArgumentException](sink.createBranch("a"))
+      .getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](
+      sink.readBranch(spark, "ghost")).getMessage.contains("ghost"))
+    sink.dropBranch("b")
+    assert(sink.branches() == Seq("a"))
+  }
+}
