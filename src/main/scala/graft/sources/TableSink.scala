@@ -121,6 +121,7 @@ final class TableSink(val config: SinkConfig) {
   /** K5/K6 batch append: coerce → derive → cluster → atomic append. */
   def append(df: DataFrame): Unit = {
     requireNoStreamingLog()
+    val base = if (config.versioned) Some(appendBase()) else None
     val prepared = clusterForWrite(withDerived(Ops.ensureMessage(df)))
     val writer = prepared.write
       .mode("append")
@@ -128,7 +129,7 @@ final class TableSink(val config: SinkConfig) {
       .options(config.extraOptions)
     (if (partitionColNames.nonEmpty) writer.partitionBy(partitionColNames: _*)
      else writer).save(config.tablePath)
-    if (config.versioned) writeSnapshot()
+    base.foreach(commitAppend)
   }
 
   /** Batch append that PRESERVES the caller's physical clustering (e.g. a
@@ -140,6 +141,7 @@ final class TableSink(val config: SinkConfig) {
     * zone maps depend on. */
   def appendClustered(df: DataFrame): Unit = {
     requireNoStreamingLog()
+    val base = if (config.versioned) Some(appendBase()) else None
     val prepared = withDerived(Ops.ensureMessage(df))
     val writer = prepared.write
       .mode("append")
@@ -147,7 +149,37 @@ final class TableSink(val config: SinkConfig) {
       .options(config.extraOptions)
     (if (partitionColNames.nonEmpty) writer.partitionBy(partitionColNames: _*)
      else writer).save(config.tablePath)
-    if (config.versioned) writeSnapshot()
+    base.foreach(commitAppend)
+  }
+
+  /** WAP-safe append commit protocol. A versioned append must NOT snapshot
+    * the whole live directory: unpublished branch appends land their files
+    * in the same table dir, and a whole-directory snapshot would silently
+    * publish staged, unaudited rows into main's next manifest. Instead the
+    * commit is `base manifest + exactly the files this write added`:
+    *
+    *  - [[appendBase]], taken BEFORE the write, is main's current head
+    *    manifest — or, for a table with files but no commit yet (first
+    *    versioned append over pre-existing data), the live listing, which
+    *    at that point cannot contain staged files (branches require a
+    *    prior commit). Returned as (manifest, pre-write live set).
+    *  - [[commitAppend]] diffs the post-write listing against the pre-write
+    *    live set to find this write's files, and records base + added.
+    *
+    * Files referenced by neither (staged branch files, crash orphans) stay
+    * out of main's history — the same isolation Iceberg's manifest-list
+    * commit gives. */
+  private final case class AppendBase(manifest: Seq[String], live: Set[String])
+
+  private def appendBase(): AppendBase = {
+    val live = listDataFiles()
+    AppendBase(snapshotVersions().lastOption
+      .map(manifestFiles).getOrElse(live), live.toSet)
+  }
+
+  private def commitAppend(base: AppendBase): Int = {
+    val added = listDataFiles().filterNot(base.live)
+    writeSnapshotOf((base.manifest ++ added).distinct.sorted)
   }
 
   // ------------------------------------------------------- snapshot log
@@ -181,8 +213,23 @@ final class TableSink(val config: SinkConfig) {
     finally s.close()
   }
 
-  /** Record the current data-file set as the next snapshot version. */
+  /** Record the current data-file set as the next snapshot version. ONLY
+    * safe when no branch is live (a branch's staged files share the
+    * directory and a whole-directory snapshot would publish them) — the
+    * sole caller is [[expireSnapshots]], reached from rewriting ops, which
+    * all [[requireNoBranches]] first. Appends commit via [[commitAppend]]. */
   private def writeSnapshot(): Int = writeSnapshotOf(listDataFiles())
+
+  /** Rewriting ops rewrite/swap the live directory: staged branch rows
+    * would be absorbed into the rewritten table and the swap destroys the
+    * branch manifests. Refuse instead of silently publishing unaudited
+    * data — publish or drop branches first (the documented WAP contract). */
+  private def requireNoBranches(op: String): Unit = {
+    val live = branches()
+    require(live.isEmpty,
+      s"$op rewrites the table and would absorb/destroy staged branch " +
+        s"data; publish or drop live branches first: ${live.mkString(", ")}")
+  }
 
   /** Record an EXPLICIT file set as the next main snapshot (used by
     * [[publishBranch]], whose published state is the branch head's file
@@ -465,6 +512,7 @@ final class TableSink(val config: SinkConfig) {
   def upsert(df: DataFrame, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     requireNoStreamingLog()
+    requireNoBranches("upsert")
     recoverSwap()
     val spark = df.sparkSession
     if (!new java.io.File(config.tablePath).exists()) { append(df); return }
@@ -595,6 +643,7 @@ final class TableSink(val config: SinkConfig) {
     */
   def delete(spark: SparkSession, condition: Column): Long = {
     requireNoStreamingLog()
+    requireNoBranches("delete")
     recoverSwap()
     if (!new java.io.File(config.tablePath).exists()) return 0L
     val current = read(spark)
@@ -722,6 +771,7 @@ final class TableSink(val config: SinkConfig) {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.expressions.Window
     requireNoStreamingLog()
+    requireNoBranches("compact")
     val root = Paths.get(config.tablePath)
     val trash = Paths.get(config.tablePath + "_pre_compact")
     // walk streams hold directory FDs until closed — every traversal goes
