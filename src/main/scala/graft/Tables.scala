@@ -18,14 +18,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) in the fixture parquet, which Spark's
-    * vectorized reader rejects; read nanos as long and truncate to the
-    * microsecond timestamp DuckDB also works at (integer `div`, not double
-    * division — nanos exceed 2^53). */
+  /** `events.ts` varies by fixture generation: TIMESTAMP(NANOS) (read as
+    * nano longs — Spark's vectorized reader rejects the physical type —
+    * and truncated with integer `div`, nanos exceed 2^53) or
+    * TIMESTAMP_NTZ(MICROS) (cast to the session-local timestamp; the
+    * session is pinned to UTC so values are identical to what DuckDB
+    * reads). Either way downstream sees a microsecond TimestampType. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

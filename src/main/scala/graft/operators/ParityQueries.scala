@@ -701,7 +701,16 @@ object ParityQueries {
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_final"),
         sum($"value".cast("decimal(18,2)")).cast("double").as("total_final"))
-    mainPre.join(audit, "event_type").join(fin, "event_type")
+    // Join FROM fin (post-publish = every type) with left joins: a type
+    // present only in the staged batch has no mainPre row, and the oracle's
+    // COUNT(*) FILTER keeps it with n_main_pre = 0 — inner joins would
+    // silently drop it and hash-mismatch on such a fixture.
+    fin.join(mainPre, Seq("event_type"), "left")
+      .join(audit, Seq("event_type"), "left")
+      .select($"event_type",
+        coalesce($"n_main_pre", lit(0L)).as("n_main_pre"),
+        coalesce($"n_audit", lit(0L)).as("n_audit"),
+        $"n_final", $"total_final")
       .orderBy($"event_type")
   }
 

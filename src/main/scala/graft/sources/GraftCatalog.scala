@@ -182,6 +182,12 @@ final class GraftCatalog extends TableCatalog {
     val files = version.toIntOption match {
       case Some(v) => manifestFiles(ident, v)
       case None =>
+        // Same name charset TableSink.branchLogPath enforces on write:
+        // anything else (slashes, '..') must not resolve as a path.
+        if (!version.matches("[A-Za-z0-9_-]+"))
+          throw new IllegalArgumentException(
+            s"${ident.name()}: '$version' is neither an integer snapshot id " +
+              "nor a live branch name")
         val dir = logDir(ident).resolve(s"branch_$version")
         val head: Option[Int] = {
           import scala.jdk.CollectionConverters._

@@ -202,6 +202,8 @@ final class TableSink(val config: SinkConfig) {
   private def listDataFiles(): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(config.tablePath)
+    // Empty before the first write: appendBase() lists PRE-write state.
+    if (!java.nio.file.Files.isDirectory(root)) return Vector.empty
     val s = java.nio.file.Files.walk(root)
     try s.iterator().asScala
       .filter(p => java.nio.file.Files.isRegularFile(p) && {
@@ -465,11 +467,22 @@ final class TableSink(val config: SinkConfig) {
   def readBranch(spark: SparkSession, name: String): DataFrame =
     readFiles(spark, branchHeadFiles(name))
 
-  /** Publish (fast-forward): main's next snapshot becomes the branch
-    * head's exact file list. Pure metadata — no data file moves. Returns
-    * the new main version. The branch stays live (Iceberg fast_forward
-    * semantics); drop it when done. */
-  def publishBranch(name: String): Int = writeSnapshotOf(branchHeadFiles(name))
+  /** Publish: main's next snapshot becomes `current main head + the files
+    * the branch staged` (branch head minus the branch's base manifest).
+    * When main has not moved since [[createBranch]] this is exactly a
+    * fast-forward to the branch head; when main took concurrent appends
+    * (legal — rewriting ops are blocked while branches are live, so main
+    * can only have GAINED files) it is Iceberg's append cherry-pick: the
+    * staged files land without losing main's interim commits. Pure
+    * metadata — no data file moves. Returns the new main version. The
+    * branch stays live; drop it when done. */
+  def publishBranch(name: String): Int = {
+    val base = branchManifest(name, 1).toSet
+    val staged = branchHeadFiles(name).filterNot(base)
+    val mainHead = snapshotVersions().lastOption
+      .map(manifestFiles).getOrElse(Seq.empty)
+    writeSnapshotOf((mainHead ++ staged).distinct.sorted)
+  }
 
   /** Drop branch `name`. Files only the branch referenced become orphans —
     * [[removeOrphans]] reclaims them (the abandoned-audit cleanup path). */

@@ -25,10 +25,18 @@ object StreamPipeline {
     * fixtures stay untouched). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(stageDir(sfDir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // The declared schema must match the fixture's physical ts type —
+    // nano longs or TIMESTAMP_NTZ micros depending on generation (see
+    // [[Tables.events]]); sniff the footer once, then stream.
+    val tsIsLong = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType == LongType
+    val schema =
+      if (tsIsLong) eventsRawSchema
+      else StructType(eventsRawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+    val raw = spark.readStream.schema(schema).parquet(stageDir(sfDir, "events"))
+    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   private def stageDir(sfDir: String, table: String): String = {

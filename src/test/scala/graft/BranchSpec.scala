@@ -73,6 +73,52 @@ class BranchSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("nope"))
   }
 
+  test("main append during a live branch does not publish staged rows") {
+    val sink = mkSink("wap5")
+    sink.createBranch("audit")
+    sink.appendToBranch("audit", Seq((8L, "c", 80.0)).toDF("id", "cat", "v"))
+    // a main append while the branch is live must commit ONLY its own
+    // files — the staged cat=c rows share the directory but stay out of
+    // main's next manifest
+    sink.append(Seq((4L, "a", 40.0)).toDF("id", "cat", "v"))
+    assert(sink.snapshotVersions() == Seq(1, 2))
+    val mainIds = sink.readVersion(spark, 2)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(mainIds == Seq(1L, 2L, 3L, 4L),
+      s"staged branch row leaked into main: $mainIds")
+    // the branch still reads its inherited (v1) + staged rows
+    val audit = sink.readBranch(spark, "audit")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(audit == Seq(1L, 2L, 3L, 8L))
+    // publish still works after the concurrent main append
+    val v3 = sink.publishBranch("audit")
+    assert(sink.readVersion(spark, v3).count() == 5)
+  }
+
+  test("rewriting ops refuse while a branch is live") {
+    val sink = mkSink("wap6")
+    sink.createBranch("audit")
+    sink.appendToBranch("audit", Seq((9L, "c", 90.0)).toDF("id", "cat", "v"))
+    val up = intercept[IllegalArgumentException](
+      sink.upsert(Seq((1L, "a", 11.0)).toDF("id", "cat", "v"), Seq("id")))
+    assert(up.getMessage.contains("audit"))
+    val del = intercept[IllegalArgumentException](
+      sink.delete(spark, col("id") === 1L))
+    assert(del.getMessage.contains("publish or drop"))
+    // dropping the branch unblocks the rewrite
+    sink.dropBranch("audit")
+    sink.removeOrphans()
+    assert(sink.delete(spark, col("id") === 1L) == 1L)
+  }
+
+  test("catalog refuses branch names that are not valid identifiers") {
+    mkSink("wap7")
+    val bad = intercept[Exception](spark.sql(
+      "SELECT * FROM gbr.wap7 VERSION AS OF '../../wap3/branch_audit'")
+      .collect())
+    assert(bad.getMessage.contains("neither an integer snapshot id"))
+  }
+
   test("branch bookkeeping: list, double-create refused, unknown refused") {
     val sink = mkSink("wap4")
     assert(sink.branches().isEmpty)
