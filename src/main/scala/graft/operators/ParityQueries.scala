@@ -1006,6 +1006,102 @@ object ParityQueries {
 
   val catalogTimeTravelSql: String = timeTravelSql
 
+  /** Snapshot TAGS end-to-end — immutable named refs to commits (Iceberg
+    * tags): batch 1 commits (v1) and is tagged `baseline`, batch 2 commits
+    * (v2). The tag is then resolved through BOTH engine surfaces —
+    * [[TableSink.readTag]] and SQL `VERSION AS OF 'baseline'` via
+    * [[GraftCatalog]] (name → pinned snapshot → manifest) — and joined
+    * against the head read. Left joins + coalesce keep a type present only
+    * in batch 2 with n_tagged = 0, matching the oracle's FILTER semantics.
+    *
+    * Scale shape: a tag is one tiny log file; resolving it costs a
+    * manifest read — no data scan beyond the aggregates themselves. */
+  def tagPin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_tag_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val sink = new TableSink(SinkConfig(
+      tableName = tbl, warehousePath = wh, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))   // v1
+    sink.createTag("baseline")
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 0))   // v2
+    val tagged = sink.readTag(spark, "baseline")
+      .groupBy($"event_type").agg(count(lit(1)).as("n_tagged"))
+    val tagSql = spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n_tag_sql
+         |FROM graft_cat.$tbl VERSION AS OF 'baseline'
+         |GROUP BY event_type""".stripMargin)
+    val head = sink.read(spark)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_head"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total_head"))
+    head.join(tagged, Seq("event_type"), "left")
+      .join(tagSql, Seq("event_type"), "left")
+      .select($"event_type",
+        coalesce($"n_tagged", lit(0L)).as("n_tagged"),
+        coalesce($"n_tag_sql", lit(0L)).as("n_tag_sql"),
+        $"n_head", $"total_head")
+      .orderBy($"event_type")
+  }
+
+  val tagPinSql: String =
+    """SELECT event_type,
+      |  COUNT(*) FILTER (WHERE event_id % 3 <> 0) AS n_tagged,
+      |  COUNT(*) FILTER (WHERE event_id % 3 <> 0) AS n_tag_sql,
+      |  COUNT(*) AS n_head,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_head
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Partition-spec EVOLUTION end-to-end: generation 1 lands under
+    * `identity(event_type)` (the value lives only in the directory name),
+    * generation 2 — after the spec change, with NO rewrite of generation-1
+    * files — under `day(ts)` (event_type stays in the data files, the
+    * derived day is directory metadata). [[TableSink.readEvolved]] groups
+    * files by layout, restores identity columns from their directories,
+    * drops derived-only columns, and unions the generations. The oracle
+    * aggregates the raw fixture: a hash match (counts, distinct users,
+    * value sums, ts min/max per type) proves no row, column, or timestamp
+    * was lost or doubled across the spec change.
+    *
+    * Scale shape: spec evolution is the 100 TB path AWAY from a full
+    * rewrite — repartitioning a petabyte table by rewriting it is the
+    * thing Iceberg exists to avoid; the read costs one footer probe per
+    * generation (= number of spec changes, a handful) on top of the
+    * normal scans. */
+  def partitionEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val gen1 = SinkConfig(tableName = "events_pe", warehousePath = dest,
+      numPartitions = 4,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id"))
+    new TableSink(gen1).append(e.filter(pmod($"event_id", lit(2)) === 0))
+    val sink2 = new TableSink(gen1.copy(
+      partitionSpec = Seq(PartitionField("ts", Transform.Day))))
+    sink2.append(e.filter(pmod($"event_id", lit(2)) === 1))
+    sink2.readEvolved(spark)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"),
+        min($"ts").as("ts_min"), max($"ts").as("ts_max"))
+      .orderBy($"event_type")
+  }
+
+  val partitionEvolutionSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  MIN(ts) AS ts_min, MAX(ts) AS ts_max
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** As-of-TIMESTAMP resolution through the SQL front door — the third leg
     * of the time-travel contract next to latest ([[GraftCatalog.loadTable]])
     * and `VERSION AS OF` ([[catalogTimeTravel]]): `TIMESTAMP AS OF t` must

@@ -187,7 +187,7 @@ final class GraftCatalog extends TableCatalog {
         if (!version.matches("[A-Za-z0-9_-]+"))
           throw new IllegalArgumentException(
             s"${ident.name()}: '$version' is neither an integer snapshot id " +
-              "nor a live branch name")
+              "nor a live branch or tag name")
         val dir = logDir(ident).resolve(s"branch_$version")
         val head: Option[Int] = {
           import scala.jdk.CollectionConverters._
@@ -201,12 +201,23 @@ final class GraftCatalog extends TableCatalog {
             finally s.close()
           }
         }
-        val v = head.getOrElse(throw new IllegalArgumentException(
-          s"${ident.name()}: '$version' is neither an integer snapshot id " +
-            "nor a live branch name"))
-        java.nio.file.Files.readString(dir.resolve(f"v$v%05d.list"))
-          .split("\n").filter(_.nonEmpty)
-          .map(rel => s"${tableDir(ident)}/$rel").toIndexedSeq
+        head match {
+          case Some(v) =>
+            java.nio.file.Files.readString(dir.resolve(f"v$v%05d.list"))
+              .split("\n").filter(_.nonEmpty)
+              .map(rel => s"${tableDir(ident)}/$rel").toIndexedSeq
+          case None =>
+            // not a branch — a TAG resolves to the pinned snapshot
+            // (Iceberg's VERSION AS OF accepts branch and tag names alike;
+            // branches win on a name collision, checked first above)
+            val tag = logDir(ident).resolve(s"tag_$version")
+            if (!java.nio.file.Files.isRegularFile(tag))
+              throw new IllegalArgumentException(
+                s"${ident.name()}: '$version' is neither an integer " +
+                  "snapshot id nor a live branch or tag name")
+            manifestFiles(ident,
+              java.nio.file.Files.readString(tag).trim.toInt).toIndexedSeq
+        }
     }
     fileTable(ident, files, files.headOption)
   }

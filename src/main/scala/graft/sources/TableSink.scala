@@ -231,6 +231,10 @@ final class TableSink(val config: SinkConfig) {
     require(live.isEmpty,
       s"$op rewrites the table and would absorb/destroy staged branch " +
         s"data; publish or drop live branches first: ${live.mkString(", ")}")
+    val pinned = tags()
+    require(pinned.isEmpty,
+      s"$op rewrites the table and would invalidate the snapshots these " +
+        s"tags pin; drop tags first: ${pinned.mkString(", ")}")
   }
 
   /** Record an EXPLICIT file set as the next main snapshot (used by
@@ -347,6 +351,12 @@ final class TableSink(val config: SinkConfig) {
     * the manifest first), so the restored state is exactly what
     * [[readVersion]] showed. */
   def rollbackTo(version: Int): Unit = {
+    // a tag pinning a post-target snapshot would dangle after its
+    // manifest is deleted — refuse loudly (same contract as rewrites)
+    val dangling = tags().filter(tagVersion(_) > version)
+    require(dangling.isEmpty,
+      s"rollbackTo($version) would orphan tags pinning newer snapshots; " +
+        s"drop them first: ${dangling.mkString(", ")}")
     // files a live branch still references survive the rollback — the
     // branch remains readable/publishable against the rolled-back main
     val keep = (manifestFiles(version) ++
@@ -496,6 +506,63 @@ final class TableSink(val config: SinkConfig) {
     try s.iterator().asScala.toVector.foreach(java.nio.file.Files.delete)
     finally s.close()
     java.nio.file.Files.delete(dir)
+  }
+
+  // ------------------------------------------------------------- tags
+  // Immutable named refs to committed snapshots (Iceberg tags, reference
+  // README's snapshot pinning use case): a tag is one small file in the
+  // log mapping name → version. Reading through a tag is exactly
+  // [[readVersion]]; unlike a branch a tag never moves and takes no
+  // writes. Rewriting ops refuse while tags exist (the same loud-failure
+  // contract as branches — a rewrite invalidates the manifests tags pin).
+
+  private def tagPath(name: String): java.nio.file.Path = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"tag name must be [A-Za-z0-9_-]+, got '$name'")
+    logPath.resolve(s"tag_$name")
+  }
+
+  /** Tag `name` pinning snapshot `version` (default: the current head). */
+  def createTag(name: String, version: Option[Int] = None): Unit = {
+    require(config.versioned && snapshotVersions().nonEmpty,
+      "tags need a versioned table with at least one commit")
+    require(!java.nio.file.Files.exists(tagPath(name)),
+      s"tag '$name' already exists")
+    val v = version.getOrElse(snapshotVersions().last)
+    manifestFiles(v)                       // fails fast on a bad version
+    java.nio.file.Files.writeString(tagPath(name), v.toString)
+  }
+
+  /** Live tag names (empty when none or unversioned). */
+  def tags(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(logPath)) Nil
+    else {
+      val s = java.nio.file.Files.list(logPath)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("tag_") => n.stripPrefix("tag_") }
+        .toVector.sorted
+      finally s.close()
+    }
+  }
+
+  /** The snapshot version tag `name` pins. */
+  def tagVersion(name: String): Int = {
+    val p = tagPath(name)
+    require(java.nio.file.Files.exists(p),
+      s"tag '$name' does not exist; live tags: ${tags().mkString(", ")}")
+    java.nio.file.Files.readString(p).trim.toInt
+  }
+
+  /** Read the snapshot a tag pins — time travel by name. */
+  def readTag(spark: SparkSession, name: String): DataFrame =
+    readVersion(spark, tagVersion(name))
+
+  def dropTag(name: String): Unit = {
+    val p = tagPath(name)
+    require(java.nio.file.Files.exists(p),
+      s"tag '$name' does not exist; live tags: ${tags().mkString(", ")}")
+    java.nio.file.Files.delete(p)
   }
 
   /** Upsert (merge-by-key): rows whose `keyCols` match an incoming row are
@@ -766,6 +833,45 @@ final class TableSink(val config: SinkConfig) {
     val r0 = spark.read.format(config.fileFormat)
     val r = if (mergeSchema) r0.option("mergeSchema", "true") else r0
     config.tableSchema.fold(r)(s => r.schema(s)).load(config.tablePath)
+  }
+
+  /** Partition-spec-evolution-aware read: the table may hold file
+    * GENERATIONS written under different partition specs (Iceberg's spec
+    * evolution — change how new data is partitioned without rewriting old
+    * files; a plain directory load would fail on the conflicting layouts).
+    *
+    * Files are grouped by their partition-directory signature and each
+    * generation is read with its own layout. Which partition directories
+    * are table DATA (identity transforms — `partitionBy` strips the column
+    * from the files, the directory name is its only copy) versus derived
+    * metadata (`day(ts)` etc. — the source column stays in the files) is
+    * decided from the files themselves: a column physically present in any
+    * generation's files is data, one that only ever appears in directory
+    * names is derived and recomputable. Derived-only columns are dropped,
+    * generations are unioned by name (missing columns null — additive
+    * schema evolution composes), yielding the logical table schema.
+    *
+    * Scale shape: one footer read per generation (generation count is the
+    * number of spec changes, a handful) + the per-generation scans Spark
+    * plans normally; grouping is driver-side string work over the file
+    * list, the same metadata [[listDataFiles]] already handles. */
+  def readEvolved(spark: SparkSession): DataFrame = {
+    val rels = listDataFiles()
+    require(rels.nonEmpty, s"table '${config.tableName}' has no data files")
+    val groups = rels.groupBy(_.split('/').dropRight(1)
+      .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq)
+    val fileCols: Set[String] = groups.valuesIterator.flatMap { files =>
+      spark.read.format(config.fileFormat)
+        .load(s"${config.tablePath}/${files.head}").schema.fieldNames
+    }.toSet
+    groups.toSeq.sortBy(_._1.mkString(","))
+      .map { case (pcols, files) =>
+        val df = spark.read.format(config.fileFormat)
+          .option("basePath", config.tablePath)
+          .load(files.map(f => s"${config.tablePath}/$f"): _*)
+        pcols.filterNot(fileCols).foldLeft(df)(_.drop(_))
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Table maintenance: rewrite each partition's files into

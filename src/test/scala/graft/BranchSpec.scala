@@ -119,6 +119,47 @@ class BranchSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("neither an integer snapshot id"))
   }
 
+  test("tags pin a snapshot immutably and resolve by name") {
+    val sink = mkSink("tag1")
+    sink.createTag("baseline")
+    sink.append(Seq((4L, "c", 40.0)).toDF("id", "cat", "v"))
+    // head moved; the tag did not
+    assert(sink.readTag(spark, "baseline").count() == 3)
+    assert(sink.read(spark).count() == 4)
+    assert(sink.tagVersion("baseline") == 1)
+    // catalog resolves VERSION AS OF 'tag' when no branch has the name
+    val viaSql = spark.sql(
+      "SELECT id FROM gbr.tag1 VERSION AS OF 'baseline'")
+      .as[Long].collect().sorted.toSeq
+    assert(viaSql == Seq(1L, 2L, 3L))
+    // bookkeeping: list, double-create refused, unknown refused
+    assert(sink.tags() == Seq("baseline"))
+    assert(intercept[IllegalArgumentException](sink.createTag("baseline"))
+      .getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](sink.readTag(spark, "ghost"))
+      .getMessage.contains("ghost"))
+    assert(intercept[IllegalArgumentException](sink.createTag("v9", Some(9)))
+      .getMessage.contains("snapshot v9"))
+    sink.dropTag("baseline")
+    assert(sink.tags().isEmpty)
+  }
+
+  test("rewrites and rollback refuse while a tag pins a snapshot") {
+    val sink = mkSink("tag2")
+    sink.append(Seq((4L, "c", 40.0)).toDF("id", "cat", "v"))
+    sink.createTag("keep", Some(2))
+    assert(intercept[IllegalArgumentException](
+      sink.delete(spark, col("id") === 1L))
+      .getMessage.contains("drop tags first"))
+    assert(intercept[IllegalArgumentException](sink.rollbackTo(1))
+      .getMessage.contains("keep"))
+    // a tag at or before the target survives a rollback
+    sink.dropTag("keep")
+    sink.createTag("base", Some(1))
+    sink.rollbackTo(1)
+    assert(sink.readTag(spark, "base").count() == 3)
+  }
+
   test("branch bookkeeping: list, double-create refused, unknown refused") {
     val sink = mkSink("wap4")
     assert(sink.branches().isEmpty)
