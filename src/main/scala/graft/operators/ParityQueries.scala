@@ -1095,6 +1095,53 @@ object ParityQueries {
       .orderBy($"event_type")
   }
 
+  /** Merge-on-read deletes end-to-end: the full fixture commits (v1), then
+    * TWO delete predicates commit as pure metadata ([[TableSink
+    * .deleteWhere]] — no data file read or rewritten; v2 drops small
+    * values, v3 drops a whole event_type). The live read subtracts both at
+    * scan time; time travel to v1 still shows everything (deletes are
+    * version-scoped). One row per v1 event_type joins all three surfaces;
+    * the fully-deleted type keeps n_live = 0 and a NULL sum on both sides
+    * (SUM over an empty filter set is NULL — the oracle's FILTER
+    * semantics, no coalesce).
+    *
+    * Scale shape: this is the 100 TB delete path — O(metadata) at delete
+    * time, survivors filtered by a codegen'd predicate fused into the
+    * scan, the rewrite deferred to [[TableSink.compact]] where it
+    * amortizes across many deletes. */
+  def morDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_mor", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e)                                            // v1
+    sink.deleteWhere("value < 10.0")                          // v2 (metadata)
+    sink.deleteWhere("event_type = 'click'")                  // v3 (metadata)
+    val v1 = sink.readVersion(spark, 1)
+      .groupBy($"event_type").agg(count(lit(1)).as("n_v1"))
+    val live = sink.read(spark)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_live"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total_live"))
+    v1.join(live, Seq("event_type"), "left")
+      .select($"event_type", $"n_v1",
+        coalesce($"n_live", lit(0L)).as("n_live"), $"total_live")
+      .orderBy($"event_type")
+  }
+
+  val morDeleteSql: String =
+    """SELECT event_type, COUNT(*) AS n_v1,
+      |  COUNT(*) FILTER (WHERE NOT (value < 10.0)
+      |    AND NOT (event_type = 'click')) AS n_live,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (
+      |    WHERE NOT (value < 10.0) AND NOT (event_type = 'click'))
+      |    AS DOUBLE) AS total_live
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val partitionEvolutionSql: String =
     """SELECT event_type, COUNT(*) AS n,
       |  COUNT(DISTINCT user_id) AS n_users,

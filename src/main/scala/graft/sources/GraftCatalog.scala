@@ -109,8 +109,24 @@ final class GraftCatalog extends TableCatalog {
   private def manifestPath(ident: Identifier, v: Int): java.nio.file.Path =
     logDir(ident).resolve(f"v$v%05d.list")
 
+  /** Merge-on-read delete predicates are applied by [[TableSink]] reads but
+    * cannot be injected into this catalog's V2 file scan — serving the raw
+    * files would resurrect deleted rows, so the catalog refuses loudly
+    * until the deletes are materialized. */
+  private def requireNoPendingDeletes(ident: Identifier, upTo: Int): Unit = {
+    val pending = versions(ident).filter(v => v <= upTo &&
+      java.nio.file.Files.isRegularFile(
+        logDir(ident).resolve(f"v$v%05d.deletes")))
+    if (pending.nonEmpty) throw new IllegalArgumentException(
+      s"${ident.name()}: snapshots ${pending.mkString(", ")} carry pending " +
+        "merge-on-read delete predicates the SQL catalog cannot apply; " +
+        "materialize them first (TableSink.compact) or read through " +
+        "TableSink")
+  }
+
   /** The absolute data-file paths snapshot `v` recorded. */
   private def manifestFiles(ident: Identifier, v: Int): Seq[String] = {
+    requireNoPendingDeletes(ident, v)
     val m = manifestPath(ident, v)
     // NOT NoSuchTableException: the analyzer rewrites that into its generic
     // table-not-found error, burying WHICH snapshot is missing — and the

@@ -302,9 +302,70 @@ final class TableSink(val config: SinkConfig) {
 
   /** Time travel: read the table as of snapshot `version`. Partition
     * columns still derive from the directory layout (`basePath`). Fails if
-    * the snapshot was expired by a rewriting op. */
+    * the snapshot was expired by a rewriting op. Merge-on-read delete
+    * predicates committed at or before `version` are applied
+    * ([[deleteWhere]]) — the snapshot's semantics, not its raw files. */
   def readVersion(spark: SparkSession, version: Int): DataFrame =
-    readFiles(spark, manifestFiles(version))
+    applyDeletes(readFiles(spark, manifestFiles(version)), version)
+
+  // --------------------------------------------- merge-on-read deletes
+  // Iceberg-v2-style equality deletes: [[deleteWhere]] commits a delete
+  // PREDICATE as pure metadata (the snapshot keeps the head's file list;
+  // a sidecar records the predicate), readers subtract matching rows at
+  // scan time, and [[compact]] materializes — rewriting files and
+  // clearing the predicates. The 100 TB rationale: [[delete]] (copy-on-
+  // write) rewrites every touched partition at delete time; merge-on-read
+  // makes the delete O(metadata) and defers the rewrite until compaction
+  // amortizes it across many deletes.
+
+  private def deletesPath(v: Int): java.nio.file.Path =
+    logPath.resolve(f"v$v%05d.deletes")
+
+  /** Delete predicates committed at or before `version`, in commit order.
+    * Stored one per sidecar as Catalyst-generated SQL text. */
+  def deletePredicates(version: Int): Seq[String] =
+    snapshotVersions().filter(_ <= version).flatMap { v =>
+      val p = deletesPath(v)
+      if (java.nio.file.Files.isRegularFile(p))
+        Some(java.nio.file.Files.readString(p))
+      else None
+    }
+
+  private def applyDeletes(df: DataFrame, version: Int): DataFrame =
+    deletePredicates(version)
+      .foldLeft(df)((d, p) => d.where(not(expr(p))))
+
+  /** Merge-on-read delete: commit predicate `conditionSql` (a SQL boolean
+    * over the table's columns, the `DELETE FROM … WHERE` convention) as
+    * the next snapshot's delete metadata — NO data file is read,
+    * rewritten, or removed (the new manifest is the head's file list plus
+    * a predicate sidecar). Rows matching ANY committed predicate disappear
+    * from [[read]]/[[readVersion]] at or after this commit; earlier
+    * snapshots still show them (time travel preserves pre-delete history).
+    * Materialize with [[compact]], which rewrites survivors and clears
+    * predicates. Returns the committed version.
+    *
+    * Refused while a branch is live: [[readBranch]] is a raw-file surface
+    * and would disagree with main about deleted rows mid-audit. Tags are
+    * fine — a tag pins a version, and predicates are version-scoped, so a
+    * tagged snapshot's semantics never change. */
+  def deleteWhere(conditionSql: String): Int = {
+    requireNoStreamingLog()
+    require(config.versioned,
+      "merge-on-read deleteWhere needs versioned=true (predicates are " +
+        "commit metadata); use delete() for copy-on-write on " +
+        "unversioned tables")
+    val live = branches()
+    require(live.isEmpty,
+      "deleteWhere while a branch is live would make the audit surface " +
+        s"disagree with main; publish or drop first: ${live.mkString(", ")}")
+    require(snapshotVersions().nonEmpty,
+      "deleteWhere needs at least one committed snapshot")
+    expr(conditionSql) // fail on unparseable SQL at commit, not first read
+    val v = writeSnapshotOf(manifestFiles(snapshotVersions().last))
+    java.nio.file.Files.writeString(deletesPath(v), conditionSql)
+    v
+  }
 
   /** Incremental (CDC-style) read: exactly the rows appended after
     * `fromVersion`, up to and including `toVersion` — the file-set
@@ -365,8 +426,11 @@ final class TableSink(val config: SinkConfig) {
     val root = java.nio.file.Paths.get(config.tablePath)
     listDataFiles().filterNot(keep)
       .foreach(rel => java.nio.file.Files.delete(root.resolve(rel)))
-    snapshotVersions().filter(_ > version).foreach(v =>
-      java.nio.file.Files.delete(logPath.resolve(f"v$v%05d.list")))
+    snapshotVersions().filter(_ > version).foreach { v =>
+      val d = deletesPath(v)
+      if (java.nio.file.Files.isRegularFile(d)) java.nio.file.Files.delete(d)
+      java.nio.file.Files.delete(logPath.resolve(f"v$v%05d.list"))
+    }
   }
 
   // ------------------------------------------------- branches (WAP)
@@ -441,6 +505,10 @@ final class TableSink(val config: SinkConfig) {
     require(config.versioned && snapshotVersions().nonEmpty,
       "branches need a versioned table with at least one commit")
     require(branchVersions(name).isEmpty, s"branch '$name' already exists")
+    require(deletePredicates(snapshotVersions().last).isEmpty,
+      "createBranch with pending merge-on-read deletes would give the " +
+        "branch a raw-file view that disagrees with main; materialize " +
+        "them first (compact)")
     val v = fromVersion.getOrElse(snapshotVersions().last)
     val files = manifestFiles(v)
     java.nio.file.Files.createDirectories(branchLogPath(name))
@@ -832,7 +900,10 @@ final class TableSink(val config: SinkConfig) {
   def read(spark: SparkSession, mergeSchema: Boolean = false): DataFrame = {
     val r0 = spark.read.format(config.fileFormat)
     val r = if (mergeSchema) r0.option("mergeSchema", "true") else r0
-    config.tableSchema.fold(r)(s => r.schema(s)).load(config.tablePath)
+    val df = config.tableSchema.fold(r)(s => r.schema(s)).load(config.tablePath)
+    // live read = head-snapshot semantics: merge-on-read predicates apply
+    // (no-op on unversioned tables — no log, no predicates)
+    snapshotVersions().lastOption.fold(df)(applyDeletes(df, _))
   }
 
   /** Partition-spec-evolution-aware read: the table may hold file

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[TableSink.deleteWhere]] — merge-on-read equality deletes: a delete is
+  * a metadata-only commit (predicate sidecar, no file touched), readers
+  * subtract matching rows at scan time, time travel preserves pre-delete
+  * history, and compact materializes survivors and clears predicates. */
+class MorDeleteSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val wh = TestSpark.tmpDir("mor_wh")
+  spark.conf.set("spark.sql.catalog.gmor", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gmor.warehouse", wh)
+
+  private def mkSink(name: String): TableSink = {
+    val sink = new TableSink(SinkConfig(tableName = name, warehousePath = wh,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "cat", "v"))
+    sink
+  }
+
+  private def dataFiles(name: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(s"$wh/$name")
+    val s = java.nio.file.Files.walk(root)
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !root.relativize(p).toString.startsWith("_"))
+      .map(p => root.relativize(p).toString -> java.nio.file.Files.size(p))
+      .toMap
+    finally s.close()
+  }
+
+  test("deleteWhere is metadata-only and read subtracts at scan time") {
+    val sink = mkSink("m1")
+    val before = dataFiles("m1")
+    val v2 = sink.deleteWhere("v < 15.0")
+    assert(v2 == 2)
+    // not one data file read, written, or removed
+    assert(dataFiles("m1") == before, "deleteWhere must not touch data files")
+    // live read and the delete-version read subtract the row
+    assert(sink.read(spark).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 3L))
+    assert(sink.readVersion(spark, v2).count() == 2)
+    // time travel BEFORE the delete still shows everything
+    assert(sink.readVersion(spark, 1).count() == 3)
+  }
+
+  test("predicates are cumulative and survive further appends") {
+    val sink = mkSink("m2")
+    sink.deleteWhere("v < 15.0")
+    sink.deleteWhere("cat = 'b'")
+    sink.append(Seq((4L, "b", 40.0), (5L, "c", 50.0)).toDF("id", "cat", "v"))
+    // the appended cat=b row is ALSO subtracted: predicates are
+    // predicate-scoped, not file-scoped (Iceberg equality-delete semantics
+    // apply to sequence numbers; this engine applies them to all rows at
+    // or after the delete commit — documented, simpler, and what a
+    // re-ingest pipeline wants for a poisoned key)
+    assert(sink.read(spark).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(3L, 5L))
+  }
+
+  test("compact materializes survivors and clears predicates") {
+    val sink = mkSink("m3")
+    sink.deleteWhere("v < 15.0")
+    sink.compact(spark)
+    assert(sink.deletePredicates(sink.snapshotVersions().last).isEmpty,
+      "compact must clear merge-on-read predicates")
+    assert(sink.read(spark).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 3L))
+    // materialized: the catalog serves the table again
+    assert(spark.sql("SELECT count(*) FROM gmor.m3").as[Long].head() == 2)
+  }
+
+  test("catalog refuses pending deletes instead of resurrecting rows") {
+    val sink = mkSink("m4")
+    sink.deleteWhere("v < 15.0")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM gmor.m4").collect())
+    assert(e.getMessage.contains("merge-on-read"), e.getMessage)
+    // pre-delete snapshots stay catalog-readable (no pending predicate ≤ 1)
+    assert(spark.sql("SELECT count(*) FROM gmor.m4 VERSION AS OF 1")
+      .as[Long].head() == 3)
+  }
+
+  test("branch/delete interleavings refuse loudly") {
+    val sink = mkSink("m5")
+    sink.createBranch("audit")
+    assert(intercept[IllegalArgumentException](sink.deleteWhere("v < 15.0"))
+      .getMessage.contains("audit"))
+    sink.dropBranch("audit")
+    sink.deleteWhere("v < 15.0")
+    assert(intercept[IllegalArgumentException](sink.createBranch("b2"))
+      .getMessage.contains("materialize"))
+    // unversioned tables have no commit to attach a predicate to
+    val unv = new TableSink(SinkConfig(tableName = "m5u", warehousePath = wh))
+    unv.append(Seq((1L, "a", 1.0)).toDF("id", "cat", "v"))
+    assert(intercept[IllegalArgumentException](unv.deleteWhere("v < 15.0"))
+      .getMessage.contains("versioned"))
+  }
+}
