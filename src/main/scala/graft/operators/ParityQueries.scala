@@ -1133,6 +1133,55 @@ object ParityQueries {
       .orderBy($"event_type")
   }
 
+  /** Erasure-list (right-to-be-forgotten) delete end-to-end: the full
+    * fixture commits (v1), then an opt-out list of user_ids (every 7th
+    * user) commits as a key-list sidecar ([[TableSink.deleteKeys]] — pure
+    * metadata, no file rewritten). The live read anti-joins the list at
+    * scan time; v1 time travel still shows the users (version-scoped,
+    * until compaction also physically erases them). The oracle replays the
+    * erasure as a NOT IN filter over the fixture.
+    *
+    * Scale shape: the 100 TB GDPR path — commit cost is O(erasure list),
+    * read cost is one anti-join term that broadcasts when the list is
+    * small; the physical rewrite happens once, at [[TableSink.compact]],
+    * amortized across every accumulated removal request. */
+  def erasureDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_erase", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e)                                            // v1
+    val optOut = e.filter(pmod($"user_id", lit(7)) === 0)
+      .select($"user_id").distinct()
+    sink.deleteKeys(optOut, Seq("user_id"))                   // v2 (metadata)
+    val v1 = sink.readVersion(spark, 1)
+      .groupBy($"event_type").agg(count(lit(1)).as("n_v1"))
+    val live = sink.read(spark)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_live"),
+        countDistinct($"user_id").as("n_users_live"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total_live"))
+    v1.join(live, Seq("event_type"), "left")
+      .select($"event_type", $"n_v1",
+        coalesce($"n_live", lit(0L)).as("n_live"),
+        coalesce($"n_users_live", lit(0L)).as("n_users_live"),
+        $"total_live")
+      .orderBy($"event_type")
+  }
+
+  val erasureDeleteSql: String =
+    """SELECT event_type, COUNT(*) AS n_v1,
+      |  COUNT(*) FILTER (WHERE user_id % 7 <> 0) AS n_live,
+      |  COUNT(DISTINCT user_id) FILTER (WHERE user_id % 7 <> 0)
+      |    AS n_users_live,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (
+      |    WHERE user_id % 7 <> 0) AS DOUBLE) AS total_live
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val morDeleteSql: String =
     """SELECT event_type, COUNT(*) AS n_v1,
       |  COUNT(*) FILTER (WHERE NOT (value < 10.0)

@@ -114,9 +114,11 @@ final class GraftCatalog extends TableCatalog {
     * files would resurrect deleted rows, so the catalog refuses loudly
     * until the deletes are materialized. */
   private def requireNoPendingDeletes(ident: Identifier, upTo: Int): Unit = {
-    val pending = versions(ident).filter(v => v <= upTo &&
+    val pending = versions(ident).filter(v => v <= upTo && (
       java.nio.file.Files.isRegularFile(
-        logDir(ident).resolve(f"v$v%05d.deletes")))
+        logDir(ident).resolve(f"v$v%05d.deletes")) ||
+        java.nio.file.Files.isDirectory(
+          logDir(ident).resolve(f"v$v%05d_keys"))))
     if (pending.nonEmpty) throw new IllegalArgumentException(
       s"${ident.name()}: snapshots ${pending.mkString(", ")} carry pending " +
         "merge-on-read delete predicates the SQL catalog cannot apply; " +

@@ -321,8 +321,12 @@ final class TableSink(val config: SinkConfig) {
   private def deletesPath(v: Int): java.nio.file.Path =
     logPath.resolve(f"v$v%05d.deletes")
 
+  private def keysPath(v: Int): java.nio.file.Path =
+    logPath.resolve(f"v$v%05d_keys")
+
   /** Delete predicates committed at or before `version`, in commit order.
-    * Stored one per sidecar as Catalyst-generated SQL text. */
+    * Stored one per sidecar as SQL text. (Key-list deletes are separate —
+    * [[deleteKeys]] — and counted by [[hasPendingDeletes]].) */
   def deletePredicates(version: Int): Seq[String] =
     snapshotVersions().filter(_ <= version).flatMap { v =>
       val p = deletesPath(v)
@@ -331,9 +335,29 @@ final class TableSink(val config: SinkConfig) {
       else None
     }
 
+  /** True when any merge-on-read delete (predicate or key list) is
+    * committed at or before `version` and not yet materialized. */
+  def hasPendingDeletes(version: Int): Boolean =
+    snapshotVersions().exists(v => v <= version && (
+      java.nio.file.Files.isRegularFile(deletesPath(v)) ||
+        java.nio.file.Files.isDirectory(keysPath(v))))
+
   private def applyDeletes(df: DataFrame, version: Int): DataFrame =
-    deletePredicates(version)
-      .foldLeft(df)((d, p) => d.where(not(expr(p))))
+    snapshotVersions().filter(_ <= version).foldLeft(df) { (d, v) =>
+      val afterSql = {
+        val p = deletesPath(v)
+        if (java.nio.file.Files.isRegularFile(p))
+          d.where(not(expr(java.nio.file.Files.readString(p))))
+        else d
+      }
+      val kd = keysPath(v)
+      if (java.nio.file.Files.isDirectory(kd)) {
+        val keys = df.sparkSession.read.parquet(kd.toString)
+        // anti-join on the key list's own columns; Spark broadcasts a
+        // small erasure list and shuffle-joins a huge one (AQE decides)
+        afterSql.join(keys, keys.columns.toSeq, "left_anti")
+      } else afterSql
+    }
 
   /** Merge-on-read delete: commit predicate `conditionSql` (a SQL boolean
     * over the table's columns, the `DELETE FROM … WHERE` convention) as
@@ -364,6 +388,39 @@ final class TableSink(val config: SinkConfig) {
     expr(conditionSql) // fail on unparseable SQL at commit, not first read
     val v = writeSnapshotOf(manifestFiles(snapshotVersions().last))
     java.nio.file.Files.writeString(deletesPath(v), conditionSql)
+    v
+  }
+
+  /** Merge-on-read ERASURE-LIST delete: commit the distinct `keyCols`
+    * tuples of `keys` as a key-list sidecar — the opt-out / right-to-be-
+    * forgotten path. No data file is touched; readers subtract matching
+    * rows with an anti-join on the key list (broadcast when the list is
+    * small, shuffle otherwise — AQE decides), so erasing a million users
+    * from a 100 TB table is O(list) at commit time and one join term at
+    * read time, materialized later by [[compact]]. Same commit rules as
+    * [[deleteWhere]]: versioned tables only, refused while a branch is
+    * live, version-scoped (time travel before the commit still shows the
+    * rows). NULL keys never match (SQL join semantics) — an erasure list
+    * should not carry them. Returns the committed version. */
+  def deleteKeys(keys: DataFrame, keyCols: Seq[String]): Int = {
+    requireNoStreamingLog()
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    require(keyCols.forall(keys.columns.contains),
+      s"key columns ${keyCols.filterNot(keys.columns.contains).mkString(", ")} " +
+        "missing from the key DataFrame")
+    require(config.versioned,
+      "merge-on-read deleteKeys needs versioned=true (key lists are " +
+        "commit metadata); use delete() for copy-on-write on " +
+        "unversioned tables")
+    val live = branches()
+    require(live.isEmpty,
+      "deleteKeys while a branch is live would make the audit surface " +
+        s"disagree with main; publish or drop first: ${live.mkString(", ")}")
+    require(snapshotVersions().nonEmpty,
+      "deleteKeys needs at least one committed snapshot")
+    val v = writeSnapshotOf(manifestFiles(snapshotVersions().last))
+    keys.select(keyCols.map(col): _*).distinct()
+      .write.mode("overwrite").parquet(keysPath(v).toString)
     v
   }
 
@@ -429,6 +486,13 @@ final class TableSink(val config: SinkConfig) {
     snapshotVersions().filter(_ > version).foreach { v =>
       val d = deletesPath(v)
       if (java.nio.file.Files.isRegularFile(d)) java.nio.file.Files.delete(d)
+      val kd = keysPath(v)
+      if (java.nio.file.Files.isDirectory(kd)) {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(kd)
+        val entries = try s.iterator().asScala.toVector finally s.close()
+        entries.reverseIterator.foreach(java.nio.file.Files.delete)
+      }
       java.nio.file.Files.delete(logPath.resolve(f"v$v%05d.list"))
     }
   }
@@ -505,7 +569,7 @@ final class TableSink(val config: SinkConfig) {
     require(config.versioned && snapshotVersions().nonEmpty,
       "branches need a versioned table with at least one commit")
     require(branchVersions(name).isEmpty, s"branch '$name' already exists")
-    require(deletePredicates(snapshotVersions().last).isEmpty,
+    require(!hasPendingDeletes(snapshotVersions().last),
       "createBranch with pending merge-on-read deletes would give the " +
         "branch a raw-file view that disagrees with main; materialize " +
         "them first (compact)")

@@ -88,6 +88,42 @@ class MorDeleteSpec extends AnyFunSuite {
       .as[Long].head() == 3)
   }
 
+  test("deleteKeys erases by anti-join, metadata-only, composable with predicates") {
+    val sink = mkSink("m6")
+    val before = dataFiles("m6")
+    val keys = Seq(1L, 99L).toDF("id")          // 99 matches nothing
+    val v2 = sink.deleteKeys(keys, Seq("id"))
+    assert(v2 == 2)
+    assert(dataFiles("m6") == before, "deleteKeys must not touch data files")
+    assert(sink.read(spark).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 3L))
+    // composes with a predicate delete; time travel unaffected
+    sink.deleteWhere("v > 25.0")
+    assert(sink.read(spark).select($"id").as[Long].collect().toSeq == Seq(2L))
+    assert(sink.readVersion(spark, 1).count() == 3)
+    // catalog refuses the key-list sidecar the same as a predicate
+    assert(intercept[Exception](spark.sql("SELECT * FROM gmor.m6").collect())
+      .getMessage.contains("merge-on-read"))
+    // compact materializes both kinds and clears them
+    sink.compact(spark)
+    assert(!sink.hasPendingDeletes(sink.snapshotVersions().last))
+    assert(sink.read(spark).select($"id").as[Long].collect().toSeq == Seq(2L))
+    // bad arguments refuse loudly
+    assert(intercept[IllegalArgumentException](
+      sink.deleteKeys(keys, Seq("nope"))).getMessage.contains("nope"))
+    assert(intercept[IllegalArgumentException](
+      sink.deleteKeys(keys, Nil)).getMessage.contains("at least one"))
+  }
+
+  test("rollback removes newer delete sidecars of both kinds") {
+    val sink = mkSink("m7")
+    sink.deleteKeys(Seq(1L).toDF("id"), Seq("id"))   // v2
+    sink.deleteWhere("v > 25.0")                     // v3
+    sink.rollbackTo(1)
+    assert(!sink.hasPendingDeletes(1))
+    assert(sink.read(spark).count() == 3, "rollback must restore all rows")
+  }
+
   test("branch/delete interleavings refuse loudly") {
     val sink = mkSink("m5")
     sink.createBranch("audit")
