@@ -1133,6 +1133,60 @@ object ParityQueries {
       .orderBy($"event_type")
   }
 
+  /** Position-list (Iceberg v2 position-delete) merge-on-read delete
+    * end-to-end, pinning the semantic that SEPARATES it from
+    * [[morDelete]]'s predicate flavor: the condition is resolved ONCE at
+    * commit time to physical (file, row-ordinal) coordinates, so rows
+    * appended LATER that match the same condition are untouched. Fixture:
+    * two-thirds of events commit (v1); `deletePositions("value < 50.0")`
+    * commits the matched coordinates as a sidecar (v2 — no data file
+    * read back or rewritten at read time); the remaining third appends
+    * (v3) — its `value < 50.0` rows must SURVIVE the live read, which a
+    * predicate delete would have kept filtering. Time travel to v1 still
+    * shows the deleted rows. Full outer join + coalesce keeps an
+    * event_type alive on either side; `total_live` stays NULL when the
+    * filter set is empty (oracle FILTER semantics).
+    *
+    * Scale shape: commit cost is one filtered scan of the head snapshot
+    * writing only matched coordinates; read cost is one anti-join on
+    * (file, pos) that broadcasts when the list is small (AQE decides) —
+    * the surgical-delete path for "these specific corrupt rows", where a
+    * predicate would over-delete future data. */
+  def posDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_posdel", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))    // v1
+    sink.deletePositions(spark, "value < 50.0")               // v2 (metadata)
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 0))    // v3
+    val v1 = sink.readVersion(spark, 1)
+      .groupBy($"event_type").agg(count(lit(1)).as("n_v1"))
+    val live = sink.read(spark)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_live"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total_live"))
+    v1.join(live, Seq("event_type"), "full_outer")
+      .select($"event_type",
+        coalesce($"n_v1", lit(0L)).as("n_v1"),
+        coalesce($"n_live", lit(0L)).as("n_live"), $"total_live")
+      .orderBy($"event_type")
+  }
+
+  val posDeleteSql: String =
+    """SELECT event_type,
+      |  COUNT(*) FILTER (WHERE event_id % 3 <> 0) AS n_v1,
+      |  COUNT(*) FILTER (WHERE (event_id % 3 <> 0 AND NOT (value < 50.0))
+      |    OR event_id % 3 = 0) AS n_live,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (
+      |    WHERE (event_id % 3 <> 0 AND NOT (value < 50.0))
+      |      OR event_id % 3 = 0) AS DOUBLE) AS total_live
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Erasure-list (right-to-be-forgotten) delete end-to-end: the full
     * fixture commits (v1), then an opt-out list of user_ids (every 7th
     * user) commits as a key-list sidecar ([[TableSink.deleteKeys]] — pure

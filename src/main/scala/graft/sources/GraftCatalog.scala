@@ -118,7 +118,9 @@ final class GraftCatalog extends TableCatalog {
       java.nio.file.Files.isRegularFile(
         logDir(ident).resolve(f"v$v%05d.deletes")) ||
         java.nio.file.Files.isDirectory(
-          logDir(ident).resolve(f"v$v%05d_keys"))))
+          logDir(ident).resolve(f"v$v%05d_keys")) ||
+        java.nio.file.Files.isDirectory(
+          logDir(ident).resolve(f"v$v%05d_pos"))))
     if (pending.nonEmpty) throw new IllegalArgumentException(
       s"${ident.name()}: snapshots ${pending.mkString(", ")} carry pending " +
         "merge-on-read delete predicates the SQL catalog cannot apply; " +

@@ -324,6 +324,9 @@ final class TableSink(val config: SinkConfig) {
   private def keysPath(v: Int): java.nio.file.Path =
     logPath.resolve(f"v$v%05d_keys")
 
+  private def posDeletesPath(v: Int): java.nio.file.Path =
+    logPath.resolve(f"v$v%05d_pos")
+
   /** Delete predicates committed at or before `version`, in commit order.
     * Stored one per sidecar as SQL text. (Key-list deletes are separate —
     * [[deleteKeys]] — and counted by [[hasPendingDeletes]].) */
@@ -335,15 +338,30 @@ final class TableSink(val config: SinkConfig) {
       else None
     }
 
-  /** True when any merge-on-read delete (predicate or key list) is
-    * committed at or before `version` and not yet materialized. */
+  /** True when any merge-on-read delete (predicate, key list, or position
+    * list) is committed at or before `version` and not yet materialized. */
   def hasPendingDeletes(version: Int): Boolean =
     snapshotVersions().exists(v => v <= version && (
       java.nio.file.Files.isRegularFile(deletesPath(v)) ||
-        java.nio.file.Files.isDirectory(keysPath(v))))
+        java.nio.file.Files.isDirectory(keysPath(v)) ||
+        java.nio.file.Files.isDirectory(posDeletesPath(v))))
 
-  private def applyDeletes(df: DataFrame, version: Int): DataFrame =
-    snapshotVersions().filter(_ <= version).foldLeft(df) { (d, v) =>
+  private def applyDeletes(df: DataFrame, version: Int,
+      keepPosCols: Boolean = false): DataFrame = {
+    val versions = snapshotVersions().filter(_ <= version)
+    // position-list deletes anti-join on (file, row ordinal) — the
+    // `_metadata` struct must be captured from the SCAN relation, before
+    // any key-list anti-join makes it unresolvable, so the helper columns
+    // ride along through the fold and drop at the end (kept when the
+    // caller — deletePositions — needs the coordinates itself)
+    val anyPos = keepPosCols || versions.exists(v =>
+      java.nio.file.Files.isDirectory(posDeletesPath(v)))
+    val d0 =
+      if (anyPos)
+        df.withColumn("__graft_file", col("_metadata.file_path"))
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+      else df
+    val folded = versions.foldLeft(d0) { (d, v) =>
       val afterSql = {
         val p = deletesPath(v)
         if (java.nio.file.Files.isRegularFile(p))
@@ -351,13 +369,74 @@ final class TableSink(val config: SinkConfig) {
         else d
       }
       val kd = keysPath(v)
-      if (java.nio.file.Files.isDirectory(kd)) {
+      val afterKeys = if (java.nio.file.Files.isDirectory(kd)) {
         val keys = df.sparkSession.read.parquet(kd.toString)
         // anti-join on the key list's own columns; Spark broadcasts a
         // small erasure list and shuffle-joins a huge one (AQE decides)
         afterSql.join(keys, keys.columns.toSeq, "left_anti")
       } else afterSql
+      val pd = posDeletesPath(v)
+      if (java.nio.file.Files.isDirectory(pd)) {
+        val pos = df.sparkSession.read.parquet(pd.toString)
+          .withColumnRenamed("file_path", "__graft_file")
+          .withColumnRenamed("row_pos", "__graft_pos")
+        // a position list is bounded by the matched-row count at commit
+        // time — small lists broadcast, huge ones shuffle (AQE decides)
+        afterKeys.join(pos, Seq("__graft_file", "__graft_pos"), "left_anti")
+      } else afterKeys
     }
+    if (anyPos && !keepPosCols) folded.drop("__graft_file", "__graft_pos")
+    else folded
+  }
+
+  /** Merge-on-read POSITION delete: resolve `conditionSql` ONCE, at commit
+    * time, to the (file, row-ordinal) pairs it matches at the current head
+    * and commit that list as a sidecar — Iceberg v2's position-delete
+    * flavor, completing the trio next to [[deleteWhere]] (predicate) and
+    * [[deleteKeys]] (erasure list). The semantic difference from
+    * [[deleteWhere]]: the predicate is evaluated against the snapshot the
+    * delete commits on, so rows appended LATER that happen to match the
+    * condition are untouched — "delete these physical rows", not "filter
+    * all rows forever". Readers subtract with an anti-join on
+    * (`_metadata.file_path`, `_metadata.row_index`) — data files are
+    * immutable, so the physical coordinates stay valid until a rewrite
+    * materializes everything ([[compact]], which clears the sidecars).
+    *
+    * Position lists store the scan-reported file path verbatim (the same
+    * percent-encoded URI both commit and read observe) — normalizing it
+    * would re-open the encoding mismatch [[compact]]'s sizing comment
+    * documents. Parquet only: `_metadata.row_index` is a parquet reader
+    * feature. Same commit rules as the other flavors: versioned tables
+    * only, refused while a branch is live, version-scoped (time travel
+    * before the commit shows the rows). Returns the committed version. */
+  def deletePositions(spark: SparkSession, conditionSql: String): Int = {
+    requireNoStreamingLog()
+    require(config.versioned,
+      "merge-on-read deletePositions needs versioned=true (position " +
+        "lists are commit metadata); use delete() for copy-on-write on " +
+        "unversioned tables")
+    require(config.fileFormat == "parquet",
+      s"deletePositions needs the parquet reader's _metadata.row_index; " +
+        s"format '${config.fileFormat}' does not expose row ordinals")
+    val live = branches()
+    require(live.isEmpty,
+      "deletePositions while a branch is live would make the audit " +
+        s"surface disagree with main; publish or drop first: " +
+        live.mkString(", "))
+    require(snapshotVersions().nonEmpty,
+      "deletePositions needs at least one committed snapshot")
+    val head = snapshotVersions().last
+    // resolve against the head SNAPSHOT'S semantics (earlier deletes of
+    // any flavor already applied) so a row deleted twice costs one entry
+    val matched = applyDeletes(readFiles(spark, manifestFiles(head)), head,
+        keepPosCols = true)
+      .where(expr(conditionSql))
+      .select(col("__graft_file").as("file_path"),
+        col("__graft_pos").as("row_pos"))
+    val v = writeSnapshotOf(manifestFiles(head))
+    matched.write.mode("overwrite").parquet(posDeletesPath(v).toString)
+    v
+  }
 
   /** Merge-on-read delete: commit predicate `conditionSql` (a SQL boolean
     * over the table's columns, the `DELETE FROM … WHERE` convention) as
@@ -486,12 +565,13 @@ final class TableSink(val config: SinkConfig) {
     snapshotVersions().filter(_ > version).foreach { v =>
       val d = deletesPath(v)
       if (java.nio.file.Files.isRegularFile(d)) java.nio.file.Files.delete(d)
-      val kd = keysPath(v)
-      if (java.nio.file.Files.isDirectory(kd)) {
-        import scala.jdk.CollectionConverters._
-        val s = java.nio.file.Files.walk(kd)
-        val entries = try s.iterator().asScala.toVector finally s.close()
-        entries.reverseIterator.foreach(java.nio.file.Files.delete)
+      Seq(keysPath(v), posDeletesPath(v)).foreach { kd =>
+        if (java.nio.file.Files.isDirectory(kd)) {
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.walk(kd)
+          val entries = try s.iterator().asScala.toVector finally s.close()
+          entries.reverseIterator.foreach(java.nio.file.Files.delete)
+        }
       }
       java.nio.file.Files.delete(logPath.resolve(f"v$v%05d.list"))
     }

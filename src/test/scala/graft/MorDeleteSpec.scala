@@ -115,13 +115,76 @@ class MorDeleteSpec extends AnyFunSuite {
       sink.deleteKeys(keys, Nil)).getMessage.contains("at least one"))
   }
 
-  test("rollback removes newer delete sidecars of both kinds") {
+  test("rollback removes newer delete sidecars of all three kinds") {
     val sink = mkSink("m7")
     sink.deleteKeys(Seq(1L).toDF("id"), Seq("id"))   // v2
     sink.deleteWhere("v > 25.0")                     // v3
+    sink.deletePositions(spark, "cat = 'b'")         // v4
     sink.rollbackTo(1)
     assert(!sink.hasPendingDeletes(1))
     assert(sink.read(spark).count() == 3, "rollback must restore all rows")
+  }
+
+  test("deletePositions is metadata-only and pins physical rows, not the predicate") {
+    val sink = mkSink("m8")
+    val before = dataFiles("m8")
+    val v2 = sink.deletePositions(spark, "v < 25.0")
+    assert(v2 == 2)
+    assert(dataFiles("m8") == before,
+      "deletePositions must not touch data files")
+    assert(sink.read(spark).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(3L))
+    // the SEMANTIC pin: a later append matching the same condition
+    // survives — positions bind to physical rows at commit time, unlike
+    // deleteWhere's forever-filtering predicate
+    sink.append(Seq((4L, "a", 11.0)).toDF("id", "cat", "v"))
+    assert(sink.read(spark).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(3L, 4L))
+    // time travel before the delete still shows everything
+    assert(sink.readVersion(spark, 1).count() == 3)
+    // catalog refuses the position sidecar the same as the other kinds
+    assert(intercept[Exception](spark.sql("SELECT * FROM gmor.m8").collect())
+      .getMessage.contains("merge-on-read"))
+    // compact materializes and clears the sidecar
+    sink.compact(spark)
+    assert(!sink.hasPendingDeletes(sink.snapshotVersions().last))
+    assert(sink.read(spark).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(3L, 4L))
+  }
+
+  test("deletePositions composes with both other delete flavors") {
+    val sink = mkSink("m9")
+    sink.deletePositions(spark, "id = 1")            // v2: positional
+    sink.deleteKeys(Seq(2L).toDF("id"), Seq("id"))   // v3: erasure list
+    sink.append(Seq((4L, "c", 40.0), (5L, "c", 50.0)).toDF("id", "cat", "v"))
+    sink.deleteWhere("v > 45.0")                     // v5: predicate
+    assert(sink.read(spark).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(3L, 4L))
+    // deleting an already-deleted row is harmless (resolved against the
+    // head snapshot's semantics — zero new coordinates for id=1)
+    sink.deletePositions(spark, "id = 1 OR id = 3")
+    assert(sink.read(spark).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(4L))
+    assert(sink.readVersion(spark, 1).count() == 3)
+  }
+
+  test("deletePositions refuses unversioned tables, live branches, and non-parquet") {
+    val sink = mkSink("m10")
+    sink.createBranch("audit")
+    assert(intercept[IllegalArgumentException](
+      sink.deletePositions(spark, "v < 15.0")).getMessage.contains("audit"))
+    sink.dropBranch("audit")
+    val unv = new TableSink(SinkConfig(tableName = "m10u", warehousePath = wh))
+    unv.append(Seq((1L, "a", 1.0)).toDF("id", "cat", "v"))
+    assert(intercept[IllegalArgumentException](
+      unv.deletePositions(spark, "v < 15.0"))
+      .getMessage.contains("versioned"))
+    val orc = new TableSink(SinkConfig(tableName = "m10o", warehousePath = wh,
+      versioned = true, fileFormat = "orc"))
+    orc.append(Seq((1L, "a", 1.0)).toDF("id", "cat", "v"))
+    assert(intercept[IllegalArgumentException](
+      orc.deletePositions(spark, "v < 15.0"))
+      .getMessage.contains("row_index"))
   }
 
   test("branch/delete interleavings refuse loudly") {
