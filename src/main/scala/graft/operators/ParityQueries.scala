@@ -660,6 +660,56 @@ object ParityQueries {
       |FROM events WHERE event_id % 3 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Commit-history accounting THROUGH the metadata-table surface
+    * ([[TableSink.metaSnapshots]] — Iceberg's `snapshots`/`history`
+    * analogue): three deterministic thirds of events commit as three
+    * snapshots; the metadata table provides the version spine (its rows
+    * ARE the output rows — a missing or phantom snapshot breaks the
+    * hash), each version's cumulative row count comes from time travel,
+    * and the per-commit delta is recovered with a lag window. The oracle
+    * replays the same accounting from the fixture's thirds.
+    *
+    * Scale shape: the metadata table is driver-side manifest metadata
+    * (snapshot count rows); the totals are one bounded aggregate per
+    * version over time-travel reads — the audit query a maintenance
+    * pipeline runs after each ingest wave. */
+  def metaHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_meta", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 1))    // v1
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 2))    // v2
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 0))    // v3
+    val spine = sink.metaSnapshots(spark).select($"version")
+    val totals = sink.snapshotVersions().map { v =>
+      sink.readVersion(spark, v).agg(count(lit(1)).as("n_total"))
+        .withColumn("version", lit(v.toLong))
+    }.reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"version")
+    spine.join(totals, Seq("version"))
+      .withColumn("n_added",
+        $"n_total" - coalesce(lag($"n_total", 1).over(w), lit(0L)))
+      .select($"version", $"n_added", $"n_total")
+      .orderBy($"version")
+  }
+
+  val metaHistorySql: String =
+    """WITH t AS (
+      |  SELECT CAST(1 AS BIGINT) AS version,
+      |    COUNT(*) FILTER (WHERE event_id % 3 = 1) AS n_added FROM events
+      |  UNION ALL SELECT 2, COUNT(*) FILTER (WHERE event_id % 3 = 2)
+      |    FROM events
+      |  UNION ALL SELECT 3, COUNT(*) FILTER (WHERE event_id % 3 = 0)
+      |    FROM events)
+      |SELECT version, n_added,
+      |  CAST(SUM(n_added) OVER (ORDER BY version) AS BIGINT) AS n_total
+      |FROM t ORDER BY version""".stripMargin
+
   /** Write-audit-publish end-to-end over [[TableSink]] branches — the
     * staging workflow Iceberg builds on named branches (reference
     * README.md:95-105 commit coordination): batch 1 commits to main (v1),

@@ -515,6 +515,58 @@ final class TableSink(val config: SinkConfig) {
     readFiles(spark, manifestFiles(toVersion).filterNot(before))
   }
 
+  // --------------------------------------------------- metadata tables
+  // Iceberg metadata-table analogues (`table.snapshots` / `table.history`
+  // / `table.files`, reference connector.py loads catalogs whose
+  // maintenance tooling queries exactly these): the commit log and the
+  // file inventory exposed AS DataFrames, so audit/maintenance queries
+  // compose with the rest of the engine instead of shelling out to file
+  // listings.
+
+  /** One row per committed snapshot — (version, parent_version,
+    * committed_at, n_files, n_added_files, n_removed_files), oldest
+    * first. Pure driver-side manifest metadata: cost is the snapshot
+    * count, never a data-file read — the shape Iceberg's `snapshots` /
+    * `history` tables have at any scale. `committed_at` is the manifest's
+    * commit wall-time at millisecond precision (the same clock
+    * [[GraftCatalog]]'s TIMESTAMP AS OF resolves against). */
+  def metaSnapshots(spark: SparkSession): DataFrame = {
+    require(config.versioned && snapshotVersions().nonEmpty,
+      "metaSnapshots needs a versioned table with at least one commit")
+    val vs = snapshotVersions()
+    val rows = vs.zip(None +: vs.map(Some(_))).map { case (v, parent) =>
+      val files = manifestFiles(v).toSet
+      val parentFiles = parent.map(manifestFiles(_).toSet).getOrElse(Set.empty)
+      val committedMs = java.nio.file.Files
+        .getLastModifiedTime(logPath.resolve(f"v$v%05d.list")).toMillis
+      (v.toLong, parent.map(_.toLong), new java.sql.Timestamp(committedMs),
+        files.size.toLong, (files -- parentFiles).size.toLong,
+        (parentFiles -- files).size.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("version", "parent_version", "committed_at", "n_files",
+      "n_added_files", "n_removed_files")
+  }
+
+  /** One row per live data file — (file_path, record_count, size_bytes,
+    * modified_at), Iceberg's `files` table. Fully DISTRIBUTED: the counts
+    * come from one scan that reads only the `_metadata` struct (column
+    * pruning leaves data columns untouched; parquet serves the row counts
+    * from footers), so a 100 TB table's file inventory costs a
+    * metadata-only scan across executors, never a driver-side loop over
+    * millions of footers. */
+  def metaFiles(spark: SparkSession): DataFrame = {
+    val rels =
+      if (config.versioned && snapshotVersions().nonEmpty)
+        manifestFiles(snapshotVersions().last)
+      else listDataFiles()
+    readFiles(spark, rels)
+      .groupBy(col("_metadata.file_path").as("file_path"))
+      .agg(count(lit(1)).as("record_count"),
+        first(col("_metadata.file_size")).as("size_bytes"),
+        first(col("_metadata.file_modification_time")).as("modified_at"))
+  }
+
   /** Iceberg's `remove_orphan_files` analogue: delete data files present
     * in the table directory but referenced by NO committed snapshot — the
     * debris a crashed or killed write leaves behind (its files landed, its

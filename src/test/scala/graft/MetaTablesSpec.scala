@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[TableSink.metaSnapshots]] / [[TableSink.metaFiles]] — the Iceberg
+  * metadata-table analogues: commit history and the live file inventory as
+  * DataFrames, consistent with the manifests and the data they describe. */
+class MetaTablesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val wh = TestSpark.tmpDir("meta_wh")
+
+  private def mkSink(name: String): TableSink = {
+    val sink = new TableSink(SinkConfig(tableName = name, warehousePath = wh,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "cat", "v"))
+    sink.append(Seq((4L, "b", 40.0), (5L, "c", 50.0)).toDF("id", "cat", "v"))
+    sink
+  }
+
+  test("metaSnapshots mirrors the manifest log: lineage, counts, monotonic clock") {
+    val sink = mkSink("ms1")
+    val rows = sink.metaSnapshots(spark)
+      .orderBy($"version")
+      .select($"version", $"parent_version", $"n_files", $"n_added_files",
+        $"n_removed_files")
+      .as[(Long, Option[Long], Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == Seq(1L, 2L))
+    assert(rows.map(_._2) == Seq(None, Some(1L)))
+    // appends only add files: n_files is cumulative, nothing removed
+    assert(rows.forall(_._5 == 0L), "append snapshots remove no files")
+    assert(rows(0)._3 == rows(0)._4, "v1 adds exactly its file set")
+    assert(rows(1)._3 == rows(0)._3 + rows(1)._4)
+    // the clock is monotonic non-decreasing in version order
+    val times = sink.metaSnapshots(spark).orderBy($"version")
+      .select($"committed_at".cast("long")).as[Long].collect().toSeq
+    assert(times == times.sorted)
+  }
+
+  test("metaFiles agrees with the data: counts sum to the table, sizes positive") {
+    val sink = mkSink("ms2")
+    val files = sink.metaFiles(spark)
+    assert(files.agg(sum($"record_count")).as[Long].head() == 5L,
+      "per-file record counts must sum to the live row count")
+    assert(files.filter($"size_bytes" <= 0).count() == 0)
+    // one inventory row per manifest entry at the head snapshot
+    assert(files.count() ==
+      sink.metaSnapshots(spark).orderBy($"version".desc)
+        .select($"n_files").as[Long].head())
+    // the scan is metadata-only: every data column pruned, the parquet
+    // reader serves an EMPTY read schema (footer-only row counts)
+    val plan = files.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<>"),
+      s"metaFiles must prune all data columns from the scan, got:\n$plan")
+  }
+
+  test("metaFiles tracks the head snapshot, not stale history") {
+    val sink = mkSink("ms3")
+    val before = sink.metaFiles(spark).count()
+    sink.append(Seq((6L, "d", 60.0)).toDF("id", "cat", "v"))
+    val after = sink.metaFiles(spark)
+    assert(after.count() > before)
+    assert(after.agg(sum($"record_count")).as[Long].head() == 6L)
+  }
+
+  test("metaSnapshots refuses unversioned tables; metaFiles still serves them") {
+    val unv = new TableSink(SinkConfig(tableName = "ms4u", warehousePath = wh))
+    unv.append(Seq((1L, "a", 1.0)).toDF("id", "cat", "v"))
+    assert(intercept[IllegalArgumentException](unv.metaSnapshots(spark))
+      .getMessage.contains("versioned"))
+    assert(unv.metaFiles(spark).agg(sum($"record_count")).as[Long].head() == 1L)
+  }
+}
