@@ -1219,6 +1219,14 @@ object PipelineQueries {
 
   val textUnigramLpSql: String = TextAnalysis.unigramLogProbSql
 
+  /** DSIR importance weights toward the English subset; the hashed-bucket
+    * LMs and nano-unit log-ratio sums replay exactly in the oracle. */
+  def textDsir(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.dsirWeights(Tables.documents(spark, sfDir),
+      col("lang") === "en").orderBy(col("doc_id"))
+
+  val textDsirSql: String = TextAnalysis.dsirWeightsSql()
+
   /** PMI top-20 collocations at minCount 5; the oracle replays the single
     * 9-dp-rounded ln and the rank tie-break exactly. */
   def textPmi(spark: SparkSession, sfDir: String): DataFrame =

@@ -977,6 +977,97 @@ object TextAnalysis {
       |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 9) AS ttr
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    * Data Selection via Importance Resampling): score every document by
+    * how much more likely its tokens are under a TARGET distribution
+    * (e.g. the high-quality subset you want more of) than under the raw
+    * corpus, using hashed-unigram bag-of-buckets LMs:
+    * `logw(d) = Σ_tok [ln p_tgt(bucket(tok)) - ln p_raw(bucket(tok))]`
+    * with Laplace +1 smoothing. Positive `avg_logw` ⇒ the document looks
+    * like the target; resampling by these weights (compose with
+    * [[weightedSample]]'s Gumbel top-k — DSIR's published recipe is
+    * exactly weights → resample) tilts a 100 TB crawl toward the target
+    * domain without training a classifier.
+    *
+    * Token hashing reuses the [[fingerprint]] fold (mod 1e9+7, then mod
+    * `buckets`) so the bucket assignment is bit-identical in any SQL
+    * dialect; `buckets` defaults small for the fixture — web scale uses
+    * 10⁴-10⁵ buckets (the paper's hashed n-gram table).
+    *
+    * Engine portability: the two `ln`s are each rounded to 9 dp and
+    * scaled to integer nano-units once per BUCKET (vocabulary-bounded);
+    * each document then sums exact integers `tf_b · lr_e9` — aggregation
+    * order cannot perturb `logw_e9`.
+    *
+    * Scale shape: one token-bucket shuffle with map-side partials for the
+    * two histograms (bounded at `buckets` rows — broadcast-sized by
+    * construction), a 1-row totals broadcast, one (doc, bucket) shuffle
+    * for per-doc tf, and one doc_id re-key for the bounded final sum. The
+    * target subset is a predicate column, not a separate scan — one pass
+    * over the corpus feeds both distributions. */
+  def dsirWeights(docs: DataFrame, targetCond: Column,
+      buckets: Int = 64): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val tb = docs.select(col("doc_id"), targetCond.as("is_target"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(fingerprint(col("tok")), lit(buckets.toLong)).as("b"))
+    val db = tb.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+    val bc = tb.groupBy(col("b"))
+      .agg(count(lit(1)).as("raw_c"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt_c"))
+    val tot = bc.agg(sum(col("raw_c")).as("r_tot"), sum(col("tgt_c")).as("t_tot"))
+    val lr = bc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (round(round(log((col("tgt_c") + 1).cast("double")
+            / (col("t_tot") + buckets).cast("double")), 9)
+            * 1000000000.0).cast("long")
+          - round(round(log((col("raw_c") + 1).cast("double")
+            / (col("r_tot") + buckets).cast("double")), 9)
+            * 1000000000.0).cast("long")).as("lr_e9"))
+    db.join(lr, "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("lr_e9")).as("logw_e9"))
+      .select(col("doc_id"), col("n_tokens"), col("logw_e9"),
+        round(col("logw_e9").cast("double") / 1000000000.0
+          / col("n_tokens"), 9).as("avg_logw"))
+  }
+
+  /** DuckDB oracle for [[dsirWeights]] with target `lang = 'en'` — the
+    * bucket fold, both smoothed LMs, and the nano-unit sum replayed
+    * exactly. */
+  def dsirWeightsSql(buckets: Int = 64): String =
+    s"""WITH tb AS (
+       |  SELECT doc_id, lang = 'en' AS is_target,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        [CAST(unicode(c) AS BIGINT)
+       |         FOR c IN string_split(tok, '') IF c <> '']),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) % $buckets AS b
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |db AS (SELECT doc_id, b, count(*) AS tf FROM tb GROUP BY 1, 2),
+       |bc AS (SELECT b, count(*) AS raw_c,
+       |    count(*) FILTER (WHERE is_target) AS tgt_c
+       |  FROM tb GROUP BY 1),
+       |tot AS (SELECT CAST(sum(raw_c) AS BIGINT) AS r_tot,
+       |    CAST(sum(tgt_c) AS BIGINT) AS t_tot FROM bc),
+       |lr AS (SELECT b,
+       |    CAST(round(round(ln(CAST(tgt_c + 1 AS DOUBLE)
+       |        / CAST(t_tot + $buckets AS DOUBLE)), 9)
+       |      * 1000000000.0) AS BIGINT)
+       |    - CAST(round(round(ln(CAST(raw_c + 1 AS DOUBLE)
+       |        / CAST(r_tot + $buckets AS DOUBLE)), 9)
+       |      * 1000000000.0) AS BIGINT) AS lr_e9
+       |  FROM bc CROSS JOIN tot)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |  CAST(sum(tf * lr_e9) AS BIGINT) AS logw_e9,
+       |  round(CAST(sum(tf * lr_e9) AS DOUBLE) / 1000000000.0
+       |    / sum(tf), 9) AS avg_logw
+       |FROM db JOIN lr USING (b)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Corpus-derived stopword list: tokens appearing in at least `pct`% of
     * documents — the data-driven replacement for a hand-curated stopword
     * file, feeding the quality/rarity operators (a multilingual corpus

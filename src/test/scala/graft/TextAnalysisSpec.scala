@@ -509,6 +509,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1)._3 < r(0)._3)
   }
 
+  test("DSIR weights tilt toward the target distribution") {
+    // target docs speak a disjoint vocabulary from the rest; a held-out
+    // doc in the target vocabulary must out-score one in the raw-only
+    // vocabulary (the importance-resampling direction)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "alpha beta beta gamma", "en"),
+      (3L, "uno dos tres cuatro", "es"),
+      (4L, "uno uno dos tres", "es"),
+      (5L, "alpha gamma delta beta", "de"), // target-like, not in target
+      (6L, "dos tres cuatro uno", "de"))    // raw-only-like
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.dsirWeights(docs, col("lang") === "en",
+        buckets = 1024)
+      .orderBy("doc_id").select("doc_id", "avg_logw")
+      .as[(Long, Double)].collect().toMap
+    assert(r(5) > r(6),
+      s"target-vocabulary doc must out-score raw-only doc: $r")
+    // every target-vocabulary doc outranks every raw-only-vocabulary doc
+    // (absolute sign is smoothing-dependent on a tiny corpus — the
+    // RANKING is the resampling semantic)
+    assert(Seq(1L, 2L, 5L).map(r).min > Seq(3L, 4L, 6L).map(r).max,
+      s"target-vocab docs must all outrank raw-only docs: $r")
+    // weights are length-normalized comparisons via avg; totals exact
+    val n = TextAnalysis.dsirWeights(docs, col("lang") === "en")
+      .agg(sum($"n_tokens")).as[Long].head()
+    assert(n == 24L, s"token accounting must cover the corpus, got $n")
+  }
+
   test("curation report: gate drops symbol docs, dedup reassigns shared paragraphs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps\n\nshared boilerplate paragraph here", "a"),
