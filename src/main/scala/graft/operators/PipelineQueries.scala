@@ -1227,6 +1227,15 @@ object PipelineQueries {
 
   val textDsirSql: String = TextAnalysis.dsirWeightsSql()
 
+  /** Naive-Bayes language self-classification confusion matrix; training
+    * counts, smoothing grid, priors, and the integer argmax all replay
+    * exactly in the oracle. */
+  def textNbConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.naiveBayesConfusion(Tables.documents(spark, sfDir))
+      .orderBy(col("label"), col("pred"))
+
+  val textNbConfusionSql: String = TextAnalysis.naiveBayesConfusionSql()
+
   /** PMI top-20 collocations at minCount 5; the oracle replays the single
     * 9-dp-rounded ln and the rank tie-break exactly. */
   def textPmi(spark: SparkSession, sfDir: String): DataFrame =

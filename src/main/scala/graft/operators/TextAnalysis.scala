@@ -1068,6 +1068,118 @@ object TextAnalysis {
        |FROM db JOIN lr USING (b)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Multinomial Naive Bayes over hashed-unigram buckets, trained and
+    * applied IN ONE QUERY — the counts-based stand-in for the linear
+    * quality/domain classifier stage of CCNet/RefinedWeb-style curation
+    * (fastText there; NB here because count-based training is exactly
+    * replayable by any engine, where gradient training is not).
+    * `score(d, c) = ln prior(c) + Σ_b tf_db · ln p(b | c)` with Laplace
+    * +1 smoothing over [[fingerprint]]-hashed buckets; prediction is the
+    * argmax with a lexicographic class tie-break. Output is the confusion
+    * matrix (label, pred, n) — the self-classification audit that shows
+    * whether the hashed vocabulary separates the classes at all.
+    *
+    * Engine portability: class-conditional `ln`s and the prior `ln` are
+    * rounded to 9 dp and scaled to nano-units once per (class, bucket) /
+    * class; per-document scores are exact integer sums, and the argmax
+    * compares exact integers — no float accumulation anywhere.
+    *
+    * Scale shape: the model IS an aggregate — (class, bucket) counts
+    * bounded at |classes|·buckets rows (broadcast-sized by construction,
+    * hint-broadcast onto the per-doc tf table), class priors a |classes|-
+    * row aggregate. Scoring is one (doc, bucket) shuffle, one per-doc
+    * re-key, and a |classes|-candidate argmax window per doc. Train and
+    * apply are the same two passes at any corpus size. */
+  def naiveBayesConfusion(docs: DataFrame, labelCol: String = "lang",
+      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0, "buckets must be positive")
+    val lbl = col(labelCol)
+    val tb = docs.select(col("doc_id"), lbl.as("label"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("label"),
+        pmod(fingerprint(col("tok")), lit(buckets.toLong)).as("b"))
+    val db = tb.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+    // class-conditional bucket log-probs: |classes| x buckets rows
+    val cb = tb.groupBy(col("label"), col("b")).agg(count(lit(1)).as("cnt"))
+    val ctot = cb.groupBy(col("label")).agg(sum(col("cnt")).as("c_tot"))
+    val lp = cb.join(ctot, "label")
+      .select(col("label").as("cls"), col("b"),
+        round(round(log((col("cnt") + 1).cast("double")
+            / (col("c_tot") + buckets).cast("double")), 9)
+          * 1000000000.0).cast("long").as("lp_e9"))
+    // unseen (class, bucket) pairs still carry smoothing mass: the dense
+    // class x bucket grid left-joins the observed counts
+    val classes = ctot.select(col("label").as("cls"), col("c_tot"))
+    val grid = classes.crossJoin(
+        docs.sparkSession.range(buckets).select(col("id").as("b")))
+      .join(lp, Seq("cls", "b"), "left")
+      .select(col("cls"), col("b"),
+        coalesce(col("lp_e9"),
+          round(round(log(lit(1.0)
+              / (col("c_tot") + buckets).cast("double")), 9)
+            * 1000000000.0).cast("long")).as("lp_e9"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val prior = docs.groupBy(lbl.as("cls")).agg(count(lit(1)).as("n_c"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("cls"),
+        round(round(log(col("n_c").cast("double") / col("n_docs")), 9)
+          * 1000000000.0).cast("long").as("prior_e9"))
+    val scores = db.join(broadcast(grid), "b")
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("tf") * col("lp_e9")).as("ll_e9"))
+      .join(broadcast(prior), "cls")
+      .select(col("doc_id"), col("cls"),
+        (col("ll_e9") + col("prior_e9")).as("score_e9"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e9").desc, col("cls").asc)
+    val pred = scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cls").as("pred"))
+    docs.select(col("doc_id"), lbl.as("label")).join(pred, "doc_id")
+      .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB oracle for [[naiveBayesConfusion]] on the `lang` label. */
+  def naiveBayesConfusionSql(buckets: Int = 64): String =
+    s"""WITH tb AS (
+       |  SELECT doc_id, label,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        [CAST(unicode(c) AS BIGINT)
+       |         FOR c IN string_split(tok, '') IF c <> '']),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) % $buckets AS b
+       |  FROM (SELECT doc_id, lang AS label,
+       |          unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |db AS (SELECT doc_id, b, count(*) AS tf FROM tb GROUP BY 1, 2),
+       |cb AS (SELECT label, b, count(*) AS cnt FROM tb GROUP BY 1, 2),
+       |ctot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS c_tot
+       |  FROM cb GROUP BY 1),
+       |grid AS (SELECT c.label AS cls, g.b,
+       |    CAST(round(round(ln(CAST(COALESCE(cb.cnt, 0) + 1 AS DOUBLE)
+       |        / CAST(c.c_tot + $buckets AS DOUBLE)), 9)
+       |      * 1000000000.0) AS BIGINT) AS lp_e9
+       |  FROM ctot c
+       |  CROSS JOIN (SELECT unnest(generate_series(0, $buckets - 1)) AS b) g
+       |  LEFT JOIN cb ON cb.label = c.label AND cb.b = g.b),
+       |prior AS (SELECT lang AS cls,
+       |    CAST(round(round(ln(CAST(count(*) AS DOUBLE)
+       |        / (SELECT count(*) FROM documents)), 9)
+       |      * 1000000000.0) AS BIGINT) AS prior_e9
+       |  FROM documents GROUP BY 1),
+       |scores AS (SELECT db.doc_id, grid.cls,
+       |    CAST(sum(db.tf * grid.lp_e9) AS BIGINT)
+       |      + any_value(prior.prior_e9) AS score_e9
+       |  FROM db JOIN grid USING (b) JOIN prior ON prior.cls = grid.cls
+       |  GROUP BY 1, 2),
+       |pred AS (SELECT doc_id, cls AS pred FROM (
+       |    SELECT doc_id, cls, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score_e9 DESC, cls ASC) AS rn FROM scores)
+       |  WHERE rn = 1)
+       |SELECT d.lang AS label, p.pred, count(*) AS n
+       |FROM documents d JOIN pred p USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Corpus-derived stopword list: tokens appearing in at least `pct`% of
     * documents — the data-driven replacement for a hand-curated stopword
     * file, feeding the quality/rarity operators (a multilingual corpus

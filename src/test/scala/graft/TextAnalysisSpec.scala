@@ -538,6 +538,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n == 24L, s"token accounting must cover the corpus, got $n")
   }
 
+  test("Naive Bayes confusion is diagonal on a separable corpus") {
+    // disjoint vocabularies per class with many buckets → hash
+    // collisions are unlikely and self-classification must be perfect
+    val docs = Seq(
+      (1L, "alpha beta gamma", "x"), (2L, "beta alpha alpha", "x"),
+      (3L, "uno dos tres", "y"), (4L, "dos dos uno tres", "y"),
+      (5L, "gamma alpha beta beta", "x"), (6L, "tres uno dos", "y"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.naiveBayesConfusion(docs, buckets = 4096)
+      .orderBy("label").as[(String, String, Long)].collect().toSeq
+    assert(r == Seq(("x", "x", 3L), ("y", "y", 3L)),
+      s"expected a diagonal confusion matrix, got $r")
+  }
+
   test("curation report: gate drops symbol docs, dedup reassigns shared paragraphs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps\n\nshared boilerplate paragraph here", "a"),
