@@ -660,6 +660,45 @@ object ParityQueries {
       |FROM events WHERE event_id % 3 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Snapshot rollback end-to-end: two thirds of events commit (v1), the
+    * final third commits (v2), [[TableSink.rollbackTo]] restores v1
+    * (v2's files deleted, its manifest dropped), and the table then keeps
+    * taking commits — HALF of the previously-rolled-back rows re-append
+    * as the new v2. The live read must show exactly
+    * batch1 ∪ re-appended-half: rows the rollback removed stay gone, the
+    * re-appended subset is back, and the history restart didn't corrupt
+    * either. The oracle replays the set algebra from the fixture.
+    *
+    * Scale shape: rollback is O(files added after the target) driver-side
+    * metadata + deletes — no data file is read or rewritten; the table is
+    * immediately writable at the restored head (Iceberg's
+    * rollback_to_snapshot contract). */
+  def rollback(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_rb", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))    // v1
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 0))    // v2
+    sink.rollbackTo(1)                                        // back to v1
+    sink.append(e.filter(pmod($"event_id", lit(6)) === 0))    // new v2
+    sink.read(spark)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"event_type")
+  }
+
+  val rollbackSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events WHERE event_id % 3 <> 0 OR event_id % 6 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Commit-history accounting THROUGH the metadata-table surface
     * ([[TableSink.metaSnapshots]] — Iceberg's `snapshots`/`history`
     * analogue): three deterministic thirds of events commit as three
