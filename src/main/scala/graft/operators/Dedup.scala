@@ -576,10 +576,15 @@ object Dedup {
     val all = e.select(col("vec_id"), col("v"),
       posexplode(VectorExpressions.hyperplaneSig(spark, col("raw"), planes,
         bitsPerTable)).as(Seq("t", "h")))
+    // cap via aggregate + broadcast semi-join (bucket cardinality is
+    // bounded at numTables · 2^bitsPerTable — broadcast-sized at any
+    // corpus size), saving the window's full shuffle + sort of the
+    // exploded signature table; same kept-row semantics
     val bucketed = maxBucket.fold(all) { cap =>
-      val w = Window.partitionBy(col("t"), col("h"))
-      all.withColumn("bsz", count(lit(1)).over(w))
+      val small = all.groupBy(col("t"), col("h"))
+        .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") <= cap).drop("bsz")
+      all.join(broadcast(small), Seq("t", "h"))
     }
     bucketed.as("a").join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.h") === col("b.h") &&

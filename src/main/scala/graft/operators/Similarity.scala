@@ -181,10 +181,16 @@ object Similarity {
       posexplode(VectorExpressions.hyperplaneSig(spark,
         col(vecCol).cast("array<double>"), planes, bitsPerTable))
         .as(Seq("t", "h")))
+    // cap via aggregate + broadcast semi-join, not a window: (t, h)
+    // cardinality is bounded at numTables · 2^bitsPerTable — broadcast-
+    // sized at ANY corpus size — so the small-bucket filter costs a
+    // map-side-partial aggregate and a broadcast join instead of
+    // shuffling AND sorting the whole exploded signature table
     val bucketed = maxBucket.fold(all) { cap =>
-      val wb = Window.partitionBy(col("t"), col("h"))
-      all.withColumn("bsz", count(lit(1)).over(wb))
+      val small = all.groupBy(col("t"), col("h"))
+        .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") <= cap).drop("bsz")
+      all.join(broadcast(small), Seq("t", "h"))
     }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
