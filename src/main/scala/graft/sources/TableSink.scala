@@ -264,6 +264,54 @@ final class TableSink(val config: SinkConfig) {
     if (config.versioned) writeSnapshot()
   }
 
+  /** Iceberg `expire_snapshots` (retain-last) analogue: drop every
+    * snapshot except the newest `keepLast`, deleting their manifests and
+    * any data file referenced ONLY by dropped manifests — the retention
+    * policy that bounds time-travel history (and its storage) on a table
+    * with a long commit log. Returns the expired versions.
+    *
+    * Refused when it would change live semantics rather than just
+    * shortening history:
+    *  - a TAG pins a to-be-dropped snapshot (the pin would dangle);
+    *  - a to-be-dropped snapshot carries a merge-on-read delete sidecar
+    *    of any kind — sidecars are version-keyed and apply to all later
+    *    reads, so dropping the version would RESURRECT the deleted rows
+    *    at the head; materialize with [[compact]] first.
+    * Live-branch files stay referenced (same rule as [[removeOrphans]]).
+    *
+    * Scale shape: pure driver-side manifest metadata plus unlink calls —
+    * O(history length + file count), no data read or rewritten. On an
+    * append-only history every old file is still in the head manifest, so
+    * only manifests are deleted; files die here only when earlier
+    * rollbacks/branch drops left them referenced solely by old history. */
+  def expireSnapshotsKeepLast(keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val vs = snapshotVersions()
+    val drop = vs.dropRight(keepLast)
+    if (drop.isEmpty) return Nil
+    val dangling = tags().filter(t => drop.contains(tagVersion(t)))
+    require(dangling.isEmpty,
+      s"expiring snapshots ${drop.mkString(", ")} would orphan tags " +
+        s"pinning them; drop the tags first: ${dangling.mkString(", ")}")
+    val withSidecars = drop.filter(v =>
+      java.nio.file.Files.isRegularFile(deletesPath(v)) ||
+        java.nio.file.Files.isDirectory(keysPath(v)) ||
+        java.nio.file.Files.isDirectory(posDeletesPath(v)))
+    require(withSidecars.isEmpty,
+      s"snapshots ${withSidecars.mkString(", ")} carry merge-on-read " +
+        "delete sidecars that still apply to later reads — expiring them " +
+        "would resurrect deleted rows; materialize first (compact)")
+    val keepFiles = (vs.takeRight(keepLast).flatMap(manifestFiles) ++
+      branches().flatMap(b => branchVersions(b).flatMap(branchManifest(b, _)))
+      ).toSet
+    val root = java.nio.file.Paths.get(config.tablePath)
+    drop.flatMap(manifestFiles).distinct.filterNot(keepFiles)
+      .foreach(rel => java.nio.file.Files.delete(root.resolve(rel)))
+    drop.foreach(v =>
+      java.nio.file.Files.delete(logPath.resolve(f"v$v%05d.list")))
+    drop
+  }
+
   /** Committed snapshot versions, oldest first (empty when unversioned). */
   def snapshotVersions(): Seq[Int] = {
     import scala.jdk.CollectionConverters._
