@@ -1150,6 +1150,37 @@ final class TableSink(val config: SinkConfig) {
     snapshotVersions().lastOption.fold(df)(applyDeletes(df, _))
   }
 
+  /** Streaming read of the table — Iceberg's streaming-read contract:
+    * a `readStream` whose micro-batches are the files newly landed since
+    * the last trigger, so downstream incremental consumers (enrichment,
+    * CDC fan-out, monitoring aggregations) ride the table directly
+    * instead of a copy. Exactly-once file discovery is the Spark file
+    * source's own checkpointed log.
+    *
+    * APPEND-ONLY surface, enforced: refused while merge-on-read delete
+    * sidecars are pending (a file scan would re-emit deleted rows — same
+    * rule as [[GraftCatalog]]), and rewriting ops (compact/upsert/delete)
+    * must not run under a live stream — they re-land surviving rows in
+    * new files, which a file-discovery stream would double-count
+    * (Iceberg's streaming read declares the same restriction).
+    *
+    * Scale shape: discovery cost is directory listing per trigger —
+    * bounded by new-file count; schema comes from the declared table
+    * schema or ONE head-manifest footer read, never a full scan. */
+  def readStream(spark: SparkSession): DataFrame = {
+    snapshotVersions().lastOption.foreach { head =>
+      require(!hasPendingDeletes(head),
+        "streaming read over pending merge-on-read deletes would re-emit " +
+          "deleted rows; materialize first (compact)")
+    }
+    val schema = config.tableSchema.getOrElse(read(spark).schema)
+    spark.readStream
+      .format(config.fileFormat)
+      .schema(schema)
+      .option("basePath", config.tablePath)
+      .load(config.tablePath)
+  }
+
   /** Partition-spec-evolution-aware read: the table may hold file
     * GENERATIONS written under different partition specs (Iceberg's spec
     * evolution — change how new data is partitioned without rewriting old

@@ -655,6 +655,48 @@ object StreamPipeline {
     spark.table(name).orderBy($"cohort_week")
   }
 
+  /** Table-as-stream-source end-to-end ([[TableSink.readStream]] —
+    * Iceberg's streaming-read contract): the fixture commits to a
+    * versioned partitioned table in two waves, a stream consumes the
+    * TABLE (the second append lands after the stream starts, so file
+    * discovery — not a static scan — must pick it up), and the running
+    * aggregate over everything consumed must equal the batch aggregate
+    * over the whole fixture. */
+  def streamTableSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = "stream_tbl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new graft.TableSink(graft.SinkConfig(
+      tableName = "events_src", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(graft.PartitionField("event_type",
+        graft.Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))    // v1
+    val agg = sink.readStream(spark)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+    withStreamShuffle(spark, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        sink.append(e.filter(pmod($"event_id", lit(3)) === 0)) // v2, mid-stream
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    spark.table(name).orderBy($"event_type")
+  }
+
+  /** Batch replay of [[streamTableSource]]: the stream consumed both
+    * commits, so the aggregate covers the whole fixture. */
+  val streamTableSourceSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Batch replay of [[streamStaticEnrich]]: same join, same counts. */
   val streamStaticEnrichSql: String =
     """WITH first AS (

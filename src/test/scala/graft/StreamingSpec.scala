@@ -232,6 +232,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("_spark_metadata"))
   }
 
+  test("streaming read consumes appends incrementally, exactly once") {
+    import spark.implicits._
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_srcstream",
+      warehousePath = TestSpark.tmpDir("stream_read_wh"),
+      versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "cat", "v"))
+    val q = sink.readStream(spark)
+      .groupBy($"cat").agg(org.apache.spark.sql.functions.sum($"id").as("s"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tbl_stream")
+      .option("checkpointLocation", TestSpark.tmpDir("stream_read_cp"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tbl_stream").as[(String, Long)].collect().toMap
+        == Map("a" -> 1L, "b" -> 2L))
+      // a commit AFTER the stream started is discovered, not re-read
+      sink.append(Seq((3L, "a", 30.0)).toDF("id", "cat", "v"))
+      q.processAllAvailable()
+      assert(spark.table("tbl_stream").as[(String, Long)].collect().toMap
+        == Map("a" -> 4L, "b" -> 2L))
+    } finally q.stop()
+    // pending merge-on-read deletes refuse a fresh stream (re-emission)
+    sink.deleteWhere("v < 15.0")
+    assert(intercept[IllegalArgumentException](sink.readStream(spark))
+      .getMessage.contains("re-emit"))
+  }
+
   test("size flush: no streamed data file exceeds batchSize records") {
     val cfg = SinkConfig(
       tableName = "events_sized",
