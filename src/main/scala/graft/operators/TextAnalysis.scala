@@ -1025,7 +1025,10 @@ object TextAnalysis {
           - round(round(log((col("raw_c") + 1).cast("double")
             / (col("r_tot") + buckets).cast("double")), 9)
             * 1000000000.0).cast("long")).as("lr_e9"))
-    db.join(lr, "b")
+    // lr is bounded at `buckets` rows — broadcast-sized by construction;
+    // without the hint the join shuffles the (doc, bucket) table onto
+    // only `buckets` distinct keys (measured 18x at gen sf1 vs sf0.1)
+    db.join(broadcast(lr), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("lr_e9")).as("logw_e9"))
