@@ -388,6 +388,30 @@ object OracleSql {
        |WHERE f.query_id < f.neighbor_id
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Leave-one-out kNN-vote replay: the [[knnGraphCte]] edge list joined
+    * to neighbor labels, plurality vote per query (ties: smaller summed
+    * rank, then smaller label), confusion matrix against the true label —
+    * [[graft.Similarity.knnClassify]] stage for stage. */
+  val simKnnClassifySql: String =
+    s"""$knnGraphCte,
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+       |        FROM embeddings),
+       |votes AS (
+       |  SELECT g.query_id, lab.label AS nlabel,
+       |    COUNT(*) AS n_votes, SUM(g.rank) AS rank_sum
+       |  FROM g JOIN lab ON g.neighbor_id = lab.vec_id
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT query_id, nlabel FROM (
+       |    SELECT query_id, nlabel,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY n_votes DESC, rank_sum ASC, nlabel ASC) AS rk
+       |    FROM votes)
+       |  WHERE rk = 1)
+       |SELECT t.label, p.nlabel AS pred, COUNT(*) AS n
+       |FROM pred p JOIN lab t ON p.query_id = t.vec_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------ JL projection
   /** splitmix64(k) as a scalar HUGEINT chain (the simhash replay runs the
     * same stages over token lists; this one runs them over the plane

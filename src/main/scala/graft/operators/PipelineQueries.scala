@@ -470,6 +470,15 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Leave-one-out kNN majority-vote confusion matrix over the same
+    * graph — vote, tie-breaks, and matrix replayed by
+    * [[OracleSql.simKnnClassifySql]] (hash-checked). */
+  def simKnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    Similarity.knnClassify(e, k = 5, maxBucket = Some(64))
+      .orderBy(col("label"), col("pred"))
+  }
+
   /** PageRank centrality over the kNN graph — the five integer power
     * steps replayed bit-exactly by [[OracleSql.simPagerankSql]]. */
   def simPagerank(spark: SparkSession, sfDir: String): DataFrame =

@@ -346,6 +346,38 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Leave-one-out kNN majority-vote classifier over the capped self-kNN
+    * graph ([[knnGraph]] — self is excluded by construction): each vector
+    * is assigned the plurality label of its surviving neighbors, ties
+    * broken by smaller summed rank (closer neighbors win) then smaller
+    * label. Output is the (label, pred, n) confusion matrix — the audit a
+    * curation pipeline runs to decide whether embedding neighborhoods are
+    * label-coherent enough to drive semantic dedup or stratified sampling.
+    *
+    * Scale shape: the graph is k·|corpus| rows; the label join shuffles on
+    * neighbor id and the vote aggregate on query id — both bounded keys,
+    * map-side partial aggregation throughout. Vectors whose buckets were
+    * all cap-dropped have no neighbors and are excluded (inner-join
+    * semantics, mirrored by the oracle). */
+  def knnClassify(embeddings: DataFrame, k: Int = 5,
+      maxBucket: Option[Int] = Some(64)): DataFrame = {
+    val g = knnGraph(embeddings, k, maxBucket = maxBucket)
+    val labels = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("label"))
+    val votes = g
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("n_votes"), sum(col("rank")).as("rank_sum"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("rank_sum").asc, col("nlabel").asc)
+    votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label")), Seq("query_id"))
+      .groupBy(col("label"), col("nlabel").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** DuckDB oracle for [[centroidClassify]] at the same `dim` — generated,
     * not hardcoded, so the Spark slice and the SQL generate_series bound
     * stay pinned to the same dimension. */

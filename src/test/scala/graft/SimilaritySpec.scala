@@ -179,4 +179,20 @@ class SimilaritySpec extends AnyFunSuite {
       $"rank_sum" < 2 || $"rank_sum" > 10).count()
     assert(bad == 0, "pairs canonical a<b with rank_sum in [2, 2k]")
   }
+
+  test("knnClassify confusion matrix covers exactly the vectors with neighbors") {
+    val m = Similarity.knnClassify(emb, k = 5, maxBucket = Some(64)).cache()
+    val classified = m.agg(org.apache.spark.sql.functions.sum($"n"))
+      .head().getLong(0)
+    val withNeighbors = Similarity.knnGraph(emb, k = 5, maxBucket = Some(64))
+      .select($"query_id").distinct().count()
+    assert(classified == withNeighbors,
+      "one prediction per vector that has at least one surviving neighbor")
+    // labels and preds both come from the fixture's label domain
+    val labels = emb.select($"label".cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    m.collect().foreach { r =>
+      assert(labels.contains(r.getLong(0)) && labels.contains(r.getLong(1)))
+    }
+  }
 }
