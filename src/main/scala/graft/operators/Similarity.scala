@@ -361,7 +361,7 @@ object Similarity {
     * semantics, mirrored by the oracle). */
   def knnClassify(embeddings: DataFrame, k: Int = 5,
       maxBucket: Option[Int] = Some(64)): DataFrame = {
-    val g = knnGraph(embeddings, k, maxBucket = maxBucket)
+    val g = knnGraph(embeddings, k, maxBucket = maxBucket).localCheckpoint()
     val labels = embeddings.select(col("vec_id"),
       col("label").cast("long").as("label"))
     val votes = g
