@@ -749,6 +749,39 @@ object ParityQueries {
       |  CAST(SUM(n_added) OVER (ORDER BY version) AS BIGINT) AS n_total
       |FROM t ORDER BY version""".stripMargin
 
+  /** Per-partition accounting THROUGH the partitions metadata table
+    * ([[TableSink.metaPartitions]] — Iceberg's `partitions` analogue):
+    * events land identity-partitioned by event_type, and the metadata
+    * table's per-partition record counts — recovered from the
+    * `col=value` path spine with every data column pruned — must equal
+    * the fixture's per-type counts. File counts and byte sizes are
+    * engine-specific (salted writer layout), so the oracle pins the
+    * partition spine and record counts while MetaTablesSpec pins the
+    * file-level invariants.
+    *
+    * Scale shape: one metadata-only scan (footer row counts), two bounded
+    * aggregates keyed by file then partition — a 100 TB table's partition
+    * rollup never touches data pages or the driver. */
+  def metaPartitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_parts", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e)
+    sink.metaPartitions(spark)
+      .select($"partition", $"record_count")
+      .orderBy($"partition")
+  }
+
+  val metaPartitionsSql: String =
+    """SELECT 'event_type=' || event_type AS partition,
+      |  COUNT(*) AS record_count
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Write-audit-publish end-to-end over [[TableSink]] branches — the
     * staging workflow Iceberg builds on named branches (reference
     * README.md:95-105 commit coordination): batch 1 commits to main (v1),

@@ -615,6 +615,36 @@ final class TableSink(val config: SinkConfig) {
         first(col("_metadata.file_modification_time")).as("modified_at"))
   }
 
+  /** Iceberg's `partitions` metadata table: one row per live partition —
+    * (partition, record_count, file_count, size_bytes), the rollup a
+    * maintenance pipeline reads to find skewed or fragmented partitions
+    * before compaction. The partition identity is recovered from the data
+    * file PATH (the `col=value` directory spine), not from data columns,
+    * so derived-transform partitions (day/bucket/truncate) report their
+    * transformed values exactly as written and the scan stays
+    * metadata-only: like [[metaFiles]], the counts come from parquet
+    * footers via the `_metadata` struct with every data column pruned.
+    * Unpartitioned tables report one row with partition = ''. */
+  def metaPartitions(spark: SparkSession): DataFrame = {
+    val rels =
+      if (config.versioned && snapshotVersions().nonEmpty)
+        manifestFiles(snapshotVersions().last)
+      else listDataFiles()
+    val root = java.util.regex.Pattern.quote(
+      java.nio.file.Paths.get(config.tablePath).toAbsolutePath.toString)
+    readFiles(spark, rels)
+      .groupBy(regexp_replace(
+          regexp_replace(col("_metadata.file_path"), s"^file:.*?$root/?", ""),
+          "/?[^/]+$", "").as("partition"),
+        col("_metadata.file_path").as("fp"))
+      .agg(count(lit(1)).as("n"),
+        first(col("_metadata.file_size")).cast("long").as("sz"))
+      .groupBy(col("partition"))
+      .agg(sum(col("n")).as("record_count"),
+        count(lit(1)).as("file_count"),
+        sum(col("sz")).as("size_bytes"))
+  }
+
   /** Iceberg's `remove_orphan_files` analogue: delete data files present
     * in the table directory but referenced by NO committed snapshot — the
     * debris a crashed or killed write leaves behind (its files landed, its

@@ -67,6 +67,37 @@ class MetaTablesSpec extends AnyFunSuite {
     assert(after.agg(sum($"record_count")).as[Long].head() == 6L)
   }
 
+  test("metaPartitions rolls up the file inventory by partition path") {
+    val sink = mkSink("ms5")
+    val parts = sink.metaPartitions(spark).cache()
+    // the partition spine is the identity-transform directory names
+    assert(parts.select($"partition").as[String].collect().toSet ==
+      Set("cat=a", "cat=b", "cat=c"))
+    // record counts agree with the data per partition value
+    val expected = sink.read(spark).groupBy($"cat").count()
+      .as[(String, Long)].collect().toMap
+    parts.select($"partition", $"record_count").as[(String, Long)].collect()
+      .foreach { case (p, n) => assert(n == expected(p.stripPrefix("cat="))) }
+    // file-level invariants: counts and sizes consistent with metaFiles
+    assert(parts.agg(sum($"file_count")).as[Long].head() ==
+      sink.metaFiles(spark).count())
+    assert(parts.filter($"size_bytes" <= 0 || $"file_count" < 1).count() == 0)
+    // metadata-only scan here too: empty parquet read schema
+    val plan = sink.metaPartitions(spark)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<>"),
+      s"metaPartitions must prune all data columns, got:\n$plan")
+  }
+
+  test("metaPartitions reports one '' partition for unpartitioned tables") {
+    val unv = new TableSink(SinkConfig(tableName = "ms6u", warehousePath = wh,
+      versioned = true))
+    unv.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "cat", "v"))
+    val parts = unv.metaPartitions(spark).collect()
+    assert(parts.length == 1 && parts(0).getString(0) == "")
+    assert(parts(0).getLong(1) == 2L)
+  }
+
   test("metaSnapshots refuses unversioned tables; metaFiles still serves them") {
     val unv = new TableSink(SinkConfig(tableName = "ms4u", warehousePath = wh))
     unv.append(Seq((1L, "a", 1.0)).toDF("id", "cat", "v"))
