@@ -412,6 +412,71 @@ object OracleSql {
        |FROM pred p JOIN lab t ON p.query_id = t.vec_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Triangle replay for [[graft.Similarity.triangleStats]]: the
+    * [[knnGraphCte]] mutual pairs (id-ordered = the compact-forward
+    * orientation), wedges closed by the third edge, per-node counts and
+    * the integer-NANO clustering coefficient — every stage mirrored. */
+  val simTrianglesSql: String =
+    s"""$knnGraphCte,
+       |m AS (SELECT f.query_id AS id_a, f.neighbor_id AS id_b
+       |      FROM g f JOIN g r
+       |        ON f.query_id = r.neighbor_id AND f.neighbor_id = r.query_id
+       |      WHERE f.query_id < f.neighbor_id),
+       |deg AS (SELECT vec_id, COUNT(*) AS degree FROM (
+       |          SELECT id_a AS vec_id FROM m
+       |          UNION ALL SELECT id_b FROM m) GROUP BY 1),
+       |tri AS (SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+       |        FROM m e1 JOIN m e2 ON e1.id_b = e2.id_a
+       |        JOIN m e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+       |tn AS (SELECT vec_id, COUNT(*) AS n_triangles FROM (
+       |          SELECT x AS vec_id FROM tri
+       |          UNION ALL SELECT y FROM tri
+       |          UNION ALL SELECT z FROM tri) GROUP BY 1)
+       |SELECT d.vec_id, CAST(d.degree AS BIGINT) AS degree,
+       |  CAST(COALESCE(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  CAST(CASE WHEN d.degree >= 2
+       |    THEN (2 * COALESCE(tn.n_triangles, 0) * 1000000000)
+       |         // (d.degree * (d.degree - 1))
+       |    ELSE 0 END AS BIGINT) AS clustering_nano
+       |FROM deg d LEFT JOIN tn ON d.vec_id = tn.vec_id
+       |ORDER BY d.vec_id""".stripMargin
+
+  /** Hard-negative replay for [[graft.Similarity.hardNegatives]]: the
+    * [[knnGraphCte]] signature/cap chain with labels riding the bucket
+    * rows, candidacy additionally requiring a label mismatch, exact 9-dp
+    * rerank kept at k=5. The bucket-size cap counts ALL bucket members
+    * (labels do not shrink a bucket), exactly as the engine caps before
+    * the label predicate. */
+  val simHardNegativesSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, label,
+       |  ${hyperplaneSigList("v")} AS hs
+       |  FROM e),
+       |fb0 AS (SELECT vec_id, label, hs,
+       |        unnest(generate_series(1, 8)) AS t FROM sig),
+       |fb AS (SELECT vec_id, label, t, hs[t] AS h FROM fb0),
+       |sizes AS (SELECT t, h, count(*) AS n FROM fb GROUP BY 1, 2),
+       |ok AS (SELECT fb.vec_id, fb.label, fb.t, fb.h
+       |       FROM fb JOIN sizes USING (t, h) WHERE n <= 64),
+       |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |           b.label AS neighbor_label
+       |         FROM ok a JOIN ok b
+       |           ON a.t = b.t AND a.h = b.h AND a.vec_id <> b.vec_id
+       |          AND a.label <> b.label),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id, c.neighbor_label,
+       |    round(list_cosine_similarity(ea.v, eb.v), 9) AS cos
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.query_id
+       |  JOIN e eb ON eb.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, neighbor_label, rank FROM (
+       |  SELECT query_id, neighbor_id, neighbor_label,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------ JL projection
   /** splitmix64(k) as a scalar HUGEINT chain (the simhash replay runs the
     * same stages over token lists; this one runs them over the plane

@@ -485,6 +485,20 @@ object PipelineQueries {
     Similarity.pageRank(Tables.embeddings(spark, sfDir))
       .orderBy(col("rank"))
 
+  /** Per-node triangles + clustering coefficient over the mutual-kNN
+    * graph — orientation, wedge closure, and the NANO coefficient all
+    * replayed by [[OracleSql.simTrianglesSql]] (hash-checked). */
+  def simTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.triangleStats(Tables.embeddings(spark, sfDir))
+      .orderBy(col("vec_id"))
+
+  /** Hard-negative mining (top-k nearest with a different label) —
+    * candidacy, cap, label predicate, and rerank replayed by
+    * [[OracleSql.simHardNegativesSql]] (hash-checked). */
+  def simHardNegatives(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.hardNegatives(Tables.embeddings(spark, sfDir))
+      .orderBy(col("query_id"), col("rank"))
+
   /** IVF ANN — rows-only (k-means centroids are engine-specific);
     * [[simIvfFull]] is the oracle-checked property companion. */
   def simIvf(spark: SparkSession, sfDir: String): DataFrame = {

@@ -378,6 +378,104 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-node triangle participation and local clustering coefficient over
+    * the mutual-kNN graph — the community-structure audit a curation pass
+    * reads next to [[pageRank]]: high clustering = tight near-duplicate
+    * cliques worth collapsing, near-zero clustering on a high-degree node =
+    * a hub stitching unrelated regions together.
+    *
+    * Algorithm: the mutual edge list (already id-ordered, id_a < id_b) is
+    * its own orientation, so each triangle x < y < z is enumerated exactly
+    * once by the compact-forward join — wedges (x,y)+(y,z) closed by
+    * (x,z). Coefficient = 2·tri / (deg·(deg−1)) in integer NANO units
+    * (floor division), so no engine can disagree on a unit.
+    *
+    * Scale shape: mutual-kNN degree is ≤ k by construction, so the wedge
+    * join fans out at most k·|edges| rows and the id-orientation cannot
+    * meet a high-degree hub (general graphs orient by (degree, id) for the
+    * same bound; with the degree cap the id order already has it). The
+    * edge list is checkpointed once and re-read by all three join sides,
+    * and every stage shuffles on an edge endpoint — no all-pairs form
+    * anywhere. */
+  def triangleStats(corpus: DataFrame, k: Int = 5,
+      maxBucket: Option[Int] = Some(64),
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val NANO = 1000000000L
+    val m = mutualKnn(corpus, k, maxBucket = maxBucket,
+        idCol = idCol, vecCol = vecCol)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val tri = m.as("e1").join(m.as("e2"), col("e1.id_b") === col("e2.id_a"))
+      .select(col("e1.id_a").as("x"), col("e1.id_b").as("y"),
+        col("e2.id_b").as("z"))
+      .join(m.as("e3"),
+        col("x") === col("e3.id_a") && col("z") === col("e3.id_b"))
+      .select(col("x"), col("y"), col("z"))
+    val deg = m.select(col("id_a").as("vec_id"))
+      .union(m.select(col("id_b").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+    val tn = tri.select(col("x").as("vec_id"))
+      .union(tri.select(col("y").as("vec_id")))
+      .union(tri.select(col("z").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tn, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_nano",
+        when(col("degree") >= 2,
+          expr(s"(2 * n_triangles * ${NANO}L) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Hard-negative mining for contrastive training: for each anchor
+    * vector, the top-k most-similar vectors carrying a DIFFERENT label —
+    * the pairs that teach a metric model the most (near in embedding
+    * space, apart in label space). Same LSH candidate machinery as
+    * [[knnGraph]] (shared hyperplane buckets, skew cap, exact 9-dp
+    * rerank); the label-mismatch predicate prunes candidates BEFORE the
+    * rank window, so the k slots are spent entirely on negatives.
+    *
+    * Scale shape: identical to [[knnGraph]] — the candidate join shuffles
+    * on the bounded (table, hash) bucket key, the cap bounds per-bucket
+    * fan-out, and labels ride the signature rows (no second corpus join).
+    */
+  def hardNegatives(corpus: DataFrame, k: Int = 5,
+      dim: Int = 64, bitsPerTable: Int = 8, numTables: Int = 8,
+      maxBucket: Option[Int] = Some(64),
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val spark = corpus.sparkSession
+    val planes = Dedup.hyperplanes(bitsPerTable * numTables, dim)
+    val all = corpus.select(col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("label"),
+      VectorExpressions.vecNormalize(spark,
+        col(vecCol).cast("array<double>")).as("v"),
+      posexplode(VectorExpressions.hyperplaneSig(spark,
+        col(vecCol).cast("array<double>"), planes, bitsPerTable))
+        .as(Seq("t", "h")))
+    val bucketed = maxBucket.fold(all) { cap =>
+      val small = all.groupBy(col("t"), col("h"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= cap).drop("bsz")
+      all.join(broadcast(small), Seq("t", "h"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          col("a.label") =!= col("b.label"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        col("b.label").as("neighbor_label"),
+        col("a.v").as("qv"), col("b.v").as("nv"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        roundedDot(corpus, col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** DuckDB oracle for [[centroidClassify]] at the same `dim` — generated,
     * not hardcoded, so the Spark slice and the SQL generate_series bound
     * stay pinned to the same dimension. */

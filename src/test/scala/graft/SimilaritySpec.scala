@@ -180,6 +180,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad == 0, "pairs canonical a<b with rank_sum in [2, 2k]")
   }
 
+  test("triangleStats: a planted 3-clique yields one triangle and coefficient 1") {
+    // three identical vectors form a mutual clique; a far-away singleton
+    // pair contributes edges but no triangle
+    val a = Array.fill(64)(1.0f); val b = Array.fill(64)(-1.0f)
+    val data = Seq(
+      (1L, a, 0), (2L, a, 0), (3L, a, 0),
+      (8L, b, 1), (9L, b, 1)
+    ).toDF("vec_id", "embedding", "label")
+    val t = Similarity.triangleStats(data, k = 3, maxBucket = None).cache()
+    val byId = t.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(byId(id) == ((2L, 1L, 1000000000L)),
+        s"clique member $id: degree 2, 1 triangle, coefficient 1.0")
+    }
+    Seq(8L, 9L).foreach { id =>
+      assert(byId(id) == ((1L, 0L, 0L)),
+        s"pair member $id: degree 1, no triangles, coefficient 0")
+    }
+  }
+
+  test("triangleStats counts each triangle once per participant") {
+    val t = Similarity.triangleStats(emb, k = 5, maxBucket = Some(64)).cache()
+    // total participation is divisible by 3 (each triangle has 3 corners)
+    val total = t.agg(sum($"n_triangles")).head().getLong(0)
+    assert(total % 3 == 0, s"participation $total must be 3x triangle count")
+    // coefficient bounded in [0, NANO]; triangles need degree >= 2
+    assert(t.filter($"clustering_nano" < 0 ||
+      $"clustering_nano" > 1000000000L).count() == 0)
+    assert(t.filter($"degree" < 2 && $"n_triangles" > 0).count() == 0)
+  }
+
+  test("hardNegatives returns only cross-label neighbors, ranked contiguously") {
+    val hn = Similarity.hardNegatives(emb, k = 5, maxBucket = Some(64)).cache()
+    val labels = emb.select($"vec_id", $"label".cast("long").as("l"))
+    val joined = hn
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("l", "ql"), Seq("query_id"))
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("l", "nl"), Seq("neighbor_id"))
+    assert(joined.filter($"ql" === $"nl").count() == 0,
+      "every mined negative must carry a different label than its anchor")
+    assert(joined.filter($"neighbor_label" =!= $"nl").count() == 0,
+      "reported neighbor_label matches the corpus label")
+    val ranks = hn.groupBy($"query_id")
+      .agg(count(lit(1)).as("n"), max($"rank").as("maxr"))
+    assert(ranks.filter($"n" =!= $"maxr").count() == 0,
+      "ranks are 1..n per anchor with no gaps")
+    assert(hn.filter($"rank" > 5).count() == 0)
+  }
+
   test("knnClassify confusion matrix covers exactly the vectors with neighbors") {
     val m = Similarity.knnClassify(emb, k = 5, maxBucket = Some(64)).cache()
     val classified = m.agg(org.apache.spark.sql.functions.sum($"n"))
