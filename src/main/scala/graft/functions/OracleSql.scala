@@ -412,6 +412,27 @@ object OracleSql {
        |FROM pred p JOIN lab t ON p.query_id = t.vec_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Split-leakage replay: the [[dedupMinhashSql]] candidate chain, each
+    * side assigned its train/val/test split by the SHARED mod-prime
+    * bucket hash ([[graft.PipelineQueries.splitBucketSql]] — the same
+    * arithmetic every split/sample site uses), cross-split pairs kept.
+    * `lazy` so the cross-object reference resolves after both singletons
+    * initialize. */
+  lazy val dedupSplitLeakageSql: String = {
+    def splitCase(idCol: String): String =
+      s"""CASE WHEN ${PipelineQueries.splitBucketSql(idCol)} < 90 THEN 'train'
+         |       WHEN ${PipelineQueries.splitBucketSql(idCol)} < 95 THEN 'val'
+         |       ELSE 'test' END""".stripMargin
+    s"""$minhashCandCte
+       |SELECT id_a, id_b,
+       |  ${splitCase("id_a")} AS split_a,
+       |  ${splitCase("id_b")} AS split_b,
+       |  est_jaccard
+       |FROM est
+       |WHERE ${splitCase("id_a")} <> ${splitCase("id_b")}
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Triangle replay for [[graft.Similarity.triangleStats]]: the
     * [[knnGraphCte]] mutual pairs (id-ordered = the compact-forward
     * orientation), wedges closed by the third edge, per-node counts and

@@ -188,6 +188,31 @@ object PipelineQueries {
   def dedupMinhashRecall(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashRecall(Tables.documents(spark, sfDir))
 
+  /** Train/test split leakage audit: MinHash near-dup pairs whose two
+    * sides fall in DIFFERENT splits of the deterministic 90/5/5
+    * assignment ([[splitBucket]] — the same hash [[datasetSplit]]
+    * publishes, so this audits exactly the split the pipeline ships). A
+    * non-empty result is eval contamination: test documents with a
+    * near-duplicate in train inflate benchmark scores. Run after every
+    * corpus refresh, BEFORE the split is consumed downstream.
+    *
+    * Scale shape: the pair set is the LSH posting-list output (already
+    * bounded, no all-pairs form); split assignment is a per-row hash on
+    * ids the pairs already carry — zero extra joins, zero extra
+    * shuffles beyond [[Dedup.minhashLsh]] itself. Replayed stage for
+    * stage by [[OracleSql.dedupSplitLeakageSql]] (hash-checked). */
+  def dedupSplitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    def splitOf(c: Column): Column =
+      when(splitBucket(c) < 90, "train").when(splitBucket(c) < 95, "val")
+        .otherwise("test")
+    Dedup.minhashLsh(Tables.documents(spark, sfDir))
+      .select(col("id_a"), col("id_b"),
+        splitOf(col("id_a")).as("split_a"),
+        splitOf(col("id_b")).as("split_b"), col("est_jaccard"))
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SimHash — splitmix64 token hashes replayed by
     * [[OracleSql.dedupSimhashSql]] (hash-checked). */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =

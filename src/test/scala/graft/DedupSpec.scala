@@ -298,4 +298,24 @@ class DedupSpec extends AnyFunSuite {
     val off = audit.filter($"true_jaccard" < 0 || $"true_jaccard" > 1).count()
     assert(off == 0, "true Jaccard stays in [0, 1]")
   }
+
+  test("split leakage keeps exactly the cross-split LSH pairs, splits " +
+       "agreeing with the published assignment") {
+    val leak = PipelineQueries
+      .dedupSplitLeakage(spark, TestSpark.sfDir).cache()
+    assert(leak.filter($"split_a" === $"split_b").count() == 0)
+    // the kept pairs are the LSH candidate pairs minus same-split ones
+    val splits = PipelineQueries.datasetSplit(spark, TestSpark.sfDir)
+    val all = Dedup.minhashLsh(docs)
+      .join(splits.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "sa"), Seq("id_a"))
+      .join(splits.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "sb"), Seq("id_b"))
+    assert(leak.count() == all.filter($"sa" =!= $"sb").count())
+    // reported splits never disagree with datasetSplit's published column
+    val wrong = leak
+      .join(splits.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .filter($"split_a" =!= $"split").count()
+    assert(wrong == 0, "split_a must equal the datasetSplit assignment")
+  }
 }
