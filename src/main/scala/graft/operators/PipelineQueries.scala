@@ -886,6 +886,40 @@ object PipelineQueries {
       |FROM t ORDER BY doc_id""".stripMargin.replace("STOPLIST", stop)
   }
 
+  /** Token-budget selection (budget = total tokens div 10). The oracle
+    * replays the selection as ONE flat global running sum — proving the
+    * engine's bucket-histogram decomposition (built to avoid the global
+    * sort at scale) selects the identical document set. */
+  def textTokenBudget(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tokenBudget(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  val textTokenBudgetSql: String = {
+    val stop = TextAnalysis.markers.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+      |sc AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    least(len(toks) / 100.0, 1.0) * 0.4
+      |    + least((len(list_filter(toks, t -> list_contains(STOPLIST, t))) * 10.0) / len(toks), 1.0) * 0.4
+      |    + (1.0 - (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * 0.2
+      |    AS q
+      |  FROM t),
+      |d AS (
+      |  SELECT doc_id, n_tokens,
+      |    (CAST(floor(round(q, 9) * 10000) AS BIGINT) * 100000) // n_tokens
+      |      AS density_nano
+      |  FROM sc),
+      |r AS (
+      |  SELECT doc_id, n_tokens, density_nano,
+      |    SUM(n_tokens) OVER (ORDER BY density_nano DESC, doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM d)
+      |SELECT doc_id, n_tokens, density_nano,
+      |  cum <= (SELECT SUM(n_tokens) // 10 FROM d) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin.replace("STOPLIST", stop)
+  }
+
   def textLengthBand(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.lengthBand(Tables.documents(spark, sfDir))
       .orderBy(col("doc_id"))

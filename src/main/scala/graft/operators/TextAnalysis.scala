@@ -144,6 +144,68 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("qb"))
   }
 
+  /** Token-budget subset selection: keep the highest-quality-density
+    * documents (quality per token — the marginal value of each token
+    * spent) until the corpus token budget is exhausted, under the
+    * deterministic total order (density desc, doc_id asc) with a strict
+    * prefix rule (a document is kept iff the running token total THROUGH
+    * it stays within budget). The standard shape for "we can afford N
+    * tokens of pretraining data — which documents?".
+    *
+    * Engine portability: density is all-integer — the 9-dp-rounded
+    * quality is quantized to 1e4 buckets exactly as [[qualityFloor]]
+    * proves safe, scaled, and floor-divided by the token count — so no
+    * engine can disagree on the order or the running sums.
+    *
+    * Scale design: a global running sum normally needs a global sort into
+    * ONE partition; instead documents aggregate to their density-bucket
+    * histogram (≤ 10001 rows — bounded metadata at any corpus size), the
+    * budget line is located on that histogram, and only the ONE boundary
+    * bucket pays an exact per-document running sum (window over that
+    * bucket alone); every other bucket is kept or dropped wholesale by a
+    * broadcast join. Same histogram-cumsum trick as [[lengthBand]] /
+    * [[qualityFloor]], applied to a running-sum threshold. */
+  def tokenBudget(docs: DataFrame, budgetDiv: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetDiv >= 1, "need budgetDiv >= 1")
+    // n_tokens >= 1 always (split("") = [""]), so the prefix sums are
+    // strictly increasing and the wholesale keep/drop rules below are
+    // exact complements of the per-document rule.
+    val d = docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        floor(round(qualityExpr(col("text")), 9) * 10000)
+          .cast("long").as("qb"))
+      .withColumn("density_nano", expr("(qb * 100000) div n_tokens"))
+      .drop("qb")
+    val budget = d.agg(expr(s"sum(n_tokens) div $budgetDiv").as("budget"))
+    val bucketed = d.withColumn("bucket", expr("density_nano div 1000000"))
+    val hist = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bt"))
+    val wb = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = hist.withColumn("cum_thru", sum(col("bt")).over(wb))
+      .withColumn("cum_before", col("cum_thru") - col("bt"))
+      .crossJoin(broadcast(budget))
+      .select(col("bucket"), col("cum_before"), col("budget"),
+        when(col("cum_thru") <= col("budget"), "full")
+          .when(col("cum_before") >= col("budget"), "drop")
+          .otherwise("edge").as("state"))
+    val staged = bucketed.join(broadcast(tagged), "bucket")
+    val whole = staged.filter(col("state") =!= "edge")
+      .withColumn("keep", col("state") === "full")
+    // only boundary-bucket rows reach the window; its partition is one
+    // density bucket, not the corpus
+    val we = Window.partitionBy(col("bucket"))
+      .orderBy(col("density_nano").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val edge = staged.filter(col("state") === "edge")
+      .withColumn("keep",
+        col("cum_before") + sum(col("n_tokens")).over(we) <= col("budget"))
+    whole.unionByName(edge)
+      .select(col("doc_id"), col("n_tokens"), col("density_nano"),
+        col("keep"))
+  }
+
   /** Mean token rarity — the integer-exact stand-in for a unigram-LM
     * perplexity filter: for each document, the average CORPUS frequency of
     * its tokens. Boilerplate-heavy documents (all stopwords / template

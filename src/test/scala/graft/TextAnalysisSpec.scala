@@ -270,6 +270,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("tokenBudget keeps a greedy maximal prefix of the density order") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val out = TextAnalysis.tokenBudget(docs).cache()
+    assert(out.count() == docs.count(), "one audit row per document")
+    val total = out.agg(sum($"n_tokens")).head().getLong(0)
+    val budget = total / 10
+    val keptTokens = out.filter($"keep").agg(sum($"n_tokens"))
+      .head().getLong(0)
+    assert(keptTokens <= budget, s"$keptTokens exceeds budget $budget")
+    // the prefix rule makes keep monotone in the (density desc, doc_id)
+    // total order: once over budget, never kept again
+    val flags = out.orderBy($"density_nano".desc, $"doc_id")
+      .select($"keep").collect().map(_.getBoolean(0))
+    assert(!flags.sliding(2).exists(p => !p(0) && p.length == 2 && p(1)),
+      "keep flags form a contiguous prefix of the density order")
+    // greedy maximality: the FIRST dropped document would not have fit
+    val firstDroppedTokens = out.filter(!$"keep")
+      .orderBy($"density_nano".desc, $"doc_id")
+      .select($"n_tokens").head().getLong(0)
+    assert(keptTokens + firstDroppedTokens > budget,
+      "the selection is maximal: the next candidate overflows the budget")
+  }
+
   test("qualityFloor drops each language's bottom quartile independently") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val out = PipelineQueries.textQualityFloor(spark, TestSpark.sfDir)
