@@ -572,6 +572,33 @@ object PipelineQueries {
       |  CAST(len(list_filter(qs, x -> abs(x) = 127.0)) AS BIGINT) AS n_sat
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** Exact integer Gram matrix of the embedding corpus — the typed
+    * [[EmbeddingCompression.gramMatrix]] aggregator's sums replayed by a
+    * quadratic unnest-join in DuckDB (the oracle affords N·d² rows at
+    * sf0.01; the engine never materializes them at any scale). */
+  def embedCovariance(spark: SparkSession, sfDir: String): DataFrame =
+    EmbeddingCompression.gramMatrix(Tables.embeddings(spark, sfDir))
+      .orderBy(col("i"), col("j"))
+
+  val embedCovarianceSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |q AS (SELECT vec_id,
+      |        [CAST(round(x * 1000000.0, 0) AS BIGINT) FOR x IN v] AS qv
+      |      FROM e),
+      |x AS (SELECT vec_id, d, qv[d] AS x FROM q
+      |      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)),
+      |p AS (SELECT a.d AS i, b.d AS j, SUM(a.x * b.x) AS s_xy
+      |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d
+      |      GROUP BY 1, 2),
+      |s AS (SELECT d AS i, SUM(x) AS s FROM x GROUP BY 1)
+      |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+      |  CAST(p.s_xy AS BIGINT) AS s_xy, CAST(si.s AS BIGINT) AS s_i,
+      |  CAST(sj.s AS BIGINT) AS s_j,
+      |  (SELECT COUNT(*) FROM e) AS n
+      |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
+      |ORDER BY i, j""".stripMargin
+
   /** Projection-distortion audit — plane replay lives in
     * [[OracleSql.embedProjectSql]] (it owns the HUGEINT splitmix64
     * helpers). */

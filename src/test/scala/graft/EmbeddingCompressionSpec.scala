@@ -65,4 +65,36 @@ class EmbeddingCompressionSpec extends AnyFunSuite {
       .select("cos_orig", "cos_proj").as[(Double, Double)].head()
     assert(r == ((1.0, 1.0)))
   }
+
+  test("gramMatrix sums hand-checked moments at dim=2") {
+    val d = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = EmbeddingCompression.gramMatrix(d, dim = 2)
+      .orderBy($"i", $"j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val M = 1000000L
+    assert(rows.toSeq == Seq(
+      // s_xy: (1,1)=1+9, (1,2)=2-3, (2,2)=4+1 in 1e12 units
+      (1L, 1L, 10L * M * M, 4L * M, 4L * M, 2L),
+      (1L, 2L, -1L * M * M, 4L * M, 1L * M, 2L),
+      (2L, 2L, 5L * M * M, 1L * M, 1L * M, 2L)))
+  }
+
+  test("gramMatrix is partitioning-invariant with exact diagonal positivity") {
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val g1 = EmbeddingCompression.gramMatrix(e.repartition(1))
+      .orderBy($"i", $"j").collect()
+    val g32 = EmbeddingCompression.gramMatrix(e.repartition(32))
+      .orderBy($"i", $"j").collect()
+    assert(g1.sameElements(g32),
+      "integer buffer merge must be partitioning-invariant")
+    assert(g1.length == 64 * 65 / 2, "one row per upper-triangular pair")
+    val n = e.count()
+    g1.foreach { r =>
+      assert(r.getLong(5) == n)
+      if (r.getLong(0) == r.getLong(1))
+        assert(r.getLong(2) >= 0, "diagonal second moments are sums of squares")
+    }
+  }
 }
