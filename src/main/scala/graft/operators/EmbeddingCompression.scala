@@ -117,6 +117,63 @@ object EmbeddingCompression {
         expr(s"element_at(m, ${tri + dim + 1})").as("n"))
   }
 
+  /** Dominant eigenvector of the corpus second-moment matrix by fixed
+    * integer power iteration — the PCA-direction audit (where does the
+    * corpus put its variance mass?) computed without ever trusting float
+    * accumulation: the [[gramMatrix]] sums are exact integers, each power
+    * step multiplies the NANO-scaled vector by the n-averaged moment
+    * matrix in BIGINT, and renormalization is max-abs integer division
+    * with an explicit sign·(|w|·10⁹ div max|w|) form — truncation
+    * semantics every engine agrees on (a bare signed floor-vs-trunc
+    * division would differ between engines on negative components).
+    *
+    * Output: one row per dimension (d, v_nano, growth) — v_nano the
+    * eigenvector in NANO units (max-abs component = ±10⁹), growth the
+    * final step's max|M·v| (the un-normalized eigenvalue witness, equal
+    * on every row).
+    *
+    * Scale shape: the corpus is touched ONCE (the [[gramMatrix]]
+    * aggregation); all `iters` steps run on the d² moment table and the
+    * d-row vector — bounded metadata, checkpointed once, never the
+    * corpus. The same unrolled-integer-steps discipline as
+    * [[graft.Similarity.pageRank]], so the oracle replays every step as
+    * chained CTEs. */
+  def powerIteration(embeddings: DataFrame, dim: Int = 64, iters: Int = 12,
+      vecCol: String = "embedding"): DataFrame = {
+    // sign·(|s| div d) everywhere a signed value meets integer division:
+    // Spark's `div` truncates toward zero, DuckDB's `//` floors — they
+    // agree only on non-negative operands
+    val upper = gramMatrix(embeddings, dim, vecCol)
+      .select(col("i"), col("j"),
+        expr("IF(s_xy < 0, -1, 1) * (abs(s_xy) div (n * 1000000))")
+          .as("m"))
+    val mat = upper.unionByName(
+        upper.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("m")))
+      .localCheckpoint()
+    require(iters >= 1, "need iters >= 1")
+    val spark = embeddings.sparkSession
+    var v = spark.range(1, dim + 1).toDF("d")
+      .select(col("d"), lit(1000000000L).as("v"), lit(0L).as("mx"))
+    for (_ <- 1 to iters) {
+      // the step reads w twice (components + max-abs): checkpoint the
+      // d-row intermediates so the lazy plan cannot re-expand the whole
+      // iteration history 2^iters times
+      val w = mat.join(v, mat("j") === v("d"))
+        .groupBy(mat("i").as("d"))
+        .agg(sum(col("m") * col("v")).as("w"))
+        .localCheckpoint()
+      val mx = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("d"),
+          (when(col("w") < 0, -1L).otherwise(1L) *
+            expr("(CAST(abs(w) AS DECIMAL(38,0)) * 1000000000) div mx"))
+            .as("v"),
+          col("mx"))
+    }
+    v.select(col("d"), col("v").as("v_nano"), col("mx").as("growth"))
+  }
+
   /** Per-vector symmetric int8 quantization audit.
     * scale = max|x|/127; q_i = round(x_i/scale) (half-away-from-zero on
     * both engines); emitted: the scale, the worst |dequantized − original|

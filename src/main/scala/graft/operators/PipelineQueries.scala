@@ -599,6 +599,55 @@ object PipelineQueries {
       |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
       |ORDER BY i, j""".stripMargin
 
+  /** Dominant-eigenvector power iteration over the Gram matrix — all 12
+    * integer steps (multiply, max-abs, sign-safe renormalize) unrolled as
+    * chained CTEs, HUGEINT carrying what the engine carries in
+    * DECIMAL(38,0). */
+  def embedPowerIter(spark: SparkSession, sfDir: String): DataFrame =
+    EmbeddingCompression.powerIteration(Tables.embeddings(spark, sfDir))
+      .orderBy(col("d"))
+
+  val embedPowerIterSql: String = {
+    // MATERIALIZED: each step is referenced twice (components + max-abs)
+    // and reads the previous step — inlining would re-expand the chain
+    // 2^12 times down to the parquet scan
+    val steps = (1 to 12).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT mat.i AS d, SUM(CAST(mat.m AS HUGEINT) * v.v) AS w
+         |  FROM mat JOIN v${k - 1} v ON mat.j = v.d GROUP BY 1),
+         |m$k AS MATERIALIZED (
+         |  SELECT greatest(MAX(abs(w)), 1) AS mx FROM w$k),
+         |v$k AS MATERIALIZED (SELECT d,
+         |  (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+         |    * ((abs(w) * 1000000000) // (SELECT mx FROM m$k)) AS v,
+         |  (SELECT mx FROM m$k) AS mx FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |q AS (SELECT vec_id,
+       |        [CAST(round(x * 1000000.0, 0) AS BIGINT) FOR x IN v] AS qv
+       |      FROM e),
+       |x AS (SELECT vec_id, d, qv[d] AS x FROM q
+       |      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)),
+       |p AS (SELECT a.d AS i, b.d AS j, SUM(a.x * b.x) AS s_xy
+       |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d
+       |      GROUP BY 1, 2),
+       |nn AS (SELECT COUNT(*) AS n FROM e),
+       |up AS (SELECT i, j,
+       |         (CASE WHEN s_xy < 0 THEN -1 ELSE 1 END)
+       |           * (abs(s_xy) // ((SELECT n FROM nn) * 1000000)) AS m
+       |       FROM p),
+       |mat AS MATERIALIZED (
+       |        SELECT i, j, m FROM up
+       |        UNION ALL SELECT j, i, m FROM up WHERE i <> j),
+       |v0 AS (SELECT unnest(generate_series(1, 64)) AS d,
+       |       CAST(1000000000 AS HUGEINT) AS v, CAST(0 AS HUGEINT) AS mx),
+       |$steps
+       |SELECT CAST(d AS BIGINT) AS d, CAST(v AS BIGINT) AS v_nano,
+       |  CAST(mx AS BIGINT) AS growth
+       |FROM v12 ORDER BY d""".stripMargin
+  }
+
   /** Projection-distortion audit — plane replay lives in
     * [[OracleSql.embedProjectSql]] (it owns the HUGEINT splitmix64
     * helpers). */

@@ -81,6 +81,25 @@ class EmbeddingCompressionSpec extends AnyFunSuite {
       (2L, 2L, 5L * M * M, 1L * M, 1L * M, 2L)))
   }
 
+  test("powerIteration recovers the planted direction of a rank-1 corpus") {
+    val u = Array(1.0, 0.5, -0.25, 0.75)
+    val d = Seq(2.0, 3.0, -1.0, 1.5).zipWithIndex.map { case (c, i) =>
+      (i.toLong, u.map(x => (c * x).toFloat))
+    }.toDF("vec_id", "embedding")
+    val v = EmbeddingCompression.powerIteration(d, dim = 4, iters = 4)
+      .orderBy($"d").collect()
+    val got = v.map(_.getLong(1))
+    val want = u.map(x => math.round(x * 1e9))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) <= 20000,
+        s"component off: $g vs $w (rank-1 moments must align with u)")
+    }
+    assert(got.map(math.abs).max == 1000000000L,
+      "max-abs component is exactly NANO after renormalization")
+    assert(v.map(_.getLong(2)).distinct.length == 1 && v.head.getLong(2) > 0,
+      "growth is one positive scalar witness")
+  }
+
   test("gramMatrix is partitioning-invariant with exact diagonal positivity") {
     val e = Tables.embeddings(spark, TestSpark.sfDir)
     val g1 = EmbeddingCompression.gramMatrix(e.repartition(1))
