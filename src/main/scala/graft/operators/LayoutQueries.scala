@@ -50,6 +50,53 @@ object LayoutQueries {
       |               FOR bb IN generate_series(0, 15)]) AS BIGINT) AS zval
       |FROM n ORDER BY event_id""".stripMargin
 
+  /** Per-event Hilbert index over the same (time, value-cents) dims at
+    * 8 bits/dim: pins every unrolled xy2d level — rotation, swap, the
+    * quadrant offset — against a DuckDB replay of the identical walk.
+    * Like the z-value, the Hilbert index is a persisted layout key, so
+    * bit parity is the portability contract. */
+  def hilbertCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withDims(Tables.events(spark, sfDir))
+    val b = ZOrder.boundsOf(e, Seq("x_us", "y_c"))
+    def norm(name: String): org.apache.spark.sql.Column = {
+      val (mn, mx) = b(name)
+      val span = math.max(mx - mn, 1L)
+      expr(s"((($name) - ${mn}L) * 255L) div ${span}L")
+    }
+    Hilbert.withHilbert(
+        e.select(col("event_id"), norm("x_us").as("nx"), norm("y_c").as("ny")),
+        "nx", "ny", bits = 8, outCol = "hval")
+      .select(col("event_id"), col("hval"))
+      .orderBy(col("event_id"))
+  }
+
+  val hilbertCellsSql: String = {
+    val levels = (7 to 0 by -1).map { lvl =>
+      val s = 1L << lvl
+      s"""l$lvl AS (SELECT event_id,
+         |  CASE WHEN ((y >> $lvl) & 1) = 0 THEN
+         |    (CASE WHEN ((x >> $lvl) & 1) = 1 THEN ${s - 1} - y ELSE y END)
+         |  ELSE x END AS x,
+         |  CASE WHEN ((y >> $lvl) & 1) = 0 THEN
+         |    (CASE WHEN ((x >> $lvl) & 1) = 1 THEN ${s - 1} - x ELSE x END)
+         |  ELSE y END AS y,
+         |  d + ${s * s} * xor(3 * ((x >> $lvl) & 1), (y >> $lvl) & 1) AS d
+         |FROM l${lvl + 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS x,
+       |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+       |           FROM events),
+       |b AS (SELECT min(x) AS mnx, max(x) AS mxx,
+       |             min(y) AS mny, max(y) AS mxy FROM e),
+       |l8 AS (SELECT event_id,
+       |         ((x - mnx) * 255) // greatest(mxx - mnx, 1) AS x,
+       |         ((y - mny) * 255) // greatest(mxy - mny, 1) AS y,
+       |         CAST(0 AS BIGINT) AS d
+       |       FROM e CROSS JOIN b),
+       |$levels
+       |SELECT event_id, d AS hval FROM l0 ORDER BY event_id""".stripMargin
+  }
+
   /** End-to-end layout round-trip: events are z-order-clustered into 48
     * range files, zone maps are computed, and a 2-D rectangle predicate
     * (3 days × value band) is answered from the PRUNED file set only. The

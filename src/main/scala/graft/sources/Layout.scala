@@ -76,6 +76,77 @@ object ZOrder {
       .drop("__z")
 }
 
+/** Hilbert-curve clustering — the space-filling curve successor to
+  * [[ZOrder]] (Databricks liquid clustering, Iceberg's planned hilbert
+  * sort order): unlike Morton interleave, consecutive Hilbert indexes are
+  * always grid-adjacent, so range files cut from the curve are tighter
+  * rectangles and a 2-D predicate touches fewer files at the same file
+  * count.
+  *
+  * Same engine discipline as [[ZOrder.zvalue]]: pure 64-bit integer
+  * arithmetic (shifts, masks, xor, the exact same normalization `div`),
+  * fully codegen'd per-row expressions, no shuffle to compute the key —
+  * so the index is bit-reproducible across engines and safe as a
+  * persisted layout key. The classic xy2d walk is unrolled `bits` levels,
+  * one projection per level; every level's (x, y, d) references only the
+  * previous level's ATTRIBUTES, so the plan stays linear in `bits`, never
+  * exponential in expression size.
+  */
+object Hilbert {
+
+  /** Append Hilbert index `outCol` over two dimension columns already
+    * normalized to `[0, 2^bits)` (use [[ZOrder.boundsOf]] + the same
+    * `((v - min) * m) div span` normalization to get there). bits=8 →
+    * 65 536 cells, plenty for range-clustering into files while keeping
+    * the unrolled walk short. */
+  def withHilbert(df: DataFrame, xName: String, yName: String,
+      bits: Int = 8, outCol: String = "hval"): DataFrame = {
+    require(bits >= 1 && 2 * bits <= 62, "need 1 <= bits and 2*bits <= 62")
+    val tmp = Set("__hx", "__hy", "__hd")
+    require(!tmp.exists(df.columns.contains), "reserved __h* column present")
+    var cur = df.select(df.columns.map(col) :+
+      col(xName).cast("long").as("__hx") :+
+      col(yName).cast("long").as("__hy") :+
+      lit(0L).as("__hd"): _*)
+    for (lvl <- (bits - 1) to 0 by -1) {
+      val s = 1L << lvl
+      val rx = shiftright(col("__hx"), lvl).bitwiseAND(lit(1L))
+      val ry = shiftright(col("__hy"), lvl).bitwiseAND(lit(1L))
+      // ry=0 quadrants rotate: flip both coords when rx=1, then swap
+      val nx = when(ry === 0,
+        when(rx === 1, lit(s - 1) - col("__hy")).otherwise(col("__hy")))
+        .otherwise(col("__hx"))
+      val ny = when(ry === 0,
+        when(rx === 1, lit(s - 1) - col("__hx")).otherwise(col("__hx")))
+        .otherwise(col("__hy"))
+      val nd = col("__hd") + lit(s * s) * (rx * 3).bitwiseXOR(ry)
+      val others = cur.columns.filterNot(tmp).map(col)
+      cur = cur.select(others :+ nx.as("__hx") :+ ny.as("__hy") :+
+        nd.as("__hd"): _*)
+    }
+    val others = cur.columns.filterNot(tmp).map(col)
+    cur.select(others :+ col("__hd").as(outCol): _*)
+  }
+
+  /** Range-cluster by Hilbert index — drop-in alternative to
+    * [[ZOrder.cluster]] with the same one-shuffle cost and tighter file
+    * rectangles. Dimensions are normalized exactly as [[ZOrder.zvalue]]
+    * normalizes, then walked with [[withHilbert]]. */
+  def cluster(df: DataFrame, xDim: (String, Long, Long),
+      yDim: (String, Long, Long), nRanges: Int, bits: Int = 8): DataFrame = {
+    val m = (1L << bits) - 1
+    def norm(d: (String, Long, Long)): Column = {
+      val span = math.max(d._3 - d._2, 1L)
+      expr(s"(((${d._1}) - ${d._2}L) * ${m}L) div ${span}L")
+    }
+    val withN = df.withColumn("__nx0", norm(xDim)).withColumn("__ny0", norm(yDim))
+    withHilbert(withN, "__nx0", "__ny0", bits, "__h")
+      .repartitionByRange(nRanges, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__nx0", "__ny0", "__h")
+  }
+}
+
 /** File-level zone maps (per-file column min/max) + data-skipping reads —
   * the Iceberg/Delta manifest-stats idea for a path-based table: skip
   * files by METADATA, before any footer or row is touched. At 100 TB the

@@ -45,6 +45,43 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbert walk is a bijection onto 0..2^(2b)-1 with unit-step adjacency") {
+    // the defining curve property: consecutive indexes are grid neighbors
+    // (|dx| + |dy| = 1) — morton interleave fails this at every power-of-2
+    // boundary, which is exactly why hilbert files are tighter rectangles
+    val bits = 3
+    val n = 1 << bits
+    val grid = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val walked = Hilbert.withHilbert(grid, "x", "y", bits = bits)
+      .select($"hval", $"x", $"y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(walked.map(_._1).toSeq == (0L until (n.toLong * n)).toSeq,
+      "every cell gets a distinct index covering the full range")
+    walked.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"consecutive cells ($x1,$y1)->($x2,$y2) must be grid-adjacent")
+    }
+  }
+
+  test("hilbert cluster yields tighter per-file rectangles than a random layout") {
+    val n = 32
+    val pts = (0 until n).flatMap(x => (0 until n).map(y =>
+      (x.toLong * 1000 + y, x.toLong, y.toLong))).toDF("id", "x", "y")
+    val clustered = Hilbert.cluster(pts, ("x", 0L, n - 1L), ("y", 0L, n - 1L),
+      nRanges = 16, bits = 5)
+    // per-partition bounding boxes: hilbert ranges of 64 cells must be
+    // far tighter than the full 32x32 domain
+    val spans = clustered.withColumn("pid", spark_partition_id())
+      .groupBy($"pid")
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .collect().map(r => (r.getLong(1) + 1) * (r.getLong(2) + 1))
+    assert(spans.length == 16)
+    assert(spans.max <= 4 * 64,
+      s"a 64-cell hilbert range must span a bounded rectangle, got ${spans.max}")
+  }
+
   test("z-order + zone maps: 2-D rectangle reads few files, loses no rows") {
     val n = 20000
     val df = spark.range(n).select(
