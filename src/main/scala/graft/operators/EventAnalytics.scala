@@ -257,4 +257,128 @@ object EventAnalytics {
   def qAnomalousDays(spark: SparkSession, sfDir: String): DataFrame =
     anomalousDays(Tables.events(spark, sfDir))
       .orderBy(col("user_id"), col("day_idx"))
+
+  /** Time-series gap-fill with forward-fill: each user's daily value
+    * series expanded to EVERY day in their [first, last] active span,
+    * missing days carrying the last observed daily total forward (with a
+    * `filled` marker) — the resample step feature pipelines run before
+    * fixed-window models. All-integer cents so no engine disagrees.
+    *
+    * Scale shape: one (user, day) aggregate, one bounded per-user span
+    * expansion (`sequence` explode — output rows = user spans, the same
+    * cardinality any calendar join produces), one ignore-nulls window
+    * per user. Shuffles are keyed on user_id throughout; nothing global.
+    */
+  def gapFill(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.groupBy(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val span = daily.groupBy(col("user_id"))
+      .agg(min(col("day_idx")).as("d0"), max(col("day_idx")).as("d1"))
+    val calendar = span.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"))).as("day_idx"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(daily, Seq("user_id", "day_idx"), "left")
+      .select(col("user_id"), col("day_idx"),
+        last(col("cents"), ignoreNulls = true).over(w).as("cents"),
+        col("cents").isNull.as("filled"))
+  }
+
+  val gapFillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS day_idx,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |cal AS (
+      |  SELECT user_id, unnest(generate_series(min(day_idx), max(day_idx)))
+      |    AS day_idx
+      |  FROM daily GROUP BY user_id)
+      |SELECT cal.user_id, cal.day_idx,
+      |  last_value(daily.cents IGNORE NULLS) OVER (
+      |    PARTITION BY cal.user_id ORDER BY cal.day_idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents,
+      |  daily.cents IS NULL AS filled
+      |FROM cal LEFT JOIN daily
+      |  ON cal.user_id = daily.user_id AND cal.day_idx = daily.day_idx
+      |ORDER BY cal.user_id, cal.day_idx""".stripMargin
+
+  def qGapFill(spark: SparkSession, sfDir: String): DataFrame =
+    gapFill(Tables.events(spark, sfDir))
+      .orderBy(col("user_id"), col("day_idx"))
+
+  /** SCD2 history build: collapse each user's event stream into type-2
+    * dimension rows — one row per consecutive run of the tracked
+    * attribute (event_type), with [valid_from, valid_to) timestamps, the
+    * observation count, and an is_current marker on the open row. The
+    * standard warehouse shape for "what was this entity's state at time
+    * t", produced with the islands trick (change marker → running island
+    * id → per-island envelope).
+    *
+    * Determinism: the per-user order is (ts, event_id) — a total order —
+    * and island envelopes inherit it, so the history is unique and
+    * hash-stable on any engine.
+    *
+    * Scale shape: two windows and one aggregate, all partitioned by
+    * user_id — per-user state only, no global sort, no collect. */
+  def scd2(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg", when(
+        lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+        .otherwise(0L))
+      .withColumn("grp", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val islands = marked.groupBy(col("user_id"), col("grp"))
+      .agg(max(col("event_type")).as("attr"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_obs"))
+    val w2 = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("grp"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .select(col("user_id"), col("attr"), col("valid_from"),
+        col("valid_to"), col("n_obs"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  val scd2Sql: String =
+    """WITH m AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT user_id, ts, event_type,
+      |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS grp
+      |  FROM m),
+      |i AS (
+      |  SELECT user_id, grp, max(event_type) AS attr,
+      |    min(ts) AS valid_from, count(*) AS n_obs
+      |  FROM g GROUP BY 1, 2)
+      |SELECT user_id, attr, valid_from,
+      |  lead(valid_from) OVER w2 AS valid_to,
+      |  CAST(n_obs AS BIGINT) AS n_obs,
+      |  lead(valid_from) OVER w2 IS NULL AS is_current
+      |FROM i
+      |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, grp)
+      |ORDER BY user_id, valid_from, grp""".stripMargin
+
+  def qScd2(spark: SparkSession, sfDir: String): DataFrame =
+    scd2(Tables.events(spark, sfDir))
+      .orderBy(col("user_id"), col("valid_from"), col("attr"))
 }

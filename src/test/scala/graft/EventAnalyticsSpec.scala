@@ -100,4 +100,55 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (w0, 1L, 1L), // u1 retained one week later
       (w1, 0L, 1L), (w1, 2L, 1L)), s"got $r")
   }
+
+  test("gapFill carries the last daily total across missing days") {
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 2.50),
+      (1L, ts("2024-01-01 10:00:00"), 1.00), // day 0: 350 cents
+      (1L, ts("2024-01-04 08:00:00"), 5.00), // day 3: 500 cents, gap 2
+      (2L, ts("2024-01-02 12:00:00"), 9.99)  // single-day user: no fill
+    ).toDF("user_id", "ts", "value")
+    val r = EventAnalytics.gapFill(events)
+      .orderBy($"user_id", $"day_idx")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val d0 = 19723L // days from 1970-01-01 to 2024-01-01
+    assert(r == Seq(
+      (1L, d0, 350L, false),
+      (1L, d0 + 1, 350L, true),
+      (1L, d0 + 2, 350L, true),
+      (1L, d0 + 3, 500L, false),
+      (2L, d0 + 1, 999L, false)), s"got $r")
+  }
+
+  test("scd2 collapses attribute runs into history rows with one open row") {
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10L, "view"),
+      (1L, ts("2024-01-01 10:00:00"), 11L, "view"),
+      (1L, ts("2024-01-02 09:00:00"), 12L, "buy"),
+      (1L, ts("2024-01-03 09:00:00"), 13L, "view"),
+      (2L, ts("2024-01-01 09:00:00"), 20L, "buy")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = EventAnalytics.scd2(events)
+      .orderBy($"user_id", $"valid_from")
+      .as[(Long, String, Timestamp, Option[Timestamp], Long, Boolean)]
+      .collect().toSeq
+    assert(r == Seq(
+      (1L, "view", ts("2024-01-01 09:00:00"),
+        Some(ts("2024-01-02 09:00:00")), 2L, false),
+      (1L, "buy", ts("2024-01-02 09:00:00"),
+        Some(ts("2024-01-03 09:00:00")), 1L, false),
+      (1L, "view", ts("2024-01-03 09:00:00"), None, 1L, true),
+      (2L, "buy", ts("2024-01-01 09:00:00"), None, 1L, true)), s"got $r")
+    // history invariant: per user, ranges tile without overlap and only
+    // the last row is open
+    val fx = EventAnalytics.scd2(Tables.events(spark, TestSpark.sfDir)).cache()
+    val users = fx.groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when($"is_current", 1L).otherwise(0L))
+        .as("open"))
+    assert(users.filter($"open" =!= 1L).count() == 0,
+      "exactly one current row per user")
+    val overlap = fx.filter(!$"is_current" && $"valid_to" < $"valid_from")
+    assert(overlap.count() == 0, "closed ranges never run backwards")
+  }
 }
