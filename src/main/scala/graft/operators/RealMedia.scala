@@ -262,6 +262,101 @@ object RealMedia {
         col("n_px"), col("px_sum"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** One perceptual-hash row per image: the 64 dHash bits split into two
+    * unsigned 32-bit halves (hash_lo = bits 0–31, hash_hi = 32–63) so no
+    * engine has to reason about the sign bit of a full 64-bit value. */
+  final case class PhashRow(doc_id: Long, hash_lo: Long, hash_hi: Long)
+
+  /** dHash (difference hash) from REAL pixels: nearest-neighbor resample
+    * to a 9×8 luma grid (the same explicit integer sampling as
+    * [[resizeFeatures]]; luma = (299r + 587g + 114b) div 1000), bit
+    * (x, y) set iff the right neighbor is brighter — the standard
+    * near-duplicate image fingerprint (robust to rescaling and small
+    * edits, cheap enough to run per-image at corpus scale).
+    *
+    * All arithmetic is non-negative integers, so the DuckDB oracle
+    * replays the grid from the generator's closed-form pixels and must
+    * land on the identical 64 bits — which cross-validates the whole
+    * decode → resample → luma path, not just dimensions. */
+  def dhashFeatures(media: DataFrame): Dataset[PhashRow] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(Multimodal.BatchSize).flatMap(_.map {
+        case (id, payload) =>
+          val img = decode(id, payload)
+          val (w, h) = (img.getWidth, img.getHeight)
+          def luma(tx: Int, ty: Int): Int = {
+            val p = img.getRGB(tx * w / 9, ty * h / 8)
+            (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff)
+              + 114 * (p & 0xff)) / 1000
+          }
+          var lo = 0L
+          var hi = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (luma(x + 1, y) > luma(x, y)) {
+                val idx = y * 8 + x
+                if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          PhashRow(id, lo, hi)
+      }))
+  }
+
+  /** Per-image dHash + the size of its exact-hash duplicate group — the
+    * image-dedup report (group size 1 = unique). The grouping shuffle is
+    * keyed on the 64-bit hash: bounded-width keys at any corpus size. */
+  def phashRealQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = dhashFeatures(readStaged(spark, stage(spark, sfDir))).toDF()
+    val groups = hashed.groupBy(col("hash_lo"), col("hash_hi"))
+      .agg(count(lit(1)).as("n_dups"))
+    hashed.join(groups, Seq("hash_lo", "hash_hi"))
+      .select(col("doc_id"), col("hash_lo"), col("hash_hi"), col("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The dHash grid replayed from the closed-form pixels: same 9×8
+    * nearest-neighbor sampling, same integer luma, same bit packing. */
+  val phashRealSql: String =
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+      |                  8 + (doc_id // 9) % 9 AS h FROM documents),
+      |g AS (SELECT doc_id, w, h, x,
+      |        unnest(generate_series(0, 7)) AS y
+      |      FROM (SELECT doc_id, w, h,
+      |              unnest(generate_series(0, 8)) AS x FROM d)),
+      |lum AS (SELECT doc_id, x, y,
+      |          (299 * ((doc_id*7 + sx*3 + sy*5) % 256)
+      |         + 587 * ((doc_id*11 + sx*5 + sy*7) % 256)
+      |         + 114 * ((doc_id*13 + sx*7 + sy*11) % 256)) // 1000 AS l
+      |        FROM (SELECT doc_id, x, y, (x * w) // 9 AS sx,
+      |                (y * h) // 8 AS sy FROM g)),
+      |bits AS (SELECT a.doc_id, a.y * 8 + a.x AS idx,
+      |           CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+      |         FROM lum a JOIN lum b
+      |           ON a.doc_id = b.doc_id AND b.x = a.x + 1 AND b.y = a.y
+      |         WHERE a.x < 8),
+      |hs AS (SELECT doc_id,
+      |         CAST(SUM(CASE WHEN idx < 32
+      |           THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+      |           AS BIGINT) AS hash_lo,
+      |         CAST(SUM(CASE WHEN idx >= 32
+      |           THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END)
+      |           AS BIGINT) AS hash_hi
+      |       FROM bits GROUP BY doc_id),
+      |grp AS (SELECT hash_lo, hash_hi, COUNT(*) AS n_dups
+      |        FROM hs GROUP BY 1, 2)
+      |SELECT hs.doc_id, hs.hash_lo, hs.hash_hi,
+      |  CAST(grp.n_dups AS BIGINT) AS n_dups
+      |FROM hs JOIN grp ON hs.hash_lo = grp.hash_lo
+      |  AND hs.hash_hi = grp.hash_hi
+      |ORDER BY hs.doc_id""".stripMargin
+
   /** Strip i covers source rows [(i·h) div 4, ((i+1)·h) div 4). */
   val framesRealSql: String =
     """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,

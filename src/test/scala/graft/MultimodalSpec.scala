@@ -131,6 +131,34 @@ class RealMediaSpec extends AnyFunSuite {
     assert(messages.exists(_.contains("doc_id=7")),
       "error must name the offending row")
   }
+
+  test("dHash is invariant under 2x nearest-neighbor upscale") {
+    // the defining perceptual-hash property the exact px_sum does NOT
+    // have: a rescaled copy of an image fingerprints identically, because
+    // floor(floor(t*2w/9)/2) = floor(t*w/9) for every sample point
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      try ImageIO.write(img, "png", ios) finally ios.close()
+      bos.toByteArray
+    }
+    val w = 11; val h = 9
+    val base = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      base.setRGB(x, y, ((x * 37 + y * 101) % 256) * 65793) // gray ramp
+    val up = new BufferedImage(2 * w, 2 * h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2 * h; x <- 0 until 2 * w)
+      up.setRGB(x, y, base.getRGB(x / 2, y / 2))
+    val media = Seq((1L, png(base)), (2L, png(up))).toDF("doc_id", "payload")
+    val hs = RealMedia.dhashFeatures(media).collect()
+      .map(r => r.doc_id -> ((r.hash_lo, r.hash_hi))).toMap
+    assert(hs(1L) == hs(2L),
+      s"upscaled copy must fingerprint identically: ${hs(1L)} vs ${hs(2L)}")
+    assert(hs(1L) != ((0L, 0L)), "ramp image must set some bits")
+  }
 }
 
 class MultimodalNonAsciiSpec extends org.scalatest.funsuite.AnyFunSuite {
