@@ -996,6 +996,50 @@ object PipelineQueries {
       |FROM r ORDER BY doc_id""".stripMargin.replace("STOPLIST", stop)
   }
 
+  /** TextRank keywords — co-occurrence graph and all five weighted
+    * integer power steps unrolled as MATERIALIZED CTEs (the
+    * [[OracleSql.simPagerankSql]] discipline over tokens). */
+  def textTextrank(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.textrank(Tables.documents(spark, sfDir))
+      .orderBy(col("rank"))
+
+  val textTextrankSql: String = {
+    val stop = TextAnalysis.markers.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    val steps = (1 to 5).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.tok,
+         |    (SELECT b FROM base) + 85 * COALESCE(s.s, 0) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS tok,
+         |      CAST(SUM((CAST(p.r AS HUGEINT) * e.w) // e.outw) AS BIGINT) AS s
+         |    FROM edges e JOIN r${i - 1} p ON e.src = p.tok
+         |    GROUP BY 1) s ON n.tok = s.tok)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ft AS (SELECT list_filter(string_split(text, ' '),
+       |    t -> len(t) >= 3 AND NOT list_contains($stop, t)) AS f
+       |  FROM documents),
+       |pr AS (SELECT least(x.u, x.v) AS a, greatest(x.u, x.v) AS b
+       |       FROM (SELECT unnest([{'u': f[i], 'v': f[i+1]}
+       |                            FOR i IN generate_series(1, len(f) - 1)])
+       |               AS x FROM ft)),
+       |und AS (SELECT a, b, COUNT(*) AS w FROM pr WHERE a <> b GROUP BY 1, 2),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst, w, SUM(w) OVER (PARTITION BY src) AS outw FROM (
+       |    SELECT a AS src, b AS dst, w FROM und
+       |    UNION ALL SELECT b, a, w FROM und)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS tok FROM edges),
+       |base AS (SELECT (CAST(1000000000 AS BIGINT) * 15 // 100)
+       |           // greatest(COUNT(*), 1) AS b FROM nodes),
+       |r0 AS (SELECT tok, CAST(1000000000 AS BIGINT)
+       |         // greatest((SELECT COUNT(*) FROM nodes), 1) AS r
+       |       FROM nodes),
+       |$steps
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY r DESC, tok) AS BIGINT)
+       |    AS rank,
+       |  tok, CAST(r AS BIGINT) AS r_nano
+       |FROM r5 ORDER BY r DESC, tok LIMIT 30""".stripMargin
+  }
+
   def textLengthBand(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.lengthBand(Tables.documents(spark, sfDir))
       .orderBy(col("doc_id"))

@@ -206,6 +206,64 @@ object TextAnalysis {
         col("keep"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word co-occurrence graph — nodes are content tokens (≥ 3 chars,
+    * not an English stopword), edges join tokens ADJACENT in the filtered
+    * sequence, weighted by corpus co-occurrence count. Five weighted
+    * power steps in integer NANO units (contribution r·w div w_out, the
+    * [[graft.Similarity.pageRank]] discipline), top `k` tokens emitted.
+    *
+    * Scale shape: the edge list aggregates map-side to distinct token
+    * pairs (vocabulary-bounded, not corpus-bounded); each power step is
+    * one src-keyed join plus one dst-keyed aggregate over that bounded
+    * graph; the final top-k is TakeOrdered. The corpus is scanned ONCE
+    * (edge extraction); the iteration never touches it again. */
+  def textrank(docs: DataFrame, iters: Int = 5, k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val NANO = 1000000000L
+    val stop = markers.head._2
+    val filtered = filter(tokens(col("text")),
+      t => length(t) >= 3 && !t.isInCollection(stop))
+    val pairs = docs.select(filtered.as("ft"))
+      .select(explode(arrays_zip(
+        slice(col("ft"), lit(1), greatest(size(col("ft")) - 1, lit(0))).as("x"),
+        slice(col("ft"), lit(2), greatest(size(col("ft")) - 1, lit(0))).as("y")))
+        .as("p"))
+      .select(least(col("p.x"), col("p.y")).as("a"),
+        greatest(col("p.x"), col("p.y")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .withColumn("outw",
+        sum(col("w")).over(Window.partitionBy(col("src"))))
+      .repartition(col("src"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("tok")).distinct()
+      .repartition(col("tok"))
+      .localCheckpoint()
+    val n = nodes.count()
+    val base = (NANO * 15L / 100L) / math.max(n, 1L)
+    var r = nodes.withColumn("r", lit(NANO / math.max(n, 1L)))
+    for (_ <- 1 to iters) {
+      // DECIMAL(38,0) for the product: r ≤ NANO but w/outw are corpus
+      // co-occurrence counts with no fixed bound
+      val contrib = edges
+        .join(r.withColumnRenamed("tok", "src"), "src")
+        .select(col("dst"),
+          expr("(CAST(r AS DECIMAL(38,0)) * w) div outw").as("c"))
+      val s = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = nodes.join(s, nodes("tok") === s("dst"), "left")
+        .select(col("tok"),
+          (lit(base) +
+            expr("85 * coalesce(s, CAST(0 AS BIGINT)) div 100")).as("r"))
+    }
+    val w = Window.orderBy(col("r").desc, col("tok").asc)
+    r.orderBy(col("r").desc, col("tok").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("tok"), col("r").as("r_nano"))
+  }
+
   /** Mean token rarity — the integer-exact stand-in for a unigram-LM
     * perplexity filter: for each document, the average CORPUS frequency of
     * its tokens. Boilerplate-heavy documents (all stopwords / template

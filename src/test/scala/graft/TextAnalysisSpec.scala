@@ -293,6 +293,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       "the selection is maximal: the next candidate overflows the budget")
   }
 
+  test("textrank ranks the co-occurrence hub above peripheral tokens") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha delta"),
+      (4L, "epsilon zeta")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.textrank(docs, k = 10).cache()
+    val byTok = r.collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(byTok("alpha") > byTok("beta"),
+      "the hub outranks its spokes")
+    assert(byTok("alpha") > byTok("epsilon"),
+      "the hub outranks isolated-pair tokens")
+    assert(r.filter($"tok" === "the").count() == 0, "stopwords never rank")
+    // integer iteration is deterministic
+    val again = TextAnalysis.textrank(docs, k = 10).collect()
+      .map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(again == byTok)
+  }
+
   test("qualityFloor drops each language's bottom quartile independently") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val out = PipelineQueries.textQualityFloor(spark, TestSpark.sfDir)
