@@ -24,12 +24,26 @@ object Bench {
     // neighbors' timed runs: at sf1 the queries following the 280 s uncapped
     // simhash baseline measured 10-100x their isolated warm times until the
     // debt was paid down. GC cost lands between timings, not inside them.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Blocking unpersist of every leaked cache/localCheckpoint: each run
+    // of a checkpointing query pins NEW storage blocks (the previous
+    // run's are only reclaimed asynchronously by the ContextCleaner), so
+    // without this eviction the suite accumulates storage debt that
+    // shrinks execution memory and inflates later queries 3-4x (measured:
+    // sim_pagerank 14.1 s in-suite vs 4.5 s isolated before the fix).
+    def evict(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      evict()
       try { fn(spark, sfDir).count() } catch {
         case NonFatal(e) =>
           System.err.println(s"WARN bench warm-up of $name failed: $e")
       }
+      // evict the warm run's own checkpoints too: the timed run rebuilds
+      // its DataFrames from scratch and must not inherit storage pressure
+      evict()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case NonFatal(e) =>
