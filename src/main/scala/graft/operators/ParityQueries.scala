@@ -422,6 +422,45 @@ object ParityQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Zero-copy shallow clone end-to-end: events are written through a
+    * versioned sink, [[TableSink.shallowCloneTo]] creates an O(metadata)
+    * clone (no data copied — CloneSpec pins that), a deterministic batch
+    * (event_id < 5 relabeled 'cloned_batch') is appended to the CLONE,
+    * and the aggregate runs through the clone's mixed-root manifest read.
+    * The oracle replays source + batch directly from the fixture, so a
+    * hash match proves the clone loses nothing, duplicates nothing, and
+    * sees its own appends — while the source table stays at its original
+    * row count (pinned by the spec, not the hash). */
+  def tableClone(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val base = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val src = new TableSink(SinkConfig(
+      tableName = "events_clone_src", warehousePath = base,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity))))
+    src.append(e)
+    val clone = src.shallowCloneTo(SinkConfig(
+      tableName = "events_clone_dst", warehousePath = base))
+    clone.append(e.filter($"event_id" < 5)
+      .withColumn("event_type", lit("cloned_batch")))
+    clone.read(spark)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"event_type")
+  }
+
+  val tableCloneSql: String =
+    """WITH base AS (
+      |  SELECT event_type, value FROM events
+      |  UNION ALL
+      |  SELECT 'cloned_batch' AS event_type, value FROM events
+      |  WHERE event_id < 5)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** [[sinkRoundtrip]] through the `fileFormat = orc` knob (§2.4): same
     * hidden-partition write, same aggregate oracle. The oracle never touches
     * the ORC files themselves (DuckDB compares the query's parquet output);

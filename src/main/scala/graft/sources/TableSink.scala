@@ -336,15 +336,41 @@ final class TableSink(val config: SinkConfig) {
       .split("\n").filter(_.nonEmpty).toIndexedSeq
   }
 
+  /** Shallow-clone sidecar: the source table root whose ABSOLUTE manifest
+    * entries this table references (absent for ordinary tables). */
+  private[graft] def cloneBasePath: Option[String] = {
+    val p = logPath.resolve("clone_base")
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p).trim)
+    else None
+  }
+
   private def readFiles(spark: SparkSession, rels: Seq[String]): DataFrame = {
     // an empty file set cannot infer a schema — an empty diff (e.g.
     // readChanges(v, v)) borrows the live table's schema instead
     if (rels.isEmpty) read(spark).limit(0)
     else {
-      val files = rels.map(rel => s"${config.tablePath}/$rel")
-      val r = spark.read.format(config.fileFormat)
-        .option("basePath", config.tablePath)
-      config.tableSchema.fold(r)(s => r.schema(s)).load(files: _*)
+      def load(files: Seq[String], base: String): DataFrame = {
+        val r = spark.read.format(config.fileFormat)
+          .option("basePath", base)
+        config.tableSchema.fold(r)(s => r.schema(s)).load(files: _*)
+      }
+      // a shallow clone's manifest mixes ABSOLUTE entries (the source's
+      // files, partition-deriving against the source root) with relative
+      // entries (files this table appended itself): each group loads with
+      // its own basePath and the groups union — Spark requires basePath
+      // to be an ancestor of every loaded path, so one load cannot span
+      // two roots
+      val (ext, local) = rels.partition(_.startsWith("/"))
+      val parts = Seq(
+        if (local.isEmpty) None
+        else Some(load(local.map(rel => s"${config.tablePath}/$rel"),
+          config.tablePath)),
+        if (ext.isEmpty) None
+        else Some(load(ext, cloneBasePath.getOrElse(sys.error(
+          "manifest has absolute entries but no clone_base sidecar"))))
+      ).flatten
+      parts.reduce(_ unionByName _)
     }
   }
 
@@ -630,11 +656,14 @@ final class TableSink(val config: SinkConfig) {
       if (config.versioned && snapshotVersions().nonEmpty)
         manifestFiles(snapshotVersions().last)
       else listDataFiles()
-    val root = java.util.regex.Pattern.quote(
-      java.nio.file.Paths.get(config.tablePath).toAbsolutePath.toString)
+    // strip this table's root AND (for shallow clones) the source root,
+    // so cloned files report the same partition spine as local ones
+    val roots = (java.nio.file.Paths.get(config.tablePath)
+        .toAbsolutePath.toString +: cloneBasePath.toSeq)
+      .map(java.util.regex.Pattern.quote).mkString("(", "|", ")")
     readFiles(spark, rels)
       .groupBy(regexp_replace(
-          regexp_replace(col("_metadata.file_path"), s"^file:.*?$root/?", ""),
+          regexp_replace(col("_metadata.file_path"), s"^file:.*?$roots/?", ""),
           "/?[^/]+$", "").as("partition"),
         col("_metadata.file_path").as("fp"))
       .agg(count(lit(1)).as("n"),
@@ -931,6 +960,52 @@ final class TableSink(val config: SinkConfig) {
     * overwrite: Spark refuses to overwrite a path that is still being
     * lazily read.
     */
+  /** Zero-copy shallow clone (Delta `SHALLOW CLONE` / Iceberg snapshot-ref
+    * semantics): the clone is a NEW versioned table whose v1 manifest
+    * references the source head's data files by ABSOLUTE path — an
+    * O(metadata) operation that copies no data. From then on the tables
+    * diverge independently: appends to the clone land in the clone's own
+    * directory (its manifests mix absolute source entries with local
+    * ones), and the first rewriting op (upsert/delete/compact) fully
+    * materializes the clone — after which it no longer references the
+    * source at all. The source never observes the clone.
+    *
+    * Guards (refuse rather than silently diverge):
+    *  - source must be versioned with a non-empty head (the clone
+    *    contract is "the head snapshot", and an empty manifest cannot
+    *    seed a readable table);
+    *  - no pending merge-on-read deletes on the source head — sidecars
+    *    live in the SOURCE's log, which the clone does not read; compact
+    *    the source first so the cloned manifest already reflects them;
+    *  - no re-cloning a clone: its manifest mixes two roots and a
+    *    grandchild would need per-root basePaths; clone the original.
+    */
+  def shallowCloneTo(destConfig: SinkConfig): TableSink = {
+    require(config.versioned, "shallow clone requires a versioned source")
+    require(cloneBasePath.isEmpty,
+      "cannot clone a clone; clone the original table instead")
+    val head = snapshotVersions().lastOption
+      .getOrElse(sys.error("shallow clone requires at least one snapshot"))
+    require(!hasPendingDeletes(head),
+      "source head has pending merge-on-read deletes; compact() it first")
+    val files = manifestFiles(head)
+    require(files.nonEmpty, "cannot shallow-clone an empty table")
+    val srcRoot =
+      java.nio.file.Paths.get(config.tablePath).toAbsolutePath.toString
+    val abs = files.map(rel =>
+      if (rel.startsWith("/")) rel else s"$srcRoot/$rel")
+    val dest = new TableSink(destConfig.copy(versioned = true,
+      fileFormat = config.fileFormat,
+      partitionSpec = config.partitionSpec,
+      tableSchema = config.tableSchema))
+    java.nio.file.Files.createDirectories(dest.logPath)
+    java.nio.file.Files.writeString(
+      dest.logPath.resolve("v00001.list"), abs.mkString("\n"))
+    java.nio.file.Files.writeString(
+      dest.logPath.resolve("clone_base"), srcRoot)
+    dest
+  }
+
   def upsert(df: DataFrame, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     requireNoStreamingLog()
@@ -1172,6 +1247,15 @@ final class TableSink(val config: SinkConfig) {
     * already pins the read shape.
     */
   def read(spark: SparkSession, mergeSchema: Boolean = false): DataFrame = {
+    // a shallow clone has no data under its own directory: its live state
+    // IS the head manifest (absolute source entries + local appends), so
+    // the read goes through the manifest, never the directory listing
+    cloneBasePath match {
+      case Some(_) if snapshotVersions().nonEmpty &&
+          manifestFiles(snapshotVersions().last).nonEmpty =>
+        return readVersion(spark, snapshotVersions().last)
+      case _ => ()
+    }
     val r0 = spark.read.format(config.fileFormat)
     val r = if (mergeSchema) r0.option("mergeSchema", "true") else r0
     val df = config.tableSchema.fold(r)(s => r.schema(s)).load(config.tablePath)
