@@ -225,6 +225,64 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** PPJoin-style word-set similarity self-join (Xiao et al. 2008 prefix
+    * filtering): pairs of documents whose DISTINCT-word Jaccard ≥ 1/2,
+    * found without examining every token-sharing pair (threshold as an
+    * exact rational tn/td — default 4/5, which on a shared-vocabulary
+    * corpus is the line between "same template" and "everything matches
+    * everything"). Under any global token order, two sets with J ≥ t must
+    * share a token within their first |T| − ⌈t·|T|⌉ + 1 tokens (the
+    * prefix) — so posting lists are
+    * built over PREFIXES only, ordered rarest-token-first (df asc, token
+    * asc), which puts high-df stopword-like tokens outside most prefixes
+    * and collapses the candidate count the full posting lists would
+    * explode. The filter is LOSSLESS: the DuckDB oracle computes the
+    * exact quadratic answer and must match.
+    *
+    * All threshold math is integer (prefix length
+    * sz − ((tn·sz + td − 1) div td) + 1, final test
+    * inter·(td + tn) ≥ tn·(n_a + n_b) ⟺ J ≥ tn/td), so no float boundary
+    * can disagree between engines.
+    *
+    * Scale shape: one df aggregate (token-keyed), one per-doc rank window
+    * (doc-keyed), prefix posting-list pair explosion (the PPJoin win:
+    * bounded by prefix df, not token df), then the intersection count is
+    * computed ONLY for candidate pairs by routing each pair through its
+    * two documents' token lists (two id-keyed joins) — never an all-pairs
+    * stage. */
+  def ppjoinWords(docs: DataFrame, tn: Int = 4, td: Int = 5): DataFrame = {
+    require(tn >= 1 && td > tn, "need a threshold 0 < tn/td < 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .withColumn("sz", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"))))
+    val prefix = ranked
+      .filter(expr(s"rn <= sz - (($tn * sz + ${td - 1}) div $td) + 1"))
+      .select(col("doc_id"), col("tok"), col("sz"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sz").as("n_a"), col("b.sz").as("n_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(toks.select(col("doc_id").as("id_a"), col("tok")), Seq("id_a"))
+      .join(toks.select(col("doc_id").as("id_b"), col("tok")),
+        Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .filter(expr(s"inter * ${td + tn} >= $tn * (n_a + n_b)"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("n_a"), col("n_b"),
+        round(col("inter").cast("double")
+          / (col("n_a") + col("n_b") - col("inter")), 9).as("jaccard9"))
+  }
+
   /** MinHash signature: element i = min over shingles of xxhash64(sh, i) —
     * native one-pass kernel (see [[VectorExpressions.MinhashSig]]). */
   def minhashSignature(spark: org.apache.spark.sql.SparkSession,

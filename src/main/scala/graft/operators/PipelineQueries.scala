@@ -213,6 +213,29 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** PPJoin word-set similarity — the oracle is the EXACT quadratic
+    * Jaccard answer (threshold 4/5), so a hash match proves the prefix
+    * filter loses no pair (the PPJoin losslessness theorem, end-to-end). */
+  def dedupPpjoin(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ppjoinWords(Tables.documents(spark, sfDir))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupPpjoinSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |      FROM toks a JOIN toks b
+      |        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+      |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 9) AS jaccard9
+      |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |WHERE 9 * inter >= 4 * (sa.n + sb.n)
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** SimHash — splitmix64 token hashes replayed by
     * [[OracleSql.dedupSimhashSql]] (hash-checked). */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =

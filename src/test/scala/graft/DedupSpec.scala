@@ -299,6 +299,34 @@ class DedupSpec extends AnyFunSuite {
     assert(off == 0, "true Jaccard stays in [0, 1]")
   }
 
+  test("ppjoin prefix filter is lossless vs the exact quadratic answer") {
+    val out = Dedup.ppjoinWords(docs).cache()
+    // exact quadratic recomputation over distinct word sets
+    val toks = docs.select($"doc_id",
+      explode(array_distinct(split($"text", " "))).as("tok"))
+    val sz = toks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val exact = toks.as("a").join(toks.as("b"),
+        $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sz.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .filter($"inter" * 9 >= ($"n_a" + $"n_b") * 4)
+    assert(out.count() == exact.count(),
+      "prefix filtering must find exactly the exact-threshold pairs")
+    val missed = exact.join(out.select($"id_a", $"id_b"),
+      Seq("id_a", "id_b"), "left_anti").count()
+    assert(missed == 0, "no qualifying pair may be lost")
+    // the efficiency claim: prefixes are strictly smaller than full sets
+    val fullPostings = toks.count()
+    val prefixLen = sz.agg(sum(expr("n - ((4 * n + 4) div 5) + 1")))
+      .head().getLong(0)
+    assert(prefixLen < fullPostings / 2,
+      s"prefix postings $prefixLen must be well under full $fullPostings")
+  }
+
   test("split leakage keeps exactly the cross-split LSH pairs, splits " +
        "agreeing with the published assignment") {
     val leak = PipelineQueries
