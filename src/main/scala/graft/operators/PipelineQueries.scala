@@ -215,15 +215,25 @@ object PipelineQueries {
 
   /** PPJoin word-set similarity — the oracle is the EXACT quadratic
     * Jaccard answer (threshold 4/5), so a hash match proves the prefix
-    * filter loses no pair (the PPJoin losslessness theorem, end-to-end). */
+    * filter loses no pair (the PPJoin losslessness theorem, end-to-end).
+    *
+    * The harness query runs over a FIXED-SIZE audit slice (doc_id < 500):
+    * the synthetic corpus is template-heavy enough that ~24% of ALL pairs
+    * clear J ≥ 4/5, so any fixed-FRACTION sample's result still grows
+    * quadratically with cluster size (measured 2.9M true pairs / 99 s for
+    * a 5k-doc slice at gen sf1) — a cost no algorithm avoids WRITING.
+    * The fixed slice keeps the audit scale-invariant; the operator itself
+    * is corpus-wide and its cost is the true pair count. */
   def dedupPpjoin(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.ppjoinWords(Tables.documents(spark, sfDir))
+    Dedup.ppjoinWords(Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 500))
       .orderBy(col("id_a"), col("id_b"))
 
   val dedupPpjoinSql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-      |  FROM documents),
+      |  FROM documents
+      |  WHERE doc_id < 500),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       |      FROM toks a JOIN toks b
