@@ -629,6 +629,86 @@ object StreamPipeline {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-user idle-session state for the timer processor. */
+  final case class IdleState(n: Long, lastMs: Long)
+
+  /** EVENT-TIME TIMERS — the `transformWithState` capability the legacy
+    * (flat)MapGroupsWithState pair cannot express: emit a user's session
+    * summary ONLY when the watermark proves the user has been idle past
+    * `gapMs` of event time. Each batch re-arms a single per-user timer at
+    * (latest event + gap); [[StatefulProcessor.handleExpiredTimer]] fires
+    * when the watermark crosses it, emits (user, n_events, last_ms), and
+    * clears the state — bounded state with an explicit, watermark-driven
+    * close, deterministic under any batching (processing-time timers are
+    * not). Spec-backed (StreamingSpec): timers are about WHICH rows emit
+    * WHEN, which no batch SQL oracle can replay. */
+  private class IdleSessions(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[IdleState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[IdleState]("idle",
+        org.apache.spark.sql.Encoders.product[IdleState], TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      var s = Option(st.get()).getOrElse(IdleState(0L, 0L))
+      rows.foreach { case (_, ts) =>
+        s = IdleState(s.n + 1, math.max(s.lastMs, ts.getTime)) }
+      st.update(s)
+      // exactly one live timer per user, re-armed at latest-event + gap
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(s.lastMs + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      val s = st.get()
+      st.clear()
+      Iterator.single((user, s.n, s.lastMs))
+    }
+  }
+
+  /** Drive [[IdleSessions]] over an events-shaped stream (must carry a
+    * `ts` TIMESTAMP column): emits one (user_id, n_events, last_ms) row
+    * per CLOSED idle session. Same RocksDB conf dance as
+    * [[transformWithStateOver]]. */
+  def idleSessionsOver(spark: SparkSession, stream: DataFrame,
+      gapMs: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val name = "stream_timer_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ev = stream
+      .withWatermark("ts", "0 seconds")
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)]
+    val out = ev.groupByKey(_._1)
+      .transformWithState(new IdleSessions(gapMs), TimeMode.EventTime(),
+        OutputMode.Append())
+    shuffleConfLock.synchronized {
+      val shuffleKey = "spark.sql.shuffle.partitions"
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevShuffle = spark.conf.get(shuffleKey)
+      val prevProvider = spark.conf.getOption(providerKey)
+      spark.conf.set(shuffleKey, "8")
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = out.toDF("user_id", "n_events", "last_ms")
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        spark.conf.set(shuffleKey, prevShuffle)
+        prevProvider.fold(spark.conf.unset(providerKey))(
+          spark.conf.set(providerKey, _))
+      }
+    }
+    spark.table(name).orderBy($"user_id", $"last_ms")
+  }
+
   /** Stream-static enrichment — the remaining classic streaming join
     * shape next to [[streamStreamJoin]]: each micro-batch of the event
     * stream joins a STATIC dimension (per-user cohort week, computed once

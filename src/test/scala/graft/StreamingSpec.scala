@@ -200,6 +200,39 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("event-time timers close idle sessions exactly once (transformWithState)") {
+    // three files -> three micro-batches; user 1 goes idle, user 2 keeps
+    // the watermark advancing. The timer must fire for user 1 exactly
+    // once (watermark past last-event + gap) and never for user 2 (still
+    // live at end of stream).
+    val srcDir = new java.io.File(TestSpark.tmpDir("timer_src"))
+    srcDir.mkdirs()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def stage(name: String, mtime: Long,
+        data: (Long, java.sql.Timestamp)*): Unit = {
+      val tmp = TestSpark.tmpDir(s"timer_$name")
+      data.toDF("user_id", "ts").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(srcDir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtime))
+    }
+    stage("a", 1000000L,
+      (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:05:00")))
+    stage("b", 2000000L, (2L, t("2024-01-01 12:00:00")))
+    stage("c", 3000000L, (2L, t("2024-01-01 12:01:00")))
+    val stream = spark.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val got = StreamPipeline
+      .idleSessionsOver(spark, stream, gapMs = 30L * 60 * 1000)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, t("2024-01-01 10:05:00").getTime)),
+      s"exactly one closed session, for the idle user only: $got")
+  }
+
   test("streaming sink is exactly-once across a checkpointed restart") {
     val cfg = SinkConfig(
       tableName = "events_stream",
