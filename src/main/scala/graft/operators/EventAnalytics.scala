@@ -381,4 +381,79 @@ object EventAnalytics {
   def qScd2(spark: SparkSession, sfDir: String): DataFrame =
     scd2(Tables.events(spark, sfDir))
       .orderBy(col("user_id"), col("valid_from"), col("attr"))
+
+  /** Point-in-time (PIT) join against the [[scd2]] dimension — the
+    * feature-store primitive: for every (user, day-boundary) probe, the
+    * attribute that was valid AT that instant, resolved by the half-open
+    * [valid_from, valid_to) containment rule (open rows match everything
+    * after valid_from). Probes are each user's day boundaries from their
+    * first event day + 1 through their last (the same calendar
+    * [[gapFill]] expands) — probes before a user's first event correctly
+    * match nothing and are dropped by the inner containment join.
+    *
+    * Scale shape: the dimension is per-user history (bounded by change
+    * count, not event count); the join keys on user_id and the range
+    * predicate fans out only within a user's own history rows — a
+    * per-user interval lookup, never a cross join. */
+  def pitJoin(events: DataFrame): DataFrame = {
+    val hist = scd2(events)
+    val daily = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+    // single-day users have no interior boundary: filtered here because
+    // Spark's sequence() rejects start > stop (DuckDB's generate_series
+    // returns empty — same final result)
+    val probes = daily.filter(col("d1") > col("d0"))
+      .select(col("user_id"),
+        explode(sequence(date_add(col("d0"), 1), col("d1"))).as("probe_day"))
+      .withColumn("probe_ts", col("probe_day").cast("timestamp"))
+    probes.join(hist, Seq("user_id"))
+      .filter(col("valid_from") <= col("probe_ts") &&
+        (col("valid_to").isNull || col("probe_ts") < col("valid_to")))
+      .select(col("user_id"),
+        datediff(col("probe_day"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_idx"),
+        col("attr"))
+  }
+
+  val pitJoinSql: String =
+    """WITH m AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT user_id, ts, event_type,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM m),
+      |i AS (
+      |  SELECT user_id, grp, max(event_type) AS attr,
+      |    min(ts) AS valid_from
+      |  FROM g GROUP BY 1, 2),
+      |hist AS (
+      |  SELECT user_id, attr, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id
+      |      ORDER BY valid_from, grp) AS valid_to
+      |  FROM i),
+      |probes AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(d0 + 1, d1, INTERVAL 1 DAY)) AS probe_day
+      |  FROM (SELECT user_id, CAST(min(ts) AS DATE) AS d0,
+      |          CAST(max(ts) AS DATE) AS d1
+      |        FROM events GROUP BY 1))
+      |SELECT p.user_id,
+      |  CAST(date_diff('day', DATE '1970-01-01', CAST(p.probe_day AS DATE))
+      |    AS BIGINT) AS day_idx,
+      |  h.attr
+      |FROM probes p JOIN hist h ON p.user_id = h.user_id
+      |WHERE h.valid_from <= CAST(p.probe_day AS TIMESTAMP)
+      |  AND (h.valid_to IS NULL
+      |       OR CAST(p.probe_day AS TIMESTAMP) < h.valid_to)
+      |ORDER BY p.user_id, day_idx""".stripMargin
+
+  def qPitJoin(spark: SparkSession, sfDir: String): DataFrame =
+    pitJoin(Tables.events(spark, sfDir))
+      .orderBy(col("user_id"), col("day_idx"))
 }

@@ -1029,6 +1029,70 @@ object PipelineQueries {
       |FROM r ORDER BY doc_id""".stripMargin.replace("STOPLIST", stop)
   }
 
+  /** Per-source OLS trend: the least-squares slope of quality (nano
+    * units) against document length (tokens) within each source — the
+    * drift monitor that answers "does this source's quality degrade as
+    * documents grow?" before a length-capped ingest bakes the bias in.
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²): the moments are EXACT
+    * integer sums (order-free, partition-invariant), and the slope is
+    * emitted in integer NANO units via sign-safe DECIMAL(38,0)/HUGEINT
+    * floor division — a double division here measured 1 ulp apart
+    * between engines, which the all-integer form cannot do. Sources with
+    * a degenerate x-variance report NULL. Scale shape: one
+    * map-side-partial aggregate keyed by source; no window, no join. */
+  def textSourceTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("x"),
+      floor(round(TextAnalysis.qualityExpr(col("text")), 9) * 1000000000L)
+        .cast("long").as("y"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("num", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .select(col("source"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"),
+        when(col("den") > 0, expr(
+          "IF(num < 0, -1L, 1L) * ((abs(num) * 1000000000) div den)"))
+          .as("slope_e9"))
+      .orderBy(col("source"))
+  }
+
+  val textSourceTrendSql: String = {
+    val stop = TextAnalysis.markers.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    """WITH t AS (
+      |  SELECT source, string_split(text, ' ') AS toks, text FROM documents),
+      |d AS (
+      |  SELECT source, CAST(len(toks) AS BIGINT) AS x,
+      |    CAST(floor(round(
+      |      least(len(toks) / 100.0, 1.0) * 0.4
+      |      + least((len(list_filter(toks, t -> list_contains(STOPLIST, t))) * 10.0) / len(toks), 1.0) * 0.4
+      |      + (1.0 - (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * 0.2,
+      |      9) * 1000000000) AS BIGINT) AS y
+      |  FROM t),
+      |m AS (
+      |  SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      |  FROM d GROUP BY 1),
+      |s2 AS (
+      |  SELECT source, n, sx, sy, sxx, sxy,
+      |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+      |  FROM m)
+      |SELECT source, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+      |  CAST(sy AS BIGINT) AS sy, CAST(sxx AS BIGINT) AS sxx,
+      |  CAST(sxy AS BIGINT) AS sxy,
+      |  CAST(CASE WHEN den > 0 THEN
+      |    (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+      |      * ((abs(num) * 1000000000) // den)
+      |  END AS BIGINT) AS slope_e9
+      |FROM s2 ORDER BY source""".stripMargin.replace("STOPLIST", stop)
+  }
+
   /** TextRank keywords — co-occurrence graph and all five weighted
     * integer power steps unrolled as MATERIALIZED CTEs (the
     * [[OracleSql.simPagerankSql]] discipline over tokens). */

@@ -120,6 +120,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (2L, d0 + 1, 999L, false)), s"got $r")
   }
 
+  test("pitJoin resolves the day-boundary state from the SCD2 ranges") {
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10L, "view", 1.0),
+      (1L, ts("2024-01-01 10:00:00"), 11L, "view", 1.0),
+      (1L, ts("2024-01-02 09:00:00"), 12L, "buy", 1.0),
+      (1L, ts("2024-01-03 09:00:00"), 13L, "view", 1.0),
+      (2L, ts("2024-01-01 09:00:00"), 20L, "buy", 1.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val r = EventAnalytics.pitJoin(events)
+      .orderBy($"user_id", $"day_idx")
+      .as[(Long, Long, String)].collect().toSeq
+    val d0 = 19723L // 2024-01-01
+    assert(r == Seq(
+      (1L, d0 + 1, "view"), // midnight Jan 2: still in the first view run
+      (1L, d0 + 2, "buy")   // midnight Jan 3: inside the buy range
+    ), s"got $r — single-day user 2 has no interior boundary")
+  }
+
   test("scd2 collapses attribute runs into history rows with one open row") {
     val events = Seq(
       (1L, ts("2024-01-01 09:00:00"), 10L, "view"),

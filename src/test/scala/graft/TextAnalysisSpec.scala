@@ -293,6 +293,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       "the selection is maximal: the next candidate overflows the budget")
   }
 
+  test("sourceTrend slope matches a BigInt re-derivation from raw moments") {
+    val r = PipelineQueries
+      .textSourceTrend(spark, TestSpark.sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (n, sx, sy, sxx, sxy) = (BigInt(row.getLong(1)),
+        BigInt(row.getLong(2)), BigInt(row.getLong(3)),
+        BigInt(row.getLong(4)), BigInt(row.getLong(5)))
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      if (den > 0) {
+        val want = (num.sign.toLong *
+          ((num.abs * BigInt(1000000000)) / den)).toLong
+        assert(!row.isNullAt(6) && row.getLong(6) == want,
+          s"source ${row.getString(0)}: slope must equal the exact form")
+      } else assert(row.isNullAt(6), "degenerate variance reports NULL")
+    }
+  }
+
   test("textrank ranks the co-occurrence hub above peripheral tokens") {
     val docs = Seq(
       (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha delta"),
