@@ -498,6 +498,46 @@ object OracleSql {
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** RRF replay for [[graft.Similarity.rrfFusion]] at k=10, k₀=60: the
+    * exact broadcast-probe top-10 and the [[simAnnLshSql]] candidate
+    * chain, unioned, integer-scored 10⁹//(60+rank), re-ranked. */
+  val simRrfSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v,
+       |  ${hyperplaneSigList("v")} AS hs
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, hs AS qhs FROM sig WHERE vec_id < 5),
+       |ex AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT q.query_id, s.vec_id AS neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |      ORDER BY round(list_cosine_similarity(q.qv, s.v), 9) DESC,
+       |               s.vec_id) AS BIGINT) AS rank
+       |  FROM sig s, q WHERE s.vec_id <> q.query_id)
+       |  WHERE rank <= 10),
+       |an AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY c.cos DESC, c.neighbor_id) AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT q.query_id, s.vec_id AS neighbor_id,
+       |      round(list_cosine_similarity(q.qv, s.v), 9) AS cos
+       |    FROM sig s, q
+       |    WHERE s.vec_id <> q.query_id
+       |      AND len(list_filter([s.hs[t] = q.qhs[t] FOR t IN generate_series(1, 8)],
+       |                          x -> x)) > 0) c)
+       |  WHERE rank <= 10),
+       |u AS (SELECT * FROM ex UNION ALL SELECT * FROM an),
+       |f AS (SELECT query_id, neighbor_id,
+       |        CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_nano,
+       |        CAST(COUNT(*) AS BIGINT) AS n_lists
+       |      FROM u GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, rrf_nano, n_lists, rank FROM (
+       |  SELECT query_id, neighbor_id, rrf_nano, n_lists,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_nano DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM f)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------ JL projection
   /** splitmix64(k) as a scalar HUGEINT chain (the simhash replay runs the
     * same stages over token lists; this one runs them over the plane

@@ -543,6 +543,15 @@ object PipelineQueries {
     Similarity.pageRank(Tables.embeddings(spark, sfDir))
       .orderBy(col("rank"))
 
+  /** Reciprocal-rank fusion of the exact and ANN rankers — both input
+    * rankings, the integer scores, and the fused re-rank replayed by
+    * [[OracleSql.simRrfSql]] (hash-checked). */
+  def simRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    Similarity.rrfFusion(e, e.filter(col("vec_id") < 5), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-node triangles + clustering coefficient over the mutual-kNN
     * graph — orientation, wedge closure, and the NANO coefficient all
     * replayed by [[OracleSql.simTrianglesSql]] (hash-checked). */

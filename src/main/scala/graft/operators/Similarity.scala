@@ -476,6 +476,35 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of the exact and the
+    * LSH-ANN rankers: fused score = Σ_lists 1/(k₀ + rank), the standard
+    * way a retrieval stack combines rankers with incomparable scores
+    * (here: exhaustive cosine and bucket-routed ANN — their cosines agree
+    * but their COVERAGE differs, which is what fusion smooths). Scores
+    * are integer NANO units (10⁹ div (k₀+rank)), so the fused ranking is
+    * engine-exact; ties break on neighbor id.
+    *
+    * Scale shape: both input rankings are (probe × k)-bounded; the fuse
+    * is one groupBy on (query, neighbor) plus a per-query top-k window
+    * over ≤ 2k candidates. The expensive parts are the two rankers,
+    * already scale-shaped ([[topK]] broadcast probes, [[annTopK]] bucket
+    * routing). */
+  def rrfFusion(corpus: DataFrame, queries: DataFrame, k: Int,
+      k0: Int = 60): DataFrame = {
+    val lists = topK(corpus, queries, k)
+      .unionByName(annTopK(corpus, queries, k))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_nano").desc, col("neighbor_id"))
+    lists
+      .withColumn("s", expr(s"1000000000 div ($k0 + rank)"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("s")).as("rrf_nano"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rrf_nano"),
+        col("n_lists"), col("rank").cast("long").as("rank"))
+  }
+
   /** DuckDB oracle for [[centroidClassify]] at the same `dim` — generated,
     * not hardcoded, so the Spark slice and the SQL generate_series bound
     * stay pinned to the same dimension. */

@@ -231,6 +231,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hn.filter($"rank" > 5).count() == 0)
   }
 
+  test("rrfFusion: agreement between rankers dominates the fused order") {
+    val q = emb.filter($"vec_id" < 5)
+    val fused = Similarity.rrfFusion(emb, q, k = 10).cache()
+    assert(fused.groupBy($"query_id").count()
+      .filter($"count" =!= 10).count() == 0, "10 fused results per query")
+    val exact = Similarity.topK(emb, q, k = 10)
+    val both = fused.filter($"n_lists" === 2).count()
+    assert(both > 0, "the two rankers agree on some neighbors")
+    // integer scores: every rrf_nano is a sum of 1..2 terms of 1e9/(60+r)
+    val legal = (1 to 10).map(r => 1000000000L / (60 + r))
+    val sums = legal.toSet ++
+      (for (a <- legal; b <- legal) yield a + b)
+    fused.collect().foreach { r =>
+      assert(sums.contains(r.getLong(2)),
+        s"rrf_nano ${r.getLong(2)} must be a legal term sum")
+    }
+    assert(exact.count() == 50)
+  }
+
   test("knnClassify confusion matrix covers exactly the vectors with neighbors") {
     val m = Similarity.knnClassify(emb, k = 5, maxBucket = Some(64)).cache()
     val classified = m.agg(org.apache.spark.sql.functions.sum($"n"))
