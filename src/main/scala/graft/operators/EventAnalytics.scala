@@ -456,4 +456,102 @@ object EventAnalytics {
   def qPitJoin(spark: SparkSession, sfDir: String): DataFrame =
     pitJoin(Tables.events(spark, sfDir))
       .orderBy(col("user_id"), col("day_idx"))
+
+  /** RFM (recency / frequency / monetary) customer scoring — the classic
+    * segmentation every activation pipeline starts from. Per user:
+    * days-since-last-event (vs the corpus's last day), event count, and
+    * exact cents; each dimension scored 1–5 by population quintile with
+    * the all-integer boundary rule score = 1 + (users_strictly_below · 5)
+    * div n — ties share a score, no float percentile to disagree on.
+    * Recency inverts (6 − score): most-RECENT users score 5.
+    *
+    * Scale design: quintiles normally need a global sort; instead each
+    * dimension aggregates to its value histogram — recency is bounded by
+    * the corpus day span, frequency by per-user activity, monetary is
+    * pre-bucketed to 1000-cent steps — the cumulative runs over that
+    * bounded histogram, and scores broadcast back, the same
+    * [[TextAnalysis.lengthBand]] shape three times over. */
+  def rfm(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.select(col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val refDay = daily.agg(max(col("day")).as("ref_day"))
+    val base = daily.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+      .crossJoin(broadcast(refDay))
+      .select(col("user_id"), (col("ref_day") - col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary_cents"),
+        expr("monetary_cents div 1000").as("mb"))
+    def quintile(metric: String): DataFrame = {
+      val hist = base.groupBy(col(metric).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum_le", sum(col("cnt")).over(w))
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("nu"))))
+        .select(col("v"),
+          (expr("((cum_le - cnt) * 5) div nu") + 1).as(s"score_$metric"))
+    }
+    base
+      .join(broadcast(quintile("recency_days")),
+        base("recency_days") === col("v")).drop("v")
+      .join(broadcast(quintile("frequency")),
+        base("frequency") === col("v")).drop("v")
+      .join(broadcast(quintile("mb")), base("mb") === col("v")).drop("v")
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        (lit(6L) - col("score_recency_days")).as("r"),
+        col("score_frequency").as("f"), col("score_mb").as("m"))
+      .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
+  }
+
+  val rfmSql: String =
+    """WITH daily AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |base AS (
+      |  SELECT user_id,
+      |    (SELECT MAX(day) FROM daily) - MAX(day) AS recency_days,
+      |    COUNT(*) AS frequency, SUM(cents) AS monetary_cents,
+      |    SUM(cents) // 1000 AS mb
+      |  FROM daily GROUP BY 1),
+      |nu AS (SELECT COUNT(*) AS nu FROM base),
+      |qr AS (SELECT v, ((cum_le - cnt) * 5) // (SELECT nu FROM nu) + 1 AS s
+      |       FROM (SELECT recency_days AS v, COUNT(*) AS cnt,
+      |               SUM(COUNT(*)) OVER (ORDER BY recency_days
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                 AS cum_le
+      |             FROM base GROUP BY 1)),
+      |qf AS (SELECT v, ((cum_le - cnt) * 5) // (SELECT nu FROM nu) + 1 AS s
+      |       FROM (SELECT frequency AS v, COUNT(*) AS cnt,
+      |               SUM(COUNT(*)) OVER (ORDER BY frequency
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                 AS cum_le
+      |             FROM base GROUP BY 1)),
+      |qm AS (SELECT v, ((cum_le - cnt) * 5) // (SELECT nu FROM nu) + 1 AS s
+      |       FROM (SELECT mb AS v, COUNT(*) AS cnt,
+      |               SUM(COUNT(*)) OVER (ORDER BY mb
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                 AS cum_le
+      |             FROM base GROUP BY 1))
+      |SELECT b.user_id, b.recency_days,
+      |  CAST(b.frequency AS BIGINT) AS frequency,
+      |  CAST(b.monetary_cents AS BIGINT) AS monetary_cents,
+      |  CAST(6 - qr.s AS BIGINT) AS r, CAST(qf.s AS BIGINT) AS f,
+      |  CAST(qm.s AS BIGINT) AS m,
+      |  CAST((6 - qr.s) * 100 + qf.s * 10 + qm.s AS BIGINT) AS rfm
+      |FROM base b
+      |JOIN qr ON b.recency_days = qr.v
+      |JOIN qf ON b.frequency = qf.v
+      |JOIN qm ON b.mb = qm.v
+      |ORDER BY b.user_id""".stripMargin
+
+  def qRfm(spark: SparkSession, sfDir: String): DataFrame =
+    rfm(Tables.events(spark, sfDir)).orderBy(col("user_id"))
 }

@@ -138,6 +138,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     ), s"got $r — single-day user 2 has no interior boundary")
   }
 
+  test("rfm scores are population quintiles with inverted recency") {
+    val r = EventAnalytics.rfm(Tables.events(spark, TestSpark.sfDir)).cache()
+    // scores live in 1..5
+    Seq("r", "f", "m").foreach { c =>
+      assert(r.filter(r(c) < 1 || r(c) > 5).count() == 0, s"$c in 1..5")
+    }
+    // monotone: a strictly higher frequency can never score LOWER
+    val byF = r.select($"frequency", $"f").distinct()
+      .orderBy($"frequency").collect().map(x => (x.getLong(0), x.getLong(1)))
+    byF.sliding(2).foreach { case Array((f1, s1), (f2, s2)) =>
+      assert(f1 >= f2 || s1 <= s2, s"freq $f1->$f2 but score $s1->$s2")
+    }
+    // recency inversion: the user(s) active on the corpus's LAST day get 5
+    val best = r.filter($"recency_days" === 0).select($"r").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(best == Seq(5L), "most recent users take the top recency score")
+    // composite packs the three digits
+    assert(r.filter($"rfm" =!=
+      $"r" * 100 + $"f" * 10 + $"m").count() == 0)
+  }
+
   test("scd2 collapses attribute runs into history rows with one open row") {
     val events = Seq(
       (1L, ts("2024-01-01 09:00:00"), 10L, "view"),
