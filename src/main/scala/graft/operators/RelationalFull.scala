@@ -214,4 +214,60 @@ object RelationalFull {
       |    SELECT n_nationkey FROM nation
       |    WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13'))
       |ORDER BY s_name""".stripMargin
+
+  /** ABC / Pareto analysis of part revenue — the inventory-management
+    * classic: rank parts by discounted revenue, take the running share of
+    * the total, and band A (first 80%), B (to 95%), C (tail). Revenue is
+    * exact DECIMAL carried in integer 10⁻⁴-currency units, the class
+    * boundaries are integer cross-products (cum·100 vs total·80 in
+    * DECIMAL(38,0)), so no share ratio is ever floated.
+    *
+    * Scale shape: one map-side-partial aggregate over lineitem keyed on
+    * partkey, then the rank/cumsum window runs over the PART DIMENSION
+    * (catalog-sized, not fact-sized) — the standard ABC shape; the fact
+    * table is touched once. */
+  def abcAnalysis(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg((sum(expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))" +
+          " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+        * 10000).cast("long").as("revenue_e4"))
+    val w = Window.orderBy(col("revenue_e4").desc, col("l_partkey"))
+    val cumw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_e4", sum(col("revenue_e4")).over(cumw))
+      .crossJoin(broadcast(rev.agg(sum(col("revenue_e4")).as("tot_e4"))))
+      .withColumn("abc_class",
+        when(expr("CAST(cum_e4 AS DECIMAL(38,0)) * 100 <= CAST(tot_e4 AS DECIMAL(38,0)) * 80"), "A")
+          .when(expr("CAST(cum_e4 AS DECIMAL(38,0)) * 100 <= CAST(tot_e4 AS DECIMAL(38,0)) * 95"), "B")
+          .otherwise("C"))
+      .select(col("l_partkey"), col("revenue_e4"), col("rank"),
+        col("cum_e4"), col("abc_class"))
+  }
+
+  val abcAnalysisSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |      * 10000 AS BIGINT) AS revenue_e4
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT l_partkey, revenue_e4,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+      |    CAST(SUM(revenue_e4) OVER (ORDER BY revenue_e4 DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_e4,
+      |    (SELECT SUM(revenue_e4) FROM rev) AS tot
+      |  FROM rev
+      |  WINDOW w AS (ORDER BY revenue_e4 DESC, l_partkey))
+      |SELECT l_partkey, revenue_e4, rank, cum_e4,
+      |  CASE WHEN CAST(cum_e4 AS HUGEINT) * 100 <= CAST(tot AS HUGEINT) * 80
+      |       THEN 'A'
+      |       WHEN CAST(cum_e4 AS HUGEINT) * 100 <= CAST(tot AS HUGEINT) * 95
+      |       THEN 'B' ELSE 'C' END AS abc_class
+      |FROM r ORDER BY rank""".stripMargin
 }

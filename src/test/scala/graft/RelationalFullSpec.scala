@@ -57,4 +57,26 @@ class RelationalFullSpec extends AnyFunSuite {
       .select($"s_name")
     assert(out.join(inNations, Seq("s_name"), "left_anti").count() == 0)
   }
+
+  test("abc analysis: bands partition the ranking with A the head") {
+    val out = RelationalFull.abcAnalysis(spark, sf).cache()
+    val parts = Tables.lineitem(spark, sf).select($"l_partkey")
+      .distinct().count()
+    assert(out.count() == parts, "one row per part with lineitems")
+    // the ranking is a permutation and cum is monotone along it
+    val ranked = out.orderBy($"rank")
+      .select($"cum_e4", $"abc_class").collect()
+    assert(ranked.map(_.getLong(0)).sliding(2)
+      .forall(p => p.length < 2 || p(0) <= p(1)), "cum monotone")
+    // classes are contiguous bands A..B..C along the rank order
+    val classes = ranked.map(_.getString(1)).toSeq.distinct
+    assert(classes == classes.sorted, s"bands out of order: $classes")
+    // Pareto head: class A holds at most 80% of revenue with fewer parts
+    // than its revenue share (the whole point of the analysis)
+    val a = out.filter($"abc_class" === "A")
+    val total = out.agg(sum($"revenue_e4")).head().getLong(0)
+    val aRev = a.agg(sum($"revenue_e4")).head().getLong(0)
+    assert(BigInt(aRev) * 100 <= BigInt(total) * 80)
+    assert(a.count() < parts, "A never swallows the whole catalog")
+  }
 }
