@@ -433,6 +433,20 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Source-matrix replay: the [[dedupMinhashSql]] pair chain, each side
+    * labeled with its document's source, pair canonicalized by source
+    * name, counted per cell. */
+  val dedupSourceMatrixSql: String =
+    s"""$minhashCandCte,
+       |lab AS (SELECT e.id_a, e.id_b,
+       |          least(da.source, db.source) AS src_a,
+       |          greatest(da.source, db.source) AS src_b
+       |        FROM est e
+       |        JOIN documents da ON da.doc_id = e.id_a
+       |        JOIN documents db ON db.doc_id = e.id_b)
+       |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Triangle replay for [[graft.Similarity.triangleStats]]: the
     * [[knnGraphCte]] mutual pairs (id-ordered = the compact-forward
     * orientation), wedges closed by the third edge, per-node counts and

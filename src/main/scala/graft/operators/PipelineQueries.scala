@@ -213,6 +213,29 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Cross-source near-duplicate matrix: MinHash near-dup pair counts per
+    * (source, source) cell — the corpus-health report that localizes
+    * WHERE duplication lives (mirrored feeds show up as a hot
+    * off-diagonal cell; within-crawl boilerplate as a hot diagonal).
+    * Cells are canonicalized by source-name order. Scale shape: the
+    * LSH pair set (already bounded) + two id-keyed label joins + one
+    * bounded (≤ sources²) aggregate. Replayed stage for stage by
+    * [[OracleSql.dedupSourceMatrixSql]] (hash-checked). */
+  def dedupSourceMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val lab = docs.select(col("doc_id"), col("source"))
+    Dedup.minhashLsh(docs)
+      .join(lab.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        Seq("id_a"))
+      .join(lab.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** PPJoin word-set similarity — the oracle is the EXACT quadratic
     * Jaccard answer (threshold 4/5), so a hash match proves the prefix
     * filter loses no pair (the PPJoin losslessness theorem, end-to-end).

@@ -299,6 +299,16 @@ class DedupSpec extends AnyFunSuite {
     assert(off == 0, "true Jaccard stays in [0, 1]")
   }
 
+  test("source matrix cells sum to the LSH pair count, canonical order") {
+    val m = PipelineQueries
+      .dedupSourceMatrix(spark, TestSpark.sfDir).cache()
+    val total = m.agg(sum($"n_pairs")).head().getLong(0)
+    assert(total == Dedup.minhashLsh(docs).count(),
+      "every near-dup pair lands in exactly one cell")
+    assert(m.filter($"src_a" > $"src_b").count() == 0,
+      "cells are canonicalized by source-name order")
+  }
+
   test("ppjoin prefix filter is lossless vs the exact quadratic answer") {
     val out = Dedup.ppjoinWords(docs).cache()
     // exact quadratic recomputation over distinct word sets
