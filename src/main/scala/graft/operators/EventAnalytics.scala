@@ -554,4 +554,82 @@ object EventAnalytics {
 
   def qRfm(spark: SparkSession, sfDir: String): DataFrame =
     rfm(Tables.events(spark, sfDir)).orderBy(col("user_id"))
+
+  /** Robust outlier days by median absolute deviation — the companion to
+    * [[anomalousDays]]' z-score: MAD shrugs off the very outliers that
+    * inflate a standard deviation, so a user with one enormous spike
+    * still gets that spike flagged (σ-based tests famously mask it).
+    * Medians are the exact LOWER median (the element at rank
+    * (n+1) div 2 under (value, day) order — a concrete total order both
+    * engines replay; no midpoint averaging, no float). A day is an
+    * outlier when |x − med| > nMads·MAD, integers throughout; MAD = 0
+    * (constant-ish series) flags nothing, mirroring the z-score's
+    * var > 0 guard.
+    *
+    * Scale shape: daily aggregate, then two per-user rank windows (counts,
+    * deviations) and id-keyed joins — per-user state only. */
+  def madOutlierDays(events: DataFrame, nMads: Long = 5L,
+      minDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.groupBy(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    val eligible = daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= minDays)
+    val d = daily.join(eligible, "user_id")
+    val wMed = Window.partitionBy(col("user_id"))
+      .orderBy(col("n_events"), col("day_idx"))
+    val med = d.withColumn("rk", row_number().over(wMed))
+      .filter(expr("rk = (nd + 1) div 2"))
+      .select(col("user_id"), col("n_events").as("med"))
+    val dev = d.join(med, "user_id")
+      .withColumn("adev", abs(col("n_events") - col("med")))
+    val wMad = Window.partitionBy(col("user_id"))
+      .orderBy(col("adev"), col("day_idx"))
+    val mad = dev.withColumn("rk", row_number().over(wMad))
+      .filter(expr("rk = (nd + 1) div 2"))
+      .select(col("user_id"), col("adev").as("mad"))
+    dev.join(mad, "user_id")
+      .filter(col("mad") > 0 && col("adev") > lit(nMads) * col("mad"))
+      .select(col("user_id"), col("day_idx"), col("n_events"),
+        col("med"), col("mad"))
+  }
+
+  val madOutlierDaysSql: String =
+    """WITH daily AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS day_idx,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |el AS (SELECT user_id, COUNT(*) AS nd FROM daily
+      |       GROUP BY 1 HAVING COUNT(*) >= 7),
+      |d AS (SELECT daily.*, el.nd FROM daily JOIN el USING (user_id)),
+      |med AS (
+      |  SELECT user_id, n_events AS med FROM (
+      |    SELECT user_id, n_events, nd,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY n_events, day_idx) AS rk
+      |    FROM d) WHERE rk = (nd + 1) // 2),
+      |dev AS (
+      |  SELECT d.user_id, d.day_idx, d.n_events, d.nd, med.med,
+      |    abs(d.n_events - med.med) AS adev
+      |  FROM d JOIN med USING (user_id)),
+      |mad AS (
+      |  SELECT user_id, adev AS mad FROM (
+      |    SELECT user_id, adev, nd,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY adev, day_idx) AS rk
+      |    FROM dev) WHERE rk = (nd + 1) // 2)
+      |SELECT dev.user_id, dev.day_idx,
+      |  CAST(dev.n_events AS BIGINT) AS n_events,
+      |  CAST(dev.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad
+      |FROM dev JOIN mad USING (user_id)
+      |WHERE mad.mad > 0 AND dev.adev > 5 * mad.mad
+      |ORDER BY user_id, day_idx""".stripMargin
+
+  def qMadOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    madOutlierDays(Tables.events(spark, sfDir))
+      .orderBy(col("user_id"), col("day_idx"))
 }

@@ -138,6 +138,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
     ), s"got $r — single-day user 2 has no interior boundary")
   }
 
+  test("madOutlierDays flags a planted spike that a z-score would mask") {
+    // quiet days wobble 1/2/3 (lower median 2, MAD 1) + one 50-event
+    // spike: the spike inflates σ enough that a 3σ z-test misses it,
+    // while |50 − 2| = 48 > 5·MAD flags it
+    def mk(u: Long, day: Int, n: Int) = (0 until n).map(i =>
+      (u, ts(f"2024-01-${day}%02d 0${i % 9 + 1}:00:00")))
+    val quiet = Seq(1, 2, 3, 1, 2, 3, 1)
+    val rows = quiet.zipWithIndex.flatMap { case (n, i) =>
+      mk(1L, i + 1, n) } ++ mk(1L, 8, 50)
+    val events = rows.toDF("user_id", "ts")
+    val out = EventAnalytics.madOutlierDays(events)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val d0 = 19723L
+    assert(out.map(t => (t._1, t._2, t._3)) == Seq((1L, d0 + 7, 50L)),
+      s"exactly the spike day flags: $out")
+    val (_, _, _, med, mad) = out.head
+    assert(med == 2L || med == 3L)
+    assert(mad == 1L, "lower-median absolute deviation of the wobble")
+  }
+
   test("rfm scores are population quintiles with inverted recency") {
     val r = EventAnalytics.rfm(Tables.events(spark, TestSpark.sfDir)).cache()
     // scores live in 1..5
