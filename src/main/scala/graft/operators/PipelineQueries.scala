@@ -1211,6 +1211,85 @@ object PipelineQueries {
       .replace("STOPLIST", stop)
   }
 
+  /** Cross-source quantile normalization of the quality score: each
+    * document's score is replaced by the CORPUS-wide score at the same
+    * quantile its source assigns it — the calibration step that makes a
+    * lenient source's "0.8" comparable to a strict source's "0.8" before
+    * a global quality floor is applied. Quantile matching is the exact
+    * integer cross-product rule: the normalized bucket is the smallest
+    * corpus bucket B with cum_corpus(B)·n_source ≥ cum_source(q)·N —
+    * no ratio is ever floated.
+    *
+    * Scale shape: both CDFs live on the observed-quality-bucket grid
+    * (≤ 10001 rows per side — bounded); the quantile-matching theta join
+    * runs between the (source, bucket) grid and the corpus buckets
+    * (bounded × bounded), and the per-document application is one
+    * broadcast join of the finished (source, bucket → normalized) map.
+    * The corpus itself is scanned once. */
+  def textQuantileNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, sfDir).select(col("doc_id"),
+      col("source"),
+      floor(round(TextAnalysis.qualityExpr(col("text")), 9) * 10000)
+        .cast("long").as("qb"))
+    val srcHist = scored.groupBy(col("source"), col("qb"))
+      .agg(count(lit(1)).as("cnt"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("qb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val srcCum = srcHist.withColumn("cum_s", sum(col("cnt")).over(ws))
+      .join(broadcast(scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"))), "source")
+    val corpCum = scored.groupBy(col("qb")).agg(count(lit(1)).as("c"))
+      .withColumn("cum_c", sum(col("c")).over(
+        Window.orderBy(col("qb"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("nn"))))
+      .select(col("qb").as("cb"), col("cum_c"), col("nn"))
+    val mapping = srcCum.join(broadcast(corpCum),
+        expr("CAST(cum_c AS DECIMAL(38,0)) * n_s >= CAST(cum_s AS DECIMAL(38,0)) * nn"))
+      .groupBy(col("source"), col("qb"))
+      .agg(min(col("cb")).as("qnorm_b"))
+    scored.join(broadcast(mapping), Seq("source", "qb"))
+      .select(col("doc_id"), col("source"), col("qb"), col("qnorm_b"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQuantileNormSql: String = {
+    val stop = TextAnalysis.markers.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks, text
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, source,
+      |    CAST(floor(round(
+      |      least(len(toks) / 100.0, 1.0) * 0.4
+      |      + least((len(list_filter(toks, t -> list_contains(STOPLIST, t))) * 10.0) / len(toks), 1.0) * 0.4
+      |      + (1.0 - (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * 0.2,
+      |      9) * 10000) AS BIGINT) AS qb
+      |  FROM t),
+      |sc AS (
+      |  SELECT source, qb, COUNT(*) AS cnt,
+      |    SUM(COUNT(*)) OVER (PARTITION BY source ORDER BY qb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+      |  FROM d GROUP BY source, qb),
+      |ns AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY 1),
+      |cc AS (
+      |  SELECT qb AS cb,
+      |    SUM(COUNT(*)) OVER (ORDER BY qb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+      |  FROM d GROUP BY qb),
+      |nn AS (SELECT COUNT(*) AS nn FROM d),
+      |mp AS (
+      |  SELECT sc.source, sc.qb, MIN(cc.cb) AS qnorm_b
+      |  FROM sc JOIN ns USING (source), cc, nn
+      |  WHERE CAST(cc.cum_c AS HUGEINT) * ns.n_s
+      |        >= CAST(sc.cum_s AS HUGEINT) * nn.nn
+      |  GROUP BY 1, 2)
+      |SELECT d.doc_id, d.source, d.qb, mp.qnorm_b
+      |FROM d JOIN mp ON d.source = mp.source AND d.qb = mp.qb
+      |ORDER BY d.doc_id""".stripMargin.replace("STOPLIST", stop)
+  }
+
   /** TextRank keywords — co-occurrence graph and all five weighted
     * integer power steps unrolled as MATERIALIZED CTEs (the
     * [[OracleSql.simPagerankSql]] discipline over tokens). */

@@ -349,6 +349,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("quantileNorm preserves within-source order and corpus support") {
+    val out = PipelineQueries
+      .textQuantileNorm(spark, TestSpark.sfDir).cache()
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    assert(out.count() == docs.count(), "one normalized row per doc")
+    // normalized values come from the CORPUS bucket support
+    val support = out.select($"qb").distinct()
+      .collect().map(_.getLong(0)).toSet
+    out.select($"qnorm_b").distinct().collect().foreach { r =>
+      assert(support.contains(r.getLong(0)),
+        "qnorm must be an observed corpus bucket")
+    }
+    // monotone within each source: higher raw bucket never normalizes lower
+    val m = out.select($"source", $"qb", $"qnorm_b").distinct()
+      .orderBy($"source", $"qb").collect()
+      .groupBy(_.getString(0)).values
+    m.foreach { rows =>
+      rows.map(_.getLong(2)).sliding(2).foreach { p =>
+        if (p.length == 2) assert(p(0) <= p(1), "normalization is monotone")
+      }
+    }
+  }
+
   test("textrank ranks the co-occurrence hub above peripheral tokens") {
     val docs = Seq(
       (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha delta"),
