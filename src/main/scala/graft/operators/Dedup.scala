@@ -226,8 +226,9 @@ object Dedup {
   }
 
   /** PPJoin-style word-set similarity self-join (Xiao et al. 2008 prefix
-    * filtering): pairs of documents whose DISTINCT-word Jaccard ≥ 1/2,
-    * found without examining every token-sharing pair (threshold as an
+    * filtering): pairs of documents whose DISTINCT-word Jaccard meets the
+    * threshold, found without examining every token-sharing pair
+    * (threshold as an
     * exact rational tn/td — default 4/5, which on a shared-vocabulary
     * corpus is the line between "same template" and "everything matches
     * everything"). Under any global token order, two sets with J ≥ t must

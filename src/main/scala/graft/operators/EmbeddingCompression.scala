@@ -36,7 +36,7 @@ object EmbeddingCompression {
 
   /** Typed map-side accumulator for the Gram matrix: buffer = the
     * d(d+1)/2 upper-triangular Σx_i·x_j sums, the d component sums Σx_i,
-    * and the row count, all BIGINT over nano-quantized components.
+    * and the row count, all BIGINT over micro-quantized (10⁶) components.
     *
     * This is the one place the engine uses a typed [[Aggregator]] instead
     * of built-in aggregates, and the reason is the 100 TB shape: the
@@ -82,7 +82,7 @@ object EmbeddingCompression {
 
   /** Exact second-moment (Gram) matrix of the embedding corpus — the
     * input every whitening / PCA / covariance-shrinkage step consumes.
-    * Components are nano-quantized (round(x·10⁶) as BIGINT) so the sums
+    * Components are micro-quantized (round(x·10⁶) as BIGINT) so the sums
     * are exact integers: covariance follows downstream as
     * (n·s_xy − s_i·s_j) / (n²·10¹²) in whatever precision the consumer
     * wants, with no accumulation-order noise baked into the table.

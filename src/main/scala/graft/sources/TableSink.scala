@@ -998,6 +998,15 @@ final class TableSink(val config: SinkConfig) {
       fileFormat = config.fileFormat,
       partitionSpec = config.partitionSpec,
       tableSchema = config.tableSchema))
+    // refuse a non-empty destination: writing the clone manifest over an
+    // existing table would hide its log and strand its data files (they
+    // would be neither in the new manifest nor ever re-listed)
+    require(!java.nio.file.Files.exists(dest.logPath),
+      s"clone destination '${destConfig.tableName}' already has a " +
+        "snapshot log; clone into a fresh table")
+    require(dest.dataFilesRel().isEmpty,
+      s"clone destination '${destConfig.tableName}' already contains data " +
+        "files; clone into a fresh table")
     java.nio.file.Files.createDirectories(dest.logPath)
     java.nio.file.Files.writeString(
       dest.logPath.resolve("v00001.list"), abs.mkString("\n"))
@@ -1021,8 +1030,14 @@ final class TableSink(val config: SinkConfig) {
       val survivors = base.join(incomingKeys, keyCols, "left_anti")
       survivors.unionByName(incoming.select(survivors.columns.map(col): _*))
     }
-    if (parts.isEmpty) {
-      // unpartitioned: a merge is a full rewrite either way — swap protocol
+    if (parts.isEmpty || cloneBasePath.isDefined) {
+      // unpartitioned: a merge is a full rewrite either way — swap protocol.
+      // A shallow clone ALSO forces the full rewrite (its documented
+      // materialization contract): dynamic overwrite would write only the
+      // touched partitions into the clone's own directory, and the
+      // post-rewrite re-snapshot (local listing) would silently drop every
+      // untouched partition still referenced via the source's absolute
+      // manifest entries.
       rewriteSwap(spark, merged(current), expectRows = None)
     } else {
       val affected = incoming.select(parts.map(col): _*)
@@ -1167,7 +1182,10 @@ final class TableSink(val config: SinkConfig) {
       val emptied = touchedVals.join(
         survivors.select(parts.map(col): _*).distinct(), parts, "left_anti")
         .limit(1).count() > 0
-      if (emptied) {
+      if (emptied || cloneBasePath.isDefined) {
+        // emptied partition: dynamic overwrite cannot express it; shallow
+        // clone: dynamic overwrite would materialize only the touched
+        // partitions and the re-snapshot would drop the rest (see upsert)
         val totalRows = current.count()
         rewriteSwap(spark, current.filter(!cond), Some(totalRows - nDeleted))
       } else {
@@ -1375,7 +1393,17 @@ final class TableSink(val config: SinkConfig) {
     // a join on file paths: input_file_name() is percent-encoded while the
     // FS listing is raw (and Hive-style dirs escape specials themselves),
     // and a silent key mismatch there would DROP the affected partition.
-    val totalBytes = walked(root)(_
+    // A shallow clone's bytes live (partly or wholly) under the SOURCE
+    // root via absolute manifest entries — the local walk alone would see
+    // zero bytes on a fresh clone and early-return, breaking the
+    // documented "first rewriting op materializes" contract, and would
+    // under-size bytesPerRow for clones with local appends.
+    val cloneBytes = cloneBasePath.fold(0L) { _ =>
+      snapshotVersions().lastOption.map(manifestFiles).getOrElse(Nil)
+        .filter(_.startsWith("/"))
+        .map(abs => Files.size(Paths.get(abs))).sum
+    }
+    val totalBytes = cloneBytes + walked(root)(_
       .filter(p => Files.isRegularFile(p) &&
         !p.getFileName.toString.startsWith("_") &&
         !p.getFileName.toString.startsWith("."))

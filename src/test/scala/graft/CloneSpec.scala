@@ -65,6 +65,58 @@ class CloneSpec extends AnyFunSuite {
     assert(src.read(spark).count() == 3, "source untouched by the rewrite")
   }
 
+  test("partition-scoped delete on a clone keeps the untouched partitions") {
+    // regression: the dynamic-overwrite path used to write only the touched
+    // partition locally, then re-snapshot from the local listing — every
+    // untouched source-referenced partition vanished from the clone
+    val src = mkSource("c_src6")
+    val clone = src.shallowCloneTo(cfg("c_dst6"))
+    // delete one row from partition a, leaving a survivor in a — the
+    // non-emptied case that used to take the partition-scoped path
+    val removed = clone.delete(spark, $"id" === 1L)
+    assert(removed == 1)
+    assert(clone.read(spark).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 3L), "partition b (id=2) must survive the rewrite")
+    assert(src.read(spark).count() == 3, "source untouched")
+  }
+
+  test("partition-scoped upsert on a clone keeps the untouched partitions") {
+    val src = mkSource("c_src7")
+    val clone = src.shallowCloneTo(cfg("c_dst7"))
+    // upsert touches only partition a (key 1 lives there)
+    clone.upsert(Seq((1L, "a", 11.0)).toDF("id", "cat", "v"), Seq("id"))
+    val got = clone.read(spark).select($"id", $"v").as[(Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)),
+      "partition b (id=2) must survive; id=1 updated")
+    assert(src.read(spark).select($"v").as[Double].collect().sorted.toSeq
+      == Seq(10.0, 20.0, 30.0), "source untouched")
+  }
+
+  test("compact materializes a fresh clone with no local appends") {
+    // regression: the bytes walk saw only the clone's (empty) directory,
+    // hit the zero-bytes early return, and never materialized
+    val src = mkSource("c_src8")
+    val clone = src.shallowCloneTo(cfg("c_dst8"))
+    clone.compact(spark)
+    assert(clone.read(spark).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    assert(dataFiles(clone).nonEmpty, "compact materialized local files")
+    // self-contained: later source changes no longer reach the clone
+    src.append(Seq((9L, "a", 90.0)).toDF("id", "cat", "v"))
+    assert(clone.read(spark).count() == 3)
+  }
+
+  test("clone refuses a destination that already holds a table") {
+    val src = mkSource("c_src9")
+    val occupied = mkSource("c_dst9") // destination already has data + log
+    val e = intercept[IllegalArgumentException] {
+      src.shallowCloneTo(cfg("c_dst9"))
+    }
+    assert(e.getMessage.contains("fresh table"))
+    assert(occupied.read(spark).count() == 3, "existing table untouched")
+  }
+
   test("clone time travel and guards") {
     val src = mkSource("c_src4")
     val clone = src.shallowCloneTo(cfg("c_dst4"))
