@@ -111,8 +111,9 @@ final class TableSink(val config: SinkConfig) {
     * once a streaming file sink has created `_spark_metadata`, reads trust
     * only that log and batch-appended files would silently disappear. */
   private def requireNoStreamingLog(): Unit = {
-    val meta = new java.io.File(s"${config.tablePath}/_spark_metadata")
-    require(!meta.exists(),
+    val meta = new org.apache.hadoop.fs.Path(
+      config.tablePath, "_spark_metadata")
+    require(!WarehouseIO.exists(meta),
       s"table ${config.tablePath} is a streaming-sink table " +
         "(_spark_metadata present); batch append would write files the " +
         "sink log hides from readers — use startStream, or a different table")
@@ -121,15 +122,7 @@ final class TableSink(val config: SinkConfig) {
   /** K5/K6 batch append: coerce → derive → cluster → atomic append. */
   def append(df: DataFrame): Unit = {
     requireNoStreamingLog()
-    val base = if (config.versioned) Some(appendBase()) else None
-    val prepared = clusterForWrite(withDerived(Ops.ensureMessage(df)))
-    val writer = prepared.write
-      .mode("append")
-      .format(config.fileFormat)
-      .options(config.extraOptions)
-    (if (partitionColNames.nonEmpty) writer.partitionBy(partitionColNames: _*)
-     else writer).save(config.tablePath)
-    base.foreach(commitAppend)
+    writeAndCommit(clusterForWrite(withDerived(Ops.ensureMessage(df))))
   }
 
   /** Batch append that PRESERVES the caller's physical clustering (e.g. a
@@ -141,45 +134,65 @@ final class TableSink(val config: SinkConfig) {
     * zone maps depend on. */
   def appendClustered(df: DataFrame): Unit = {
     requireNoStreamingLog()
-    val base = if (config.versioned) Some(appendBase()) else None
-    val prepared = withDerived(Ops.ensureMessage(df))
-    val writer = prepared.write
-      .mode("append")
-      .format(config.fileFormat)
-      .options(config.extraOptions)
+    writeAndCommit(withDerived(Ops.ensureMessage(df)))
+  }
+
+  /** Append commit protocol — O(added files), WAP-safe. A versioned append
+    * must NOT snapshot (or even LIST) the whole live directory: a
+    * directory walk per commit is O(total files) driver work — quadratic
+    * over table lifetime, the kind of metadata cost that kills a
+    * 100 TB table with millions of files — and unpublished branch appends
+    * share the directory, so a whole-directory snapshot would also
+    * publish staged, unaudited rows. Instead the write is STAGED
+    * ([[stagedWrite]]): the commit already knows exactly which files it
+    * produced and records `head manifest + exactly those`, touching no
+    * other file metadata. The one remaining walk on this path is the
+    * FIRST commit over pre-existing unversioned data (bootstrapping the
+    * manifest), paid once per table. Files referenced by no manifest
+    * (staged branch files, crash orphans) stay out of main's history —
+    * the same isolation Iceberg's manifest-list commit gives. */
+  private def writeAndCommit(prepared: DataFrame): Unit = {
+    if (!config.versioned) {
+      val writer = prepared.write
+        .mode("append")
+        .format(config.fileFormat)
+        .options(config.extraOptions)
+      (if (partitionColNames.nonEmpty) writer.partitionBy(partitionColNames: _*)
+       else writer).save(config.tablePath)
+    } else {
+      val base = snapshotVersions().lastOption
+        .map(manifestFiles).getOrElse(listDataFiles())
+      val added = stagedWrite(prepared)
+      writeSnapshotOf((base ++ added).distinct.sorted)
+      ()
+    }
+  }
+
+  /** Stage-and-move write: land `prepared` in a fresh `_staging/` dir
+    * under the table root, rename each produced data file into its
+    * table-relative place, and return exactly those paths — the commit's
+    * added-file list, discovered from the write itself rather than a
+    * table-wide directory walk. `_staging` is underscore-prefixed, so
+    * readers and [[listDataFiles]] never observe in-flight files; the
+    * renames go through the Hadoop [[org.apache.hadoop.fs.FileSystem]]
+    * API (metadata-only moves on HDFS-class stores, and the path to a
+    * non-local warehouse). A crash mid-move leaves unreferenced files
+    * that [[removeOrphans]] reclaims — the same contract as a crash
+    * between write and manifest commit. */
+  private def stagedWrite(prepared: DataFrame): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val stage = new HPath(config.tablePath,
+      s"_staging/append-${java.util.UUID.randomUUID().toString.take(12)}")
+    val writer = prepared.write.mode("overwrite")
+      .format(config.fileFormat).options(config.extraOptions)
     (if (partitionColNames.nonEmpty) writer.partitionBy(partitionColNames: _*)
-     else writer).save(config.tablePath)
-    base.foreach(commitAppend)
-  }
-
-  /** WAP-safe append commit protocol. A versioned append must NOT snapshot
-    * the whole live directory: unpublished branch appends land their files
-    * in the same table dir, and a whole-directory snapshot would silently
-    * publish staged, unaudited rows into main's next manifest. Instead the
-    * commit is `base manifest + exactly the files this write added`:
-    *
-    *  - [[appendBase]], taken BEFORE the write, is main's current head
-    *    manifest — or, for a table with files but no commit yet (first
-    *    versioned append over pre-existing data), the live listing, which
-    *    at that point cannot contain staged files (branches require a
-    *    prior commit). Returned as (manifest, pre-write live set).
-    *  - [[commitAppend]] diffs the post-write listing against the pre-write
-    *    live set to find this write's files, and records base + added.
-    *
-    * Files referenced by neither (staged branch files, crash orphans) stay
-    * out of main's history — the same isolation Iceberg's manifest-list
-    * commit gives. */
-  private final case class AppendBase(manifest: Seq[String], live: Set[String])
-
-  private def appendBase(): AppendBase = {
-    val live = listDataFiles()
-    AppendBase(snapshotVersions().lastOption
-      .map(manifestFiles).getOrElse(live), live.toSet)
-  }
-
-  private def commitAppend(base: AppendBase): Int = {
-    val added = listDataFiles().filterNot(base.live)
-    writeSnapshotOf((base.manifest ++ added).distinct.sorted)
+     else writer).save(stage.toString)
+    val rels = WarehouseIO.listDataFilesRel(stage) // O(files just written)
+    val root = new HPath(config.tablePath)
+    rels.foreach(rel =>
+      WarehouseIO.rename(new HPath(stage, rel), new HPath(root, rel)))
+    WarehouseIO.delete(stage, recursive = true)
+    rels
   }
 
   // ------------------------------------------------------- snapshot log
@@ -193,33 +206,38 @@ final class TableSink(val config: SinkConfig) {
   // of the post-rewrite state), the same contract as Iceberg snapshot
   // expiry after rewrite-files maintenance.
 
-  private def logPath = java.nio.file.Paths.get(config.tablePath, "_graft_log")
+  // The snapshot log (_graft_log) and every manifest/sidecar read-write
+  // below go through [[WarehouseIO]] — the Hadoop FileSystem API — so the
+  // commit metadata path works against any Hadoop-resolvable warehouse,
+  // not just a local disk. (The whole-table rewrite/swap protocols keep
+  // java.nio ATOMIC_MOVE semantics and are documented single-FS; an
+  // object-store deployment swaps a metadata pointer instead.)
+  private def logPath = new org.apache.hadoop.fs.Path(
+    config.tablePath, "_graft_log")
+
+  private def logFile(name: String) =
+    new org.apache.hadoop.fs.Path(logPath, name)
 
   /** Live data-file paths relative to the table root (excludes `_`-prefixed
-    * metadata dirs: snapshot log, zone-map stats, streaming sink log). */
+    * metadata dirs: snapshot log, staging, zone-map stats, streaming sink
+    * log). */
   private[graft] def dataFilesRel(): Seq[String] = listDataFiles()
 
+  /** Table-wide directory walks taken (test hook: the append commit path
+    * must stay at zero once a manifest exists — O(added), not O(table)). */
+  private[graft] var directoryWalks: Int = 0
+
   private def listDataFiles(): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(config.tablePath)
-    // Empty before the first write: appendBase() lists PRE-write state.
-    if (!java.nio.file.Files.isDirectory(root)) return Vector.empty
-    val s = java.nio.file.Files.walk(root)
-    try s.iterator().asScala
-      .filter(p => java.nio.file.Files.isRegularFile(p) && {
-        val rel = root.relativize(p).toString
-        !rel.startsWith("_") && !rel.contains("/_") &&
-          !p.getFileName.toString.startsWith(".")
-      })
-      .map(p => root.relativize(p).toString).toVector.sorted
-    finally s.close()
+    directoryWalks += 1
+    WarehouseIO.listDataFilesRel(
+      new org.apache.hadoop.fs.Path(config.tablePath))
   }
 
   /** Record the current data-file set as the next snapshot version. ONLY
     * safe when no branch is live (a branch's staged files share the
     * directory and a whole-directory snapshot would publish them) — the
     * sole caller is [[expireSnapshots]], reached from rewriting ops, which
-    * all [[requireNoBranches]] first. Appends commit via [[commitAppend]]. */
+    * all [[requireNoBranches]] first. Appends commit via [[writeAndCommit]]. */
   private def writeSnapshot(): Int = writeSnapshotOf(listDataFiles())
 
   /** Rewriting ops rewrite/swap the live directory: staged branch rows
@@ -241,10 +259,8 @@ final class TableSink(val config: SinkConfig) {
     * [[publishBranch]], whose published state is the branch head's file
     * list, not whatever happens to be in the live directory). */
   private def writeSnapshotOf(files: Seq[String]): Int = {
-    java.nio.file.Files.createDirectories(logPath)
     val v = snapshotVersions().lastOption.getOrElse(0) + 1
-    java.nio.file.Files.writeString(
-      logPath.resolve(f"v$v%05d.list"), files.mkString("\n"))
+    WarehouseIO.writeString(logFile(f"v$v%05d.list"), files.mkString("\n"))
     v
   }
 
@@ -254,13 +270,7 @@ final class TableSink(val config: SinkConfig) {
     * the same contract as Iceberg snapshot expiry after rewrite-files
     * maintenance — publish audit branches before running rewriting ops. */
   private def expireSnapshots(): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.isDirectory(logPath)) {
-      val s = java.nio.file.Files.walk(logPath)
-      val entries = try s.iterator().asScala.toVector finally s.close()
-      entries.reverseIterator.filter(_ != logPath)
-        .foreach(java.nio.file.Files.delete)
-    }
+    if (WarehouseIO.isDir(logPath)) WarehouseIO.delete(logPath, recursive = true)
     if (config.versioned) writeSnapshot()
   }
 
@@ -294,9 +304,9 @@ final class TableSink(val config: SinkConfig) {
       s"expiring snapshots ${drop.mkString(", ")} would orphan tags " +
         s"pinning them; drop the tags first: ${dangling.mkString(", ")}")
     val withSidecars = drop.filter(v =>
-      java.nio.file.Files.isRegularFile(deletesPath(v)) ||
-        java.nio.file.Files.isDirectory(keysPath(v)) ||
-        java.nio.file.Files.isDirectory(posDeletesPath(v)))
+      WarehouseIO.isFile(deletesPath(v)) ||
+        WarehouseIO.isDir(keysPath(v)) ||
+        WarehouseIO.isDir(posDeletesPath(v)))
     require(withSidecars.isEmpty,
       s"snapshots ${withSidecars.mkString(", ")} carry merge-on-read " +
         "delete sidecars that still apply to later reads — expiring them " +
@@ -304,44 +314,35 @@ final class TableSink(val config: SinkConfig) {
     val keepFiles = (vs.takeRight(keepLast).flatMap(manifestFiles) ++
       branches().flatMap(b => branchVersions(b).flatMap(branchManifest(b, _)))
       ).toSet
-    val root = java.nio.file.Paths.get(config.tablePath)
+    val root = new org.apache.hadoop.fs.Path(config.tablePath)
     drop.flatMap(manifestFiles).distinct.filterNot(keepFiles)
-      .foreach(rel => java.nio.file.Files.delete(root.resolve(rel)))
-    drop.foreach(v =>
-      java.nio.file.Files.delete(logPath.resolve(f"v$v%05d.list")))
+      .foreach(rel => WarehouseIO.delete(
+        new org.apache.hadoop.fs.Path(root, rel)))
+    drop.foreach(v => WarehouseIO.delete(logFile(f"v$v%05d.list")))
     drop
   }
 
   /** Committed snapshot versions, oldest first (empty when unversioned). */
-  def snapshotVersions(): Seq[Int] = {
-    import scala.jdk.CollectionConverters._
-    if (!java.nio.file.Files.isDirectory(logPath)) Nil
-    else {
-      val s = java.nio.file.Files.list(logPath)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-          n.stripPrefix("v").stripSuffix(".list").toInt }
-        .toVector.sorted
-      finally s.close()
-    }
-  }
+  def snapshotVersions(): Seq[Int] =
+    WarehouseIO.childNames(logPath)
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toInt }
+      .sorted
 
   private def manifestFiles(version: Int): Seq[String] = {
-    val manifest = logPath.resolve(f"v$version%05d.list")
-    require(java.nio.file.Files.exists(manifest),
+    val manifest = logFile(f"v$version%05d.list")
+    require(WarehouseIO.exists(manifest),
       s"snapshot v$version does not exist (expired by a rewrite, or never " +
         s"committed); available: ${snapshotVersions().mkString(", ")}")
-    java.nio.file.Files.readString(manifest)
+    WarehouseIO.readString(manifest)
       .split("\n").filter(_.nonEmpty).toIndexedSeq
   }
 
   /** Shallow-clone sidecar: the source table root whose ABSOLUTE manifest
     * entries this table references (absent for ordinary tables). */
   private[graft] def cloneBasePath: Option[String] = {
-    val p = logPath.resolve("clone_base")
-    if (java.nio.file.Files.exists(p))
-      Some(java.nio.file.Files.readString(p).trim)
+    val p = logFile("clone_base")
+    if (WarehouseIO.exists(p)) Some(WarehouseIO.readString(p).trim)
     else None
   }
 
@@ -392,14 +393,14 @@ final class TableSink(val config: SinkConfig) {
   // makes the delete O(metadata) and defers the rewrite until compaction
   // amortizes it across many deletes.
 
-  private def deletesPath(v: Int): java.nio.file.Path =
-    logPath.resolve(f"v$v%05d.deletes")
+  private def deletesPath(v: Int): org.apache.hadoop.fs.Path =
+    logFile(f"v$v%05d.deletes")
 
-  private def keysPath(v: Int): java.nio.file.Path =
-    logPath.resolve(f"v$v%05d_keys")
+  private def keysPath(v: Int): org.apache.hadoop.fs.Path =
+    logFile(f"v$v%05d_keys")
 
-  private def posDeletesPath(v: Int): java.nio.file.Path =
-    logPath.resolve(f"v$v%05d_pos")
+  private def posDeletesPath(v: Int): org.apache.hadoop.fs.Path =
+    logFile(f"v$v%05d_pos")
 
   /** Delete predicates committed at or before `version`, in commit order.
     * Stored one per sidecar as SQL text. (Key-list deletes are separate —
@@ -407,8 +408,7 @@ final class TableSink(val config: SinkConfig) {
   def deletePredicates(version: Int): Seq[String] =
     snapshotVersions().filter(_ <= version).flatMap { v =>
       val p = deletesPath(v)
-      if (java.nio.file.Files.isRegularFile(p))
-        Some(java.nio.file.Files.readString(p))
+      if (WarehouseIO.isFile(p)) Some(WarehouseIO.readString(p))
       else None
     }
 
@@ -416,9 +416,9 @@ final class TableSink(val config: SinkConfig) {
     * list) is committed at or before `version` and not yet materialized. */
   def hasPendingDeletes(version: Int): Boolean =
     snapshotVersions().exists(v => v <= version && (
-      java.nio.file.Files.isRegularFile(deletesPath(v)) ||
-        java.nio.file.Files.isDirectory(keysPath(v)) ||
-        java.nio.file.Files.isDirectory(posDeletesPath(v))))
+      WarehouseIO.isFile(deletesPath(v)) ||
+        WarehouseIO.isDir(keysPath(v)) ||
+        WarehouseIO.isDir(posDeletesPath(v))))
 
   private def applyDeletes(df: DataFrame, version: Int,
       keepPosCols: Boolean = false): DataFrame = {
@@ -429,7 +429,7 @@ final class TableSink(val config: SinkConfig) {
     // ride along through the fold and drop at the end (kept when the
     // caller — deletePositions — needs the coordinates itself)
     val anyPos = keepPosCols || versions.exists(v =>
-      java.nio.file.Files.isDirectory(posDeletesPath(v)))
+      WarehouseIO.isDir(posDeletesPath(v)))
     val d0 =
       if (anyPos)
         df.withColumn("__graft_file", col("_metadata.file_path"))
@@ -438,19 +438,19 @@ final class TableSink(val config: SinkConfig) {
     val folded = versions.foldLeft(d0) { (d, v) =>
       val afterSql = {
         val p = deletesPath(v)
-        if (java.nio.file.Files.isRegularFile(p))
-          d.where(not(expr(java.nio.file.Files.readString(p))))
+        if (WarehouseIO.isFile(p))
+          d.where(not(expr(WarehouseIO.readString(p))))
         else d
       }
       val kd = keysPath(v)
-      val afterKeys = if (java.nio.file.Files.isDirectory(kd)) {
+      val afterKeys = if (WarehouseIO.isDir(kd)) {
         val keys = df.sparkSession.read.parquet(kd.toString)
         // anti-join on the key list's own columns; Spark broadcasts a
         // small erasure list and shuffle-joins a huge one (AQE decides)
         afterSql.join(keys, keys.columns.toSeq, "left_anti")
       } else afterSql
       val pd = posDeletesPath(v)
-      if (java.nio.file.Files.isDirectory(pd)) {
+      if (WarehouseIO.isDir(pd)) {
         val pos = df.sparkSession.read.parquet(pd.toString)
           .withColumnRenamed("file_path", "__graft_file")
           .withColumnRenamed("row_pos", "__graft_pos")
@@ -540,7 +540,7 @@ final class TableSink(val config: SinkConfig) {
       "deleteWhere needs at least one committed snapshot")
     expr(conditionSql) // fail on unparseable SQL at commit, not first read
     val v = writeSnapshotOf(manifestFiles(snapshotVersions().last))
-    java.nio.file.Files.writeString(deletesPath(v), conditionSql)
+    WarehouseIO.writeString(deletesPath(v), conditionSql)
     v
   }
 
@@ -611,8 +611,7 @@ final class TableSink(val config: SinkConfig) {
     val rows = vs.zip(None +: vs.map(Some(_))).map { case (v, parent) =>
       val files = manifestFiles(v).toSet
       val parentFiles = parent.map(manifestFiles(_).toSet).getOrElse(Set.empty)
-      val committedMs = java.nio.file.Files
-        .getLastModifiedTime(logPath.resolve(f"v$v%05d.list")).toMillis
+      val committedMs = WarehouseIO.modifiedAtMs(logFile(f"v$v%05d.list"))
       (v.toLong, parent.map(_.toLong), new java.sql.Timestamp(committedMs),
         files.size.toLong, (files -- parentFiles).size.toLong,
         (parentFiles -- files).size.toLong)
@@ -695,9 +694,10 @@ final class TableSink(val config: SinkConfig) {
     val referenced = (snapshotVersions().flatMap(manifestFiles) ++
       branches().flatMap(b => branchVersions(b).flatMap(branchManifest(b, _)))
       ).toSet
-    val root = java.nio.file.Paths.get(config.tablePath)
+    val root = new org.apache.hadoop.fs.Path(config.tablePath)
     val orphans = listDataFiles().filterNot(referenced)
-    orphans.foreach(rel => java.nio.file.Files.delete(root.resolve(rel)))
+    orphans.foreach(rel =>
+      WarehouseIO.delete(new org.apache.hadoop.fs.Path(root, rel)))
     orphans
   }
 
@@ -718,21 +718,17 @@ final class TableSink(val config: SinkConfig) {
     val keep = (manifestFiles(version) ++
       branches().flatMap(b => branchVersions(b).flatMap(branchManifest(b, _)))
       ).toSet
-    val root = java.nio.file.Paths.get(config.tablePath)
+    val root = new org.apache.hadoop.fs.Path(config.tablePath)
     listDataFiles().filterNot(keep)
-      .foreach(rel => java.nio.file.Files.delete(root.resolve(rel)))
+      .foreach(rel =>
+        WarehouseIO.delete(new org.apache.hadoop.fs.Path(root, rel)))
     snapshotVersions().filter(_ > version).foreach { v =>
       val d = deletesPath(v)
-      if (java.nio.file.Files.isRegularFile(d)) java.nio.file.Files.delete(d)
+      if (WarehouseIO.isFile(d)) WarehouseIO.delete(d)
       Seq(keysPath(v), posDeletesPath(v)).foreach { kd =>
-        if (java.nio.file.Files.isDirectory(kd)) {
-          import scala.jdk.CollectionConverters._
-          val s = java.nio.file.Files.walk(kd)
-          val entries = try s.iterator().asScala.toVector finally s.close()
-          entries.reverseIterator.foreach(java.nio.file.Files.delete)
-        }
+        if (WarehouseIO.isDir(kd)) WarehouseIO.delete(kd, recursive = true)
       }
-      java.nio.file.Files.delete(logPath.resolve(f"v$v%05d.list"))
+      WarehouseIO.delete(logFile(f"v$v%05d.list"))
     }
   }
 
@@ -751,47 +747,31 @@ final class TableSink(val config: SinkConfig) {
   // publishing, and dropping a branch never copies or rewrites a data
   // file. An appendToBranch writes exactly the files a main append would.
 
-  private def branchLogPath(name: String): java.nio.file.Path = {
+  private def branchLogPath(name: String): org.apache.hadoop.fs.Path = {
     require(name.matches("[A-Za-z0-9_-]+"),
       s"branch name must be [A-Za-z0-9_-]+, got '$name'")
-    logPath.resolve(s"branch_$name")
+    logFile(s"branch_$name")
   }
 
   /** Live branch names (empty when none or unversioned). */
-  def branches(): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    if (!java.nio.file.Files.isDirectory(logPath)) Nil
-    else {
-      val s = java.nio.file.Files.list(logPath)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case n if n.startsWith("branch_") =>
-          n.stripPrefix("branch_") }
-        .toVector.sorted
-      finally s.close()
-    }
-  }
+  def branches(): Seq[String] =
+    WarehouseIO.childNames(logPath)
+      .collect { case n if n.startsWith("branch_") => n.stripPrefix("branch_") }
+      .sorted
 
   /** Committed versions on a branch, oldest first. */
-  def branchVersions(name: String): Seq[Int] = {
-    import scala.jdk.CollectionConverters._
-    val dir = branchLogPath(name)
-    if (!java.nio.file.Files.isDirectory(dir)) Nil
-    else {
-      val s = java.nio.file.Files.list(dir)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-          n.stripPrefix("v").stripSuffix(".list").toInt }
-        .toVector.sorted
-      finally s.close()
-    }
-  }
+  def branchVersions(name: String): Seq[Int] =
+    WarehouseIO.childNames(branchLogPath(name))
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toInt }
+      .sorted
 
   private def branchManifest(name: String, v: Int): Seq[String] = {
-    val m = branchLogPath(name).resolve(f"v$v%05d.list")
-    require(java.nio.file.Files.exists(m),
+    val m = new org.apache.hadoop.fs.Path(branchLogPath(name), f"v$v%05d.list")
+    require(WarehouseIO.exists(m),
       s"branch '$name' has no version $v; available: " +
         branchVersions(name).mkString(", "))
-    java.nio.file.Files.readString(m)
+    WarehouseIO.readString(m)
       .split("\n").filter(_.nonEmpty).toIndexedSeq
   }
 
@@ -814,9 +794,9 @@ final class TableSink(val config: SinkConfig) {
         "them first (compact)")
     val v = fromVersion.getOrElse(snapshotVersions().last)
     val files = manifestFiles(v)
-    java.nio.file.Files.createDirectories(branchLogPath(name))
-    java.nio.file.Files.writeString(
-      branchLogPath(name).resolve("v00001.list"), files.mkString("\n"))
+    WarehouseIO.writeString(
+      new org.apache.hadoop.fs.Path(branchLogPath(name), "v00001.list"),
+      files.mkString("\n"))
   }
 
   /** Append `df` to branch `name`: the physical write is identical to
@@ -827,18 +807,11 @@ final class TableSink(val config: SinkConfig) {
   def appendToBranch(name: String, df: DataFrame): Unit = {
     requireNoStreamingLog()
     val head = branchHeadFiles(name)          // fails fast if no branch
-    val before = listDataFiles().toSet
-    val prepared = clusterForWrite(withDerived(Ops.ensureMessage(df)))
-    val writer = prepared.write
-      .mode("append")
-      .format(config.fileFormat)
-      .options(config.extraOptions)
-    (if (partitionColNames.nonEmpty) writer.partitionBy(partitionColNames: _*)
-     else writer).save(config.tablePath)
-    val added = listDataFiles().filterNot(before)
+    // same staged O(added)-commit protocol as [[append]] — no listing
+    val added = stagedWrite(clusterForWrite(withDerived(Ops.ensureMessage(df))))
     val v = branchVersions(name).last + 1
-    java.nio.file.Files.writeString(
-      branchLogPath(name).resolve(f"v$v%05d.list"),
+    WarehouseIO.writeString(
+      new org.apache.hadoop.fs.Path(branchLogPath(name), f"v$v%05d.list"),
       (head ++ added).mkString("\n"))
   }
 
@@ -868,15 +841,12 @@ final class TableSink(val config: SinkConfig) {
   /** Drop branch `name`. Files only the branch referenced become orphans —
     * [[removeOrphans]] reclaims them (the abandoned-audit cleanup path). */
   def dropBranch(name: String): Unit = {
-    import scala.jdk.CollectionConverters._
     val dir = branchLogPath(name)
-    require(java.nio.file.Files.isDirectory(dir),
+    require(WarehouseIO.isDir(dir),
       s"branch '$name' does not exist; live branches: " +
         branches().mkString(", "))
-    val s = java.nio.file.Files.list(dir)
-    try s.iterator().asScala.toVector.foreach(java.nio.file.Files.delete)
-    finally s.close()
-    java.nio.file.Files.delete(dir)
+    WarehouseIO.delete(dir, recursive = true)
+    ()
   }
 
   // ------------------------------------------------------------- tags
@@ -887,42 +857,35 @@ final class TableSink(val config: SinkConfig) {
   // writes. Rewriting ops refuse while tags exist (the same loud-failure
   // contract as branches — a rewrite invalidates the manifests tags pin).
 
-  private def tagPath(name: String): java.nio.file.Path = {
+  private def tagPath(name: String): org.apache.hadoop.fs.Path = {
     require(name.matches("[A-Za-z0-9_-]+"),
       s"tag name must be [A-Za-z0-9_-]+, got '$name'")
-    logPath.resolve(s"tag_$name")
+    logFile(s"tag_$name")
   }
 
   /** Tag `name` pinning snapshot `version` (default: the current head). */
   def createTag(name: String, version: Option[Int] = None): Unit = {
     require(config.versioned && snapshotVersions().nonEmpty,
       "tags need a versioned table with at least one commit")
-    require(!java.nio.file.Files.exists(tagPath(name)),
+    require(!WarehouseIO.exists(tagPath(name)),
       s"tag '$name' already exists")
     val v = version.getOrElse(snapshotVersions().last)
     manifestFiles(v)                       // fails fast on a bad version
-    java.nio.file.Files.writeString(tagPath(name), v.toString)
+    WarehouseIO.writeString(tagPath(name), v.toString)
   }
 
   /** Live tag names (empty when none or unversioned). */
-  def tags(): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    if (!java.nio.file.Files.isDirectory(logPath)) Nil
-    else {
-      val s = java.nio.file.Files.list(logPath)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case n if n.startsWith("tag_") => n.stripPrefix("tag_") }
-        .toVector.sorted
-      finally s.close()
-    }
-  }
+  def tags(): Seq[String] =
+    WarehouseIO.childNames(logPath)
+      .collect { case n if n.startsWith("tag_") => n.stripPrefix("tag_") }
+      .sorted
 
   /** The snapshot version tag `name` pins. */
   def tagVersion(name: String): Int = {
     val p = tagPath(name)
-    require(java.nio.file.Files.exists(p),
+    require(WarehouseIO.exists(p),
       s"tag '$name' does not exist; live tags: ${tags().mkString(", ")}")
-    java.nio.file.Files.readString(p).trim.toInt
+    WarehouseIO.readString(p).trim.toInt
   }
 
   /** Read the snapshot a tag pins — time travel by name. */
@@ -931,9 +894,10 @@ final class TableSink(val config: SinkConfig) {
 
   def dropTag(name: String): Unit = {
     val p = tagPath(name)
-    require(java.nio.file.Files.exists(p),
+    require(WarehouseIO.exists(p),
       s"tag '$name' does not exist; live tags: ${tags().mkString(", ")}")
-    java.nio.file.Files.delete(p)
+    WarehouseIO.delete(p)
+    ()
   }
 
   /** Upsert (merge-by-key): rows whose `keyCols` match an incoming row are
@@ -1001,17 +965,14 @@ final class TableSink(val config: SinkConfig) {
     // refuse a non-empty destination: writing the clone manifest over an
     // existing table would hide its log and strand its data files (they
     // would be neither in the new manifest nor ever re-listed)
-    require(!java.nio.file.Files.exists(dest.logPath),
+    require(!WarehouseIO.exists(dest.logPath),
       s"clone destination '${destConfig.tableName}' already has a " +
         "snapshot log; clone into a fresh table")
     require(dest.dataFilesRel().isEmpty,
       s"clone destination '${destConfig.tableName}' already contains data " +
         "files; clone into a fresh table")
-    java.nio.file.Files.createDirectories(dest.logPath)
-    java.nio.file.Files.writeString(
-      dest.logPath.resolve("v00001.list"), abs.mkString("\n"))
-    java.nio.file.Files.writeString(
-      dest.logPath.resolve("clone_base"), srcRoot)
+    WarehouseIO.writeString(dest.logFile("v00001.list"), abs.mkString("\n"))
+    WarehouseIO.writeString(dest.logFile("clone_base"), srcRoot)
     dest
   }
 
@@ -1021,7 +982,9 @@ final class TableSink(val config: SinkConfig) {
     requireNoBranches("upsert")
     recoverSwap()
     val spark = df.sparkSession
-    if (!new java.io.File(config.tablePath).exists()) { append(df); return }
+    if (!WarehouseIO.exists(new org.apache.hadoop.fs.Path(config.tablePath))) {
+      append(df); return
+    }
     val incoming = withDerived(Ops.ensureMessage(df))
     val parts = partitionColNames
     val current = read(spark)
@@ -1157,7 +1120,8 @@ final class TableSink(val config: SinkConfig) {
     requireNoStreamingLog()
     requireNoBranches("delete")
     recoverSwap()
-    if (!new java.io.File(config.tablePath).exists()) return 0L
+    if (!WarehouseIO.exists(new org.apache.hadoop.fs.Path(config.tablePath)))
+      return 0L
     val current = read(spark)
     val cond = coalesce(condition, lit(false)) // NULL predicate keeps the row
     val parts = partitionColNames
@@ -1405,8 +1369,8 @@ final class TableSink(val config: SinkConfig) {
     }
     val totalBytes = cloneBytes + walked(root)(_
       .filter(p => Files.isRegularFile(p) &&
-        !p.getFileName.toString.startsWith("_") &&
-        !p.getFileName.toString.startsWith("."))
+        !root.relativize(p).toString.split('/')
+          .exists(s => s.startsWith("_") || s.startsWith(".")))
       .map(Files.size).sum)
     if (totalBytes == 0) return
     val cur = read(spark)

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** Warehouse metadata IO, routed through the Hadoop [[FileSystem]] API so
+  * the snapshot log, manifests, and commit file moves work against any
+  * Hadoop-resolvable warehouse (local, HDFS, s3a, …), not just
+  * `java.nio`'s local filesystem. Every operation here is bounded
+  * metadata: small log files, single-file renames, and directory listings
+  * scoped to what the caller just wrote — never a data scan.
+  *
+  * The resolved filesystem comes from the active session's Hadoop conf
+  * (so `fs.*` settings like credentials apply); outside a session the
+  * default [[Configuration]] still resolves local paths, which keeps
+  * sink construction session-free.
+  */
+private[graft] object WarehouseIO {
+
+  private def conf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def fs(p: HPath): FileSystem = p.getFileSystem(conf)
+
+  def exists(p: HPath): Boolean = fs(p).exists(p)
+
+  def isFile(p: HPath): Boolean = {
+    val f = fs(p)
+    f.exists(p) && f.getFileStatus(p).isFile
+  }
+
+  def isDir(p: HPath): Boolean = {
+    val f = fs(p)
+    f.exists(p) && f.getFileStatus(p).isDirectory
+  }
+
+  def readString(p: HPath): String = {
+    val in = fs(p).open(p)
+    try new String(in.readAllBytes(), UTF_8)
+    finally in.close()
+  }
+
+  /** Create-or-overwrite `p` with `s` (parent dirs created). */
+  def writeString(p: HPath, s: String): Unit = {
+    val f = fs(p)
+    Option(p.getParent).foreach(f.mkdirs)
+    val out = f.create(p, true)
+    try out.write(s.getBytes(UTF_8))
+    finally out.close()
+  }
+
+  def mkdirs(p: HPath): Unit = { fs(p).mkdirs(p); () }
+
+  def delete(p: HPath, recursive: Boolean = false): Boolean =
+    fs(p).delete(p, recursive)
+
+  /** Immediate child names of `dir` (empty when absent). */
+  def childNames(dir: HPath): Seq[String] = {
+    val f = fs(dir)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+  }
+
+  def modifiedAtMs(p: HPath): Long = fs(p).getFileStatus(p).getModificationTime
+
+  /** Same-filesystem rename, creating the destination's parent; fails
+    * loudly instead of silently dropping a file on a refused rename. */
+  def rename(src: HPath, dst: HPath): Unit = {
+    val f = fs(src)
+    Option(dst.getParent).foreach(f.mkdirs)
+    require(f.rename(src, dst), s"filesystem refused rename $src -> $dst")
+  }
+
+  /** Recursively list DATA files under `root` as root-relative paths:
+    * any path with a `_`- or `.`-prefixed segment (metadata dirs such as
+    * `_graft_log`/`_staging`/`_spark_metadata`, `_SUCCESS` markers,
+    * checksum sidecars) is excluded — the same convention Spark's own
+    * file index applies. Sorted for deterministic manifests. */
+  def listDataFilesRel(root: HPath): Seq[String] = {
+    val f = fs(root)
+    val q = f.makeQualified(root)
+    if (!f.exists(q)) return Vector.empty
+    val rootStr = q.toString
+    val it = f.listFiles(q, true)
+    val out = Vector.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val rel = st.getPath.toString.stripPrefix(rootStr).stripPrefix("/")
+        val segs = rel.split('/')
+        if (!segs.exists(s => s.startsWith("_") || s.startsWith(".")))
+          out += rel
+      }
+    }
+    out.result().sorted
+  }
+}

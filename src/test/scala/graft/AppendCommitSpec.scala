@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The staged append commit protocol: a versioned append commits `head
+  * manifest + exactly the files it wrote` WITHOUT walking the table
+  * directory — O(added files) metadata per commit, flat in the table's
+  * pre-existing file count. The [[TableSink.directoryWalks]] counter is
+  * the witness: after the first commit (which may bootstrap the manifest
+  * from a listing), appends must take ZERO table-wide walks. */
+class AppendCommitSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val wh = TestSpark.tmpDir("appendcommit_wh")
+
+  private def mkSink(name: String): TableSink =
+    new TableSink(SinkConfig(tableName = name, warehousePath = wh,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+
+  private def batch(ids: Long*) =
+    ids.map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.0))
+      .toDF("id", "cat", "v")
+
+  test("appends after the first commit never walk the table directory") {
+    val sink = mkSink("ac_t1")
+    sink.append(batch(1L, 2L))          // first commit may bootstrap-list
+    val walksAfterFirst = sink.directoryWalks
+    sink.append(batch(3L, 4L))
+    sink.append(batch(5L, 6L))
+    sink.append(batch(7L, 8L))
+    assert(sink.directoryWalks == walksAfterFirst,
+      "append commits after the first must be O(added files): no " +
+        s"table-wide directory walk (took ${
+          sink.directoryWalks - walksAfterFirst} extra walks)")
+    assert(sink.read(spark).count() == 8)
+    assert(sink.snapshotVersions() == Seq(1, 2, 3, 4))
+    // each commit added exactly its own files: manifests strictly grow
+    val sizes = sink.snapshotVersions()
+      .map(v => sink.readVersion(spark, v).count())
+    assert(sizes == Seq(2L, 4L, 6L, 8L))
+  }
+
+  test("commit records only this write's files — strays stay orphans") {
+    val sink = mkSink("ac_t2")
+    sink.append(batch(1L))
+    // plant a foreign data-looking file the manifest must never absorb
+    val stray = new org.apache.hadoop.fs.Path(
+      s"$wh/ac_t2/cat=a/part-foreign-00000.parquet")
+    WarehouseIO.writeString(stray, "not really parquet")
+    sink.append(batch(2L, 3L))
+    assert(sink.readVersion(spark, 2).count() == 3,
+      "manifest = base + this write's rows only")
+    val orphans = sink.removeOrphans()
+    assert(orphans == Seq("cat=a/part-foreign-00000.parquet"),
+      s"the stray is referenced by no manifest; got $orphans")
+  }
+
+  test("branch appends use the same staged O(added) commit") {
+    val sink = mkSink("ac_t3")
+    sink.append(batch(1L, 2L))
+    sink.createBranch("audit")
+    val walksBefore = sink.directoryWalks
+    sink.appendToBranch("audit", batch(3L, 4L))
+    assert(sink.directoryWalks == walksBefore,
+      "branch append must not walk the table directory")
+    assert(sink.readBranch(spark, "audit").count() == 4)
+    assert(sink.readVersion(spark, 1).count() == 2,
+      "main head unmoved by the staged branch append")
+    sink.publishBranch("audit")
+    assert(sink.read(spark).count() == 4)
+    sink.dropBranch("audit")
+  }
+
+  test("no staging debris is left under the table after an append") {
+    val sink = mkSink("ac_t4")
+    sink.append(batch(1L, 2L, 3L))
+    sink.append(batch(4L))
+    val staging = new org.apache.hadoop.fs.Path(s"$wh/ac_t4/_staging")
+    assert(WarehouseIO.childNames(staging).isEmpty,
+      "every staged write cleans its staging dir")
+  }
+}
