@@ -41,6 +41,33 @@ object GraftSession {
     spark.conf.set(s"spark.sql.catalog.$catalogName.warehouse", warehouse)
   }
 
+  /** Register a catalog FROM a [[SinkConfig]]'s catalog passthrough fields
+    * — the reference's `catalog_type` / `catalog_uri` knobs
+    * (models.py:131-147) actually consulted instead of merely carried.
+    *
+    *  - `catalogType` unset, `"graft"`, or `"hadoop"` (the warehouse-
+    *    directory-backed flavor): registers a [[GraftCatalog]] named
+    *    `catalogName` over `catalogUri` if set (a path/URI root — the
+    *    local analogue of a catalog endpoint) else the config's
+    *    `warehousePath`.
+    *  - any service-backed type the reference lists (`hive`, `rest`,
+    *    `nessie`, `glue`, …): rejected with the precise reason — those
+    *    need catalog-client runtime jars this offline build does not
+    *    ship — rather than silently registering the wrong thing.
+    */
+  def registerCatalog(spark: SparkSession, config: SinkConfig,
+      catalogName: String): Unit =
+    config.catalogType.map(_.toLowerCase) match {
+      case None | Some("graft") | Some("hadoop") =>
+        registerCatalog(spark,
+          config.catalogUri.getOrElse(config.warehousePath), catalogName)
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"catalogType '$other' (models.py:143-147) is service-backed and " +
+            "not available here: its catalog-client jars are not in " +
+            "/opt/spark/jars — use 'graft' or 'hadoop' over a warehouse path")
+    }
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = builder(master = Some(s"local[$cores]"), shufflePartitions = cores)
       .config("spark.ui.enabled", "false")

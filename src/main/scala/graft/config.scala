@@ -28,11 +28,13 @@ final case class SinkConfig(
     tableSchema: Option[StructType] = None,
     location: Option[String] = None,
     extraOptions: Map[String, String] = Map.empty,
-    // Catalog-surface passthroughs (models.py:131-147, 174-177). A
-    // path-based parquet/orc warehouse has no external catalog service and
-    // Spark manages its own write staging, so these are accepted for
-    // config-compatibility and carried, not consulted — a deployment that
-    // fronts the warehouse with a real catalog reads them from here.
+    // Catalog-surface passthroughs (models.py:131-147, 174-177).
+    // GraftSession.registerCatalog(spark, config, name) consults them:
+    // directory-backed types ("graft"/"hadoop", uri = warehouse root)
+    // register a GraftCatalog; service-backed types (hive/rest/nessie/…)
+    // are rejected with the reason (their client jars are not shipped).
+    // tempDir is accepted for config-compatibility only — Spark manages
+    // its own write staging.
     catalogUri: Option[String] = None,
     catalogType: Option[String] = None,
     tempDir: String = "/tmp",

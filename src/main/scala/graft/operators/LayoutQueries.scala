@@ -105,17 +105,7 @@ object LayoutQueries {
     * `pruned` (files_read < files_total) is pinned TRUE, so the oracle also
     * proves skipping actually engaged. */
   def zonemapPrune(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = withDims(Tables.events(spark, sfDir))
-    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
-    val sink = new TableSink(SinkConfig("events_z", dest))
-    val b = ZOrder.boundsOf(e, Seq("x_us", "y_c"))
-    sink.appendClustered(
-      ZOrder.cluster(e, Seq(
-        ("x_us", b("x_us")._1, b("x_us")._2),
-        ("y_c", b("y_c")._1, b("y_c")._2)), nRanges = 48, Bits)
-        .drop("x_us", "y_c"))
-    val zm = new ZoneMaps(sink)
-    zm.analyze(spark, Seq("ts", "value"))
+    val (sink, zm) = zonemappedEvents(spark, sfDir)
     val lo = lit("2024-01-10 00:00:00").cast("timestamp")
     val hi = lit("2024-01-12 23:59:59.999999").cast("timestamp")
     val pruned = zm.readBetween(spark,
@@ -133,12 +123,63 @@ object LayoutQueries {
       .withColumn("pruned", lit(kept < total))
   }
 
+  private def zonemappedEvents(spark: SparkSession,
+      sfDir: String): (TableSink, ZoneMaps) = {
+    val e = withDims(Tables.events(spark, sfDir))
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig("events_z", dest))
+    val b = ZOrder.boundsOf(e, Seq("x_us", "y_c"))
+    sink.appendClustered(
+      ZOrder.cluster(e, Seq(
+        ("x_us", b("x_us")._1, b("x_us")._2),
+        ("y_c", b("y_c")._1, b("y_c")._2)), nRanges = 48, Bits)
+        .drop("x_us", "y_c"))
+    val zm = new ZoneMaps(sink)
+    zm.analyze(spark, Seq("ts", "value"))
+    (sink, zm)
+  }
+
+  /** The same rectangle predicate answered through
+    * [[ZoneMaps.readBetweenInPlan]] — the driver-free skipping variant:
+    * the pruned file set stays a metadata DataFrame anti-joined against
+    * `_metadata.file_path` inside the plan, so no file path is ever
+    * collected. Must hash-match the identical full-scan oracle as
+    * `q_zonemap_prune` (if the anti-join dropped a surviving file's rows
+    * — or kept a pruned file's rows past the caller predicate — the
+    * aggregate would differ). */
+  def zonemapInPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, zm) = zonemappedEvents(spark, sfDir)
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-12 23:59:59.999999").cast("timestamp")
+    zm.readBetweenInPlan(spark,
+        ("ts", lo, hi), ("value", lit(100.0), lit(200.0)))
+      .filter(col("ts").between(lo, hi) &&
+        col("value").between(lit(100.0), lit(200.0)))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .withColumn("in_plan", lit(true))
+  }
+
   val zonemapPruneSql: String =
     """SELECT COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
       |  min(event_id) AS min_id,
       |  max(event_id) AS max_id,
       |  TRUE AS pruned
+      |FROM events
+      |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+      |             AND TIMESTAMP '2024-01-12 23:59:59.999999'
+      |  AND value BETWEEN 100.0 AND 200.0""".stripMargin
+
+  val zonemapInPlanSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  min(event_id) AS min_id,
+      |  max(event_id) AS max_id,
+      |  TRUE AS in_plan
       |FROM events
       |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
       |             AND TIMESTAMP '2024-01-12 23:59:59.999999'

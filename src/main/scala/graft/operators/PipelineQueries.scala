@@ -612,6 +612,77 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Recall@10 audit of the IVF index, HASH-checked end-to-end: the
+    * seeded-quantizer IVF result ([[Similarity.ivfTopKSeeded]], every
+    * step engine-replicable) joins the exact top-10 ranking and emits
+    * integer hit counts per query — (query_id, hits, k). DuckDB replays
+    * BOTH sides (assignment, probes, rerank, intersection), so a drift
+    * anywhere in the IVF machinery breaks the hash. This closes the gap
+    * `sim_ivf` itself leaves (its k-means cells are engine-specific, so
+    * it stays rows-only with [[simIvfFull]] as its exactness companion).
+    *
+    * Scale shape: the audit's join is (queries × k) rows on both sides —
+    * bounded metadata riding the existing broadcast-probe plans. */
+  def simIvfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopKSeeded(e, queries, k = 10,
+      nlist = 8, nprobe = 2)
+    val exact = Similarity.topK(e, queries, k = 10)
+    exact.join(
+        ivf.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"),
+        count(lit(1)).cast("long").as("k"))
+      .orderBy(col("query_id"))
+  }
+
+  val simIvfRecallSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 9) DESC,
+      |                 c.cell) AS rn
+      |    FROM e, c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT e.vec_id AS query_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 9) DESC,
+      |                 c.cell) AS rn
+      |    FROM e, c WHERE e.vec_id < 5) WHERE rn <= 2),
+      |ivf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT p.query_id, a.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+      |        ORDER BY round(list_cosine_similarity(q.v, e2.v), 9) DESC,
+      |                 a.vec_id) AS rnk
+      |    FROM probes p
+      |    JOIN assign a ON a.cell = p.cell
+      |    JOIN e q ON q.vec_id = p.query_id
+      |    JOIN e e2 ON e2.vec_id = a.vec_id
+      |    WHERE a.vec_id <> p.query_id) WHERE rnk <= 10),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(list_cosine_similarity(q.v, e2.v), 9) DESC,
+      |                 e2.vec_id) AS rnk
+      |    FROM e q, e e2
+      |    WHERE q.vec_id < 5 AND e2.vec_id <> q.vec_id) WHERE rnk <= 10)
+      |SELECT ex.query_id,
+      |  CAST(count(iv.neighbor_id) AS BIGINT) AS hits,
+      |  CAST(count(*) AS BIGINT) AS k
+      |FROM exact ex LEFT JOIN ivf iv
+      |  ON iv.query_id = ex.query_id AND iv.neighbor_id = ex.neighbor_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   // -------------------------------------------- embedding compression
 
   def embedQuantize(spark: SparkSession, sfDir: String): DataFrame =

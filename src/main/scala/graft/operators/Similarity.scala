@@ -122,6 +122,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF ANN with a DATA-DERIVED coarse quantizer: the cells are the
+    * first `nlist` corpus vectors (normalized), and both cell assignment
+    * and query probing rank by the same 9-dp-rounded cosine the final
+    * rerank uses. Unlike [[ivfTopK]]'s k-means quantizer (floating-point
+    * iterations no other engine can replay), every step here is exactly
+    * reproducible by an independent engine — which is what lets the
+    * recall audit (`sim_ivf_recall`) be HASH-checked end-to-end against
+    * DuckDB rather than rows-only. Cell quality is whatever the first
+    * `nlist` vectors give (fine for an audit; [[ivfTopK]] remains the
+    * production quantizer).
+    *
+    * Scale shape: identical to [[ivfTopK]] — centroid set is
+    * metadata-sized and broadcast, assignment is one corpus scan, the
+    * probe join touches ~nprobe/nlist of the corpus per query. */
+  def ivfTopKSeeded(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 8, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = normalized(corpus, idCol, vecCol, "vec_id", "v")
+    val cents = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    def cellsFor(df: DataFrame, idAs: String, vecAs: String,
+        nTop: Int): DataFrame = {
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("cscore").desc, col("cell"))
+      df.join(broadcast(cents))
+        .withColumn("cscore", roundedDot(df, col(vecAs), col("cv")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= nTop)
+        .drop("cscore", "crn", "cv")
+    }
+    val corpusCells = cellsFor(e, "vec_id", "v", 1)
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val queryCells = cellsFor(q, "query_id", "qv", nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        roundedDot(corpus, col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int = 64, bitsPerTable: Int = 8, numTables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -225,6 +225,47 @@ final class ZoneMaps(sink: TableSink) {
     (live.filter(fileSet), live.size - files.size)
   }
 
+  /** In-plan data skipping for the UNSELECTIVE regime. [[readBetween]]
+    * hands the SURVIVING file names to the driver — the same metadata
+    * class as Spark's own FileIndex listing (split planning is driver-
+    * side by construction), optimal when bounds keep few files. When
+    * bounds keep MOST files, that handoff approaches a full manifest
+    * copy; here NO path ever lands on the driver: the scan reads the
+    * live table and anti-joins `_metadata.file_path` against the (small)
+    * PRUNED set derived from the stats parquet, so zone metadata flows
+    * plan-to-plan. The cost model flips accordingly — pruned files'
+    * rows are scanned and discarded at the join — so this wins exactly
+    * when few files prune (tiny waste, zero driver materialization) and
+    * [[readBetween]] wins when many do (scan-level skipping). The
+    * pruned set is broadcast: it is one row per pruned ANALYZED file,
+    * bounded metadata in the regime this path is for. Unanalyzed files
+    * are absent from the stats and survive the anti-join automatically;
+    * an all-null zone prunes (no non-null value can match) — the same
+    * conservative contracts as [[candidates]]. */
+  def readBetweenInPlan(spark: SparkSession,
+      bounds: (String, Column, Column)*): DataFrame = {
+    require(bounds.nonEmpty, "readBetweenInPlan needs at least one bound")
+    val df = sink.read(spark)
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(statsPath)))
+      return df // never analyzed: everything is a candidate
+    val keep = coalesce(bounds.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _), lit(false))
+    val prunedPaths = spark.read.parquet(statsPath)
+      .where(!keep)
+      .select(regexp_replace(url_decode(col("file")), "^file:(//)?", "")
+        .as("__zm_path"))
+    // capture the scan's own _metadata BEFORE the join — the stats scan
+    // exposes a _metadata struct too, and the bare reference would be
+    // ambiguous inside the join condition
+    df.withColumn("__zm_scan_path",
+        regexp_replace(url_decode(col("_metadata.file_path")),
+          "^file:(//)?", ""))
+      .join(broadcast(prunedPaths),
+        col("__zm_scan_path") === col("__zm_path"), "left_anti")
+      .drop("__zm_scan_path")
+  }
+
   /** Read only the files whose zones intersect every `(col, lo, hi)` bound
     * (closed intervals). The caller still applies its real predicate — this
     * narrows I/O, it does not filter rows. */

@@ -24,6 +24,26 @@ class CatalogSpec extends AnyFunSuite {
     sink
   }
 
+  test("a catalog registers purely from a SinkConfig's passthrough fields") {
+    val sink = mkVersioned("ttcfg")
+    // catalogType graft over the config's own warehouse
+    GraftSession.registerCatalog(spark,
+      sink.config.copy(catalogType = Some("graft")), "gcfg")
+    assert(spark.sql("SELECT * FROM gcfg.ttcfg").count() == 5)
+    // catalogUri overrides the warehouse root ('hadoop' = directory-backed)
+    GraftSession.registerCatalog(spark,
+      sink.config.copy(catalogType = Some("hadoop"),
+        catalogUri = Some(wh), warehousePath = "/nonexistent"), "gcfg2")
+    assert(spark.sql("SELECT id FROM gcfg2.ttcfg VERSION AS OF 1").count() == 3)
+    // service-backed types reject with the reason, not a silent carry
+    val e = intercept[IllegalArgumentException] {
+      GraftSession.registerCatalog(spark,
+        sink.config.copy(catalogType = Some("hive"),
+          catalogUri = Some("thrift://localhost:9083")), "gcfg3")
+    }
+    assert(e.getMessage.contains("service-backed"))
+  }
+
   test("latest read sees both commits; VERSION AS OF 1 only the first") {
     mkVersioned("tt1")
     assert(spark.sql("SELECT * FROM gtest.tt1").count() == 5)

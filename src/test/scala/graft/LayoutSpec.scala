@@ -114,6 +114,45 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == expect, "pruned read lost or invented rows")
   }
 
+  test("in-plan skipping matches readBetween with zero driver path handoff") {
+    val n = 20000
+    val df = spark.range(n).select(
+      $"id".as("event_id"),
+      ($"id" % 1000).as("x"),
+      (($"id" * 131) % 1000).as("y"),
+      concat(lit("p"), $"id").as("payload"))
+    val sink = new TableSink(SinkConfig("grid_inplan", tmpWarehouse()))
+    val b = ZOrder.boundsOf(df, Seq("x", "y"))
+    sink.appendClustered(ZOrder.cluster(df,
+      Seq(("x", b("x")._1, b("x")._2), ("y", b("y")._1, b("y")._2)),
+      nRanges = 32))
+    val zm = new ZoneMaps(sink)
+    zm.analyze(spark, Seq("x", "y"))
+    val bounds = Seq(("x", lit(100L), lit(199L)), ("y", lit(100L), lit(199L)))
+    val inPlan = zm.readBetweenInPlan(spark, bounds: _*)
+    // the pruned-set handoff stays inside the plan: a broadcast LEFT ANTI
+    // join against the stats scan, no collected path list anywhere
+    val plan = inPlan.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"in-plan variant must anti-join the pruned set:\n$plan")
+    assert(plan.toLowerCase.contains("broadcast"),
+      s"pruned set must broadcast, not shuffle the table:\n$plan")
+    val expect = zm.readBetween(spark, bounds: _*)
+      .filter($"x".between(100, 199) && $"y".between(100, 199))
+      .select("event_id").as[Long].collect().toSet
+    val got = inPlan
+      .filter($"x".between(100, 199) && $"y".between(100, 199))
+      .select("event_id").as[Long].collect().toSet
+    assert(got == expect, "in-plan skip disagreed with readBetween")
+    // unanalyzed late append survives the anti-join automatically
+    sink.append(Seq((99999L, 5000L, 5000L, "late"))
+      .toDF("event_id", "x", "y", "payload"))
+    val late = zm.readBetweenInPlan(spark,
+        ("x", lit(4000L), lit(6000L)), ("y", lit(4000L), lit(6000L)))
+      .filter($"x" === 5000L).select("event_id").as[Long].collect()
+    assert(late.toSeq == Seq(99999L))
+  }
+
   test("files appended after analyze are conservatively always read") {
     val sink = new TableSink(SinkConfig("late_append", tmpWarehouse()))
     val early = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")

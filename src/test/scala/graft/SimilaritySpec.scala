@@ -71,6 +71,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(partial.nonEmpty)
   }
 
+  test("seeded IVF with full probing equals the exhaustive topK exactly") {
+    val q = emb.filter($"vec_id" < 3)
+    val exact = Similarity.topK(emb, q, k = 8).collect().toSet
+    val full = Similarity.ivfTopKSeeded(emb, q, k = 8,
+      nlist = 8, nprobe = 8).collect().toSet
+    assert(full == exact,
+      "probing every seeded cell must recover the exact ranking")
+    // partial probe: a subset of the exact candidates, ranks contiguous
+    val part = Similarity.ivfTopKSeeded(emb, q, k = 8, nlist = 8, nprobe = 2)
+    val perQ = part.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("maxr")).collect()
+    perQ.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      "ranks must be 1..n contiguous"))
+    assert(part.filter($"query_id" === $"neighbor_id").count() == 0)
+  }
+
   test("idCol/vecCol input parameters are honored on renamed-column frames") {
     val renamed = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
     val q = emb.filter($"vec_id" < 3)
