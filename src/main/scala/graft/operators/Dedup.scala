@@ -225,6 +225,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric shingle CONTAINMENT (Broder 1997's second resemblance
+    * measure): C(inner→outer) = |S(inner) ∩ S(outer)| / |S(inner)| — the
+    * doc-in-doc duplication symmetric Jaccard structurally misses. A short
+    * document quoted wholesale inside a long one (boilerplate inclusion,
+    * license blocks, syndicated articles with added chrome) scores
+    * near-zero Jaccard (the union is dominated by the long side) but
+    * containment ≈ 1 for the short side, so a curation pipeline screens
+    * on BOTH: Jaccard for near-clones, containment for engulfed docs.
+    *
+    * Candidates ride the same capped posting lists as [[ngramJaccard]]
+    * (a pair with containment ≥ t shares ≥ t·|inner| shingles, so at
+    * least one posting joins them — lossless under the same cap caveat),
+    * then each unordered candidate pair is tested in BOTH directions.
+    * The emitted pair is ordered (inner_id = the contained side) and the
+    * score ships as exact integers (`inter`, `n_inner`) with the
+    * threshold applied as `inter·td ≥ tn·n_inner` — no double division
+    * to drift between engines (default tn/td = 9/10).
+    *
+    * Scale shape: identical to [[ngramJaccard]] — one scan, one shuffle
+    * on the shingle, posting-list pair explosion bounded by
+    * `maxShingleDf`, then two bounded joins against the per-doc size
+    * table; the direction test doubles only the candidate PAIR rows,
+    * never the corpus-derived stream. */
+  def containment(docs: DataFrame, n: Int = 5, tn: Int = 9, td: Int = 10,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(VectorExpressions.shinglesOf(docs.sparkSession,
+        split(col("text"), " "), n)).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val postings = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val capped = maxShingleDf.fold(postings)(cap =>
+      postings.filter(size(col("ids")) <= cap))
+    val pairs = capped
+      .select(explode(pairExplode(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val directed = pairs.select(col("id_a").as("inner_id"),
+        col("id_b").as("outer_id"), col("inter"))
+      .unionAll(pairs.select(col("id_b").as("inner_id"),
+        col("id_a").as("outer_id"), col("inter")))
+    directed
+      .join(sizes, directed("inner_id") === sizes("doc_id"))
+      .filter(col("inter") * td >= col("n_sh") * tn)
+      .select(col("inner_id"), col("outer_id"), col("inter"),
+        col("n_sh").as("n_inner"))
+  }
+
   /** PPJoin-style word-set similarity self-join (Xiao et al. 2008 prefix
     * filtering): pairs of documents whose DISTINCT-word Jaccard meets the
     * threshold, found without examining every token-sharing pair

@@ -132,6 +132,40 @@ object PipelineQueries {
       |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Asymmetric containment pairs (doc-in-doc duplication) under the same
+    * SQL-replayable df-64 skew cap as [[dedupNgramCapped]] — ordered
+    * (inner, outer) with exact integer scores, hash-checked against the
+    * quadratic DuckDB answer. */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.containment(Tables.documents(spark, sfDir), n = 5, tn = 9, td = 10,
+      maxShingleDf = Some(64))
+      .orderBy(col("inner_id"), col("outer_id"))
+
+  val dedupContainmentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([array_to_string(t[i:i+4], ' ')
+      |            FOR i IN generate_series(1, greatest(len(t)-4, 1))]) AS s
+      |  FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |keep AS (SELECT s FROM sh GROUP BY s
+      |         HAVING count(*) > 1 AND count(*) <= 64),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  WHERE a.s IN (SELECT s FROM keep)
+      |  GROUP BY 1, 2),
+      |dir AS (
+      |  SELECT id_a AS inner_id, id_b AS outer_id, inter FROM p
+      |  UNION ALL
+      |  SELECT id_b AS inner_id, id_a AS outer_id, inter FROM p)
+      |SELECT d.inner_id, d.outer_id, d.inter, sz.n_sh AS n_inner
+      |FROM dir d JOIN sz ON d.inner_id = sz.doc_id
+      |WHERE d.inter * 10 >= sz.n_sh * 9
+      |ORDER BY d.inner_id, d.outer_id""".stripMargin
+
   /** Skew-capped exact-Jaccard near-dup pairs — THE scale-safe exposed
     * path: shingles seen in more than 64 documents are dropped before the
     * posting-list pair explosion, so a boilerplate shingle in 10⁶ docs

@@ -156,6 +156,27 @@ class DedupSpec extends AnyFunSuite {
     assert(byDoc.count { case (d, c) => d != c } == 1)
   }
 
+  test("containment flags doc-in-doc inclusion that Jaccard misses") {
+    // d2 is d1's text with a long unique suffix: every d1 shingle appears
+    // in d2 (containment d1->d2 = 1) while Jaccard is diluted far below
+    // any clone threshold. d3 shares nothing.
+    val inner = (1 to 10).map(i => s"w$i").mkString(" ")
+    val outer = inner + " " + (1 to 40).map(i => s"u$i").mkString(" ")
+    val planted = Seq(
+      (1L, inner), (2L, outer), (3L, (1 to 30).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.containment(planted, n = 5, tn = 9, td = 10)
+      .select("inner_id", "outer_id", "inter", "n_inner")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // d1 has 6 distinct 5-shingles, all inside d2; the reverse direction
+    // (d2 in d1) fails: 6 of d2's 46 shingles shared
+    assert(got == Set((1L, 2L, 6L, 6L)), s"got $got")
+    // symmetric Jaccard on the same pair: 6 / (6 + 46 - 6) < 0.5 — the
+    // clone threshold misses it, which is exactly why containment exists
+    val jac = Dedup.ngramJaccard(planted, n = 5, threshold = 0.5)
+    assert(jac.count() == 0)
+  }
+
   test("minhash LSH recalls >=90% of exact jaccard>=0.7 pairs") {
     val exact = pairSet(Dedup.ngramJaccard(docs, threshold = 0.7))
     val mh = pairSet(Dedup.minhashLsh(docs, threshold = 0.5))
