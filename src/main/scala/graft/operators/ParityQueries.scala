@@ -699,6 +699,58 @@ object ParityQueries {
       |FROM events WHERE event_id % 3 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Row-level changelog (CDC) end-to-end, four commits deep: two append
+    * commits, then a merge-on-read predicate delete (`value < 100`),
+    * then an erasure-list delete (every `user_id % 7 = 0`) — and
+    * [[TableSink.readChangelog]] must emit exactly the insert rows of
+    * each append and the delete rows each sidecar removed FROM ITS
+    * PRE-COMMIT SNAPSHOT (the erasure delete at v4 must not re-delete
+    * rows the predicate already removed at v3). The oracle replays the
+    * four change sets from the fixture with explicit set algebra;
+    * per-(version, type) counts and DECIMAL sums pin both membership
+    * and values. */
+  def changelogCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_chg", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))     // v1 insert
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 0))     // v2 insert
+    sink.deleteWhere("value < 100.0")                          // v3 delete
+    sink.deleteKeys(                                           // v4 delete
+      e.filter(pmod($"user_id", lit(7)) === 0).select($"user_id"),
+      Seq("user_id"))
+    sink.readChangelog(spark, 0, 4)
+      .groupBy($"_change_version", $"_change_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"_change_version", $"_change_type")
+  }
+
+  val changelogCdcSql: String =
+    """WITH v1 AS (SELECT * FROM events WHERE event_id % 3 <> 0),
+      |v2 AS (SELECT * FROM events WHERE event_id % 3 = 0),
+      |d3 AS (SELECT * FROM events WHERE coalesce(value < 100.0, FALSE)),
+      |d4 AS (SELECT * FROM events
+      |       WHERE NOT coalesce(value < 100.0, FALSE)
+      |         AND user_id % 7 = 0),
+      |chg AS (
+      |  SELECT 1 AS _change_version, 'insert' AS _change_type, value FROM v1
+      |  UNION ALL
+      |  SELECT 2, 'insert', value FROM v2
+      |  UNION ALL
+      |  SELECT 3, 'delete', value FROM d3
+      |  UNION ALL
+      |  SELECT 4, 'delete', value FROM d4)
+      |SELECT CAST(_change_version AS BIGINT) AS _change_version,
+      |  _change_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Snapshot rollback end-to-end: two thirds of events commit (v1), the
     * final third commits (v2), [[TableSink.rollbackTo]] restores v1
     * (v2's files deleted, its manifest dropped), and the table then keeps

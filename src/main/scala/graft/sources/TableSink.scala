@@ -589,6 +589,87 @@ final class TableSink(val config: SinkConfig) {
     readFiles(spark, manifestFiles(toVersion).filterNot(before))
   }
 
+  /** Iceberg changelog-scan analogue: every ROW-level change committed
+    * after `fromVersion` (exclusive; 0 = before the first snapshot) up to
+    * `toVersion` (inclusive), as the original row plus
+    * `_change_type` ∈ 'insert' | 'delete' and `_change_version`. Where
+    * [[readChanges]] is the file-level incremental read (appends only),
+    * the changelog also replays merge-on-read DELETE commits — predicate
+    * sidecars ([[deleteWhere]]), erasure key lists ([[deleteKeys]]), and
+    * position lists ([[deletePositions]]) — each evaluated against its
+    * PRE-commit snapshot's semantics: exactly the rows that commit
+    * removed from readers. Inserts are filtered by the sidecars in force
+    * at their commit (a row appended under an older still-live predicate
+    * was never visible, so it never enters the changelog); a row
+    * appended and later deleted inside the range appears twice (its
+    * insert and its delete) — the standard changelog contract.
+    *
+    * Scale shape: inserts are manifest file-set diffs (no rescan of
+    * history); each delete commit replays as ONE filtered or
+    * semi-joined scan of its pre-commit snapshot — O(changed rows +
+    * one scan per delete commit), never a diff of materialized table
+    * states. Rewriting ops expire history, so a changelog range only
+    * ever spans append and merge-on-read commits. */
+  def readChangelog(spark: SparkSession, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val versions = snapshotVersions()
+    val rng = versions.filter(v => v > fromVersion && v <= toVersion)
+    val parts: Seq[DataFrame] = rng.flatMap { v =>
+      val prev = versions.filter(_ < v).lastOption
+      val prevSet = prev.map(manifestFiles(_).toSet).getOrElse(Set.empty)
+      val added = manifestFiles(v).filterNot(prevSet)
+      val inserts =
+        if (added.isEmpty) None
+        else Some(applyDeletes(readFiles(spark, added), v)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_change_version", lit(v.toLong)))
+      val hasPred = WarehouseIO.isFile(deletesPath(v))
+      val hasKeys = WarehouseIO.isDir(keysPath(v))
+      val hasPos = WarehouseIO.isDir(posDeletesPath(v))
+      val deletes =
+        if (!hasPred && !hasKeys && !hasPos) None
+        else {
+          val pv = prev.getOrElse(sys.error(
+            s"delete sidecar at v$v has no predecessor snapshot"))
+          // the pre-commit snapshot's SEMANTIC rows, physical coordinates
+          // kept so a position list can be replayed against them
+          val base = applyDeletes(readFiles(spark, manifestFiles(pv)), pv,
+            keepPosCols = true)
+          val byPred =
+            if (!hasPred) None
+            else Some(base.where(coalesce(
+              expr(WarehouseIO.readString(deletesPath(v))), lit(false))))
+          val byKeys =
+            if (!hasKeys) None
+            else {
+              val keys = spark.read.parquet(keysPath(v).toString)
+              Some(base.join(keys, keys.columns.toSeq, "left_semi"))
+            }
+          val byPos =
+            if (!hasPos) None
+            else {
+              val pos = spark.read.parquet(posDeletesPath(v).toString)
+                .withColumnRenamed("file_path", "__graft_file")
+                .withColumnRenamed("row_pos", "__graft_pos")
+              Some(base.join(pos,
+                Seq("__graft_file", "__graft_pos"), "left_semi"))
+            }
+          Some(Seq(byPred, byKeys, byPos).flatten.reduce(_ unionByName _)
+            .drop("__graft_file", "__graft_pos")
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_change_version", lit(v.toLong)))
+        }
+      Seq(inserts, deletes).flatten
+    }
+    if (parts.isEmpty)
+      read(spark).limit(0)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_change_version", lit(0L))
+    else parts.reduce(_ unionByName _)
+  }
+
   // --------------------------------------------------- metadata tables
   // Iceberg metadata-table analogues (`table.snapshots` / `table.history`
   // / `table.files`, reference connector.py loads catalogs whose

@@ -187,6 +187,37 @@ class MorDeleteSpec extends AnyFunSuite {
       .getMessage.contains("row_index"))
   }
 
+  test("changelog replays all three delete flavors against pre-commit state") {
+    val sink = mkSink("mor_chg")                                // v1: 1,2,3
+    sink.append(Seq((4L, "b", 40.0), (5L, "a", 5.0)).toDF("id", "cat", "v")) // v2
+    sink.deleteWhere("v < 10.0")                                // v3: row 5
+    sink.deleteKeys(Seq(1L).toDF("id"), Seq("id"))              // v4: row 1
+    sink.deletePositions(spark, "id = 4")                       // v5: row 4
+    val chg = sink.readChangelog(spark, 0, 5)
+      .select($"_change_version", $"_change_type", $"id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(chg == Set(
+      (1L, "insert", 1L), (1L, "insert", 2L), (1L, "insert", 3L),
+      (2L, "insert", 4L), (2L, "insert", 5L),
+      (3L, "delete", 5L),
+      (4L, "delete", 1L),
+      (5L, "delete", 4L)), s"got $chg")
+    // a consumer folding the changelog reconstructs the head exactly
+    val live = sink.read(spark).select($"id").as[Long].collect().toSet
+    assert(live == Set(2L, 3L))
+    // narrower windows slice the same stream
+    val tail = sink.readChangelog(spark, 3, 5)
+      .select($"_change_version", $"_change_type", $"id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(tail == Set((4L, "delete", 1L), (5L, "delete", 4L)))
+    // a row appended under a LIVE predicate never enters the changelog
+    sink.append(Seq((6L, "a", 3.0), (7L, "b", 70.0)).toDF("id", "cat", "v")) // v6
+    val v6 = sink.readChangelog(spark, 5, 6)
+      .select($"_change_type", $"id").as[(String, Long)].collect().toSet
+    assert(v6 == Set(("insert", 7L)),
+      s"id=6 (v<10 matches the v3 predicate) was never visible: $v6")
+  }
+
   test("branch/delete interleavings refuse loudly") {
     val sink = mkSink("m5")
     sink.createBranch("audit")
