@@ -12,9 +12,11 @@ import org.apache.spark.sql.types.StructType
   *    to sort (connector.py:389 — dead knob, SURVEY.md §2.6).
   *  - `fileFormat` is honored (parquet/orc); in the reference it is declared
   *    but never read in the write path (models.py:169-172).
-  *  - commit-conflict retry config is absent: Spark's commit protocol
-  *    serializes commits per query, so the reference's optimistic-retry loop
-  *    (connector.py:242-257) has no equivalent failure mode here.
+  *  - commit-conflict retry CONFIG is absent: the retry itself exists
+  *    (TableSink.commitAppendedFiles — optimistic version claim with
+  *    bounded retries, the reference's connector.py:242-257 loop realized
+  *    Iceberg-style) but needs no user-facing knobs; Spark's commit
+  *    protocol already serializes the data-file writes within one query.
   */
 final case class SinkConfig(
     tableName: String,

@@ -15,11 +15,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    that enables read-side partition pruning, at any scale;
   *  - buffer + size/time flush (connector.py:147-199) → micro-batch
   *    boundaries (`Trigger.ProcessingTime`) in [[startStream]];
-  *  - commit retry + backoff (connector.py:242-257) → unnecessary: Spark's
-  *    commit protocol (batch) / file-sink `_spark_metadata` log (streaming)
-  *    serializes commits, giving the atomic, exactly-once behavior the
-  *    reference only approximates (its `last_committed_batch` tracking is
-  *    dead code — SURVEY.md §2.6);
+  *  - commit retry + backoff (connector.py:242-257) → realized
+  *    Iceberg-style as OPTIMISTIC snapshot commits
+  *    ([[commitAppendedFiles]]): the next version file is claimed by
+  *    atomic write-then-rename, a losing committer re-reads the head and
+  *    retries — append commits commute, so concurrent writers merge
+  *    instead of serializing through one process (streaming keeps the
+  *    file-sink `_spark_metadata` log's exactly-once contract);
   *  - create-if-missing (connector.py:358-393) → first write creates the
   *    table directory; [[read]] applies the declared schema if configured.
   *
@@ -160,12 +162,37 @@ final class TableSink(val config: SinkConfig) {
       (if (partitionColNames.nonEmpty) writer.partitionBy(partitionColNames: _*)
        else writer).save(config.tablePath)
     } else {
-      val base = snapshotVersions().lastOption
-        .map(manifestFiles).getOrElse(listDataFiles())
       val added = stagedWrite(prepared)
-      writeSnapshotOf((base ++ added).distinct.sorted)
+      commitAppendedFiles(added)
       ()
     }
+  }
+
+  /** OPTIMISTIC append commit (the reference's commit-retry surface,
+    * connector.py:242-257, realized Iceberg-style): append commits
+    * COMMUTE — each is `head manifest + its own files` — so concurrency
+    * control is an exclusive create of the next version file. Each
+    * attempt re-reads the head, merges, and tries to claim `head + 1`;
+    * losing the claim (another committer landed first) just retries
+    * against the new head, so no concurrent append's files are ever lost
+    * to a stale-base overwrite. Bounded attempts turn a pathological
+    * livelock into a loud error instead of an infinite loop. */
+  private[graft] def commitAppendedFiles(added: Seq[String],
+      maxAttempts: Int = 20): Int = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val head = snapshotVersions().lastOption
+      val base = head.map(manifestFiles).getOrElse(listDataFiles())
+      val v = head.getOrElse(0) + 1
+      if (WarehouseIO.writeStringIfAbsent(logFile(f"v$v%05d.list"),
+          (base ++ added).distinct.sorted.mkString("\n")))
+        return v
+      require(attempt < maxAttempts,
+        s"append commit lost the version race $maxAttempts times — " +
+          "a committer storm or a stuck writer is holding the log")
+    }
+    -1 // unreachable
   }
 
   /** Stage-and-move write: land `prepared` in a fresh `_staging/` dir
@@ -507,7 +534,7 @@ final class TableSink(val config: SinkConfig) {
       .where(expr(conditionSql))
       .select(col("__graft_file").as("file_path"),
         col("__graft_pos").as("row_pos"))
-    val v = writeSnapshotOf(manifestFiles(head))
+    val v = commitAppendedFiles(Nil) // optimistic head re-commit (see deleteWhere)
     matched.write.mode("overwrite").parquet(posDeletesPath(v).toString)
     v
   }
@@ -539,7 +566,10 @@ final class TableSink(val config: SinkConfig) {
     require(snapshotVersions().nonEmpty,
       "deleteWhere needs at least one committed snapshot")
     expr(conditionSql) // fail on unparseable SQL at commit, not first read
-    val v = writeSnapshotOf(manifestFiles(snapshotVersions().last))
+    // optimistic claim of the next version (fresh head manifest per
+    // attempt); the sidecar write after winning is conflict-free — the
+    // version is exclusively ours
+    val v = commitAppendedFiles(Nil)
     WarehouseIO.writeString(deletesPath(v), conditionSql)
     v
   }
@@ -571,7 +601,7 @@ final class TableSink(val config: SinkConfig) {
         s"disagree with main; publish or drop first: ${live.mkString(", ")}")
     require(snapshotVersions().nonEmpty,
       "deleteKeys needs at least one committed snapshot")
-    val v = writeSnapshotOf(manifestFiles(snapshotVersions().last))
+    val v = commitAppendedFiles(Nil) // optimistic head re-commit (see deleteWhere)
     keys.select(keyCols.map(col): _*).distinct()
       .write.mode("overwrite").parquet(keysPath(v).toString)
     v
@@ -887,13 +917,23 @@ final class TableSink(val config: SinkConfig) {
     * catalog) cannot see the new files until [[publishBranch]]. */
   def appendToBranch(name: String, df: DataFrame): Unit = {
     requireNoStreamingLog()
-    val head = branchHeadFiles(name)          // fails fast if no branch
-    // same staged O(added)-commit protocol as [[append]] — no listing
+    branchHeadFiles(name)                     // fails fast if no branch
+    // same staged O(added)-commit protocol as [[append]], and the same
+    // optimistic exclusive-create version claim (concurrent auditors on
+    // one branch commute exactly like main appends)
     val added = stagedWrite(clusterForWrite(withDerived(Ops.ensureMessage(df))))
-    val v = branchVersions(name).last + 1
-    WarehouseIO.writeString(
-      new org.apache.hadoop.fs.Path(branchLogPath(name), f"v$v%05d.list"),
-      (head ++ added).mkString("\n"))
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      val head = branchHeadFiles(name)
+      val v = branchVersions(name).last + 1
+      committed = WarehouseIO.writeStringIfAbsent(
+        new org.apache.hadoop.fs.Path(branchLogPath(name), f"v$v%05d.list"),
+        (head ++ added).mkString("\n"))
+      require(attempt < 20,
+        s"branch '$name' commit lost the version race 20 times")
+    }
   }
 
   /** Read the branch head — the audit surface of WAP: every query the
@@ -914,9 +954,9 @@ final class TableSink(val config: SinkConfig) {
   def publishBranch(name: String): Int = {
     val base = branchManifest(name, 1).toSet
     val staged = branchHeadFiles(name).filterNot(base)
-    val mainHead = snapshotVersions().lastOption
-      .map(manifestFiles).getOrElse(Seq.empty)
-    writeSnapshotOf((mainHead ++ staged).distinct.sorted)
+    // optimistic append-commit of the staged file set: concurrent main
+    // appends (legal while a branch is live) merge instead of being lost
+    commitAppendedFiles(staged)
   }
 
   /** Drop branch `name`. Files only the branch referenced become orphans —

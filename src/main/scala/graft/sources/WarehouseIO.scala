@@ -54,6 +54,31 @@ private[graft] object WarehouseIO {
     finally out.close()
   }
 
+  /** EXCLUSIVE publish: write `s` beside `p` as a hidden temp file, then
+    * atomically rename into place — fails (false) when `p` already
+    * exists. This is the optimistic-commit primitive, and the
+    * write-then-rename shape matters twice: rename is an atomic
+    * namespace operation that refuses an existing destination (two
+    * racing committers see exactly one winner, the loser re-reads the
+    * head and retries), AND readers can never observe a half-written
+    * manifest — a bare exclusive `create` is visible before its bytes
+    * land (measured: EOFException in a racing reader on the local FS).
+    * Same protocol as Iceberg's HadoopTableOperations version-file
+    * commit. */
+  def writeStringIfAbsent(p: HPath, s: String): Boolean = {
+    val f = fs(p)
+    Option(p.getParent).foreach(f.mkdirs)
+    if (f.exists(p)) return false // cheap pre-check; rename still decides
+    val tmp = new HPath(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(s.getBytes(UTF_8))
+    finally out.close()
+    val won = f.rename(tmp, p)
+    if (!won) f.delete(tmp, false)
+    won
+  }
+
   def mkdirs(p: HPath): Unit = { fs(p).mkdirs(p); () }
 
   def delete(p: HPath, recursive: Boolean = false): Boolean =

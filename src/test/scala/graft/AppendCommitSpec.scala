@@ -73,6 +73,47 @@ class AppendCommitSpec extends AnyFunSuite {
     sink.dropBranch("audit")
   }
 
+  test("exclusive manifest create: one winner, loser merges the new head") {
+    val sink = mkSink("ac_t5")
+    sink.append(batch(1L))
+    // a concurrent committer lands v2 between our base read and our claim
+    val v2 = new org.apache.hadoop.fs.Path(
+      s"$wh/ac_t5/_graft_log/v00002.list")
+    val v1Files = sink.readVersion(spark, 1).inputFiles.toSeq
+    assert(WarehouseIO.writeStringIfAbsent(v2, "cat=a/concurrent.parquet"))
+    assert(!WarehouseIO.writeStringIfAbsent(v2, "overwrite-attempt"),
+      "exclusive create must refuse an existing version file")
+    assert(WarehouseIO.readString(v2) == "cat=a/concurrent.parquet",
+      "losing claim must not clobber the winner's manifest")
+    // our commit retries against the NEW head: v3 = v2's files + ours
+    val v = sink.commitAppendedFiles(Seq("cat=b/mine.parquet"))
+    assert(v == 3)
+    val m3 = WarehouseIO.readString(new org.apache.hadoop.fs.Path(
+      s"$wh/ac_t5/_graft_log/v00003.list")).split("\n").toSet
+    assert(m3.contains("cat=a/concurrent.parquet"),
+      "stale-base overwrite would have lost the concurrent commit")
+    assert(m3.contains("cat=b/mine.parquet"))
+    assert(v1Files.nonEmpty)
+  }
+
+  test("racing appends from multiple threads all survive in the head") {
+    val sink = mkSink("ac_t6")
+    sink.append(batch(0L))                      // v1
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = (1 to 4).map { i =>
+      Future { sink.append(batch(i * 10L, i * 10L + 1)) }
+    }
+    Await.result(Future.sequence(runs), 120.seconds)
+    assert(sink.snapshotVersions() == Seq(1, 2, 3, 4, 5),
+      "every racing append must claim its own version")
+    val ids = sink.readVersion(spark, 5).select($"id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == Seq(0L, 10L, 11L, 20L, 21L, 30L, 31L, 40L, 41L),
+      "no concurrent append's rows may be lost to a stale-base commit")
+  }
+
   test("no staging debris is left under the table after an append") {
     val sink = mkSink("ac_t4")
     sink.append(batch(1L, 2L, 3L))
