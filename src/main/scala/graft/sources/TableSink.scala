@@ -349,6 +349,24 @@ final class TableSink(val config: SinkConfig) {
     drop
   }
 
+  /** Iceberg `expire_snapshots(older_than => ts)` analogue: drop every
+    * snapshot whose commit time is strictly before `cutoffMs` — except
+    * the newest `keepLast` (default 1: the head always survives, however
+    * old). Delegates to [[expireSnapshotsKeepLast]]'s machinery, so the
+    * same refusals apply (dangling tags, live merge-on-read sidecars)
+    * and files referenced only by dropped history are deleted. Returns
+    * the expired versions. Age-based retention is the policy a scheduled
+    * maintenance job runs ("keep 7 days of time travel"); count-based
+    * [[expireSnapshotsKeepLast]] is the bound an operator reaches for
+    * when a runaway committer floods the log. */
+  def expireSnapshotsOlderThan(cutoffMs: Long, keepLast: Int = 1): Seq[Int] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val vs = snapshotVersions()
+    val young = vs.count(v =>
+      WarehouseIO.modifiedAtMs(logFile(f"v$v%05d.list")) >= cutoffMs)
+    expireSnapshotsKeepLast(math.max(keepLast, young))
+  }
+
   /** Committed snapshot versions, oldest first (empty when unversioned). */
   def snapshotVersions(): Seq[Int] =
     WarehouseIO.childNames(logPath)

@@ -42,6 +42,27 @@ class SnapshotExpirySpec extends AnyFunSuite {
     assert(sink.read(spark).count() == 4)
   }
 
+  test("olderThan drops the pre-cutoff prefix, never the head") {
+    val sink = mkSink("e_age")
+    // backdate v1 and v2 well before the cutoff; v3 stays young
+    import org.apache.hadoop.fs.{Path => HPath}
+    val log = s"$wh/e_age/_graft_log"
+    val old = System.currentTimeMillis() - 10 * 24 * 3600 * 1000L
+    Seq(1, 2).foreach { v =>
+      WarehouseIO.fs(new HPath(log))
+        .setTimes(new HPath(log, f"v$v%05d.list"), old, -1)
+    }
+    val cutoff = System.currentTimeMillis() - 7 * 24 * 3600 * 1000L
+    assert(sink.expireSnapshotsOlderThan(cutoff) == Seq(1, 2))
+    assert(sink.snapshotVersions() == Seq(3))
+    assert(sink.read(spark).count() == 3, "head data untouched")
+    // everything older than 'now + 1h': keepLast floor still saves the head
+    val sink2 = mkSink("e_age2")
+    val future = System.currentTimeMillis() + 3600 * 1000L
+    assert(sink2.expireSnapshotsOlderThan(future) == Seq(1, 2))
+    assert(sink2.snapshotVersions() == Seq(3))
+  }
+
   test("keepLast >= history is a no-op; keepLast < 1 refuses") {
     val sink = mkSink("e2")
     assert(sink.expireSnapshotsKeepLast(3) == Nil)
