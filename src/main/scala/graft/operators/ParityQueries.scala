@@ -1140,6 +1140,51 @@ object ParityQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Incremental compaction end-to-end: ONE partition is deliberately
+    * fragmented (five slice appends land only `click` rows) while every
+    * other partition commits once; [[TableSink.compactPartitions]] must
+    * pick exactly the fragmented spine, rewrite it losslessly (the
+    * aggregate equals the full-table oracle), and leave the untouched
+    * partitions' FILES physically identical — `untouched_preserved`
+    * pins path-set equality for the `purchase` partition, the proof the
+    * rewrite cost was proportional to fragmented bytes, not the table. */
+  def compactPartial(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value")
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_partial",
+      warehousePath = dest,
+      numPartitions = 4,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter($"event_type" =!= "click"))
+    (0 until 5).foreach(k =>
+      sink.append(e.filter($"event_type" === "click" &&
+        pmod($"event_id", lit(5)) === k)))
+    // untouched check from the listing, prefix-scoped (DataFrame
+    // .inputFiles reports the whole relation, pre-pruning)
+    val before = sink.dataFilesRel()
+      .filter(_.startsWith("event_type=purchase/")).toSet
+    val spines = sink.compactPartitions(spark, maxFiles = 4)
+    val after = sink.dataFilesRel()
+      .filter(_.startsWith("event_type=purchase/")).toSet
+    sink.read(spark)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .withColumn("only_fragmented", lit(spines == Seq("event_type=click")))
+      .withColumn("untouched_preserved", lit(before == after))
+      .orderBy($"event_type")
+  }
+
+  val compactPartialSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  TRUE AS only_fragmented, TRUE AS untouched_preserved
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Incremental materialized-view maintenance — the consumer side of the
     * CDC surface [[snapshotDiff]] proves: a per-type (count, sum) summary
     * is materialized at snapshot v1, a second commit lands, and the view

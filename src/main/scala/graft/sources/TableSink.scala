@@ -1465,6 +1465,88 @@ final class TableSink(val config: SinkConfig) {
     * renames (single-FS semantics; an object-store deployment swaps a
     * metadata pointer instead — Iceberg's rewrite-files commit).
     */
+  /** INCREMENTAL compaction — the 100 TB maintenance shape. Full
+    * [[compact]] rewrites every partition (it is also the merge-on-read
+    * materializer); at scale a maintenance job compacts only what
+    * fragmentation pays for. This selects partitions with more than
+    * `maxFiles` files (or, when `minAvgFileBytes` > 0, a mean file size
+    * under it), rewrites ONLY those via dynamic partition overwrite
+    * (salted to ~`targetFileBytes` outputs, sink sort order preserved),
+    * and leaves every other partition's files physically untouched — the
+    * rewrite cost is proportional to the FRAGMENTED bytes, not the
+    * table. Returns the rewritten partition directory spines.
+    *
+    * Selection is driver-side file metadata (the same class the snapshot
+    * log handles); the rewrite reads exactly the fragmented directories
+    * with `basePath` partition derivation, so no filter over partition
+    * VALUES (typed, hive-escaped) is ever reconstructed from strings.
+    *
+    * Refusals: pending merge-on-read deletes (a partial rewrite cannot
+    * clear version-scoped sidecars without resurrecting rows in
+    * untouched partitions — materialize with [[compact]] first), live
+    * branches/tags (same contract as every rewriting op), shallow
+    * clones (materialize first), unpartitioned tables (use
+    * [[compact]]). Versioned history expires, as for any rewrite. */
+  def compactPartitions(spark: SparkSession,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxFiles: Int = 8,
+      minAvgFileBytes: Long = 0L): Seq[String] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.hadoop.fs.{Path => HPath}
+    requireNoStreamingLog()
+    requireNoBranches("compactPartitions")
+    require(cloneBasePath.isEmpty,
+      "compactPartitions on a shallow clone would materialize only some " +
+        "partitions; run compact() to materialize the clone first")
+    require(partitionColNames.nonEmpty,
+      "unpartitioned tables have no partition granularity; use compact()")
+    snapshotVersions().lastOption.foreach(h => require(!hasPendingDeletes(h),
+      "compactPartitions with pending merge-on-read deletes would have to " +
+        "clear sidecars that still protect untouched partitions; " +
+        "materialize with compact() first"))
+    val root = new HPath(config.tablePath)
+    val bySpine = listDataFiles()
+      .groupBy(f => f.split('/').dropRight(1).mkString("/"))
+      .filter(_._1.nonEmpty)
+    val fsys = WarehouseIO.fs(root)
+    val fragmented = bySpine.filter { case (_, fl) =>
+      fl.size > maxFiles || (minAvgFileBytes > 0L && fl.size > 1 && {
+        val bytes = fl.map(f => fsys.getFileStatus(new HPath(root, f)).getLen).sum
+        bytes / fl.size < minAvgFileBytes
+      })
+    }
+    if (fragmented.isEmpty) return Nil
+    val fragBytes = fragmented.valuesIterator.flatten
+      .map(f => fsys.getFileStatus(new HPath(root, f)).getLen).sum
+    // read exactly the fragmented directories; partition columns derive
+    // from the spine via basePath. Checkpoint cuts lineage off the files
+    // the dynamic overwrite is about to replace.
+    val r = spark.read.format(config.fileFormat)
+      .option("basePath", config.tablePath)
+    val cur = config.tableSchema.fold(r)(s => r.schema(s))
+      .load(fragmented.keys.toSeq.sorted.map(s => s"${config.tablePath}/$s"): _*)
+      .localCheckpoint()
+    val fragRows = cur.count()
+    if (fragRows == 0) return Nil
+    val bytesPerRow = fragBytes.toDouble / fragRows
+    val parts = partitionColNames
+    val nf = greatest(lit(1L),
+      ceil(count(lit(1)).over(Window.partitionBy(parts.map(col): _*)) *
+        lit(bytesPerRow) / lit(targetFileBytes.toDouble)).cast("long"))
+    val withSalt = cur
+      .withColumn("__salt", pmod(hash(cur.columns.map(col).toSeq: _*), nf))
+    val clustered = withSalt
+      .repartition((parts.map(col) :+ col("__salt")): _*)
+      .drop("__salt")
+    val prepared =
+      if (config.sortOrder.nonEmpty)
+        clustered.sortWithinPartitions(config.sortOrder.map(col): _*)
+      else clustered
+    dynamicOverwrite(spark, prepared)
+    if (config.versioned) expireSnapshots() // rewrite invalidates history
+    fragmented.keys.toSeq.sorted
+  }
+
   def compact(spark: SparkSession,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
