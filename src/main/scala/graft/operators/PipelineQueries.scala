@@ -609,6 +609,67 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hybrid lexical+semantic retrieval: BM25 over the document text and
+    * exact cosine over the embedding (query = doc 0's vector), fused
+    * with reciprocal-rank fusion — both rankings, the integer RRF
+    * scores, the agreement counter, and the fused re-rank all replayed
+    * by [[simHybridSearchSql]] (hash-checked). */
+  def simHybridSearch(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.hybridSearch(Tables.documents(spark, sfDir),
+      Tables.embeddings(spark, sfDir), Seq("spark", "join", "window"),
+      queryVecId = 0L)
+      .orderBy(col("rank"))
+
+  val simHybridSearchSql: String =
+    """WITH dl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks FROM dl),
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+      |       WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+      |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |s AS (SELECT tf.doc_id,
+      |        CAST(round(
+      |          round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 9)
+      |          * (tf * 2.2
+      |             / (tf + 1.2 * (0.25 + 0.75 * dl
+      |                / (CAST(total_toks AS DOUBLE) / n_docs))))
+      |          * 1000000000.0) AS BIGINT) AS score_e9
+      |      FROM tf JOIN dfq USING (tok) CROSS JOIN corpus
+      |      JOIN dl ON tf.doc_id = dl.doc_id),
+      |lexagg AS (SELECT doc_id, CAST(sum(score_e9) AS BIGINT) AS bm25_e9
+      |           FROM s GROUP BY 1
+      |           ORDER BY bm25_e9 DESC, doc_id LIMIT 20),
+      |lex AS (SELECT doc_id,
+      |          CAST(row_number() OVER (ORDER BY bm25_e9 DESC, doc_id)
+      |            AS BIGINT) AS rank
+      |        FROM lexagg),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sem AS (
+      |  SELECT doc_id, rank FROM (
+      |    SELECT e2.vec_id AS doc_id,
+      |      CAST(ROW_NUMBER() OVER (
+      |        ORDER BY round(list_cosine_similarity(q.v, e2.v), 9) DESC,
+      |                 e2.vec_id) AS BIGINT) AS rank
+      |    FROM e q, e e2 WHERE q.vec_id = 0 AND e2.vec_id <> 0)
+      |  WHERE rank <= 20),
+      |u AS (SELECT doc_id, rank FROM lex
+      |      UNION ALL SELECT doc_id, rank FROM sem),
+      |sc AS (SELECT doc_id,
+      |         CAST(SUM(CAST(round(1000000000.0 / (60 + rank), 0)
+      |           AS BIGINT)) AS BIGINT) AS rrf_e9,
+      |         COUNT(*) AS n_lists
+      |       FROM u GROUP BY 1)
+      |SELECT doc_id, rank, rrf_e9, n_lists FROM (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY rrf_e9 DESC, doc_id) AS BIGINT)
+      |      AS rank,
+      |    rrf_e9, n_lists
+      |  FROM sc)
+      |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   /** Per-node triangles + clustering coefficient over the mutual-kNN
     * graph — orientation, wedge closure, and the NANO coefficient all
     * replayed by [[OracleSql.simTrianglesSql]] (hash-checked). */

@@ -167,6 +167,39 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** HYBRID retrieval — the RAG-pipeline staple: one query ranked two
+    * ways (lexically by BM25 over the document text, semantically by
+    * exact cosine over the embedding) and fused with reciprocal-rank
+    * fusion. RRF needs no score calibration between the two systems
+    * (only ranks enter), which is why it is the standard hybrid
+    * combiner; scores ship as integer `rrf_e9` = Σ round(10⁹/(rrfK +
+    * rank)) so no float division feeds the result. `n_lists` says
+    * whether a hit came from one ranker or both — the agreement signal
+    * a downstream re-ranker weighs.
+    *
+    * Scale shape: both input rankings are top-`poolK` lists (bounded
+    * metadata); the fusion is a groupBy over ≤ 2·poolK rows. The
+    * lexical side's corpus scan and the semantic side's broadcast-probe
+    * join are exactly the audited plans of `text_bm25` / `sim_topk`. */
+  def hybridSearch(docs: DataFrame, embeddings: DataFrame,
+      terms: Seq[String], queryVecId: Long, k: Int = 10, poolK: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    val lex = TextAnalysis.bm25TopK(docs, terms, poolK)
+      .select(col("doc_id"), col("rank"))
+    val sem = topK(embeddings,
+        embeddings.filter(col("vec_id") === queryVecId), poolK)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    val fused = lex.unionByName(sem)
+      .groupBy(col("doc_id"))
+      .agg(sum(round(lit(1000000000.0) / (lit(rrfK) + col("rank")))
+          .cast("long")).as("rrf_e9"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.orderBy(col("rrf_e9").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("rrf_e9"), col("n_lists"))
+  }
+
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int = 64, bitsPerTable: Int = 8, numTables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -87,6 +87,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(part.filter($"query_id" === $"neighbor_id").count() == 0)
   }
 
+  test("hybrid search fuses lexical and semantic ranks, agreement wins") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val out = Similarity.hybridSearch(docs, emb,
+      Seq("spark", "join", "window"), queryVecId = 0L).cache()
+    assert(out.count() == 10)
+    val ranks = out.select("rank").as[Long].collect().sorted.toSeq
+    assert(ranks == (1L to 10L), "fused ranks contiguous from 1")
+    // every fused hit came from one or both of the two rankers
+    val nl = out.select("n_lists").as[Long].collect().toSet
+    assert(nl.subsetOf(Set(1L, 2L)))
+    // RRF monotonicity: scores non-increasing in fused rank
+    val scores = out.orderBy($"rank").select("rrf_e9").as[Long].collect()
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // a doc on BOTH lists outranks one with a single equal-rank entry:
+    // planted check via the score formula itself
+    val both = out.filter($"n_lists" === 2).select("rrf_e9").as[Long].collect()
+    val single = out.filter($"n_lists" === 1).select("rrf_e9").as[Long].collect()
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.max >= single.max,
+        "two-list agreement cannot score below every single-list hit")
+  }
+
   test("idCol/vecCol input parameters are honored on renamed-column frames") {
     val renamed = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
     val q = emb.filter($"vec_id" < 3)
