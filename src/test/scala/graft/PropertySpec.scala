@@ -225,6 +225,51 @@ class PropertySpec extends AnyFunSuite {
     }, min = 8)
   }
 
+  test("changelog fold reconstructs the head for random op sequences") {
+    // THE changelog invariant: inserts minus deletes (keyed by id) at any
+    // point equals the table the versioned commits produced. Exercises
+    // randomized interleavings of appends, predicate deletes, and
+    // key-list deletes that the hand-written cases cannot enumerate.
+    val rnd = new scala.util.Random(421983L)
+    (1 to 3).foreach { round =>
+      val wh = TestSpark.tmpDir(s"chg_prop_$round")
+      val sink = new TableSink(SinkConfig(tableName = "t",
+        warehousePath = wh, versioned = true,
+        partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+      var nextId = 0L
+      (1 to 8).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 | 1 => // append 1-4 rows (appends twice as likely)
+            val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+              nextId += 1
+              (nextId, if (rnd.nextBoolean()) "a" else "b", rnd.nextInt(100).toDouble)
+            }
+            sink.append(rows.toDF("id", "cat", "v"))
+          case 2 if sink.snapshotVersions().nonEmpty =>
+            if (rnd.nextBoolean())
+              sink.deleteWhere(s"v < ${rnd.nextInt(60)}.0")
+            else if (nextId > 0)
+              sink.deleteKeys(
+                Seq(1L + rnd.nextInt(nextId.toInt).toLong).toDF("id"),
+                Seq("id"))
+          case _ => ()
+        }
+      }
+      if (sink.snapshotVersions().nonEmpty) {
+        val head = sink.snapshotVersions().last
+        val chg = sink.readChangelog(spark, 0, head)
+          .select($"id", $"_change_type").as[(Long, String)].collect()
+        val folded = chg.groupBy(_._1).collect {
+          case (id, evs)
+            if evs.count(_._2 == "insert") > evs.count(_._2 == "delete") => id
+        }.toSet
+        val live = sink.read(spark).select($"id").as[Long].collect().toSet
+        assert(folded == live,
+          s"round $round: fold=$folded live=$live versions=${sink.snapshotVersions()}")
+      }
+    }
+  }
+
   test("bigram LM: every log score non-positive, oov bounded by count") {
     // scores are probabilities ≤ 1 by construction: c2(prev,cur) ≤ c1(prev)
     // (non-final occurrences of prev), and backoff 0.4·c1(cur)/total < 1
