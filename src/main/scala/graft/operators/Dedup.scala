@@ -198,14 +198,21 @@ object Dedup {
     * @param maxShingleDf drop shingles appearing in more than this many docs
     *   (skew guard for the shuffle key; None = exact, used by the oracle).
     */
-  def ngramJaccard(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+  /** Shared candidate machinery of the exact-shingle family
+    * ([[ngramJaccard]], [[containment]]): distinct word n-shingles per
+    * doc, per-doc shingle counts, and ordered (a < b) candidate pairs
+    * with shared-shingle counts from (optionally df-capped) posting
+    * lists — one scan, one shuffle on the shingle; singleton postings
+    * carry no pairs, capped postings bound skew. Returns (pairs with
+    * `id_a`/`id_b`/`inter`, sizes with `doc_id`/`n_sh`). Both consumers'
+    * DuckDB oracles replay exactly this construction, so any change
+    * here must land in BOTH oracle SQL texts. */
+  private def shingleCandidates(docs: DataFrame, n: Int,
+      maxShingleDf: Option[Int]): (DataFrame, DataFrame) = {
     val sh = docs.select(col("doc_id"),
       explode(VectorExpressions.shinglesOf(docs.sparkSession,
         split(col("text"), " "), n)).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // posting list per shingle (one scan, one shuffle on the shingle);
-    // singleton postings carry no pairs, capped postings bound skew
     val postings = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
     val capped = maxShingleDf.fold(postings)(cap =>
@@ -214,6 +221,12 @@ object Dedup {
       .select(explode(pairExplode(col("ids"))).as("p"))
       .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    (pairs, sizes)
+  }
+
+  def ngramJaccard(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val (pairs, sizes) = shingleCandidates(docs, n, maxShingleDf)
     // no broadcast hint: sizes has one row per corpus document, so the
     // planner (AQE) must stay free to pick a shuffle join at real scale
     pairs
@@ -250,18 +263,7 @@ object Dedup {
     * never the corpus-derived stream. */
   def containment(docs: DataFrame, n: Int = 5, tn: Int = 9, td: Int = 10,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(VectorExpressions.shinglesOf(docs.sparkSession,
-        split(col("text"), " "), n)).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val postings = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val capped = maxShingleDf.fold(postings)(cap =>
-      postings.filter(size(col("ids")) <= cap))
-    val pairs = capped
-      .select(explode(pairExplode(col("ids"))).as("p"))
-      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    val (pairs, sizes) = shingleCandidates(docs, n, maxShingleDf)
     val directed = pairs.select(col("id_a").as("inner_id"),
         col("id_b").as("outer_id"), col("inter"))
       .unionAll(pairs.select(col("id_b").as("inner_id"),

@@ -202,7 +202,7 @@ final class ZoneMaps(sink: TableSink) {
     require(bounds.nonEmpty, "candidates needs at least one column bound")
     val root = java.nio.file.Paths.get(sink.config.tablePath)
     val live = sink.dataFilesRel().map(r => root.resolve(r).toString)
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(statsPath)))
+    if (!WarehouseIO.isDir(new org.apache.hadoop.fs.Path(statsPath)))
       return (live, 0) // never analyzed: everything is a candidate
     import spark.implicits._
     // null-safe: an all-null zone gives NULL min/max -> NULL predicate ->
@@ -245,9 +245,14 @@ final class ZoneMaps(sink: TableSink) {
   def readBetweenInPlan(spark: SparkSession,
       bounds: (String, Column, Column)*): DataFrame = {
     require(bounds.nonEmpty, "readBetweenInPlan needs at least one bound")
-    val df = sink.read(spark)
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(statsPath)))
-      return df // never analyzed: everything is a candidate
+    // stats existence via the Hadoop FS API — a java.nio check is always
+    // false on a non-local warehouse and would silently disable skipping
+    if (!WarehouseIO.isDir(new org.apache.hadoop.fs.Path(statsPath)))
+      return sink.read(spark) // never analyzed: everything is a candidate
+    // the scan path is captured INSIDE the sink's read, before any
+    // merge-on-read delete anti-join makes _metadata unresolvable (and
+    // before the stats join would make the bare reference ambiguous)
+    val df = sink.readWithScanPath(spark, "__zm_scan_raw")
     val keep = coalesce(bounds.map { case (c, lo, hi) =>
       col(s"max_$c") >= lo && col(s"min_$c") <= hi
     }.reduce(_ && _), lit(false))
@@ -255,15 +260,11 @@ final class ZoneMaps(sink: TableSink) {
       .where(!keep)
       .select(regexp_replace(url_decode(col("file")), "^file:(//)?", "")
         .as("__zm_path"))
-    // capture the scan's own _metadata BEFORE the join — the stats scan
-    // exposes a _metadata struct too, and the bare reference would be
-    // ambiguous inside the join condition
     df.withColumn("__zm_scan_path",
-        regexp_replace(url_decode(col("_metadata.file_path")),
-          "^file:(//)?", ""))
+        regexp_replace(url_decode(col("__zm_scan_raw")), "^file:(//)?", ""))
       .join(broadcast(prunedPaths),
         col("__zm_scan_path") === col("__zm_path"), "left_anti")
-      .drop("__zm_scan_path")
+      .drop("__zm_scan_path", "__zm_scan_raw")
   }
 
   /** Read only the files whose zones intersect every `(col, lo, hi)` bound

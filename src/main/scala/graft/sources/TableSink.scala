@@ -362,8 +362,14 @@ final class TableSink(val config: SinkConfig) {
   def expireSnapshotsOlderThan(cutoffMs: Long, keepLast: Int = 1): Seq[Int] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val vs = snapshotVersions()
-    val young = vs.count(v =>
+    // keep everything from the OLDEST post-cutoff version onward — with
+    // clock skew between concurrent committers, mtimes need not be
+    // monotonic in version order, and a count-based mapping could expire
+    // a version NEWER than the cutoff sandwiched behind a slow clock;
+    // indexWhere is skew-conservative (over-keeps, never over-drops)
+    val firstYoung = vs.indexWhere(v =>
       WarehouseIO.modifiedAtMs(logFile(f"v$v%05d.list")) >= cutoffMs)
+    val young = if (firstYoung < 0) 0 else vs.length - firstYoung
     expireSnapshotsKeepLast(math.max(keepLast, young))
   }
 
@@ -679,8 +685,15 @@ final class TableSink(val config: SinkConfig) {
       val deletes =
         if (!hasPred && !hasKeys && !hasPos) None
         else {
-          val pv = prev.getOrElse(sys.error(
-            s"delete sidecar at v$v has no predecessor snapshot"))
+          // a delete commit always has a predecessor at commit time, but
+          // snapshot expiry may have dropped it later — the replay is
+          // then impossible for this version, so refuse with the remedy
+          // rather than crash (a legal table state via the public API)
+          require(prev.isDefined,
+            s"changelog cannot replay the delete commit at v$v: its " +
+              "pre-commit snapshot was expired; start the range after " +
+              s"v$v or retain more history (expireSnapshotsKeepLast)")
+          val pv = prev.get
           // the pre-commit snapshot's SEMANTIC rows, physical coordinates
           // kept so a position list can be replayed against them
           val base = applyDeletes(readFiles(spark, manifestFiles(pv)), pv,
@@ -949,7 +962,9 @@ final class TableSink(val config: SinkConfig) {
       committed = WarehouseIO.writeStringIfAbsent(
         new org.apache.hadoop.fs.Path(branchLogPath(name), f"v$v%05d.list"),
         (head ++ added).mkString("\n"))
-      require(attempt < 20,
+      // only an actual loss counts against the bound — a win on the
+      // final attempt is a durable commit, not an error
+      require(committed || attempt < 20,
         s"branch '$name' commit lost the version race 20 times")
     }
   }
@@ -1385,6 +1400,28 @@ final class TableSink(val config: SinkConfig) {
     snapshotVersions().lastOption.fold(df)(applyDeletes(df, _))
   }
 
+  /** Like [[read]], but captures the scan's `_metadata.file_path` into
+    * `pathCol` BEFORE merge-on-read delete anti-joins make the
+    * `_metadata` struct unresolvable — the surface in-plan zone-map
+    * skipping ([[ZoneMaps.readBetweenInPlan]]) builds on. */
+  private[graft] def readWithScanPath(spark: SparkSession,
+      pathCol: String): DataFrame = {
+    def captured(df: DataFrame): DataFrame =
+      df.withColumn(pathCol, col("_metadata.file_path"))
+    cloneBasePath match {
+      case Some(_) if snapshotVersions().nonEmpty &&
+          manifestFiles(snapshotVersions().last).nonEmpty =>
+        val head = snapshotVersions().last
+        return applyDeletes(captured(readFiles(spark, manifestFiles(head))),
+          head)
+      case _ => ()
+    }
+    val r = spark.read.format(config.fileFormat)
+    val df = captured(
+      config.tableSchema.fold(r)(s => r.schema(s)).load(config.tablePath))
+    snapshotVersions().lastOption.fold(df)(applyDeletes(df, _))
+  }
+
   /** Streaming read of the table — Iceberg's streaming-read contract:
     * a `readStream` whose micro-batches are the files newly landed since
     * the last trigger, so downstream incremental consumers (enrichment,
@@ -1509,15 +1546,24 @@ final class TableSink(val config: SinkConfig) {
       .groupBy(f => f.split('/').dropRight(1).mkString("/"))
       .filter(_._1.nonEmpty)
     val fsys = WarehouseIO.fs(root)
-    val fragmented = bySpine.filter { case (_, fl) =>
-      fl.size > maxFiles || (minAvgFileBytes > 0L && fl.size > 1 && {
-        val bytes = fl.map(f => fsys.getFileStatus(new HPath(root, f)).getLen).sum
-        bytes / fl.size < minAvgFileBytes
-      })
+    // one listStatus per partition directory, memoized — NOT one
+    // getFileStatus RPC per file (and never twice per selected spine):
+    // on object-store warehouses per-file status calls would dominate
+    // the selection phase in exactly the many-small-files regime this
+    // op exists for
+    val bytesBySpine = scala.collection.mutable.HashMap.empty[String, Long]
+    def spineBytes(spine: String): Long =
+      bytesBySpine.getOrElseUpdate(spine,
+        fsys.listStatus(new HPath(root, spine)).iterator
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(_.getLen).sum)
+    val fragmented = bySpine.filter { case (spine, fl) =>
+      fl.size > maxFiles || (minAvgFileBytes > 0L && fl.size > 1 &&
+        spineBytes(spine) / fl.size < minAvgFileBytes)
     }
     if (fragmented.isEmpty) return Nil
-    val fragBytes = fragmented.valuesIterator.flatten
-      .map(f => fsys.getFileStatus(new HPath(root, f)).getLen).sum
+    val fragBytes = fragmented.keysIterator.map(spineBytes).sum
     // read exactly the fragmented directories; partition columns derive
     // from the spine via basePath. Checkpoint cuts lineage off the files
     // the dynamic overwrite is about to replace.

@@ -20,9 +20,16 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object WarehouseIO {
 
+  // newHadoopConf() CLONES the full Configuration (hundreds of entries)
+  // per call, and the metadata hot paths here issue dozens of calls per
+  // table read/commit — cache one conf per live session. Sessions are
+  // few and long-lived; the map stays bounded.
+  private val confCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Configuration]()
+
   private def conf: Configuration =
     SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
+      .map(s => confCache.computeIfAbsent(s, _.sessionState.newHadoopConf()))
       .getOrElse(new Configuration())
 
   def fs(p: HPath): FileSystem = p.getFileSystem(conf)
@@ -68,14 +75,26 @@ private[graft] object WarehouseIO {
   def writeStringIfAbsent(p: HPath, s: String): Boolean = {
     val f = fs(p)
     Option(p.getParent).foreach(f.mkdirs)
-    if (f.exists(p)) return false // cheap pre-check; rename still decides
+    if (f.exists(p)) return false // cheap fast-path; the claim below decides
     val tmp = new HPath(p.getParent,
       s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
     try out.write(s.getBytes(UTF_8))
     finally out.close()
-    val won = f.rename(tmp, p)
-    if (!won) f.delete(tmp, false)
+    val won =
+      if (f.getScheme == "file") {
+        // RawLocalFileSystem.rename delegates to rename(2), which silently
+        // REPLACES an existing destination — on the local FS it is NOT a
+        // claim, and two racing committers could both "win". Hard-link
+        // creation IS atomic-fail-if-exists on POSIX, so the local claim
+        // goes through createLink; the linked content is already complete,
+        // so readers still never see a partial manifest.
+        val lp = new java.io.File(p.toUri.getPath).toPath
+        val lt = new java.io.File(tmp.toUri.getPath).toPath
+        try { java.nio.file.Files.createLink(lp, lt); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else f.rename(tmp, p) // HDFS-class: atomic namespace op, one winner
+    f.delete(tmp, false) // tmp (and its checksum sidecar) always goes
     won
   }
 

@@ -153,6 +153,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(late.toSeq == Seq(99999L))
   }
 
+  test("in-plan skipping composes with merge-on-read delete anti-joins") {
+    // regression: _metadata is unresolvable after a key-list anti-join,
+    // so the scan path must be captured inside the sink's read
+    val sink = new TableSink(SinkConfig(tableName = "inplan_mor",
+      warehousePath = tmpWarehouse(), versioned = true))
+    sink.append((1L to 40L).map(i => (i, i * 10L)).toDF("id", "v"))
+    val zm = new ZoneMaps(sink)
+    zm.analyze(spark, Seq("v"))
+    sink.deleteKeys(Seq(7L).toDF("id"), Seq("id"))
+    val got = zm.readBetweenInPlan(spark, ("v", lit(50L), lit(100L)))
+      .filter($"v".between(50L, 100L)).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(got == Seq(5L, 6L, 8L, 9L, 10L),
+      s"deleted id=7 must stay deleted through the in-plan skip: $got")
+  }
+
   test("files appended after analyze are conservatively always read") {
     val sink = new TableSink(SinkConfig("late_append", tmpWarehouse()))
     val early = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")

@@ -63,6 +63,26 @@ class SnapshotExpirySpec extends AnyFunSuite {
     assert(sink2.snapshotVersions() == Seq(3))
   }
 
+  test("changelog refuses a delete version whose predecessor was expired") {
+    val sink = new TableSink(SinkConfig(tableName = "e_chg",
+      warehousePath = wh, versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, "a", 10.0), (2L, "a", 20.0)).toDF("id", "cat", "v"))
+    sink.deleteWhere("id = 1")                       // v2 carries a sidecar
+    sink.append(Seq((3L, "b", 30.0)).toDF("id", "cat", "v")) // v3
+    sink.expireSnapshotsKeepLast(2)                  // drops v1 (no sidecar)
+    assert(sink.snapshotVersions() == Seq(2, 3))
+    val e = intercept[IllegalArgumentException] {
+      sink.readChangelog(spark, 0, 3).collect()
+    }
+    assert(e.getMessage.contains("pre-commit snapshot was expired"),
+      e.getMessage)
+    // a range that starts after the orphaned delete still replays
+    val tail = sink.readChangelog(spark, 2, 3)
+      .select($"id").as[Long].collect().toSeq
+    assert(tail == Seq(3L))
+  }
+
   test("keepLast >= history is a no-op; keepLast < 1 refuses") {
     val sink = mkSink("e2")
     assert(sink.expireSnapshotsKeepLast(3) == Nil)
