@@ -35,6 +35,12 @@ object TableSink {
   /** Name of the optional per-row partition-override map column consumed by
     * [[TableSink.withDerived]] (reference models.py:62-63 `partition_data`). */
   val PartitionDataCol = "_partition_data"
+
+  /** Default [[TableSink.removeOrphans]] grace window (24 h) — generous
+    * versus the seconds-scale life of a staged write so a concurrent
+    * committer's not-yet-claimed files are never swept (Iceberg's
+    * `older_than` defaults to 3 days for the same reason). */
+  val DefaultOrphanGraceMs: Long = 24L * 60 * 60 * 1000
 }
 
 final class TableSink(val config: SinkConfig) {
@@ -821,26 +827,52 @@ final class TableSink(val config: SinkConfig) {
     * manifest commit never did). Snapshot reads already ignore orphans
     * ([[readVersion]], GraftCatalog latest-commit resolution); this
     * reclaims the space and keeps the unversioned live-directory read
-    * honest. Returns the deleted relative paths.
+    * honest. Crashed `_staging/` write attempts past the grace window are
+    * swept too. Returns the deleted relative paths.
+    *
+    * `graceMs` mirrors Iceberg's `older_than` and is what makes the sweep
+    * safe under the optimistic commit protocol: a CONCURRENT staged write
+    * renames its files into the table tree BEFORE claiming its version
+    * ([[stagedWrite]]), so for a moment live-but-uncommitted files look
+    * exactly like orphans. Only files whose modification time is at least
+    * `graceMs` old are deleted — an in-flight commit finishes (or times
+    * out on its bounded retries) long before the default window.
+    * Pass `graceMs = 0` only when no writer can be live (maintenance
+    * downtime, tests).
     *
     * Only meaningful on versioned tables — without manifests there is no
     * commit record to distinguish an orphan from data, so the call refuses
     * rather than guessing. Driver-side work is bounded file metadata (the
-    * same listing the snapshot log itself writes). */
-  def removeOrphans(): Seq[String] = {
+    * same listing the snapshot log itself writes, plus one mtime probe per
+    * orphan CANDIDATE — not per table file). */
+  def removeOrphans(
+      graceMs: Long = TableSink.DefaultOrphanGraceMs): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
     require(config.versioned && snapshotVersions().nonEmpty,
       "removeOrphans needs a versioned table with at least one commit — " +
         "an unversioned directory has no manifest to define 'orphan'")
+    require(graceMs >= 0L, "graceMs must be >= 0")
+    val now = System.currentTimeMillis()
     // live branches count as references: an unpublished audit branch's
     // files are staged-but-committed (to the branch), not debris
     val referenced = (snapshotVersions().flatMap(manifestFiles) ++
       branches().flatMap(b => branchVersions(b).flatMap(branchManifest(b, _)))
       ).toSet
-    val root = new org.apache.hadoop.fs.Path(config.tablePath)
+    val root = new HPath(config.tablePath)
     val orphans = listDataFiles().filterNot(referenced)
-    orphans.foreach(rel =>
-      WarehouseIO.delete(new org.apache.hadoop.fs.Path(root, rel)))
-    orphans
+      .filter(rel =>
+        now - WarehouseIO.modifiedAtMs(new HPath(root, rel)) >= graceMs)
+    orphans.foreach(rel => WarehouseIO.delete(new HPath(root, rel)))
+    // crashed staged-write attempts: a successful stagedWrite removes its
+    // own directory, so anything still under _staging past the grace
+    // window is debris from a killed writer
+    val staging = new HPath(root, "_staging")
+    val deadStages = WarehouseIO.childNames(staging).filter { n =>
+      now - WarehouseIO.modifiedAtMs(new HPath(staging, n)) >= graceMs
+    }
+    deadStages.foreach(n =>
+      WarehouseIO.delete(new HPath(staging, n), recursive = true))
+    orphans ++ deadStages.map(n => s"_staging/$n")
   }
 
   /** Roll the table back to snapshot `version`: data files not in that

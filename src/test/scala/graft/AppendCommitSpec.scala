@@ -52,7 +52,7 @@ class AppendCommitSpec extends AnyFunSuite {
     sink.append(batch(2L, 3L))
     assert(sink.readVersion(spark, 2).count() == 3,
       "manifest = base + this write's rows only")
-    val orphans = sink.removeOrphans()
+    val orphans = sink.removeOrphans(graceMs = 0L)
     assert(orphans == Seq("cat=a/part-foreign-00000.parquet"),
       s"the stray is referenced by no manifest; got $orphans")
   }
@@ -112,6 +112,40 @@ class AppendCommitSpec extends AnyFunSuite {
       .collect().sorted.toSeq
     assert(ids == Seq(0L, 10L, 11L, 20L, 21L, 30L, 31L, 40L, 41L),
       "no concurrent append's rows may be lost to a stale-base commit")
+  }
+
+  test("orphan grace window protects an in-flight committer's files") {
+    val sink = mkSink("ac_t7")
+    sink.append(batch(1L))
+    // a racing staged write has renamed its file into place but not yet
+    // claimed its version — to the sweeper it looks exactly like an orphan
+    val inflight = new org.apache.hadoop.fs.Path(
+      s"$wh/ac_t7/cat=a/part-inflight-00000.parquet")
+    WarehouseIO.writeString(inflight, "racing committer's staged bytes")
+    assert(sink.removeOrphans().isEmpty,  // default 24 h grace
+      "a fresh unreferenced file must survive the default grace window")
+    assert(WarehouseIO.isFile(inflight))
+    // past the grace window the same file is crash debris
+    assert(sink.removeOrphans(graceMs = 0L) ==
+      Seq("cat=a/part-inflight-00000.parquet"))
+    intercept[IllegalArgumentException](sink.removeOrphans(graceMs = -1L))
+  }
+
+  test("crashed staging directories are swept past the grace window") {
+    val sink = mkSink("ac_t8")
+    sink.append(batch(1L))
+    val dead = new org.apache.hadoop.fs.Path(
+      s"$wh/ac_t8/_staging/append-deadbeef0000")
+    WarehouseIO.writeString(
+      new org.apache.hadoop.fs.Path(dead, "cat=a/part-00000.parquet"),
+      "killed writer's partial stage")
+    assert(sink.removeOrphans().isEmpty,
+      "a fresh staging dir may belong to a live writer — keep it")
+    assert(WarehouseIO.isDir(dead))
+    val swept = sink.removeOrphans(graceMs = 0L)
+    assert(swept == Seq("_staging/append-deadbeef0000"), s"got $swept")
+    assert(!WarehouseIO.exists(dead))
+    assert(sink.read(spark).count() == 1, "committed data untouched")
   }
 
   test("no staging debris is left under the table after an append") {

@@ -49,11 +49,11 @@ class BranchSpec extends AnyFunSuite {
     sink.createBranch("audit")
     sink.appendToBranch("audit", Seq((9L, "z", 90.0)).toDF("id", "cat", "v"))
     // while the branch is live its staged files are NOT orphans
-    assert(sink.removeOrphans().isEmpty,
+    assert(sink.removeOrphans(graceMs = 0L).isEmpty,
       "live branch files must survive removeOrphans")
     assert(sink.readBranch(spark, "audit").count() == 4)
     sink.dropBranch("audit")
-    val reclaimed = sink.removeOrphans()
+    val reclaimed = sink.removeOrphans(graceMs = 0L)
     assert(reclaimed.nonEmpty, "dropped branch's staged files must be reclaimed")
     assert(reclaimed.forall(_.contains("cat=z")), s"only staged files: $reclaimed")
     assert(sink.readVersion(spark, 1).count() == 3)
@@ -107,7 +107,7 @@ class BranchSpec extends AnyFunSuite {
     assert(del.getMessage.contains("publish or drop"))
     // dropping the branch unblocks the rewrite
     sink.dropBranch("audit")
-    sink.removeOrphans()
+    sink.removeOrphans(graceMs = 0L)
     assert(sink.delete(spark, col("id") === 1L) == 1L)
   }
 

@@ -147,12 +147,12 @@ class CatalogSpec extends AnyFunSuite {
         java.nio.file.Paths.get(orphan.getParent.toString + "_tmp"))
       .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst.get
     java.nio.file.Files.move(f, orphan)
-    val removed = sink.removeOrphans()
+    val removed = sink.removeOrphans(graceMs = 0L)
     assert(removed == Seq("cat=a/part-orphan.parquet"), s"got $removed")
     assert(!java.nio.file.Files.exists(orphan))
     assert(sink.readVersion(spark, 2).count() == 5,
       "every committed snapshot must survive orphan cleanup")
-    assert(sink.removeOrphans().isEmpty, "idempotent on a clean table")
+    assert(sink.removeOrphans(graceMs = 0L).isEmpty, "idempotent on a clean table")
     val unversioned = new TableSink(SinkConfig("tt9u", wh))
     unversioned.append(Seq((1L, "x")).toDF("id", "s"))
     intercept[IllegalArgumentException](unversioned.removeOrphans())
