@@ -163,6 +163,77 @@ object LayoutQueries {
       .withColumn("in_plan", lit(true))
   }
 
+  /** Bloom-filter point-lookup skipping — the predicate zone maps are
+    * STRUCTURALLY blind to: events are HASH-clustered by `user_id` into 48
+    * files (each user's rows land in exactly one file, but every file's
+    * min/max user_id spans the whole domain, so no range zone can prune),
+    * then a single-user equality probe is answered from the Bloom-admitted
+    * file set only. The aggregate must equal the plain full-scan oracle —
+    * a skipped file containing the user would change the hash (Bloom
+    * one-sidedness: false positives cost I/O, false negatives are
+    * impossible) — and `pruned` is pinned TRUE, so the oracle also proves
+    * skipping engaged. */
+  def bloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val (sink, bf) = bloomedEvents(spark, sfDir)
+    val probed = bf.readEquals(spark, ("user_id", lit(7L)))
+    val total = sink.read(spark).inputFiles.length
+    val kept = probed.inputFiles.length
+    probed
+      .filter(col("user_id") === 7L)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .withColumn("pruned", lit(kept < total))
+  }
+
+  private def bloomedEvents(spark: SparkSession,
+      sfDir: String): (TableSink, BloomSkip) = {
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig("events_bloom", dest))
+    sink.appendClustered(e.repartition(48, col("user_id")))
+    val bf = new BloomSkip(sink)
+    bf.analyze(spark, Seq("user_id"))
+    (sink, bf)
+  }
+
+  /** The same single-user probe answered through
+    * [[BloomSkip.readEqualsInPlan]] — the driver-free variant: the pruned
+    * file set stays a broadcast metadata DataFrame anti-joined against
+    * `_metadata.file_path` inside the plan. Must hash-match the identical
+    * full-scan oracle as `q_bloom_prune`. */
+  def bloomInPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, bf) = bloomedEvents(spark, sfDir)
+    bf.readEqualsInPlan(spark, ("user_id", lit(7L)))
+      .filter(col("user_id") === 7L)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .withColumn("in_plan", lit(true))
+  }
+
+  val bloomPruneSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  min(event_id) AS min_id,
+      |  max(event_id) AS max_id,
+      |  TRUE AS pruned
+      |FROM events
+      |WHERE user_id = 7""".stripMargin
+
+  val bloomInPlanSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  min(event_id) AS min_id,
+      |  max(event_id) AS max_id,
+      |  TRUE AS in_plan
+      |FROM events
+      |WHERE user_id = 7""".stripMargin
+
   val zonemapPruneSql: String =
     """SELECT COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

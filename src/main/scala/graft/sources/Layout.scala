@@ -281,3 +281,121 @@ final class ZoneMaps(sink: TableSink) {
     }
   }
 }
+
+/** Per-file Bloom-filter data skipping for EQUALITY predicates — the
+  * complement of [[ZoneMaps]] (which proves range disjointness): a zone
+  * map cannot skip anything under hash clustering or for a categorical
+  * point lookup, while a Bloom signature skips every file whose filter
+  * provably never saw the probed value (Iceberg and Parquet both attach
+  * the same structure to their file/row-group metadata for this reason).
+  *
+  * Per (file, column) the signature is the DISTINCT SET of bit positions
+  * `xxhash64(seed_i, value) mod bits` for `i < k` over the file's rows —
+  * a Bloom filter with an explicit position list (≤ `bits` ints, bounded
+  * metadata per file). One-sided as always: hash collisions can KEEP a
+  * file with no matching row (a false positive costs I/O), but a file
+  * containing the value always set exactly the probe's positions, so a
+  * match is never skipped. Probe positions are computed by the SAME Spark
+  * expression inside the plan — no driver-side reimplementation of
+  * xxhash64 to drift.
+  *
+  * Stats live under `<table>/_graft_bloom` (underscore-prefixed —
+  * invisible to scans and the snapshot log) in LONG form, one row per
+  * (file, column): `file`, `col`, `positions`. Files appended after
+  * [[analyze]] have no row → always read; null values can never satisfy
+  * an equality probe, so null-heavy files prune safely. Stale stats
+  * degrade to less pruning, never to wrong results — the same contract
+  * as [[ZoneMaps]]. */
+final class BloomSkip(sink: TableSink, bits: Int = 4096, k: Int = 5) {
+  require(bits > 0 && k > 0, "bloom needs positive bits and hash count")
+
+  private def statsPath = s"${sink.config.tablePath}/_graft_bloom"
+
+  /** The k probe/insert bit positions of `v` (null-safe: a null value
+    * yields a null entry that [[analyze]] drops and no probe can equal). */
+  private def positions(v: Column): Column =
+    when(v.isNotNull, array((0 until k).map(i =>
+      pmod(xxhash64(lit(i), v), lit(bits)).cast("int")): _*))
+
+  /** One distributed scan: per (file, column) distinct bit-position sets.
+    * The explode→distinct→collect shape keeps the shuffle key (file, col,
+    * position) so partial aggregation bounds executor memory at `bits`
+    * ints per group — never a per-file list of per-row hashes. */
+  def analyze(spark: SparkSession, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "analyze needs at least one column")
+    val df = sink.read(spark)
+    val tagged = array(cols.map(c =>
+      struct(lit(c).as("c"), positions(col(c)).as("ps"))): _*)
+    df.select(input_file_name().as("file"), explode(tagged).as("t"))
+      .select(col("file"), col("t.c").as("col"), explode(col("t.ps")).as("p"))
+      .distinct()
+      .groupBy("file", "col")
+      .agg(array_sort(collect_set(col("p"))).as("positions"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath)
+  }
+
+  private def decoded(c: Column): Column =
+    regexp_replace(url_decode(c), "^file:(//)?", "")
+
+  /** Candidate files for the conjunction of `col = value` probes, plus the
+    * pruned count — the driver-side variant (mirrors
+    * [[ZoneMaps.candidates]]): only SURVIVING names are collected. */
+  def candidates(spark: SparkSession,
+      probes: Seq[(String, Column)]): (Seq[String], Int) = {
+    require(probes.nonEmpty, "candidates needs at least one probe")
+    import spark.implicits._
+    val root = java.nio.file.Paths.get(sink.config.tablePath)
+    val live = sink.dataFilesRel().map(r => root.resolve(r).toString)
+    if (!WarehouseIO.isDir(new org.apache.hadoop.fs.Path(statsPath)))
+      return (live, 0) // never analyzed: everything is a candidate
+    val prunedDf = prunedPaths(spark, probes, "path")
+    val liveDf = live.toDF("path")
+    val files = liveDf.join(prunedDf, Seq("path"), "left_anti")
+      .select(col("path")).as[String].collect().toSeq
+    val fileSet = files.toSet
+    (live.filter(fileSet), live.size - files.size)
+  }
+
+  /** Paths (as `outCol`) of files PROVEN to miss at least one probe: the
+    * per-(file, col) signature exists and lacks one of the probe's k
+    * positions. Absent signatures never appear → unanalyzed files always
+    * survive the caller's anti-join. */
+  private def prunedPaths(spark: SparkSession,
+      probes: Seq[(String, Column)], outCol: String): DataFrame = {
+    val stats = spark.read.parquet(statsPath)
+    probes.map { case (c, v) =>
+      stats.where(col("col") === c &&
+          !forall(positions(v), p => array_contains(col("positions"), p)))
+        .select(decoded(col("file")).as(outCol))
+    }.reduce(_ unionAll _).distinct()
+  }
+
+  /** Read only the files whose Bloom signatures admit every `col = value`
+    * probe. Narrows I/O; the caller still applies the real predicate. */
+  def readEquals(spark: SparkSession,
+      probes: (String, Column)*): DataFrame = {
+    val (files, _) = candidates(spark, probes)
+    if (files.isEmpty) sink.read(spark).limit(0)
+    else {
+      val r = spark.read.format(sink.config.fileFormat)
+        .option("basePath", sink.config.tablePath)
+      sink.config.tableSchema.fold(r)(s => r.schema(s)).load(files: _*)
+    }
+  }
+
+  /** In-plan variant (mirrors [[ZoneMaps.readBetweenInPlan]]): the pruned
+    * set stays a broadcast metadata DataFrame anti-joined against the
+    * scan's own `_metadata.file_path` — no path ever lands on the driver. */
+  def readEqualsInPlan(spark: SparkSession,
+      probes: (String, Column)*): DataFrame = {
+    require(probes.nonEmpty, "readEqualsInPlan needs at least one probe")
+    if (!WarehouseIO.isDir(new org.apache.hadoop.fs.Path(statsPath)))
+      return sink.read(spark) // never analyzed: everything is a candidate
+    val df = sink.readWithScanPath(spark, "__bf_scan_raw")
+    df.withColumn("__bf_scan_path", decoded(col("__bf_scan_raw")))
+      .join(broadcast(prunedPaths(spark, probes, "__bf_path")),
+        col("__bf_scan_path") === col("__bf_path"), "left_anti")
+      .drop("__bf_scan_path", "__bf_scan_raw")
+  }
+}

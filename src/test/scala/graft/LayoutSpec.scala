@@ -228,6 +228,69 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == 65536L / 64 * 2, s"pruned read lost rows: $got")
   }
 
+  test("bloom skipping: hash-clustered point lookup prunes, never drops") {
+    val sink = new TableSink(SinkConfig("bloom1", tmpWarehouse()))
+    // 64 keys hash-clustered into 16 files: every file's key min/max spans
+    // the domain (zone maps prune nothing) but each key lives in ONE file
+    val df = spark.range(4096).select(($"id" % 64).as("k"), $"id".as("v"))
+    sink.appendClustered(df.repartition(16, $"k"))
+    val bf = new BloomSkip(sink)
+    bf.analyze(spark, Seq("k"))
+    val zm = new ZoneMaps(sink)
+    zm.analyze(spark, Seq("k"))
+    val (_, zonePruned) = zm.candidates(spark, Seq(("k", lit(7L), lit(7L))))
+    val (files, pruned) = bf.candidates(spark, Seq(("k", lit(7L))))
+    // range zones only prune the files whose FEW keys happen to all land
+    // on one side of 7; the bloom sees exact membership and must beat them
+    assert(pruned > zonePruned,
+      s"bloom ($pruned) must out-prune range zones ($zonePruned) on " +
+        "hash-clustered keys")
+    assert(files.nonEmpty)
+    // one-sidedness: every k=7 row must survive the pruned read
+    val got = bf.readEquals(spark, ("k", lit(7L)))
+      .filter($"k" === 7L).count()
+    assert(got == 4096L / 64, s"bloom skipping lost rows: $got")
+    // in-plan variant returns the identical row set
+    val inPlan = bf.readEqualsInPlan(spark, ("k", lit(7L)))
+      .filter($"k" === 7L).count()
+    assert(inPlan == got)
+  }
+
+  test("bloom: unanalyzed and late-appended files are always candidates") {
+    val sink = new TableSink(SinkConfig("bloom2", tmpWarehouse()))
+    sink.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    val bf = new BloomSkip(sink)
+    val (all, pruned0) = bf.candidates(spark, Seq(("k", lit(99L))))
+    assert(pruned0 == 0 && all.nonEmpty, "no stats: everything survives")
+    bf.analyze(spark, Seq("k"))
+    // k=99 only exists in a file appended AFTER analyze — must be read
+    sink.append(Seq((99L, 990L)).toDF("k", "v"))
+    val got = bf.readEquals(spark, ("k", lit(99L)))
+      .filter($"k" === 99L).select("v").as[Long].collect()
+    assert(got.toSeq == Seq(990L))
+    // null probe values can never match; all-null files prune safely
+    val sinkN = new TableSink(SinkConfig("bloom3", tmpWarehouse()))
+    sinkN.append(Seq((Option.empty[java.lang.Long], 1L),
+      (Option.empty[java.lang.Long], 2L)).toDF("k", "v"))
+    val bfN = new BloomSkip(sinkN)
+    bfN.analyze(spark, Seq("k"))
+    assert(bfN.readEquals(spark, ("k", lit(5L)))
+      .filter($"k" === 5L).count() == 0)
+  }
+
+  test("bloom in-plan skip composes with merge-on-read deletes") {
+    val sink = new TableSink(SinkConfig(tableName = "bloom_mor",
+      warehousePath = tmpWarehouse(), versioned = true))
+    sink.append((1L to 40L).map(i => (i % 8, i)).toDF("k", "v"))
+    val bf = new BloomSkip(sink)
+    bf.analyze(spark, Seq("k"))
+    sink.deleteKeys(Seq(15L).toDF("v"), Seq("v"))  // k=7, v=15 deleted
+    val got = bf.readEqualsInPlan(spark, ("k", lit(7L)))
+      .filter($"k" === 7L).select("v").as[Long].collect().sorted.toSeq
+    assert(got == Seq(7L, 23L, 31L, 39L),
+      s"deleted v=15 must stay deleted through the bloom skip: $got")
+  }
+
   test("appendClustered preserves the range layout the normal append undoes") {
     val df = spark.range(4096).select($"id", ($"id" % 64).as("k"))
     val clustered = ZOrder.cluster(df, Seq(("k", 0L, 63L)), nRanges = 8)
