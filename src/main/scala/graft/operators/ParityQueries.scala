@@ -751,6 +751,46 @@ object ParityQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The same four-commit CDC fixture consumed INCREMENTALLY through
+    * [[TableSink.readChangelogSince]]'s durable cursor in two batches —
+    * batch 1 after the appends (cursor 0 → 2), batch 2 after the two
+    * delete commits (cursor 2 → 4) — then unioned. Equality with the
+    * identical full-changelog oracle proves the cursor arithmetic:
+    * no change row is lost at the batch boundary, none is replayed after
+    * its batch committed. */
+  def changelogIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_chg_inc", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    val cursor = s"$dest/_chg_cursor"
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))     // v1 insert
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 0))     // v2 insert
+    val (b1, commit1) = sink.readChangelogSince(spark, cursor)
+    val batch1 = b1.localCheckpoint()
+    commit1()
+    sink.deleteWhere("value < 100.0")                          // v3 delete
+    sink.deleteKeys(                                           // v4 delete
+      e.filter(pmod($"user_id", lit(7)) === 0).select($"user_id"),
+      Seq("user_id"))
+    val (b2, commit2) = sink.readChangelogSince(spark, cursor)
+    val batch2 = b2.localCheckpoint()
+    commit2()
+    batch1.unionByName(batch2)
+      .groupBy($"_change_version", $"_change_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"_change_version", $"_change_type")
+  }
+
+  /** Identical change-set oracle as `q_changelog_cdc` — the incremental
+    * consumption must be indistinguishable from one full read. */
+  val changelogIncrementalSql: String = changelogCdcSql
+
   /** Snapshot rollback end-to-end: two thirds of events commit (v1), the
     * final third commits (v2), [[TableSink.rollbackTo]] restores v1
     * (v2's files deleted, its manifest dropped), and the table then keeps

@@ -737,6 +737,41 @@ final class TableSink(val config: SinkConfig) {
     else parts.reduce(_ unionByName _)
   }
 
+  /** Incremental changelog consumption with a DURABLE cursor — the
+    * `Trigger.AvailableNow`-style micro-batch pattern for CDC pipelines
+    * that run as periodic jobs rather than a resident stream. Returns the
+    * change rows in `(cursor, head]` (same schema and semantics as
+    * [[readChangelog]]) plus a `commit` thunk: the cursor file advances
+    * to `head` ONLY when the caller invokes it, i.e. AFTER the batch is
+    * durably processed. A crash between read and commit replays the same
+    * batch next call — at-least-once by construction, exactly-once when
+    * the downstream write is idempotent (e.g. an [[upsert]] keyed on the
+    * change rows), which is precisely Structured Streaming's own
+    * contract split between batch and checkpoint commit.
+    *
+    * The cursor is one tiny file at `cursorPath` via [[WarehouseIO]]
+    * (any Hadoop-resolvable location); one consumer per cursor path —
+    * concurrent consumers sharing a cursor would double-process, use
+    * distinct paths. Interplay with retention: the cursor holds versions
+    * alive only logically — pair the consumer's cadence with
+    * [[expireSnapshotsKeepLast]]/[[expireSnapshotsOlderThan]] windows so
+    * a delete commit's pre-commit snapshot is still present when the
+    * batch replays it ([[readChangelog]] refuses loudly otherwise). */
+  def readChangelogSince(spark: SparkSession,
+      cursorPath: String): (DataFrame, () => Unit) = {
+    val p = new org.apache.hadoop.fs.Path(cursorPath)
+    val from =
+      if (WarehouseIO.isFile(p)) WarehouseIO.readString(p).trim.toInt
+      else 0
+    val head = snapshotVersions().lastOption.getOrElse(0)
+    require(from <= head,
+      s"changelog cursor at $cursorPath points past the head " +
+        s"($from > $head) — wrong table, or history was rolled back; " +
+        "delete the cursor to restart from the beginning")
+    val batch = readChangelog(spark, from, head)
+    (batch, () => WarehouseIO.writeString(p, head.toString))
+  }
+
   // --------------------------------------------------- metadata tables
   // Iceberg metadata-table analogues (`table.snapshots` / `table.history`
   // / `table.files`, reference connector.py loads catalogs whose

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[TableSink.readChangelogSince]] — durable-cursor incremental CDC
+  * consumption: the cursor advances only on the caller's commit thunk
+  * (at-least-once), an uncommitted batch replays verbatim, a committed
+  * batch never reappears, and the cursor survives sink instances. */
+class ChangelogCursorSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val wh = TestSpark.tmpDir("chgcursor_wh")
+
+  private def mkSink(name: String): TableSink =
+    new TableSink(SinkConfig(tableName = name, warehousePath = wh,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+
+  private def changes(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+    df.select($"id", $"_change_type").as[(Long, String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("cursor advances only on commit; uncommitted batches replay") {
+    val sink = mkSink("cc1")
+    val cursor = s"$wh/cc1_cursor"
+    sink.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "cat", "v"))
+    val (b1, commit1) = sink.readChangelogSince(spark, cursor)
+    assert(changes(b1) == Seq((1L, "insert"), (2L, "insert")))
+    // crash before commit: the SAME batch comes back
+    val (replay, commitR) = sink.readChangelogSince(spark, cursor)
+    assert(changes(replay) == Seq((1L, "insert"), (2L, "insert")),
+      "uncommitted batch must replay — at-least-once")
+    commitR()
+    val (empty, _) = sink.readChangelogSince(spark, cursor)
+    assert(empty.count() == 0, "committed batch must never reappear")
+    assert(commit1 != null) // thunk from the first read is simply unused
+  }
+
+  test("next batch holds exactly the delta, including delete change rows") {
+    val sink = mkSink("cc2")
+    val cursor = s"$wh/cc2_cursor"
+    sink.append(Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "cat", "v"))
+    val (b1, c1) = sink.readChangelogSince(spark, cursor)
+    assert(b1.count() == 3)
+    c1()
+    sink.append(Seq((4L, "b", 40.0)).toDF("id", "cat", "v"))
+    sink.deleteWhere("id = 2")
+    val (b2, c2) = sink.readChangelogSince(spark, cursor)
+    assert(changes(b2) == Seq((2L, "delete"), (4L, "insert")),
+      "second batch = exactly the post-cursor commits")
+    c2()
+    // a fresh sink instance sees the same durable cursor
+    val (b3, _) = mkSink("cc2").readChangelogSince(spark, cursor)
+    assert(b3.count() == 0, "cursor must be durable across sink instances")
+  }
+
+  test("cursor past the head refuses with the restart remedy") {
+    val sink = mkSink("cc3")
+    sink.append(Seq((1L, "a", 10.0)).toDF("id", "cat", "v"))
+    val cursor = s"$wh/cc3_cursor"
+    WarehouseIO.writeString(new org.apache.hadoop.fs.Path(cursor), "9")
+    val e = intercept[IllegalArgumentException](
+      sink.readChangelogSince(spark, cursor))
+    assert(e.getMessage.contains("delete the cursor"), e.getMessage)
+  }
+}
