@@ -791,6 +791,54 @@ object ParityQueries {
     * consumption must be indistinguishable from one full read. */
   val changelogIncrementalSql: String = changelogCdcSql
 
+  /** CDC replication end-to-end: the four-commit fixture's changelog is
+    * applied to a DOWNSTREAM replica via [[TableSink.replicateTo]] in two
+    * cursor micro-batches (after the appends, after the deletes) — insert
+    * versions as keyed upserts, delete versions as merge-on-read key
+    * lists, in source commit order — and the replica's final state must
+    * equal the oracle's direct computation of the survivors
+    * (v1 ∪ v2, minus the predicate delete, minus the erasure delete).
+    * Any ordering, idempotency, or batch-boundary defect in the apply
+    * loop shows up as a membership difference here. */
+  def changelogReplicate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    def cfg(name: String) = SinkConfig(
+      tableName = name, warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id"))
+    val src = new TableSink(cfg("events_src"))
+    val replica = new TableSink(cfg("events_replica"))
+    val cursor = s"$dest/_repl_cursor"
+    src.append(e.filter(pmod($"event_id", lit(3)) =!= 0))      // v1 insert
+    src.append(e.filter(pmod($"event_id", lit(3)) === 0))      // v2 insert
+    src.replicateTo(spark, replica, Seq("event_id"), cursor)   // batch 1
+    src.deleteWhere("value < 100.0")                           // v3 delete
+    src.deleteKeys(                                            // v4 delete
+      e.filter(pmod($"user_id", lit(7)) === 0).select($"user_id"),
+      Seq("user_id"))
+    src.replicateTo(spark, replica, Seq("event_id"), cursor)   // batch 2
+    replica.read(spark)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"),
+        min($"event_id").as("min_id"),
+        max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
+  val changelogReplicateSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  min(event_id) AS min_id,
+      |  max(event_id) AS max_id
+      |FROM events
+      |WHERE NOT coalesce(value < 100.0, FALSE)
+      |  AND NOT coalesce(user_id % 7 = 0, FALSE)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Snapshot rollback end-to-end: two thirds of events commit (v1), the
     * final third commits (v2), [[TableSink.rollbackTo]] restores v1
     * (v2's files deleted, its manifest dropped), and the table then keeps

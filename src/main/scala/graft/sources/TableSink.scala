@@ -477,6 +477,14 @@ final class TableSink(val config: SinkConfig) {
         WarehouseIO.isDir(keysPath(v)) ||
         WarehouseIO.isDir(posDeletesPath(v))))
 
+  /** True when the HEAD carries unmaterialized merge-on-read sidecars —
+    * the state in which a partition-scoped rewrite (dynamic overwrite +
+    * history expiry) would resurrect deleted rows in untouched
+    * partitions; [[upsert]] and [[delete]] force the full rewrite-swap
+    * instead. */
+  private def pendingMorDeletes: Boolean =
+    config.versioned && snapshotVersions().lastOption.exists(hasPendingDeletes)
+
   private def applyDeletes(df: DataFrame, version: Int,
       keepPosCols: Boolean = false): DataFrame = {
     val versions = snapshotVersions().filter(_ <= version)
@@ -770,6 +778,53 @@ final class TableSink(val config: SinkConfig) {
         "delete the cursor to restart from the beginning")
     val batch = readChangelog(spark, from, head)
     (batch, () => WarehouseIO.writeString(p, head.toString))
+  }
+
+  /** CDC REPLICATION: apply this table's changelog to the downstream
+    * replica `dest`, keyed by `keyCols`, consuming through the durable
+    * cursor at `cursorPath` ([[readChangelogSince]]). One call = one
+    * micro-batch; run it on a schedule and `dest` tracks this table.
+    *
+    * Change rows apply IN SOURCE COMMIT ORDER — insert versions as a
+    * keyed [[upsert]], delete versions as [[deleteKeys]] — and both ops
+    * are IDEMPOTENT under the keys, so the cursor's at-least-once replay
+    * (a crash between apply and commit re-applies the batch) converges to
+    * exactly-once replica state: the standard idempotent-apply CDC
+    * contract. The per-version loop is driver-side over COMMIT COUNT
+    * (metadata-scale, the same bound as the snapshot log itself), never
+    * over rows; each version's rows apply as one distributed op.
+    *
+    * Returns the source versions applied. The replica must be versioned
+    * (deletes land as merge-on-read key lists); its own history is
+    * expired by each rewriting apply, which is the replica contract —
+    * time travel belongs to the source. */
+  def replicateTo(spark: SparkSession, dest: TableSink,
+      keyCols: Seq[String], cursorPath: String): Seq[Long] = {
+    require(keyCols.nonEmpty, "replicateTo needs at least one key column")
+    require(dest.config.versioned,
+      "the replica must be versioned=true — changelog deletes apply as " +
+        "merge-on-read key lists")
+    require(dest.config.tablePath != config.tablePath,
+      "a table cannot replicate onto itself")
+    val (batch, commit) = readChangelogSince(spark, cursorPath)
+    val b = batch.localCheckpoint() // pin the batch before dest ops run jobs
+    import spark.implicits._
+    val versions = b.select(col("_change_version"))
+      .distinct().as[Long].collect().sorted // bounded: commit count
+    versions.foreach { v =>
+      val vb = b.filter(col("_change_version") === v)
+      val del = vb.filter(col("_change_type") === "delete")
+        .select(keyCols.map(col): _*)
+      val ins = vb.filter(col("_change_type") === "insert")
+        .drop("_change_type", "_change_version")
+      // a fresh replica has nothing to delete yet (and deleteKeys would
+      // rightly refuse a table with no committed snapshot)
+      if (dest.snapshotVersions().nonEmpty && !del.isEmpty)
+        dest.deleteKeys(del, keyCols)
+      if (!ins.isEmpty) dest.upsert(ins, keyCols)
+    }
+    commit()
+    versions.toSeq
   }
 
   // --------------------------------------------------- metadata tables
@@ -1214,7 +1269,7 @@ final class TableSink(val config: SinkConfig) {
       val survivors = base.join(incomingKeys, keyCols, "left_anti")
       survivors.unionByName(incoming.select(survivors.columns.map(col): _*))
     }
-    if (parts.isEmpty || cloneBasePath.isDefined) {
+    if (parts.isEmpty || cloneBasePath.isDefined || pendingMorDeletes) {
       // unpartitioned: a merge is a full rewrite either way — swap protocol.
       // A shallow clone ALSO forces the full rewrite (its documented
       // materialization contract): dynamic overwrite would write only the
@@ -1222,6 +1277,11 @@ final class TableSink(val config: SinkConfig) {
       // post-rewrite re-snapshot (local listing) would silently drop every
       // untouched partition still referenced via the source's absolute
       // manifest entries.
+      // Pending merge-on-read sidecars force it too: the partition-scoped
+      // path leaves untouched partitions' files physically intact while
+      // expireSnapshots drops the sidecars that still subtracted their
+      // deleted rows — resurrecting them at the head. The full rewrite
+      // materializes survivors (read() applies the sidecars) first.
       rewriteSwap(spark, merged(current), expectRows = None)
     } else {
       val affected = incoming.select(parts.map(col): _*)
@@ -1367,10 +1427,13 @@ final class TableSink(val config: SinkConfig) {
       val emptied = touchedVals.join(
         survivors.select(parts.map(col): _*).distinct(), parts, "left_anti")
         .limit(1).count() > 0
-      if (emptied || cloneBasePath.isDefined) {
+      if (emptied || cloneBasePath.isDefined || pendingMorDeletes) {
         // emptied partition: dynamic overwrite cannot express it; shallow
         // clone: dynamic overwrite would materialize only the touched
-        // partitions and the re-snapshot would drop the rest (see upsert)
+        // partitions and the re-snapshot would drop the rest (see upsert);
+        // pending merge-on-read sidecars: expireSnapshots would drop them
+        // while untouched partitions' files still hold the subtracted
+        // rows, resurrecting them (see upsert) — materialize fully
         val totalRows = current.count()
         rewriteSwap(spark, current.filter(!cond), Some(totalRows - nDeleted))
       } else {

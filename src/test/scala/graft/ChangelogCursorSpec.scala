@@ -57,6 +57,64 @@ class ChangelogCursorSpec extends AnyFunSuite {
     assert(b3.count() == 0, "cursor must be durable across sink instances")
   }
 
+  test("replicateTo applies inserts and deletes in source commit order") {
+    val src = mkSink("rp1")
+    val replica = mkSink("rp1_replica")
+    val cursor = s"$wh/rp1_cursor"
+    src.append(Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "cat", "v"))
+    src.replicateTo(spark, replica, Seq("id"), cursor)
+    assert(replica.read(spark).count() == 3)
+    // a delete and a later append in one batch: the replica must land on
+    // the SOURCE's semantics — and this engine's delete sidecars are
+    // cumulative (a row re-appended under a live predicate stays
+    // invisible until compact), so id=2's re-insert shows up NOWHERE
+    src.deleteWhere("id = 2")
+    src.append(Seq((2L, "a", 22.0), (4L, "b", 40.0)).toDF("id", "cat", "v"))
+    val applied = src.replicateTo(spark, replica, Seq("id"), cursor)
+    assert(applied == Seq(2L, 3L), s"applied source versions: $applied")
+    val got = replica.read(spark).select($"id", $"v").as[(Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    val atSource = src.read(spark).select($"id", $"v").as[(Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(atSource == Seq((1L, 10.0), (3L, 30.0), (4L, 40.0)),
+      s"fixture sanity — cumulative predicate hides the re-insert: $atSource")
+    assert(got == atSource, s"replica must mirror the source: $got")
+  }
+
+  test("crash-replay of an applied batch converges (idempotent apply)") {
+    val src = mkSink("rp2")
+    val replica = mkSink("rp2_replica")
+    val cursor = s"$wh/rp2_cursor"
+    src.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "cat", "v"))
+    src.replicateTo(spark, replica, Seq("id"), cursor)
+    src.deleteWhere("id = 1")
+    // simulate apply-then-crash-before-cursor-commit: run the batch's ops
+    // by hand, leaving the cursor where it was
+    val (batch, _) = src.readChangelogSince(spark, cursor)
+    val keys = batch.filter($"_change_type" === "delete").select($"id")
+    replica.deleteKeys(keys, Seq("id"))
+    // the recovering job replays the same batch through the normal path
+    src.replicateTo(spark, replica, Seq("id"), cursor)
+    val got = replica.read(spark).select($"id").as[Long].collect().toSeq
+    assert(got == Seq(2L), s"double-applied delete must converge: $got")
+    // and the cursor is now committed: nothing replays a third time
+    val (empty, _2) = src.readChangelogSince(spark, cursor)
+    assert(empty.count() == 0)
+  }
+
+  test("replicateTo guards: unversioned replica, self-replication") {
+    val src = mkSink("rp3")
+    src.append(Seq((1L, "a", 1.0)).toDF("id", "cat", "v"))
+    val flat = new TableSink(SinkConfig("rp3_flat", wh))
+    val e1 = intercept[IllegalArgumentException](
+      src.replicateTo(spark, flat, Seq("id"), s"$wh/rp3_c1"))
+    assert(e1.getMessage.contains("versioned"))
+    val e2 = intercept[IllegalArgumentException](
+      src.replicateTo(spark, src, Seq("id"), s"$wh/rp3_c2"))
+    assert(e2.getMessage.contains("itself"))
+  }
+
   test("cursor past the head refuses with the restart remedy") {
     val sink = mkSink("cc3")
     sink.append(Seq((1L, "a", 10.0)).toDF("id", "cat", "v"))

@@ -115,6 +115,27 @@ class MorDeleteSpec extends AnyFunSuite {
       sink.deleteKeys(keys, Nil)).getMessage.contains("at least one"))
   }
 
+  test("partition-scoped rewrites under pending sidecars do not resurrect") {
+    // regression: upsert/delete into partition b while a sidecar still
+    // subtracts rows from partition a — the dynamic-overwrite path leaves
+    // a's files intact and expireSnapshots drops the sidecar, so without
+    // the full-rewrite fallback the deleted row comes back at the head
+    val sink = mkSink("m_resurrect")             // {(1,a),(2,b),(3,a)}
+    sink.deleteKeys(Seq(3L).toDF("id"), Seq("id"))
+    sink.upsert(Seq((4L, "b", 40.0)).toDF("id", "cat", "v"), Seq("id"))
+    val afterUpsert = sink.read(spark).select($"id").as[Long]
+      .collect().sorted.toSeq
+    assert(afterUpsert == Seq(1L, 2L, 4L),
+      s"upsert into b must not resurrect the deleted id=3 in a: $afterUpsert")
+    // same shape for the copy-on-write delete()
+    sink.deleteWhere("id = 1")
+    assert(sink.delete(spark, col("id") === 4L) == 1L)
+    val afterDelete = sink.read(spark).select($"id").as[Long]
+      .collect().sorted.toSeq
+    assert(afterDelete == Seq(2L),
+      s"delete() in b must not resurrect the pending-deleted id=1: $afterDelete")
+  }
+
   test("rollback removes newer delete sidecars of all three kinds") {
     val sink = mkSink("m7")
     sink.deleteKeys(Seq(1L).toDF("id"), Seq("id"))   // v2
