@@ -839,6 +839,47 @@ object ParityQueries {
       |  AND NOT coalesce(user_id % 7 = 0, FALSE)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Incremental materialized-view maintenance (IVM) end-to-end over the
+    * four-commit CDC fixture: a per-event_type (count, decimal-sum) view
+    * is refreshed TWICE — after the appends, after the two delete
+    * commits — each refresh folding only the changelog delta into the
+    * persisted state (inserts add, deletes subtract; never a base
+    * rescan). The final state must equal the oracle's direct aggregation
+    * of the survivors: any sign error, double-fold, or missed delete
+    * flavor shows up in the counts/sums. */
+  def mvRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val src = new TableSink(SinkConfig(
+      tableName = "events_mv_src", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    val mv = new MaterializedView(src, s"$dest/mv_by_type",
+      Seq("event_type"), Seq("value"))
+    src.append(e.filter(pmod($"event_id", lit(3)) =!= 0))      // v1 insert
+    src.append(e.filter(pmod($"event_id", lit(3)) === 0))      // v2 insert
+    mv.refresh(spark)                                          // folds v1-v2
+    src.deleteWhere("value < 100.0")                           // v3 delete
+    src.deleteKeys(                                            // v4 delete
+      e.filter(pmod($"user_id", lit(7)) === 0).select($"user_id"),
+      Seq("user_id"))
+    mv.refresh(spark)                                          // folds v3-v4
+    mv.read(spark)
+      .select($"event_type", $"n",
+        $"sum_value".cast("double").as("total"))
+      .orderBy($"event_type")
+  }
+
+  val mvRefreshSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total
+      |FROM events
+      |WHERE NOT coalesce(value < 100.0, FALSE)
+      |  AND NOT coalesce(user_id % 7 = 0, FALSE)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Snapshot rollback end-to-end: two thirds of events commit (v1), the
     * final third commits (v2), [[TableSink.rollbackTo]] restores v1
     * (v2's files deleted, its manifest dropped), and the table then keeps
