@@ -880,6 +880,41 @@ object ParityQueries {
       |  AND NOT coalesce(user_id % 7 = 0, FALSE)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Row lineage end-to-end: events land in two known commits (v1 =
+    * `event_id % 3 ≠ 0`, v2 = the rest), a merge-on-read delete then
+    * removes the low-value rows, and [[TableSink.readWithCommitVersion]]
+    * must tag every SURVIVING row with the commit that introduced its
+    * file. The oracle derives the version from the same modulus split —
+    * any misattributed file→version pair or a lineage join that breaks
+    * the delete anti-join shows up in the per-(version, type) counts. */
+  def rowLineage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_lineage", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))     // v1
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 0))     // v2
+    sink.deleteWhere("value < 100.0")                          // v3 (MoR)
+    sink.readWithCommitVersion(spark)
+      .groupBy($"_commit_version", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"_commit_version", $"event_type")
+  }
+
+  val rowLineageSql: String =
+    """SELECT CAST(CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 2 END AS BIGINT)
+      |    AS _commit_version,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events
+      |WHERE NOT coalesce(value < 100.0, FALSE)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Snapshot rollback end-to-end: two thirds of events commit (v1), the
     * final third commits (v2), [[TableSink.rollbackTo]] restores v1
     * (v2's files deleted, its manifest dropped), and the table then keeps

@@ -1552,6 +1552,43 @@ final class TableSink(val config: SinkConfig) {
     snapshotVersions().lastOption.fold(df)(applyDeletes(df, _))
   }
 
+  /** Row lineage — Iceberg's `_commit_version` metadata-column analogue:
+    * the live table with an extra column naming the snapshot whose commit
+    * INTRODUCED each row's data file. Appends never rewrite files, so
+    * file→version is exactly "first manifest that lists the file"; the
+    * mapping is bounded driver metadata (one pair per live file — the
+    * same scale as the manifest itself), broadcast and joined against the
+    * scan's own `_metadata.file_path` inside the plan. Composes with
+    * merge-on-read deletes (the scan path is captured before their
+    * anti-joins) and with shallow clones (absolute source-referenced
+    * entries resolve as-is, so cloned rows report the SOURCE-era version
+    * they were committed under — v1, the clone's import point).
+    *
+    * The audit queries this powers — "which commit brought these rows",
+    * per-commit row counts, blast-radius of a bad backfill — otherwise
+    * need a changelog replay; here they are one scan. */
+  def readWithCommitVersion(spark: SparkSession,
+      versionCol: String = "_commit_version"): DataFrame = {
+    require(config.versioned && snapshotVersions().nonEmpty,
+      "row lineage needs a versioned table with at least one commit")
+    val root = java.nio.file.Paths.get(config.tablePath)
+    val introduced = snapshotVersions()
+      .foldLeft(Map.empty[String, Int]) { (seen, v) =>
+        seen ++ manifestFiles(v).filterNot(seen.contains).map(_ -> v)
+      }
+    val pairs = introduced.toSeq.map { case (rel, v) =>
+      val abs = if (rel.startsWith("/")) rel else root.resolve(rel).toString
+      (abs, v.toLong)
+    }
+    import spark.implicits._
+    val byPath = pairs.toDF("__lin_path", versionCol)
+    readWithScanPath(spark, "__lin_raw")
+      .withColumn("__lin_scan",
+        regexp_replace(url_decode(col("__lin_raw")), "^file:(//)?", ""))
+      .join(broadcast(byPath), col("__lin_scan") === col("__lin_path"), "left")
+      .drop("__lin_raw", "__lin_scan", "__lin_path")
+  }
+
   /** Streaming read of the table — Iceberg's streaming-read contract:
     * a `readStream` whose micro-batches are the files newly landed since
     * the last trigger, so downstream incremental consumers (enrichment,

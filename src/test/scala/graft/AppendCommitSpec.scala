@@ -114,6 +114,22 @@ class AppendCommitSpec extends AnyFunSuite {
       "no concurrent append's rows may be lost to a stale-base commit")
   }
 
+  test("row lineage tags each row with its introducing commit") {
+    val sink = mkSink("ac_lin")
+    sink.append(batch(1L, 2L))                         // v1
+    sink.append(batch(3L))                             // v2
+    sink.deleteKeys(Seq(2L).toDF("id"), Seq("id"))     // v3: MoR delete
+    val got = sink.readWithCommitVersion(spark)
+      .select($"id", $"_commit_version").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L), (3L, 2L)),
+      s"lineage must survive the delete anti-join and tag by commit: $got")
+    // unversioned tables have no commit record to attribute
+    val flat = new TableSink(SinkConfig("ac_lin_flat", wh))
+    flat.append(batch(9L))
+    intercept[IllegalArgumentException](flat.readWithCommitVersion(spark))
+  }
+
   test("orphan grace window protects an in-flight committer's files") {
     val sink = mkSink("ac_t7")
     sink.append(batch(1L))
