@@ -291,6 +291,24 @@ class LayoutSpec extends AnyFunSuite {
       s"deleted v=15 must stay deleted through the bloom skip: $got")
   }
 
+  test("in-plan skips execute as broadcast anti-joins, no driver paths") {
+    val sink = new TableSink(SinkConfig("bloom_plan", tmpWarehouse()))
+    sink.append(spark.range(256).select(($"id" % 8).as("k"), $"id".as("v"))
+      .repartition(4, $"k"))
+    val bf = new BloomSkip(sink)
+    bf.analyze(spark, Seq("k"))
+    val plan = bf.readEqualsInPlan(spark, ("k", lit(3L)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"pruned set must broadcast into an anti-join, got:\n$plan")
+    val zm = new ZoneMaps(sink)
+    zm.analyze(spark, Seq("v"))
+    val zplan = zm.readBetweenInPlan(spark, ("v", lit(0L), lit(10L)))
+      .queryExecution.executedPlan.toString
+    assert(zplan.contains("BroadcastHashJoin") && zplan.contains("LeftAnti"),
+      s"zone-map in-plan skip must broadcast anti-join, got:\n$zplan")
+  }
+
   test("appendClustered preserves the range layout the normal append undoes") {
     val df = spark.range(4096).select($"id", ($"id" % 64).as("k"))
     val clustered = ZOrder.cluster(df, Seq(("k", 0L, 63L)), nRanges = 8)
