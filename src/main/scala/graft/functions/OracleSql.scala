@@ -105,6 +105,16 @@ object OracleSql {
        |SELECT id_a, id_b, est_jaccard FROM est
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Streaming near-dup replay: the [[dedupMinhashSql]] BAND-candidacy
+    * stage only (no estimate filter — the stream flags on bucket
+    * collision), reduced to each doc's smallest band-sharing
+    * predecessor: exactly the single-batch stream's per-bucket
+    * first-seen state folded across the doc's 16 buckets. */
+  val streamNearDupSql: String =
+    s"""$minhashCandCte
+       |SELECT id_b AS doc_id, min(id_a) AS first_seen
+       |FROM cand GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** MinHash accuracy audit replay: the [[dedupMinhashSql]] candidate+
     * estimate chain joined back to the TRUE shingle-set Jaccard, with the
     * 9-dp absolute error — both sides of the audit replayed exactly. */

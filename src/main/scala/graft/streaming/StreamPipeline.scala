@@ -787,6 +787,83 @@ object StreamPipeline {
       |FROM events JOIN first USING (user_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Raw fixture schema for streaming document reads. */
+  val docsRawSchema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+
+  /** Streaming MinHash/LSH near-duplicate detection — the continuous-
+    * ingestion twin of [[Dedup.minhashLsh]]: each arriving document's
+    * 64-lane MinHash signature is banded (16 × 4) and each (band, bucket)
+    * keeps ONE long of state — the smallest doc_id it has ever seen — via
+    * `flatMapGroupsWithState`. A document that lands in a bucket already
+    * holding a smaller id is emitted as a near-dup candidate with that
+    * first-seen id; the post-stream reduction takes the min across a
+    * doc's 16 buckets. State is O(populated buckets) longs — bounded by
+    * corpus bands, never by pair count — and per-batch work is one
+    * signature pass + one bucket shuffle: the arrival-streaming shape of
+    * the batch LSH posting-list design.
+    *
+    * Determinism for the oracle: within a group each batch is folded in
+    * doc_id order, and the fixture arrives as ONE `processAllAvailable`
+    * batch, so "first seen" ≡ "smallest doc_id sharing a band" — the
+    * order-independent definition the DuckDB replay computes. A
+    * multi-batch production deployment keeps the same state shape but
+    * first-seen becomes arrival-order (the standard streaming-dedup
+    * contract, as [[streamDedupWatermarked]] documents for eviction). */
+  /** The stateful core of [[streamNearDup]]: signature → band buckets →
+    * one smallest-doc_id-seen long of state per (band, bucket), emitting
+    * `(doc_id, bucket_first)` whenever a doc lands in a bucket already
+    * holding a smaller id. Exposed so specs can drive it with controlled
+    * micro-batching (the state must survive ACROSS batches). */
+  private[graft] def nearDupFlags(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val bands = 16
+    val rpb = 4 // rows per band; bands * rpb = 64 signature lanes
+    val sig = docs.select(col("doc_id"),
+      VectorExpressions.minhashSig(spark,
+        VectorExpressions.shinglesOf(spark, split(col("text"), " "), 5),
+        bands * rpb).as("sig"))
+    val bucketed = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * lit(rpb) + 1, lit(rpb))).as("h"))))
+          .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.h").as("h"))
+      .as[(Long, Int, Long)]
+    bucketed.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var mn = state.getOption.getOrElse(Long.MaxValue)
+          val out = Vector.newBuilder[(Long, Long)]
+          rows.toSeq.sortBy(_._1).foreach { r =>
+            if (mn < r._1) out += ((r._1, mn))
+            if (r._1 < mn) mn = r._1
+          }
+          state.update(mn)
+          out.result().iterator
+      }.toDF("doc_id", "bucket_first")
+  }
+
+  def streamNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = "stream_neardup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val flagged = nearDupFlags(spark.readStream.schema(docsRawSchema)
+      .parquet(stageDir(sfDir, "documents")))
+    withStreamShuffle(spark, 8) {
+      val q = flagged.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+      .groupBy($"doc_id")
+      .agg(min($"bucket_first").as("first_seen"))
+      .orderBy($"doc_id")
+  }
+
   val sessionWindowsSql: String =
     """WITH lagged AS (
       |  SELECT user_id, ts,

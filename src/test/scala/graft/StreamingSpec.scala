@@ -357,6 +357,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("startStreamUpsert"))
   }
 
+  test("near-dup bucket state survives across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val flagged = StreamPipeline.nearDupFlags(
+      src.toDF().toDF("doc_id", "text"))
+    val name = "neardup_xb_" + java.util.UUID.randomUUID().toString
+      .replace("-", "")
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    try {
+      src.addData((1L, text), (7L, "totally different words here entirely" +
+        " nothing shared with the others at all"))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0,
+        "nothing to flag in the first batch")
+      // batch 2: a near-identical doc — the batch-1 bucket state must flag it
+      src.addData((9L, text))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .groupBy(col("doc_id")).agg(min(col("bucket_first")).as("first"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((9L, 1L)),
+        s"doc 9 must be flagged against batch-1's doc 1: $got")
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append-mode windowed aggregation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
