@@ -40,6 +40,15 @@ final case class SinkConfig(
     catalogUri: Option[String] = None,
     catalogType: Option[String] = None,
     tempDir: String = "/tmp",
+    // CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` analogue,
+    // and the value-level extension of the reference's schema-validation
+    // path §3.3): boolean SQL expressions every appended row must
+    // satisfy. Enforced ATOMICALLY at the staged-write boundary — on a
+    // versioned table the check scans only the files the write just
+    // staged, and a violation aborts before any commit exists (nothing
+    // to clean up, nothing half-visible). NULL evaluates as a violation
+    // (a constraint must PROVE the row valid), same as SQL CHECK.
+    checkConstraints: Seq[String] = Nil,
     // Snapshot log: when true, every batch commit records the table's data-
     // file manifest under _graft_log, enabling TableSink.readVersion time
     // travel over the append history (rewriting ops expire prior snapshots

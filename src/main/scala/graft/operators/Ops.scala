@@ -38,6 +38,27 @@ object Ops {
     errorSplit(df.withColumn(ErrorCol,
       when(predicate, lit(null).cast(StringType)).otherwise(lit(message))))
 
+  /** CHECK-constraint split — the value-level extension of
+    * [[validateSchema]] (§3.3) and the routing twin of
+    * [[graft.SinkConfig.checkConstraints]]'s refuse-at-the-sink
+    * enforcement: every named boolean constraint is evaluated per row in
+    * ONE pass; rows violating any go to the error stream with `error` =
+    * the comma-joined names of every violated constraint (so a triage
+    * query can group by failure signature). NULL proves nothing → counts
+    * as a violation, same as the sink. */
+  def checkConstraints(df: DataFrame,
+      constraints: Seq[(String, String)]): OpOut = {
+    require(constraints.nonEmpty, "checkConstraints needs at least one")
+    val failed = array(constraints.map { case (name, e) =>
+      when(!coalesce(expr(e), lit(false)), lit(name))
+    }: _*)
+    errorSplit(df.withColumn(ErrorCol, {
+      val names = array_compact(failed)
+      when(size(names) === 0, lit(null).cast(StringType))
+        .otherwise(concat_ws(",", names))
+    }))
+  }
+
   /** O1 `serialize_records` (operators.py:290-351): map each record through
     * a SerDe; records the serde could not handle (NULL serialized output
     * from a non-NULL input — the declarative analogue of the reference's

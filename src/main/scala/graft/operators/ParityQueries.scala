@@ -308,6 +308,40 @@ object ParityQueries {
       |  COUNT(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CHECK-constraint split ([[Ops.checkConstraints]]): two named value
+    * constraints evaluated in one pass, rows grouped by FAILURE
+    * SIGNATURE (the comma-joined violated-constraint names — the triage
+    * view a data-quality dashboard wants), with NULL-proves-nothing
+    * semantics pinned: NULL `value` rows must land in the `min_value`
+    * violation bucket, not pass. */
+  def checkSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val out = Ops.checkConstraints(e, Seq(
+      "min_value" -> "value >= 100.0",
+      "user_mod" -> "user_id % 5 <> 0"))
+    out.errs.select($"error", $"value")
+      .unionAll(out.oks.select(lit("valid").as("error"), $"value"))
+      .groupBy($"error")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"error")
+  }
+
+  val checkSplitSql: String =
+    """WITH tagged AS (SELECT value,
+      |  CASE
+      |    WHEN NOT coalesce(value >= 100.0, FALSE)
+      |     AND NOT coalesce(user_id % 5 <> 0, FALSE)
+      |      THEN 'min_value,user_mod'
+      |    WHEN NOT coalesce(value >= 100.0, FALSE) THEN 'min_value'
+      |    WHEN NOT coalesce(user_id % 5 <> 0, FALSE) THEN 'user_mod'
+      |    ELSE 'valid' END AS error
+      |  FROM events)
+      |SELECT error, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** O3 enrich_with_metadata (deterministic enrichments only). */
   def enrichMetadata(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -161,6 +161,10 @@ final class TableSink(val config: SinkConfig) {
     * the same isolation Iceberg's manifest-list commit gives. */
   private def writeAndCommit(prepared: DataFrame): Unit = {
     if (!config.versioned) {
+      // no staging area to validate after the fact — check BEFORE the
+      // write (one extra pass over the batch, the documented cost of
+      // constraints without a snapshot log)
+      requireConstraints(prepared, "append")
       val writer = prepared.write
         .mode("append")
         .format(config.fileFormat)
@@ -172,6 +176,25 @@ final class TableSink(val config: SinkConfig) {
       commitAppendedFiles(added)
       ()
     }
+  }
+
+  /** CHECK-constraint gate ([[SinkConfig.checkConstraints]]): one
+    * aggregate pass over `df` counting violations per constraint; any
+    * violation refuses the write with the per-constraint counts. NULL
+    * proves nothing → violation (SQL CHECK semantics). */
+  private def requireConstraints(df: DataFrame, what: String): Unit = {
+    if (config.checkConstraints.isEmpty) return
+    val counts = df.select(config.checkConstraints.zipWithIndex.map {
+      case (c, i) =>
+        sum(when(!coalesce(expr(c), lit(false)), 1L).otherwise(0L))
+          .as(s"c$i")
+    }: _*).head()
+    val violated = config.checkConstraints.zipWithIndex
+      .map { case (c, i) => c -> counts.getLong(i) }
+      .filter(_._2 > 0)
+    require(violated.isEmpty,
+      s"$what refused: CHECK constraint violations — " +
+        violated.map { case (c, n) => s"'$c' ($n rows)" }.mkString("; "))
   }
 
   /** OPTIMISTIC append commit (the reference's commit-retry surface,
@@ -221,6 +244,18 @@ final class TableSink(val config: SinkConfig) {
     (if (partitionColNames.nonEmpty) writer.partitionBy(partitionColNames: _*)
      else writer).save(stage.toString)
     val rels = WarehouseIO.listDataFilesRel(stage) // O(files just written)
+    // CHECK constraints validate the STAGED files — one scan of exactly
+    // the data this write produced (never the input lineage twice, never
+    // the table), while nothing is promoted or committed: a violation
+    // deletes the staging dir and aborts with zero cleanup debt
+    if (config.checkConstraints.nonEmpty) {
+      val staged = prepared.sparkSession.read.format(config.fileFormat)
+        .load(stage.toString)
+      try requireConstraints(staged, "append")
+      catch { case e: Throwable =>
+        WarehouseIO.delete(stage, recursive = true); throw e
+      }
+    }
     val root = new HPath(config.tablePath)
     rels.foreach(rel =>
       WarehouseIO.rename(new HPath(stage, rel), new HPath(root, rel)))
@@ -1262,6 +1297,9 @@ final class TableSink(val config: SinkConfig) {
       append(df); return
     }
     val incoming = withDerived(Ops.ensureMessage(df))
+    // existing rows passed at their own append; only the incoming batch
+    // needs the gate (one bounded pass over the batch, not the table)
+    requireConstraints(incoming, "upsert")
     val parts = partitionColNames
     val current = read(spark)
     val incomingKeys = incoming.select(keyCols.map(col): _*).distinct()

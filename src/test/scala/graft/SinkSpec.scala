@@ -327,4 +327,50 @@ class SinkSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SinkConfig("t", "/w", batchSize = 0))
     intercept[IllegalArgumentException](SinkConfig("t", "/w", numPartitions = 101))
   }
+
+  test("CHECK constraints: versioned append aborts atomically in staging") {
+    val wh = TestSpark.tmpDir("sink_check_wh")
+    val sink = new TableSink(SinkConfig(tableName = "chk", warehousePath = wh,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity)),
+      checkConstraints = Seq("v > 0", "cat IS NOT NULL")))
+    sink.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "cat", "v"))
+    assert(sink.read(spark).count() == 2)
+    val e = intercept[IllegalArgumentException](
+      sink.append(Seq((3L, "a", -5.0), (4L, "a", 1.0)).toDF("id", "cat", "v")))
+    assert(e.getMessage.contains("'v > 0' (1 rows)"), e.getMessage)
+    // atomic: no commit, no staged debris, no orphaned data files
+    assert(sink.snapshotVersions() == Seq(1), "violating batch must not commit")
+    assert(sink.read(spark).count() == 2)
+    assert(WarehouseIO.childNames(
+      new org.apache.hadoop.fs.Path(s"$wh/chk/_staging")).isEmpty,
+      "aborted staging dir must be cleaned")
+    assert(sink.removeOrphans(graceMs = 0L).isEmpty,
+      "an aborted append must leave no orphans")
+    // NULL proves nothing: a NULL v row is a violation, not a pass
+    val eNull = intercept[IllegalArgumentException](sink.append(
+      Seq((5L, "a", Option.empty[java.lang.Double])).toDF("id", "cat", "v")))
+    assert(eNull.getMessage.contains("v > 0"), eNull.getMessage)
+    // the gate also guards upsert's incoming batch
+    val eUp = intercept[IllegalArgumentException](
+      sink.upsert(Seq((1L, "a", -1.0)).toDF("id", "cat", "v"), Seq("id")))
+    assert(eUp.getMessage.contains("upsert refused"), eUp.getMessage)
+    // valid writes still flow
+    sink.append(Seq((6L, "c", 30.0)).toDF("id", "cat", "v"))
+    assert(sink.read(spark).count() == 3)
+  }
+
+  test("CHECK constraints: unversioned append pre-validates before write") {
+    val wh = TestSpark.tmpDir("sink_check_wh2")
+    val sink = new TableSink(SinkConfig(tableName = "chk2", warehousePath = wh,
+      checkConstraints = Seq("v > 0")))
+    val e = intercept[IllegalArgumentException](
+      sink.append(Seq((1L, -1.0)).toDF("id", "v")))
+    assert(e.getMessage.contains("append refused"), e.getMessage)
+    assert(!WarehouseIO.exists(
+      new org.apache.hadoop.fs.Path(sink.config.tablePath)),
+      "nothing may land when the pre-write gate refuses")
+    sink.append(Seq((2L, 2.0)).toDF("id", "v"))
+    assert(sink.read(spark).count() == 1)
+  }
 }
