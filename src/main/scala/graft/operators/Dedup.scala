@@ -190,14 +190,6 @@ object Dedup {
         (col("n_dup").cast("double") / col("n_windows")).as("dup_ratio"))
   }
 
-  /** Near-duplicate pairs by exact n-gram Jaccard similarity.
-    * Exact (no approximation): pairs sharing zero shingles are not near-dups
-    * at any useful threshold, so the shingle self-join enumerates exactly
-    * the candidate pairs; Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
-    *
-    * @param maxShingleDf drop shingles appearing in more than this many docs
-    *   (skew guard for the shuffle key; None = exact, used by the oracle).
-    */
   /** Shared candidate machinery of the exact-shingle family
     * ([[ngramJaccard]], [[containment]]): distinct word n-shingles per
     * doc, per-doc shingle counts, and ordered (a < b) candidate pairs
@@ -224,6 +216,14 @@ object Dedup {
     (pairs, sizes)
   }
 
+  /** Near-duplicate pairs by exact n-gram Jaccard similarity.
+    * Exact (no approximation): pairs sharing zero shingles are not near-dups
+    * at any useful threshold, so the shingle self-join enumerates exactly
+    * the candidate pairs; Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * @param maxShingleDf drop shingles appearing in more than this many docs
+    *   (skew guard for the shuffle key; None = exact, used by the oracle).
+    */
   def ngramJaccard(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None): DataFrame = {
     val (pairs, sizes) = shingleCandidates(docs, n, maxShingleDf)

@@ -277,7 +277,10 @@ final class ZoneMaps(sink: TableSink) {
     else {
       val r = spark.read.format(sink.config.fileFormat)
         .option("basePath", sink.config.tablePath)
-      sink.config.tableSchema.fold(r)(s => r.schema(s)).load(files: _*)
+      // pending merge-on-read sidecars apply to the pruned subset too —
+      // a skipped-file read must never resurrect subtracted rows
+      sink.applyHeadDeletes(
+        sink.config.tableSchema.fold(r)(s => r.schema(s)).load(files: _*))
     }
   }
 }
@@ -311,26 +314,38 @@ final class BloomSkip(sink: TableSink, bits: Int = 4096, k: Int = 5) {
 
   private def statsPath = s"${sink.config.tablePath}/_graft_bloom"
 
-  /** The k probe/insert bit positions of `v` (null-safe: a null value
-    * yields a null entry that [[analyze]] drops and no probe can equal). */
-  private def positions(v: Column): Column =
-    when(v.isNotNull, array((0 until k).map(i =>
-      pmod(xxhash64(lit(i), v), lit(bits)).cast("int")): _*))
+  /** The k probe/insert bit positions of `v` under (`pBits`, `pK`)
+    * (null-safe: a null value yields a null entry that [[analyze]] drops
+    * and no probe can equal). xxhash64 is TYPE-sensitive (an INT 7 and a
+    * LONG 7 hash differently), so every caller must hash the exact
+    * analyzed type — [[analyze]] hashes the table column as stored and
+    * stamps its type; probes cast the literal to it first. */
+  private def positions(v: Column, pBits: Int, pK: Int): Column =
+    when(v.isNotNull, array((0 until pK).map(i =>
+      pmod(xxhash64(lit(i), v), lit(pBits)).cast("int")): _*))
 
-  /** One distributed scan: per (file, column) distinct bit-position sets.
+  /** One distributed scan: per (file, column) distinct bit-position sets,
+    * stamped with the (`bits`, `k`, column type) they were hashed under —
+    * probes read the stamps back rather than trusting the instance's own
+    * parameters, so a mismatched reader prunes nothing silently wrong.
     * The explode→distinct→collect shape keeps the shuffle key (file, col,
     * position) so partial aggregation bounds executor memory at `bits`
     * ints per group — never a per-file list of per-row hashes. */
   def analyze(spark: SparkSession, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "analyze needs at least one column")
     val df = sink.read(spark)
+    val dtypes = cols.map(c => c -> df.schema(c).dataType).toMap
     val tagged = array(cols.map(c =>
-      struct(lit(c).as("c"), positions(col(c)).as("ps"))): _*)
+      struct(lit(c).as("c"), positions(col(c), bits, k).as("ps"),
+        lit(dtypes(c).sql).as("dt"))): _*)
     df.select(input_file_name().as("file"), explode(tagged).as("t"))
-      .select(col("file"), col("t.c").as("col"), explode(col("t.ps")).as("p"))
+      .select(col("file"), col("t.c").as("col"), col("t.dt").as("dtype"),
+        explode(col("t.ps")).as("p"))
       .distinct()
-      .groupBy("file", "col")
+      .groupBy("file", "col", "dtype")
       .agg(array_sort(collect_set(col("p"))).as("positions"))
+      .withColumn("bits", lit(bits))
+      .withColumn("k", lit(k))
       .coalesce(1)
       .write.mode("overwrite").parquet(statsPath)
   }
@@ -360,14 +375,35 @@ final class BloomSkip(sink: TableSink, bits: Int = 4096, k: Int = 5) {
   /** Paths (as `outCol`) of files PROVEN to miss at least one probe: the
     * per-(file, col) signature exists and lacks one of the probe's k
     * positions. Absent signatures never appear → unanalyzed files always
-    * survive the caller's anti-join. */
+    * survive the caller's anti-join. Probe positions are computed under
+    * the PERSISTED (bits, k, column type) stamps — one driver lookup of
+    * bounded stats metadata per probe column — never the reader
+    * instance's own parameters, so a probe literal of a different type
+    * (LONG 7 against an INT column) or a differently-sized reader can
+    * never silently hash to the wrong bits and prune a matching file. */
   private def prunedPaths(spark: SparkSession,
       probes: Seq[(String, Column)], outCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DataType
     val stats = spark.read.parquet(statsPath)
     probes.map { case (c, v) =>
-      stats.where(col("col") === c &&
-          !forall(positions(v), p => array_contains(col("positions"), p)))
-        .select(decoded(col("file")).as(outCol))
+      val stamps = stats.where(col("col") === c)
+        .select(col("bits"), col("k"), col("dtype"))
+        .distinct().collect()
+      require(stamps.length <= 1,
+        s"bloom stats for column '$c' carry mixed (bits, k, type) stamps " +
+          s"— re-run analyze to rebuild them consistently")
+      stamps.headOption match {
+        case None =>
+          // column never analyzed: nothing provably prunable
+          stats.where(lit(false)).select(decoded(col("file")).as(outCol))
+        case Some(row) =>
+          val (pBits, pK) = (row.getInt(0), row.getInt(1))
+          val probe = v.cast(DataType.fromDDL(row.getString(2)))
+          stats.where(col("col") === c &&
+              !forall(positions(probe, pBits, pK),
+                p => array_contains(col("positions"), p)))
+            .select(decoded(col("file")).as(outCol))
+      }
     }.reduce(_ unionAll _).distinct()
   }
 
@@ -380,7 +416,10 @@ final class BloomSkip(sink: TableSink, bits: Int = 4096, k: Int = 5) {
     else {
       val r = spark.read.format(sink.config.fileFormat)
         .option("basePath", sink.config.tablePath)
-      sink.config.tableSchema.fold(r)(s => r.schema(s)).load(files: _*)
+      // same merge-on-read contract as ZoneMaps.readBetween: pending
+      // sidecars subtract from the pruned subset too
+      sink.applyHeadDeletes(
+        sink.config.tableSchema.fold(r)(s => r.schema(s)).load(files: _*))
     }
   }
 

@@ -40,15 +40,26 @@ final class MaterializedView(source: TableSink, path: String,
   private def prevPath = new HPath(path, "_prev_state")
   private def reflectsFile(dir: HPath) = new HPath(dir, "_mv_reflects")
 
-  /** Source version the current state reflects (0 = never refreshed).
-    * Runs crash recovery first — a half-swapped state must never read as
+  /** Marker content: source (generation, version) the state reflects —
+    * `(currentGen, 0)` when never refreshed. Version numbers restart
+    * after a source rewrite expires the log, so the generation pin is
+    * what turns silent divergence into [[refresh]]'s loud refusal. Runs
+    * crash recovery first — a half-swapped state must never read as
     * "never refreshed". */
-  def reflects: Int = {
+  private def reflectsMark(): (String, Int) = {
     recover()
-    if (WarehouseIO.isFile(reflectsFile(statePath)))
-      WarehouseIO.readString(reflectsFile(statePath)).trim.toInt
-    else 0
+    if (!WarehouseIO.isFile(reflectsFile(statePath)))
+      (source.logGeneration(), 0)
+    else WarehouseIO.readString(reflectsFile(statePath)).trim
+      .split(':') match {
+        case Array(g, v) => (g, v.toInt)
+        case Array(v) => (source.logGeneration(), v.toInt) // legacy marker
+        case other => sys.error(s"unreadable view marker: ${other.mkString(":")}")
+      }
   }
+
+  /** Source version the current state reflects (0 = never refreshed). */
+  def reflects: Int = reflectsMark()._2
 
   /** Crash recovery, run before every read/refresh: a kill between the
     * two swap renames leaves the state in `_prev_state` with no `state`
@@ -85,7 +96,13 @@ final class MaterializedView(source: TableSink, path: String,
     * versions; `from == to` means the view was already current. */
   def refresh(spark: SparkSession): (Int, Int) = {
     recover()
-    val from = reflects
+    val (gen, from) = reflectsMark()
+    val curGen = source.logGeneration()
+    require(gen == curGen,
+      s"view at $path reflects generation $gen but the source history " +
+        s"is now generation $curGen: a rewriting op expired and " +
+        "restarted the snapshot log, so the un-folded changes are " +
+        "unrecoverable — drop the view state to rebuild from a full read")
     val head = source.snapshotVersions().lastOption.getOrElse(0)
     require(from <= head,
       s"view at $path reflects v$from but the source head is v$head — " +
@@ -108,7 +125,7 @@ final class MaterializedView(source: TableSink, path: String,
           both(sumCol(c)).cast("decimal(38,2)").as(sumCol(c))): _*)
       .filter(col("n") > 0) // a zero-count group has vanished
     merged.coalesce(1).write.mode("overwrite").parquet(stagingPath.toString)
-    WarehouseIO.writeString(reflectsFile(stagingPath), head.toString)
+    WarehouseIO.writeString(reflectsFile(stagingPath), s"$curGen:$head")
     // atomic-enough swap, same shape as TableSink.rewriteSwap: the only
     // crash window leaves _prev_state for recover() to restore
     if (WarehouseIO.exists(statePath)) WarehouseIO.rename(statePath, prevPath)

@@ -184,10 +184,11 @@ final class TableSink(val config: SinkConfig) {
     * proves nothing → violation (SQL CHECK semantics). */
   private def requireConstraints(df: DataFrame, what: String): Unit = {
     if (config.checkConstraints.isEmpty) return
+    // count(when(...)) — never NULL, so an EMPTY batch (zero rows) passes
+    // as the no-op it is instead of NPE-ing on a null sum
     val counts = df.select(config.checkConstraints.zipWithIndex.map {
       case (c, i) =>
-        sum(when(!coalesce(expr(c), lit(false)), 1L).otherwise(0L))
-          .as(s"c$i")
+        count(when(!coalesce(expr(c), lit(false)), lit(1))).as(s"c$i")
     }: _*).head()
     val violated = config.checkConstraints.zipWithIndex
       .map { case (c, i) => c -> counts.getLong(i) }
@@ -247,9 +248,16 @@ final class TableSink(val config: SinkConfig) {
     // CHECK constraints validate the STAGED files — one scan of exactly
     // the data this write produced (never the input lineage twice, never
     // the table), while nothing is promoted or committed: a violation
-    // deletes the staging dir and aborts with zero cleanup debt
-    if (config.checkConstraints.nonEmpty) {
+    // deletes the staging dir and aborts with zero cleanup debt. The
+    // re-read carries the PREPARED frame's schema: inference would
+    // re-type partition-directory values (cat=01 → INT 1) and make a
+    // constraint evaluate differently than on the data as written. An
+    // empty write stages no files — nothing to check (and nothing to
+    // infer from).
+    if (config.checkConstraints.nonEmpty && rels.nonEmpty) {
       val staged = prepared.sparkSession.read.format(config.fileFormat)
+        .schema(prepared.schema)
+        .option("basePath", stage.toString)
         .load(stage.toString)
       try requireConstraints(staged, "append")
       catch { case e: Throwable =>
@@ -421,6 +429,22 @@ final class TableSink(val config: SinkConfig) {
         n.stripPrefix("v").stripSuffix(".list").toInt }
       .sorted
 
+  /** Identity of the CURRENT snapshot history. Rewriting ops expire the
+    * log (directory and all) and restart numbering at v1, so a bare
+    * version number is ambiguous across a rewrite — a durable cursor
+    * pinned to "v3" of the OLD history must not silently resume at "v3"
+    * of the new one. The generation is a UUID file inside the log dir:
+    * it dies with the history it names and a fresh one is claimed
+    * (exclusive-create, racing claimants converge on one winner) on the
+    * next read. "none" = no snapshot log yet. */
+  private[graft] def logGeneration(): String = {
+    val p = logFile("generation")
+    if (WarehouseIO.isFile(p)) return WarehouseIO.readString(p).trim
+    if (!WarehouseIO.isDir(logPath)) return "none"
+    WarehouseIO.writeStringIfAbsent(p, java.util.UUID.randomUUID().toString)
+    WarehouseIO.readString(p).trim
+  }
+
   private def manifestFiles(version: Int): Seq[String] = {
     val manifest = logFile(f"v$version%05d.list")
     require(WarehouseIO.exists(manifest),
@@ -511,6 +535,14 @@ final class TableSink(val config: SinkConfig) {
       WarehouseIO.isFile(deletesPath(v)) ||
         WarehouseIO.isDir(keysPath(v)) ||
         WarehouseIO.isDir(posDeletesPath(v))))
+
+  /** Apply the head snapshot's pending merge-on-read sidecars to a frame
+    * scanned OUTSIDE [[read]] (the data-skipping readers load candidate
+    * file subsets directly) — without this, a pruned read on a table with
+    * pending deletes would resurrect the subtracted rows. */
+  private[graft] def applyHeadDeletes(df: DataFrame): DataFrame =
+    if (!config.versioned) df
+    else snapshotVersions().lastOption.fold(df)(applyDeletes(df, _))
 
   /** True when the HEAD carries unmaterialized merge-on-read sidecars —
     * the state in which a partition-scoped rewrite (dynamic overwrite +
@@ -773,11 +805,23 @@ final class TableSink(val config: SinkConfig) {
         }
       Seq(inserts, deletes).flatten
     }
-    if (parts.isEmpty)
-      read(spark).limit(0)
-        .withColumn("_change_type", lit(""))
+    if (parts.isEmpty) {
+      // a consumer may poll before the producer's first commit — an empty
+      // TYPED batch, not an AnalysisException from loading a missing dir
+      val base =
+        if (WarehouseIO.exists(new org.apache.hadoop.fs.Path(config.tablePath)))
+          read(spark).limit(0)
+        else config.tableSchema match {
+          case Some(s) => spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row], s)
+          case None => throw new IllegalArgumentException(
+            s"table ${config.tableName} has no commits and no declared " +
+              "tableSchema, so an empty changelog batch cannot be typed — " +
+              "set tableSchema or wait for the first commit")
+        }
+      base.withColumn("_change_type", lit(""))
         .withColumn("_change_version", lit(0L))
-    else parts.reduce(_ unionByName _)
+    } else parts.reduce(_ unionByName _)
   }
 
   /** Incremental changelog consumption with a DURABLE cursor — the
@@ -803,16 +847,37 @@ final class TableSink(val config: SinkConfig) {
   def readChangelogSince(spark: SparkSession,
       cursorPath: String): (DataFrame, () => Unit) = {
     val p = new org.apache.hadoop.fs.Path(cursorPath)
-    val from =
-      if (WarehouseIO.isFile(p)) WarehouseIO.readString(p).trim.toInt
-      else 0
+    val gen = logGeneration()
+    // cursor format "<generation>:<version>": version numbers restart at
+    // v1 after a rewriting op expires the log, so a bare number could
+    // silently resume against a DIFFERENT history once the new head
+    // catches up — the generation pin turns that divergence into a loud
+    // refusal. (A bare-integer cursor from an older build is accepted as
+    // generation-unknown.)
+    val (curGen, from) =
+      if (!WarehouseIO.isFile(p)) (gen, 0)
+      else WarehouseIO.readString(p).trim.split(':') match {
+        case Array(g, v) => (g, v.toInt)
+        case Array(v) => (gen, v.toInt) // legacy bare-version cursor
+        case other => sys.error(
+          s"unreadable changelog cursor at $cursorPath: " +
+            s"'${other.mkString(":")}'")
+      }
+    require(curGen == gen,
+      s"changelog cursor at $cursorPath was committed against a different " +
+        s"table history (generation $curGen, current $gen): a rewriting op " +
+        "expired and restarted the snapshot log, so the un-consumed " +
+        "changes are unrecoverable — delete the cursor and rebuild the " +
+        "consumer from a full read")
     val head = snapshotVersions().lastOption.getOrElse(0)
     require(from <= head,
       s"changelog cursor at $cursorPath points past the head " +
         s"($from > $head) — wrong table, or history was rolled back; " +
         "delete the cursor to restart from the beginning")
     val batch = readChangelog(spark, from, head)
-    (batch, () => WarehouseIO.writeString(p, head.toString))
+    // atomic overwrite: a crash mid-commit must leave the OLD cursor
+    // readable (batch replays), never a torn/empty file
+    (batch, () => WarehouseIO.writeStringAtomic(p, s"$gen:$head"))
   }
 
   /** CDC REPLICATION: apply this table's changelog to the downstream
@@ -1502,6 +1567,13 @@ final class TableSink(val config: SinkConfig) {
       "versioned=true is a batch-table feature: the streaming file sink " +
         "has its own exactly-once log; use startStreamUpsert for " +
         "versioned streaming ingest")
+    // refuse loudly rather than silently skip the gate: the raw file
+    // sink's own commit log bypasses the staged-write boundary where
+    // batch constraints are enforced
+    require(config.checkConstraints.isEmpty,
+      "checkConstraints are not enforceable on the raw streaming file " +
+        "sink — use startStreamUpsert (foreachBatch routes every batch " +
+        "through the gated merge) or pre-filter with Ops.checkConstraints")
     val prepared = withDerived(Ops.ensureMessage(df))
     val writer = prepared.writeStream
       .format(config.fileFormat)

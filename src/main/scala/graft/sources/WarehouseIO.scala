@@ -22,10 +22,14 @@ private[graft] object WarehouseIO {
 
   // newHadoopConf() CLONES the full Configuration (hundreds of entries)
   // per call, and the metadata hot paths here issue dozens of calls per
-  // table read/commit — cache one conf per live session. Sessions are
-  // few and long-lived; the map stays bounded.
-  private val confCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Configuration]()
+  // table read/commit — cache one conf per live session. WEAK keys: a
+  // stopped/discarded session (per-job sessions in a long-lived driver)
+  // must not pin its cloned Configuration forever. Trade-off, on
+  // purpose: `spark.hadoop.fs.*` settings are snapshotted at a session's
+  // FIRST warehouse operation — set credentials before touching tables
+  // (the same moment Spark's own FileSystem cache fixes them anyway).
+  private val confCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Configuration]())
 
   private def conf: Configuration =
     SparkSession.getActiveSession
@@ -52,13 +56,46 @@ private[graft] object WarehouseIO {
     finally in.close()
   }
 
-  /** Create-or-overwrite `p` with `s` (parent dirs created). */
+  /** Create-or-overwrite `p` with `s` (parent dirs created). NOT safe for
+    * durable state another process may read mid-write — a bare create is
+    * visible before its bytes land; use [[writeStringAtomic]] there. */
   def writeString(p: HPath, s: String): Unit = {
     val f = fs(p)
     Option(p.getParent).foreach(f.mkdirs)
     val out = f.create(p, true)
     try out.write(s.getBytes(UTF_8))
     finally out.close()
+  }
+
+  /** Atomic overwrite: write beside `p` as a hidden temp, then move into
+    * place, REPLACING any existing file — readers observe either the old
+    * complete content or the new complete content, never a partial or
+    * empty file. The durable-cursor primitive (changelog cursors, small
+    * state markers): a crash mid-commit must replay the old cursor, not
+    * corrupt it. Local FS uses an ATOMIC_MOVE rename(2) (which replaces);
+    * HDFS-class stores delete-then-rename — the delete window can lose
+    * the OLD value to a concurrent reader (who then sees absent, a safe
+    * "restart" signal for cursors), never expose a torn one. */
+  def writeStringAtomic(p: HPath, s: String): Unit = {
+    val f = fs(p)
+    Option(p.getParent).foreach(f.mkdirs)
+    val tmp = new HPath(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(s.getBytes(UTF_8))
+    finally out.close()
+    if (f.getScheme == "file") {
+      java.nio.file.Files.move(
+        new java.io.File(tmp.toUri.getPath).toPath,
+        new java.io.File(p.toUri.getPath).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      f.delete(tmp, false) // checksum sidecar of the temp, if any
+      ()
+    } else {
+      if (f.exists(p)) f.delete(p, false)
+      require(f.rename(tmp, p), s"filesystem refused rename $tmp -> $p")
+    }
   }
 
   /** EXCLUSIVE publish: write `s` beside `p` as a hidden temp file, then

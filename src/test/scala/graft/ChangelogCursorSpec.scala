@@ -115,6 +115,37 @@ class ChangelogCursorSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("itself"))
   }
 
+  test("cursor refuses after a source rewrite restarts the history") {
+    val src = mkSink("cc_gen")
+    val cursor = s"$wh/cc_gen_cursor"
+    src.append(Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0))
+      .toDF("id", "cat", "v"))
+    src.append(Seq((4L, "b", 40.0)).toDF("id", "cat", "v"))
+    src.append(Seq((5L, "b", 50.0)).toDF("id", "cat", "v"))   // head v3
+    val (_, c1) = src.readChangelogSince(spark, cursor)
+    c1()                                                      // cursor at v3
+    // a rewriting op expires the log and restarts numbering; two appends
+    // bring the NEW history back to v3 — the version alone is ambiguous
+    src.upsert(Seq((1L, "a", 11.0)).toDF("id", "cat", "v"), Seq("id")) // new v1
+    src.append(Seq((6L, "c", 60.0)).toDF("id", "cat", "v"))   // new v2
+    src.append(Seq((7L, "c", 70.0)).toDF("id", "cat", "v"))   // new v3
+    val e = intercept[IllegalArgumentException](
+      src.readChangelogSince(spark, cursor))
+    assert(e.getMessage.contains("different table history"), e.getMessage)
+  }
+
+  test("empty source with a declared schema yields a typed empty batch") {
+    val sink = new TableSink(SinkConfig(tableName = "cc_empty",
+      warehousePath = wh, versioned = true,
+      tableSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, cat STRING, v DOUBLE"))))
+    val (batch, commit) = sink.readChangelogSince(spark, s"$wh/cc_empty_cur")
+    assert(batch.count() == 0)
+    assert(batch.columns.toSeq ==
+      Seq("id", "cat", "v", "_change_type", "_change_version"))
+    commit() // committing an empty batch is legal and idempotent
+  }
+
   test("cursor past the head refuses with the restart remedy") {
     val sink = mkSink("cc3")
     sink.append(Seq((1L, "a", 10.0)).toDF("id", "cat", "v"))

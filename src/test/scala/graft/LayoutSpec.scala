@@ -278,6 +278,46 @@ class LayoutSpec extends AnyFunSuite {
       .filter($"k" === 5L).count() == 0)
   }
 
+  test("driver-variant pruned reads subtract pending merge-on-read deletes") {
+    // regression: readEquals/readBetween load candidate files directly;
+    // without applyHeadDeletes a pending sidecar's rows would resurrect
+    val sink = new TableSink(SinkConfig(tableName = "pruned_mor",
+      warehousePath = tmpWarehouse(), versioned = true))
+    sink.append((1L to 40L).map(i => (i % 8, i)).toDF("k", "v"))
+    val bf = new BloomSkip(sink)
+    bf.analyze(spark, Seq("k"))
+    val zm = new ZoneMaps(sink)
+    zm.analyze(spark, Seq("v"))
+    sink.deleteKeys(Seq(15L).toDF("v"), Seq("v"))   // k=7, v=15
+    val eq = bf.readEquals(spark, ("k", lit(7L)))
+      .filter($"k" === 7L).select("v").as[Long].collect().sorted.toSeq
+    assert(eq == Seq(7L, 23L, 31L, 39L),
+      s"readEquals resurrected the deleted v=15: $eq")
+    val bw = zm.readBetween(spark, ("v", lit(10L), lit(20L)))
+      .filter($"v".between(10L, 20L)).select("v").as[Long]
+      .collect().sorted.toSeq
+    assert(bw == Seq(10L, 11L, 12L, 13L, 14L, 16L, 17L, 18L, 19L, 20L),
+      s"readBetween resurrected the deleted v=15: $bw")
+  }
+
+  test("bloom probes hash under the persisted type and parameters") {
+    val sink = new TableSink(SinkConfig("bloom_type", tmpWarehouse()))
+    // INT column: a LONG probe literal must still find the row (xxhash64
+    // is type-sensitive — the probe casts to the persisted column type)
+    sink.append(spark.range(64)
+      .select(($"id" % 16).cast("int").as("k"), $"id".as("v"))
+      .repartition(8, $"k"))
+    val bf = new BloomSkip(sink)
+    bf.analyze(spark, Seq("k"))
+    val got = bf.readEquals(spark, ("k", lit(7L)))   // LONG 7 vs INT column
+      .filter($"k" === 7).count()
+    assert(got == 4, s"type-mismatched probe must not lose rows: $got")
+    // a reader instantiated with different bits/k uses the stats' stamps
+    val other = new BloomSkip(sink, bits = 8192, k = 3)
+    assert(other.readEquals(spark, ("k", lit(7))).filter($"k" === 7)
+      .count() == 4, "mismatched reader parameters must not lose rows")
+  }
+
   test("bloom in-plan skip composes with merge-on-read deletes") {
     val sink = new TableSink(SinkConfig(tableName = "bloom_mor",
       warehousePath = tmpWarehouse(), versioned = true))

@@ -64,6 +64,19 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(!WarehouseIO.exists(new HPath(s"$wh/mv2_view/_staging_state")))
   }
 
+  test("refresh refuses after a source rewrite restarts the history") {
+    val src = mkSource("mv_gen")
+    val mv = new MaterializedView(src, s"$wh/mv_gen_view", Seq("cat"), Seq("v"))
+    src.append(Seq((1L, "a", 10.0)).toDF("id", "cat", "v"))
+    src.append(Seq((2L, "b", 20.0)).toDF("id", "cat", "v"))   // head v2
+    mv.refresh(spark)
+    // rewrite restarts the log; appends bring the new history past v2
+    src.upsert(Seq((1L, "a", 99.0)).toDF("id", "cat", "v"), Seq("id"))
+    src.append(Seq((3L, "c", 30.0)).toDF("id", "cat", "v"))
+    val e = intercept[IllegalArgumentException](mv.refresh(spark))
+    assert(e.getMessage.contains("generation"), e.getMessage)
+  }
+
   test("guards: unversioned source, rolled-back source") {
     val flat = new TableSink(SinkConfig("mv3_flat", wh))
     intercept[IllegalArgumentException](

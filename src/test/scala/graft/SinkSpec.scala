@@ -360,6 +360,36 @@ class SinkSpec extends AnyFunSuite {
     assert(sink.read(spark).count() == 3)
   }
 
+  test("CHECK constraints: empty batches pass; partition types hold") {
+    val wh = TestSpark.tmpDir("sink_check_wh3")
+    val sink = new TableSink(SinkConfig(tableName = "chk3",
+      warehousePath = wh, versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity)),
+      // length() on the STRING partition value: staging-dir re-inference
+      // would re-type cat=01 as INT 1 and flip the verdict
+      checkConstraints = Seq("length(cat) = 2", "v > 0")))
+    val schema = Seq((1L, "01", 1.0)).toDF("id", "cat", "v").schema
+    // empty batch: a no-op write, not an NPE on a null violation count
+    sink.append(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row], schema))
+    sink.append(Seq((1L, "01", 1.0), (2L, "02", 2.0)).toDF("id", "cat", "v"))
+    assert(sink.read(spark).count() == 2,
+      "numeric-looking string partition values must validate as strings")
+    val e = intercept[IllegalArgumentException](
+      sink.append(Seq((3L, "003", 3.0)).toDF("id", "cat", "v")))
+    assert(e.getMessage.contains("length(cat) = 2"), e.getMessage)
+    // unversioned empty batch through the pre-write gate
+    val flat = new TableSink(SinkConfig(tableName = "chk3f",
+      warehousePath = wh, checkConstraints = Seq("v > 0")))
+    flat.append(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row],
+      Seq((1L, 1.0)).toDF("id", "v").schema))
+    // streaming file sink cannot enforce the gate — refuse, don't skip
+    val es = intercept[IllegalArgumentException](
+      flat.startStream(Tables.events(spark, TestSpark.sfDir), s"$wh/ckpt"))
+    assert(es.getMessage.contains("checkConstraints"), es.getMessage)
+  }
+
   test("CHECK constraints: unversioned append pre-validates before write") {
     val wh = TestSpark.tmpDir("sink_check_wh2")
     val sink = new TableSink(SinkConfig(tableName = "chk2", warehousePath = wh,
