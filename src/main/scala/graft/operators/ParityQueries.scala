@@ -949,6 +949,51 @@ object ParityQueries {
       |WHERE NOT coalesce(value < 100.0, FALSE)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Delete-layer minor compaction end-to-end: two appends, then ALL
+    * THREE merge-on-read delete flavors (predicate, erasure list,
+    * position list) accumulate as separate commits, then
+    * [[TableSink.consolidateDeletes]] merges them into one commit
+    * WITHOUT touching a data file — and the consolidated read must equal
+    * the oracle's direct survivor computation. Any flavor dropped, any
+    * OR-merge error, or any anti-join-schema slip in the merge shows up
+    * as a membership difference. */
+  def consolidateDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_consol", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))     // v1
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 0))     // v2
+    sink.deleteWhere("value < 100.0")                          // v3 predicate
+    sink.deleteKeys(                                           // v4 erasure
+      e.filter(pmod($"user_id", lit(7)) === 0).select($"user_id"),
+      Seq("user_id"))
+    sink.deletePositions(spark, "event_id % 11 = 0")           // v5 positions
+    sink.consolidateDeletes(spark)                             // → one commit
+    sink.read(spark)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"),
+        min($"event_id").as("min_id"),
+        max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
+  val consolidateDeletesSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  min(event_id) AS min_id,
+      |  max(event_id) AS max_id
+      |FROM events
+      |WHERE NOT coalesce(value < 100.0, FALSE)
+      |  AND NOT coalesce(user_id % 7 = 0, FALSE)
+      |  AND NOT (event_id % 11 = 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Snapshot rollback end-to-end: two thirds of events commit (v1), the
     * final third commits (v2), [[TableSink.rollbackTo]] restores v1
     * (v2's files deleted, its manifest dropped), and the table then keeps

@@ -712,6 +712,86 @@ final class TableSink(val config: SinkConfig) {
     v
   }
 
+  /** MINOR compaction of the merge-on-read delete layer — Iceberg's
+    * `rewrite_position_delete_files` maintenance analogue, extended to
+    * all three sidecar flavors: every live delete sidecar is merged into
+    * a single new commit (one OR-joined predicate, one erasure list, one
+    * position list) and older history is dropped, WITHOUT rewriting any
+    * data file. A table that has accumulated N delete commits pays N
+    * predicate evaluations + N anti-joins on every read; after
+    * consolidation it pays at most one of each, and [[compact]]'s full
+    * data rewrite can wait until fragmentation (not read cost) demands
+    * it. Exact by construction: all three flavors are row-wise set
+    * subtractions, so folding them in one pass removes precisely the
+    * rows the per-version fold removed.
+    *
+    * Like every history rewrite here, time travel below the new commit
+    * is gone and the log GENERATION is reset, so changelog cursors and
+    * view markers pinned to the old history refuse loudly rather than
+    * silently misreading. Crash-ordered: the merged commit lands FIRST
+    * (a crash before cleanup leaves old sidecars folding alongside the
+    * merged ones — idempotent removals, still correct; re-running
+    * finishes), cleanup of old manifests and sidecars second.
+    *
+    * Refuses mixed key-column erasure lists (one merged list must
+    * anti-join on one column set — run [[compact]] instead) and live
+    * branches (their manifests pin old history). Returns the new head
+    * version. */
+  def consolidateDeletes(spark: SparkSession): Int = {
+    requireNoStreamingLog()
+    requireNoBranches("consolidateDeletes")
+    require(config.versioned && snapshotVersions().nonEmpty,
+      "consolidateDeletes needs a versioned table with commits")
+    val vs = snapshotVersions()
+    val head = vs.last
+    val predVs = vs.filter(v => WarehouseIO.isFile(deletesPath(v)))
+    val keyVs = vs.filter(v => WarehouseIO.isDir(keysPath(v)))
+    val posVs = vs.filter(v => WarehouseIO.isDir(posDeletesPath(v)))
+    require(predVs.nonEmpty || keyVs.nonEmpty || posVs.nonEmpty,
+      "no delete sidecars to consolidate")
+    if (vs.size == 1) return head // already consolidated: no-op
+    val keySchemas = keyVs
+      .map(v => spark.read.parquet(keysPath(v).toString).columns.toSeq)
+      .distinct
+    require(keySchemas.size <= 1,
+      s"erasure lists use mixed key-column sets (${keySchemas.map(_.mkString("(", ",", ")")).mkString(", ")}) " +
+        "— one merged list cannot anti-join them; materialize with " +
+        "compact() instead")
+    // every refusal happens BEFORE the merged commit lands — a refused
+    // call must leave the table exactly as it found it
+    val dangling = tags().filter(tagVersion(_) <= head)
+    require(dangling.isEmpty,
+      s"consolidateDeletes would orphan tags pinning old snapshots; " +
+        s"drop them first: ${dangling.mkString(", ")}")
+    // 1. the merged commit lands first, against the head manifest
+    val vNext = commitAppendedFiles(Nil)
+    if (predVs.nonEmpty) {
+      val merged = predVs
+        .map(v => s"(${WarehouseIO.readString(deletesPath(v))})")
+        .mkString(" OR ")
+      WarehouseIO.writeStringAtomic(deletesPath(vNext), merged)
+    }
+    if (keyVs.nonEmpty)
+      keyVs.map(v => spark.read.parquet(keysPath(v).toString))
+        .reduce(_ unionByName _).distinct()
+        .write.mode("overwrite").parquet(keysPath(vNext).toString)
+    if (posVs.nonEmpty)
+      posVs.map(v => spark.read.parquet(posDeletesPath(v).toString))
+        .reduce(_ unionByName _).distinct()
+        .write.mode("overwrite").parquet(posDeletesPath(vNext).toString)
+    // 2. cleanup: old history goes (sidecars before their version files,
+    // so a crash can only ever drop a sidecar the merged commit already
+    // carries), and the generation dies with the history it named
+    vs.foreach { v =>
+      WarehouseIO.delete(deletesPath(v))
+      WarehouseIO.delete(keysPath(v), recursive = true)
+      WarehouseIO.delete(posDeletesPath(v), recursive = true)
+      WarehouseIO.delete(logFile(f"v$v%05d.list"))
+    }
+    WarehouseIO.delete(logFile("generation"))
+    vNext
+  }
+
   /** Incremental (CDC-style) read: exactly the rows appended after
     * `fromVersion`, up to and including `toVersion` — the file-set
     * difference of the two manifests, so the incremental consumer never

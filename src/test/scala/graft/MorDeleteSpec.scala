@@ -136,6 +136,49 @@ class MorDeleteSpec extends AnyFunSuite {
       s"delete() in b must not resurrect the pending-deleted id=1: $afterDelete")
   }
 
+  test("consolidateDeletes merges the sidecar layer without data rewrites") {
+    val sink = mkSink("m_consol")                 // {(1,a),(2,b),(3,a)}
+    sink.append(Seq((4L, "b", 40.0), (5L, "a", 50.0)).toDF("id", "cat", "v"))
+    val filesBefore = dataFiles("m_consol")
+    sink.deleteWhere("id = 1")                    // v3 predicate
+    sink.deleteKeys(Seq(4L).toDF("id"), Seq("id")) // v4 erasure
+    val before = sink.read(spark).select($"id").as[Long].collect().sorted.toSeq
+    assert(before == Seq(2L, 3L, 5L))
+    val vNew = sink.consolidateDeletes(spark)
+    assert(sink.read(spark).select($"id").as[Long].collect().sorted.toSeq
+      == before, "consolidation must not change the surviving row set")
+    assert(sink.snapshotVersions() == Seq(vNew),
+      "old history is dropped — one consolidated commit remains")
+    assert(dataFiles("m_consol") == filesBefore,
+      "minor compaction must not touch a single data file")
+    // idempotent: a second call on the single-commit table is a no-op
+    assert(sink.consolidateDeletes(spark) == vNew)
+    // later appends still subtract under the merged predicate
+    sink.append(Seq((1L, "a", 11.0)).toDF("id", "cat", "v"))
+    assert(sink.read(spark).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 3L, 5L), "merged predicate must stay live for re-inserts")
+  }
+
+  test("consolidateDeletes resets the generation and guards mixed keys") {
+    val sink = mkSink("m_consol2")
+    val cursor = s"$wh/m_consol2_cursor"
+    val (_, c1) = sink.readChangelogSince(spark, cursor)
+    c1()
+    sink.deleteWhere("id = 1")
+    sink.consolidateDeletes(spark)
+    val e = intercept[IllegalArgumentException](
+      sink.readChangelogSince(spark, cursor))
+    assert(e.getMessage.contains("different table history"), e.getMessage)
+    // mixed key-column erasure lists refuse (one merged list cannot
+    // anti-join two schemas)
+    val mixed = mkSink("m_consol3")
+    mixed.deleteKeys(Seq(1L).toDF("id"), Seq("id"))
+    mixed.deleteKeys(Seq("a").toDF("cat"), Seq("cat"))
+    val em = intercept[IllegalArgumentException](
+      mixed.consolidateDeletes(spark))
+    assert(em.getMessage.contains("mixed key-column"), em.getMessage)
+  }
+
   test("rollback removes newer delete sidecars of all three kinds") {
     val sink = mkSink("m7")
     sink.deleteKeys(Seq(1L).toDF("id"), Seq("id"))   // v2
