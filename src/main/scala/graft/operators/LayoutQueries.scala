@@ -163,6 +163,51 @@ object LayoutQueries {
       .withColumn("in_plan", lit(true))
   }
 
+  /** The clustered-REWRITE path to the same layout `q_zonemap_prune`
+    * reaches by clustered APPEND: events land unclustered (plain append,
+    * sink-salted files — the worst case for zones), then
+    * [[TableSink.clusterBy]] rewrites the table z-ordered in place, zone
+    * maps are computed, and the identical 2-D rectangle is answered from
+    * the pruned file set. Equality with the full-scan oracle proves the
+    * rewrite lost/duplicated nothing AND the layout actually tightened
+    * (pruning pinned engaged — unclustered salted files would prune ~0). */
+  def clusterRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig("events_cr", dest, numPartitions = 8))
+    sink.append(e) // unclustered: 8 salted writers, zones span everything
+    sink.clusterBy(spark, Seq("unix_micros(ts)",
+      "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"), nRanges = 48)
+    val zm = new ZoneMaps(sink)
+    zm.analyze(spark, Seq("ts", "value"))
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-12 23:59:59.999999").cast("timestamp")
+    val pruned = zm.readBetween(spark,
+      ("ts", lo, hi), ("value", lit(100.0), lit(200.0)))
+    val total = sink.read(spark).inputFiles.length
+    val kept = pruned.inputFiles.length
+    pruned
+      .filter(col("ts").between(lo, hi) &&
+        col("value").between(lit(100.0), lit(200.0)))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .withColumn("rewrite_pruned", lit(kept < total))
+  }
+
+  val clusterRewriteSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  min(event_id) AS min_id,
+      |  max(event_id) AS max_id,
+      |  TRUE AS rewrite_pruned
+      |FROM events
+      |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+      |             AND TIMESTAMP '2024-01-12 23:59:59.999999'
+      |  AND value BETWEEN 100.0 AND 200.0""".stripMargin
+
   /** Bloom-filter point-lookup skipping — the predicate zone maps are
     * STRUCTURALLY blind to: events are HASH-clustered by `user_id` into 48
     * files (each user's rows land in exactly one file, but every file's

@@ -1538,14 +1538,18 @@ final class TableSink(val config: SinkConfig) {
     * row-count mismatch; None skips the check (callers whose expected
     * count is not independently known). */
   private def rewriteSwap(spark: SparkSession, finalRows: DataFrame,
-      expectRows: Option[Long]): Unit = {
+      expectRows: Option[Long], preserveLayout: Boolean = false): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(config.tablePath)
     val trash = Paths.get(config.tablePath + "_pre_rewrite")
     val tmp = Paths.get(config.tablePath + "_rewriting")
     if (Files.exists(tmp)) rmTree(tmp)
     val parts = partitionColNames
-    val writer = clusterForWrite(finalRows).write.mode("overwrite")
+    // preserveLayout: the caller already arranged the physical clustering
+    // (a z-order rewrite) — the sink's own repartition would destroy it
+    val arranged =
+      if (preserveLayout) finalRows else clusterForWrite(finalRows)
+    val writer = arranged.write.mode("overwrite")
       .format(config.fileFormat).options(config.extraOptions)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .save(tmp.toString)
@@ -1562,6 +1566,43 @@ final class TableSink(val config: SinkConfig) {
     Files.move(root, trash, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
     rmTree(trash)
+  }
+
+  /** Z-ORDER clustered rewrite — Delta `OPTIMIZE ZORDER BY` / Iceberg
+    * `rewrite_data_files(sort_order => zorder(...))` analogue: the whole
+    * table rewrites range-clustered by the Morton interleave of
+    * `dimExprs` (SQL expressions yielding longs, e.g. `unix_micros(ts)`,
+    * `CAST(value * 100 AS BIGINT)`), so that with [[ZoneMaps]] stats a
+    * rectangle predicate on ANY clustered dimension reads O(perimeter)
+    * files instead of O(table). Bounds are computed in one aggregate;
+    * the rewrite is [[rewriteSwap]]'s crash-safe swap with the sink's
+    * own write repartition suppressed (it would destroy the layout).
+    * Pending merge-on-read sidecars materialize through the rewrite
+    * (the clustered rows come from [[read]]) and history expires — the
+    * same contract as [[compact]]. Stale zone-map/Bloom stats become
+    * conservative, not wrong; re-run analyze for the tight zones.
+    * Row-count-verified before the destructive step. */
+  def clusterBy(spark: SparkSession, dimExprs: Seq[String],
+      nRanges: Int = 48, bits: Int = 16): Unit = {
+    require(dimExprs.nonEmpty, "clusterBy needs at least one dimension")
+    requireNoStreamingLog()
+    requireNoBranches("clusterBy")
+    require(cloneBasePath.isEmpty || snapshotVersions().nonEmpty,
+      "clusterBy on a clone needs a committed manifest")
+    recoverSwap()
+    val cur = read(spark)
+    val totalRows = cur.count()
+    if (totalRows == 0) return
+    val dimCols = dimExprs.indices.map(i => s"__zd_$i")
+    val withDims = dimExprs.zipWithIndex.foldLeft(cur) {
+      case (d, (e, i)) => d.withColumn(s"__zd_$i", expr(e).cast("long"))
+    }
+    val b = ZOrder.boundsOf(withDims, dimCols)
+    val clustered = ZOrder.cluster(withDims,
+        dimCols.map(c => (c, b(c)._1, b(c)._2)), nRanges, bits)
+      .drop(dimCols: _*)
+    rewriteSwap(spark, clustered, Some(totalRows), preserveLayout = true)
+    if (config.versioned) expireSnapshots() // rewrites invalidate history
   }
 
   /** Delete rows matching `condition`; returns the deleted count. A

@@ -349,6 +349,29 @@ class LayoutSpec extends AnyFunSuite {
       s"zone-map in-plan skip must broadcast anti-join, got:\n$zplan")
   }
 
+  test("clusterBy rewrites in place: rows exact, zones disjoint, MoR folds") {
+    val sink = new TableSink(SinkConfig(tableName = "clusterby",
+      warehousePath = tmpWarehouse(), versioned = true, numPartitions = 4))
+    sink.append(spark.range(4096)
+      .select($"id", (($"id" * 2654435761L) % 997).as("k")))
+    sink.deleteKeys(Seq(5L).toDF("id"), Seq("id"))
+    sink.clusterBy(spark, Seq("k"), nRanges = 8)
+    val got = sink.read(spark)
+    assert(got.count() == 4095, "clusterBy must materialize the MoR delete")
+    assert(got.filter($"id" === 5L).count() == 0)
+    assert(sink.snapshotVersions().size == 1, "rewrite expires history")
+    // each file covers a disjoint k-range after the rewrite
+    new ZoneMaps(sink).analyze(spark, Seq("k"))
+    val zones = spark.read.parquet(s"${sink.config.tablePath}/_graft_stats")
+      .select("min_k", "max_k").as[(Long, Long)].collect().sortBy(_._1)
+    assert(zones.length >= 8)
+    zones.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
+        s"file zones overlap after clusterBy: $hi1 > $lo2")
+      case _ =>
+    }
+  }
+
   test("appendClustered preserves the range layout the normal append undoes") {
     val df = spark.range(4096).select($"id", ($"id" % 64).as("k"))
     val clustered = ZOrder.cluster(df, Seq(("k", 0L, 63L)), nRanges = 8)
