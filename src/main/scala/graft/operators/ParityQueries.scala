@@ -994,6 +994,47 @@ object ParityQueries {
       |  AND NOT (event_id % 11 = 0)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The delete-layer inventory ([[TableSink.metaDeletes]]) over the
+    * three-flavor fixture: each sidecar's version, flavor, ENTRY COUNT,
+    * and detail — with the counts derived independently by the oracle
+    * from the same modulus/threshold arithmetic (the erasure-list count
+    * is the distinct qualifying user_ids; the position-list count is the
+    * rows VISIBLE at its commit that matched — resolved-at-commit
+    * semantics pinned). */
+  def metaDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_metadel", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e)                                             // v1
+    sink.deleteWhere("value < 100.0")                          // v2 predicate
+    sink.deleteKeys(                                           // v3 erasure
+      e.filter(pmod($"user_id", lit(7)) === 0).select($"user_id"),
+      Seq("user_id"))
+    sink.deletePositions(spark, "event_id % 11 = 0")           // v4 positions
+    sink.metaDeletes(spark)
+  }
+
+  val metaDeletesSql: String =
+    """SELECT * FROM (
+      |  SELECT CAST(2 AS BIGINT) AS version, 'predicate' AS flavor,
+      |         CAST(1 AS BIGINT) AS n_entries, 'value < 100.0' AS detail
+      |  UNION ALL
+      |  SELECT 3, 'keys',
+      |         (SELECT COUNT(DISTINCT user_id) FROM events
+      |          WHERE user_id % 7 = 0), 'user_id'
+      |  UNION ALL
+      |  SELECT 4, 'positions',
+      |         (SELECT COUNT(*) FROM events
+      |          WHERE NOT coalesce(value < 100.0, FALSE)
+      |            AND NOT coalesce(user_id % 7 = 0, FALSE)
+      |            AND event_id % 11 = 0), 'file_path,row_pos')
+      |ORDER BY version, flavor""".stripMargin
+
   /** Snapshot rollback end-to-end: two thirds of events commit (v1), the
     * final third commits (v2), [[TableSink.rollbackTo]] restores v1
     * (v2's files deleted, its manifest dropped), and the table then keeps

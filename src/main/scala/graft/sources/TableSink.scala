@@ -1091,6 +1091,41 @@ final class TableSink(val config: SinkConfig) {
         sum(col("sz")).as("size_bytes"))
   }
 
+  /** Iceberg `all_delete_files` metadata-table analogue: one row per
+    * LIVE merge-on-read delete sidecar — `(version, flavor, n_entries,
+    * detail)` where flavor ∈ 'predicate' | 'keys' | 'positions',
+    * `n_entries` is the sidecar's entry count (1 for a predicate; list
+    * rows otherwise) and `detail` names the predicate text or the key
+    * columns. The maintenance dashboard behind
+    * [[consolidateDeletes]]/[[compact]] decisions: read amplification is
+    * proportional to the rows here. Cost: driver manifest metadata plus
+    * one tiny parquet count per list sidecar. */
+  def metaDeletes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(config.versioned,
+      "delete sidecars are commit metadata — versioned tables only")
+    val rows = snapshotVersions().flatMap { v =>
+      val pred =
+        if (!WarehouseIO.isFile(deletesPath(v))) None
+        else Some((v.toLong, "predicate", 1L,
+          WarehouseIO.readString(deletesPath(v))))
+      val keys =
+        if (!WarehouseIO.isDir(keysPath(v))) None
+        else {
+          val k = spark.read.parquet(keysPath(v).toString)
+          Some((v.toLong, "keys", k.count(), k.columns.mkString(",")))
+        }
+      val pos =
+        if (!WarehouseIO.isDir(posDeletesPath(v))) None
+        else Some((v.toLong, "positions",
+          spark.read.parquet(posDeletesPath(v).toString).count(),
+          "file_path,row_pos"))
+      Seq(pred, keys, pos).flatten
+    }
+    rows.toDF("version", "flavor", "n_entries", "detail")
+      .orderBy($"version", $"flavor")
+  }
+
   /** Iceberg's `remove_orphan_files` analogue: delete data files present
     * in the table directory but referenced by NO committed snapshot — the
     * debris a crashed or killed write leaves behind (its files landed, its

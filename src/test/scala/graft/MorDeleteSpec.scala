@@ -151,6 +151,12 @@ class MorDeleteSpec extends AnyFunSuite {
       "old history is dropped — one consolidated commit remains")
     assert(dataFiles("m_consol") == filesBefore,
       "minor compaction must not touch a single data file")
+    // the delete-layer inventory collapses to one sidecar per flavor
+    val inv = sink.metaDeletes(spark)
+      .select($"version", $"flavor", $"n_entries")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(inv == Seq((vNew.toLong, "keys", 1L), (vNew.toLong, "predicate", 1L)),
+      s"metaDeletes after consolidation: $inv")
     // idempotent: a second call on the single-commit table is a no-op
     assert(sink.consolidateDeletes(spark) == vNew)
     // later appends still subtract under the merged predicate
