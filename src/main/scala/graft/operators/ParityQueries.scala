@@ -1548,6 +1548,45 @@ object ParityQueries {
 
   val catalogTimeTravelSql: String = timeTravelSql
 
+  /** The SQL WRITE front door end-to-end, no library call touches data:
+    * `CREATE TABLE` (versioned property), two `INSERT INTO … SELECT`
+    * commits, and the final aggregate — all through the catalog. The
+    * oracle recomputes the aggregate from the source; the query also
+    * pins that each SQL insert committed its own snapshot (versions
+    * [1, 2] → time travel works on SQL-written history). */
+  def sqlInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_sqlw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrc_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl " +
+      "(event_id BIGINT, user_id BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, user_id, value FROM $src WHERE event_id % 2 = 0")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, user_id, value FROM $src WHERE event_id % 2 = 1")
+    val versions = new TableSink(SinkConfig(tableName = tbl,
+      warehousePath = wh, versioned = true)).snapshotVersions()
+    spark.sql(
+      s"""SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM graft_cat.$tbl""".stripMargin)
+      .withColumn("two_commits", lit(versions == Seq(1, 2)))
+  }
+
+  val sqlInsertSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  TRUE AS two_commits
+      |FROM events""".stripMargin
+
   /** Snapshot TAGS end-to-end — immutable named refs to commits (Iceberg
     * tags): batch 1 commits (v1) and is tagged `baseline`, batch 2 commits
     * (v2). The tag is then resolved through BOTH engine surfaces —

@@ -4,9 +4,11 @@ import java.util
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileTable
@@ -35,14 +37,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * at or before `t` — Iceberg's snapshot-id / as-of-timestamp semantics on
   * the sink's own log. Unversioned tables read the live directory.
   *
-  * The returned table is READ-ONLY (`BATCH_READ` capability only): an
-  * `INSERT INTO` through the catalog would drop files into the directory
-  * without a manifest commit, silently corrupting the snapshot history, so
-  * writes are refused at analysis time and routed to [[TableSink]] (whose
-  * commits maintain the log). Scans are Spark's native vectorized
-  * parquet/orc readers with full pushdown — the catalog only decides WHICH
-  * files are in the table; scan planning, filter pushdown, and partition
-  * pruning (hive-style directories, recovered via `basePath`) are stock.
+  * Writes: `CREATE TABLE` / CTAS / `INSERT INTO` are supported for
+  * UNPARTITIONED tables by routing the insert through
+  * [[TableSink.append]] (V1 write bridge) — a SQL append therefore takes
+  * the same staged write, optimistic manifest commit, and
+  * CHECK-constraint gate as the library API, never dropping files the
+  * snapshot history doesn't record. Rewriting SQL (`INSERT OVERWRITE`)
+  * is refused at analysis (no truncate capability), `PARTITIONED BY` is
+  * refused (partition TRANSFORMS are a library-API concept), and
+  * time-travel/branch/tag loads plus hive-partitioned tables stay
+  * read-only. Scans are Spark's native vectorized parquet/orc readers
+  * with full pushdown — the catalog only decides WHICH files are in the
+  * table; scan planning, filter pushdown, and partition pruning
+  * (hive-style directories, recovered via `basePath`) are stock.
   *
   * Scale: `loadTable` touches only the manifest (one small text file) and
   * directory metadata — no data I/O on the driver; file-set size is the
@@ -144,21 +151,61 @@ final class GraftCatalog extends TableCatalog {
       .map(rel => s"${tableDir(ident)}/$rel").toIndexedSeq
   }
 
+  private def schemaFile(ident: Identifier): java.nio.file.Path =
+    tableDir(ident).resolve("_graft_schema")
+
+  private def versionedMarker(ident: Identifier): java.nio.file.Path =
+    tableDir(ident).resolve("_graft_versioned")
+
+  /** Hive-style partition directories under the table root — their
+    * transform spec is not recoverable from the layout, so SQL writes
+    * into them are refused (route through [[TableSink]]). */
+  private def hasHiveDirs(ident: Identifier): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val root = tableDir(ident)
+    if (!java.nio.file.Files.isDirectory(root)) return false
+    val s = java.nio.file.Files.list(root)
+    try s.iterator().asScala.exists(p =>
+      java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.contains("="))
+    finally s.close()
+  }
+
+  /** The [[TableSink]] config a catalog INSERT routes through — the write
+    * takes the SAME staged-commit path as the library API, so a SQL
+    * append maintains the snapshot manifest instead of corrupting it. */
+  private def insertConfig(ident: Identifier,
+      firstFile: Option[String]): SinkConfig = SinkConfig(
+    tableName = ident.name(),
+    warehousePath = (warehouse +: ident.namespace()).mkString("/"),
+    fileFormat = if (firstFile.exists(_.endsWith(".orc"))) "orc"
+      else "parquet",
+    versioned = java.nio.file.Files.isDirectory(logDir(ident)) ||
+      java.nio.file.Files.exists(versionedMarker(ident)))
+
   /** Wrap the file set in the matching native v2 file table. Format is
     * detected from the data-file extensions (the sink writes exactly one
-    * format per table), so catalog reads need no per-table config. */
+    * format per table), so catalog reads need no per-table config.
+    * `writable=true` (latest-snapshot loads of unpartitioned tables)
+    * adds the V1 write surface routing INSERT through [[TableSink]];
+    * time-travel/branch/tag loads and hive-partitioned tables stay
+    * read-only. */
   private def fileTable(ident: Identifier, paths: Seq[String],
-      firstFile: Option[String]): Table = {
+      firstFile: Option[String], userSchema: Option[StructType] = None,
+      writable: Boolean = false): Table = {
     val spark = SparkSession.active
     val opts = new CaseInsensitiveStringMap(
       util.Map.of("basePath", tableDir(ident).toString))
     val orc = firstFile.exists(_.endsWith(".orc"))
     val delegate: FileTable =
       if (orc) OrcTable(ident.name(), spark, opts, paths,
-        None, classOf[OrcFileFormat])
+        userSchema, classOf[OrcFileFormat])
       else ParquetTable(ident.name(), spark, opts, paths,
-        None, classOf[ParquetFileFormat])
-    new GraftReadOnlyTable(delegate, ident.toString)
+        userSchema, classOf[ParquetFileFormat])
+    if (writable && !hasHiveDirs(ident))
+      new GraftWritableTable(delegate, ident.toString, userSchema,
+        insertConfig(ident, firstFile))
+    else new GraftReadOnlyTable(delegate, ident.toString)
   }
 
   /** First data file under the live table dir (format sniff + existence). */
@@ -184,11 +231,24 @@ final class GraftCatalog extends TableCatalog {
     * read the live directory. */
   override def loadTable(ident: Identifier): Table = {
     versions(ident).lastOption match {
-      case Some(v) => loadTable(ident, v.toString)
+      case Some(v) =>
+        val files = manifestFiles(ident, v)
+        fileTable(ident, files, files.headOption, writable = true)
       case None =>
-        val first = firstDataFile(ident).getOrElse(
-          throw new NoSuchTableException(ident))
-        fileTable(ident, Seq(tableDir(ident).toString), Some(first))
+        firstDataFile(ident) match {
+          case Some(first) =>
+            fileTable(ident, Seq(tableDir(ident).toString), Some(first),
+              writable = true)
+          case None
+              if java.nio.file.Files.isRegularFile(schemaFile(ident)) =>
+            // created-but-empty (CREATE TABLE / CTAS target): the declared
+            // schema serves reads (empty) and validates the first INSERT
+            val schema = org.apache.spark.sql.types.DataType
+              .fromJson(java.nio.file.Files.readString(schemaFile(ident)))
+              .asInstanceOf[StructType]
+            fileTable(ident, Nil, None, Some(schema), writable = true)
+          case None => throw new NoSuchTableException(ident)
+        }
     }
   }
 
@@ -265,12 +325,30 @@ final class GraftCatalog extends TableCatalog {
   // The write path is TableSink (create-if-missing on first append, commits
   // maintain the manifest); catalog DDL that would bypass it is refused.
 
+  /** `CREATE TABLE` / CTAS target creation: records the declared schema
+    * (and an optional `versioned` property) so the empty table loads with
+    * a typed read surface; the data path stays [[TableSink]] — a catalog
+    * INSERT routes through the same staged, manifest-maintaining append.
+    * Partition TRANSFORMS (bucket/truncate/day …) are not expressible in
+    * this DDL surface, so `PARTITIONED BY` is refused toward the library
+    * API rather than silently approximated. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by TableSink.append (create-if-missing, " +
-        "manifest-committed); the catalog is the read surface")
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "PARTITIONED BY is not supported here: graft partition specs are " +
+        "TRANSFORMS (identity/bucket/truncate/day/...) declared on the " +
+        "TableSink config — create partitioned tables through the " +
+        "library API")
+    java.nio.file.Files.createDirectories(tableDir(ident))
+    java.nio.file.Files.writeString(schemaFile(ident), schema.json)
+    if ("true".equalsIgnoreCase(
+        properties.getOrDefault("versioned", "false")))
+      java.nio.file.Files.writeString(versionedMarker(ident), "true")
+    loadTable(ident)
+  }
 
   override def createTable(ident: Identifier, info: TableInfo): Table =
     createTable(ident, info.schema(), info.partitions(), info.properties())
@@ -303,7 +381,9 @@ final class GraftCatalog extends TableCatalog {
 /** Read-only facade over a native v2 file table: exposes scan building
   * untouched (vectorized read, pushdown, partition pruning) but advertises
   * only `BATCH_READ`, so `INSERT INTO` fails at analysis instead of writing
-  * files the snapshot manifest never recorded. */
+  * files the snapshot manifest never recorded. Time-travel/branch/tag
+  * loads and hive-partitioned tables serve through this; latest-snapshot
+  * loads of unpartitioned tables serve through [[GraftWritableTable]]. */
 private[graft] final class GraftReadOnlyTable(delegate: FileTable,
     fullName: String) extends Table with SupportsRead {
   override def name(): String = fullName
@@ -314,4 +394,39 @@ private[graft] final class GraftReadOnlyTable(delegate: FileTable,
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
+}
+
+/** Writable catalog table: reads delegate to the native v2 file scan;
+  * `INSERT INTO` routes through [[TableSink.append]] via the V1 write
+  * bridge, so a SQL append takes the SAME staged write + optimistic
+  * manifest commit (and CHECK-constraint gate) as the library API — the
+  * invariant the read-only facade exists to protect. `INSERT OVERWRITE`
+  * is refused: overwrite is a rewriting op with its own protocols
+  * (upsert/delete/compact) and history consequences. */
+private[graft] final class GraftWritableTable(delegate: FileTable,
+    fullName: String, declaredSchema: Option[StructType],
+    insertCfg: SinkConfig) extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = fullName
+  override def schema(): StructType = declaredSchema.getOrElse(delegate.schema)
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def properties(): util.Map[String, String] = delegate.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              require(!overwrite,
+                s"INSERT OVERWRITE $fullName is not supported: overwrite " +
+                  "is a rewriting op — use TableSink.upsert/delete/compact")
+              new TableSink(insertCfg).append(data)
+            }
+          }
+      }
+    }
 }

@@ -93,13 +93,54 @@ class CatalogSpec extends AnyFunSuite {
       s"as-of before the first commit must fail: ${early.getMessage}")
   }
 
-  test("INSERT INTO is refused — writes must go through the sink's commits") {
+  test("INSERT INTO a hive-partitioned table is refused (transforms " +
+      "unrecoverable from the layout)") {
     mkVersioned("tt4")
     val e = intercept[Exception](
       spark.sql("INSERT INTO gtest.tt4 VALUES (9, 'z', 90.0, null)"))
     assert(e.isInstanceOf[AnalysisException] ||
       e.isInstanceOf[UnsupportedOperationException],
       s"insert must fail at analysis, got: $e")
+  }
+
+  test("INSERT INTO routes through the sink's staged manifest commit") {
+    val sink = new TableSink(SinkConfig(tableName = "ttw",
+      warehousePath = wh, versioned = true))
+    sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    spark.sql("INSERT INTO gtest.ttw VALUES (3, 'c')")
+    assert(sink.snapshotVersions() == Seq(1, 2),
+      "a SQL insert must commit a snapshot like any library append")
+    assert(spark.sql("SELECT count(*) FROM gtest.ttw").head().getLong(0) == 3)
+    assert(sink.readVersion(spark, 1).count() == 2,
+      "time travel below the SQL insert must still work")
+    // INSERT OVERWRITE is a rewriting op: the table advertises no
+    // truncate/overwrite capability, so the analyzer refuses it outright
+    val e = intercept[AnalysisException](
+      spark.sql("INSERT OVERWRITE gtest.ttw VALUES (9, 'z')"))
+    assert(e.getMessage.contains("does not support"), s"got: $e")
+  }
+
+  test("CREATE TABLE, INSERT, and CTAS through pure SQL") {
+    spark.sql("CREATE TABLE gtest.sqlmade (id BIGINT, s STRING) " +
+      "TBLPROPERTIES('versioned'='true')")
+    assert(spark.sql("SELECT * FROM gtest.sqlmade").count() == 0,
+      "a created-but-empty table reads as typed empty")
+    spark.sql("INSERT INTO gtest.sqlmade VALUES (1, 'a'), (2, 'b')")
+    val sink = new TableSink(SinkConfig(tableName = "sqlmade",
+      warehousePath = wh, versioned = true))
+    assert(sink.snapshotVersions() == Seq(1),
+      "the versioned property must make the first SQL insert commit v1")
+    assert(spark.sql("SELECT sum(id) FROM gtest.sqlmade").head().getLong(0)
+      == 3L)
+    spark.sql(
+      "CREATE TABLE gtest.ctas AS SELECT id, s FROM gtest.sqlmade WHERE id = 1")
+    assert(spark.sql("SELECT * FROM gtest.ctas").count() == 1)
+    // partition transforms are a library-API concept — PARTITIONED BY refuses
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE gtest.badpart (id BIGINT, cat STRING) PARTITIONED BY (cat)"))
+    assert(e.getMessage.contains("TRANSFORMS") ||
+      Option(e.getCause).exists(_.getMessage.contains("TRANSFORMS")),
+      s"got: $e")
   }
 
   test("orc tables read through the same catalog (format sniffed)") {
