@@ -1587,6 +1587,43 @@ object ParityQueries {
       |  TRUE AS two_commits
       |FROM events""".stripMargin
 
+  /** `DELETE FROM … WHERE` through the pure-SQL door: ingest via
+    * `INSERT INTO … SELECT`, delete a compound predicate (range AND
+    * membership) via SQL, aggregate via SQL — the oracle recomputes the
+    * survivors. Pins the whole filter-translation chain (analyzer
+    * pushdown → V1 filters → SQL text → copy-on-write delete) and that
+    * the table stays readable through the catalog afterwards. */
+  def sqlDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_sqld_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrc_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl " +
+      "(event_id BIGINT, user_id BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, user_id, value FROM $src")
+    spark.sql(s"DELETE FROM graft_cat.$tbl " +
+      "WHERE value < 100.0 OR user_id IN (0, 7, 14)")
+    spark.sql(
+      s"""SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM graft_cat.$tbl""".stripMargin)
+  }
+
+  val sqlDeleteSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events
+      |WHERE NOT (coalesce(value < 100.0, FALSE)
+      |        OR coalesce(user_id IN (0, 7, 14), FALSE))""".stripMargin
+
   /** Snapshot TAGS end-to-end — immutable named refs to commits (Iceberg
     * tags): batch 1 commits (v1) and is tagged `baseline`, batch 2 commits
     * (v2). The tag is then resolved through BOTH engine surfaces —

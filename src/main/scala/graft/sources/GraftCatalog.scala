@@ -402,10 +402,97 @@ private[graft] final class GraftReadOnlyTable(delegate: FileTable,
   * manifest commit (and CHECK-constraint gate) as the library API — the
   * invariant the read-only facade exists to protect. `INSERT OVERWRITE`
   * is refused: overwrite is a rewriting op with its own protocols
-  * (upsert/delete/compact) and history consequences. */
+  * (upsert/delete/compact) and history consequences.
+  *
+  * `DELETE FROM … WHERE` routes through [[TableSink.delete]] — the
+  * COPY-ON-WRITE flavor, deliberately: a merge-on-read sidecar would
+  * leave the table unreadable through this catalog (whose V2 scan cannot
+  * apply sidecars) until materialized, which is the wrong default for
+  * the pure-SQL door. Predicates the filter translator cannot express
+  * in SQL text refuse at `canDeleteWhere` with Spark's standard error
+  * rather than deleting the wrong rows. */
 private[graft] final class GraftWritableTable(delegate: FileTable,
     fullName: String, declaredSchema: Option[StructType],
-    insertCfg: SinkConfig) extends Table with SupportsRead with SupportsWrite {
+    insertCfg: SinkConfig) extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  private def sqlLit(v: Any): Option[String] = v match {
+    case null => None // NULL literals only reach us inside IsNull/IsNotNull
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      Some("'" + s.toString.replace("'", "''") + "'")
+    case ts: java.sql.Timestamp => Some(s"TIMESTAMP '$ts'")
+    case d: java.sql.Date => Some(s"DATE '$d'")
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
+      Some(n.toString)
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case b: Boolean => Some(b.toString)
+    case _ => None
+  }
+
+  private def quoted(attr: String): String =
+    attr.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
+
+  /** V1 Filter → SQL text; None = not expressible → refuse the delete. */
+  private def filterSql(
+      f: org.apache.spark.sql.sources.Filter): Option[String] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => sqlLit(v).map(l => s"${quoted(a)} = $l")
+      case EqualNullSafe(a, v) =>
+        sqlLit(v).map(l => s"${quoted(a)} <=> $l")
+      case GreaterThan(a, v) => sqlLit(v).map(l => s"${quoted(a)} > $l")
+      case GreaterThanOrEqual(a, v) =>
+        sqlLit(v).map(l => s"${quoted(a)} >= $l")
+      case LessThan(a, v) => sqlLit(v).map(l => s"${quoted(a)} < $l")
+      case LessThanOrEqual(a, v) => sqlLit(v).map(l => s"${quoted(a)} <= $l")
+      case In(a, vs) =>
+        val ls = vs.toSeq.map(sqlLit)
+        if (ls.exists(_.isEmpty) || ls.isEmpty) None
+        else Some(s"${quoted(a)} IN (${ls.flatten.mkString(", ")})")
+      case IsNull(a) => Some(s"${quoted(a)} IS NULL")
+      case IsNotNull(a) => Some(s"${quoted(a)} IS NOT NULL")
+      case And(l, r) =>
+        for (ls <- filterSql(l); rs <- filterSql(r))
+          yield s"($ls AND $rs)"
+      case Or(l, r) =>
+        for (ls <- filterSql(l); rs <- filterSql(r)) yield s"($ls OR $rs)"
+      case Not(c) => filterSql(c).map(s => s"NOT ($s)")
+      case StringStartsWith(a, p) =>
+        Some(s"${quoted(a)} LIKE '${p.replace("'", "''")}%'")
+      case StringEndsWith(a, p) =>
+        Some(s"${quoted(a)} LIKE '%${p.replace("'", "''")}'")
+      case StringContains(a, p) =>
+        Some(s"${quoted(a)} LIKE '%${p.replace("'", "''")}%'")
+      case AlwaysTrue() => Some("TRUE")
+      case AlwaysFalse() => Some("FALSE")
+      case _ => None
+    }
+  }
+
+  private def deleteSql(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Option[String] =
+    if (filters.isEmpty) Some("TRUE")
+    else {
+      val parts = filters.toSeq.map(filterSql)
+      if (parts.exists(_.isEmpty)) None
+      else Some(parts.flatten.mkString("(", ") AND (", ")"))
+    }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    deleteSql(filters).isDefined
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val sql = deleteSql(filters).getOrElse(sys.error(
+      s"DELETE FROM $fullName: predicate not expressible — " +
+        "use TableSink.delete"))
+    val spark = SparkSession.active
+    new TableSink(insertCfg).delete(spark,
+      org.apache.spark.sql.functions.expr(sql))
+    ()
+  }
   override def name(): String = fullName
   override def schema(): StructType = declaredSchema.getOrElse(delegate.schema)
   override def partitioning(): Array[Transform] = delegate.partitioning()

@@ -120,6 +120,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not support"), s"got: $e")
   }
 
+  test("DELETE FROM routes through the copy-on-write delete") {
+    val sink = new TableSink(SinkConfig(tableName = "ttdel",
+      warehousePath = wh, versioned = true))
+    sink.append(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "s"))
+    spark.sql("DELETE FROM gtest.ttdel WHERE id IN (2, 4) OR s = 'c'")
+    val got = spark.sql("SELECT id FROM gtest.ttdel")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L), s"SQL delete must remove 2, 3, 4: $got")
+    // copy-on-write: the table stays READABLE through this catalog (a
+    // merge-on-read sidecar would make catalog reads refuse)
+    assert(spark.sql("SELECT count(*) FROM gtest.ttdel").head().getLong(0)
+      == 1L)
+    // string escaping: a quote inside the literal must not break out
+    spark.sql("DELETE FROM gtest.ttdel WHERE s = 'it''s'")
+    assert(spark.sql("SELECT count(*) FROM gtest.ttdel").head().getLong(0)
+      == 1L)
+  }
+
   test("CREATE TABLE, INSERT, and CTAS through pure SQL") {
     spark.sql("CREATE TABLE gtest.sqlmade (id BIGINT, s STRING) " +
       "TBLPROPERTIES('versioned'='true')")
