@@ -1180,6 +1180,20 @@ final class TableSink(val config: SinkConfig) {
     orphans ++ deadStages.map(n => s"_staging/$n")
   }
 
+  /** One-call maintenance sweep (Delta `VACUUM` + Iceberg
+    * `expire_snapshots` in the order they must run): age-based snapshot
+    * expiry first (files referenced only by dropped history become
+    * orphans), then the grace-windowed orphan + dead-staging sweep.
+    * Returns (expired versions, deleted paths). The individual ops carry
+    * the refusal contracts (tag pins, live sidecars) and grace semantics;
+    * this is just the scheduled-job composition. */
+  def vacuum(olderThanMs: Long, keepLast: Int = 1,
+      graceMs: Long = TableSink.DefaultOrphanGraceMs): (Seq[Int], Seq[String]) = {
+    val expired = expireSnapshotsOlderThan(olderThanMs, keepLast)
+    val removed = removeOrphans(graceMs)
+    (expired, removed)
+  }
+
   /** Roll the table back to snapshot `version`: data files not in that
     * manifest are deleted and later snapshots are dropped. Only reaches
     * files appends created after `version` (rewrites would have expired

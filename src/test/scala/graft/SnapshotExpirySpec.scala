@@ -83,6 +83,22 @@ class SnapshotExpirySpec extends AnyFunSuite {
     assert(tail == Seq(3L))
   }
 
+  test("vacuum composes expiry then the orphan sweep") {
+    val sink = mkSink("e_vac")                                // v1..v3
+    sink.append(Seq((4L, "b", 40.0)).toDF("id", "cat", "v"))  // v4
+    sink.append(Seq((5L, "c", 50.0)).toDF("id", "cat", "v"))  // v5
+    // a stray file the manifest never recorded
+    WarehouseIO.writeString(new org.apache.hadoop.fs.Path(
+      s"$wh/e_vac/cat=z/part-stray.parquet"), "stray")
+    val (expired, removed) =
+      sink.vacuum(olderThanMs = System.currentTimeMillis() + 1000,
+        keepLast = 1, graceMs = 0L)
+    assert(expired == Seq(1, 2, 3, 4), s"expired: $expired")
+    assert(removed == Seq("cat=z/part-stray.parquet"), s"removed: $removed")
+    assert(sink.snapshotVersions() == Seq(5))
+    assert(sink.read(spark).count() == 5, "live data intact after vacuum")
+  }
+
   test("keepLast >= history is a no-op; keepLast < 1 refuses") {
     val sink = mkSink("e2")
     assert(sink.expireSnapshotsKeepLast(3) == Nil)
