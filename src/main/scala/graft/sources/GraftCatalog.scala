@@ -171,17 +171,39 @@ final class GraftCatalog extends TableCatalog {
     finally s.close()
   }
 
-  /** The [[TableSink]] config a catalog INSERT routes through — the write
-    * takes the SAME staged-commit path as the library API, so a SQL
-    * append maintains the snapshot manifest instead of corrupting it. */
+  /** The [[TableSink]] config a catalog INSERT/DELETE routes through —
+    * the write takes the SAME staged-commit path as the library API, so
+    * a SQL append maintains the snapshot manifest instead of corrupting
+    * it. The table's `_graft_config` sidecar (persisted by every library
+    * append, and by [[createTable]]) supplies the CHECK constraints,
+    * sort order, writer parallelism, and format the owning config
+    * declared — without it a SQL insert would silently bypass the
+    * constraint gate and write under defaults. */
   private def insertConfig(ident: Identifier,
-      firstFile: Option[String]): SinkConfig = SinkConfig(
-    tableName = ident.name(),
-    warehousePath = (warehouse +: ident.namespace()).mkString("/"),
-    fileFormat = if (firstFile.exists(_.endsWith(".orc"))) "orc"
-      else "parquet",
-    versioned = java.nio.file.Files.isDirectory(logDir(ident)) ||
-      java.nio.file.Files.exists(versionedMarker(ident)))
+      firstFile: Option[String]): SinkConfig = {
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val hintsFile = tableDir(ident).resolve("_graft_config")
+    val hints: Map[String, Seq[String]] =
+      if (!java.nio.file.Files.isRegularFile(hintsFile)) Map.empty
+      else java.nio.file.Files.readString(hintsFile).linesIterator
+        .flatMap { l => l.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }}.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def one(k: String): Option[String] = hints.get(k).flatMap(_.headOption)
+    SinkConfig(
+      tableName = ident.name(),
+      warehousePath = (warehouse +: ident.namespace()).mkString("/"),
+      fileFormat = one("fileFormat").getOrElse(
+        if (firstFile.exists(_.endsWith(".orc"))) "orc" else "parquet"),
+      numPartitions = one("numPartitions").map(_.toInt).getOrElse(1),
+      sortOrder = one("sortOrder").toSeq
+        .flatMap(_.split(',').toSeq).map(dec),
+      checkConstraints = hints.getOrElse("constraint", Nil).map(dec),
+      versioned = one("versioned").contains("true") ||
+        java.nio.file.Files.isDirectory(logDir(ident)) ||
+        java.nio.file.Files.exists(versionedMarker(ident)))
+  }
 
   /** Wrap the file set in the matching native v2 file table. Format is
     * detected from the data-file extensions (the sink writes exactly one
@@ -342,11 +364,24 @@ final class GraftCatalog extends TableCatalog {
         "TRANSFORMS (identity/bucket/truncate/day/...) declared on the " +
         "TableSink config — create partitioned tables through the " +
         "library API")
+    // USING <provider> arrives as the 'provider' property — honor it
+    // (parquet/orc) or refuse; a silently-parquet "orc table" is worse
+    // than an error
+    val provider = Option(properties.get("provider"))
+      .map(_.toLowerCase).filterNot(_ == "graft").getOrElse("parquet")
+    require(Set("parquet", "orc").contains(provider),
+      s"USING $provider is not supported here — parquet or orc")
+    val versioned = "true".equalsIgnoreCase(
+      properties.getOrDefault("versioned", "false"))
     java.nio.file.Files.createDirectories(tableDir(ident))
     java.nio.file.Files.writeString(schemaFile(ident), schema.json)
-    if ("true".equalsIgnoreCase(
-        properties.getOrDefault("versioned", "false")))
+    if (versioned)
       java.nio.file.Files.writeString(versionedMarker(ident), "true")
+    // the same config sidecar a library append persists, so the first
+    // INSERT writes the declared format under the declared versioning
+    java.nio.file.Files.writeString(
+      tableDir(ident).resolve("_graft_config"),
+      s"fileFormat=$provider\nnumPartitions=1\nversioned=$versioned")
     loadTable(ident)
   }
 
@@ -421,14 +456,32 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
     case s: String => Some("'" + s.replace("'", "''") + "'")
     case s: org.apache.spark.unsafe.types.UTF8String =>
       Some("'" + s.toString.replace("'", "''") + "'")
-    case ts: java.sql.Timestamp => Some(s"TIMESTAMP '$ts'")
+    // NO timestamp support on purpose: java.sql.Timestamp.toString
+    // renders in the JVM default timezone while the SQL literal re-parses
+    // in spark.sql.session.timeZone — when they differ the cutoff shifts
+    // and the delete removes the WRONG rows. canDeleteWhere=false makes
+    // Spark refuse the statement instead.
     case d: java.sql.Date => Some(s"DATE '$d'")
-    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
-      Some(n.toString)
+    case d: java.time.LocalDate => Some(s"DATE '$d'")
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
+    // float/double round-trip through their shortest-repr toString CAST
+    // back to the exact same value — a bare 0.1 literal would compare in
+    // decimal/double space and silently match nothing for floats (and
+    // NaN/Infinity only parse through the string form)
+    case f: Float => Some(s"CAST('$f' AS FLOAT)")
+    case d: Double => Some(s"CAST('$d' AS DOUBLE)")
     case d: java.math.BigDecimal => Some(d.toPlainString)
     case b: Boolean => Some(b.toString)
     case _ => None
   }
+
+  /** LIKE-pattern fragment: `~` as the escape character (no interaction
+    * with string-literal backslash escaping), metacharacters `% _ ~`
+    * neutralized, quotes doubled — a prefix like `50%_off` must match
+    * literally, not as wildcards. */
+  private def likePat(s: String): String =
+    s.replace("~", "~~").replace("%", "~%").replace("_", "~_")
+      .replace("'", "''")
 
   private def quoted(attr: String): String =
     attr.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
@@ -459,11 +512,11 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
         for (ls <- filterSql(l); rs <- filterSql(r)) yield s"($ls OR $rs)"
       case Not(c) => filterSql(c).map(s => s"NOT ($s)")
       case StringStartsWith(a, p) =>
-        Some(s"${quoted(a)} LIKE '${p.replace("'", "''")}%'")
+        Some(s"${quoted(a)} LIKE '${likePat(p)}%' ESCAPE '~'")
       case StringEndsWith(a, p) =>
-        Some(s"${quoted(a)} LIKE '%${p.replace("'", "''")}'")
+        Some(s"${quoted(a)} LIKE '%${likePat(p)}' ESCAPE '~'")
       case StringContains(a, p) =>
-        Some(s"${quoted(a)} LIKE '%${p.replace("'", "''")}%'")
+        Some(s"${quoted(a)} LIKE '%${likePat(p)}%' ESCAPE '~'")
       case AlwaysTrue() => Some("TRUE")
       case AlwaysFalse() => Some("FALSE")
       case _ => None

@@ -59,6 +59,11 @@ object ZOrder {
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.map { case (c, i) =>
+      // an all-NULL dimension has no bounds — name the column instead of
+      // surfacing a bare NPE from getLong (reachable from the public
+      // clusterBy with e.g. a try_cast dimension expression)
+      require(!row.isNullAt(2 * i),
+        s"dimension '$c' is NULL for every row — no bounds to cluster by")
       c -> (row.getLong(2 * i), row.getLong(2 * i + 1))
     }.toMap
   }

@@ -159,12 +159,35 @@ final class TableSink(val config: SinkConfig) {
     * manifest), paid once per table. Files referenced by no manifest
     * (staged branch files, crash orphans) stay out of main's history —
     * the same isolation Iceberg's manifest-list commit gives. */
+  /** Persist the write-relevant config as a `_graft_config` sidecar so a
+    * DIFFERENT writer reaching the same table — the SQL catalog's INSERT
+    * path builds its own [[TableSink]] — applies the same
+    * CHECK-constraint gate, sort order, writer parallelism, format, and
+    * versioning instead of silently writing under defaults. Values are
+    * URL-encoded (constraints are arbitrary SQL text); refreshed on
+    * every append (tiny atomic overwrite). */
+  private def persistConfigHints(): Unit = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val lines =
+      Seq(s"fileFormat=${config.fileFormat}",
+        s"numPartitions=${config.numPartitions}",
+        s"versioned=${config.versioned}") ++
+      (if (config.sortOrder.isEmpty) Nil
+       else Seq(s"sortOrder=${config.sortOrder.map(enc).mkString(",")}")) ++
+      config.checkConstraints.map(c => s"constraint=${enc(c)}")
+    WarehouseIO.writeStringAtomic(
+      new org.apache.hadoop.fs.Path(config.tablePath, "_graft_config"),
+      lines.mkString("\n"))
+  }
+
   private def writeAndCommit(prepared: DataFrame): Unit = {
     if (!config.versioned) {
       // no staging area to validate after the fact — check BEFORE the
       // write (one extra pass over the batch, the documented cost of
-      // constraints without a snapshot log)
+      // constraints without a snapshot log; a refused append must leave
+      // no trace, so the hints persist only after the gate)
       requireConstraints(prepared, "append")
+      persistConfigHints()
       val writer = prepared.write
         .mode("append")
         .format(config.fileFormat)
@@ -172,7 +195,8 @@ final class TableSink(val config: SinkConfig) {
       (if (partitionColNames.nonEmpty) writer.partitionBy(partitionColNames: _*)
        else writer).save(config.tablePath)
     } else {
-      val added = stagedWrite(prepared)
+      val added = stagedWrite(prepared) // validates constraints in staging
+      persistConfigHints()
       commitAppendedFiles(added)
       ()
     }
@@ -757,12 +781,8 @@ final class TableSink(val config: SinkConfig) {
       s"erasure lists use mixed key-column sets (${keySchemas.map(_.mkString("(", ",", ")")).mkString(", ")}) " +
         "— one merged list cannot anti-join them; materialize with " +
         "compact() instead")
-    // every refusal happens BEFORE the merged commit lands — a refused
-    // call must leave the table exactly as it found it
-    val dangling = tags().filter(tagVersion(_) <= head)
-    require(dangling.isEmpty,
-      s"consolidateDeletes would orphan tags pinning old snapshots; " +
-        s"drop them first: ${dangling.mkString(", ")}")
+    // (dangling tags need no dedicated check here: requireNoBranches
+    // above already refuses when ANY tag exists)
     // 1. the merged commit lands first, against the head manifest
     val vNext = commitAppendedFiles(Nil)
     if (predVs.nonEmpty) {
@@ -779,14 +799,22 @@ final class TableSink(val config: SinkConfig) {
       posVs.map(v => spark.read.parquet(posDeletesPath(v).toString))
         .reduce(_ unionByName _).distinct()
         .write.mode("overwrite").parquet(posDeletesPath(vNext).toString)
-    // 2. cleanup: old history goes (sidecars before their version files,
-    // so a crash can only ever drop a sidecar the merged commit already
-    // carries), and the generation dies with the history it named
-    vs.foreach { v =>
+    // 2. cleanup — RE-captured below vNext (a concurrent append that won
+    // a version between our read and our claim must be dropped with the
+    // rest, or its time-travel read would fold a now-incomplete sidecar
+    // set), version FILES first and sidecars second: once every version
+    // file below vNext is gone no read can reference an old sidecar, so
+    // a crash anywhere in between leaves only correct reads (head folds
+    // the merged sidecars; surviving old versions still see every
+    // sidecar ≤ themselves). A crash between the loops strands orphaned
+    // sidecar files in _graft_log — unreachable debris, never consulted
+    // (applyDeletes only folds sidecars of LISTED versions).
+    val below = snapshotVersions().filter(_ < vNext)
+    below.foreach(v => WarehouseIO.delete(logFile(f"v$v%05d.list")))
+    below.foreach { v =>
       WarehouseIO.delete(deletesPath(v))
       WarehouseIO.delete(keysPath(v), recursive = true)
       WarehouseIO.delete(posDeletesPath(v), recursive = true)
-      WarehouseIO.delete(logFile(f"v$v%05d.list"))
     }
     WarehouseIO.delete(logFile("generation"))
     vNext
@@ -1187,9 +1215,12 @@ final class TableSink(val config: SinkConfig) {
     * Returns (expired versions, deleted paths). The individual ops carry
     * the refusal contracts (tag pins, live sidecars) and grace semantics;
     * this is just the scheduled-job composition. */
-  def vacuum(olderThanMs: Long, keepLast: Int = 1,
+  def vacuum(cutoffMs: Long, keepLast: Int = 1,
       graceMs: Long = TableSink.DefaultOrphanGraceMs): (Seq[Int], Seq[String]) = {
-    val expired = expireSnapshotsOlderThan(olderThanMs, keepLast)
+    // `cutoffMs` is an ABSOLUTE epoch cutoff (same name and meaning as
+    // the delegate) — NOT a retention age; passing "7 days in millis"
+    // would be a January-1970 cutoff that silently expires nothing
+    val expired = expireSnapshotsOlderThan(cutoffMs, keepLast)
     val removed = removeOrphans(graceMs)
     (expired, removed)
   }
@@ -1643,6 +1674,12 @@ final class TableSink(val config: SinkConfig) {
     val totalRows = cur.count()
     if (totalRows == 0) return
     val dimCols = dimExprs.indices.map(i => s"__zd_$i")
+    // a destructive rewrite: silently replacing-then-dropping a real
+    // column of these names would lose its data with history expired
+    val clash = dimCols.filter(cur.columns.contains)
+    require(clash.isEmpty,
+      s"clusterBy's temp dimension columns collide with table columns " +
+        s"${clash.mkString(", ")} — rename them first")
     val withDims = dimExprs.zipWithIndex.foldLeft(cur) {
       case (d, (e, i)) => d.withColumn(s"__zd_$i", expr(e).cast("long"))
     }

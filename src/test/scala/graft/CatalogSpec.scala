@@ -139,6 +139,51 @@ class CatalogSpec extends AnyFunSuite {
       == 1L)
   }
 
+  test("SQL inserts honor the table's persisted CHECK constraints") {
+    val sink = new TableSink(SinkConfig(tableName = "ttck",
+      warehousePath = wh, versioned = true,
+      checkConstraints = Seq("v > 0")))
+    sink.append(Seq((1L, 1.0)).toDF("id", "v")) // persists _graft_config
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO gtest.ttck VALUES (2, -5.0)"))
+    assert(e.getMessage.contains("v > 0") ||
+      Option(e.getCause).exists(_.getMessage.contains("v > 0")),
+      s"a SQL insert must hit the same gate as the library: $e")
+    assert(spark.sql("SELECT count(*) FROM gtest.ttck").head().getLong(0)
+      == 1L, "the violating SQL insert must not commit")
+    spark.sql("INSERT INTO gtest.ttck VALUES (3, 3.0)")
+    assert(spark.sql("SELECT count(*) FROM gtest.ttck").head().getLong(0)
+      == 2L)
+  }
+
+  test("DELETE filter translation: LIKE metachars, floats, timestamps") {
+    val sink = new TableSink(SinkConfig(tableName = "ttfx",
+      warehousePath = wh, versioned = true))
+    sink.append(Seq(
+      (1L, "50%_off today", 0.1f),
+      (2L, "50 cents offer", 0.1f),
+      (3L, "plain", 0.25f)).toDF("id", "s", "f"))
+    // '%' and '_' in the prefix must match LITERALLY — only row 1 goes
+    // (startswith() pushes as StringStartsWith, the translated shape)
+    spark.sql("DELETE FROM gtest.ttfx WHERE startswith(s, '50%_off')")
+    val afterLike = spark.sql("SELECT id FROM gtest.ttfx")
+      .as[Long].collect().sorted.toSeq
+    assert(afterLike == Seq(2L, 3L),
+      s"unescaped LIKE metachars would also delete row 2: $afterLike")
+    // float equality must survive the literal round-trip (0.1f != 0.1d)
+    spark.sql("DELETE FROM gtest.ttfx WHERE f = CAST(0.1 AS FLOAT)")
+    assert(spark.sql("SELECT id FROM gtest.ttfx").as[Long].collect().toSeq
+      == Seq(3L), "float-literal delete must match the 0.1f row")
+    // timestamp predicates refuse (JVM-vs-session timezone rendering
+    // could shift the cutoff) rather than delete the wrong rows
+    val sinkTs = new TableSink(SinkConfig(tableName = "ttts",
+      warehousePath = wh, versioned = true))
+    sinkTs.append(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "ts"))
+    intercept[Exception](spark.sql(
+      "DELETE FROM gtest.ttts WHERE ts < TIMESTAMP '2024-06-01 00:00:00'"))
+  }
+
   test("CREATE TABLE, INSERT, and CTAS through pure SQL") {
     spark.sql("CREATE TABLE gtest.sqlmade (id BIGINT, s STRING) " +
       "TBLPROPERTIES('versioned'='true')")

@@ -372,6 +372,19 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterBy guards: temp-column clash, all-null dimension") {
+    val sink = new TableSink(SinkConfig("clusterby_g", tmpWarehouse()))
+    sink.append(Seq((1L, 2L)).toDF("__zd_0", "v"))
+    val e = intercept[IllegalArgumentException](
+      sink.clusterBy(spark, Seq("v")))
+    assert(e.getMessage.contains("__zd_0"), e.getMessage)
+    val sink2 = new TableSink(SinkConfig("clusterby_n", tmpWarehouse()))
+    sink2.append(Seq((1L, "x")).toDF("id", "s"))
+    val en = intercept[IllegalArgumentException](
+      sink2.clusterBy(spark, Seq("try_cast(s AS LONG)")))
+    assert(en.getMessage.contains("NULL for every row"), en.getMessage)
+  }
+
   test("appendClustered preserves the range layout the normal append undoes") {
     val df = spark.range(4096).select($"id", ($"id" % 64).as("k"))
     val clustered = ZOrder.cluster(df, Seq(("k", 0L, 63L)), nRanges = 8)

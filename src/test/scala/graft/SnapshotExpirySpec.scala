@@ -91,7 +91,7 @@ class SnapshotExpirySpec extends AnyFunSuite {
     WarehouseIO.writeString(new org.apache.hadoop.fs.Path(
       s"$wh/e_vac/cat=z/part-stray.parquet"), "stray")
     val (expired, removed) =
-      sink.vacuum(olderThanMs = System.currentTimeMillis() + 1000,
+      sink.vacuum(cutoffMs = System.currentTimeMillis() + 1000,
         keepLast = 1, graceMs = 0L)
     assert(expired == Seq(1, 2, 3, 4), s"expired: $expired")
     assert(removed == Seq("cat=z/part-stray.parquet"), s"removed: $removed")
