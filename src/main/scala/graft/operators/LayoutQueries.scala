@@ -208,6 +208,48 @@ object LayoutQueries {
       |             AND TIMESTAMP '2024-01-12 23:59:59.999999'
       |  AND value BETWEEN 100.0 AND 200.0""".stripMargin
 
+  /** The same in-place clustered-rewrite contract as `q_cluster_rewrite`,
+    * through the HILBERT curve ([[TableSink.clusterByHilbert]]): rewrite
+    * lost/duplicated nothing and the curve layout prunes the identical
+    * 2-D rectangle. Both rewrite paths hash-match one oracle — the layout
+    * choice must never change results, only file-touch counts. */
+  def hilbertRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig("events_hr", dest, numPartitions = 8))
+    sink.append(e)
+    sink.clusterByHilbert(spark, "unix_micros(ts)",
+      "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)", nRanges = 48)
+    val zm = new ZoneMaps(sink)
+    zm.analyze(spark, Seq("ts", "value"))
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-12 23:59:59.999999").cast("timestamp")
+    val pruned = zm.readBetween(spark,
+      ("ts", lo, hi), ("value", lit(100.0), lit(200.0)))
+    val total = sink.read(spark).inputFiles.length
+    val kept = pruned.inputFiles.length
+    pruned
+      .filter(col("ts").between(lo, hi) &&
+        col("value").between(lit(100.0), lit(200.0)))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .withColumn("hilbert_pruned", lit(kept < total))
+  }
+
+  val hilbertRewriteSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  min(event_id) AS min_id,
+      |  max(event_id) AS max_id,
+      |  TRUE AS hilbert_pruned
+      |FROM events
+      |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+      |             AND TIMESTAMP '2024-01-12 23:59:59.999999'
+      |  AND value BETWEEN 100.0 AND 200.0""".stripMargin
+
   /** Bloom-filter point-lookup skipping — the predicate zone maps are
     * STRUCTURALLY blind to: events are HASH-clustered by `user_id` into 48
     * files (each user's rows land in exactly one file, but every file's

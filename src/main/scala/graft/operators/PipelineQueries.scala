@@ -323,6 +323,32 @@ object PipelineQueries {
     Dedup.nearDupComponents(Tables.documents(spark, sfDir))
       .orderBy(col("doc_id"))
 
+  /** Duplicate-family SIZE DISTRIBUTION over the same component graph —
+    * the curation dashboard number: how much of the corpus sits in
+    * 2-doc near-dup pairs vs 50-doc boilerplate families (heavy
+    * families are what survivor-only training data removes). */
+  def dedupFamilies(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.nearDupComponents(Tables.documents(spark, sfDir))
+      .groupBy(col("component")).agg(count(lit(1)).as("family_size"))
+      .groupBy(col("family_size")).agg(count(lit(1)).as("n_families"))
+      .orderBy(col("family_size"))
+
+  /** The [[dedupComponentsSql]] reachability closure reduced to the
+    * family-size histogram. */
+  lazy val dedupFamiliesSql: String = {
+    val marker = "SELECT node AS doc_id"
+    val idx = dedupComponentsSql.indexOf(marker)
+    require(idx > 0, "components oracle changed shape")
+    dedupComponentsSql.take(idx).stripTrailing() + ",\n" +
+      """comps AS (
+        |  SELECT node AS doc_id, MIN(lbl) AS component
+        |  FROM reach GROUP BY node),
+        |fam AS (SELECT component, COUNT(*) AS family_size
+        |        FROM comps GROUP BY 1)
+        |SELECT family_size, COUNT(*) AS n_families
+        |FROM fam GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val dedupComponentsSql: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -1691,6 +1691,38 @@ final class TableSink(val config: SinkConfig) {
     if (config.versioned) expireSnapshots() // rewrites invalidate history
   }
 
+  /** Hilbert-clustered rewrite — the space-filling-curve successor to
+    * [[clusterBy]] (Databricks liquid clustering's curve; see
+    * [[Hilbert]]): same crash-safe rewrite-swap and guards, but
+    * consecutive cluster keys are always grid-adjacent, so the range
+    * files cut from the curve are tighter rectangles and a 2-D predicate
+    * touches fewer of them at the same file count. Exactly two
+    * dimensions (the classic xy2d walk). */
+  def clusterByHilbert(spark: SparkSession, xExpr: String, yExpr: String,
+      nRanges: Int = 48, bits: Int = 8): Unit = {
+    requireNoStreamingLog()
+    requireNoBranches("clusterByHilbert")
+    recoverSwap()
+    val cur = read(spark)
+    val totalRows = cur.count()
+    if (totalRows == 0) return
+    val dimCols = Seq("__zd_0", "__zd_1")
+    val clash = dimCols.filter(cur.columns.contains)
+    require(clash.isEmpty,
+      s"clusterByHilbert's temp dimension columns collide with table " +
+        s"columns ${clash.mkString(", ")} — rename them first")
+    val withDims = cur
+      .withColumn("__zd_0", expr(xExpr).cast("long"))
+      .withColumn("__zd_1", expr(yExpr).cast("long"))
+    val b = ZOrder.boundsOf(withDims, dimCols)
+    val clustered = Hilbert.cluster(withDims,
+        ("__zd_0", b("__zd_0")._1, b("__zd_0")._2),
+        ("__zd_1", b("__zd_1")._1, b("__zd_1")._2), nRanges, bits)
+      .drop(dimCols: _*)
+    rewriteSwap(spark, clustered, Some(totalRows), preserveLayout = true)
+    if (config.versioned) expireSnapshots() // rewrites invalidate history
+  }
+
   /** Delete rows matching `condition`; returns the deleted count. A
     * condition evaluating to NULL keeps the row (SQL DELETE semantics —
     * the predicate is coalesced to false, never silently dropping
