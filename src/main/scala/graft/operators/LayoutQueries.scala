@@ -171,13 +171,19 @@ object LayoutQueries {
     * the pruned file set. Equality with the full-scan oracle proves the
     * rewrite lost/duplicated nothing AND the layout actually tightened
     * (pruning pinned engaged — unclustered salted files would prune ~0). */
-  def clusterRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared harness of the two clustered-rewrite queries: worst-case
+    * salted append, the given in-place rewrite, zone analysis, and the
+    * pruned 2-D rectangle aggregate — both curves must hash-match ONE
+    * oracle (the layout choice can only change file-touch counts, never
+    * results), and `flag` pins that pruning actually engaged. */
+  private def rewriteHarness(spark: SparkSession, sfDir: String,
+      table: String, flag: String)(
+      rewrite: TableSink => Unit): DataFrame = {
     val e = Tables.events(spark, sfDir)
     val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
-    val sink = new TableSink(SinkConfig("events_cr", dest, numPartitions = 8))
+    val sink = new TableSink(SinkConfig(table, dest, numPartitions = 8))
     sink.append(e) // unclustered: 8 salted writers, zones span everything
-    sink.clusterBy(spark, Seq("unix_micros(ts)",
-      "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"), nRanges = 48)
+    rewrite(sink)
     val zm = new ZoneMaps(sink)
     zm.analyze(spark, Seq("ts", "value"))
     val lo = lit("2024-01-10 00:00:00").cast("timestamp")
@@ -194,61 +200,38 @@ object LayoutQueries {
           .as("total_value"),
         min(col("event_id")).as("min_id"),
         max(col("event_id")).as("max_id"))
-      .withColumn("rewrite_pruned", lit(kept < total))
+      .withColumn(flag, lit(kept < total))
   }
 
-  val clusterRewriteSql: String =
-    """SELECT COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-      |  min(event_id) AS min_id,
-      |  max(event_id) AS max_id,
-      |  TRUE AS rewrite_pruned
-      |FROM events
-      |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
-      |             AND TIMESTAMP '2024-01-12 23:59:59.999999'
-      |  AND value BETWEEN 100.0 AND 200.0""".stripMargin
+  private def rewriteOracleSql(flag: String): String =
+    s"""SELECT COUNT(*) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       |  min(event_id) AS min_id,
+       |  max(event_id) AS max_id,
+       |  TRUE AS $flag
+       |FROM events
+       |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+       |             AND TIMESTAMP '2024-01-12 23:59:59.999999'
+       |  AND value BETWEEN 100.0 AND 200.0""".stripMargin
+
+  def clusterRewrite(spark: SparkSession, sfDir: String): DataFrame =
+    rewriteHarness(spark, sfDir, "events_cr", "rewrite_pruned")(
+      _.clusterBy(spark, Seq("unix_micros(ts)",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"), nRanges = 48))
+
+  val clusterRewriteSql: String = rewriteOracleSql("rewrite_pruned")
 
   /** The same in-place clustered-rewrite contract as `q_cluster_rewrite`,
     * through the HILBERT curve ([[TableSink.clusterByHilbert]]): rewrite
     * lost/duplicated nothing and the curve layout prunes the identical
     * 2-D rectangle. Both rewrite paths hash-match one oracle — the layout
     * choice must never change results, only file-touch counts. */
-  def hilbertRewrite(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.events(spark, sfDir)
-    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
-    val sink = new TableSink(SinkConfig("events_hr", dest, numPartitions = 8))
-    sink.append(e)
-    sink.clusterByHilbert(spark, "unix_micros(ts)",
-      "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)", nRanges = 48)
-    val zm = new ZoneMaps(sink)
-    zm.analyze(spark, Seq("ts", "value"))
-    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
-    val hi = lit("2024-01-12 23:59:59.999999").cast("timestamp")
-    val pruned = zm.readBetween(spark,
-      ("ts", lo, hi), ("value", lit(100.0), lit(200.0)))
-    val total = sink.read(spark).inputFiles.length
-    val kept = pruned.inputFiles.length
-    pruned
-      .filter(col("ts").between(lo, hi) &&
-        col("value").between(lit(100.0), lit(200.0)))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double")
-          .as("total_value"),
-        min(col("event_id")).as("min_id"),
-        max(col("event_id")).as("max_id"))
-      .withColumn("hilbert_pruned", lit(kept < total))
-  }
+  def hilbertRewrite(spark: SparkSession, sfDir: String): DataFrame =
+    rewriteHarness(spark, sfDir, "events_hr", "hilbert_pruned")(
+      _.clusterByHilbert(spark, "unix_micros(ts)",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)", nRanges = 48))
 
-  val hilbertRewriteSql: String =
-    """SELECT COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-      |  min(event_id) AS min_id,
-      |  max(event_id) AS max_id,
-      |  TRUE AS hilbert_pruned
-      |FROM events
-      |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
-      |             AND TIMESTAMP '2024-01-12 23:59:59.999999'
-      |  AND value BETWEEN 100.0 AND 200.0""".stripMargin
+  val hilbertRewriteSql: String = rewriteOracleSql("hilbert_pruned")
 
   /** Bloom-filter point-lookup skipping — the predicate zone maps are
     * STRUCTURALLY blind to: events are HASH-clustered by `user_id` into 48

@@ -1662,33 +1662,45 @@ final class TableSink(val config: SinkConfig) {
     * same contract as [[compact]]. Stale zone-map/Bloom stats become
     * conservative, not wrong; re-run analyze for the tight zones.
     * Row-count-verified before the destructive step. */
-  def clusterBy(spark: SparkSession, dimExprs: Seq[String],
-      nRanges: Int = 48, bits: Int = 16): Unit = {
-    require(dimExprs.nonEmpty, "clusterBy needs at least one dimension")
+  /** Shared protocol of both clustered rewrites ([[clusterBy]],
+    * [[clusterByHilbert]]): guards (streaming log, branches/tags, clone
+    * manifest, TEMP-COLUMN CLASHES — a destructive rewrite silently
+    * replacing-then-dropping a real column of a temp name would lose its
+    * data with history expired), swap recovery, row-count-verified
+    * rewrite-swap with the sink's own repartition suppressed, and
+    * history expiry. One body so a guard added for one curve cannot
+    * drift away from the other. */
+  private def clusteredRewrite(spark: SparkSession, op: String,
+      tempCols: Seq[String])(cluster: DataFrame => DataFrame): Unit = {
     requireNoStreamingLog()
-    requireNoBranches("clusterBy")
+    requireNoBranches(op)
     require(cloneBasePath.isEmpty || snapshotVersions().nonEmpty,
-      "clusterBy on a clone needs a committed manifest")
+      s"$op on a clone needs a committed manifest")
     recoverSwap()
     val cur = read(spark)
     val totalRows = cur.count()
     if (totalRows == 0) return
-    val dimCols = dimExprs.indices.map(i => s"__zd_$i")
-    // a destructive rewrite: silently replacing-then-dropping a real
-    // column of these names would lose its data with history expired
-    val clash = dimCols.filter(cur.columns.contains)
+    val clash = tempCols.filter(cur.columns.contains)
     require(clash.isEmpty,
-      s"clusterBy's temp dimension columns collide with table columns " +
+      s"$op's temp layout columns collide with table columns " +
         s"${clash.mkString(", ")} — rename them first")
-    val withDims = dimExprs.zipWithIndex.foldLeft(cur) {
-      case (d, (e, i)) => d.withColumn(s"__zd_$i", expr(e).cast("long"))
-    }
-    val b = ZOrder.boundsOf(withDims, dimCols)
-    val clustered = ZOrder.cluster(withDims,
-        dimCols.map(c => (c, b(c)._1, b(c)._2)), nRanges, bits)
-      .drop(dimCols: _*)
-    rewriteSwap(spark, clustered, Some(totalRows), preserveLayout = true)
+    rewriteSwap(spark, cluster(cur), Some(totalRows), preserveLayout = true)
     if (config.versioned) expireSnapshots() // rewrites invalidate history
+  }
+
+  def clusterBy(spark: SparkSession, dimExprs: Seq[String],
+      nRanges: Int = 48, bits: Int = 16): Unit = {
+    require(dimExprs.nonEmpty, "clusterBy needs at least one dimension")
+    val dimCols = dimExprs.indices.map(i => s"__zd_$i")
+    clusteredRewrite(spark, "clusterBy", dimCols :+ "__z") { cur =>
+      val withDims = dimExprs.zipWithIndex.foldLeft(cur) {
+        case (d, (e, i)) => d.withColumn(s"__zd_$i", expr(e).cast("long"))
+      }
+      val b = ZOrder.boundsOf(withDims, dimCols)
+      ZOrder.cluster(withDims,
+          dimCols.map(c => (c, b(c)._1, b(c)._2)), nRanges, bits)
+        .drop(dimCols: _*)
+    }
   }
 
   /** Hilbert-clustered rewrite — the space-filling-curve successor to
@@ -1700,27 +1712,20 @@ final class TableSink(val config: SinkConfig) {
     * dimensions (the classic xy2d walk). */
   def clusterByHilbert(spark: SparkSession, xExpr: String, yExpr: String,
       nRanges: Int = 48, bits: Int = 8): Unit = {
-    requireNoStreamingLog()
-    requireNoBranches("clusterByHilbert")
-    recoverSwap()
-    val cur = read(spark)
-    val totalRows = cur.count()
-    if (totalRows == 0) return
     val dimCols = Seq("__zd_0", "__zd_1")
-    val clash = dimCols.filter(cur.columns.contains)
-    require(clash.isEmpty,
-      s"clusterByHilbert's temp dimension columns collide with table " +
-        s"columns ${clash.mkString(", ")} — rename them first")
-    val withDims = cur
-      .withColumn("__zd_0", expr(xExpr).cast("long"))
-      .withColumn("__zd_1", expr(yExpr).cast("long"))
-    val b = ZOrder.boundsOf(withDims, dimCols)
-    val clustered = Hilbert.cluster(withDims,
-        ("__zd_0", b("__zd_0")._1, b("__zd_0")._2),
-        ("__zd_1", b("__zd_1")._1, b("__zd_1")._2), nRanges, bits)
-      .drop(dimCols: _*)
-    rewriteSwap(spark, clustered, Some(totalRows), preserveLayout = true)
-    if (config.versioned) expireSnapshots() // rewrites invalidate history
+    // Hilbert.cluster/withHilbert inject their own temp columns too —
+    // all of them must be clash-guarded, not just the dimension pair
+    clusteredRewrite(spark, "clusterByHilbert",
+        dimCols ++ Seq("__nx0", "__ny0", "__h")) { cur =>
+      val withDims = cur
+        .withColumn("__zd_0", expr(xExpr).cast("long"))
+        .withColumn("__zd_1", expr(yExpr).cast("long"))
+      val b = ZOrder.boundsOf(withDims, dimCols)
+      Hilbert.cluster(withDims,
+          ("__zd_0", b("__zd_0")._1, b("__zd_0")._2),
+          ("__zd_1", b("__zd_1")._1, b("__zd_1")._2), nRanges, bits)
+        .drop(dimCols: _*)
+    }
   }
 
   /** Delete rows matching `condition`; returns the deleted count. A

@@ -372,6 +372,27 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterByHilbert rewrites in place: rows exact, MoR folds, guards") {
+    val sink = new TableSink(SinkConfig(tableName = "hilbertby",
+      warehousePath = tmpWarehouse(), versioned = true, numPartitions = 4))
+    sink.append(spark.range(2048)
+      .select($"id", (($"id" * 2654435761L) % 509).as("x"),
+        (($"id" * 40503L) % 509).as("y")))
+    sink.deleteKeys(Seq(5L).toDF("id"), Seq("id"))
+    sink.clusterByHilbert(spark, "x", "y", nRanges = 8)
+    val got = sink.read(spark)
+    assert(got.count() == 2047, "rewrite must materialize the MoR delete")
+    assert(got.filter($"id" === 5L).count() == 0)
+    assert(sink.snapshotVersions().size == 1, "rewrite expires history")
+    assert(got.inputFiles.length >= 8, "range files written")
+    // guards shared with clusterBy: Hilbert's OWN temp columns count too
+    val clash = new TableSink(SinkConfig("hilbert_g", tmpWarehouse()))
+    clash.append(Seq((1L, 2L, 3L)).toDF("__nx0", "x", "y"))
+    val e = intercept[IllegalArgumentException](
+      clash.clusterByHilbert(spark, "x", "y"))
+    assert(e.getMessage.contains("__nx0"), e.getMessage)
+  }
+
   test("clusterBy guards: temp-column clash, all-null dimension") {
     val sink = new TableSink(SinkConfig("clusterby_g", tmpWarehouse()))
     sink.append(Seq((1L, 2L)).toDF("__zd_0", "v"))
