@@ -993,21 +993,28 @@ final class TableSink(val config: SinkConfig) {
     * cursor at `cursorPath` ([[readChangelogSince]]). One call = one
     * micro-batch; run it on a schedule and `dest` tracks this table.
     *
-    * Change rows apply IN SOURCE COMMIT ORDER — insert versions as a
-    * keyed [[upsert]], delete versions as [[deleteKeys]] — and both ops
-    * are IDEMPOTENT under the keys, so the cursor's at-least-once replay
-    * (a crash between apply and commit re-applies the batch) converges to
-    * exactly-once replica state: the standard idempotent-apply CDC
-    * contract. The per-version loop is driver-side over COMMIT COUNT
-    * (metadata-scale, the same bound as the snapshot log itself), never
-    * over rows; each version's rows apply as one distributed op.
+    * The batch applies as NET CHANGES — per key, the highest-version
+    * change wins (a commit is either all-insert or all-delete, so there
+    * is no tie), surviving inserts land as ONE keyed [[upsert]] and net
+    * deletes as ONE [[deleteKeys]] — the standard CDC change-compaction:
+    * a backlog of N source commits costs two replica ops, not N
+    * rewrites, and the result equals applying them in commit order
+    * because the changelog already encodes visibility (a row re-inserted
+    * under a still-live delete predicate never enters it). Intermediate
+    * source states never materialize on the replica — the replica
+    * contract is the final state of each consumed batch. Both ops are
+    * IDEMPOTENT under the keys, so the cursor's at-least-once replay (a
+    * crash between apply and commit re-applies the batch) converges to
+    * exactly-once replica state. Keys must be unique within a source
+    * commit (the same keyed-upsert contract the library API has).
     *
-    * Returns the source versions applied. The replica must be versioned
+    * Returns the source versions consumed. The replica must be versioned
     * (deletes land as merge-on-read key lists); its own history is
     * expired by each rewriting apply, which is the replica contract —
     * time travel belongs to the source. */
   def replicateTo(spark: SparkSession, dest: TableSink,
       keyCols: Seq[String], cursorPath: String): Seq[Long] = {
+    import org.apache.spark.sql.expressions.Window
     require(keyCols.nonEmpty, "replicateTo needs at least one key column")
     require(dest.config.versioned,
       "the replica must be versioned=true — changelog deletes apply as " +
@@ -1019,18 +1026,19 @@ final class TableSink(val config: SinkConfig) {
     import spark.implicits._
     val versions = b.select(col("_change_version"))
       .distinct().as[Long].collect().sorted // bounded: commit count
-    versions.foreach { v =>
-      val vb = b.filter(col("_change_version") === v)
-      val del = vb.filter(col("_change_type") === "delete")
-        .select(keyCols.map(col): _*)
-      val ins = vb.filter(col("_change_type") === "insert")
-        .drop("_change_type", "_change_version")
-      // a fresh replica has nothing to delete yet (and deleteKeys would
-      // rightly refuse a table with no committed snapshot)
-      if (dest.snapshotVersions().nonEmpty && !del.isEmpty)
-        dest.deleteKeys(del, keyCols)
-      if (!ins.isEmpty) dest.upsert(ins, keyCols)
-    }
+    val net = b.withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("_change_version").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val del = net.filter(col("_change_type") === "delete")
+      .select(keyCols.map(col): _*)
+    val ins = net.filter(col("_change_type") === "insert")
+      .drop("_change_type", "_change_version")
+    // a fresh replica has nothing to delete yet (and deleteKeys would
+    // rightly refuse a table with no committed snapshot)
+    if (dest.snapshotVersions().nonEmpty && !del.isEmpty)
+      dest.deleteKeys(del, keyCols)
+    if (!ins.isEmpty) dest.upsert(ins, keyCols)
     commit()
     versions.toSeq
   }
