@@ -1624,6 +1624,107 @@ object ParityQueries {
       |WHERE NOT (coalesce(value < 100.0, FALSE)
       |        OR coalesce(user_id IN (0, 7, 14), FALSE))""".stripMargin
 
+  /** `UPDATE … SET … WHERE` through the pure-SQL door ([[GraftDmlRule]]):
+    * ingest via `INSERT INTO … SELECT`, update a compound predicate with a
+    * self-referencing SET expression (`value * 2 + 1` — the new value reads
+    * the row's current value), aggregate via SQL. The oracle recomputes
+    * the post-update state with a CASE over the source — IEEE double
+    * multiply/add are bit-identical across engines (never division, per
+    * the float-parity rules). Pins the whole interception chain: analyzer
+    * resolution → [[GraftDmlRule]] → [[GraftUpdateCommand]] → guarded
+    * row-count-verified rewrite — and that the table stays readable
+    * through the catalog afterwards. */
+  def sqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_squ_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrc_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl " +
+      "(event_id BIGINT, user_id BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, user_id, value FROM $src")
+    spark.sql(s"UPDATE graft_cat.$tbl " +
+      "SET value = value * 2.0 + 1.0 " +
+      "WHERE user_id % 5 = 0 AND value >= 100.0")
+    spark.sql(
+      s"""SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM graft_cat.$tbl""".stripMargin)
+  }
+
+  val sqlUpdateSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(CASE WHEN user_id % 5 = 0 AND value >= 100.0
+      |                     THEN value * 2.0 + 1.0 ELSE value END
+      |               AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events""".stripMargin
+
+  /** `MERGE INTO` through the pure-SQL door, every action class firing:
+    * target = events with `event_id % 3 <> 0`, source = even event_ids;
+    * MATCHED rows update (`s.value + 1000`) under 50.0 and DELETE above,
+    * NOT MATCHED inserts only `value >= 10`, NOT MATCHED BY SOURCE
+    * deletes `value < 5` — conditional cascades in all three classes
+    * (value spans 0.01–490 at every SF, so each branch is non-empty).
+    * The oracle composes the same four row sets from the source table.
+    * event_id is unique, so the merge is cardinality-clean by
+    * construction; the violation path is spec-covered
+    * (GraftDmlSpec). */
+  def sqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_sqm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrc_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl " +
+      "(event_id BIGINT, user_id BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, user_id, value FROM $src WHERE event_id % 3 <> 0")
+    spark.sql(
+      s"""MERGE INTO graft_cat.$tbl AS tgt
+         |USING (SELECT event_id, user_id, value FROM $src
+         |       WHERE event_id % 2 = 0) AS s
+         |ON tgt.event_id = s.event_id
+         |WHEN MATCHED AND s.value < 50.0 THEN
+         |  UPDATE SET value = s.value + 1000.0
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND s.value >= 10.0 THEN
+         |  INSERT (event_id, user_id, value)
+         |  VALUES (s.event_id, s.user_id, s.value)
+         |WHEN NOT MATCHED BY SOURCE AND tgt.value < 5.0 THEN DELETE
+         |""".stripMargin)
+    spark.sql(
+      s"""SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM graft_cat.$tbl""".stripMargin)
+  }
+
+  val sqlMergeSql: String =
+    """WITH final AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN event_id % 2 = 0 THEN value + 1000.0 ELSE value END AS value
+      |  FROM events
+      |  WHERE event_id % 3 <> 0
+      |    AND NOT (event_id % 2 = 0 AND value >= 50.0)
+      |    AND NOT (event_id % 2 <> 0 AND value < 5.0)
+      |  UNION ALL
+      |  SELECT event_id, user_id, value FROM events
+      |  WHERE event_id % 6 = 0 AND value >= 10.0
+      |)
+      |SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM final""".stripMargin
+
   /** Snapshot TAGS end-to-end — immutable named refs to commits (Iceberg
     * tags): batch 1 commits (v1) and is tagged `baseline`, batch 2 commits
     * (v2). The tag is then resolved through BOTH engine surfaces —

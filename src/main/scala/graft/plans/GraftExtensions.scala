@@ -24,10 +24,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // SQL UPDATE / MERGE INTO on GraftCatalog tables ([[GraftDmlRule]]).
+    // A RESOLUTION rule on purpose: it must replace the resolved
+    // UpdateTable/MergeIntoTable inside the fixed point, before Spark's
+    // row-level rewrite refuses the non-SupportsRowLevelOperations table.
+    ext.injectResolutionRule(spark => new GraftDmlRule(spark))
+  }
 }
 
 object GraftExtensions {

@@ -448,7 +448,8 @@ private[graft] final class GraftReadOnlyTable(delegate: FileTable,
   * rather than deleting the wrong rows. */
 private[graft] final class GraftWritableTable(delegate: FileTable,
     fullName: String, declaredSchema: Option[StructType],
-    insertCfg: SinkConfig) extends Table with SupportsRead with SupportsWrite
+    private[graft] val insertCfg: SinkConfig)
+    extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def sqlLit(v: Any): Option[String] = v match {

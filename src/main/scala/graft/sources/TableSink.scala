@@ -1799,6 +1799,105 @@ final class TableSink(val config: SinkConfig) {
     } finally matchedParts.unpersist()
   }
 
+  /** SQL-standard UPDATE — rows matching `condition` take the `set`
+    * values (cast to their column's type, ANSI store-assignment), every
+    * other row is untouched; a NULL condition keeps the row unchanged
+    * (same coalesce-to-false contract as [[delete]]). `set` columns are
+    * name-resolved against [[read]]'s output, so callers pass
+    * `functions.expr`/`col`-built Columns over the table's own columns
+    * (the new value may reference the row's current values:
+    * `"value" -> expr("value * 2")`).
+    *
+    * Partition-affecting assignments are REFUSED (a derived partition
+    * column, or any source column a partition transform derives from):
+    * an updated row could move between partitions, which neither the
+    * partition-scoped commit below nor the stale derived column could
+    * express correctly — re-home rows with [[delete]] + [[append]] or
+    * [[upsert]] instead. With that guarantee every updated row stays in
+    * its partition, so the commit rewrites ONLY the touched partitions
+    * via dynamic overwrite ([[delete]]'s shape — at 100 TB an update
+    * touching one partition rewrites one partition, not the table);
+    * unpartitioned tables, shallow clones, and tables with pending
+    * merge-on-read sidecars take the full row-count-verified
+    * [[rewriteSwap]] for exactly [[upsert]]'s documented reasons.
+    * Changed rows re-pass the CHECK-constraint gate (one bounded pass
+    * over the matched rows, not the table). Returns the updated-row
+    * count.
+    */
+  def update(spark: SparkSession, condition: Column,
+      set: Seq[(String, Column)]): Long = {
+    require(set.nonEmpty, "update needs at least one SET assignment")
+    require(set.map(_._1).distinct.size == set.size,
+      "update assigns a column more than once: " +
+        set.map(_._1).diff(set.map(_._1).distinct).distinct.mkString(", "))
+    requireNoStreamingLog()
+    requireNoBranches("update")
+    recoverSwap()
+    if (!WarehouseIO.exists(new org.apache.hadoop.fs.Path(config.tablePath)))
+      return 0L
+    val current = read(spark)
+    val missing = set.map(_._1).filterNot(current.columns.contains)
+    require(missing.isEmpty,
+      s"update SET references unknown columns: ${missing.mkString(", ")}")
+    val partitionAffecting =
+      (partitionColNames ++ config.partitionSpec.map(_.source)).toSet
+    val partHit = set.map(_._1).filter(partitionAffecting)
+    require(partHit.isEmpty,
+      s"update SET touches partition-deriving columns ${partHit.mkString(", ")}" +
+        " — an updated row could move partitions; use delete + append or upsert")
+    val cond = coalesce(condition, lit(false)) // NULL predicate keeps the row
+    val setMap = set.toMap
+    val updatedCols = current.schema.fields.toIndexedSeq.map { f =>
+      setMap.get(f.name) match {
+        case Some(v) => when(cond, v.cast(f.dataType))
+          .otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    requireConstraints(current.filter(cond).select(updatedCols: _*), "update")
+    val parts = partitionColNames
+    if (parts.isEmpty || cloneBasePath.isDefined || pendingMorDeletes) {
+      val totalRows = current.count()
+      val nUpdated = current.filter(cond).count()
+      if (nUpdated == 0L) return 0L
+      rewriteSwap(spark, current.select(updatedCols: _*), Some(totalRows))
+      if (config.versioned) expireSnapshots() // rewrites invalidate history
+      return nUpdated
+    }
+    val matchedParts = current.filter(cond).select(parts.map(col): _*).cache()
+    try {
+      val nUpdated = matchedParts.count()
+      if (nUpdated == 0L) return 0L
+      val touchedVals = matchedParts.distinct()
+      val touched = current.join(broadcast(touchedVals), parts, "left_semi")
+      // partition columns are untouched by the SET (guarded above), so
+      // every row stays home — rewrite exactly the touched partitions
+      val rewritten = touched.select(updatedCols: _*).localCheckpoint()
+      dynamicOverwrite(spark, clusterForWrite(rewritten))
+      if (config.versioned) expireSnapshots() // rewrites invalidate history
+      nUpdated
+    } finally matchedParts.unpersist()
+  }
+
+  /** Replace the table's entire row set with `finalRows` under the full
+    * guard battery — the commit primitive behind the SQL `UPDATE` /
+    * `MERGE INTO` front door ([[graft.plans.GraftDmlRule]]), whose final
+    * rows are computed against the analyzer's own resolved plans and so
+    * cannot be re-derived from [[read]] here. `finalRows` re-passes the
+    * CHECK-constraint gate (updated/inserted rows included), partition
+    * columns re-derive for any fresh rows, and the write is [[rewriteSwap]]'s
+    * crash-safe swap (which also honors the shallow-clone materialization
+    * contract — a full rewrite IS the materialization). */
+  private[graft] def replaceAllRows(spark: SparkSession, finalRows: DataFrame,
+      expectRows: Option[Long], op: String): Unit = {
+    requireNoStreamingLog()
+    requireNoBranches(op)
+    recoverSwap()
+    requireConstraints(finalRows, op)
+    rewriteSwap(spark, withDerived(finalRows), expectRows)
+    if (config.versioned) expireSnapshots() // rewrites invalidate history
+  }
+
   /** Streaming path (§3.1): micro-batch append with checkpointed recovery.
     * The reference's size-OR-time buffer flush (connector.py:147-199) maps
     * to BOTH bounds natively:

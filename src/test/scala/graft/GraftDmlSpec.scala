@@ -1,0 +1,195 @@
+package graft
+
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL `UPDATE` / `MERGE INTO` through [[GraftDmlRule]] and the library
+  * [[TableSink.update]]: semantics (three-valued WHERE, action cascades,
+  * cardinality guard), refusals, the constraint gate, and the
+  * partition-scoped commit shape. */
+class GraftDmlSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val wh = TestSpark.tmpDir("dml_wh")
+  spark.conf.set("spark.sql.catalog.gdml", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+
+  private var n = 0
+  private def fresh(): String = { n += 1; s"t$n" }
+
+  private def mk(rows: Seq[(Long, Double, String)]): String = {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE gdml.$t (id BIGINT, v DOUBLE, s STRING) " +
+      "TBLPROPERTIES('versioned'='true')")
+    rows.toDF("id", "v", "s").createOrReplaceTempView(s"src_$t")
+    spark.sql(s"INSERT INTO gdml.$t SELECT * FROM src_$t")
+    t
+  }
+
+  private def state(t: String): Map[Long, (Double, String)] =
+    spark.sql(s"SELECT * FROM gdml.$t").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+
+  test("SQL UPDATE: matched rows take the SET, NULL condition keeps the row") {
+    val t = mk(Seq((1L, 10.0, "a"), (2L, 20.0, null), (3L, 30.0, "b")))
+    // nullif(s,'a') IS NULL row (id=1) fires; id=2's condition is NULL
+    // (s IS NULL -> comparison NULL) and must KEEP the row unchanged
+    spark.sql(s"UPDATE gdml.$t SET v = v + 1.0 WHERE length(s) = 1")
+    assert(state(t) == Map(1L -> (11.0, "a"), 2L -> (20.0, null),
+      3L -> (31.0, "b")))
+  }
+
+  test("SQL UPDATE without WHERE updates every row; value casts to column type") {
+    val t = mk(Seq((1L, 10.0, "a"), (2L, 20.0, "b")))
+    spark.sql(s"UPDATE gdml.$t SET v = 7") // int literal -> double column
+    assert(state(t).values.map(_._1).toSet == Set(7.0))
+  }
+
+  test("SQL UPDATE refuses subqueries with a precise error") {
+    val t = mk(Seq((1L, 10.0, "a")))
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE gdml.$t SET v = 0 " +
+        s"WHERE id IN (SELECT id FROM gdml.$t)")
+    }
+    assert(e.getMessage.contains("subqueries"), e.getMessage)
+  }
+
+  test("SQL UPDATE commits through the snapshot log (table stays versioned-readable)") {
+    val t = mk(Seq((1L, 1.0, "x"), (2L, 2.0, "y")))
+    spark.sql(s"UPDATE gdml.$t SET v = v * 10.0 WHERE id = 2")
+    // post-rewrite head is a fresh snapshot; history before the rewrite
+    // is expired (rewrites invalidate history — same contract as delete)
+    val sink = new TableSink(SinkConfig(tableName = t, warehousePath = wh,
+      versioned = true))
+    assert(sink.snapshotVersions().nonEmpty)
+    assert(spark.sql(s"SELECT sum(v) FROM gdml.$t").head().getDouble(0) == 21.0)
+  }
+
+  test("SQL UPDATE is gated by the table's persisted CHECK constraints") {
+    val t = fresh()
+    val sink = new TableSink(SinkConfig(tableName = t, warehousePath = wh,
+      versioned = true, checkConstraints = Seq("v >= 0")))
+    sink.append(Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v"))
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE gdml.$t SET v = -1.0 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("CHECK constraint"), e.getMessage)
+    // refused atomically: nothing changed
+    assert(spark.sql(s"SELECT sum(v) FROM gdml.$t").head().getDouble(0) == 11.0)
+  }
+
+  test("SQL MERGE: all three action classes, conditional cascades") {
+    val t = mk(Seq((1L, 1.0, "keep"), (2L, 2.0, "upd"), (3L, 3.0, "del"),
+      (4L, 100.0, "nmbs_keep"), (5L, 0.5, "nmbs_del")))
+    Seq((2L, 20.0), (3L, 999.0), (6L, 60.0), (7L, 0.1))
+      .toDF("id", "v").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO gdml.$t AS tgt USING merge_src AS s ON tgt.id = s.id
+         |WHEN MATCHED AND s.v < 100.0 THEN UPDATE SET v = s.v, s = 'updated'
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND s.v >= 1.0 THEN INSERT (id, v) VALUES (s.id, s.v)
+         |WHEN NOT MATCHED BY SOURCE AND tgt.v < 1.0 THEN DELETE
+         |""".stripMargin)
+    // 1: target-only, v>=1 -> kept; 2: matched, s.v<100 -> updated;
+    // 3: matched, s.v=999 -> deleted; 4: target-only kept;
+    // 5: target-only v<1 -> deleted; 6: inserted (s NULL-filled);
+    // 7: not matched, s.v<1 -> not inserted
+    assert(state(t) == Map(1L -> (1.0, "keep"), 2L -> (20.0, "updated"),
+      4L -> (100.0, "nmbs_keep"), 6L -> (60.0, null)))
+  }
+
+  test("SQL MERGE errors on cardinality violation (two source rows hit one target)") {
+    val t = mk(Seq((1L, 1.0, "a")))
+    Seq((1L, 10.0), (1L, 20.0)).toDF("id", "v")
+      .createOrReplaceTempView("dup_src")
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO gdml.$t AS tgt USING dup_src AS s " +
+        "ON tgt.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v")
+    }
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+    assert(state(t) == Map(1L -> (1.0, "a"))) // refused atomically
+  }
+
+  test("SQL MERGE insert-only with duplicate unmatched source keys inserts each row") {
+    val t = mk(Seq((1L, 1.0, "a")))
+    Seq((9L, 90.0), (9L, 91.0)).toDF("id", "v")
+      .createOrReplaceTempView("dup_ins_src")
+    // no matched actions -> the cardinality guard must NOT engage, and
+    // each unmatched source row inserts (SQL semantics)
+    spark.sql(s"MERGE INTO gdml.$t AS tgt USING dup_ins_src AS s " +
+      "ON tgt.id = s.id WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)")
+    val rows = spark.sql(s"SELECT v FROM gdml.$t WHERE id = 9")
+      .collect().map(_.getDouble(0)).sorted
+    assert(rows.toSeq == Seq(90.0, 91.0))
+  }
+
+  test("SQL UPDATE/MERGE refuse on tables the catalog serves read-only") {
+    // hive-partitioned directory layout -> GraftReadOnlyTable
+    val t = fresh()
+    val sink = new TableSink(SinkConfig(tableName = t, warehousePath = wh,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "cat"))
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE gdml.$t SET id = 0 WHERE cat = 'a'")
+    }
+    assert(e.getMessage.contains("does not support UPDATE"), e.getMessage)
+  }
+
+  // ----------------------------------------------- library TableSink.update
+
+  test("library update rewrites only the touched partitions") {
+    val dir = TestSpark.tmpDir("upd_parts")
+    val sink = new TableSink(SinkConfig(tableName = "t", warehousePath = dir,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0),
+      (4L, "c", 4.0)).toDF("id", "cat", "v"))
+    def files(part: String): Set[String] = {
+      val d = java.nio.file.Paths.get(s"$dir/t/cat=$part")
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith("_")).toSet
+      finally s.close()
+    }
+    val (beforeB, beforeC) = (files("b"), files("c"))
+    val nUpd = sink.update(spark, expr("cat = 'a' AND id = 1"),
+      Seq("v" -> expr("v + 100")))
+    assert(nUpd == 1L)
+    val got = sink.read(spark).select("id", "v").as[(Long, Double)]
+      .collect().toMap
+    assert(got == Map(1L -> 101.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0))
+    // untouched partitions kept their exact files; 'a' was rewritten
+    assert(files("b") == beforeB && files("c") == beforeC)
+  }
+
+  test("library update refuses partition-deriving columns and unknown columns") {
+    val dir = TestSpark.tmpDir("upd_guard")
+    val sink = new TableSink(SinkConfig(tableName = "t", warehousePath = dir,
+      partitionSpec = Seq(PartitionField("ts", Transform.Year))))
+    sink.append(Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+      .toDF("id", "ts"))
+    val e1 = intercept[IllegalArgumentException] {
+      sink.update(spark, lit(true), Seq("ts" -> lit("2025-01-01 00:00:00")))
+    }
+    assert(e1.getMessage.contains("partition-deriving"))
+    val e2 = intercept[IllegalArgumentException] {
+      sink.update(spark, lit(true), Seq("nope" -> lit(1)))
+    }
+    assert(e2.getMessage.contains("unknown columns"))
+  }
+
+  test("library update: zero matches is a no-op, missing table returns 0") {
+    val dir = TestSpark.tmpDir("upd_noop")
+    val sink = new TableSink(SinkConfig(tableName = "t", warehousePath = dir,
+      versioned = true))
+    assert(sink.update(spark, lit(true), Seq("v" -> lit(0.0))) == 0L)
+    sink.append(Seq((1L, 1.0)).toDF("id", "v"))
+    val versionsBefore = sink.snapshotVersions()
+    assert(sink.update(spark, expr("id = 99"), Seq("v" -> lit(0.0))) == 0L)
+    assert(sink.snapshotVersions() == versionsBefore) // no phantom commit
+    assert(sink.update(spark, expr("id = 1"), Seq("v" -> lit(5.0))) == 1L)
+    assert(sink.read(spark).select("v").as[Double].head() == 5.0)
+  }
+}
