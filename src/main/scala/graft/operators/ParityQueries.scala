@@ -1665,6 +1665,88 @@ object ParityQueries {
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events""".stripMargin
 
+  /** Iceberg-style metadata tables through pure SQL
+    * (`cat.t.snapshots` / `.files` / `.partitions` — [[GraftMetaTable]]):
+    * two INSERT commits, then one SQL query composing all three views.
+    * Deterministic columns only (versions, parents, record counts —
+    * never wall-clock or file counts, which the record-per-file split
+    * may vary); the oracle recomputes the counts from the source. Pins
+    * identifier resolution (`<table>` as the namespace tail), the
+    * LocalScan execution path, and that the distributed footer-only
+    * inventories agree with the snapshot log. */
+  def metaSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_mts_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrc_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl " +
+      "(event_id BIGINT, value DOUBLE) TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, value FROM $src WHERE event_id % 2 = 0")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, value FROM $src WHERE event_id % 2 = 1")
+    spark.sql(
+      s"""SELECT s.version, s.parent_version, f.total_records,
+         |  p.part_key, p.part_records
+         |FROM graft_cat.$tbl.snapshots s
+         |CROSS JOIN (SELECT CAST(SUM(record_count) AS BIGINT) AS total_records
+         |            FROM graft_cat.$tbl.files) f
+         |CROSS JOIN (SELECT `partition` AS part_key,
+         |              CAST(record_count AS BIGINT) AS part_records
+         |            FROM graft_cat.$tbl.partitions) p
+         |ORDER BY s.version""".stripMargin)
+  }
+
+  val metaSqlSql: String =
+    """SELECT CAST(v AS BIGINT) AS version,
+      |  CAST(CASE WHEN v = 2 THEN 1 END AS BIGINT) AS parent_version,
+      |  (SELECT COUNT(*) FROM events) AS total_records,
+      |  '' AS part_key,
+      |  (SELECT COUNT(*) FROM events) AS part_records
+      |FROM (VALUES (1), (2)) t(v) ORDER BY 1""".stripMargin
+
+  /** `ALTER TABLE ADD COLUMNS` + the evolved column through every door:
+    * batch 1 lands pre-evolution, the ALTER grows the declared schema
+    * (old files read the column as NULL — Iceberg's additive evolution),
+    * batch 2 inserts WITH the column, and a SQL UPDATE back-fills the
+    * legacy rows; the final per-category aggregate proves both
+    * generations co-read under one schema. The oracle replays the
+    * category derivation with a CASE over the source. */
+  def sqlAlter(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_sqa_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrc_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl (event_id BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, value FROM $src WHERE event_id % 2 = 0")
+    spark.sql(s"ALTER TABLE graft_cat.$tbl ADD COLUMNS (category STRING)")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, value, " +
+      s"CASE WHEN value < 50.0 THEN 'low' ELSE 'high' END FROM $src " +
+      s"WHERE event_id % 2 = 1")
+    spark.sql(s"UPDATE graft_cat.$tbl SET category = 'legacy' " +
+      "WHERE category IS NULL")
+    spark.sql(
+      s"""SELECT category, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM graft_cat.$tbl GROUP BY category ORDER BY category""".stripMargin)
+  }
+
+  val sqlAlterSql: String =
+    """SELECT CASE WHEN event_id % 2 = 0 THEN 'legacy'
+      |            WHEN value < 50.0 THEN 'low' ELSE 'high' END AS category,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** `MERGE INTO` through the pure-SQL door, every action class firing:
     * target = events with `event_id % 3 <> 0`, source = even event_ids;
     * MATCHED rows update (`s.value + 1000`) under 50.0 and DELETE above,

@@ -154,6 +154,19 @@ final class GraftCatalog extends TableCatalog {
   private def schemaFile(ident: Identifier): java.nio.file.Path =
     tableDir(ident).resolve("_graft_schema")
 
+  /** The declared schema, when one governs this table: written by
+    * [[createTable]] (CREATE TABLE / CTAS) and extended by [[alterTable]]
+    * ADD COLUMNS. When present it wins over file inference on EVERY
+    * catalog read (latest, time travel, branch, tag), so rows written
+    * before an added column read back NULL-filled — Iceberg's additive
+    * evolution semantics. Tables created through the library have no
+    * declared schema until their first ALTER freezes one. */
+  private def declaredSchema(ident: Identifier): Option[StructType] =
+    if (!java.nio.file.Files.isRegularFile(schemaFile(ident))) None
+    else Some(org.apache.spark.sql.types.DataType
+      .fromJson(java.nio.file.Files.readString(schemaFile(ident)))
+      .asInstanceOf[StructType])
+
   private def versionedMarker(ident: Identifier): java.nio.file.Path =
     tableDir(ident).resolve("_graft_versioned")
 
@@ -246,29 +259,59 @@ final class GraftCatalog extends TableCatalog {
     finally s.close()
   }
 
+  /** Iceberg-style METADATA TABLES: `SELECT * FROM cat.<table>.<meta>`
+    * where `<meta>` ∈ `snapshots` (alias `history`), `files`,
+    * `partitions`, `deletes` — served only when no real table shadows the
+    * name (real tables win). Each is a read-only `LocalScan` over the
+    * matching [[TableSink]] metadata DataFrame: snapshot/delete rows are
+    * driver manifest metadata, file/partition inventories run as the same
+    * DISTRIBUTED footer-only scans the library functions use, and only
+    * the aggregated rows (bounded by file/partition/snapshot count) reach
+    * the driver — the `metaFiles` 100 TB contract, now through SQL. */
+  private def metaTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace().isEmpty) return None
+    val base = Identifier.of(
+      ident.namespace().dropRight(1), ident.namespace().last)
+    if (!tableExists(base)) return None
+    val spark = SparkSession.active
+    def sink = new TableSink(insertConfig(base, firstDataFile(base)))
+    val compute: Option[() => org.apache.spark.sql.DataFrame] =
+      ident.name().toLowerCase match {
+        case "snapshots" | "history" => Some(() => sink.metaSnapshots(spark))
+        case "files" => Some(() => sink.metaFiles(spark))
+        case "partitions" => Some(() => sink.metaPartitions(spark))
+        case "deletes" => Some(() => sink.metaDeletes(spark))
+        case _ => None
+      }
+    compute.map(f =>
+      new GraftMetaTable(s"${base.toString}.${ident.name()}", f))
+  }
+
   /** Latest state. A VERSIONED table resolves through its newest manifest
     * — not the live directory — so data files a crashed or in-flight write
     * left behind stay invisible until their commit lands (Iceberg's
     * snapshot-isolation contract). Unversioned tables have no manifest and
     * read the live directory. */
   override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) {
+      val mt = metaTable(ident)
+      if (mt.isDefined) return mt.get
+    }
     versions(ident).lastOption match {
       case Some(v) =>
         val files = manifestFiles(ident, v)
-        fileTable(ident, files, files.headOption, writable = true)
+        fileTable(ident, files, files.headOption, declaredSchema(ident),
+          writable = true)
       case None =>
         firstDataFile(ident) match {
           case Some(first) =>
             fileTable(ident, Seq(tableDir(ident).toString), Some(first),
-              writable = true)
-          case None
-              if java.nio.file.Files.isRegularFile(schemaFile(ident)) =>
+              declaredSchema(ident), writable = true)
+          case None if declaredSchema(ident).isDefined =>
             // created-but-empty (CREATE TABLE / CTAS target): the declared
             // schema serves reads (empty) and validates the first INSERT
-            val schema = org.apache.spark.sql.types.DataType
-              .fromJson(java.nio.file.Files.readString(schemaFile(ident)))
-              .asInstanceOf[StructType]
-            fileTable(ident, Nil, None, Some(schema), writable = true)
+            fileTable(ident, Nil, None, declaredSchema(ident),
+              writable = true)
           case None => throw new NoSuchTableException(ident)
         }
     }
@@ -321,7 +364,9 @@ final class GraftCatalog extends TableCatalog {
               java.nio.file.Files.readString(tag).trim.toInt).toIndexedSeq
         }
     }
-    fileTable(ident, files, files.headOption)
+    // declared schema governs historical reads too: a snapshot older than
+    // an ADD COLUMNS reads NULL-filled, never schema-shifted mid-query
+    fileTable(ident, files, files.headOption, declaredSchema(ident))
   }
 
   /** `TIMESTAMP AS OF t` (micros since epoch): the last snapshot committed
@@ -388,10 +433,59 @@ final class GraftCatalog extends TableCatalog {
   override def createTable(ident: Identifier, info: TableInfo): Table =
     createTable(ident, info.schema(), info.partitions(), info.properties())
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolution is additive via " +
-        "TableSink.append + mergeSchema reads")
+  /** `ALTER TABLE … ADD COLUMNS` — the one schema change expressible on
+    * immutable data files with no field-id/column-mapping layer: the
+    * declared schema grows, pre-evolution files read the new column as
+    * NULL (Iceberg's additive evolution; the SQL twin of the library's
+    * append + mergeSchema path, `q_schema_evolution`). Everything else
+    * (drop/rename/retype/reorder) refuses with the reason: without field
+    * ids a rename is indistinguishable from drop+add against old files,
+    * so it would silently NULL historical data. The evolved schema is
+    * committed atomically (temp + rename) and governs every subsequent
+    * catalog read, time travel included. Hive-partitioned tables stay
+    * fully read-only. Added columns must be nullable and top-level;
+    * positions are not honored (columns append at the end — file-based
+    * reads resolve by name, so order is cosmetic). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    require(!hasHiveDirs(ident),
+      "ALTER TABLE on a hive-partitioned table is not supported — its " +
+        "transform spec lives on the owning TableSink config; evolve " +
+        "through the library (append + mergeSchema)")
+    val adds = changes.map {
+      case a: TableChange.AddColumn => a
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${other.getClass.getSimpleName} is not supported: " +
+          "data files are immutable and carry no field ids, so only ADD " +
+          "COLUMNS (NULL-filled on pre-evolution rows) is expressible — " +
+          "drops/renames/retypes need a column-mapping layer this engine " +
+          "deliberately does not fake")
+    }
+    val base = declaredSchema(ident).getOrElse(
+      // first ALTER on a library-created table freezes the current
+      // file-inferred schema as the declared one, then extends it
+      loadTable(ident).schema())
+    val evolved = adds.foldLeft(base) { (sch, a) =>
+      require(a.fieldNames().length == 1,
+        s"ADD COLUMNS ${a.fieldNames().mkString(".")}: nested additions " +
+          "are not supported — add a top-level column")
+      val name = a.fieldNames().head
+      require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists")
+      require(a.isNullable,
+        s"added column $name must be nullable — pre-evolution rows have " +
+          "no value for it")
+      sch.add(org.apache.spark.sql.types.StructField(
+        name, a.dataType(), nullable = true))
+    }
+    // atomic overwrite: a reader never observes a torn schema file
+    val tmp = schemaFile(ident).resolveSibling("_graft_schema.tmp")
+    java.nio.file.Files.writeString(tmp, evolved.json)
+    java.nio.file.Files.move(tmp, schemaFile(ident),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     import scala.jdk.CollectionConverters._
@@ -446,6 +540,37 @@ private[graft] final class GraftReadOnlyTable(delegate: FileTable,
   * the pure-SQL door. Predicates the filter translator cannot express
   * in SQL text refuse at `canDeleteWhere` with Spark's standard error
   * rather than deleting the wrong rows. */
+/** A metadata table (`cat.t.snapshots` / `files` / `partitions` /
+  * `deletes`): read-only, served as a [[org.apache.spark.sql.connector.read.LocalScan]]
+  * — the rows are computed when the scan executes (snapshot metadata from
+  * the manifest log; file/partition inventories from the distributed
+  * footer-only scans), never at resolution time. Bounded by
+  * snapshot/file/partition count, not data size. No write capability: an
+  * INSERT gets Spark's standard refusal. */
+private[graft] final class GraftMetaTable(fullName: String,
+    compute: () => org.apache.spark.sql.DataFrame)
+    extends Table with SupportsRead {
+  // one plan per load: schema() during analysis and rows() at execution
+  // must agree, and snapshot-metadata plans do their manifest reads at
+  // plan-construction time (bounded driver IO)
+  private lazy val df = compute()
+  override def name(): String = fullName
+  override def schema(): StructType = df.schema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): util.Map[String, String] = util.Map.of()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            org.apache.spark.sql.graft.Bridge.collectInternal(df)
+          override def readSchema(): StructType = df.schema
+        }
+    }
+}
+
 private[graft] final class GraftWritableTable(delegate: FileTable,
     fullName: String, declaredSchema: Option[StructType],
     private[graft] val insertCfg: SinkConfig)
@@ -550,7 +675,21 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
   override def name(): String = fullName
   override def schema(): StructType = declaredSchema.getOrElse(delegate.schema)
   override def partitioning(): Array[Transform] = delegate.partitioning()
-  override def properties(): util.Map[String, String] = delegate.properties()
+  /** Delegate props + the governing sink config, so `DESCRIBE TABLE
+    * EXTENDED` / `SHOW TBLPROPERTIES` show what actually rules the
+    * writes (versioning, format, constraint gate, write clustering). */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String](delegate.properties())
+    m.put("versioned", insertCfg.versioned.toString)
+    m.put("format", insertCfg.fileFormat)
+    m.put("write.parallelism", insertCfg.numPartitions.toString)
+    if (insertCfg.sortOrder.nonEmpty)
+      m.put("write.sort-order", insertCfg.sortOrder.mkString(", "))
+    insertCfg.checkConstraints.zipWithIndex.foreach { case (c, i) =>
+      m.put(s"constraint.c$i", c)
+    }
+    util.Collections.unmodifiableMap(m)
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

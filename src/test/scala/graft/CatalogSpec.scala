@@ -280,4 +280,108 @@ class CatalogSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("snapshot v99"),
       s"expired/missing snapshot must name what exists: ${bad.getMessage}")
   }
+
+  test("SHOW TBLPROPERTIES surfaces the governing sink config") {
+    val sink = new TableSink(SinkConfig(tableName = "props1",
+      warehousePath = wh, versioned = true,
+      checkConstraints = Seq("v >= 0"), sortOrder = Seq("id")))
+    sink.append(Seq((1L, 1.0)).toDF("id", "v"))
+    val props = spark.sql("SHOW TBLPROPERTIES gtest.props1").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("versioned") == "true")
+    assert(props("format") == "parquet")
+    assert(props("constraint.c0") == "v >= 0")
+    assert(props("write.sort-order") == "id")
+  }
+
+  test("metadata tables serve through SQL: snapshots, files, partitions") {
+    mkVersioned("meta1") // two commits, identity-partitioned on cat
+    val snaps = spark.sql(
+      "SELECT version, parent_version, n_added_files, n_removed_files " +
+        "FROM gtest.meta1.snapshots ORDER BY version").collect()
+    assert(snaps.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(snaps.head.isNullAt(1) && snaps(1).getLong(1) == 1L)
+    assert(snaps.forall(_.getLong(3) == 0L)) // appends never remove
+    // history is the Iceberg-name alias of the same view
+    assert(spark.sql("SELECT * FROM gtest.meta1.history").count() == 2)
+    // files: record counts from footers must sum to the row count
+    assert(spark.sql("SELECT CAST(SUM(record_count) AS BIGINT) " +
+      "FROM gtest.meta1.files").head().getLong(0) == 5L)
+    // partitions: the identity spine recovered from paths
+    val parts = spark.sql("SELECT `partition`, record_count " +
+      "FROM gtest.meta1.partitions ORDER BY `partition`").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(parts == Seq("cat=a" -> 2L, "cat=b" -> 2L, "cat=c" -> 1L))
+    // read-only: INSERT refuses (no write capability)
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO gtest.meta1.snapshots " +
+        "VALUES (9L, NULL, current_timestamp(), 0L, 0L, 0L)"))
+    assert(e.getMessage.toLowerCase.contains("does not support"),
+      e.getMessage)
+    // a real table always shadows the metadata name
+    val missing = intercept[Exception](
+      spark.sql("SELECT * FROM gtest.meta1.nope").collect())
+    assert(missing.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("deletes metadata table lists live MoR sidecars through SQL") {
+    val sink = new TableSink(SinkConfig(tableName = "meta2",
+      warehousePath = wh, versioned = true))
+    sink.append(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v"))
+    sink.deleteWhere("id = 2")
+    val rows = spark.sql(
+      "SELECT flavor, n_entries FROM gtest.meta2.deletes").collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "predicate")
+  }
+
+  test("ALTER TABLE ADD COLUMNS: pre-evolution rows NULL-fill, history included") {
+    spark.sql("CREATE TABLE gtest.alt1 (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gtest.alt1 VALUES (1L, 1.0), (2L, 2.0)")
+    spark.sql("ALTER TABLE gtest.alt1 ADD COLUMNS (tag STRING)")
+    // evolved schema immediately visible; old rows read NULL
+    assert(spark.sql("SELECT * FROM gtest.alt1").columns.toSeq ==
+      Seq("id", "v", "tag"))
+    assert(spark.sql("SELECT count(*) FROM gtest.alt1 WHERE tag IS NULL")
+      .head().getLong(0) == 2)
+    // post-evolution insert carries the column; both generations co-read
+    spark.sql("INSERT INTO gtest.alt1 VALUES (3L, 3.0, 'new')")
+    val got = spark.sql("SELECT id, tag FROM gtest.alt1 ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1L -> null, 2L -> null, 3L -> "new"))
+    // declared schema governs time travel too — no mid-history shape shift
+    assert(spark.sql("SELECT * FROM gtest.alt1 VERSION AS OF 1")
+      .columns.toSeq == Seq("id", "v", "tag"))
+    // the evolved column participates in SQL DML
+    spark.sql("UPDATE gtest.alt1 SET tag = 'old' WHERE tag IS NULL")
+    assert(spark.sql("SELECT count(*) FROM gtest.alt1 WHERE tag = 'old'")
+      .head().getLong(0) == 2)
+  }
+
+  test("first ALTER on a library-created table freezes the inferred schema") {
+    val sink = new TableSink(SinkConfig(tableName = "alt2",
+      warehousePath = wh, versioned = true))
+    sink.append(Seq((1L, 10.0)).toDF("id", "v"))
+    spark.sql("ALTER TABLE gtest.alt2 ADD COLUMNS (note STRING)")
+    assert(spark.sql("SELECT * FROM gtest.alt2").columns.toSeq ==
+      Seq("id", "v", "note"))
+    assert(spark.sql("SELECT note FROM gtest.alt2").head().isNullAt(0))
+  }
+
+  test("ALTER TABLE refuses everything except nullable top-level adds") {
+    spark.sql("CREATE TABLE gtest.alt3 (id BIGINT, v DOUBLE, s STRUCT<a: INT>)")
+    def refused(sql: String, hint: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains(hint), s"$sql -> ${e.getMessage}")
+    }
+    refused("ALTER TABLE gtest.alt3 DROP COLUMN v", "field ids")
+    refused("ALTER TABLE gtest.alt3 RENAME COLUMN v TO w", "field ids")
+    refused("ALTER TABLE gtest.alt3 ALTER COLUMN v TYPE STRING", "field ids")
+    refused("ALTER TABLE gtest.alt3 ADD COLUMNS (id STRING)",
+      "already exists")
+    refused("ALTER TABLE gtest.alt3 ADD COLUMNS (s.b INT)", "nested")
+    // hive-partitioned tables stay fully read-only
+    mkVersioned("alt4")
+    refused("ALTER TABLE gtest.alt4 ADD COLUMNS (x INT)", "hive-partitioned")
+  }
 }

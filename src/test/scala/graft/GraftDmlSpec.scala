@@ -137,6 +137,18 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not support UPDATE"), e.getMessage)
   }
 
+  test("TRUNCATE TABLE and unfiltered DELETE empty the table through SQL") {
+    val t1 = mk(Seq((1L, 1.0, "a"), (2L, 2.0, "b")))
+    spark.sql(s"TRUNCATE TABLE gdml.$t1") // SupportsDelete truncate default
+    assert(spark.sql(s"SELECT * FROM gdml.$t1").count() == 0)
+    val t2 = mk(Seq((1L, 1.0, "a"), (2L, 2.0, "b")))
+    spark.sql(s"DELETE FROM gdml.$t2")
+    assert(spark.sql(s"SELECT * FROM gdml.$t2").count() == 0)
+    // an emptied table stays writable (the catalog's created-empty path)
+    spark.sql(s"INSERT INTO gdml.$t2 VALUES (9L, 9.0, 'z')")
+    assert(state(t2) == Map(9L -> (9.0, "z")))
+  }
+
   // ----------------------------------------------- library TableSink.update
 
   test("library update rewrites only the touched partitions") {
