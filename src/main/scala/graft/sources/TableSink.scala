@@ -1621,6 +1621,30 @@ final class TableSink(val config: SinkConfig) {
     }
   }
 
+  /** Durable table DECLARATIONS ride every rewrite swap: the CHECK
+    * constraints / writer config (`_graft_config`), the SQL-declared or
+    * ALTER-evolved schema (`_graft_schema`), and the versioned marker are
+    * the table's identity, not its history — losing them to a rewrite
+    * would silently drop the constraint gate from subsequent catalog
+    * INSERTs and un-declare evolved schemas. Copied INTO the tmp dir
+    * BEFORE the renames, so every crash point leaves them intact (the
+    * recovery paths then restore whichever dir holds them). History-class
+    * sidecars stay behind on purpose: `_graft_log` (rewrites invalidate
+    * history; a new generation is snapshotted after the swap, and a
+    * clone's `clone_base` pointer dies with it — materialization is the
+    * documented contract) and `_graft_stats`/`_graft_bloom` (file-keyed
+    * stats are meaningless for the rewritten files; pruning without stats
+    * is conservative — re-run analyze). */
+  private def carryDeclarationSidecars(root: java.nio.file.Path,
+      tmp: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    Seq("_graft_config", "_graft_schema", "_graft_versioned").foreach { n =>
+      val src = root.resolve(n)
+      if (Files.isRegularFile(src))
+        Files.copy(src, tmp.resolve(n), StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Rewrite the whole table as `finalRows` via temp-dir + double rename.
     * When `expectRows` is set the rewrite aborts (table untouched) on a
     * row-count mismatch; None skips the check (callers whose expected
@@ -1651,6 +1675,7 @@ final class TableSink(val config: SinkConfig) {
             "original table untouched")
       }
     }
+    carryDeclarationSidecars(root, tmp)
     Files.move(root, trash, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
     rmTree(trash)
@@ -2307,6 +2332,7 @@ final class TableSink(val config: SinkConfig) {
     }
     // swap: old table -> trash, compacted -> table, drop trash (a crash
     // mid-swap is repaired by the recovery block on the next compact call)
+    carryDeclarationSidecars(root, tmp)
     Files.move(root, trash, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
     rmTree(trash)

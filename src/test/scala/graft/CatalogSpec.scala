@@ -281,6 +281,34 @@ class CatalogSpec extends AnyFunSuite {
       s"expired/missing snapshot must name what exists: ${bad.getMessage}")
   }
 
+  test("constraint gate and declared schema survive rewriting ops") {
+    // constraints: a COW delete must not strip the gate from later SQL
+    // inserts (the _graft_config sidecar rides the rewrite swap)
+    val sink = new TableSink(SinkConfig(tableName = "surv1",
+      warehousePath = wh, versioned = true,
+      checkConstraints = Seq("v >= 0")))
+    sink.append(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    sink.delete(spark, expr("id = 1")) // copy-on-write: full rewrite swap
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO gtest.surv1 VALUES (9L, -5.0)"))
+    assert(e.getMessage.contains("CHECK constraint"), e.getMessage)
+    // declared schema: an ALTER-evolved schema must survive a SQL UPDATE
+    spark.sql("CREATE TABLE gtest.surv2 (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gtest.surv2 VALUES (1L, 1.0)")
+    spark.sql("ALTER TABLE gtest.surv2 ADD COLUMNS (tag STRING)")
+    spark.sql("UPDATE gtest.surv2 SET tag = 'x' WHERE id = 1")
+    // a second ALTER proves the declared schema file is still the evolved
+    // one (a re-freeze from files would also pass reads; the duplicate
+    // check below only fires against the DECLARED schema)
+    val dup = intercept[Exception](
+      spark.sql("ALTER TABLE gtest.surv2 ADD COLUMNS (tag STRING)"))
+    assert(dup.getMessage.contains("already exists"))
+    spark.sql("ALTER TABLE gtest.surv2 ADD COLUMNS (tag2 STRING)")
+    assert(spark.sql("SELECT * FROM gtest.surv2").columns.toSeq ==
+      Seq("id", "v", "tag", "tag2"))
+  }
+
   test("SHOW TBLPROPERTIES surfaces the governing sink config") {
     val sink = new TableSink(SinkConfig(tableName = "props1",
       warehousePath = wh, versioned = true,

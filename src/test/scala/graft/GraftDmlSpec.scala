@@ -192,6 +192,25 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unknown columns"))
   }
 
+  test("durable declaration sidecars ride every rewrite swap") {
+    val dir = TestSpark.tmpDir("sidecars")
+    val sink = new TableSink(SinkConfig(tableName = "t", warehousePath = dir,
+      versioned = true, checkConstraints = Seq("v >= 0")))
+    sink.append(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v"))
+    def has(n: String): Boolean =
+      java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(s"$dir/t/$n"))
+    assert(has("_graft_config"))
+    sink.delete(spark, expr("id = 1"))          // full rewriteSwap path
+    assert(has("_graft_config"), "delete's rewrite dropped _graft_config")
+    sink.update(spark, expr("id = 2"), Seq("v" -> lit(9.0)))
+    assert(has("_graft_config"), "update's rewrite dropped _graft_config")
+    sink.compact(spark)
+    assert(has("_graft_config"), "compact's rewrite dropped _graft_config")
+    // the gate still holds after all three rewrites
+    val e = intercept[Exception](sink.append(Seq((9L, -1.0)).toDF("id", "v")))
+    assert(e.getMessage.contains("CHECK constraint"))
+  }
+
   test("library update: zero matches is a no-op, missing table returns 0") {
     val dir = TestSpark.tmpDir("upd_noop")
     val sink = new TableSink(SinkConfig(tableName = "t", warehousePath = dir,
