@@ -1665,6 +1665,36 @@ object ParityQueries {
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events""".stripMargin
 
+  /** Whole-table `INSERT OVERWRITE` through the catalog: ingest all,
+    * overwrite with a filtered re-select (the guarded rewrite swap —
+    * truncate capability + V2Writes' OverwriteByExpression(true) path),
+    * aggregate. The oracle is the filter itself. */
+  def sqlOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_sqo_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrc_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl " +
+      "(event_id BIGINT, value DOUBLE) TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl SELECT event_id, value FROM $src")
+    spark.sql(s"INSERT OVERWRITE graft_cat.$tbl " +
+      s"SELECT event_id, value FROM $src WHERE value >= 50.0")
+    spark.sql(
+      s"""SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM graft_cat.$tbl""".stripMargin)
+  }
+
+  val sqlOverwriteSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events WHERE value >= 50.0""".stripMargin
+
   /** Iceberg-style metadata tables through pure SQL
     * (`cat.t.snapshots` / `.files` / `.partitions` — [[GraftMetaTable]]):
     * two INSERT commits, then one SQL query composing all three views.

@@ -42,8 +42,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[TableSink.append]] (V1 write bridge) — a SQL append therefore takes
   * the same staged write, optimistic manifest commit, and
   * CHECK-constraint gate as the library API, never dropping files the
-  * snapshot history doesn't record. Rewriting SQL (`INSERT OVERWRITE`)
-  * is refused at analysis (no truncate capability), `PARTITIONED BY` is
+  * snapshot history doesn't record. Whole-table `INSERT OVERWRITE` is
+  * the guarded rewrite swap; filtered overwrite is refused at analysis
+  * (no OVERWRITE_BY_FILTER capability), `PARTITIONED BY` is
   * refused (partition TRANSFORMS are a library-API concept), and
   * time-travel/branch/tag loads plus hive-partitioned tables stay
   * read-only. Scans are Spark's native vectorized parquet/orc readers
@@ -530,8 +531,10 @@ private[graft] final class GraftReadOnlyTable(delegate: FileTable,
   * bridge, so a SQL append takes the SAME staged write + optimistic
   * manifest commit (and CHECK-constraint gate) as the library API — the
   * invariant the read-only facade exists to protect. `INSERT OVERWRITE`
-  * is refused: overwrite is a rewriting op with its own protocols
-  * (upsert/delete/compact) and history consequences.
+  * (whole-table) routes through [[TableSink.replaceAllRows]]'s guarded
+  * crash-safe swap — gate, sidecars, history expiry included; FILTERED
+  * overwrites stay refused (partial overwrite is upsert/delete's job,
+  * with their partition-scoped protocols).
   *
   * `DELETE FROM … WHERE` routes through [[TableSink.delete]] — the
   * COPY-ON-WRITE flavor, deliberately: a merge-on-read sidecar would
@@ -690,21 +693,35 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
     }
     util.Collections.unmodifiableMap(m)
   }
+  // TRUNCATE capability admits whole-table `INSERT OVERWRITE` (planned as
+  // OverwriteByExpression(true)); filtered overwrites stay refused by
+  // Spark's capability check (no OVERWRITE_BY_FILTER — partial overwrite
+  // is upsert/delete's job, with their partition-scoped protocols)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // V2Writes plans whole-table INSERT OVERWRITE as
+      // OverwriteByExpression(true) and asks the builder to truncate()
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                 overwrite: Boolean): Unit = {
-              require(!overwrite,
-                s"INSERT OVERWRITE $fullName is not supported: overwrite " +
-                  "is a rewriting op — use TableSink.upsert/delete/compact")
-              new TableSink(insertCfg).append(data)
+              val sink = new TableSink(insertCfg)
+              if (overwrite || overwriteAll)
+                // whole-table replace under the full guard battery:
+                // constraint gate, crash-safe swap, declaration sidecars
+                // carried, history expired (a rewrite invalidates it)
+                sink.replaceAllRows(data.sparkSession, data, None,
+                  "INSERT OVERWRITE")
+              else sink.append(data)
             }
           }
       }

@@ -113,11 +113,10 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gtest.ttw").head().getLong(0) == 3)
     assert(sink.readVersion(spark, 1).count() == 2,
       "time travel below the SQL insert must still work")
-    // INSERT OVERWRITE is a rewriting op: the table advertises no
-    // truncate/overwrite capability, so the analyzer refuses it outright
-    val e = intercept[AnalysisException](
-      spark.sql("INSERT OVERWRITE gtest.ttw VALUES (9, 'z')"))
-    assert(e.getMessage.contains("does not support"), s"got: $e")
+    // whole-table INSERT OVERWRITE is the guarded rewrite swap (detailed
+    // cases in "INSERT OVERWRITE replaces the whole table...")
+    spark.sql("INSERT OVERWRITE gtest.ttw VALUES (9, 'z')")
+    assert(spark.sql("SELECT count(*) FROM gtest.ttw").head().getLong(0) == 1)
   }
 
   test("DELETE FROM routes through the copy-on-write delete") {
@@ -279,6 +278,26 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM gtest.tt6 VERSION AS OF 99").collect())
     assert(bad.getMessage.contains("snapshot v99"),
       s"expired/missing snapshot must name what exists: ${bad.getMessage}")
+  }
+
+  test("INSERT OVERWRITE replaces the whole table under the guard battery") {
+    spark.sql("CREATE TABLE gtest.ovw1 (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gtest.ovw1 VALUES (1L, 1.0), (2L, 2.0)")
+    spark.sql("INSERT OVERWRITE gtest.ovw1 VALUES (9L, 9.0)")
+    val rows = spark.sql("SELECT id, v FROM gtest.ovw1").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 9L)
+    // still writable + versioned afterwards (sidecars rode the swap)
+    spark.sql("INSERT INTO gtest.ovw1 VALUES (10L, 10.0)")
+    assert(spark.sql("SELECT count(*) FROM gtest.ovw1").head().getLong(0) == 2)
+    // overwrite is gated like any write
+    val sink = new TableSink(SinkConfig(tableName = "ovw2",
+      warehousePath = wh, versioned = true, checkConstraints = Seq("v >= 0")))
+    sink.append(Seq((1L, 1.0)).toDF("id", "v"))
+    val e = intercept[Exception](
+      spark.sql("INSERT OVERWRITE gtest.ovw2 VALUES (2L, -1.0)"))
+    assert(e.getMessage.contains("CHECK constraint"), e.getMessage)
+    assert(spark.sql("SELECT v FROM gtest.ovw2").head().getDouble(0) == 1.0)
   }
 
   test("constraint gate and declared schema survive rewriting ops") {
