@@ -74,6 +74,14 @@ object Transform {
     def apply(c: Column, dt: DataType): Column = lit(null).cast(StringType)
   }
 
+  /** Inverse of [[parse]]: the spec-string form a config sidecar persists
+    * (`name` is display-oriented — `bucket_16` — and not parseable). */
+  def render(t: Transform): String = t match {
+    case Bucket(n) => s"bucket[$n]"
+    case Truncate(w) => s"truncate[$w]"
+    case other => other.name
+  }
+
   /** Parse a transform spec string ("identity", "day", "bucket[16]", ...),
     * mirroring the reference's named-spec construction (README.md:90-93). */
   def parse(s: String): Transform = {

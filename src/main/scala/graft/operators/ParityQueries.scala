@@ -1665,6 +1665,55 @@ object ParityQueries {
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events""".stripMargin
 
+  /** SQL DML on an identity-PARTITIONED table — the persisted partition
+    * spec makes the catalog door writable (GraftCatalog.fileTable):
+    * library append declares `identity(event_type)`, then pure SQL
+    * INSERTs a synthetic partition, DELETEs part of one partition
+    * (partition-scoped copy-on-write — untouched partitions keep their
+    * files), UPDATEs another, and aggregates per partition. The oracle
+    * composes the same four ops over the source. */
+  def sqlPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_sqp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrc_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    val sink = new TableSink(SinkConfig(tableName = tbl, warehousePath = wh,
+      versioned = true, numPartitions = 4,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity))))
+    sink.append(e.select(col("event_id"), col("user_id"), col("value"),
+      col("event_type")))
+    // recovered schema orders the partition column last
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id + 10000000, user_id, value, 'synthetic' " +
+      s"FROM $src WHERE event_id % 100 = 0")
+    spark.sql(s"DELETE FROM graft_cat.$tbl " +
+      "WHERE event_type = 'click' AND value < 50.0")
+    spark.sql(s"UPDATE graft_cat.$tbl SET value = value + 10.0 " +
+      "WHERE event_type = 'view'")
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM graft_cat.$tbl GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val sqlPartitionedSql: String =
+    """WITH final AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_type = 'view' THEN value + 10.0 ELSE value END AS value
+      |  FROM events
+      |  WHERE NOT (event_type = 'click' AND value < 50.0)
+      |  UNION ALL
+      |  SELECT 'synthetic' AS event_type, value FROM events
+      |  WHERE event_id % 100 = 0
+      |)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Whole-table `INSERT OVERWRITE` through the catalog: ingest all,
     * overwrite with a filtered re-select (the guarded rewrite swap —
     * truncate capability + V2Writes' OverwriteByExpression(true) path),

@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Transform => V2Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
@@ -37,16 +37,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * at or before `t` — Iceberg's snapshot-id / as-of-timestamp semantics on
   * the sink's own log. Unversioned tables read the live directory.
   *
-  * Writes: `CREATE TABLE` / CTAS / `INSERT INTO` are supported for
-  * UNPARTITIONED tables by routing the insert through
-  * [[TableSink.append]] (V1 write bridge) — a SQL append therefore takes
-  * the same staged write, optimistic manifest commit, and
-  * CHECK-constraint gate as the library API, never dropping files the
-  * snapshot history doesn't record. Whole-table `INSERT OVERWRITE` is
-  * the guarded rewrite swap; filtered overwrite is refused at analysis
-  * (no OVERWRITE_BY_FILTER capability), `PARTITIONED BY` is
-  * refused (partition TRANSFORMS are a library-API concept), and
-  * time-travel/branch/tag loads plus hive-partitioned tables stay
+  * Writes: `CREATE TABLE` / CTAS / `INSERT INTO` route the insert
+  * through [[TableSink.append]] (V1 write bridge) — a SQL append
+  * therefore takes the same staged write, optimistic manifest commit,
+  * and CHECK-constraint gate as the library API, never dropping files
+  * the snapshot history doesn't record. Partitioned tables are writable
+  * when their `_graft_config` sidecar carries an all-identity partition
+  * spec (see [[fileTable]]); hidden-transform and legacy-spec-less
+  * partitioned tables stay read-only toward the library API.
+  * Whole-table `INSERT OVERWRITE` is the guarded rewrite swap; filtered
+  * overwrite is refused at analysis (no OVERWRITE_BY_FILTER capability),
+  * `PARTITIONED BY` in DDL is refused (partition TRANSFORMS are declared
+  * on the TableSink config), and time-travel/branch/tag loads stay
   * read-only. Scans are Spark's native vectorized parquet/orc readers
   * with full pushdown — the catalog only decides WHICH files are in the
   * table; scan planning, filter pushdown, and partition pruning
@@ -214,6 +216,16 @@ final class GraftCatalog extends TableCatalog {
       sortOrder = one("sortOrder").toSeq
         .flatMap(_.split(',').toSeq).map(dec),
       checkConstraints = hints.getOrElse("constraint", Nil).map(dec),
+      partitionSpec = hints.getOrElse("partition", Nil).map { line =>
+        line.split(":", 3) match {
+          case Array(src, tr) =>
+            PartitionField(dec(src), Transform.parse(dec(tr)))
+          case Array(src, tr, name) =>
+            PartitionField(dec(src), Transform.parse(dec(tr)), Some(dec(name)))
+          case _ => throw new IllegalArgumentException(
+            s"${ident.name()}: malformed partition hint '$line'")
+        }
+      },
       versioned = one("versioned").contains("true") ||
         java.nio.file.Files.isDirectory(logDir(ident)) ||
         java.nio.file.Files.exists(versionedMarker(ident)))
@@ -222,10 +234,19 @@ final class GraftCatalog extends TableCatalog {
   /** Wrap the file set in the matching native v2 file table. Format is
     * detected from the data-file extensions (the sink writes exactly one
     * format per table), so catalog reads need no per-table config.
-    * `writable=true` (latest-snapshot loads of unpartitioned tables)
-    * adds the V1 write surface routing INSERT through [[TableSink]];
-    * time-travel/branch/tag loads and hive-partitioned tables stay
-    * read-only. */
+    * `writable=true` (latest-snapshot loads) adds the V1 write surface
+    * routing INSERT/DELETE/UPDATE/MERGE through [[TableSink]];
+    * time-travel/branch/tag loads stay read-only. Hive-partitioned
+    * tables are writable ONLY when the `_graft_config` sidecar carries
+    * their partition spec AND every transform is identity: with identity
+    * fields the partition column IS a data column, so a SQL write can
+    * never disagree with the derivation; a HIDDEN transform (day/bucket/
+    * truncate) exposes the derived column in the read schema (recovered
+    * from the directory spine) while the files do not store it — a SQL
+    * INSERT would have to supply it and could contradict the source
+    * column, silently mis-homing rows — so those stay read-only toward
+    * the library API. Legacy partitioned tables with no persisted spec
+    * are unrecoverable from the layout alone and also stay read-only. */
   private def fileTable(ident: Identifier, paths: Seq[String],
       firstFile: Option[String], userSchema: Option[StructType] = None,
       writable: Boolean = false): Table = {
@@ -238,9 +259,11 @@ final class GraftCatalog extends TableCatalog {
         userSchema, classOf[OrcFileFormat])
       else ParquetTable(ident.name(), spark, opts, paths,
         userSchema, classOf[ParquetFileFormat])
-    if (writable && !hasHiveDirs(ident))
-      new GraftWritableTable(delegate, ident.toString, userSchema,
-        insertConfig(ident, firstFile))
+    lazy val cfg = insertConfig(ident, firstFile)
+    def partitionedWritable: Boolean = cfg.partitionSpec.nonEmpty &&
+      cfg.partitionSpec.forall(_.transform == Transform.Identity)
+    if (writable && (!hasHiveDirs(ident) || partitionedWritable))
+      new GraftWritableTable(delegate, ident.toString, userSchema, cfg)
     else new GraftReadOnlyTable(delegate, ident.toString)
   }
 
@@ -401,7 +424,7 @@ final class GraftCatalog extends TableCatalog {
     * this DDL surface, so `PARTITIONED BY` is refused toward the library
     * API rather than silently approximated. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
+      partitions: Array[V2Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident))
       throw new TableAlreadyExistsException(ident)
@@ -518,7 +541,7 @@ private[graft] final class GraftReadOnlyTable(delegate: FileTable,
     fullName: String) extends Table with SupportsRead {
   override def name(): String = fullName
   override def schema(): StructType = delegate.schema
-  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def partitioning(): Array[V2Transform] = delegate.partitioning()
   override def properties(): util.Map[String, String] = delegate.properties()
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -559,7 +582,7 @@ private[graft] final class GraftMetaTable(fullName: String,
   private lazy val df = compute()
   override def name(): String = fullName
   override def schema(): StructType = df.schema
-  override def partitioning(): Array[Transform] = Array.empty
+  override def partitioning(): Array[V2Transform] = Array.empty
   override def properties(): util.Map[String, String] = util.Map.of()
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -677,7 +700,7 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
   }
   override def name(): String = fullName
   override def schema(): StructType = declaredSchema.getOrElse(delegate.schema)
-  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def partitioning(): Array[V2Transform] = delegate.partitioning()
   /** Delegate props + the governing sink config, so `DESCRIBE TABLE
     * EXTENDED` / `SHOW TBLPROPERTIES` show what actually rules the
     * writes (versioning, format, constraint gate, write clustering). */

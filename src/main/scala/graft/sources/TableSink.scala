@@ -174,7 +174,13 @@ final class TableSink(val config: SinkConfig) {
         s"versioned=${config.versioned}") ++
       (if (config.sortOrder.isEmpty) Nil
        else Seq(s"sortOrder=${config.sortOrder.map(enc).mkString(",")}")) ++
-      config.checkConstraints.map(c => s"constraint=${enc(c)}")
+      config.checkConstraints.map(c => s"constraint=${enc(c)}") ++
+      // the partition spec, so the catalog can rebuild THIS writer for
+      // SQL DML on partitioned tables (identity specs become writable;
+      // hidden transforms stay read-only — see GraftCatalog.fileTable)
+      config.partitionSpec.map(pf => "partition=" + (Seq(enc(pf.source),
+        enc(Transform.render(pf.transform))) ++
+        pf.explicitName.map(enc)).mkString(":"))
     WarehouseIO.writeStringAtomic(
       new org.apache.hadoop.fs.Path(config.tablePath, "_graft_config"),
       lines.mkString("\n"))

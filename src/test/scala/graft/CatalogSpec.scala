@@ -93,14 +93,70 @@ class CatalogSpec extends AnyFunSuite {
       s"as-of before the first commit must fail: ${early.getMessage}")
   }
 
-  test("INSERT INTO a hive-partitioned table is refused (transforms " +
-      "unrecoverable from the layout)") {
-    mkVersioned("tt4")
+  test("SQL DML works on identity-partitioned tables (spec persisted)") {
+    val sink = mkVersioned("tt4") // identity(cat), two commits
+    // recovered schema orders partition columns last: (id, v, cat)
+    spark.sql("INSERT INTO gtest.tt4 VALUES (9, 90.0, 'z')")
+    assert(sink.snapshotVersions() == Seq(1, 2, 3),
+      "a SQL insert into a partitioned table must commit a snapshot")
+    // the row landed in its hive partition directory
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$wh/tt4/cat=z")))
+    assert(spark.sql("SELECT count(*) FROM gtest.tt4 WHERE cat = 'z'")
+      .head().getLong(0) == 1)
+    // partition-scoped SQL DELETE and UPDATE
+    spark.sql("DELETE FROM gtest.tt4 WHERE cat = 'z'")
+    spark.sql("UPDATE gtest.tt4 SET v = v + 0.5 WHERE cat = 'a'")
+    val got = spark.sql("SELECT id, v FROM gtest.tt4 ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got == Seq(1L -> 10.5, 2L -> 20.0, 3L -> 30.5, 4L -> 40.0,
+      5L -> 50.0))
+  }
+
+  test("SQL UPDATE can re-home rows across identity partitions") {
+    val sink = new TableSink(SinkConfig(tableName = "tt4m",
+      warehousePath = wh, versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "cat"))
+    // the library update refuses partition-deriving SETs (partition-scoped
+    // commit can't move rows); the SQL door's full guarded swap CAN
+    spark.sql("UPDATE gtest.tt4m SET cat = 'c' WHERE id = 1")
+    val got = spark.sql("SELECT id, cat FROM gtest.tt4m ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1L -> "c", 2L -> "a", 3L -> "b"))
+    // physically re-homed: partition pruning finds it in cat=c
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$wh/tt4m/cat=c")))
+    assert(spark.sql("SELECT id FROM gtest.tt4m WHERE cat = 'c'")
+      .head().getLong(0) == 1L)
+  }
+
+  test("hidden-transform and legacy partitioned tables stay read-only") {
+    // bucket transform: the derived column is not a data column — a SQL
+    // write could contradict the derivation, so the door stays shut
+    val sink = new TableSink(SinkConfig(tableName = "tt4b",
+      warehousePath = wh, versioned = true,
+      partitionSpec = Seq(PartitionField("id", Transform.Bucket(4)))))
+    sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
     val e = intercept[Exception](
-      spark.sql("INSERT INTO gtest.tt4 VALUES (9, 'z', 90.0, null)"))
+      spark.sql("INSERT INTO gtest.tt4b VALUES (9, 'z', 0)"))
     assert(e.isInstanceOf[AnalysisException] ||
       e.isInstanceOf[UnsupportedOperationException],
       s"insert must fail at analysis, got: $e")
+    // legacy: partitioned dirs but no persisted spec line
+    val cfgFile = java.nio.file.Paths.get(s"$wh/tt4c/_graft_config")
+    val sink2 = new TableSink(SinkConfig(tableName = "tt4c",
+      warehousePath = wh, versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink2.append(Seq((1L, "a")).toDF("id", "cat"))
+    val stripped = java.nio.file.Files.readString(cfgFile).linesIterator
+      .filterNot(_.startsWith("partition=")).mkString("\n")
+    java.nio.file.Files.writeString(cfgFile, stripped)
+    val e2 = intercept[Exception](
+      spark.sql("INSERT INTO gtest.tt4c VALUES (9, 'z')"))
+    assert(e2.isInstanceOf[AnalysisException] ||
+      e2.isInstanceOf[UnsupportedOperationException],
+      s"legacy partitioned insert must fail at analysis, got: $e2")
   }
 
   test("INSERT INTO routes through the sink's staged manifest commit") {

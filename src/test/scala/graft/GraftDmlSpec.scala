@@ -126,13 +126,15 @@ class GraftDmlSpec extends AnyFunSuite {
   }
 
   test("SQL UPDATE/MERGE refuse on tables the catalog serves read-only") {
-    // hive-partitioned directory layout -> GraftReadOnlyTable
+    // hidden-transform partitioning -> GraftReadOnlyTable (a SQL write
+    // could contradict the derivation; identity specs ARE writable —
+    // CatalogSpec "SQL DML works on identity-partitioned tables")
     val t = fresh()
     val sink = new TableSink(SinkConfig(tableName = t, warehousePath = wh,
-      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+      partitionSpec = Seq(PartitionField("id", Transform.Bucket(4)))))
     sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "cat"))
     val e = intercept[Exception] {
-      spark.sql(s"UPDATE gdml.$t SET id = 0 WHERE cat = 'a'")
+      spark.sql(s"UPDATE gdml.$t SET cat = 'z' WHERE id = 1")
     }
     assert(e.getMessage.contains("does not support UPDATE"), e.getMessage)
   }
