@@ -68,17 +68,26 @@ object GraftDml {
         "MERGE INTO")
 
   /** Assignment keys must be direct columns; the map is exprId-keyed so
-    * MERGE's same-named source columns can never be confused for them. */
+    * MERGE's same-named source columns can never be confused for them.
+    * Duplicate assignments refuse (SQL semantics; Spark's own duplicate
+    * check only runs for SupportsRowLevelOperations tables, and a silent
+    * last-wins would diverge from [[TableSink.update]]'s refusal). */
   private[graft] def byTargetColumn(
-      what: String, assignments: Seq[Assignment]): Map[ExprId, Expression] =
-    assignments.map { a =>
+      what: String, assignments: Seq[Assignment]): Map[ExprId, Expression] = {
+    val keyed = assignments.map { a =>
       a.key match {
-        case ar: AttributeReference => ar.exprId -> a.value
+        case ar: AttributeReference => ar -> a.value
         case other => throw new UnsupportedOperationException(
           s"graft SQL $what cannot assign to nested field ${other.sql} — " +
             "rewrite the whole top-level column")
       }
-    }.toMap
+    }
+    val dups = keyed.groupBy(_._1.exprId).filter(_._2.sizeIs > 1)
+    require(dups.isEmpty,
+      s"graft SQL $what assigns a column more than once: " +
+        dups.values.map(_.head._1.name).mkString(", "))
+    keyed.map { case (ar, v) => ar.exprId -> v }.toMap
+  }
 
   /** NULL action/WHERE conditions are false (SQL three-valued logic). */
   private[graft] def condColumn(e: Option[Expression]): Column =
@@ -193,8 +202,9 @@ case class GraftMergeCommand(
     val tMark = "__graft_merge_t__"
     val sMark = "__graft_merge_s__"
     val tid = "__graft_merge_tid__"
+    val rid = "__graft_merge_rid__"
     val taken = (attrs.map(_.name) ++ source.output.map(_.name)).toSet
-    val clash = Seq(tMark, sMark, tid).filter(taken)
+    val clash = Seq(tMark, sMark, tid, rid).filter(taken)
     require(clash.isEmpty,
       s"MERGE bookkeeping columns collide with ${clash.mkString(", ")} — " +
         "rename those columns first")
@@ -203,7 +213,14 @@ case class GraftMergeCommand(
       .withColumn(tMark, lit(true))
       .withColumn(tid, monotonically_increasing_id())
     val s = Bridge.ofRows(spark, source).withColumn(sMark, lit(true))
-    val j = t.join(s, Bridge.column(mergeCondition), "full_outer")
+    val j0 = t.join(s, Bridge.column(mergeCondition), "full_outer")
+    // per-JOIN-ROW id: window keys below use coalesce(tid, -rid-1) so
+    // source-only rows (tid NULL) each sit in their own window partition
+    // instead of all hashing into one NULL-key task — an insert-heavy
+    // merge would otherwise funnel the whole unmatched source through a
+    // single straggler
+    val j = j0.withColumn(rid, monotonically_increasing_id())
+    val winKey = coalesce(col(tid), -col(rid) - 1)
 
     val isMatched = col(tMark).isNotNull && col(sMark).isNotNull
     val isSourceOnly = col(tMark).isNull
@@ -245,12 +262,20 @@ case class GraftMergeCommand(
         .otherwise(
           survives(notMatchedBySourceActions, fn, keepOnNoFire = true))
 
-    // SQL-standard cardinality guard, evaluated inside the same pass
+    // Multi-matched target rows, evaluated inside the same pass:
+    //  - with matched actions: the SQL-standard cardinality VIOLATION
+    //    (an update/delete would apply ambiguously) — raise;
+    //  - without matched actions (insert-only / NMBS-only merge): the
+    //    matched target row passes through UNCHANGED and must survive
+    //    exactly once, not once per join copy — keep only the first.
     val guardedKeep =
-      if (matchedActions.isEmpty) keep
-      else {
+      if (matchedActions.isEmpty) {
+        val copyNo = row_number()
+          .over(Window.partitionBy(winKey).orderBy(col(rid)))
+        when(isMatched, keep && copyNo === 1).otherwise(keep)
+      } else {
         val matches = sum(when(col(sMark).isNotNull, 1L).otherwise(0L))
-          .over(Window.partitionBy(col(tid)))
+          .over(Window.partitionBy(winKey))
         when(isMatched && matches > 1L, raise_error(lit(
           "MERGE cardinality violation: a target row matched more than " +
             "one source row — deduplicate the source on the ON keys"))

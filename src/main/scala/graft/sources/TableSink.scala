@@ -1899,8 +1899,18 @@ final class TableSink(val config: SinkConfig) {
     try {
       val nUpdated = matchedParts.count()
       if (nUpdated == 0L) return 0L
-      val touchedVals = matchedParts.distinct()
-      val touched = current.join(broadcast(touchedVals), parts, "left_semi")
+      // NULL-SAFE semi join: a matched row living in the NULL partition
+      // (cat=__HIVE_DEFAULT_PARTITION__) must still select its partition
+      // for rewrite — the usingColumns join's null-unsafe equality would
+      // silently drop it while nUpdated still reported it. (delete/upsert
+      // don't need this: their `emptied` anti-join is null-unsafe the
+      // conservative way — a NULL partition value routes them to the full
+      // rewrite.) Renamed columns keep the self-join lineage unambiguous.
+      val tvCols = parts.map(_ + "__graft_tv")
+      val touchedVals = broadcast(matchedParts.distinct().toDF(tvCols: _*))
+      val semiCond = parts.zip(tvCols)
+        .map { case (p, tv) => col(p) <=> col(tv) }.reduce(_ && _)
+      val touched = current.join(touchedVals, semiCond, "left_semi")
       // partition columns are untouched by the SET (guarded above), so
       // every row stays home — rewrite exactly the touched partitions
       val rewritten = touched.select(updatedCols: _*).localCheckpoint()

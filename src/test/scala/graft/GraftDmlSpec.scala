@@ -125,6 +125,46 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(90.0, 91.0))
   }
 
+  test("insert-only MERGE keeps a multi-matched target row exactly once") {
+    val t = mk(Seq((1L, 1.0, "a"), (2L, 2.0, "b")))
+    // two source rows match target id=1; with NO matched actions the
+    // cardinality guard must not engage AND the unchanged target row must
+    // survive once, not once per join copy
+    Seq((1L, 10.0), (1L, 20.0), (9L, 90.0)).toDF("id", "v")
+      .createOrReplaceTempView("multi_src")
+    spark.sql(s"MERGE INTO gdml.$t AS tgt USING multi_src AS s " +
+      "ON tgt.id = s.id WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)")
+    assert(state(t) == Map(1L -> (1.0, "a"), 2L -> (2.0, "b"),
+      9L -> (90.0, null)))
+  }
+
+  test("duplicate SET assignments refuse in SQL UPDATE and MERGE") {
+    val t = mk(Seq((1L, 1.0, "a")))
+    val e1 = intercept[Exception](
+      spark.sql(s"UPDATE gdml.$t SET v = 1, v = 2"))
+    assert(e1.getMessage.contains("more than once"), e1.getMessage)
+    Seq((1L, 5.0)).toDF("id", "v").createOrReplaceTempView("dupset_src")
+    val e2 = intercept[Exception](
+      spark.sql(s"MERGE INTO gdml.$t AS tgt USING dupset_src AS s " +
+        "ON tgt.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v, v = 0"))
+    assert(e2.getMessage.contains("more than once"), e2.getMessage)
+    assert(state(t) == Map(1L -> (1.0, "a")))
+  }
+
+  test("library update reaches rows in the NULL partition") {
+    val dir = TestSpark.tmpDir("upd_nullpart")
+    val sink = new TableSink(SinkConfig(tableName = "t", warehousePath = dir,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, Some("a"), 1.0), (2L, None, 2.0), (3L, None, 3.0))
+      .toDF("id", "cat", "v"))
+    val n = sink.update(spark, expr("id = 2"), Seq("v" -> lit(99.0)))
+    assert(n == 1L)
+    val got = sink.read(spark).select("id", "v").as[(Long, Double)]
+      .collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 99.0, 3L -> 3.0),
+      "the NULL-partition row must actually take the update")
+  }
+
   test("SQL UPDATE/MERGE refuse on tables the catalog serves read-only") {
     // hidden-transform partitioning -> GraftReadOnlyTable (a SQL write
     // could contradict the derivation; identity specs ARE writable —
