@@ -305,6 +305,16 @@ final class GraftCatalog extends TableCatalog {
         case "files" => Some(() => sink.metaFiles(spark))
         case "partitions" => Some(() => sink.metaPartitions(spark))
         case "deletes" => Some(() => sink.metaDeletes(spark))
+        case "changes" => Some(() => {
+          // full row-level CDC changelog (Iceberg changelog scan): works
+          // even with pending MoR sidecars — the changelog REPLAYS them,
+          // unlike the main table read which refuses until materialized
+          val vs = sink.snapshotVersions()
+          if (vs.isEmpty) throw new IllegalArgumentException(
+            s"${base}.changes needs a versioned table with at least one " +
+              "commit (the changelog is the snapshot history's row diff)")
+          sink.readChangelog(spark, 0, vs.last)
+        })
         case _ => None
       }
     compute.map(f =>

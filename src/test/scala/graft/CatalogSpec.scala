@@ -437,6 +437,21 @@ class CatalogSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getString(0) == "predicate")
   }
 
+  test("changes metadata table serves the row-level changelog through SQL") {
+    val sink = new TableSink(SinkConfig(tableName = "meta3",
+      warehousePath = wh, versioned = true))
+    sink.append(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))   // v1: +2
+    sink.append(Seq((3L, 3.0)).toDF("id", "v"))              // v2: +1
+    sink.deleteWhere("id = 2")                               // v3: -1 (MoR)
+    val got = spark.sql(
+      "SELECT _change_type, _change_version, id FROM gtest.meta3.changes " +
+        "ORDER BY _change_version, _change_type, id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("insert", 1, 1L), ("insert", 1, 2L),
+      ("insert", 2, 3L), ("delete", 3, 2L)),
+      s"changelog through SQL must replay the MoR delete: $got")
+  }
+
   test("ALTER TABLE ADD COLUMNS: pre-evolution rows NULL-fill, history included") {
     spark.sql("CREATE TABLE gtest.alt1 (id BIGINT, v DOUBLE) " +
       "TBLPROPERTIES('versioned'='true')")
