@@ -243,6 +243,21 @@ final class TableSink(val config: SinkConfig) {
     while (true) {
       attempt += 1
       val head = snapshotVersions().lastOption
+      // An append racing a REWRITE (delete/update/compact/cluster — ops
+      // that swap the table root) can have its already-renamed files
+      // swept with the old root before this claim lands; committing
+      // anyway would publish a manifest referencing deleted files — a
+      // broken table, not a lost race. Verify our own files still exist
+      // right before claiming (O(added) metadata ops, same cost class as
+      // the commit) and fail LOUDLY instead. Rewrites otherwise assume
+      // the Iceberg single-rewriter convention: one maintenance process;
+      // append-vs-append needs no such care (commits commute).
+      val swept = added.filterNot(rel => WarehouseIO.exists(
+        new org.apache.hadoop.fs.Path(config.tablePath, rel)))
+      if (swept.nonEmpty) throw new IllegalStateException(
+        s"append raced a table rewrite: its staged files were swept " +
+          s"(${swept.take(3).mkString(", ")}${if (swept.sizeIs > 3) ", …"
+          else ""}) — retry the append against the rewritten table")
       val base = head.map(manifestFiles).getOrElse(listDataFiles())
       val v = head.getOrElse(0) + 1
       if (WarehouseIO.writeStringIfAbsent(logFile(f"v$v%05d.list"),

@@ -86,6 +86,10 @@ class AppendCommitSpec extends AnyFunSuite {
     assert(WarehouseIO.readString(v2) == "cat=a/concurrent.parquet",
       "losing claim must not clobber the winner's manifest")
     // our commit retries against the NEW head: v3 = v2's files + ours
+    // (the file must physically exist — the commit now verifies its own
+    // files were not swept by a racing rewrite)
+    WarehouseIO.writeStringAtomic(
+      new org.apache.hadoop.fs.Path(s"$wh/ac_t5/cat=b/mine.parquet"), "")
     val v = sink.commitAppendedFiles(Seq("cat=b/mine.parquet"))
     assert(v == 3)
     val m3 = WarehouseIO.readString(new org.apache.hadoop.fs.Path(
@@ -171,5 +175,20 @@ class AppendCommitSpec extends AnyFunSuite {
     val staging = new org.apache.hadoop.fs.Path(s"$wh/ac_t4/_staging")
     assert(WarehouseIO.childNames(staging).isEmpty,
       "every staged write cleans its staging dir")
+  }
+
+  test("a commit whose files were swept by a racing rewrite refuses loudly") {
+    val sink = mkSink("ac_t9")
+    sink.append(batch(1L, 2L))
+    // simulate the append-vs-rewrite race: the appender renamed its files
+    // into the table, a rewrite swapped the root (sweeping them), and the
+    // appender now tries to claim its commit — it must refuse instead of
+    // publishing a manifest that references deleted files
+    val e = intercept[IllegalStateException] {
+      sink.commitAppendedFiles(Seq("cat=a/part-race-swept.parquet"))
+    }
+    assert(e.getMessage.contains("raced a table rewrite"), e.getMessage)
+    // the log is untouched: no phantom version was claimed
+    assert(sink.snapshotVersions() == Seq(1))
   }
 }
