@@ -577,18 +577,21 @@ private[graft] final class GraftReadOnlyTable(delegate: FileTable,
   * in SQL text refuse at `canDeleteWhere` with Spark's standard error
   * rather than deleting the wrong rows. */
 /** A metadata table (`cat.t.snapshots` / `files` / `partitions` /
-  * `deletes`): read-only, served as a [[org.apache.spark.sql.connector.read.LocalScan]]
-  * — the rows are computed when the scan executes (snapshot metadata from
-  * the manifest log; file/partition inventories from the distributed
-  * footer-only scans), never at resolution time. Bounded by
-  * snapshot/file/partition count, not data size. No write capability: an
-  * INSERT gets Spark's standard refusal. */
+  * `deletes` / `changes`): read-only, served as a DSv2
+  * [[org.apache.spark.sql.connector.read.V1Scan]] whose relation executes
+  * the underlying metadata DataFrame DISTRIBUTED (`df.rdd`) — never a
+  * driver-side collect. That matters for `changes`: the row-level
+  * changelog is data-sized, and a `LocalScan` would have funneled the
+  * whole diff through the driver; the bounded views (snapshots, file and
+  * partition inventories) simply keep their distributed plans. Rows are
+  * computed when the scan executes; only the snapshot-metadata plans do
+  * their (bounded) manifest reads at plan-construction time. No write
+  * capability: an INSERT gets Spark's standard refusal. */
 private[graft] final class GraftMetaTable(fullName: String,
     compute: () => org.apache.spark.sql.DataFrame)
     extends Table with SupportsRead {
-  // one plan per load: schema() during analysis and rows() at execution
-  // must agree, and snapshot-metadata plans do their manifest reads at
-  // plan-construction time (bounded driver IO)
+  // one plan per load: schema() during analysis and the scan at execution
+  // must agree
   private lazy val df = compute()
   override def name(): String = fullName
   override def schema(): StructType = df.schema
@@ -599,10 +602,18 @@ private[graft] final class GraftMetaTable(fullName: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): org.apache.spark.sql.connector.read.Scan =
-        new org.apache.spark.sql.connector.read.LocalScan {
-          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-            org.apache.spark.sql.graft.Bridge.collectInternal(df)
+        new org.apache.spark.sql.connector.read.V1Scan {
           override def readSchema(): StructType = df.schema
+          override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan](
+              context: org.apache.spark.sql.SQLContext): T =
+            new org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan {
+              override def sqlContext: org.apache.spark.sql.SQLContext = context
+              override def schema: StructType = df.schema
+              override def buildScan(): org.apache.spark.rdd.RDD[
+                org.apache.spark.sql.Row] = df.rdd
+            }.asInstanceOf[T]
         }
     }
 }

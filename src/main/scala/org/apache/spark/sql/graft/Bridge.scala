@@ -1,7 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic
@@ -31,10 +30,4 @@ object Bridge {
 
   /** The resolved expression inside a Column. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
-
-  /** Execute and collect as InternalRows — the row format a DataSourceV2
-    * `LocalScan` serves (metadata tables). */
-  def collectInternal(df: DataFrame): Array[InternalRow] =
-    df.asInstanceOf[classic.Dataset[Row]].queryExecution
-      .executedPlan.executeCollect()
 }
