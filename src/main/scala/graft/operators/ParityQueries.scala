@@ -1751,7 +1751,7 @@ object ParityQueries {
     * never wall-clock or file counts, which the record-per-file split
     * may vary); the oracle recomputes the counts from the source. Pins
     * identifier resolution (`<table>` as the namespace tail), the
-    * LocalScan execution path, and that the distributed footer-only
+    * distributed V1Scan execution path, and that the footer-only
     * inventories agree with the snapshot log. */
   def metaSql(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)

@@ -181,8 +181,10 @@ case class GraftUpdateCommand(
   *    table-sized job and no cross-job nondeterminism worries.
   *
   * Scale shape: one join (Catalyst/AQE pick the physical strategy the
-  * full-outer shape allows), one optional window shuffle when matched
-  * actions exist, then the guarded full-rewrite commit. The full rewrite is the
+  * full-outer shape allows), one window shuffle over the join output
+  * (the cardinality guard when matched actions exist; first-copy-wins
+  * dedup of multi-matched target rows otherwise), then the guarded
+  * full-rewrite commit. The full rewrite is the
   * honest cost of arbitrary-condition MERGE on an immutable-file table;
   * keyed workloads that want partition-scoped commits use
   * [[TableSink.upsert]].

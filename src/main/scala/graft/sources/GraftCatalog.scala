@@ -285,13 +285,14 @@ final class GraftCatalog extends TableCatalog {
 
   /** Iceberg-style METADATA TABLES: `SELECT * FROM cat.<table>.<meta>`
     * where `<meta>` ∈ `snapshots` (alias `history`), `files`,
-    * `partitions`, `deletes` — served only when no real table shadows the
-    * name (real tables win). Each is a read-only `LocalScan` over the
-    * matching [[TableSink]] metadata DataFrame: snapshot/delete rows are
-    * driver manifest metadata, file/partition inventories run as the same
-    * DISTRIBUTED footer-only scans the library functions use, and only
-    * the aggregated rows (bounded by file/partition/snapshot count) reach
-    * the driver — the `metaFiles` 100 TB contract, now through SQL. */
+    * `partitions`, `deletes`, `changes` — served only when no real table
+    * shadows the name (real tables win). Each is a read-only
+    * [[GraftMetaTable]] whose V1Scan EXECUTES the matching [[TableSink]]
+    * metadata DataFrame as a distributed plan: file/partition inventories
+    * run as the same footer-only scans the library functions use,
+    * `changes` replays the full CDC changelog, and only snapshot/delete
+    * rows (bounded by manifest count) are driver-computed — the
+    * `metaFiles` 100 TB contract, now through SQL. */
   private def metaTable(ident: Identifier): Option[Table] = {
     if (ident.namespace().isEmpty) return None
     val base = Identifier.of(
@@ -308,12 +309,16 @@ final class GraftCatalog extends TableCatalog {
         case "changes" => Some(() => {
           // full row-level CDC changelog (Iceberg changelog scan): works
           // even with pending MoR sidecars — the changelog REPLAYS them,
-          // unlike the main table read which refuses until materialized
-          val vs = sink.snapshotVersions()
-          if (vs.isEmpty) throw new IllegalArgumentException(
-            s"${base}.changes needs a versioned table with at least one " +
-              "commit (the changelog is the snapshot history's row diff)")
-          sink.readChangelog(spark, 0, vs.last)
+          // unlike the main table read which refuses until materialized.
+          // readChangelogAll (not readChangelog(0, head)) so a table whose
+          // oldest RETAINED commit is an unreplayable post-expiry delete
+          // still serves the replayable suffix instead of throwing forever
+          // from a surface that cannot pass a range.
+          if (sink.snapshotVersions().isEmpty)
+            throw new IllegalArgumentException(
+              s"${base}.changes needs a versioned table with at least one " +
+                "commit (the changelog is the snapshot history's row diff)")
+          sink.readChangelogAll(spark)
         })
         case _ => None
       }

@@ -252,17 +252,40 @@ final class TableSink(val config: SinkConfig) {
       // the commit) and fail LOUDLY instead. Rewrites otherwise assume
       // the Iceberg single-rewriter convention: one maintenance process;
       // append-vs-append needs no such care (commits commute).
-      val swept = added.filterNot(rel => WarehouseIO.exists(
-        new org.apache.hadoop.fs.Path(config.tablePath, rel)))
-      if (swept.nonEmpty) throw new IllegalStateException(
-        s"append raced a table rewrite: its staged files were swept " +
-          s"(${swept.take(3).mkString(", ")}${if (swept.sizeIs > 3) ", …"
-          else ""}) — retry the append against the rewritten table")
+      def sweptFiles(): Seq[String] = added.filterNot(rel =>
+        WarehouseIO.exists(
+          new org.apache.hadoop.fs.Path(config.tablePath, rel)))
+      def raceError(detail: String): Nothing =
+        throw new IllegalStateException(
+          s"append raced a table rewrite: $detail — retry the append " +
+            "against the rewritten table")
+      val swept = sweptFiles()
+      if (swept.nonEmpty) raceError(
+        s"its staged files were swept (${swept.take(3).mkString(", ")}" +
+          s"${if (swept.sizeIs > 3) ", …" else ""})")
+      // The check above is check-then-act: a rewrite can still land
+      // INSIDE the check-to-claim window. Pin the log generation here and
+      // re-verify both signals AFTER the claim, retracting our own
+      // version file on a flip — the durable log never keeps a manifest
+      // referencing swept files; readers can observe one only in the
+      // claim-to-retract instant, and only under a rewrite that already
+      // violated the single-rewriter maintenance-window convention.
+      val genBefore = logGeneration()
       val base = head.map(manifestFiles).getOrElse(listDataFiles())
       val v = head.getOrElse(0) + 1
+      raceWindowCheckHook()
       if (WarehouseIO.writeStringIfAbsent(logFile(f"v$v%05d.list"),
-          (base ++ added).distinct.sorted.mkString("\n")))
+          (base ++ added).distinct.sorted.mkString("\n"))) {
+        val genFlip = genBefore != "none" && logGeneration() != genBefore
+        val sweptAfter = if (genFlip) Nil else sweptFiles()
+        if (genFlip || sweptAfter.nonEmpty) {
+          WarehouseIO.delete(logFile(f"v$v%05d.list"))
+          raceError(s"a rewrite landed inside the commit window " +
+            s"(manifest v$v retracted; the append may or may not be in " +
+            "the rewritten snapshot)")
+        }
         return v
+      }
       require(attempt < maxAttempts,
         s"append commit lost the version race $maxAttempts times — " +
           "a committer storm or a stuck writer is holding the log")
@@ -347,6 +370,13 @@ final class TableSink(val config: SinkConfig) {
   /** Table-wide directory walks taken (test hook: the append commit path
     * must stay at zero once a manifest exists — O(added), not O(table)). */
   private[graft] var directoryWalks: Int = 0
+
+  /** Test seam: runs inside [[commitAppendedFiles]]' check-to-claim
+    * window (after the pre-claim verification, before the version claim)
+    * so specs can land a simulated rewrite exactly where a real one
+    * would race, and assert the post-claim retraction. No-op in
+    * production. */
+  private[graft] var raceWindowCheckHook: () => Unit = () => ()
 
   private def listDataFiles(): Seq[String] = {
     directoryWalks += 1
@@ -951,6 +981,25 @@ final class TableSink(val config: SinkConfig) {
       base.withColumn("_change_type", lit(""))
         .withColumn("_change_version", lit(0L))
     } else parts.reduce(_ unionByName _)
+  }
+
+  /** Whole-history changelog for parameterless surfaces (the SQL
+    * `<table>.changes` metadata table): [[readChangelog]] over every
+    * retained commit, EXCEPT that when snapshot expiry has left a
+    * merge-on-read delete commit as the oldest retained version — whose
+    * pre-commit snapshot is gone, so its delete replay is impossible —
+    * the range starts after it instead of refusing. Only the oldest
+    * retained commit can lack a predecessor, so skipping it (its net
+    * effect is already folded into every later snapshot) is the one
+    * remedy [[readChangelog]]'s error suggests that a no-argument caller
+    * could not apply itself. */
+  def readChangelogAll(spark: SparkSession): DataFrame = {
+    val vs = snapshotVersions()
+    val from = vs.headOption.filter { v0 =>
+      WarehouseIO.isFile(deletesPath(v0)) || WarehouseIO.isDir(keysPath(v0)) ||
+        WarehouseIO.isDir(posDeletesPath(v0))
+    }.getOrElse(0)
+    readChangelog(spark, from, vs.lastOption.getOrElse(0))
   }
 
   /** Incremental changelog consumption with a DURABLE cursor — the
@@ -1922,6 +1971,10 @@ final class TableSink(val config: SinkConfig) {
       // conservative way — a NULL partition value routes them to the full
       // rewrite.) Renamed columns keep the self-join lineage unambiguous.
       val tvCols = parts.map(_ + "__graft_tv")
+      val tvClash = tvCols.filter(current.columns.contains)
+      require(tvClash.isEmpty,
+        s"update bookkeeping columns collide with ${tvClash.mkString(", ")}" +
+          " — rename those columns first")
       val touchedVals = broadcast(matchedParts.distinct().toDF(tvCols: _*))
       val semiCond = parts.zip(tvCols)
         .map { case (p, tv) => col(p) <=> col(tv) }.reduce(_ && _)

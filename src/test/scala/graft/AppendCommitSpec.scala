@@ -191,4 +191,31 @@ class AppendCommitSpec extends AnyFunSuite {
     // the log is untouched: no phantom version was claimed
     assert(sink.snapshotVersions() == Seq(1))
   }
+
+  test("a rewrite landing INSIDE the commit window is detected and the " +
+    "claimed manifest retracted") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val sink = mkSink("ac_t10")
+    sink.append(batch(1L, 2L))
+    // a real (renamed) file, so the PRE-claim existence check passes...
+    val rel = "cat=a/part-inwindow-00000.parquet"
+    WarehouseIO.writeString(new HPath(s"$wh/ac_t10/$rel"), "x")
+    // ...then a simulated rewrite lands in the check-to-claim window:
+    // sweeps the file and restarts the log generation
+    sink.raceWindowCheckHook = () => {
+      WarehouseIO.delete(new HPath(s"$wh/ac_t10/$rel"))
+      WarehouseIO.delete(new HPath(s"$wh/ac_t10/_graft_log/generation"))
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        sink.commitAppendedFiles(Seq(rel))
+      }
+      assert(e.getMessage.contains("inside the commit window"), e.getMessage)
+      // the post-claim verification retracted the phantom version file:
+      // the durable log never keeps a manifest referencing swept files
+      assert(sink.snapshotVersions() == Seq(1),
+        "claimed manifest must be retracted on an in-window race")
+    } finally sink.raceWindowCheckHook = () => ()
+    assert(sink.read(spark).count() == 2, "table still reads clean")
+  }
 }

@@ -452,6 +452,24 @@ class CatalogSpec extends AnyFunSuite {
       s"changelog through SQL must replay the MoR delete: $got")
   }
 
+  test("changes metadata table survives expiry that orphans a delete " +
+    "commit's base snapshot") {
+    val sink = new TableSink(SinkConfig(tableName = "meta4",
+      warehousePath = wh, versioned = true))
+    sink.append(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")) // v1
+    sink.deleteWhere("id = 2")                             // v2: MoR delete
+    sink.expireSnapshotsKeepLast(1) // drops v1 — v2's replay base is gone
+    // the parameterless SQL surface cannot pass a range, so `changes`
+    // must skip the unreplayable oldest commit, not throw forever
+    assert(spark.sql("SELECT * FROM gtest.meta4.changes").count() == 0)
+    sink.append(Seq((3L, 3.0)).toDF("id", "v"))            // v3: +1
+    val got = spark.sql(
+      "SELECT _change_type, _change_version, id FROM gtest.meta4.changes")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("insert", 3, 3L)),
+      s"only the replayable suffix is served: $got")
+  }
+
   test("ALTER TABLE ADD COLUMNS: pre-evolution rows NULL-fill, history included") {
     spark.sql("CREATE TABLE gtest.alt1 (id BIGINT, v DOUBLE) " +
       "TBLPROPERTIES('versioned'='true')")

@@ -234,6 +234,21 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unknown columns"))
   }
 
+  test("library update refuses a data column that collides with its " +
+    "partition-join bookkeeping name") {
+    val dir = TestSpark.tmpDir("upd_clash")
+    val sink = new TableSink(SinkConfig(tableName = "t", warehousePath = dir,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, "a", 9.0)).toDF("id", "cat", "cat__graft_tv"))
+    val e = intercept[IllegalArgumentException] {
+      sink.update(spark, expr("id = 1"),
+        Seq("cat__graft_tv" -> lit(1.0)))
+    }
+    assert(e.getMessage.contains("bookkeeping columns collide"),
+      s"must refuse with the rename remedy, not an analyzer error: " +
+        e.getMessage)
+  }
+
   test("durable declaration sidecars ride every rewrite swap") {
     val dir = TestSpark.tmpDir("sidecars")
     val sink = new TableSink(SinkConfig(tableName = "t", warehousePath = dir,
