@@ -1787,6 +1787,53 @@ object ParityQueries {
       |  (SELECT COUNT(*) FROM events) AS part_records
       |FROM (VALUES (1), (2)) t(v) ORDER BY 1""".stripMargin
 
+  /** The `.changes` metadata table — the full CDC changelog through pure
+    * SQL — against a history that mixes both commit kinds: two appends
+    * (manifest file-set diffs) and one merge-on-read predicate delete
+    * ([[TableSink.deleteWhere]]), which the changelog REPLAYS against its
+    * pre-commit snapshot even while the main catalog read refuses the
+    * pending sidecar. The aggregate keys on (`_change_type`,
+    * `_change_version`) so the hash pins which rows each commit
+    * inserted/deleted, not just totals; the oracle recomputes all three
+    * commits' row sets from the source. Everything data-sized here runs
+    * distributed: the insert diffs are native file scans and the delete
+    * replay is one filtered scan, served through [[GraftMetaTable]]'s
+    * V1Scan — only the grouped rows reach the driver. */
+  def changesSql(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_chg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val sink = new TableSink(SinkConfig(
+      tableName = tbl, warehousePath = wh, versioned = true))
+    val slim = e.select($"event_id", $"event_type", $"value")
+    sink.append(slim.filter(pmod($"event_id", lit(2)) === 0)) // v1
+    sink.append(slim.filter(pmod($"event_id", lit(2)) === 1)) // v2
+    sink.deleteWhere("value < 10.0")                          // v3: MoR
+    spark.sql(
+      s"""SELECT _change_type, _change_version, COUNT(*) AS n,
+         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+         |FROM graft_cat.$tbl.changes
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val changesSqlSql: String =
+    """SELECT * FROM (
+      |  SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _change_version,
+      |    COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'insert', CAST(2 AS BIGINT), COUNT(*),
+      |    CAST(SUM(event_id) AS BIGINT)
+      |  FROM events WHERE event_id % 2 = 1
+      |  UNION ALL
+      |  SELECT 'delete', CAST(3 AS BIGINT), COUNT(*),
+      |    CAST(SUM(event_id) AS BIGINT)
+      |  FROM events WHERE value < 10.0
+      |) ORDER BY 1, 2""".stripMargin
+
   /** `ALTER TABLE ADD COLUMNS` + the evolved column through every door:
     * batch 1 lands pre-evolution, the ALTER grows the declared schema
     * (old files read the column as NULL — Iceberg's additive evolution),
