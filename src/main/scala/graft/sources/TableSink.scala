@@ -988,18 +988,30 @@ final class TableSink(val config: SinkConfig) {
     * retained commit, EXCEPT that when snapshot expiry has left a
     * merge-on-read delete commit as the oldest retained version — whose
     * pre-commit snapshot is gone, so its delete replay is impossible —
-    * the range starts after it instead of refusing. Only the oldest
-    * retained commit can lack a predecessor, so skipping it (its net
-    * effect is already folded into every later snapshot) is the one
-    * remedy [[readChangelog]]'s error suggests that a no-argument caller
-    * could not apply itself. */
+    * that commit's POST-commit state folds in as inserts at its version
+    * (exactly what [[readChangelog]] emits for an oldest commit WITHOUT
+    * sidecars) and only the impossible delete replay is skipped. A
+    * consumer replaying the whole stream therefore still reconstructs
+    * the table: dropping the base commit outright would silently lose
+    * every row that survived the expiry. Only the oldest retained
+    * commit can lack a predecessor, so this is the one remedy
+    * [[readChangelog]]'s error suggests that a no-argument caller could
+    * not apply itself. */
   def readChangelogAll(spark: SparkSession): DataFrame = {
     val vs = snapshotVersions()
-    val from = vs.headOption.filter { v0 =>
+    val last = vs.lastOption.getOrElse(0)
+    val unreplayable = vs.headOption.filter { v0 =>
       WarehouseIO.isFile(deletesPath(v0)) || WarehouseIO.isDir(keysPath(v0)) ||
         WarehouseIO.isDir(posDeletesPath(v0))
-    }.getOrElse(0)
-    readChangelog(spark, from, vs.lastOption.getOrElse(0))
+    }
+    unreplayable match {
+      case None => readChangelog(spark, 0, last)
+      case Some(v0) =>
+        val base = applyDeletes(readFiles(spark, manifestFiles(v0)), v0)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_change_version", lit(v0.toLong))
+        base.unionByName(readChangelog(spark, v0, last))
+    }
   }
 
   /** Incremental changelog consumption with a DURABLE cursor — the

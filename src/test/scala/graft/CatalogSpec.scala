@@ -460,14 +460,21 @@ class CatalogSpec extends AnyFunSuite {
     sink.deleteWhere("id = 2")                             // v2: MoR delete
     sink.expireSnapshotsKeepLast(1) // drops v1 — v2's replay base is gone
     // the parameterless SQL surface cannot pass a range, so `changes`
-    // must skip the unreplayable oldest commit, not throw forever
-    assert(spark.sql("SELECT * FROM gtest.meta4.changes").count() == 0)
-    sink.append(Seq((3L, 3.0)).toDF("id", "v"))            // v3: +1
-    val got = spark.sql(
+    // must not throw forever: the unreplayable oldest commit's
+    // POST-commit state folds in as inserts (a from-scratch consumer
+    // still reconstructs the table) and only its delete replay is skipped
+    val base = spark.sql(
       "SELECT _change_type, _change_version, id FROM gtest.meta4.changes")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(got == Seq(("insert", 3, 3L)),
-      s"only the replayable suffix is served: $got")
+    assert(base == Seq(("insert", 2, 1L)),
+      s"expiry-surviving rows must fold in as base inserts: $base")
+    sink.append(Seq((3L, 3.0)).toDF("id", "v"))            // v3: +1
+    val got = spark.sql(
+      "SELECT _change_type, _change_version, id FROM gtest.meta4.changes " +
+        "ORDER BY _change_version")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("insert", 2, 1L), ("insert", 3, 3L)),
+      s"base fold + replayable suffix must reconstruct the table: $got")
   }
 
   test("ALTER TABLE ADD COLUMNS: pre-evolution rows NULL-fill, history included") {
