@@ -56,7 +56,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Scale: `loadTable` touches only the manifest (one small text file) and
   * directory metadata — no data I/O on the driver; file-set size is the
-  * same O(files) Spark's own file index holds.
+  * same O(files) Spark's own file index holds. All catalog metadata IO
+  * goes through [[WarehouseIO]] (the Hadoop FileSystem API), so the SQL
+  * door resolves against any Hadoop-resolvable warehouse — local, HDFS,
+  * s3a — the same contract the sink's commit path keeps.
   */
 final class GraftCatalog extends TableCatalog {
 
@@ -73,64 +76,52 @@ final class GraftCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  // tables live at warehouse/<namespace dirs...>/<table>
-  private def tableDir(ident: Identifier): java.nio.file.Path =
-    java.nio.file.Paths.get(
+  // tables live at warehouse/<namespace dirs...>/<table>; all metadata IO
+  // goes through WarehouseIO (Hadoop FileSystem), so the SQL door works
+  // against any Hadoop-resolvable warehouse, not just the local filesystem
+  private def tableDir(ident: Identifier): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
       (warehouse +: (ident.namespace() :+ ident.name())).mkString("/"))
 
-  private def logDir(ident: Identifier): java.nio.file.Path =
-    tableDir(ident).resolve("_graft_log")
+  private def logDir(ident: Identifier): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(tableDir(ident), "_graft_log")
 
-  private def isTableDir(p: java.nio.file.Path): Boolean =
-    java.nio.file.Files.isDirectory(p) &&
-      !p.getFileName.toString.startsWith("_") &&
-      !p.getFileName.toString.contains("=") // hive partition dir, not a table
+  private def isTableName(name: String): Boolean =
+    !name.startsWith("_") &&
+      !name.contains("=") // hive partition dir, not a table
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Paths.get((warehouse +: namespace).mkString("/"))
-    if (!java.nio.file.Files.isDirectory(dir))
+    val dir = new org.apache.hadoop.fs.Path(
+      (warehouse +: namespace).mkString("/"))
+    if (!WarehouseIO.isDir(dir))
       throw new NoSuchNamespaceException(namespace.toSeq)
-    val s = java.nio.file.Files.list(dir)
-    try s.iterator().asScala.filter(isTableDir)
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
-    finally s.close()
+    WarehouseIO.childDirNames(dir).filter(isTableName)
+      .map(n => Identifier.of(namespace, n)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    isTableDir(tableDir(ident))
+    isTableName(ident.name()) && WarehouseIO.isDir(tableDir(ident))
 
   /** Snapshot versions recorded for the table, oldest first. */
-  private def versions(ident: Identifier): Seq[Int] = {
-    import scala.jdk.CollectionConverters._
-    val log = logDir(ident)
-    if (!java.nio.file.Files.isDirectory(log)) Nil
-    else {
-      val s = java.nio.file.Files.list(log)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-          n.stripPrefix("v").stripSuffix(".list").toInt }
-        .toVector.sorted
-      finally s.close()
-    }
-  }
+  private def versions(ident: Identifier): Seq[Int] =
+    WarehouseIO.childNames(logDir(ident))
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toInt }
+      .sorted
 
-  private def manifestPath(ident: Identifier, v: Int): java.nio.file.Path =
-    logDir(ident).resolve(f"v$v%05d.list")
+  private def manifestPath(ident: Identifier, v: Int): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(logDir(ident), f"v$v%05d.list")
 
   /** Merge-on-read delete predicates are applied by [[TableSink]] reads but
     * cannot be injected into this catalog's V2 file scan — serving the raw
     * files would resurrect deleted rows, so the catalog refuses loudly
     * until the deletes are materialized. */
   private def requireNoPendingDeletes(ident: Identifier, upTo: Int): Unit = {
+    def lp(name: String) = new org.apache.hadoop.fs.Path(logDir(ident), name)
     val pending = versions(ident).filter(v => v <= upTo && (
-      java.nio.file.Files.isRegularFile(
-        logDir(ident).resolve(f"v$v%05d.deletes")) ||
-        java.nio.file.Files.isDirectory(
-          logDir(ident).resolve(f"v$v%05d_keys")) ||
-        java.nio.file.Files.isDirectory(
-          logDir(ident).resolve(f"v$v%05d_pos"))))
+      WarehouseIO.isFile(lp(f"v$v%05d.deletes")) ||
+        WarehouseIO.isDir(lp(f"v$v%05d_keys")) ||
+        WarehouseIO.isDir(lp(f"v$v%05d_pos"))))
     if (pending.nonEmpty) throw new IllegalArgumentException(
       s"${ident.name()}: snapshots ${pending.mkString(", ")} carry pending " +
         "merge-on-read delete predicates the SQL catalog cannot apply; " +
@@ -145,17 +136,17 @@ final class GraftCatalog extends TableCatalog {
     // NOT NoSuchTableException: the analyzer rewrites that into its generic
     // table-not-found error, burying WHICH snapshot is missing — and the
     // table itself does exist
-    if (!java.nio.file.Files.exists(m))
+    if (!WarehouseIO.exists(m))
       throw new IllegalArgumentException(
         s"${ident.name()}: snapshot v$v does not exist (expired by a " +
           "rewrite, or never committed); available: " +
           versions(ident).mkString(", "))
-    java.nio.file.Files.readString(m).split("\n").filter(_.nonEmpty)
+    WarehouseIO.readString(m).split("\n").filter(_.nonEmpty)
       .map(rel => s"${tableDir(ident)}/$rel").toIndexedSeq
   }
 
-  private def schemaFile(ident: Identifier): java.nio.file.Path =
-    tableDir(ident).resolve("_graft_schema")
+  private def schemaFile(ident: Identifier): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(tableDir(ident), "_graft_schema")
 
   /** The declared schema, when one governs this table: written by
     * [[createTable]] (CREATE TABLE / CTAS) and extended by [[alterTable]]
@@ -165,27 +156,19 @@ final class GraftCatalog extends TableCatalog {
     * evolution semantics. Tables created through the library have no
     * declared schema until their first ALTER freezes one. */
   private def declaredSchema(ident: Identifier): Option[StructType] =
-    if (!java.nio.file.Files.isRegularFile(schemaFile(ident))) None
+    if (!WarehouseIO.isFile(schemaFile(ident))) None
     else Some(org.apache.spark.sql.types.DataType
-      .fromJson(java.nio.file.Files.readString(schemaFile(ident)))
+      .fromJson(WarehouseIO.readString(schemaFile(ident)))
       .asInstanceOf[StructType])
 
-  private def versionedMarker(ident: Identifier): java.nio.file.Path =
-    tableDir(ident).resolve("_graft_versioned")
+  private def versionedMarker(ident: Identifier): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(tableDir(ident), "_graft_versioned")
 
   /** Hive-style partition directories under the table root — their
     * transform spec is not recoverable from the layout, so SQL writes
     * into them are refused (route through [[TableSink]]). */
-  private def hasHiveDirs(ident: Identifier): Boolean = {
-    import scala.jdk.CollectionConverters._
-    val root = tableDir(ident)
-    if (!java.nio.file.Files.isDirectory(root)) return false
-    val s = java.nio.file.Files.list(root)
-    try s.iterator().asScala.exists(p =>
-      java.nio.file.Files.isDirectory(p) &&
-        p.getFileName.toString.contains("="))
-    finally s.close()
-  }
+  private def hasHiveDirs(ident: Identifier): Boolean =
+    WarehouseIO.childDirNames(tableDir(ident)).exists(_.contains("="))
 
   /** The [[TableSink]] config a catalog INSERT/DELETE routes through —
     * the write takes the SAME staged-commit path as the library API, so
@@ -198,10 +181,11 @@ final class GraftCatalog extends TableCatalog {
   private def insertConfig(ident: Identifier,
       firstFile: Option[String]): SinkConfig = {
     def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
-    val hintsFile = tableDir(ident).resolve("_graft_config")
+    val hintsFile =
+      new org.apache.hadoop.fs.Path(tableDir(ident), "_graft_config")
     val hints: Map[String, Seq[String]] =
-      if (!java.nio.file.Files.isRegularFile(hintsFile)) Map.empty
-      else java.nio.file.Files.readString(hintsFile).linesIterator
+      if (!WarehouseIO.isFile(hintsFile)) Map.empty
+      else WarehouseIO.readString(hintsFile).linesIterator
         .flatMap { l => l.split("=", 2) match {
           case Array(k, v) => Some(k -> v)
           case _ => None
@@ -227,8 +211,8 @@ final class GraftCatalog extends TableCatalog {
         }
       },
       versioned = one("versioned").contains("true") ||
-        java.nio.file.Files.isDirectory(logDir(ident)) ||
-        java.nio.file.Files.exists(versionedMarker(ident)))
+        WarehouseIO.isDir(logDir(ident)) ||
+        WarehouseIO.exists(versionedMarker(ident)))
   }
 
   /** Wrap the file set in the matching native v2 file table. Format is
@@ -267,21 +251,12 @@ final class GraftCatalog extends TableCatalog {
     else new GraftReadOnlyTable(delegate, ident.toString)
   }
 
-  /** First data file under the live table dir (format sniff + existence). */
-  private def firstDataFile(ident: Identifier): Option[String] = {
-    import scala.jdk.CollectionConverters._
-    val root = tableDir(ident)
-    if (!java.nio.file.Files.isDirectory(root)) return None
-    val s = java.nio.file.Files.walk(root)
-    try s.iterator().asScala.find { p =>
-      java.nio.file.Files.isRegularFile(p) && {
-        val rel = root.relativize(p).toString
-        !rel.startsWith("_") && !rel.contains("/_") &&
-          !p.getFileName.toString.startsWith(".")
-      }
-    }.map(_.toString)
-    finally s.close()
-  }
+  /** First data file under the live table dir (format sniff + existence) —
+    * a lazy recursive listing with early exit, never an O(files)
+    * materialized walk. */
+  private def firstDataFile(ident: Identifier): Option[String] =
+    WarehouseIO.firstDataFileRel(tableDir(ident))
+      .map(rel => s"${tableDir(ident)}/$rel")
 
   /** Iceberg-style METADATA TABLES: `SELECT * FROM cat.<table>.<meta>`
     * where `<meta>` ∈ `snapshots` (alias `history`), `files`,
@@ -312,8 +287,9 @@ final class GraftCatalog extends TableCatalog {
           // unlike the main table read which refuses until materialized.
           // readChangelogAll (not readChangelog(0, head)) so a table whose
           // oldest RETAINED commit is an unreplayable post-expiry delete
-          // still serves the replayable suffix instead of throwing forever
-          // from a surface that cannot pass a range.
+          // still serves its post-commit state as base inserts plus the
+          // replayable suffix, instead of throwing forever from a surface
+          // that cannot pass a range.
           if (sink.snapshotVersions().isEmpty)
             throw new IllegalArgumentException(
               s"${base}.changes needs a versioned table with at least one " +
@@ -372,35 +348,30 @@ final class GraftCatalog extends TableCatalog {
           throw new IllegalArgumentException(
             s"${ident.name()}: '$version' is neither an integer snapshot id " +
               "nor a live branch or tag name")
-        val dir = logDir(ident).resolve(s"branch_$version")
-        val head: Option[Int] = {
-          import scala.jdk.CollectionConverters._
-          if (!java.nio.file.Files.isDirectory(dir)) None
-          else {
-            val s = java.nio.file.Files.list(dir)
-            try s.iterator().asScala.map(_.getFileName.toString)
-              .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-                n.stripPrefix("v").stripSuffix(".list").toInt }
-              .toVector.sorted.lastOption
-            finally s.close()
-          }
-        }
+        val dir =
+          new org.apache.hadoop.fs.Path(logDir(ident), s"branch_$version")
+        val head: Option[Int] = WarehouseIO.childNames(dir)
+          .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+            n.stripPrefix("v").stripSuffix(".list").toInt }
+          .sorted.lastOption
         head match {
           case Some(v) =>
-            java.nio.file.Files.readString(dir.resolve(f"v$v%05d.list"))
+            WarehouseIO.readString(
+              new org.apache.hadoop.fs.Path(dir, f"v$v%05d.list"))
               .split("\n").filter(_.nonEmpty)
               .map(rel => s"${tableDir(ident)}/$rel").toIndexedSeq
           case None =>
             // not a branch — a TAG resolves to the pinned snapshot
             // (Iceberg's VERSION AS OF accepts branch and tag names alike;
             // branches win on a name collision, checked first above)
-            val tag = logDir(ident).resolve(s"tag_$version")
-            if (!java.nio.file.Files.isRegularFile(tag))
+            val tag =
+              new org.apache.hadoop.fs.Path(logDir(ident), s"tag_$version")
+            if (!WarehouseIO.isFile(tag))
               throw new IllegalArgumentException(
                 s"${ident.name()}: '$version' is neither an integer " +
                   "snapshot id nor a live branch or tag name")
             manifestFiles(ident,
-              java.nio.file.Files.readString(tag).trim.toInt).toIndexedSeq
+              WarehouseIO.readString(tag).trim.toInt).toIndexedSeq
         }
     }
     // declared schema governs historical reads too: a snapshot older than
@@ -418,8 +389,8 @@ final class GraftCatalog extends TableCatalog {
       s"table ${ident.name()} has no snapshot log (unversioned); " +
         "TIMESTAMP AS OF needs versioned=true commits")
     val cutoffMs = timestampMicros / 1000L
-    val v = vs.filter(v => java.nio.file.Files
-        .getLastModifiedTime(manifestPath(ident, v)).toMillis <= cutoffMs)
+    val v = vs.filter(v =>
+        WarehouseIO.modifiedAtMs(manifestPath(ident, v)) <= cutoffMs)
       .lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"${ident.name()}: no snapshot committed at or before timestamp " +
@@ -457,14 +428,14 @@ final class GraftCatalog extends TableCatalog {
       s"USING $provider is not supported here — parquet or orc")
     val versioned = "true".equalsIgnoreCase(
       properties.getOrDefault("versioned", "false"))
-    java.nio.file.Files.createDirectories(tableDir(ident))
-    java.nio.file.Files.writeString(schemaFile(ident), schema.json)
+    WarehouseIO.mkdirs(tableDir(ident))
+    WarehouseIO.writeString(schemaFile(ident), schema.json)
     if (versioned)
-      java.nio.file.Files.writeString(versionedMarker(ident), "true")
+      WarehouseIO.writeString(versionedMarker(ident), "true")
     // the same config sidecar a library append persists, so the first
     // INSERT writes the declared format under the declared versioning
-    java.nio.file.Files.writeString(
-      tableDir(ident).resolve("_graft_config"),
+    WarehouseIO.writeString(
+      new org.apache.hadoop.fs.Path(tableDir(ident), "_graft_config"),
       s"fileFormat=$provider\nnumPartitions=1\nversioned=$versioned")
     loadTable(ident)
   }
@@ -518,31 +489,20 @@ final class GraftCatalog extends TableCatalog {
         name, a.dataType(), nullable = true))
     }
     // atomic overwrite: a reader never observes a torn schema file
-    val tmp = schemaFile(ident).resolveSibling("_graft_schema.tmp")
-    java.nio.file.Files.writeString(tmp, evolved.json)
-    java.nio.file.Files.move(tmp, schemaFile(ident),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    WarehouseIO.writeStringAtomic(schemaFile(ident), evolved.json)
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean = {
-    import scala.jdk.CollectionConverters._
-    val root = tableDir(ident)
-    if (!isTableDir(root)) return false
-    val s = java.nio.file.Files.walk(root)
-    val all = try s.iterator().asScala.toVector finally s.close()
-    all.reverseIterator.foreach(java.nio.file.Files.delete)
-    true
-  }
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) &&
+      WarehouseIO.delete(tableDir(ident), recursive = true)
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    if (!isTableDir(tableDir(oldIdent)))
+    if (!tableExists(oldIdent))
       throw new NoSuchTableException(oldIdent)
-    if (isTableDir(tableDir(newIdent)))
+    if (tableExists(newIdent))
       throw new TableAlreadyExistsException(newIdent)
-    java.nio.file.Files.createDirectories(tableDir(newIdent).getParent)
-    java.nio.file.Files.move(tableDir(oldIdent), tableDir(newIdent))
+    WarehouseIO.rename(tableDir(oldIdent), tableDir(newIdent))
   }
 }
 

@@ -91,6 +91,12 @@ private[graft] object WarehouseIO {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       f.delete(tmp, false) // checksum sidecar of the temp, if any
+      // the raw-file move bypassed the checksum layer: a destination that
+      // was ORIGINALLY written through f.create (writeString) still has
+      // its old .crc sidecar, which now mismatches — drop it or the next
+      // read throws ChecksumException
+      val crc = new HPath(p.getParent, s".${p.getName}.crc")
+      if (f.exists(crc)) f.delete(crc, false)
       ()
     } else {
       if (f.exists(p)) f.delete(p, false)
@@ -145,6 +151,37 @@ private[graft] object WarehouseIO {
     val f = fs(dir)
     if (!f.exists(dir)) Nil
     else f.listStatus(dir).toSeq.map(_.getPath.getName)
+  }
+
+  /** Immediate child DIRECTORY names of `dir` (empty when absent) — one
+    * listing, no per-child stat round-trips. */
+  def childDirNames(dir: HPath): Seq[String] = {
+    val f = fs(dir)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
+  /** First data file under `root` as a root-relative path — the lazy
+    * counterpart of [[listDataFilesRel]] (same `_`/`.`-segment exclusion)
+    * for format sniffing and existence checks: the recursive listing is a
+    * remote ITERATOR, so the scan stops at the first hit instead of
+    * materializing an O(files) listing. */
+  def firstDataFileRel(root: HPath): Option[String] = {
+    val f = fs(root)
+    val q = f.makeQualified(root)
+    if (!f.exists(q)) return None
+    val rootStr = q.toString
+    val it = f.listFiles(q, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val rel = st.getPath.toString.stripPrefix(rootStr).stripPrefix("/")
+        val segs = rel.split('/')
+        if (!segs.exists(s => s.startsWith("_") || s.startsWith(".")))
+          return Some(rel)
+      }
+    }
+    None
   }
 
   def modifiedAtMs(p: HPath): Long = fs(p).getFileStatus(p).getModificationTime

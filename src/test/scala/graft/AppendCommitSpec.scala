@@ -192,6 +192,20 @@ class AppendCommitSpec extends AnyFunSuite {
     assert(sink.snapshotVersions() == Seq(1))
   }
 
+  test("writeStringAtomic over a writeString-created file leaves no " +
+    "stale checksum sidecar") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(s"$wh/_crc_probe/state")
+    // writeString goes through the checksummed LocalFileSystem and leaves
+    // a .crc sidecar; the atomic overwrite moves the RAW file underneath
+    // it — the sidecar must go with the old bytes or the next read throws
+    // ChecksumException (hit in production by CREATE TABLE's schema file
+    // followed by ALTER TABLE's atomic evolution)
+    WarehouseIO.writeString(p, "schema-v1")
+    WarehouseIO.writeStringAtomic(p, "schema-v2-evolved")
+    assert(WarehouseIO.readString(p) == "schema-v2-evolved")
+  }
+
   test("a rewrite landing INSIDE the commit window is detected and the " +
     "claimed manifest retracted") {
     import org.apache.hadoop.fs.{Path => HPath}
