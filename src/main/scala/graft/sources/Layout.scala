@@ -205,8 +205,8 @@ final class ZoneMaps(sink: TableSink) {
   def candidates(spark: SparkSession,
       bounds: Seq[(String, Column, Column)]): (Seq[String], Int) = {
     require(bounds.nonEmpty, "candidates needs at least one column bound")
-    val root = java.nio.file.Paths.get(sink.config.tablePath)
-    val live = sink.dataFilesRel().map(r => root.resolve(r).toString)
+    val root = sink.config.tablePath.stripSuffix("/")
+    val live = sink.dataFilesRel().map(r => s"$root/$r")
     if (!WarehouseIO.isDir(new org.apache.hadoop.fs.Path(statsPath)))
       return (live, 0) // never analyzed: everything is a candidate
     import spark.implicits._
@@ -365,8 +365,8 @@ final class BloomSkip(sink: TableSink, bits: Int = 4096, k: Int = 5) {
       probes: Seq[(String, Column)]): (Seq[String], Int) = {
     require(probes.nonEmpty, "candidates needs at least one probe")
     import spark.implicits._
-    val root = java.nio.file.Paths.get(sink.config.tablePath)
-    val live = sink.dataFilesRel().map(r => root.resolve(r).toString)
+    val root = sink.config.tablePath.stripSuffix("/")
+    val live = sink.dataFilesRel().map(r => s"$root/$r")
     if (!WarehouseIO.isDir(new org.apache.hadoop.fs.Path(statsPath)))
       return (live, 0) // never analyzed: everything is a candidate
     val prunedDf = prunedPaths(spark, probes, "path")

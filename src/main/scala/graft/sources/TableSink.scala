@@ -350,12 +350,16 @@ final class TableSink(val config: SinkConfig) {
   // of the post-rewrite state), the same contract as Iceberg snapshot
   // expiry after rewrite-files maintenance.
 
-  // The snapshot log (_graft_log) and every manifest/sidecar read-write
-  // below go through [[WarehouseIO]] — the Hadoop FileSystem API — so the
-  // commit metadata path works against any Hadoop-resolvable warehouse,
-  // not just a local disk. (The whole-table rewrite/swap protocols keep
-  // java.nio ATOMIC_MOVE semantics and are documented single-FS; an
-  // object-store deployment swaps a metadata pointer instead.)
+  // The snapshot log (_graft_log), every manifest/sidecar read-write, AND
+  // the whole-table rewrite/swap protocols below go through
+  // [[WarehouseIO]] — the Hadoop FileSystem API — so both the commit
+  // metadata path and the maintenance ops work against any
+  // Hadoop-resolvable warehouse, not just a local disk. The swap's two
+  // directory renames are atomic namespace ops on local/HDFS-class
+  // stores; an object-store deployment (where dir rename is copy+delete)
+  // should swap a metadata pointer instead — the recovery contract
+  // (_pre_* restore) stays correct either way, only the swap window
+  // widens.
   private def logPath = new org.apache.hadoop.fs.Path(
     config.tablePath, "_graft_log")
 
@@ -377,6 +381,18 @@ final class TableSink(val config: SinkConfig) {
     * would race, and assert the post-claim retraction. No-op in
     * production. */
   private[graft] var raceWindowCheckHook: () => Unit = () => ()
+
+  /** The table root as the URI PATH component (scheme/authority
+    * stripped), absolutized for local relative paths — the form scan
+    * columns like `_metadata.file_path` compare against once THEIR
+    * scheme prefix is stripped. */
+  private def rootUriPath(s: String): String = {
+    val uri = new org.apache.hadoop.fs.Path(s).toUri
+    val path = uri.getPath
+    if (uri.getScheme == null && !path.startsWith("/"))
+      new java.io.File(path).getAbsolutePath
+    else path
+  }
 
   private def listDataFiles(): Seq[String] = {
     directoryWalks += 1
@@ -1192,13 +1208,16 @@ final class TableSink(val config: SinkConfig) {
         manifestFiles(snapshotVersions().last)
       else listDataFiles()
     // strip this table's root AND (for shallow clones) the source root,
-    // so cloned files report the same partition spine as local ones
-    val roots = (java.nio.file.Paths.get(config.tablePath)
-        .toAbsolutePath.toString +: cloneBasePath.toSeq)
+    // so cloned files report the same partition spine as local ones; the
+    // roots compare as URI PATHS (scheme/authority stripped by the lazy
+    // prefix) so the spine is stable across file:/hdfs:/s3a: reporting
+    val roots = (rootUriPath(config.tablePath) +:
+        cloneBasePath.toSeq.map(rootUriPath))
       .map(java.util.regex.Pattern.quote).mkString("(", "|", ")")
     readFiles(spark, rels)
       .groupBy(regexp_replace(
-          regexp_replace(col("_metadata.file_path"), s"^file:.*?$roots/?", ""),
+          regexp_replace(col("_metadata.file_path"),
+            s"^[a-z][a-z0-9+.-]*:.*?$roots/?", ""),
           "/?[^/]+$", "").as("partition"),
         col("_metadata.file_path").as("fp"))
       .agg(count(lit(1)).as("n"),
@@ -1580,8 +1599,7 @@ final class TableSink(val config: SinkConfig) {
       "source head has pending merge-on-read deletes; compact() it first")
     val files = manifestFiles(head)
     require(files.nonEmpty, "cannot shallow-clone an empty table")
-    val srcRoot =
-      java.nio.file.Paths.get(config.tablePath).toAbsolutePath.toString
+    val srcRoot = rootUriPath(config.tablePath)
     val abs = files.map(rel =>
       if (rel.startsWith("/")) rel else s"$srcRoot/$rel")
     val dest = new TableSink(destConfig.copy(versioned = true,
@@ -1682,23 +1700,20 @@ final class TableSink(val config: SinkConfig) {
   // interleaved copy (its swap is entangled with file-sizing); the
   // _pre_* recovery contract is identical.
 
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    val s = java.nio.file.Files.walk(p)
-    val all = try s.iterator().asScala.toVector finally s.close()
-    all.reverseIterator.foreach(java.nio.file.Files.delete)
+  private def rmTree(p: org.apache.hadoop.fs.Path): Unit = {
+    WarehouseIO.delete(p, recursive = true)
+    ()
   }
 
   /** Repair a swap interrupted between its two renames: the table data
     * sits stranded in `_pre_rewrite` — restore it; a leftover trash dir
     * next to an intact table is just dropped. */
   private def recoverSwap(): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val root = Paths.get(config.tablePath)
-    val trash = Paths.get(config.tablePath + "_pre_rewrite")
-    if (Files.exists(trash)) {
-      if (!Files.exists(root))
-        Files.move(trash, root, StandardCopyOption.ATOMIC_MOVE)
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(config.tablePath)
+    val trash = new HPath(config.tablePath + "_pre_rewrite")
+    if (WarehouseIO.exists(trash)) {
+      if (!WarehouseIO.exists(root)) WarehouseIO.rename(trash, root)
       else rmTree(trash)
     }
   }
@@ -1717,13 +1732,13 @@ final class TableSink(val config: SinkConfig) {
     * documented contract) and `_graft_stats`/`_graft_bloom` (file-keyed
     * stats are meaningless for the rewritten files; pruning without stats
     * is conservative — re-run analyze). */
-  private def carryDeclarationSidecars(root: java.nio.file.Path,
-      tmp: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
+  private def carryDeclarationSidecars(root: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
     Seq("_graft_config", "_graft_schema", "_graft_versioned").foreach { n =>
-      val src = root.resolve(n)
-      if (Files.isRegularFile(src))
-        Files.copy(src, tmp.resolve(n), StandardCopyOption.REPLACE_EXISTING)
+      val src = new HPath(root, n)
+      if (WarehouseIO.isFile(src))
+        WarehouseIO.writeString(new HPath(tmp, n), WarehouseIO.readString(src))
     }
   }
 
@@ -1733,11 +1748,11 @@ final class TableSink(val config: SinkConfig) {
     * count is not independently known). */
   private def rewriteSwap(spark: SparkSession, finalRows: DataFrame,
       expectRows: Option[Long], preserveLayout: Boolean = false): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val root = Paths.get(config.tablePath)
-    val trash = Paths.get(config.tablePath + "_pre_rewrite")
-    val tmp = Paths.get(config.tablePath + "_rewriting")
-    if (Files.exists(tmp)) rmTree(tmp)
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(config.tablePath)
+    val trash = new HPath(config.tablePath + "_pre_rewrite")
+    val tmp = new HPath(config.tablePath + "_rewriting")
+    if (WarehouseIO.exists(tmp)) rmTree(tmp)
     val parts = partitionColNames
     // preserveLayout: the caller already arranged the physical clustering
     // (a z-order rewrite) — the sink's own repartition would destroy it
@@ -1758,8 +1773,8 @@ final class TableSink(val config: SinkConfig) {
       }
     }
     carryDeclarationSidecars(root, tmp)
-    Files.move(root, trash, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+    WarehouseIO.rename(root, trash)
+    WarehouseIO.rename(tmp, root)
     rmTree(trash)
   }
 
@@ -2153,13 +2168,13 @@ final class TableSink(val config: SinkConfig) {
       versionCol: String = "_commit_version"): DataFrame = {
     require(config.versioned && snapshotVersions().nonEmpty,
       "row lineage needs a versioned table with at least one commit")
-    val root = java.nio.file.Paths.get(config.tablePath)
     val introduced = snapshotVersions()
       .foldLeft(Map.empty[String, Int]) { (seen, v) =>
         seen ++ manifestFiles(v).filterNot(seen.contains).map(_ -> v)
       }
     val pairs = introduced.toSeq.map { case (rel, v) =>
-      val abs = if (rel.startsWith("/")) rel else root.resolve(rel).toString
+      val abs =
+        if (rel.startsWith("/")) rel else s"${config.tablePath}/$rel"
       (abs, v.toLong)
     }
     import spark.implicits._
@@ -2344,31 +2359,20 @@ final class TableSink(val config: SinkConfig) {
 
   def compact(spark: SparkSession,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.spark.sql.expressions.Window
     requireNoStreamingLog()
     requireNoBranches("compact")
-    val root = Paths.get(config.tablePath)
-    val trash = Paths.get(config.tablePath + "_pre_compact")
-    // walk streams hold directory FDs until closed — every traversal goes
-    // through this bracket (a long-lived driver compacting periodically
-    // would otherwise leak FDs until finalization)
-    def walked[A](p: Path)(f: Iterator[Path] => A): A = {
-      val s = Files.walk(p)
-      try f(s.iterator().asScala) finally s.close()
-    }
-    def rmTree(p: Path): Unit =
-      walked(p)(_.toVector).reverseIterator.foreach(Files.delete)
+    val root = new HPath(config.tablePath)
+    val trash = new HPath(config.tablePath + "_pre_compact")
     // crash recovery BEFORE the existence check: a kill between the two
     // swap renames leaves the data stranded in _pre_compact with no table
     // dir — restore it; a kill after both renames just leaves trash to drop
-    if (Files.exists(trash)) {
-      if (!Files.exists(root))
-        Files.move(trash, root, StandardCopyOption.ATOMIC_MOVE)
+    if (WarehouseIO.exists(trash)) {
+      if (!WarehouseIO.exists(root)) WarehouseIO.rename(trash, root)
       else rmTree(trash)
     }
-    if (!Files.exists(root)) return
+    if (!WarehouseIO.exists(root)) return
     // Sizing is bytes-per-row × per-partition row count — deliberately NOT
     // a join on file paths: input_file_name() is percent-encoded while the
     // FS listing is raw (and Hive-style dirs escape specials themselves),
@@ -2381,13 +2385,9 @@ final class TableSink(val config: SinkConfig) {
     val cloneBytes = cloneBasePath.fold(0L) { _ =>
       snapshotVersions().lastOption.map(manifestFiles).getOrElse(Nil)
         .filter(_.startsWith("/"))
-        .map(abs => Files.size(Paths.get(abs))).sum
+        .map(abs => WarehouseIO.sizeOf(new HPath(abs))).sum
     }
-    val totalBytes = cloneBytes + walked(root)(_
-      .filter(p => Files.isRegularFile(p) &&
-        !root.relativize(p).toString.split('/')
-          .exists(s => s.startsWith("_") || s.startsWith(".")))
-      .map(Files.size).sum)
+    val totalBytes = cloneBytes + WarehouseIO.totalDataBytes(root)
     if (totalBytes == 0) return
     val cur = read(spark)
     val totalRows = cur.count()
@@ -2400,8 +2400,8 @@ final class TableSink(val config: SinkConfig) {
       else greatest(lit(1L),
         ceil(count(lit(1)).over(Window.partitionBy(parts.map(col): _*)) *
           lit(bytesPerRow) / lit(targetFileBytes.toDouble)).cast("long"))
-    val tmp = Paths.get(config.tablePath + "_compacting")
-    if (Files.exists(tmp)) rmTree(tmp) // stale leftover from a crashed run
+    val tmp = new HPath(config.tablePath + "_compacting")
+    if (WarehouseIO.exists(tmp)) rmTree(tmp) // stale leftover, crashed run
     // window expressions cannot ride inside repartition: materialize the
     // salt as a column, cluster on it, then drop it before the write
     val withSalt = cur
@@ -2429,8 +2429,8 @@ final class TableSink(val config: SinkConfig) {
     // swap: old table -> trash, compacted -> table, drop trash (a crash
     // mid-swap is repaired by the recovery block on the next compact call)
     carryDeclarationSidecars(root, tmp)
-    Files.move(root, trash, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+    WarehouseIO.rename(root, trash)
+    WarehouseIO.rename(tmp, root)
     rmTree(trash)
     if (config.versioned) expireSnapshots() // rewrite invalidates history
   }

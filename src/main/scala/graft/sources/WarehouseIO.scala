@@ -186,6 +186,30 @@ private[graft] object WarehouseIO {
 
   def modifiedAtMs(p: HPath): Long = fs(p).getFileStatus(p).getModificationTime
 
+  def sizeOf(p: HPath): Long = fs(p).getFileStatus(p).getLen
+
+  /** Total bytes of DATA files under `root` (same `_`/`.`-segment
+    * exclusion as [[listDataFilesRel]]) — one lazy recursive listing, the
+    * sizes taken from the listing's own statuses (no per-file stat
+    * round-trips), nothing materialized. */
+  def totalDataBytes(root: HPath): Long = {
+    val f = fs(root)
+    val q = f.makeQualified(root)
+    if (!f.exists(q)) return 0L
+    val rootStr = q.toString
+    val it = f.listFiles(q, true)
+    var sum = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val rel = st.getPath.toString.stripPrefix(rootStr).stripPrefix("/")
+        if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+          sum += st.getLen
+      }
+    }
+    sum
+  }
+
   /** Same-filesystem rename, creating the destination's parent; fails
     * loudly instead of silently dropping a file on a refused rename. */
   def rename(src: HPath, dst: HPath): Unit = {
