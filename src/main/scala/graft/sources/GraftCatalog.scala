@@ -88,6 +88,7 @@ final class GraftCatalog extends TableCatalog {
 
   private def isTableName(name: String): Boolean =
     !name.startsWith("_") &&
+      !name.startsWith(".") && // swap scratch siblings (.t_rewriting, …)
       !name.contains("=") // hive partition dir, not a table
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -311,6 +312,11 @@ final class GraftCatalog extends TableCatalog {
     if (!tableExists(ident)) {
       val mt = metaTable(ident)
       if (mt.isDefined) return mt.get
+      // refuse OUTSIDE the table namespace too: without this, a
+      // dot/underscore-prefixed directory (a swap scratch sibling, a
+      // crashed run's trash) that happens to contain files would serve
+      // as a table through the by-name door SHOW TABLES never lists
+      throw new NoSuchTableException(ident)
     }
     versions(ident).lastOption match {
       case Some(v) =>
@@ -414,6 +420,10 @@ final class GraftCatalog extends TableCatalog {
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident))
       throw new TableAlreadyExistsException(ident)
+    require(isTableName(ident.name()),
+      s"'${ident.name()}' is not a creatable table name: leading '_'/'.' " +
+        "and '=' are reserved for metadata, swap scratch, and partition " +
+        "directories — the listing and loadTable would never serve it")
     require(partitions.isEmpty,
       "PARTITIONED BY is not supported here: graft partition specs are " +
         "TRANSFORMS (identity/bucket/truncate/day/...) declared on the " +
@@ -502,6 +512,9 @@ final class GraftCatalog extends TableCatalog {
       throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent))
       throw new TableAlreadyExistsException(newIdent)
+    require(isTableName(newIdent.name()),
+      s"cannot rename to '${newIdent.name()}': leading '_'/'.' and '=' " +
+        "are reserved — the table would become invisible to the catalog")
     WarehouseIO.rename(tableDir(oldIdent), tableDir(newIdent))
   }
 }

@@ -1705,13 +1705,28 @@ final class TableSink(val config: SinkConfig) {
     ()
   }
 
+  /** A swap scratch directory NEXT TO the table root (it cannot live
+    * inside — the swap renames the whole root), DOT-PREFIXED so neither
+    * the SQL catalog's table listing nor any recursive data scan of the
+    * warehouse can mistake a live `_rewriting` tmp dir or a crashed run's
+    * `_pre_*` trash for a real table ("t_rewriting" used to surface in
+    * SHOW TABLES mid-rewrite, and loadTable could read the half-written
+    * dir). */
+  private def scratchSibling(suffix: String): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(config.tablePath)
+    val name = s".${p.getName}$suffix"
+    Option(p.getParent)
+      .map(par => new org.apache.hadoop.fs.Path(par, name))
+      .getOrElse(new org.apache.hadoop.fs.Path(name))
+  }
+
   /** Repair a swap interrupted between its two renames: the table data
-    * sits stranded in `_pre_rewrite` — restore it; a leftover trash dir
-    * next to an intact table is just dropped. */
+    * sits stranded in the `_pre_rewrite` scratch sibling — restore it; a
+    * leftover trash dir next to an intact table is just dropped. */
   private def recoverSwap(): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val root = new HPath(config.tablePath)
-    val trash = new HPath(config.tablePath + "_pre_rewrite")
+    val trash = scratchSibling("_pre_rewrite")
     if (WarehouseIO.exists(trash)) {
       if (!WarehouseIO.exists(root)) WarehouseIO.rename(trash, root)
       else rmTree(trash)
@@ -1750,8 +1765,8 @@ final class TableSink(val config: SinkConfig) {
       expectRows: Option[Long], preserveLayout: Boolean = false): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val root = new HPath(config.tablePath)
-    val trash = new HPath(config.tablePath + "_pre_rewrite")
-    val tmp = new HPath(config.tablePath + "_rewriting")
+    val trash = scratchSibling("_pre_rewrite")
+    val tmp = scratchSibling("_rewriting")
     if (WarehouseIO.exists(tmp)) rmTree(tmp)
     val parts = partitionColNames
     // preserveLayout: the caller already arranged the physical clustering
@@ -2364,7 +2379,7 @@ final class TableSink(val config: SinkConfig) {
     requireNoStreamingLog()
     requireNoBranches("compact")
     val root = new HPath(config.tablePath)
-    val trash = new HPath(config.tablePath + "_pre_compact")
+    val trash = scratchSibling("_pre_compact")
     // crash recovery BEFORE the existence check: a kill between the two
     // swap renames leaves the data stranded in _pre_compact with no table
     // dir — restore it; a kill after both renames just leaves trash to drop
@@ -2400,7 +2415,7 @@ final class TableSink(val config: SinkConfig) {
       else greatest(lit(1L),
         ceil(count(lit(1)).over(Window.partitionBy(parts.map(col): _*)) *
           lit(bytesPerRow) / lit(targetFileBytes.toDouble)).cast("long"))
-    val tmp = new HPath(config.tablePath + "_compacting")
+    val tmp = scratchSibling("_compacting")
     if (WarehouseIO.exists(tmp)) rmTree(tmp) // stale leftover, crashed run
     // window expressions cannot ride inside repartition: materialize the
     // salt as a column, cluster on it, then drop it before the write

@@ -283,6 +283,42 @@ class CatalogSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$wh/tt5renamed").exists())
   }
 
+  test("swap scratch siblings never surface as tables") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val sink = mkVersioned("tt5s")
+    // a live rewrite's tmp dir and a crashed run's trash are DOT-PREFIXED
+    // siblings of the table root — SHOW TABLES must not list them and
+    // loadTable must not read them (a half-written tmp dir served as a
+    // table would expose uncommitted rows)
+    WarehouseIO.writeString(
+      new HPath(s"$wh/.tt5s_pre_rewrite/part-x.parquet"), "junk")
+    val listed = spark.sql("SHOW TABLES IN gtest").select("tableName")
+      .as[String].collect().toSet
+    assert(!listed.exists(_.contains("tt5s_pre_rewrite")),
+      s"scratch sibling leaked into the listing: $listed")
+    intercept[AnalysisException] {
+      spark.sql("SELECT * FROM gtest.`.tt5s_pre_rewrite`").collect()
+    }
+    // and the real recovery path places trash under the dotted name:
+    // delete() rewrites via the swap, leaving no visible residue
+    sink.delete(spark, expr("id = 1"))
+    val after = spark.sql("SHOW TABLES IN gtest").select("tableName")
+      .as[String].collect().toSet
+    assert(after.contains("tt5s") && !after.exists(n =>
+        n.contains("rewriting") || n.contains("pre_rewrite")),
+      s"post-rewrite listing must show only real tables: $after")
+    // names the catalog could never serve are refused at creation/rename,
+    // not silently written into invisibility
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE gtest.`.shadow` (id BIGINT)")
+    }
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE gtest.tt5s RENAME TO `_hidden`")
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
   test("latest read of a versioned table is the newest COMMIT, not the dir") {
     mkVersioned("tt8")
     // simulate a crashed write: a data file lands without a manifest commit
