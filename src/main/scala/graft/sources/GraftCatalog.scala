@@ -503,9 +503,25 @@ final class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    tableExists(ident) &&
+  /** DROP also reclaims the table's swap scratch siblings (rewrite tmp,
+    * crash trash) — and succeeds when ONLY those exist: a table that
+    * crashed between the swap's two renames has its data stranded in
+    * `.t_pre_rewrite` with no root dir, and without this clause it would
+    * be invisible to the catalog yet impossible to drop through SQL.
+    * DROP is therefore the recovery-ABORT tool (discard the stranded
+    * state); running any rewriting op on the owning [[TableSink]] first
+    * is the recovery-RESUME tool (restore it). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val scratch =
+      if (!isTableName(ident.name())) Nil // never derive paths from junk
+      else WarehouseIO.scratchSiblings(tableDir(ident))
+        .filter(WarehouseIO.exists)
+    val droppedTable = tableExists(ident) &&
       WarehouseIO.delete(tableDir(ident), recursive = true)
+    val droppedScratch = scratch
+      .map(WarehouseIO.delete(_, recursive = true)).nonEmpty
+    droppedTable || droppedScratch
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent))

@@ -1715,9 +1715,12 @@ final class TableSink(val config: SinkConfig) {
   private def scratchSibling(suffix: String): org.apache.hadoop.fs.Path = {
     val p = new org.apache.hadoop.fs.Path(config.tablePath)
     val name = s".${p.getName}$suffix"
-    Option(p.getParent)
+    val sib = Option(p.getParent)
       .map(par => new org.apache.hadoop.fs.Path(par, name))
       .getOrElse(new org.apache.hadoop.fs.Path(name))
+    // naming must agree with the catalog's DROP cleanup
+    assert(WarehouseIO.scratchSiblings(p).map(_.getName).contains(name))
+    sib
   }
 
   /** Repair a swap interrupted between its two renames: the table data

@@ -143,6 +143,18 @@ private[graft] object WarehouseIO {
 
   def mkdirs(p: HPath): Unit = { fs(p).mkdirs(p); () }
 
+  /** The swap scratch siblings a table root `p` may own (rewrite tmp,
+    * crash trash — dot-prefixed so listings and the SQL catalog never
+    * mistake them for tables). One naming authority for [[TableSink]]'s
+    * swap protocol and the catalog's DROP cleanup. */
+  def scratchSiblings(p: HPath): Seq[HPath] =
+    Seq("_pre_rewrite", "_rewriting", "_pre_compact", "_compacting").map {
+      suffix =>
+        val name = s".${p.getName}$suffix"
+        Option(p.getParent).map(par => new HPath(par, name))
+          .getOrElse(new HPath(name))
+    }
+
   def delete(p: HPath, recursive: Boolean = false): Boolean =
     fs(p).delete(p, recursive)
 

@@ -319,6 +319,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("reserved"), e2.getMessage)
   }
 
+  test("dropTable reclaims a crashed-mid-swap table's stranded trash") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    mkVersioned("tt5c")
+    // simulate a crash between the swap's two renames: the root has been
+    // moved to the trash sibling and nothing has restored it yet
+    WarehouseIO.rename(
+      new HPath(s"$wh/tt5c"), new HPath(s"$wh/.tt5c_pre_rewrite"))
+    intercept[AnalysisException] {
+      spark.sql("SELECT * FROM gtest.tt5c").collect()
+    }
+    // the stranded state is invisible to SQL but must not be immortal:
+    // the DSv2 dropTable contract is the recovery-ABORT tool
+    val cat = spark.sessionState.catalogManager.catalog("gtest")
+      .asInstanceOf[TableCatalog]
+    assert(cat.dropTable(Identifier.of(Array.empty[String], "tt5c")),
+      "drop must report success when only stranded trash existed")
+    assert(!new java.io.File(s"$wh/.tt5c_pre_rewrite").exists(),
+      "stranded trash must be reclaimed")
+    assert(!cat.dropTable(Identifier.of(Array.empty[String], "tt5c")),
+      "second drop finds nothing")
+  }
+
   test("latest read of a versioned table is the newest COMMIT, not the dir") {
     mkVersioned("tt8")
     // simulate a crashed write: a data file lands without a manifest commit
