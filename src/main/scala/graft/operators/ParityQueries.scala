@@ -1834,6 +1834,45 @@ object ParityQueries {
       |  FROM events WHERE value < 10.0
       |) ORDER BY 1, 2""".stripMargin
 
+  /** Maintenance through SQL `CALL` ([[GraftProcedures]], Spark 4's DSv2
+    * `ProcedureCatalog`): two INSERT commits, `CALL system.expire_snapshots`
+    * (drops v1), `CALL system.compact` (materializing rewrite — history
+    * restarts at a fresh generation v1), then one SQL aggregate joined
+    * with the snapshots metadata view. Deterministic columns only: the
+    * surviving snapshot VERSION pins that expiry ran and the rewrite
+    * restarted history, the aggregate pins that no row was lost through
+    * either op; file counts (which the compaction target makes
+    * data-size-dependent) stay out of the hash. */
+  def sqlCall(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_cal_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrc_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl " +
+      "(event_id BIGINT, value DOUBLE) TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, value FROM $src WHERE event_id % 2 = 0")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, value FROM $src WHERE event_id % 2 = 1")
+    spark.sql(s"CALL graft_cat.system.expire_snapshots(" +
+      s"`table` => '$tbl', keep_last => 1)")
+    spark.sql(s"CALL graft_cat.system.compact(`table` => '$tbl')")
+    spark.sql(
+      s"""SELECT s.version AS snapshot_version, agg.n, agg.total
+         |FROM graft_cat.$tbl.snapshots s
+         |CROSS JOIN (SELECT COUNT(*) AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |  FROM graft_cat.$tbl) agg""".stripMargin)
+  }
+
+  val sqlCallSql: String =
+    """SELECT CAST(1 AS BIGINT) AS snapshot_version, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events""".stripMargin
+
   /** `ALTER TABLE ADD COLUMNS` + the evolved column through every door:
     * batch 1 lands pre-evolution, the ALTER grows the declared schema
     * (old files read the column as NULL — Iceberg's additive evolution),

@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Transform => V2Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
@@ -61,7 +62,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * door resolves against any Hadoop-resolvable warehouse — local, HDFS,
   * s3a — the same contract the sink's commit path keeps.
   */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -302,6 +303,33 @@ final class GraftCatalog extends TableCatalog {
     compute.map(f =>
       new GraftMetaTable(s"${base.toString}.${ident.name()}", f))
   }
+
+  /** SQL maintenance: `CALL <cat>.system.<procedure>(...)` — see
+    * [[GraftProcedures]]. The sink resolves through the same persisted
+    * config the SQL DML door uses, so a CALL honors the declared writer
+    * settings and every library guard. */
+  private lazy val procedures: Map[String, UnboundProcedure] =
+    GraftProcedures.all { tableName =>
+      val parts = tableName.split('.')
+      val ident = Identifier.of(parts.dropRight(1), parts.last)
+      if (!tableExists(ident))
+        throw new NoSuchTableException(ident)
+      new TableSink(insertConfig(ident, firstDataFile(ident)))
+    }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val known = ident.namespace().map(_.toLowerCase).sameElements(
+      Array("system")) && procedures.contains(ident.name().toLowerCase)
+    if (!known) throw new IllegalArgumentException(
+      s"procedure $ident not found — available: " +
+        procedures.keys.toSeq.sorted.map(n => s"system.$n").mkString(", "))
+    procedures(ident.name().toLowerCase)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.map(_.toLowerCase).sameElements(Array("system"))) Array.empty
+    else procedures.keys.toArray.sorted
+      .map(n => Identifier.of(Array("system"), n))
 
   /** Latest state. A VERSIONED table resolves through its newest manifest
     * — not the live directory — so data files a crashed or in-flight write

@@ -319,6 +319,43 @@ class CatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("reserved"), e2.getMessage)
   }
 
+  test("CALL procedures run maintenance through SQL with summary results") {
+    val sink = mkVersioned("proc1") // v1: 3 rows, v2: +2 rows (4 files/commit)
+    // expire_snapshots: returns exactly the dropped versions
+    val expired = spark.sql(
+      "CALL gtest.system.expire_snapshots(`table` => 'proc1', keep_last => 1)")
+      .collect().map(_.getInt(0)).toSeq
+    assert(expired == Seq(1), s"v1 must expire: $expired")
+    assert(spark.sql("SELECT version FROM gtest.proc1.snapshots")
+      .collect().map(_.getLong(0)).toSeq == Seq(2))
+    // compact: file counts shrink, rows survive, table still reads via SQL
+    val c = spark.sql(
+      "CALL gtest.system.compact(`table` => 'proc1')").collect().head
+    assert(c.getInt(0) > c.getInt(1) && c.getInt(1) >= 1,
+      s"compaction must shrink the file count: $c")
+    assert(spark.sql("SELECT count(*) FROM gtest.proc1").as[Long].head() == 5)
+    // remove_orphans: plant one, reclaim it by name (grace 0: no live writer)
+    WarehouseIO.writeString(new org.apache.hadoop.fs.Path(
+      s"$wh/proc1/cat=zz/orphan.parquet"), "junk")
+    val gone = spark.sql(
+      "CALL gtest.system.remove_orphans(`table` => 'proc1', grace_ms => 0)")
+      .collect().map(_.getString(0)).toSeq
+    assert(gone == Seq("cat=zz/orphan.parquet"), s"orphan sweep: $gone")
+    // rollback: head moves back as a NEW commit, observable through SQL
+    sink.append(Seq((9L, "z", 90.0)).toDF("id", "cat", "v"))
+    val preRollbackHead = sink.snapshotVersions().max
+    spark.sql("CALL gtest.system.rollback(`table` => 'proc1', " +
+      s"version => ${preRollbackHead - 1})")
+    assert(spark.sql("SELECT count(*) FROM gtest.proc1").as[Long].head() == 5,
+      "rollback must restore the pre-append row count")
+    // unknown procedure: Spark's standard FAILED_TO_LOAD_ROUTINE wrap
+    // (the catalog's precise listing rides the cause chain)
+    val e = intercept[Exception] {
+      spark.sql("CALL gtest.system.nonsense(`table` => 'proc1')").collect()
+    }
+    assert(e.getMessage.contains("nonsense"), e.getMessage)
+  }
+
   test("dropTable reclaims a crashed-mid-swap table's stranded trash") {
     import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
