@@ -1873,6 +1873,49 @@ object ParityQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events""".stripMargin
 
+  /** Table ADOPTION through SQL (`CALL system.adopt` —
+    * [[TableSink.adopt]], Iceberg's migrate/add_files analogue): a PLAIN
+    * parquet directory written by a stock `df.write` (no graft protocol
+    * anywhere near it) becomes snapshot v1 without any data rewrite,
+    * then a SQL INSERT commits v2 off the adopted manifest. The final
+    * row set pins the version spine [1, 2], that `VERSION AS OF 1` is
+    * exactly the pre-adoption files, and that the head is the union —
+    * the full convert-then-write lifecycle, hash-checked. */
+  def sqlAdopt(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_adp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrc_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    // the pre-existing plain directory: stock parquet write, two files
+    e.select($"event_id", $"value")
+      .filter(pmod($"event_id", lit(2)) === 0)
+      .coalesce(2).write.parquet(s"$wh/$tbl")
+    spark.sql(s"CALL graft_cat.system.adopt(`table` => '$tbl')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, value FROM $src WHERE event_id % 2 = 1")
+    spark.sql(
+      s"""SELECT s.version, v1.n_v1, agg.n, agg.total
+         |FROM graft_cat.$tbl.snapshots s
+         |CROSS JOIN (SELECT COUNT(*) AS n_v1
+         |  FROM graft_cat.$tbl VERSION AS OF 1) v1
+         |CROSS JOIN (SELECT COUNT(*) AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |  FROM graft_cat.$tbl) agg
+         |ORDER BY s.version""".stripMargin)
+  }
+
+  val sqlAdoptSql: String =
+    """SELECT CAST(v AS BIGINT) AS version,
+      |  (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0) AS n_v1,
+      |  (SELECT COUNT(*) FROM events) AS n,
+      |  (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |   FROM events) AS total
+      |FROM (VALUES (1), (2)) t(v) ORDER BY 1""".stripMargin
+
   /** `ALTER TABLE ADD COLUMNS` + the evolved column through every door:
     * batch 1 lands pre-evolution, the ALTER grows the declared schema
     * (old files read the column as NULL — Iceberg's additive evolution),

@@ -23,6 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.remove_orphans(`table` => 'events', grace_ms => 0)
   * CALL graft.system.vacuum(`table` => 'events', older_than_ms => 604800000)
   * CALL graft.system.consolidate_deletes(`table` => 'events')
+  * CALL graft.system.adopt(`table` => 'plain_parquet_dir')
   * CALL graft.system.rollback(`table` => 'events', version => 2)
   * }}}
   *
@@ -144,6 +145,24 @@ private[graft] object GraftProcedures {
       StructType(Seq(StructField("consolidated", IntegerType, false))),
       (spark, input) => Seq(row(sinkOf(input).consolidateDeletes(spark))))
 
+    val adopt = new Proc(
+      "adopt",
+      "Convert an existing plain data directory into a versioned table " +
+        "(Iceberg migrate/add_files analogue): the current listing " +
+        "becomes snapshot v1, no data is rewritten",
+      Seq(tableParam),
+      StructType(Seq(StructField("version", IntegerType, false),
+        StructField("adopted_files", IntegerType, false))),
+      (_, input) => {
+        val resolved = sinkOf(input)
+        // a plain directory resolves unversioned; adoption IS the switch
+        val sink =
+          if (resolved.config.versioned) resolved
+          else new TableSink(resolved.config.copy(versioned = true))
+        val v = sink.adopt()
+        Seq(row(v, sink.dataFilesRel().size))
+      })
+
     val rollback = new Proc(
       "rollback",
       "Reset the table head to an older snapshot (a NEW commit, Iceberg " +
@@ -156,7 +175,7 @@ private[graft] object GraftProcedures {
         Seq(row(v))
       })
 
-    Seq(compact, expire, orphans, vacuum, consolidate, rollback)
+    Seq(compact, expire, orphans, vacuum, consolidate, adopt, rollback)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
   }
 }

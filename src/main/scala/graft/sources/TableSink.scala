@@ -422,9 +422,32 @@ final class TableSink(val config: SinkConfig) {
         s"tags pin; drop tags first: ${pinned.mkString(", ")}")
   }
 
+  /** Adopt an EXISTING plain directory of data files as snapshot v1 —
+    * Iceberg's `migrate`/`add_files` analogue: NO data rewrite, the
+    * current listing becomes the first committed manifest, so time
+    * travel, the changelog, and catalog snapshot reads start here and
+    * the next append commits v2 off the manifest (walk-free). Refuses
+    * when history already exists (nothing to adopt) and on an empty
+    * directory (the first append creates v1 anyway). The one-time
+    * listing is O(files) metadata — the same cost Spark's own file
+    * index pays for the directory, never paid again after adoption. */
+  def adopt(): Int = {
+    require(config.versioned,
+      "adopt needs versioned = true — the manifest log IS the adoption")
+    require(snapshotVersions().isEmpty,
+      s"table ${config.tableName} already has committed history; " +
+        "adopt only converts a plain directory")
+    val files = listDataFiles()
+    require(files.nonEmpty,
+      s"table ${config.tableName} has no data files to adopt — just " +
+        "append; the first commit creates v1")
+    writeSnapshotOf(files)
+  }
+
   /** Record an EXPLICIT file set as the next main snapshot (used by
     * [[publishBranch]], whose published state is the branch head's file
-    * list, not whatever happens to be in the live directory). */
+    * list, not whatever happens to be in the live directory; and by
+    * [[adopt]], which commits the pre-existing listing as v1). */
   private def writeSnapshotOf(files: Seq[String]): Int = {
     val v = snapshotVersions().lastOption.getOrElse(0) + 1
     WarehouseIO.writeString(logFile(f"v$v%05d.list"), files.mkString("\n"))

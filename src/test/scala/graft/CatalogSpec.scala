@@ -356,6 +356,34 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nonsense"), e.getMessage)
   }
 
+  test("CALL adopt converts a plain parquet directory without rewriting") {
+    // stock df.write — no graft protocol touched this directory
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$wh/adp1")
+    val filesBefore = WarehouseIO.listDataFilesRel(
+      new org.apache.hadoop.fs.Path(s"$wh/adp1"))
+    val out = spark.sql("CALL gtest.system.adopt(`table` => 'adp1')")
+      .collect().head
+    assert(out.getInt(0) == 1 && out.getInt(1) == filesBefore.size, out)
+    // the adopted files ARE v1 — byte-identical, no rewrite happened
+    assert(WarehouseIO.listDataFilesRel(
+      new org.apache.hadoop.fs.Path(s"$wh/adp1")) == filesBefore)
+    assert(spark.sql("SELECT * FROM gtest.adp1 VERSION AS OF 1").count() == 3)
+    // post-adoption the table takes versioned SQL writes (v2 off the
+    // manifest) and time travel separates the generations
+    spark.sql("INSERT INTO gtest.adp1 VALUES (4, 4.0)")
+    assert(spark.sql("SELECT count(*) FROM gtest.adp1").as[Long].head() == 4)
+    assert(spark.sql("SELECT version FROM gtest.adp1.snapshots")
+      .collect().map(_.getLong(0)).toSeq == Seq(1, 2))
+    // a second adopt refuses: there is history now
+    val e = intercept[Exception] {
+      spark.sql("CALL gtest.system.adopt(`table` => 'adp1')").collect()
+    }
+    assert(e.getMessage.contains("already has committed history") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("already has committed history")), e.getMessage)
+  }
+
   test("dropTable reclaims a crashed-mid-swap table's stranded trash") {
     import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
