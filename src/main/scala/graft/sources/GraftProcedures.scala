@@ -145,6 +145,53 @@ private[graft] object GraftProcedures {
       StructType(Seq(StructField("consolidated", IntegerType, false))),
       (spark, input) => Seq(row(sinkOf(input).consolidateDeletes(spark))))
 
+    val zorder = new Proc(
+      "cluster_zorder",
+      "Rewrite the table range-clustered by the Morton interleave of the " +
+        "dim expressions (Delta OPTIMIZE ZORDER BY analogue); pair with " +
+        "analyze_zonemaps for O(perimeter) rectangle scans",
+      Seq(tableParam, in("dims", ArrayType(StringType)),
+        inDefault("n_ranges", IntegerType, "48"),
+        inDefault("bits", IntegerType, "16")),
+      StructType(Seq(StructField("clustered_files", IntegerType, false))),
+      (spark, input) => {
+        val sink = sinkOf(input)
+        sink.clusterBy(spark,
+          input.getArray(1).toObjectArray(StringType)
+            .map(_.asInstanceOf[UTF8String].toString).toSeq,
+          input.getInt(2), input.getInt(3))
+        Seq(row(sink.dataFilesRel().size))
+      })
+
+    val analyzeZones = new Proc(
+      "analyze_zonemaps",
+      "One distributed scan recording per-file min/max for the columns — " +
+        "the zone-map file-skipping stats (stale stats degrade to less " +
+        "pruning, never wrong results)",
+      Seq(tableParam, in("cols", ArrayType(StringType))),
+      StructType(Seq(StructField("analyzed_files", IntegerType, false))),
+      (spark, input) => {
+        val sink = sinkOf(input)
+        new ZoneMaps(sink).analyze(spark,
+          input.getArray(1).toObjectArray(StringType)
+            .map(_.asInstanceOf[UTF8String].toString).toSeq)
+        Seq(row(sink.dataFilesRel().size))
+      })
+
+    val analyzeBloom = new Proc(
+      "analyze_bloom",
+      "One distributed scan building per-file Bloom filters for the " +
+        "columns — point-probe file skipping for high-cardinality keys",
+      Seq(tableParam, in("cols", ArrayType(StringType))),
+      StructType(Seq(StructField("analyzed_files", IntegerType, false))),
+      (spark, input) => {
+        val sink = sinkOf(input)
+        new BloomSkip(sink).analyze(spark,
+          input.getArray(1).toObjectArray(StringType)
+            .map(_.asInstanceOf[UTF8String].toString).toSeq)
+        Seq(row(sink.dataFilesRel().size))
+      })
+
     val adopt = new Proc(
       "adopt",
       "Convert an existing plain data directory into a versioned table " +
@@ -175,7 +222,8 @@ private[graft] object GraftProcedures {
         Seq(row(v))
       })
 
-    Seq(compact, expire, orphans, vacuum, consolidate, adopt, rollback)
+    Seq(compact, expire, orphans, vacuum, consolidate, adopt, rollback,
+        zorder, analyzeZones, analyzeBloom)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
   }
 }
