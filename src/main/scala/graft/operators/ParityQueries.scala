@@ -1916,6 +1916,74 @@ object ParityQueries {
       |   FROM events) AS total
       |FROM (VALUES (1), (2)) t(v) ORDER BY 1""".stripMargin
 
+  /** WRITE-AUDIT-PUBLISH through SQL (`CALL system.branch` /
+    * `system.publish` — [[GraftProcedures]] over [[TableSink]] branches):
+    * v1 inserts the even half, a CALL creates branch 'audit', the odd
+    * half is STAGED on the branch (main's readers never see it — the
+    * fixture asserts that isolation eagerly, pre-publish), the branch is
+    * audited via `VERSION AS OF 'audit'`, then `CALL system.publish`
+    * fast-forwards main. The result pins the version spine [1, 2] (a
+    * branch append must NOT mint a main version), that v1 stayed
+    * even-only, that the audited branch already saw everything, and that
+    * the published head is the union — the full WAP lifecycle without
+    * leaving the SQL door. Pure metadata throughout: publish moves no
+    * data file. */
+  def sqlBranch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_wap_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrc_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl (event_id BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, value FROM $src WHERE event_id % 2 = 0")
+    spark.sql(s"CALL graft_cat.system.branch(`table` => '$tbl', " +
+      "name => 'audit')")
+    // stage the odd half ON THE BRANCH (the library append surface — a
+    // SQL INSERT always targets main, which is exactly what WAP avoids)
+    val sink = new TableSink(SinkConfig(tableName = tbl,
+      warehousePath = wh, versioned = true))
+    sink.appendToBranch("audit",
+      spark.sql(s"SELECT event_id, value FROM $src WHERE event_id % 2 = 1"))
+    // eager isolation check, BEFORE publish (the returned frame is lazy
+    // and would otherwise observe post-publish state): main still reads
+    // the even half only, the branch already reads the union
+    val evenN = spark.sql(
+      s"SELECT COUNT(*) FROM $src WHERE event_id % 2 = 0").head().getLong(0)
+    val allN = spark.sql(s"SELECT COUNT(*) FROM $src").head().getLong(0)
+    val mainPre = spark.sql(
+      s"SELECT COUNT(*) FROM graft_cat.$tbl").head().getLong(0)
+    val branchPre = spark.sql(
+      s"SELECT COUNT(*) FROM graft_cat.$tbl VERSION AS OF 'audit'")
+      .head().getLong(0)
+    require(mainPre == evenN,
+      s"staged branch rows leaked into main pre-publish: $mainPre != $evenN")
+    require(branchPre == allN,
+      s"branch audit read must see base + staged: $branchPre != $allN")
+    spark.sql(s"CALL graft_cat.system.publish(`table` => '$tbl', " +
+      "name => 'audit')")
+    spark.sql(
+      s"""SELECT s.version, v1.n_v1, agg.n, agg.total
+         |FROM graft_cat.$tbl.snapshots s
+         |CROSS JOIN (SELECT COUNT(*) AS n_v1
+         |  FROM graft_cat.$tbl VERSION AS OF 1) v1
+         |CROSS JOIN (SELECT COUNT(*) AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |  FROM graft_cat.$tbl) agg
+         |ORDER BY s.version""".stripMargin)
+  }
+
+  val sqlBranchSql: String =
+    """SELECT CAST(v AS BIGINT) AS version,
+      |  (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0) AS n_v1,
+      |  (SELECT COUNT(*) FROM events) AS n,
+      |  (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |   FROM events) AS total
+      |FROM (VALUES (1), (2)) t(v) ORDER BY 1""".stripMargin
+
   /** `ALTER TABLE ADD COLUMNS` + the evolved column through every door:
     * batch 1 lands pre-evolution, the ALTER grows the declared schema
     * (old files read the column as NULL — Iceberg's additive evolution),

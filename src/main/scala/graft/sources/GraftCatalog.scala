@@ -143,7 +143,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         s"${ident.name()}: snapshot v$v does not exist (expired by a " +
           "rewrite, or never committed); available: " +
           versions(ident).mkString(", "))
-    WarehouseIO.readString(m).split("\n").filter(_.nonEmpty)
+    // layered (manifest-list) or legacy inline snapshot — same resolver
+    // the sink uses, so the SQL door reads any table the library wrote
+    WarehouseIO.readSnapshotFiles(logDir(ident), m)
       .map(rel => s"${tableDir(ident)}/$rel").toIndexedSeq
   }
 
@@ -390,9 +392,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
           .sorted.lastOption
         head match {
           case Some(v) =>
-            WarehouseIO.readString(
+            // branch snapshots reference manifests in the MAIN log dir
+            WarehouseIO.readSnapshotFiles(logDir(ident),
               new org.apache.hadoop.fs.Path(dir, f"v$v%05d.list"))
-              .split("\n").filter(_.nonEmpty)
               .map(rel => s"${tableDir(ident)}/$rel").toIndexedSeq
           case None =>
             // not a branch — a TAG resolves to the pinned snapshot

@@ -222,8 +222,69 @@ private[graft] object GraftProcedures {
         Seq(row(v))
       })
 
+    // ---- write-audit-publish branch surface (TableSink branches; the
+    // catalog already READS branches via `VERSION AS OF '<name>'` — these
+    // close the DDL gap: create/publish/drop without leaving SQL)
+    val branch = new Proc(
+      "branch",
+      "Create a WAP branch at the head (or from_version); stage appends " +
+        "on it, audit with VERSION AS OF '<name>', then publish or drop",
+      Seq(tableParam, in("name", StringType),
+        inDefault("from_version", IntegerType, "-1")),
+      StructType(Seq(StructField("branch", StringType, false),
+        StructField("from_version", IntegerType, false))),
+      (_, input) => {
+        val sink = sinkOf(input)
+        val name = input.getUTF8String(1).toString
+        val from = input.getInt(2) match {
+          case -1 => None
+          case v => Some(v)
+        }
+        sink.createBranch(name, from)
+        Seq(row(utf8(name),
+          from.getOrElse(sink.snapshotVersions().last)))
+      })
+
+    val publish = new Proc(
+      "publish",
+      "Publish a WAP branch: main's next snapshot = head + the branch's " +
+        "staged files (append cherry-pick, pure metadata); drops the " +
+        "branch afterwards unless keep => true",
+      Seq(tableParam, in("name", StringType),
+        inDefault("keep", BooleanType, "false")),
+      StructType(Seq(StructField("published_version", IntegerType, false))),
+      (_, input) => {
+        val sink = sinkOf(input)
+        val name = input.getUTF8String(1).toString
+        val v = sink.publishBranch(name)
+        if (!input.getBoolean(2)) sink.dropBranch(name)
+        Seq(row(v))
+      })
+
+    val dropBranch = new Proc(
+      "drop_branch",
+      "Drop a WAP branch; its staged files become orphans " +
+        "(reclaim via remove_orphans)",
+      Seq(tableParam, in("name", StringType)),
+      StructType(Seq(StructField("dropped", StringType, false))),
+      (_, input) => {
+        val name = input.getUTF8String(1).toString
+        sinkOf(input).dropBranch(name)
+        Seq(row(utf8(name)))
+      })
+
+    val compactManifests = new Proc(
+      "compact_manifests",
+      "Fold the head snapshot's delta-manifest chain into one merged " +
+        "manifest (Iceberg rewrite_manifests; metadata only, data files " +
+        "untouched) — bounds the O(manifest count) commit/read term",
+      Seq(tableParam),
+      StructType(Seq(StructField("version", IntegerType, false))),
+      (_, input) => Seq(row(sinkOf(input).compactManifests())))
+
     Seq(compact, expire, orphans, vacuum, consolidate, adopt, rollback,
-        zorder, analyzeZones, analyzeBloom)
+        zorder, analyzeZones, analyzeBloom,
+        branch, publish, dropBranch, compactManifests)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
   }
 }

@@ -239,6 +239,28 @@ final class TableSink(val config: SinkConfig) {
     * livelock into a loud error instead of an infinite loop. */
   private[graft] def commitAppendedFiles(added: Seq[String],
       maxAttempts: Int = 20): Int = {
+    // LAYERED commit (Iceberg manifest-list shape): this commit's own
+    // delta manifest is written ONCE — its content (exactly this write's
+    // files) does not depend on which head it lands on — and the claimed
+    // snapshot is `head's manifest NAMES + that one name`. Metadata IO
+    // per commit: O(added files) manifest bytes + O(manifest count)
+    // snapshot bytes, NEVER an O(table files) read-sort-rewrite; at ~1M
+    // files / frequent commits the old full-list scheme rewrote a
+    // ~50-100 MB driver-side text file per commit and stored K full
+    // copies across K snapshots. [[compactManifests]] bounds the
+    // manifest-count term as commit count grows.
+    val ownManifest =
+      if (added.isEmpty) None
+      else Some(WarehouseIO.writeManifest(logPath, added.distinct.sorted))
+    // a manifest WE created to represent the base (bootstrap listing of
+    // pre-existing unversioned data, or one-time migration of a legacy
+    // inline-list head) — superseded and deleted if the claim is lost
+    var baseManifest: Option[String] = None
+    def dropBaseManifest(): Unit = {
+      baseManifest.foreach(n => WarehouseIO.delete(logFile(n)))
+      baseManifest = None
+    }
+    def commitLoop(): Int = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -271,11 +293,35 @@ final class TableSink(val config: SinkConfig) {
       // claim-to-retract instant, and only under a rewrite that already
       // violated the single-rewriter maintenance-window convention.
       val genBefore = logGeneration()
-      val base = head.map(manifestFiles).getOrElse(listDataFiles())
+      // O(manifest count) head read — a layered head contributes its
+      // manifest NAMES verbatim; a legacy inline-list head is migrated
+      // once (its list copied into a manifest); no head bootstraps from
+      // a one-time listing of pre-existing unversioned data
+      val headNames: Seq[String] = head match {
+        case Some(h) => manifestNames(h) match {
+          case Some(names) => names
+          case None =>
+            if (baseManifest.isEmpty)
+              baseManifest =
+                Some(WarehouseIO.writeManifest(logPath, manifestFiles(h)))
+            baseManifest.toSeq
+        }
+        case None =>
+          if (baseManifest.isEmpty) {
+            // the staged write already renamed THIS commit's files into
+            // the table, so the bootstrap listing must exclude them —
+            // they are the delta manifest's, not pre-existing data
+            val preexisting = listDataFiles().filterNot(added.toSet)
+            if (preexisting.nonEmpty)
+              baseManifest =
+                Some(WarehouseIO.writeManifest(logPath, preexisting))
+          }
+          baseManifest.toSeq
+      }
       val v = head.getOrElse(0) + 1
       raceWindowCheckHook()
       if (WarehouseIO.writeStringIfAbsent(logFile(f"v$v%05d.list"),
-          (base ++ added).distinct.sorted.mkString("\n"))) {
+          WarehouseIO.renderSnapshot((headNames ++ ownManifest).distinct))) {
         val genFlip = genBefore != "none" && logGeneration() != genBefore
         val sweptAfter = if (genFlip) Nil else sweptFiles()
         if (genFlip || sweptAfter.nonEmpty) {
@@ -286,11 +332,25 @@ final class TableSink(val config: SinkConfig) {
         }
         return v
       }
+      // lost the claim: the head moved, so any base manifest this attempt
+      // wrote is superseded by the new head's own chain — drop it before
+      // retrying (the new head is read fresh next attempt)
+      dropBaseManifest()
       require(attempt < maxAttempts,
         s"append commit lost the version race $maxAttempts times — " +
           "a committer storm or a stuck writer is holding the log")
     }
     -1 // unreachable
+    }
+    try commitLoop()
+    catch { case e: Throwable =>
+      // no snapshot references the delta on any failure path — the
+      // version file was never claimed or was retracted — so the
+      // manifest(s) this attempt wrote must go too, not linger as debris
+      ownManifest.foreach(n => WarehouseIO.delete(logFile(n)))
+      dropBaseManifest()
+      throw e
+    }
   }
 
   /** Stage-and-move write: land `prepared` in a fresh `_staging/` dir
@@ -340,26 +400,33 @@ final class TableSink(val config: SinkConfig) {
   }
 
   // ------------------------------------------------------- snapshot log
-  // Iceberg-style commit history, scoped to what an append-path warehouse
-  // can promise: every versioned commit records the table's complete
-  // data-file manifest (one relative path per line — no parser to drift)
-  // under _graft_log/vNNNNN.list. Appends never touch existing files, so
-  // every recorded snapshot stays readable. Rewriting ops (upsert /
-  // delete / compact) replace files in place, which invalidates earlier
+  // Iceberg-style commit history, LAYERED like Iceberg's manifest lists:
+  // each commit writes one immutable delta manifest
+  // (_graft_log/m-<uuid>.mf, one data-file path per line) holding exactly
+  // the files it added, and the snapshot file (_graft_log/vNNNNN.list) is
+  // a SMALL manifest-name list ("#manifests" header). Readers union the
+  // deltas; K snapshots share manifests instead of storing K full file
+  // lists; commit metadata IO is O(added files + manifest count), never
+  // O(table files). Legacy header-less snapshots (inline file lists) are
+  // still resolved, and migrate into a manifest the first time a commit
+  // chains off them. Appends never touch existing files, so every
+  // recorded snapshot stays readable. Rewriting ops (upsert / delete /
+  // compact) replace files in place, which invalidates earlier
   // manifests — they EXPIRE the history (log resets to a single snapshot
   // of the post-rewrite state), the same contract as Iceberg snapshot
-  // expiry after rewrite-files maintenance.
+  // expiry after rewrite-files maintenance; [[compactManifests]] bounds
+  // the manifest count and [[gcManifests]] reclaims unreferenced deltas.
 
   // The snapshot log (_graft_log), every manifest/sidecar read-write, AND
   // the whole-table rewrite/swap protocols below go through
   // [[WarehouseIO]] — the Hadoop FileSystem API — so both the commit
   // metadata path and the maintenance ops work against any
-  // Hadoop-resolvable warehouse, not just a local disk. The swap's two
-  // directory renames are atomic namespace ops on local/HDFS-class
-  // stores; an object-store deployment (where dir rename is copy+delete)
-  // should swap a metadata pointer instead — the recovery contract
-  // (_pre_* restore) stays correct either way, only the swap window
-  // widens.
+  // Hadoop-resolvable warehouse, not just a local disk. The rewrite swap
+  // commits through an atomic single-file INTENT marker and rolls
+  // FORWARD from it ([[executeSwap]]/[[recoverSwap]]), so maintenance
+  // ops stay crash-correct even where a directory rename is per-object
+  // copy+delete (object stores) — only the in-flight visibility window
+  // widens there, never the recovered state.
   private def logPath = new org.apache.hadoop.fs.Path(
     config.tablePath, "_graft_log")
 
@@ -450,7 +517,11 @@ final class TableSink(val config: SinkConfig) {
     * [[adopt]], which commits the pre-existing listing as v1). */
   private def writeSnapshotOf(files: Seq[String]): Int = {
     val v = snapshotVersions().lastOption.getOrElse(0) + 1
-    WarehouseIO.writeString(logFile(f"v$v%05d.list"), files.mkString("\n"))
+    val names =
+      if (files.isEmpty) Nil
+      else Seq(WarehouseIO.writeManifest(logPath, files.sorted))
+    WarehouseIO.writeString(logFile(f"v$v%05d.list"),
+      WarehouseIO.renderSnapshot(names))
     v
   }
 
@@ -509,6 +580,7 @@ final class TableSink(val config: SinkConfig) {
       .foreach(rel => WarehouseIO.delete(
         new org.apache.hadoop.fs.Path(root, rel)))
     drop.foreach(v => WarehouseIO.delete(logFile(f"v$v%05d.list")))
+    gcManifests() // manifests referenced only by the dropped snapshots
     drop
   }
 
@@ -559,14 +631,70 @@ final class TableSink(val config: SinkConfig) {
     WarehouseIO.readString(p).trim
   }
 
-  private def manifestFiles(version: Int): Seq[String] = {
+  /** Delete manifest files referenced by NO surviving snapshot — main or
+    * branch (tags pin versions, which resolve through main snapshots).
+    * Called by every history-dropping op (expiry, rollback, consolidation
+    * cleanup, branch drop); O(manifest count) name reads, no file lists
+    * touched. Snapshot-history storage therefore grows O(Σ live deltas),
+    * not O(snapshots × table files). */
+  private def gcManifests(): Unit = {
+    def namesOf(p: org.apache.hadoop.fs.Path): Seq[String] =
+      WarehouseIO.snapshotManifestNames(p).getOrElse(Nil)
+    val live = (snapshotVersions().map(v => logFile(f"v$v%05d.list")) ++
+      branches().flatMap(b => branchVersions(b).map(v =>
+        new org.apache.hadoop.fs.Path(branchLogPath(b), f"v$v%05d.list")))
+      ).flatMap(namesOf).toSet
+    WarehouseIO.childNames(logPath)
+      .filter(n => n.startsWith("m-") && n.endsWith(".mf"))
+      .filterNot(live)
+      .foreach(n => WarehouseIO.delete(logFile(n)))
+  }
+
+  /** MANIFEST compaction — Iceberg `rewrite_manifests`: fold the head
+    * snapshot's manifest chain into ONE merged manifest and claim it as
+    * a new metadata-only snapshot (data files untouched; row-identical
+    * to the head). Every commit appends a manifest, so the O(manifest
+    * count) term in commit/read metadata grows with commit cadence —
+    * this op resets it to 1; run it periodically (or via
+    * `CALL system.compact_manifests`). Older snapshots keep referencing
+    * the original manifests until expiry GCs them, so time travel is
+    * unaffected. Returns the new head version. */
+  def compactManifests(maxAttempts: Int = 20): Int = {
+    require(config.versioned && snapshotVersions().nonEmpty,
+      "compactManifests needs a versioned table with at least one commit")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val head = snapshotVersions().last
+      val merged = WarehouseIO.writeManifest(logPath, manifestFiles(head))
+      if (WarehouseIO.writeStringIfAbsent(logFile(f"v${head + 1}%05d.list"),
+          WarehouseIO.renderSnapshot(Seq(merged))))
+        return head + 1
+      // lost to a concurrent append: the merge is stale — drop and retry
+      WarehouseIO.delete(logFile(merged))
+      require(attempt < maxAttempts,
+        s"compactManifests lost the version race $maxAttempts times")
+    }
+    -1 // unreachable
+  }
+
+  private def snapshotFile(version: Int): org.apache.hadoop.fs.Path = {
     val manifest = logFile(f"v$version%05d.list")
     require(WarehouseIO.exists(manifest),
       s"snapshot v$version does not exist (expired by a rewrite, or never " +
         s"committed); available: ${snapshotVersions().mkString(", ")}")
-    WarehouseIO.readString(manifest)
-      .split("\n").filter(_.nonEmpty).toIndexedSeq
+    manifest
   }
+
+  /** Manifest names snapshot `version` references (None = legacy
+    * inline-list snapshot). O(manifest count) read — the cheap half of
+    * the layered format, enough for commit chaining, expiry GC, and
+    * per-version delta accounting without touching file lists. */
+  private def manifestNames(version: Int): Option[Seq[String]] =
+    WarehouseIO.snapshotManifestNames(snapshotFile(version))
+
+  private def manifestFiles(version: Int): Seq[String] =
+    WarehouseIO.readSnapshotFiles(logPath, snapshotFile(version))
 
   /** Shallow-clone sidecar: the source table root whose ABSOLUTE manifest
     * entries this table references (absent for ordinary tables). */
@@ -907,6 +1035,7 @@ final class TableSink(val config: SinkConfig) {
       WarehouseIO.delete(posDeletesPath(v), recursive = true)
     }
     WarehouseIO.delete(logFile("generation"))
+    gcManifests() // deltas referenced only by the dropped history
     vNext
   }
 
@@ -1183,13 +1312,37 @@ final class TableSink(val config: SinkConfig) {
     require(config.versioned && snapshotVersions().nonEmpty,
       "metaSnapshots needs a versioned table with at least one commit")
     val vs = snapshotVersions()
+    // per-version added/removed comes from the DELTA manifests: a commit
+    // whose manifest set is a superset of its parent's (every append)
+    // costs O(its own delta) — the new manifests' files against a running
+    // set — never a full-list subtraction per version pair. Structural
+    // versions (manifest compaction, publish, legacy snapshots) fall back
+    // to the exact pair diff, each manifest still read at most once.
+    val mfCache = scala.collection.mutable.Map.empty[String, IndexedSeq[String]]
+    def mf(n: String): IndexedSeq[String] =
+      mfCache.getOrElseUpdate(n, WarehouseIO.manifestFilesOf(logPath, n))
+    var curFiles = Set.empty[String]
+    var curNames = Set.empty[String]
     val rows = vs.zip(None +: vs.map(Some(_))).map { case (v, parent) =>
-      val files = manifestFiles(v).toSet
-      val parentFiles = parent.map(manifestFiles(_).toSet).getOrElse(Set.empty)
+      val namesOpt = manifestNames(v)
+      val (nFiles, nAdded, nRemoved, nextFiles) = namesOpt match {
+        case Some(names)
+            if parent.isDefined && curNames.subsetOf(names.toSet) =>
+          val fresh = names.filterNot(curNames)
+            .flatMap(mf).filterNot(curFiles).toSet
+          (curFiles.size + fresh.size, fresh.size, 0, curFiles ++ fresh)
+        case _ =>
+          val files = namesOpt
+            .map(_.flatMap(mf).toSet)
+            .getOrElse(manifestFiles(v).toSet)
+          (files.size, (files -- curFiles).size,
+            (curFiles -- files).size, files)
+      }
+      curNames = namesOpt.map(_.toSet).getOrElse(Set.empty)
+      curFiles = nextFiles
       val committedMs = WarehouseIO.modifiedAtMs(logFile(f"v$v%05d.list"))
       (v.toLong, parent.map(_.toLong), new java.sql.Timestamp(committedMs),
-        files.size.toLong, (files -- parentFiles).size.toLong,
-        (parentFiles -- files).size.toLong)
+        nFiles.toLong, nAdded.toLong, nRemoved.toLong)
     }
     import spark.implicits._
     rows.toDF("version", "parent_version", "committed_at", "n_files",
@@ -1386,6 +1539,7 @@ final class TableSink(val config: SinkConfig) {
       }
       WarehouseIO.delete(logFile(f"v$v%05d.list"))
     }
+    gcManifests() // deltas referenced only by the rolled-off snapshots
   }
 
   // ------------------------------------------------- branches (WAP)
@@ -1422,14 +1576,24 @@ final class TableSink(val config: SinkConfig) {
         n.stripPrefix("v").stripSuffix(".list").toInt }
       .sorted
 
-  private def branchManifest(name: String, v: Int): Seq[String] = {
+  private def branchSnapshotFile(name: String,
+      v: Int): org.apache.hadoop.fs.Path = {
     val m = new org.apache.hadoop.fs.Path(branchLogPath(name), f"v$v%05d.list")
     require(WarehouseIO.exists(m),
       s"branch '$name' has no version $v; available: " +
         branchVersions(name).mkString(", "))
-    WarehouseIO.readString(m)
-      .split("\n").filter(_.nonEmpty).toIndexedSeq
+    m
   }
+
+  /** Branch snapshots use the same layered format as main and reference
+    * manifests in the MAIN log dir — creating a branch shares the head's
+    * manifests instead of copying a file list, and a branch append
+    * commits one delta manifest exactly like a main append. */
+  private def branchManifest(name: String, v: Int): Seq[String] =
+    WarehouseIO.readSnapshotFiles(logPath, branchSnapshotFile(name, v))
+
+  private def branchManifestNames(name: String, v: Int): Option[Seq[String]] =
+    WarehouseIO.snapshotManifestNames(branchSnapshotFile(name, v))
 
   private def branchHeadFiles(name: String): Seq[String] = {
     val vs = branchVersions(name)
@@ -1449,10 +1613,13 @@ final class TableSink(val config: SinkConfig) {
         "branch a raw-file view that disagrees with main; materialize " +
         "them first (compact)")
     val v = fromVersion.getOrElse(snapshotVersions().last)
-    val files = manifestFiles(v)
+    // share the snapshot's manifests by NAME (pure O(manifest count)
+    // metadata); a legacy inline snapshot migrates into one manifest
+    val names = manifestNames(v).getOrElse(
+      Seq(WarehouseIO.writeManifest(logPath, manifestFiles(v))))
     WarehouseIO.writeString(
       new org.apache.hadoop.fs.Path(branchLogPath(name), "v00001.list"),
-      files.mkString("\n"))
+      WarehouseIO.renderSnapshot(names))
   }
 
   /** Append `df` to branch `name`: the physical write is identical to
@@ -1467,15 +1634,20 @@ final class TableSink(val config: SinkConfig) {
     // optimistic exclusive-create version claim (concurrent auditors on
     // one branch commute exactly like main appends)
     val added = stagedWrite(clusterForWrite(withDerived(Ops.ensureMessage(df))))
+    val own = WarehouseIO.writeManifest(logPath, added.distinct.sorted)
     var attempt = 0
     var committed = false
     while (!committed) {
       attempt += 1
-      val head = branchHeadFiles(name)
-      val v = branchVersions(name).last + 1
+      val headV = branchVersions(name).last
+      // O(manifest count) head read, same layered protocol as main; a
+      // legacy inline branch head migrates into one manifest on the way
+      val headNames = branchManifestNames(name, headV).getOrElse(
+        Seq(WarehouseIO.writeManifest(logPath, branchManifest(name, headV))))
       committed = WarehouseIO.writeStringIfAbsent(
-        new org.apache.hadoop.fs.Path(branchLogPath(name), f"v$v%05d.list"),
-        (head ++ added).mkString("\n"))
+        new org.apache.hadoop.fs.Path(
+          branchLogPath(name), f"v${headV + 1}%05d.list"),
+        WarehouseIO.renderSnapshot((headNames :+ own).distinct))
       // only an actual loss counts against the bound — a win on the
       // final attempt is a durable commit, not an error
       require(committed || attempt < 20,
@@ -1514,7 +1686,7 @@ final class TableSink(val config: SinkConfig) {
       s"branch '$name' does not exist; live branches: " +
         branches().mkString(", "))
     WarehouseIO.delete(dir, recursive = true)
-    ()
+    gcManifests() // delta manifests only the branch referenced
   }
 
   // ------------------------------------------------------------- tags
@@ -1638,7 +1810,12 @@ final class TableSink(val config: SinkConfig) {
     require(dest.dataFilesRel().isEmpty,
       s"clone destination '${destConfig.tableName}' already contains data " +
         "files; clone into a fresh table")
-    WarehouseIO.writeString(dest.logFile("v00001.list"), abs.mkString("\n"))
+    // the clone's v1 is layered like every snapshot; its one manifest
+    // lives in the DEST's log dir (a clone resolves names against its
+    // own log, never the source's)
+    WarehouseIO.writeString(dest.logFile("v00001.list"),
+      WarehouseIO.renderSnapshot(
+        Seq(WarehouseIO.writeManifest(dest.logPath, abs))))
     WarehouseIO.writeString(dest.logFile("clone_base"), srcRoot)
     dest
   }
@@ -1746,16 +1923,78 @@ final class TableSink(val config: SinkConfig) {
     sib
   }
 
-  /** Repair a swap interrupted between its two renames: the table data
-    * sits stranded in the `_pre_rewrite` scratch sibling — restore it; a
-    * leftover trash dir next to an intact table is just dropped. */
-  private def recoverSwap(): Unit = {
+  /** The swap's durable INTENT marker (a scratch-sibling FILE — it must
+    * survive the root moving out from under it). Content:
+    * `phase\ntrashName\ntmpName`. */
+  private def swapMarker: org.apache.hadoop.fs.Path = scratchSibling("_swap")
+
+  /** Execute a verified swap: `tmp` (the COMPLETE new table) replaces the
+    * root, the old root lands in `trash` and is dropped. Object-store
+    * SAFE: the commit point is one atomic single-file write (the intent
+    * marker — object stores give atomic PUT even where directory rename
+    * is per-object copy+delete); from the marker on, the swap only ever
+    * rolls FORWARD ([[recoverSwap]] resumes the idempotent per-file
+    * moves), so a crash at ANY step leaves a recoverable table and never
+    * loses the rewrite. Before the marker, nothing moved — the abort
+    * contract (table untouched) holds as before. On atomic-rename stores
+    * the moves are the same two namespace renames as always; the marker
+    * just makes the crash window self-healing instead of
+    * restore-the-old. */
+  private def executeSwap(tmp: org.apache.hadoop.fs.Path,
+      trash: org.apache.hadoop.fs.Path): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val root = new HPath(config.tablePath)
-    val trash = scratchSibling("_pre_rewrite")
-    if (WarehouseIO.exists(trash)) {
-      if (!WarehouseIO.exists(root)) WarehouseIO.rename(trash, root)
-      else rmTree(trash)
+    def mark(phase: Int): String =
+      s"$phase\n${trash.getName}\n${tmp.getName}"
+    WarehouseIO.writeStringAtomic(swapMarker, mark(1)) // ← commit point
+    WarehouseIO.swapStepHook("marker1")
+    WarehouseIO.moveTree(root, trash)
+    WarehouseIO.writeStringAtomic(swapMarker, mark(2))
+    WarehouseIO.swapStepHook("marker2")
+    WarehouseIO.moveTree(tmp, root)
+    WarehouseIO.swapStepHook("moved")
+    rmTree(trash)
+    WarehouseIO.delete(swapMarker)
+    ()
+  }
+
+  /** Repair an interrupted swap. A live intent marker means the swap
+    * COMMITTED — roll it forward: finish moving the old root out
+    * (phase 1), then the new table in (phase 2), then clean up; every
+    * move is per-file idempotent, so this is correct on stores without
+    * atomic directory renames. A versioned table whose caller crashed
+    * before its post-swap history reset gets its fresh v1 here. Without
+    * a marker, the pre-marker-era contract applies to leftover trash
+    * dirs: data stranded with no root is restored, trash beside an
+    * intact root is dropped. */
+  private[graft] def recoverSwap(): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(config.tablePath)
+    if (WarehouseIO.isFile(swapMarker)) {
+      val lines = WarehouseIO.readString(swapMarker).split("\n")
+      val (phase, trashName, tmpName) = (lines(0), lines(1), lines(2))
+      def sibling(name: String): HPath = Option(root.getParent)
+        .map(par => new HPath(par, name)).getOrElse(new HPath(name))
+      val (trash, tmp) = (sibling(trashName), sibling(tmpName))
+      if (phase == "1") {
+        WarehouseIO.moveTree(root, trash)
+        WarehouseIO.writeStringAtomic(swapMarker, s"2\n$trashName\n$tmpName")
+      }
+      WarehouseIO.moveTree(tmp, root)
+      rmTree(trash)
+      WarehouseIO.delete(swapMarker)
+      // the interrupted caller never reached its post-swap history
+      // reset: the rewritten root carries no _graft_log — snapshot the
+      // recovered state as v1 so versioned reads resume
+      if (config.versioned && !WarehouseIO.isDir(logPath)) writeSnapshot()
+      return
+    }
+    Seq("_pre_rewrite", "_pre_compact").foreach { sfx =>
+      val trash = scratchSibling(sfx)
+      if (WarehouseIO.exists(trash)) {
+        if (!WarehouseIO.exists(root)) WarehouseIO.rename(trash, root)
+        else rmTree(trash)
+      }
     }
   }
 
@@ -1814,9 +2053,7 @@ final class TableSink(val config: SinkConfig) {
       }
     }
     carryDeclarationSidecars(root, tmp)
-    WarehouseIO.rename(root, trash)
-    WarehouseIO.rename(tmp, root)
-    rmTree(trash)
+    executeSwap(tmp, trash)
   }
 
   /** Z-ORDER clustered rewrite — Delta `OPTIMIZE ZORDER BY` / Iceberg
@@ -2209,10 +2446,22 @@ final class TableSink(val config: SinkConfig) {
       versionCol: String = "_commit_version"): DataFrame = {
     require(config.versioned && snapshotVersions().nonEmpty,
       "row lineage needs a versioned table with at least one commit")
+    // "first manifest that lists the file", accumulated from each
+    // version's NEW delta manifests (O(Σ deltas) — a merged/compacted
+    // manifest re-listing old files never re-attributes them, because
+    // already-seen paths are skipped)
     val introduced = snapshotVersions()
-      .foldLeft(Map.empty[String, Int]) { (seen, v) =>
-        seen ++ manifestFiles(v).filterNot(seen.contains).map(_ -> v)
-      }
+      .foldLeft((Map.empty[String, Int], Set.empty[String])) {
+        case ((seen, seenNames), v) =>
+          val names = manifestNames(v)
+          val files = names match {
+            case Some(ns) => ns.filterNot(seenNames)
+              .flatMap(WarehouseIO.manifestFilesOf(logPath, _))
+            case None => manifestFiles(v)
+          }
+          (seen ++ files.filterNot(seen.contains).map(_ -> v),
+            seenNames ++ names.getOrElse(Nil))
+      }._1
     val pairs = introduced.toSeq.map { case (rel, v) =>
       val abs =
         if (rel.startsWith("/")) rel else s"${config.tablePath}/$rel"
@@ -2406,13 +2655,9 @@ final class TableSink(val config: SinkConfig) {
     requireNoBranches("compact")
     val root = new HPath(config.tablePath)
     val trash = scratchSibling("_pre_compact")
-    // crash recovery BEFORE the existence check: a kill between the two
-    // swap renames leaves the data stranded in _pre_compact with no table
-    // dir — restore it; a kill after both renames just leaves trash to drop
-    if (WarehouseIO.exists(trash)) {
-      if (!WarehouseIO.exists(root)) WarehouseIO.rename(trash, root)
-      else rmTree(trash)
-    }
+    // crash recovery BEFORE the existence check: an interrupted swap is
+    // rolled forward (marker) or its stranded trash restored/dropped
+    recoverSwap()
     if (!WarehouseIO.exists(root)) return
     // Sizing is bytes-per-row × per-partition row count — deliberately NOT
     // a join on file paths: input_file_name() is percent-encoded while the
@@ -2468,11 +2713,9 @@ final class TableSink(val config: SinkConfig) {
           s"$totalRows — aborted, original table untouched")
     }
     // swap: old table -> trash, compacted -> table, drop trash (a crash
-    // mid-swap is repaired by the recovery block on the next compact call)
+    // mid-swap rolls FORWARD via the intent marker on the next call)
     carryDeclarationSidecars(root, tmp)
-    WarehouseIO.rename(root, trash)
-    WarehouseIO.rename(tmp, root)
-    rmTree(trash)
+    executeSwap(tmp, trash)
     if (config.versioned) expireSnapshots() // rewrite invalidates history
   }
 }

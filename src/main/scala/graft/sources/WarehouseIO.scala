@@ -20,6 +20,13 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object WarehouseIO {
 
+  /** Metadata bytes written through the string writers since process
+    * start (monotonic; test hook). Commit-cost specs diff it around one
+    * commit to PROVE the metadata write is O(added files + manifest
+    * count), not O(table file count). */
+  private[graft] val metaBytesWritten =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   // newHadoopConf() CLONES the full Configuration (hundreds of entries)
   // per call, and the metadata hot paths here issue dozens of calls per
   // table read/commit — cache one conf per live session. WEAK keys: a
@@ -60,6 +67,7 @@ private[graft] object WarehouseIO {
     * durable state another process may read mid-write — a bare create is
     * visible before its bytes land; use [[writeStringAtomic]] there. */
   def writeString(p: HPath, s: String): Unit = {
+    metaBytesWritten.addAndGet(s.length.toLong)
     val f = fs(p)
     Option(p.getParent).foreach(f.mkdirs)
     val out = f.create(p, true)
@@ -77,6 +85,7 @@ private[graft] object WarehouseIO {
     * the OLD value to a concurrent reader (who then sees absent, a safe
     * "restart" signal for cursors), never expose a torn one. */
   def writeStringAtomic(p: HPath, s: String): Unit = {
+    metaBytesWritten.addAndGet(s.length.toLong)
     val f = fs(p)
     Option(p.getParent).foreach(f.mkdirs)
     val tmp = new HPath(p.getParent,
@@ -116,6 +125,7 @@ private[graft] object WarehouseIO {
     * Same protocol as Iceberg's HadoopTableOperations version-file
     * commit. */
   def writeStringIfAbsent(p: HPath, s: String): Boolean = {
+    metaBytesWritten.addAndGet(s.length.toLong)
     val f = fs(p)
     Option(p.getParent).foreach(f.mkdirs)
     if (f.exists(p)) return false // cheap fast-path; the claim below decides
@@ -148,12 +158,72 @@ private[graft] object WarehouseIO {
     * mistake them for tables). One naming authority for [[TableSink]]'s
     * swap protocol and the catalog's DROP cleanup. */
   def scratchSiblings(p: HPath): Seq[HPath] =
-    Seq("_pre_rewrite", "_rewriting", "_pre_compact", "_compacting").map {
+    Seq("_pre_rewrite", "_rewriting", "_pre_compact", "_compacting",
+        "_swap").map {
       suffix =>
         val name = s".${p.getName}$suffix"
         Option(p.getParent).map(par => new HPath(par, name))
           .getOrElse(new HPath(name))
     }
+
+  // ------------------------------------------------ whole-tree moves
+  // The rewrite swap's building block. On local/HDFS-class stores a
+  // directory rename is one atomic namespace op; on object stores it is
+  // per-object copy+delete. The swap protocol (TableSink.executeSwap)
+  // is marker-driven roll-forward, so it stays correct either way — the
+  // seam below lets specs RUN the per-file regime and crash it at every
+  // step.
+
+  /** Test seam: simulate object-store directory-move semantics — moves
+    * happen one file at a time (resumable, never atomic), with
+    * [[swapStepHook]] fired before each step for crash injection. */
+  private[graft] var nonAtomicDirMoves: Boolean = false
+
+  /** Test seam: invoked at each swap step ("marker1", "movefile:<rel>",
+    * "marker2", …); a spec throws from here to simulate a crash at an
+    * exact point. No-op in production. */
+  private[graft] var swapStepHook: String => Unit = _ => ()
+
+  /** ALL files under `root` (metadata included — this is for whole-tree
+    * moves, not data listings), root-relative. */
+  private def listAllFilesRel(root: HPath): Seq[String] = {
+    val f = fs(root)
+    val q = f.makeQualified(root)
+    if (!f.exists(q)) return Nil
+    val rootStr = q.toString
+    val it = f.listFiles(q, true)
+    val out = Vector.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile)
+        out += st.getPath.toString.stripPrefix(rootStr).stripPrefix("/")
+    }
+    out.result()
+  }
+
+  /** Move the whole tree at `src` to `dst` (no-op when `src` is absent).
+    * Atomic-rename stores: one namespace op. Under [[nonAtomicDirMoves]]:
+    * file-by-file renames, IDEMPOTENT on resume — a file already present
+    * at the destination was moved by the crashed attempt, so its source
+    * leftover (copy+delete semantics) is dropped, never re-moved. */
+  def moveTree(src: HPath, dst: HPath): Unit = {
+    val f = fs(src)
+    if (!f.exists(src)) return
+    if (!nonAtomicDirMoves) {
+      swapStepHook(s"movetree:${src.getName}")
+      rename(src, dst)
+      return
+    }
+    listAllFilesRel(src).foreach { rel =>
+      swapStepHook(s"movefile:$rel")
+      val from = new HPath(src, rel)
+      val to = new HPath(dst, rel)
+      if (f.exists(to)) f.delete(from, false)
+      else rename(from, to)
+    }
+    f.delete(src, true) // now-empty directory skeleton
+    ()
+  }
 
   def delete(p: HPath, recursive: Boolean = false): Boolean =
     fs(p).delete(p, recursive)
@@ -229,6 +299,59 @@ private[graft] object WarehouseIO {
     Option(dst.getParent).foreach(f.mkdirs)
     require(f.rename(src, dst), s"filesystem refused rename $src -> $dst")
   }
+
+  // ------------------------------------------- layered snapshot format
+  // Iceberg's manifest-list layering (reference README.md:95-105 places
+  // the connector on exactly this commit model): a snapshot file is a
+  // SMALL list of immutable manifest names; each manifest holds the
+  // data-file paths ONE commit added. Commit metadata IO is therefore
+  // O(added files + manifest count), never O(table files), and K
+  // snapshots share manifests instead of storing K full copies. A
+  // LEGACY snapshot (no header) inlines its file list — readers accept
+  // both, so pre-layering tables and hand-planted version files keep
+  // resolving.
+
+  /** First line of a layered (manifest-list) snapshot file. */
+  val SnapshotHeader = "#manifests"
+
+  /** Write an immutable manifest (one data-file path per line) into
+    * `logDir`; returns its name. UUID-named: manifests are shared by
+    * many snapshots and never keyed to one version. */
+  def writeManifest(logDir: HPath, files: Seq[String]): String = {
+    val name = s"m-${java.util.UUID.randomUUID().toString.take(18)}.mf"
+    writeString(new HPath(logDir, name), files.mkString("\n"))
+    name
+  }
+
+  /** Render a layered snapshot pointing at `manifestNames`. */
+  def renderSnapshot(manifestNames: Seq[String]): String =
+    (SnapshotHeader +: manifestNames).mkString("\n")
+
+  /** Manifest names of a layered snapshot file, in commit order; None
+    * for a legacy inline-list snapshot. O(manifest count) read. */
+  def snapshotManifestNames(snapshotPath: HPath): Option[Seq[String]] = {
+    val lines = readString(snapshotPath).split("\n", -1).toIndexedSeq
+    if (lines.headOption.contains(SnapshotHeader))
+      Some(lines.tail.filter(_.nonEmpty))
+    else None
+  }
+
+  /** Data-file paths of manifest `name` under `logDir`. */
+  def manifestFilesOf(logDir: HPath, name: String): IndexedSeq[String] =
+    readString(new HPath(logDir, name))
+      .split("\n").filter(_.nonEmpty).toIndexedSeq
+
+  /** Resolve a snapshot file to its full data-file list: layered → the
+    * union of its manifests (resolved against `logDir` — branch
+    * snapshots reference manifests in the MAIN log dir); legacy → the
+    * inline list. Deduped and sorted for deterministic reads. */
+  def readSnapshotFiles(logDir: HPath, snapshotPath: HPath): Seq[String] =
+    snapshotManifestNames(snapshotPath) match {
+      case Some(names) =>
+        names.flatMap(manifestFilesOf(logDir, _)).distinct.sorted
+      case None =>
+        readString(snapshotPath).split("\n").filter(_.nonEmpty).toIndexedSeq
+    }
 
   /** Recursively list DATA files under `root` as root-relative paths:
     * any path with a `_`- or `.`-prefixed segment (metadata dirs such as

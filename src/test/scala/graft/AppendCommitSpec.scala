@@ -92,8 +92,9 @@ class AppendCommitSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(s"$wh/ac_t5/cat=b/mine.parquet"), "")
     val v = sink.commitAppendedFiles(Seq("cat=b/mine.parquet"))
     assert(v == 3)
-    val m3 = WarehouseIO.readString(new org.apache.hadoop.fs.Path(
-      s"$wh/ac_t5/_graft_log/v00003.list")).split("\n").toSet
+    val log = new org.apache.hadoop.fs.Path(s"$wh/ac_t5/_graft_log")
+    val m3 = WarehouseIO.readSnapshotFiles(log,
+      new org.apache.hadoop.fs.Path(log, "v00003.list")).toSet
     assert(m3.contains("cat=a/concurrent.parquet"),
       "stale-base overwrite would have lost the concurrent commit")
     assert(m3.contains("cat=b/mine.parquet"))
@@ -190,6 +191,107 @@ class AppendCommitSpec extends AnyFunSuite {
     assert(e.getMessage.contains("raced a table rewrite"), e.getMessage)
     // the log is untouched: no phantom version was claimed
     assert(sink.snapshotVersions() == Seq(1))
+  }
+
+  // ----------------------------------------------- layered manifests
+  import org.apache.hadoop.fs.{Path => HPath}
+
+  private def logDir(name: String) = new HPath(s"$wh/$name/_graft_log")
+
+  private def manifestNamesIn(name: String): Seq[String] =
+    WarehouseIO.childNames(logDir(name))
+      .filter(n => n.startsWith("m-") && n.endsWith(".mf")).sorted
+
+  private def headManifestCount(name: String, v: Int): Int =
+    WarehouseIO.snapshotManifestNames(
+      new HPath(logDir(name), f"v$v%05d.list")).map(_.size).getOrElse(-1)
+
+  private def logBytes(name: String): Long =
+    WarehouseIO.childNames(logDir(name))
+      .filterNot(_.startsWith(".")) // checksum sidecars fluctuate
+      .map(n => WarehouseIO.sizeOf(new HPath(logDir(name), n))).sum
+
+  test("commit metadata bytes are O(added files), flat in table size") {
+    // two tables whose PRE-EXISTING file counts differ 10×: the one-file
+    // append's metadata write must cost the same on both — the layered
+    // commit records `head manifest NAMES + own delta`, never re-writing
+    // the table's file list
+    def seeded(name: String, files: Int): TableSink = {
+      val sink = mkSink(name)
+      val df = (1L to files.toLong)
+        .map(i => (i, f"c$i%03d", i * 1.0)).toDF("id", "cat", "v")
+      sink.append(df) // one commit, `files` distinct partitions = files
+      sink
+    }
+    val small = seeded("ac_small", 6)
+    val big = seeded("ac_big", 60)
+    assert(big.read(spark).inputFiles.length >=
+      small.read(spark).inputFiles.length * 8,
+      "fixture: big table must hold ~10x the files")
+    def commitCost(sink: TableSink): Long = {
+      val before = WarehouseIO.metaBytesWritten.get()
+      sink.append(batch(999L)) // identical one-file append on both
+      WarehouseIO.metaBytesWritten.get() - before
+    }
+    val costSmall = commitCost(small)
+    val costBig = commitCost(big)
+    assert(costBig <= costSmall + 64,
+      s"append commit metadata must not grow with pre-existing file " +
+        s"count: $costSmall bytes on 6 files vs $costBig bytes on 60")
+    // and per-append LOG growth is flat too (snapshot history shares
+    // manifests instead of storing K full copies)
+    def appendGrowth(sink: TableSink, name: String): Long = {
+      val before = logBytes(name)
+      sink.append(batch(998L))
+      logBytes(name) - before
+    }
+    val gSmall = appendGrowth(small, "ac_small")
+    val gBig = appendGrowth(big, "ac_big")
+    assert(gBig <= gSmall + 64,
+      s"per-append log growth must be flat in table size: $gSmall vs $gBig")
+  }
+
+  test("compactManifests folds the head chain to one manifest; history " +
+    "and reads are unaffected; expiry GCs the old deltas") {
+    val sink = mkSink("ac_mc")
+    (1L to 4L).foreach(i => sink.append(batch(i)))
+    assert(headManifestCount("ac_mc", 4) == 4,
+      "each commit contributes one delta manifest")
+    val v5 = sink.compactManifests()
+    assert(v5 == 5)
+    assert(headManifestCount("ac_mc", 5) == 1,
+      "the compacted head references exactly one merged manifest")
+    assert(sink.readVersion(spark, 5).count() == 4)
+    assert(sink.readVersion(spark, 2).count() == 2,
+      "older snapshots keep reading through the original deltas")
+    // appends chain off the merged manifest: head stays short
+    sink.append(batch(9L))
+    assert(headManifestCount("ac_mc", 6) == 2)
+    // expiry drops the old snapshots → their now-unreferenced deltas go
+    val before = manifestNamesIn("ac_mc").size
+    sink.expireSnapshotsKeepLast(2)
+    val after = manifestNamesIn("ac_mc").size
+    assert(after == 2,
+      s"only the merged manifest + the new delta survive (was $before, " +
+        s"now $after)")
+    assert(sink.read(spark).count() == 5, "data untouched by manifest ops")
+  }
+
+  test("dropped branches GC their delta manifests; shared ones survive") {
+    val sink = mkSink("ac_gc")
+    sink.append(batch(1L, 2L))
+    sink.createBranch("wip")
+    sink.appendToBranch("wip", batch(3L))
+    val withBranch = manifestNamesIn("ac_gc").size
+    assert(withBranch == 2, "main delta + branch delta")
+    sink.dropBranch("wip")
+    assert(manifestNamesIn("ac_gc").size == 1,
+      "the branch-only delta is GCed; main's survives")
+    // the branch's DATA file is an orphan now (documented WAP contract:
+    // reclaim via removeOrphans); the committed snapshot never saw it
+    assert(sink.readVersion(spark, 1).count() == 2)
+    sink.removeOrphans(graceMs = 0L)
+    assert(sink.read(spark).count() == 2)
   }
 
   test("writeStringAtomic over a writeString-created file leaves no " +

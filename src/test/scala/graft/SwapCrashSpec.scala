@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The rewrite swap's OBJECT-STORE contract: directory renames may be
+  * per-file copy+delete (never atomic), yet a crash at ANY step after the
+  * intent marker must roll FORWARD to the complete rewritten table on
+  * recovery — no partial state survives, no rewrite is lost. The
+  * [[WarehouseIO.nonAtomicDirMoves]] seam runs the per-file regime and
+  * [[WarehouseIO.swapStepHook]] injects the crash at an exact step. */
+class SwapCrashSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val wh = TestSpark.tmpDir("swapcrash_wh")
+
+  private final case class SimCrash(step: String)
+    extends RuntimeException(s"simulated crash at $step")
+
+  private def mkSink(name: String): TableSink =
+    new TableSink(SinkConfig(tableName = name, warehousePath = wh,
+      versioned = true)) // unpartitioned: upsert takes the full-swap path
+
+  private def base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    .toDF("id", "v")
+  private def patch = Seq((2L, 99.0), (4L, 40.0)).toDF("id", "v")
+  private val expected = Set((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0))
+
+  private def readPairs(sink: TableSink): Set[(Long, Double)] =
+    sink.read(spark).select($"id", $"v").as[(Long, Double)].collect().toSet
+
+  /** Crash at the step where `pred(step, phase2Seen)` first holds. */
+  private def armCrash(pred: (String, Boolean) => Boolean): Unit = {
+    var phase2 = false
+    var fired = false
+    WarehouseIO.swapStepHook = step => {
+      if (step == "marker2") phase2 = true
+      if (!fired && pred(step, phase2)) { fired = true; throw SimCrash(step) }
+    }
+  }
+
+  private def disarm(): Unit = {
+    WarehouseIO.swapStepHook = _ => ()
+    WarehouseIO.nonAtomicDirMoves = false
+  }
+
+  test("swap survives a crash at every step under per-file move " +
+    "semantics: recovery rolls forward to the complete rewrite") {
+    // one scenario per crash point; each gets a FRESH table
+    val scenarios: Seq[(String, (String, Boolean) => Boolean)] = Seq(
+      // commit point written, nothing moved yet
+      "at marker1" -> ((s, _) => s == "marker1"),
+      // old root partially evacuated
+      "mid phase 1" -> { (s, p2) =>
+        !p2 && s.startsWith("movefile:") && s.contains("_graft_") },
+      // old root fully out, new table not yet in
+      "at marker2" -> ((s, _) => s == "marker2"),
+      // new table partially in
+      "mid phase 2" -> ((s, p2) => p2 && s.startsWith("movefile:")),
+      // everything in place, trash not yet dropped
+      "after moves" -> ((s, _) => s == "moved"))
+    WarehouseIO.nonAtomicDirMoves = true
+    try scenarios.zipWithIndex.foreach { case ((label, pred), i) =>
+      val sink = mkSink(s"sc_t$i")
+      sink.append(base)
+      armCrash(pred)
+      val e = intercept[RuntimeException](sink.upsert(patch, Seq("id")))
+      assert(e.isInstanceOf[SimCrash] ||
+        e.getCause.isInstanceOf[SimCrash], s"$label: $e")
+      WarehouseIO.swapStepHook = _ => ()
+      sink.recoverSwap()
+      assert(readPairs(sink) == expected,
+        s"$label: recovery must yield the COMPLETE rewritten table")
+      assert(sink.snapshotVersions() == Seq(1),
+        s"$label: recovered versioned table restarts history at v1")
+      val root = new org.apache.hadoop.fs.Path(s"$wh/sc_t$i")
+      WarehouseIO.scratchSiblings(root).foreach(p =>
+        assert(!WarehouseIO.exists(p),
+          s"$label: scratch ${p.getName} must be cleaned by recovery"))
+      // and the recovered table keeps working
+      sink.upsert(Seq((1L, 11.0)).toDF("id", "v"), Seq("id"))
+      assert(readPairs(sink) == (expected - ((1L, 10.0)) + ((1L, 11.0))),
+        s"$label: post-recovery ops must behave normally")
+    } finally disarm()
+  }
+
+  test("recovery is triggered by the next rewriting op itself") {
+    WarehouseIO.nonAtomicDirMoves = true
+    try {
+      val sink = mkSink("sc_auto")
+      sink.append(base)
+      armCrash((s, _) => s == "marker2")
+      intercept[RuntimeException](sink.upsert(patch, Seq("id")))
+      WarehouseIO.swapStepHook = _ => ()
+      // no explicit recoverSwap: the op's own entry recovery repairs first
+      sink.delete(spark, org.apache.spark.sql.functions.lit(false))
+      assert(readPairs(sink) == expected)
+    } finally disarm()
+  }
+
+  test("a full rewrite completes cleanly under per-file move semantics") {
+    WarehouseIO.nonAtomicDirMoves = true
+    try {
+      val sink = mkSink("sc_clean")
+      sink.append(base)
+      sink.upsert(patch, Seq("id"))
+      assert(readPairs(sink) == expected)
+      val root = new org.apache.hadoop.fs.Path(s"$wh/sc_clean")
+      WarehouseIO.scratchSiblings(root).foreach(p =>
+        assert(!WarehouseIO.exists(p)))
+    } finally disarm()
+  }
+}
