@@ -53,7 +53,17 @@ final case class SinkConfig(
     // file manifest under _graft_log, enabling TableSink.readVersion time
     // travel over the append history (rewriting ops expire prior snapshots
     // — see TableSink.readVersion).
-    versioned: Boolean = false) {
+    versioned: Boolean = false,
+    // Amortized manifest merge on commit (Iceberg's
+    // commit.manifest.min-count-to-merge analogue): when a commit would
+    // leave the head snapshot referencing MORE than this many delta
+    // manifests, that commit folds the whole chain into one merged
+    // manifest instead — paid once per `manifestMergeThreshold` commits,
+    // so the per-commit amortized cost stays O(added + total/threshold)
+    // while the manifest-count term (head reads, snapshot file size) is
+    // bounded at any commit cadence. 0 disables (merge only via
+    // TableSink.compactManifests / CALL system.compact_manifests).
+    manifestMergeThreshold: Int = 64) {
 
   require(tableName.nonEmpty, "tableName must be non-empty")
   require(batchSize >= 1 && batchSize <= 100000,
@@ -71,6 +81,9 @@ final case class SinkConfig(
   require(Set("parquet", "orc").contains(fileFormat),
     s"fileFormat must be parquet or orc, got $fileFormat")
   require(tempDir.nonEmpty, "tempDir must be non-empty") // models.py:174-177
+  require(manifestMergeThreshold >= 0,
+    s"manifestMergeThreshold must be >= 0 (0 = never), " +
+      s"got $manifestMergeThreshold")
 
   /** Physical path of the table (reference: custom `location` override wins,
     * else warehouse/tableName — connector.py:380-386). */

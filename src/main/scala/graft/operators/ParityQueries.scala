@@ -1916,6 +1916,59 @@ object ParityQueries {
       |   FROM events) AS total
       |FROM (VALUES (1), (2)) t(v) ORDER BY 1""".stripMargin
 
+  /** The LAYERED manifest log end-to-end (`CALL system.compact_manifests`
+    * — [[TableSink.compactManifests]], Iceberg `rewrite_manifests`):
+    * three INSERT commits chain three delta manifests, the CALL folds
+    * them into ONE merged manifest as a metadata-only snapshot (v4), and
+    * a fourth INSERT chains off the merged head. The result pins the
+    * version spine [1..5], that `VERSION AS OF 2` still reads through
+    * the original deltas (pre-merge history intact), that the merge
+    * commit changed NO rows (v4 count = v3 count), and that the head is
+    * lossless — the whole manifest-layer lifecycle, hash-checked. */
+  def manifestCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_mfc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrc_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl (event_id BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    (0 to 2).foreach(r => spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, value FROM $src WHERE event_id % 3 = $r"))
+    spark.sql(
+      s"CALL graft_cat.system.compact_manifests(`table` => '$tbl')") // v4
+    spark.sql(s"INSERT INTO graft_cat.$tbl " + // v5 chains off the merge
+      s"SELECT event_id + 1000000000, value FROM $src WHERE event_id % 3 = 0")
+    spark.sql(
+      s"""SELECT s.version, v2.n_v2, v34.n_v3, v34.n_v4, agg.n, agg.total
+         |FROM graft_cat.$tbl.snapshots s
+         |CROSS JOIN (SELECT COUNT(*) AS n_v2
+         |  FROM graft_cat.$tbl VERSION AS OF 2) v2
+         |CROSS JOIN (
+         |  SELECT (SELECT COUNT(*) FROM graft_cat.$tbl VERSION AS OF 3)
+         |      AS n_v3,
+         |    (SELECT COUNT(*) FROM graft_cat.$tbl VERSION AS OF 4) AS n_v4
+         |) v34
+         |CROSS JOIN (SELECT COUNT(*) AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |  FROM graft_cat.$tbl) agg
+         |ORDER BY s.version""".stripMargin)
+  }
+
+  val manifestCompactSql: String =
+    """SELECT CAST(v AS BIGINT) AS version,
+      |  (SELECT COUNT(*) FROM events WHERE event_id % 3 IN (0, 1)) AS n_v2,
+      |  (SELECT COUNT(*) FROM events) AS n_v3,
+      |  (SELECT COUNT(*) FROM events) AS n_v4,
+      |  (SELECT COUNT(*) + (SELECT COUNT(*) FROM events
+      |     WHERE event_id % 3 = 0) FROM events) AS n,
+      |  (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) +
+      |     (SELECT SUM(CAST(value AS DECIMAL(18,2))) FROM events
+      |      WHERE event_id % 3 = 0) AS DOUBLE) FROM events) AS total
+      |FROM (VALUES (1), (2), (3), (4), (5)) t(v) ORDER BY 1""".stripMargin
+
   /** WRITE-AUDIT-PUBLISH through SQL (`CALL system.branch` /
     * `system.publish` — [[GraftProcedures]] over [[TableSink]] branches):
     * v1 inserts the even half, a CALL creates branch 'audit', the odd

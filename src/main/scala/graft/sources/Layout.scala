@@ -355,6 +355,49 @@ final class BloomSkip(sink: TableSink, bits: Int = 4096, k: Int = 5) {
       .write.mode("overwrite").parquet(statsPath)
   }
 
+  /** Incremental upkeep for versioned appends ([[TableSink]] calls this
+    * with exactly the files one commit added): signatures for `rels`
+    * only — O(added files), never a table rescan — hashed under the
+    * PERSISTED per-column (bits, k, dtype) stamps (never this
+    * instance's own parameters, so upkeep can never mix stamp
+    * generations) and APPENDED to the stats parquet. Columns whose
+    * stamps are mixed or whose current type differs from the stamp are
+    * skipped — conservative: their new files stay unanalyzed and are
+    * always read. */
+  private[graft] def analyzeAppended(spark: SparkSession,
+      rels: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    if (rels.isEmpty) return
+    if (!WarehouseIO.isDir(new org.apache.hadoop.fs.Path(statsPath))) return
+    val tracked = spark.read.parquet(statsPath)
+      .select(col("col"), col("dtype"), col("bits"), col("k"))
+      .distinct().collect()
+      .groupBy(_.getString(0))
+      .collect { case (c, Array(one))
+          if schema.fieldNames.contains(c) &&
+            schema(c).dataType.sql == one.getString(1) =>
+        (c, one.getString(1), one.getInt(2), one.getInt(3))
+      }.toSeq.sortBy(_._1)
+    if (tracked.isEmpty) return
+    val r = spark.read.format(sink.config.fileFormat).schema(schema)
+      .option("basePath", sink.config.tablePath)
+    val df = r.load(rels.map(rel => s"${sink.config.tablePath}/$rel"): _*)
+    val tagged = array(tracked.map { case (c, dt, b, kk) =>
+      struct(lit(c).as("c"), positions(col(c), b, kk).as("ps"),
+        lit(dt).as("dt"), lit(b).as("b"), lit(kk).as("kk"))
+    }: _*)
+    df.select(input_file_name().as("file"), explode(tagged).as("t"))
+      .select(col("file"), col("t.c").as("col"), col("t.dt").as("dtype"),
+        col("t.b").as("bits"), col("t.kk").as("k"),
+        explode(col("t.ps")).as("p"))
+      .distinct()
+      .groupBy("file", "col", "dtype", "bits", "k")
+      .agg(array_sort(collect_set(col("p"))).as("positions"))
+      .select("file", "col", "dtype", "positions", "bits", "k")
+      .coalesce(1)
+      .write.mode("append").parquet(statsPath)
+  }
+
   private def decoded(c: Column): Column =
     regexp_replace(url_decode(c), "^file:(//)?", "")
 

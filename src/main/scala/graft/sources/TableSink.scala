@@ -204,8 +204,52 @@ final class TableSink(val config: SinkConfig) {
       val added = stagedWrite(prepared) // validates constraints in staging
       persistConfigHints()
       commitAppendedFiles(added)
-      ()
+      maintainZoneStats(prepared, added)
+      // Bloom signatures get the same O(added) upkeep, under the
+      // persisted (bits, k, dtype) stamps
+      if (WarehouseIO.isDir(
+          new org.apache.hadoop.fs.Path(config.tablePath, "_graft_bloom")))
+        new BloomSkip(this).analyzeAppended(prepared.sparkSession, added,
+          prepared.schema)
     }
+  }
+
+  /** Keep `_graft_stats` zone maps FRESH across appends: once
+    * [[ZoneMaps.analyze]] has run, every versioned append computes the
+    * per-file min/max rows for EXACTLY the files it just committed (one
+    * bounded Spark job over the added files — O(added), never a table
+    * rescan) and appends them to the stats parquet, so file skipping
+    * never degrades as the table grows. The tracked columns are derived
+    * from the existing stats schema — no config to drift; a tracked
+    * column absent from this write's schema (pre-evolution writer)
+    * skips upkeep, which is conservative by the zone-map contract
+    * (unanalyzed files always read). Never runs before the first
+    * analyze (no stats = nothing to maintain; rewrites drop stats with
+    * the old root — re-analyze, as documented). */
+  private def maintainZoneStats(prepared: DataFrame,
+      added: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    if (added.isEmpty) return
+    val statsPath = new HPath(config.tablePath, "_graft_stats")
+    if (!WarehouseIO.isDir(statsPath)) return
+    val spark = prepared.sparkSession
+    val statsSchema = spark.read.parquet(statsPath.toString).schema
+    val tracked = statsSchema.fieldNames.toSeq
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+    if (tracked.isEmpty) return
+    if (!tracked.forall(prepared.columns.contains(_))) return
+    val aggs = tracked.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    spark.read.format(config.fileFormat)
+      .schema(prepared.schema)
+      .option("basePath", config.tablePath)
+      .load(added.map(rel => s"${config.tablePath}/$rel"): _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(statsSchema.fieldNames.map(col).toSeq: _*) // column order
+      .coalesce(1)
+      .write.mode("append").parquet(statsPath.toString)
   }
 
   /** CHECK-constraint gate ([[SinkConfig.checkConstraints]]): one
@@ -238,7 +282,7 @@ final class TableSink(val config: SinkConfig) {
     * to a stale-base overwrite. Bounded attempts turn a pathological
     * livelock into a loud error instead of an infinite loop. */
   private[graft] def commitAppendedFiles(added: Seq[String],
-      maxAttempts: Int = 20): Int = {
+      maxAttempts: Int = 20, txn: Option[(String, Long)] = None): Int = {
     // LAYERED commit (Iceberg manifest-list shape): this commit's own
     // delta manifest is written ONCE — its content (exactly this write's
     // files) does not depend on which head it lands on — and the claimed
@@ -256,9 +300,12 @@ final class TableSink(val config: SinkConfig) {
     // pre-existing unversioned data, or one-time migration of a legacy
     // inline-list head) — superseded and deleted if the claim is lost
     var baseManifest: Option[String] = None
+    var mergedManifest: Option[String] = None
     def dropBaseManifest(): Unit = {
       baseManifest.foreach(n => WarehouseIO.delete(logFile(n)))
       baseManifest = None
+      mergedManifest.foreach(n => WarehouseIO.delete(logFile(n)))
+      mergedManifest = None
     }
     def commitLoop(): Int = {
     var attempt = 0
@@ -319,22 +366,44 @@ final class TableSink(val config: SinkConfig) {
           baseManifest.toSeq
       }
       val v = head.getOrElse(0) + 1
+      // amortized merge-on-commit: when this commit would push the head
+      // past the manifest-count threshold, fold the whole chain into ONE
+      // merged manifest instead — O(total) paid once per threshold
+      // commits, bounding head-read and snapshot-file size at any commit
+      // cadence (Iceberg's commit-time manifest merging)
+      val chained = (headNames ++ ownManifest).distinct
+      val mergeManifest: Option[String] =
+        if (config.manifestMergeThreshold > 0 &&
+            chained.size > config.manifestMergeThreshold)
+          Some(WarehouseIO.writeManifest(logPath,
+            (chained.flatMap(WarehouseIO.manifestFilesOf(logPath, _))
+              ).distinct.sorted))
+        else None
+      mergedManifest = mergeManifest // exception-path cleanup owns it
       raceWindowCheckHook()
       if (WarehouseIO.writeStringIfAbsent(logFile(f"v$v%05d.list"),
-          WarehouseIO.renderSnapshot((headNames ++ ownManifest).distinct))) {
+          WarehouseIO.renderSnapshot(
+            mergeManifest.map(Seq(_)).getOrElse(chained),
+            // the streaming dedup record rides IN the claimed snapshot —
+            // atomic with the commit, never a separate marker to drift
+            txn.map(t => s"txn ${t._1} ${t._2}").toSeq))) {
         val genFlip = genBefore != "none" && logGeneration() != genBefore
         val sweptAfter = if (genFlip) Nil else sweptFiles()
         if (genFlip || sweptAfter.nonEmpty) {
           WarehouseIO.delete(logFile(f"v$v%05d.list"))
+          mergeManifest.foreach(n => WarehouseIO.delete(logFile(n)))
           raceError(s"a rewrite landed inside the commit window " +
             s"(manifest v$v retracted; the append may or may not be in " +
             "the rewritten snapshot)")
         }
+        // a merge commit supersedes its own never-referenced delta
+        if (mergeManifest.isDefined)
+          ownManifest.foreach(n => WarehouseIO.delete(logFile(n)))
         return v
       }
-      // lost the claim: the head moved, so any base manifest this attempt
-      // wrote is superseded by the new head's own chain — drop it before
-      // retrying (the new head is read fresh next attempt)
+      // lost the claim: the head moved, so any base/merge manifest this
+      // attempt wrote is superseded by the new head's own chain — drop
+      // them before retrying (the new head is read fresh next attempt)
       dropBaseManifest()
       require(attempt < maxAttempts,
         s"append commit lost the version race $maxAttempts times — " +
@@ -2373,6 +2442,78 @@ final class TableSink(val config: SinkConfig) {
         // (arbitrary winner — upstream supplies a sequence column and
         // pre-aggregates if last-writer ordering matters)
         if (!batch.isEmpty) upsert(batch.dropDuplicates(keyCols), keyCols)
+      }
+      .start()
+  }
+
+  /** Newest committed batch id for `streamId`, scanning snapshots
+    * newest-first (batch ids are monotonic per stream, so the first hit
+    * is the max). Small-file reads, O(retained versions) worst case —
+    * in practice 1-2: a live stream's txn line is at or near the head. */
+  private def lastTxnBatch(streamId: String): Option[Long] =
+    snapshotVersions().reverseIterator
+      .flatMap(v => WarehouseIO.snapshotTxn(snapshotFile(v)))
+      .collectFirst { case (id, b) if id == streamId => b }
+
+  /** One micro-batch of [[startStreamVersioned]] (also callable directly
+    * from a hand-rolled `foreachBatch`): a versioned append whose commit
+    * embeds the `(streamId, batchId)` transaction line in its claimed
+    * snapshot — atomic with the commit. A batch id at or below the
+    * stream's newest committed id is a checkpoint REPLAY and is skipped
+    * before a byte is staged. Returns true when the batch committed,
+    * false when skipped as a duplicate. */
+  def appendStreamBatch(df: DataFrame, streamId: String,
+      batchId: Long): Boolean = {
+    require(config.versioned,
+      "appendStreamBatch commits through the snapshot log — versioned only")
+    requireNoStreamingLog()
+    if (lastTxnBatch(streamId).exists(_ >= batchId)) return false
+    val prepared = clusterForWrite(withDerived(Ops.ensureMessage(df)))
+    val added = stagedWrite(prepared)
+    persistConfigHints()
+    commitAppendedFiles(added, txn = Some(streamId -> batchId))
+    true
+  }
+
+  /** VERSIONED streaming ingest — the Iceberg streaming-write contract
+    * the reference positions the connector for (README.md:95-105 commit
+    * coordination; connector.py:147-199 buffer flush → here a micro-batch,
+    * connector.py:242-257 commit retry → the optimistic claim): every
+    * micro-batch commits as ONE snapshot through the same staged write +
+    * manifest claim as a batch append, so a streaming table gets time
+    * travel, changelog/CDC, branches, expiry, and catalog reads while
+    * the stream runs — none of which the raw file-sink log
+    * ([[startStream]]) can offer.
+    *
+    * EXACTLY-ONCE: `foreachBatch` alone is at-least-once (a crashed
+    * batch replays from the checkpoint); the commit embeds its
+    * `(streamId, batchId)` txn line IN the claimed snapshot file — the
+    * Delta `txnAppId`/`txnVersion` pattern on the manifest log — and
+    * [[appendStreamBatch]] skips an already-committed id before staging,
+    * upgrading the table-side guarantee to exactly-once. Caveat, same as
+    * Delta's: history-expiring rewrites discard txn records — run them
+    * only while the stream is down and its last batch is durably
+    * committed (the standard maintenance-window discipline).
+    *
+    * Scale shape: per batch, one staged write (executors), one delta
+    * manifest of exactly the batch's files, one O(manifest count)
+    * snapshot claim; the dedup probe reads small snapshot files
+    * newest-first and normally stops at the head. Nothing in the commit
+    * grows with table size or stream lifetime (merge-on-commit bounds
+    * the manifest count). */
+  def startStreamVersioned(df: DataFrame, checkpointLocation: String,
+      streamId: Option[String] = None): StreamingQuery = {
+    require(config.versioned,
+      "startStreamVersioned needs versioned = true — use startStream " +
+        "(raw file sink) or startStreamUpsert otherwise")
+    val sid = streamId.getOrElse(checkpointLocation)
+    df.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"${config.batchIntervalSeconds} seconds"))
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendStreamBatch(batch, sid, id)
+        ()
       }
       .start()
   }

@@ -323,17 +323,37 @@ private[graft] object WarehouseIO {
     name
   }
 
-  /** Render a layered snapshot pointing at `manifestNames`. */
-  def renderSnapshot(manifestNames: Seq[String]): String =
-    (SnapshotHeader +: manifestNames).mkString("\n")
+  /** Render a layered snapshot pointing at `manifestNames`. Optional
+    * `metadata` entries ride inside the snapshot file as `#`-prefixed
+    * lines (atomic with the commit that claims it) — e.g. the streaming
+    * transaction line `txn <streamId> <batchId>`. */
+  def renderSnapshot(manifestNames: Seq[String],
+      metadata: Seq[String] = Nil): String =
+    (SnapshotHeader +: (metadata.map("#" + _) ++ manifestNames))
+      .mkString("\n")
 
   /** Manifest names of a layered snapshot file, in commit order; None
-    * for a legacy inline-list snapshot. O(manifest count) read. */
+    * for a legacy inline-list snapshot. `#`-prefixed metadata lines are
+    * not names. O(manifest count) read. */
   def snapshotManifestNames(snapshotPath: HPath): Option[Seq[String]] = {
     val lines = readString(snapshotPath).split("\n", -1).toIndexedSeq
     if (lines.headOption.contains(SnapshotHeader))
-      Some(lines.tail.filter(_.nonEmpty))
+      Some(lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")))
     else None
+  }
+
+  /** The `#txn <streamId> <batchId>` metadata line of a layered
+    * snapshot, if any — the exactly-once dedup record a streaming
+    * commit embeds atomically in its claimed snapshot. */
+  def snapshotTxn(snapshotPath: HPath): Option[(String, Long)] = {
+    val lines = readString(snapshotPath).split("\n").toIndexedSeq
+    if (!lines.headOption.contains(SnapshotHeader)) return None
+    lines.tail.find(_.startsWith("#txn ")).flatMap { l =>
+      l.stripPrefix("#txn ").split(" ") match {
+        case Array(id, b) => b.toLongOption.map(id -> _)
+        case _ => None
+      }
+    }
   }
 
   /** Data-file paths of manifest `name` under `logDir`. */

@@ -277,6 +277,30 @@ class AppendCommitSpec extends AnyFunSuite {
     assert(sink.read(spark).count() == 5, "data untouched by manifest ops")
   }
 
+  test("merge-on-commit bounds the head's manifest count (amortized fold)") {
+    val sink = new TableSink(SinkConfig(tableName = "ac_amc",
+      warehousePath = wh, versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity)),
+      manifestMergeThreshold = 4))
+    (1L to 7L).foreach(i => sink.append(batch(i)))
+    // commits 1-4 chain deltas (4 ≤ threshold); commit 5 would reference
+    // 5 → folds the chain into ONE merged manifest; 6-7 chain again
+    assert(headManifestCount("ac_amc", 4) == 4)
+    assert(headManifestCount("ac_amc", 5) == 1,
+      "the threshold-crossing commit folds the chain")
+    assert(headManifestCount("ac_amc", 7) == 3)
+    assert(sink.read(spark).count() == 7)
+    assert(sink.readVersion(spark, 3).count() == 3,
+      "pre-merge history keeps reading through the original deltas")
+    // no debris: every surviving m-*.mf is referenced by SOME snapshot
+    // (the merge commit deletes its own superseded delta)
+    val referenced = (1 to 7).flatMap(v =>
+      WarehouseIO.snapshotManifestNames(
+        new HPath(logDir("ac_amc"), f"v$v%05d.list")).getOrElse(Nil)).toSet
+    assert(manifestNamesIn("ac_amc").toSet == referenced,
+      "unreferenced manifest debris after merge-on-commit")
+  }
+
   test("dropped branches GC their delta manifests; shared ones survive") {
     val sink = mkSink("ac_gc")
     sink.append(batch(1L, 2L))

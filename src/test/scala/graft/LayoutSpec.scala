@@ -183,6 +183,45 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(3L))
   }
 
+  test("versioned appends keep zone maps FRESH: post-analyze files prune") {
+    val sink = new TableSink(
+      SinkConfig("fresh_zm", tmpWarehouse(), versioned = true))
+    sink.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    val zm = new ZoneMaps(sink)
+    zm.analyze(spark, Seq("v"))
+    // the versioned append computes this file's zone ([999,999]) itself —
+    // O(added files) upkeep, no re-analyze
+    sink.append(Seq((3L, 999L)).toDF("id", "v"))
+    // a range excluding the new zone now PRUNES the new file; without
+    // upkeep it would be an always-read unanalyzed candidate
+    val (files, pruned) = zm.candidates(spark, Seq(("v", lit(0L), lit(30L))))
+    assert(pruned == 1,
+      s"the appended file's fresh zone must prune (kept: $files)")
+    // and reads targeting the new zone still find it (stats are correct,
+    // not just present)
+    val got = zm.readBetween(spark, ("v", lit(900L), lit(1000L)))
+      .filter($"v".between(900L, 1000L)).select("id").as[Long].collect()
+    assert(got.toSeq == Seq(3L))
+  }
+
+  test("versioned appends keep bloom signatures fresh under the " +
+    "persisted stamps") {
+    val sink = new TableSink(
+      SinkConfig("fresh_bf", tmpWarehouse(), versioned = true))
+    sink.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    val bf = new BloomSkip(sink)
+    bf.analyze(spark, Seq("k"))
+    sink.append(Seq((99L, 990L)).toDF("k", "v"))
+    // a value in NO file prunes the fresh file too (it has a signature)
+    val (_, pruned) = bf.candidates(spark, Seq(("k", lit(12345L))))
+    assert(pruned == 2,
+      "both files carry signatures and neither admits the probe")
+    // the fresh file's own value is admitted and read
+    val got = bf.readEquals(spark, ("k", lit(99L)))
+      .filter($"k" === 99L).select("v").as[Long].collect()
+    assert(got.toSeq == Seq(990L))
+  }
+
   test("empty candidate set returns an empty frame with the table schema") {
     val sink = new TableSink(SinkConfig("all_pruned", tmpWarehouse()))
     sink.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
