@@ -873,6 +873,48 @@ object ParityQueries {
       |  AND NOT coalesce(user_id % 7 = 0, FALSE)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The exactly-once VERSIONED STREAMING door
+    * ([[TableSink.appendStreamBatch]], the per-micro-batch commit under
+    * [[TableSink.startStreamVersioned]]): the events table lands in
+    * three micro-batch commits, with batch 1 REPLAYED twice mid-stream
+    * (the checkpoint-recovery shape foreachBatch produces after a
+    * crash) and batch 0 replayed late — every replay must be absorbed
+    * by the txn line embedded in the claimed snapshots. The final
+    * aggregate over the MANIFEST-resolved head must equal the oracle's
+    * direct aggregation (any double-landed batch shows up as doubled
+    * counts/sums) and the snapshot spine must be exactly [1, 2, 3]
+    * (a skipped replay mints no version). */
+  def streamVersionedExactlyOnce(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_vstream", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    def slice(r: Int) = e.filter(pmod($"event_id", lit(3)) === r)
+    sink.appendStreamBatch(slice(0), "cdc-stream", 0L)
+    sink.appendStreamBatch(slice(1), "cdc-stream", 1L)
+    sink.appendStreamBatch(slice(1), "cdc-stream", 1L) // crash replay
+    sink.appendStreamBatch(slice(0), "cdc-stream", 0L) // ancient replay
+    sink.appendStreamBatch(slice(2), "cdc-stream", 2L)
+    val versions = sink.snapshotVersions()
+    sink.readVersion(spark, versions.last)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .withColumn("n_commits", lit(versions.size.toLong))
+      .orderBy($"event_type")
+  }
+
+  val streamVersionedExactlyOnceSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(3 AS BIGINT) AS n_commits
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Incremental materialized-view maintenance (IVM) end-to-end over the
     * four-commit CDC fixture: a per-event_type (count, decimal-sum) view
     * is refreshed TWICE — after the appends, after the two delete

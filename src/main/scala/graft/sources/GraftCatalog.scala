@@ -338,7 +338,24 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * left behind stay invisible until their commit lands (Iceberg's
     * snapshot-isolation contract). Unversioned tables have no manifest and
     * read the live directory. */
+  /** A swap interrupted mid-move leaves a durable intent marker beside
+    * the table root ([[TableSink.executeSwap]]); serving the directory
+    * then would read a PARTIAL table. A pure SQL reader heals it here —
+    * roll-forward is the committed direction — before any load, so no
+    * crash point leaves a broken read through the catalog. Cost on the
+    * happy path: one existence probe per load. */
+  private def healInterruptedSwap(ident: Identifier): Unit = {
+    if (!isTableName(ident.name())) return
+    val marker = WarehouseIO.scratchSiblings(tableDir(ident))
+      .find(_.getName.endsWith("_swap"))
+    if (!marker.exists(WarehouseIO.isFile)) return
+    new TableSink(SinkConfig(tableName = ident.name(),
+      warehousePath = warehouse,
+      location = Some(tableDir(ident).toString))).recoverSwap()
+  }
+
   override def loadTable(ident: Identifier): Table = {
+    healInterruptedSwap(ident)
     if (!tableExists(ident)) {
       val mt = metaTable(ident)
       if (mt.isDefined) return mt.get
@@ -374,6 +391,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * `TableSink.appendToBranch` is queryable by name through SQL before
     * it is published to main. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    healInterruptedSwap(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val files = version.toIntOption match {
       case Some(v) => manifestFiles(ident, v)
@@ -419,6 +437,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * at or before `t`, by manifest commit time — Iceberg's as-of-timestamp
     * resolution against the sink's log. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    healInterruptedSwap(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val vs = versions(ident)
     if (vs.isEmpty) throw new IllegalArgumentException(

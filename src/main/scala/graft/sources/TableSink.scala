@@ -2054,8 +2054,17 @@ final class TableSink(val config: SinkConfig) {
       WarehouseIO.delete(swapMarker)
       // the interrupted caller never reached its post-swap history
       // reset: the rewritten root carries no _graft_log — snapshot the
-      // recovered state as v1 so versioned reads resume
-      if (config.versioned && !WarehouseIO.isDir(logPath)) writeSnapshot()
+      // recovered state as v1 so versioned reads resume. Versioned-ness
+      // comes from the DURABLE declaration sidecars (carried through
+      // every swap), not just this instance's config: a minimal recovery
+      // handle (the SQL catalog healing a table on load) must restore
+      // the owner's semantics, not its own.
+      val declaredVersioned = config.versioned ||
+        WarehouseIO.isFile(new HPath(root, "_graft_versioned")) ||
+        (WarehouseIO.isFile(new HPath(root, "_graft_config")) &&
+          WarehouseIO.readString(new HPath(root, "_graft_config"))
+            .contains("versioned=true"))
+      if (declaredVersioned && !WarehouseIO.isDir(logPath)) writeSnapshot()
       return
     }
     Seq("_pre_rewrite", "_pre_compact").foreach { sfx =>

@@ -66,6 +66,80 @@ class MaintenancePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("layered log: random append/merge/expire/rollback/WAP sequences " +
+    "preserve every retained snapshot and leave zero manifest debris") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val rnd = new scala.util.Random(99)
+    (1 to 3).foreach { trial =>
+      val name = s"prop_log$trial"
+      // tiny merge threshold so merge-on-commit fires INSIDE the random
+      // sequence, interleaved with explicit merges, expiry, and rollback
+      val sink = new TableSink(SinkConfig(tableName = name,
+        warehousePath = wh, versioned = true,
+        partitionSpec = Seq(PartitionField("cat", Transform.Identity)),
+        manifestMergeThreshold = 3))
+      var nextId = 1L
+      var model = Map.empty[Int, Set[Long]] // version -> expected id set
+      def headSet: Set[Long] =
+        if (model.isEmpty) Set.empty else model(model.keys.max)
+      def freshIds(): Seq[Long] = {
+        val b = Seq(nextId, nextId + 1); nextId += 2; b
+      }
+      def df(b: Seq[Long]) =
+        b.map(i => (i, s"c${i % 3}", i * 10.0)).toDF("id", "cat", "v")
+      def appendBatch(): Unit = {
+        val b = freshIds()
+        sink.append(df(b))
+        model += sink.snapshotVersions().last -> (headSet ++ b)
+      }
+      appendBatch()
+      (1 to 8).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 => appendBatch()
+          case 1 =>
+            val v = sink.compactManifests()
+            model += v -> headSet
+          case 2 if model.size > 1 =>
+            val keep = 1 + rnd.nextInt(model.size)
+            val dropped = sink.expireSnapshotsKeepLast(keep)
+            model --= dropped
+          case 3 if model.size > 1 =>
+            val vs = model.keys.toSeq.sorted
+            val target = vs(rnd.nextInt(vs.size - 1))
+            sink.rollbackTo(target)
+            model = model.filter(_._1 <= target)
+          case _ =>
+            val b = freshIds()
+            sink.createBranch("wap")
+            sink.appendToBranch("wap", df(b))
+            val v = sink.publishBranch("wap")
+            sink.dropBranch("wap")
+            model += v -> (headSet ++ b)
+        }
+      }
+      assert(sink.snapshotVersions().toSet == model.keys.toSet,
+        s"trial $trial: retained versions diverge from the model")
+      model.toSeq.sortBy(_._1).foreach { case (v, want) =>
+        val got = sink.readVersion(spark, v)
+          .select($"id").as[Long].collect().toSet
+        assert(got == want,
+          s"trial $trial v$v: snapshot reads ${got.toSeq.sorted}, " +
+            s"model says ${want.toSeq.sorted}")
+      }
+      // zero debris: every on-disk manifest is referenced by a retained
+      // snapshot, and every referenced manifest exists
+      val log = new HPath(s"$wh/$name/_graft_log")
+      val onDisk = WarehouseIO.childNames(log)
+        .filter(n => n.startsWith("m-") && n.endsWith(".mf")).toSet
+      val referenced = sink.snapshotVersions().flatMap(v =>
+        WarehouseIO.snapshotManifestNames(
+          new HPath(log, f"v$v%05d.list")).getOrElse(Nil)).toSet
+      assert(onDisk == referenced,
+        s"trial $trial: manifest debris ${onDisk -- referenced} / " +
+          s"dangling ${referenced -- onDisk}")
+    }
+  }
+
   test("materialized view equals recompute under random refresh points") {
     val rnd = new scala.util.Random(7)
     (1 to 3).foreach { trial =>

@@ -98,6 +98,33 @@ class SwapCrashSpec extends AnyFunSuite {
     } finally disarm()
   }
 
+  test("a PURE SQL reader heals a mid-swap-crashed table on catalog load") {
+    WarehouseIO.nonAtomicDirMoves = true
+    try {
+      val sink = mkSink("sc_sql")
+      sink.append(base)
+      armCrash((s, p2) => p2 && s.startsWith("movefile:"))
+      intercept[RuntimeException](sink.upsert(patch, Seq("id")))
+      WarehouseIO.swapStepHook = _ => ()
+      // no library call touches the table again — the catalog's load
+      // rolls the committed swap forward before serving a single row
+      spark.conf.set("spark.sql.catalog.heal_cat",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.heal_cat.warehouse", wh)
+      val got = spark.sql("SELECT id, v FROM heal_cat.sc_sql")
+        .as[(Long, Double)].collect().toSet
+      assert(got == expected,
+        "the catalog must serve the COMPLETE rewritten table, not the " +
+          "partial directory the crash left")
+      WarehouseIO.scratchSiblings(
+        new org.apache.hadoop.fs.Path(s"$wh/sc_sql")).foreach(p =>
+        assert(!WarehouseIO.exists(p), s"${p.getName} must be cleaned"))
+      assert(sink.snapshotVersions() == Seq(1),
+        "the durable versioned declaration restores v1 through the " +
+          "catalog's minimal recovery handle")
+    } finally disarm()
+  }
+
   test("a full rewrite completes cleanly under per-file move semantics") {
     WarehouseIO.nonAtomicDirMoves = true
     try {
