@@ -2079,6 +2079,45 @@ object ParityQueries {
       |   FROM events) AS total
       |FROM (VALUES (1), (2)) t(v) ORDER BY 1""".stripMargin
 
+  /** `ALTER TABLE DROP COLUMN` through the SQL door: batch 1 lands WITH
+    * a `tag` column, the DROP shrinks the declared schema (old files
+    * keep their bytes; reads project the column away — and the
+    * tombstone permanently refuses a same-name re-add, the field-id
+    * hazard), batch 2 inserts under the evolved two-column shape. The
+    * final aggregate over the union plus the v1 count pins that both
+    * generations co-read under the evolved schema and no row was lost
+    * to the projection. */
+  def sqlDropColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_drp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrc_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl " +
+      "(event_id BIGINT, value DOUBLE, tag STRING) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, value, 'legacy' FROM $src WHERE event_id % 2 = 0")
+    spark.sql(s"ALTER TABLE graft_cat.$tbl DROP COLUMN tag")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, value FROM $src WHERE event_id % 2 = 1")
+    spark.sql(
+      s"""SELECT agg.n, agg.total, v1.n_v1
+         |FROM (SELECT COUNT(*) AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |  FROM graft_cat.$tbl) agg
+         |CROSS JOIN (SELECT COUNT(*) AS n_v1
+         |  FROM graft_cat.$tbl VERSION AS OF 1) v1""".stripMargin)
+  }
+
+  val sqlDropColumnSql: String =
+    """SELECT (SELECT COUNT(*) FROM events) AS n,
+      |  (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |   FROM events) AS total,
+      |  (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0) AS n_v1""".stripMargin
+
   /** `ALTER TABLE ADD COLUMNS` + the evolved column through every door:
     * batch 1 lands pre-evolution, the ALTER grows the declared schema
     * (old files read the column as NULL — Iceberg's additive evolution),

@@ -461,9 +461,19 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * (and an optional `versioned` property) so the empty table loads with
     * a typed read surface; the data path stays [[TableSink]] — a catalog
     * INSERT routes through the same staged, manifest-maintaining append.
-    * Partition TRANSFORMS (bucket/truncate/day …) are not expressible in
-    * this DDL surface, so `PARTITIONED BY` is refused toward the library
-    * API rather than silently approximated. */
+    *
+    * `PARTITIONED BY (col, …)` with IDENTITY transforms is honored: the
+    * columns persist as the table's partition spec (the same
+    * `_graft_config` lines a library append writes), every SQL
+    * INSERT/DELETE/UPDATE/MERGE derives and clusters on them through
+    * [[TableSink]], and partition pruning applies on read — identity
+    * fields are data columns, so the SQL write surface can never
+    * disagree with the derivation ([[fileTable]]'s writability rule).
+    * HIDDEN transforms (`days(ts)`, `bucket(n, c)`, `truncate(n, c)`)
+    * refuse toward the library API: their derived column appears in the
+    * directory spine but not the declared schema, and a SQL INSERT
+    * could contradict the derivation — the same reason those tables are
+    * read-only through this door. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[V2Transform],
       properties: util.Map[String, String]): Table = {
@@ -473,11 +483,21 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       s"'${ident.name()}' is not a creatable table name: leading '_'/'.' " +
         "and '=' are reserved for metadata, swap scratch, and partition " +
         "directories — the listing and loadTable would never serve it")
-    require(partitions.isEmpty,
-      "PARTITIONED BY is not supported here: graft partition specs are " +
-        "TRANSFORMS (identity/bucket/truncate/day/...) declared on the " +
-        "TableSink config — create partitioned tables through the " +
-        "library API")
+    val partitionCols: Seq[String] = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        val col = t.references.head.fieldNames()
+        require(col.length == 1,
+          s"PARTITIONED BY ${col.mkString(".")}: nested partition " +
+            "columns are not supported")
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(col.head)),
+          s"PARTITIONED BY ${col.head}: no such column in the schema")
+        col.head
+      case other => throw new UnsupportedOperationException(
+        s"PARTITIONED BY $other: hidden transforms (days/bucket/" +
+          "truncate/…) are writable only through the library API " +
+          "(TableSink partition specs) — this DDL door honors IDENTITY " +
+          "columns, whose values the SQL writer cannot contradict")
+    }
     // USING <provider> arrives as the 'provider' property — honor it
     // (parquet/orc) or refuse; a silently-parquet "orc table" is worse
     // than an error
@@ -493,23 +513,51 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       WarehouseIO.writeString(versionedMarker(ident), "true")
     // the same config sidecar a library append persists, so the first
     // INSERT writes the declared format under the declared versioning
+    // and partition spec (identity = source:identity, the rendering
+    // TableSink.persistConfigHints uses)
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     WarehouseIO.writeString(
       new org.apache.hadoop.fs.Path(tableDir(ident), "_graft_config"),
-      s"fileFormat=$provider\nnumPartitions=1\nversioned=$versioned")
+      (Seq(s"fileFormat=$provider", "numPartitions=1",
+        s"versioned=$versioned") ++
+        partitionCols.map(c =>
+          s"partition=${enc(c)}:${enc(Transform.render(Transform.Identity))}")
+      ).mkString("\n"))
     loadTable(ident)
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table =
     createTable(ident, info.schema(), info.partitions(), info.properties())
 
-  /** `ALTER TABLE … ADD COLUMNS` — the one schema change expressible on
-    * immutable data files with no field-id/column-mapping layer: the
-    * declared schema grows, pre-evolution files read the new column as
-    * NULL (Iceberg's additive evolution; the SQL twin of the library's
-    * append + mergeSchema path, `q_schema_evolution`). Everything else
-    * (drop/rename/retype/reorder) refuses with the reason: without field
-    * ids a rename is indistinguishable from drop+add against old files,
-    * so it would silently NULL historical data. The evolved schema is
+  /** Names DROPPED from this table's declared schema, ever — the
+    * tombstone list that makes DROP COLUMN safe without field ids: old
+    * data files still carry the dropped column's bytes, so re-ADDing
+    * the same name would silently RESURRECT pre-drop values instead of
+    * reading NULL (exactly the drop-vs-rename ambiguity Iceberg solves
+    * with field ids). A tombstoned name is permanently refused on ADD;
+    * everything else about the drop is pure declared-schema projection. */
+  private def tombstonesFile(ident: Identifier): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(tableDir(ident), "_graft_tombstones")
+
+  private def tombstones(ident: Identifier): Set[String] =
+    if (!WarehouseIO.isFile(tombstonesFile(ident))) Set.empty
+    else WarehouseIO.readString(tombstonesFile(ident))
+      .split("\n").filter(_.nonEmpty).map(_.toLowerCase).toSet
+
+  /** `ALTER TABLE … ADD COLUMNS` and `DROP COLUMN` — the two schema
+    * changes expressible on immutable data files with no
+    * field-id/column-mapping layer:
+    *  - ADD grows the declared schema; pre-evolution files read the new
+    *    column as NULL (Iceberg's additive evolution; the SQL twin of
+    *    the library's append + mergeSchema path, `q_schema_evolution`).
+    *    A name on the tombstone list is refused — old files still carry
+    *    its bytes and would resurrect them (see [[tombstonesFile]]).
+    *  - DROP shrinks the declared schema (reads project the column
+    *    away — name-based parquet/orc reads prune it for free at scan
+    *    time) and tombstones the name.
+    * RENAME and RETYPE refuse with the reason: without field ids a
+    * rename is indistinguishable from drop+add against old files, so it
+    * would silently NULL historical data. The evolved schema is
     * committed atomically (temp + rename) and governs every subsequent
     * catalog read, time travel included. Hive-partitioned tables stay
     * fully read-only. Added columns must be nullable and top-level;
@@ -521,32 +569,57 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       "ALTER TABLE on a hive-partitioned table is not supported — its " +
         "transform spec lives on the owning TableSink config; evolve " +
         "through the library (append + mergeSchema)")
-    val adds = changes.map {
-      case a: TableChange.AddColumn => a
+    changes.foreach {
+      case _: TableChange.AddColumn | _: TableChange.DeleteColumn => ()
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not supported: " +
           "data files are immutable and carry no field ids, so only ADD " +
-          "COLUMNS (NULL-filled on pre-evolution rows) is expressible — " +
-          "drops/renames/retypes need a column-mapping layer this engine " +
+          "COLUMNS (NULL-filled on pre-evolution rows) and DROP COLUMN " +
+          "(declared-schema projection + tombstone) are expressible — " +
+          "renames/retypes need a column-mapping layer this engine " +
           "deliberately does not fake")
     }
     val base = declaredSchema(ident).getOrElse(
       // first ALTER on a library-created table freezes the current
-      // file-inferred schema as the declared one, then extends it
+      // file-inferred schema as the declared one, then evolves it
       loadTable(ident).schema())
-    val evolved = adds.foldLeft(base) { (sch, a) =>
-      require(a.fieldNames().length == 1,
-        s"ADD COLUMNS ${a.fieldNames().mkString(".")}: nested additions " +
-          "are not supported — add a top-level column")
-      val name = a.fieldNames().head
-      require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
-        s"column $name already exists")
-      require(a.isNullable,
-        s"added column $name must be nullable — pre-evolution rows have " +
-          "no value for it")
-      sch.add(org.apache.spark.sql.types.StructField(
-        name, a.dataType(), nullable = true))
+    val dead = tombstones(ident)
+    val evolved = changes.foldLeft(base) {
+      case (sch, a: TableChange.AddColumn) =>
+        require(a.fieldNames().length == 1,
+          s"ADD COLUMNS ${a.fieldNames().mkString(".")}: nested additions " +
+            "are not supported — add a top-level column")
+        val name = a.fieldNames().head
+        require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column $name already exists")
+        require(!dead.contains(name.toLowerCase),
+          s"column $name was DROPPED from this table: old data files " +
+            "still carry its values, and without field ids a re-added " +
+            s"'$name' would resurrect them instead of reading NULL — " +
+            "use a fresh name")
+        require(a.isNullable,
+          s"added column $name must be nullable — pre-evolution rows have " +
+            "no value for it")
+        sch.add(org.apache.spark.sql.types.StructField(
+          name, a.dataType(), nullable = true))
+      case (sch, d: TableChange.DeleteColumn) =>
+        require(d.fieldNames().length == 1,
+          s"DROP COLUMN ${d.fieldNames().mkString(".")}: nested drops " +
+            "are not supported — drop a top-level column")
+        val name = d.fieldNames().head
+        require(sch.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column $name does not exist")
+        require(sch.fields.length > 1,
+          s"cannot drop $name: it is the table's only column")
+        org.apache.spark.sql.types.StructType(
+          sch.fields.filterNot(_.name.equalsIgnoreCase(name)))
+      case (sch, _) => sch // unreachable (pre-validated above)
     }
+    val dropped = changes.collect { case d: TableChange.DeleteColumn =>
+      d.fieldNames().head.toLowerCase }
+    if (dropped.nonEmpty)
+      WarehouseIO.writeStringAtomic(tombstonesFile(ident),
+        (dead ++ dropped).toSeq.sorted.mkString("\n"))
     // atomic overwrite: a reader never observes a torn schema file
     WarehouseIO.writeStringAtomic(schemaFile(ident), evolved.json)
     loadTable(ident)

@@ -2093,7 +2093,8 @@ final class TableSink(val config: SinkConfig) {
   private def carryDeclarationSidecars(root: org.apache.hadoop.fs.Path,
       tmp: org.apache.hadoop.fs.Path): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
-    Seq("_graft_config", "_graft_schema", "_graft_versioned").foreach { n =>
+    Seq("_graft_config", "_graft_schema", "_graft_versioned",
+        "_graft_tombstones").foreach { n =>
       val src = new HPath(root, n)
       if (WarehouseIO.isFile(src))
         WarehouseIO.writeString(new HPath(tmp, n), WarehouseIO.readString(src))

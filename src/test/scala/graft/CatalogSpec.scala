@@ -254,12 +254,8 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql(
       "CREATE TABLE gtest.ctas AS SELECT id, s FROM gtest.sqlmade WHERE id = 1")
     assert(spark.sql("SELECT * FROM gtest.ctas").count() == 1)
-    // partition transforms are a library-API concept — PARTITIONED BY refuses
-    val e = intercept[Exception](spark.sql(
-      "CREATE TABLE gtest.badpart (id BIGINT, cat STRING) PARTITIONED BY (cat)"))
-    assert(e.getMessage.contains("TRANSFORMS") ||
-      Option(e.getCause).exists(_.getMessage.contains("TRANSFORMS")),
-      s"got: $e")
+    // identity PARTITIONED BY is honored; hidden transforms refuse — both
+    // pinned in "CREATE TABLE PARTITIONED BY identity columns: …"
   }
 
   test("orc tables read through the same catalog (format sniffed)") {
@@ -635,13 +631,14 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT note FROM gtest.alt2").head().isNullAt(0))
   }
 
-  test("ALTER TABLE refuses everything except nullable top-level adds") {
+  test("ALTER TABLE refuses everything except nullable top-level adds " +
+    "and top-level drops") {
     spark.sql("CREATE TABLE gtest.alt3 (id BIGINT, v DOUBLE, s STRUCT<a: INT>)")
     def refused(sql: String, hint: String): Unit = {
       val e = intercept[Exception](spark.sql(sql))
       assert(e.getMessage.contains(hint), s"$sql -> ${e.getMessage}")
     }
-    refused("ALTER TABLE gtest.alt3 DROP COLUMN v", "field ids")
+    refused("ALTER TABLE gtest.alt3 DROP COLUMN s.a", "nested")
     refused("ALTER TABLE gtest.alt3 RENAME COLUMN v TO w", "field ids")
     refused("ALTER TABLE gtest.alt3 ALTER COLUMN v TYPE STRING", "field ids")
     refused("ALTER TABLE gtest.alt3 ADD COLUMNS (id STRING)",
@@ -650,5 +647,74 @@ class CatalogSpec extends AnyFunSuite {
     // hive-partitioned tables stay fully read-only
     mkVersioned("alt4")
     refused("ALTER TABLE gtest.alt4 ADD COLUMNS (x INT)", "hive-partitioned")
+  }
+
+  test("CREATE TABLE PARTITIONED BY identity columns: SQL writes derive " +
+    "and cluster; hidden transforms refuse toward the library") {
+    spark.sql("CREATE TABLE gtest.ttpart (id BIGINT, v DOUBLE, cat STRING) " +
+      "PARTITIONED BY (cat) TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gtest.ttpart VALUES " +
+      "(1, 10.0, 'a'), (2, 20.0, 'b'), (3, 30.0, 'a')")
+    // physically hive-partitioned: the INSERT derived and clustered on cat
+    assert(WarehouseIO.childDirNames(
+      new org.apache.hadoop.fs.Path(s"$wh/ttpart"))
+      .count(_.startsWith("cat=")) == 2,
+      "SQL insert must write one directory per partition value")
+    assert(spark.sql("SELECT * FROM gtest.ttpart WHERE cat = 'a'")
+      .count() == 2)
+    // identity-partitioned tables stay in the WRITABLE class: DML works
+    spark.sql("DELETE FROM gtest.ttpart WHERE cat = 'b'")
+    assert(spark.sql("SELECT COUNT(*) FROM gtest.ttpart")
+      .head().getLong(0) == 2)
+    spark.sql("INSERT INTO gtest.ttpart VALUES (4, 40.0, 'c')")
+    assert(spark.sql("SELECT COUNT(*) FROM gtest.ttpart")
+      .head().getLong(0) == 3)
+    // hidden transforms cannot be honored through this door
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE gtest.ttpart2 (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))"))
+    assert(e.getMessage.contains("library API"), e.getMessage)
+    // and a partition column must exist in the schema (Spark's analyzer
+    // catches it first; our own require is the non-SQL-door backstop)
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE gtest.ttpart3 (id BIGINT) PARTITIONED BY (nope)"))
+    assert(e2.getMessage.contains("no such column") ||
+      e2.getMessage.contains("Couldn't find column"), e2.getMessage)
+  }
+
+  test("ALTER TABLE DROP COLUMN projects the column away; the tombstone " +
+    "refuses a same-name re-add") {
+    spark.sql("CREATE TABLE gtest.ttdrop (id BIGINT, v DOUBLE, tag STRING) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gtest.ttdrop VALUES (1, 10.0, 'x'), (2, 20.0, 'y')")
+    spark.sql("ALTER TABLE gtest.ttdrop DROP COLUMN tag")
+    // the declared schema governs every read: pre-drop files still carry
+    // tag bytes, but the column is projected away at scan time
+    assert(spark.table("gtest.ttdrop").columns.toSeq == Seq("id", "v"))
+    // inserts continue against the evolved (smaller) schema
+    spark.sql("INSERT INTO gtest.ttdrop VALUES (3, 30.0)")
+    assert(spark.sql("SELECT * FROM gtest.ttdrop").count() == 3)
+    // time travel reads under the evolved schema too — never schema-shifted
+    assert(spark.sql("SELECT * FROM gtest.ttdrop VERSION AS OF 1")
+      .columns.toSeq == Seq("id", "v"))
+    // re-adding the dropped NAME would resurrect pre-drop values from the
+    // old files (no field ids) — refused with the reason, permanently
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gtest.ttdrop ADD COLUMNS (tag STRING)"))
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+    // a FRESH name is fine and reads NULL-filled on old rows
+    spark.sql("ALTER TABLE gtest.ttdrop ADD COLUMNS (tag2 STRING)")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM gtest.ttdrop WHERE tag2 IS NULL")
+      .head().getLong(0) == 3)
+    // the only remaining column cannot be dropped
+    spark.sql("CREATE TABLE gtest.ttdrop1 (solo BIGINT)")
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE gtest.ttdrop1 DROP COLUMN solo"))
+    assert(e2.getMessage.contains("only column"), e2.getMessage)
+    // renames still refuse toward the field-id explanation
+    val e3 = intercept[Exception](
+      spark.sql("ALTER TABLE gtest.ttdrop RENAME COLUMN v TO w"))
+    assert(e3.getMessage.contains("field ids"), e3.getMessage)
   }
 }
