@@ -53,4 +53,56 @@ object TableRouter {
         appendRouted(batch, tableCol, mkConfig)
       }
       .start()
+
+  /** One micro-batch of [[startRoutedStreamVersioned]] (also directly
+    * callable from a hand-rolled foreachBatch): routes the batch and
+    * commits each destination's slice through
+    * [[TableSink.appendStreamBatch]] with this batch's id — a
+    * destination that already committed it (a replay that crashed
+    * BETWEEN destinations) skips before staging a byte. Returns the
+    * tables that actually committed this call. */
+  def routeBatchVersioned(batch: DataFrame, tableCol: String,
+      mkConfig: String => SinkConfig, streamId: String,
+      batchId: Long): Seq[String] = {
+    val cached = batch.cache()
+    try {
+      val tables = cached.select(col(tableCol)).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      tables.filter { t =>
+        new TableSink(mkConfig(t)).appendStreamBatch(
+          cached.filter(col(tableCol) === t).drop(tableCol), streamId,
+          batchId)
+      }
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Streaming fan-out with EXACTLY-ONCE per destination — the delivery
+    * contract the reference DECLARES but never wires (its exactly-once
+    * tracking is dead code, SURVEY.md §2.6), realized on the versioned
+    * commit protocol: each destination's slice commits as one snapshot
+    * carrying the `(streamId, batchId)` txn line, so a replayed
+    * micro-batch re-routes but every destination that already committed
+    * this batch id skips it. A crash BETWEEN destinations converges on
+    * replay: committed tables skip, the rest commit — per-table
+    * exactly-once with no cross-table transaction needed, because
+    * destination commits are independent and idempotent per batch id.
+    * Destinations must be versioned ([[TableSink.appendStreamBatch]]
+    * enforces it). Scale shape: per batch, one bounded distinct of
+    * table NAMES + per table one filtered write of the cached batch —
+    * identical to [[startRoutedStream]] plus one small txn probe per
+    * destination. */
+  def startRoutedStreamVersioned(df: DataFrame, tableCol: String,
+      mkConfig: String => SinkConfig, checkpointLocation: String,
+      streamId: Option[String] = None,
+      intervalSeconds: Int = 15): StreamingQuery = {
+    val sid = streamId.getOrElse(checkpointLocation)
+    df.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        routeBatchVersioned(batch, tableCol, mkConfig, sid, id)
+        ()
+      }
+      .start()
+  }
 }
