@@ -1410,12 +1410,19 @@ final class TableSink(val config: SinkConfig) {
       curNames = namesOpt.map(_.toSet).getOrElse(Set.empty)
       curFiles = nextFiles
       val committedMs = WarehouseIO.modifiedAtMs(logFile(f"v$v%05d.list"))
+      // manifest-layer observability: how many delta manifests this
+      // snapshot references (merge-on-commit / compactManifests fold
+      // shows as a drop to 1; 0 = legacy inline snapshot) and the
+      // streaming txn line, if the commit carried one
       (v.toLong, parent.map(_.toLong), new java.sql.Timestamp(committedMs),
-        nFiles.toLong, nAdded.toLong, nRemoved.toLong)
+        nFiles.toLong, nAdded.toLong, nRemoved.toLong,
+        namesOpt.map(_.size.toLong).getOrElse(0L),
+        WarehouseIO.snapshotTxn(snapshotFile(v))
+          .map { case (id, b) => s"$id#$b" })
     }
     import spark.implicits._
     rows.toDF("version", "parent_version", "committed_at", "n_files",
-      "n_added_files", "n_removed_files")
+      "n_added_files", "n_removed_files", "n_manifests", "txn")
   }
 
   /** One row per live data file — (file_path, record_count, size_bytes,

@@ -538,7 +538,7 @@ class CatalogSpec extends AnyFunSuite {
     // read-only: INSERT refuses (no write capability)
     val e = intercept[Exception](
       spark.sql("INSERT INTO gtest.meta1.snapshots " +
-        "VALUES (9L, NULL, current_timestamp(), 0L, 0L, 0L)"))
+        "VALUES (9L, NULL, current_timestamp(), 0L, 0L, 0L, 0L, NULL)"))
     assert(e.getMessage.toLowerCase.contains("does not support"),
       e.getMessage)
     // a real table always shadows the metadata name

@@ -98,6 +98,28 @@ class MetaTablesSpec extends AnyFunSuite {
     assert(parts(0).getLong(1) == 2L)
   }
 
+  test("metaSnapshots exposes the manifest layer: per-commit chain " +
+    "growth, fold to 1 on compaction, txn line for streaming commits") {
+    val sink = mkSink("ms_mf")                       // 2 append commits
+    assert(sink.metaSnapshots(spark).orderBy($"version")
+      .select($"n_manifests").as[Long].collect().toSeq == Seq(1L, 2L),
+      "each append chains one delta manifest")
+    val v3 = sink.compactManifests()
+    val afterFold = sink.metaSnapshots(spark).orderBy($"version")
+      .select($"version", $"n_manifests", $"n_added_files",
+        $"n_removed_files").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(afterFold.last == ((v3.toLong, 1L, 0L, 0L)),
+      s"a manifest fold is metadata-only: 1 manifest, no file churn — " +
+        s"got $afterFold")
+    // streaming commits surface their exactly-once txn line
+    sink.appendStreamBatch(
+      Seq((9L, "c0", 9.0)).toDF("id", "cat", "v"), "obs-stream", 7L)
+    val txns = sink.metaSnapshots(spark).orderBy($"version")
+      .select($"txn").as[Option[String]].collect().toSeq
+    assert(txns.last.contains("obs-stream#7"), s"got $txns")
+    assert(txns.init.forall(_.isEmpty), "plain commits carry no txn")
+  }
+
   test("metaSnapshots refuses unversioned tables; metaFiles still serves them") {
     val unv = new TableSink(SinkConfig(tableName = "ms4u", warehousePath = wh))
     unv.append(Seq((1L, "a", 1.0)).toDF("id", "cat", "v"))
