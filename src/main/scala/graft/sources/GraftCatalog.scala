@@ -611,6 +611,16 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
           s"column $name does not exist")
         require(sch.fields.length > 1,
           s"cannot drop $name: it is the table's only column")
+        // a created-but-still-empty partitioned table has no hive dirs
+        // yet, so it slips past the blanket partitioned-ALTER refusal
+        // above — but its persisted partition spec would then point at a
+        // dropped column and every subsequent INSERT would die at write
+        // time with a confusing derivation error; refuse at ALTER time
+        val partCols = insertConfig(ident, None).partitionSpec
+          .flatMap(p => Seq(p.source, p.columnName)).map(_.toLowerCase)
+        require(!partCols.contains(name.toLowerCase),
+          s"cannot drop $name: it is named in the table's partition spec " +
+            "— evolve the partitioning first")
         org.apache.spark.sql.types.StructType(
           sch.fields.filterNot(_.name.equalsIgnoreCase(name)))
       case (sch, _) => sch // unreachable (pre-validated above)

@@ -354,7 +354,15 @@ final class TableSink(val config: SinkConfig) {
             baseManifest.toSeq
         }
         case None =>
-          if (baseManifest.isEmpty) {
+          // a TXN (streaming) first commit must NOT bootstrap-sweep the
+          // directory: a batch-0 attempt that crashed between its staged
+          // rename and the claim leaves orphans the replay cannot
+          // distinguish from pre-existing data — sweeping them into the
+          // base manifest would commit the batch's rows twice. A
+          // streaming table either starts empty or is explicitly adopted
+          // (adoptExisting → head exists) before the stream starts; any
+          // crash orphans stay unreferenced for removeOrphans.
+          if (baseManifest.isEmpty && txn.isEmpty) {
             // the staged write already renamed THIS commit's files into
             // the table, so the bootstrap listing must exclude them —
             // they are the delta manifest's, not pre-existing data
@@ -385,8 +393,10 @@ final class TableSink(val config: SinkConfig) {
           WarehouseIO.renderSnapshot(
             mergeManifest.map(Seq(_)).getOrElse(chained),
             // the streaming dedup record rides IN the claimed snapshot —
-            // atomic with the commit, never a separate marker to drift
-            txn.map(t => s"txn ${t._1} ${t._2}").toSeq))) {
+            // atomic with the commit, never a separate marker to drift;
+            // the id is escaped (checkpoint-path ids can carry spaces)
+            txn.map(t =>
+              s"txn ${WarehouseIO.encodeTxnId(t._1)} ${t._2}").toSeq))) {
         val genFlip = genBefore != "none" && logGeneration() != genBefore
         val sweptAfter = if (genFlip) Nil else sweptFiles()
         if (genFlip || sweptAfter.nonEmpty) {
@@ -405,6 +415,16 @@ final class TableSink(val config: SinkConfig) {
       // attempt wrote is superseded by the new head's own chain — drop
       // them before retrying (the new head is read fresh next attempt)
       dropBaseManifest()
+      // the commit we just lost to may BE this transaction — a zombie
+      // duplicate writer (a stale executor replaying the same batch)
+      // landing it first. The pre-staging dedup probe ran before the
+      // race; without this re-check the retry would double-commit the
+      // batch id. 0 = "already committed by someone else" (versions
+      // start at 1) — the caller discards its staged files.
+      if (txn.exists { case (id, b) => lastTxnBatch(id).exists(_ >= b) }) {
+        ownManifest.foreach(n => WarehouseIO.delete(logFile(n)))
+        return 0
+      }
       require(attempt < maxAttempts,
         s"append commit lost the version race $maxAttempts times — " +
           "a committer storm or a stuck writer is holding the log")
@@ -713,9 +733,19 @@ final class TableSink(val config: SinkConfig) {
       branches().flatMap(b => branchVersions(b).map(v =>
         new org.apache.hadoop.fs.Path(branchLogPath(b), f"v$v%05d.list")))
       ).flatMap(namesOf).toSet
+    // an optimistic append writes its delta (and possibly base/merge)
+    // manifest BEFORE claiming a version — "referenced by no snapshot"
+    // is the normal transient state of an in-flight commit, and some GC
+    // callers (dropBranch via CALL system.publish) explicitly legalize
+    // concurrent main appends. Reap only manifests old enough that no
+    // live commit attempt can still be about to reference them; younger
+    // orphans age into the next GC pass.
+    val now = System.currentTimeMillis()
     WarehouseIO.childNames(logPath)
       .filter(n => n.startsWith("m-") && n.endsWith(".mf"))
       .filterNot(live)
+      .filter(n => scala.util.Try(now - WarehouseIO.modifiedAtMs(logFile(n)) >=
+        WarehouseIO.manifestGcGraceMs).getOrElse(false))
       .foreach(n => WarehouseIO.delete(logFile(n)))
   }
 
@@ -2004,6 +2034,45 @@ final class TableSink(val config: SinkConfig) {
     * `phase\ntrashName\ntmpName`. */
   private def swapMarker: org.apache.hadoop.fs.Path = scratchSibling("_swap")
 
+  /** Mutex over the swap roll-forward (a scratch-sibling lock FILE).
+    * Exactly one actor — the live [[executeSwap]] writer or one healer —
+    * may move the roots at a time: without it, two concurrent healers
+    * (two SQL sessions both load-healing, or a reader racing the live
+    * writer) can both read a phase-1 marker, and the slower one replays
+    * `moveTree(root, trash)` against the already-HEALED root, then
+    * `rmTree(trash)` deletes the entire new table. Acquired by exclusive
+    * create ([[WarehouseIO.writeStringIfAbsent]] — one winner on any
+    * store); released in-band; a crash strands it, so waiters break
+    * locks older than [[WarehouseIO.swapLockStaleMs]] by mtime. */
+  private def swapLock: org.apache.hadoop.fs.Path = scratchSibling("_swaplock")
+
+  /** Block until this actor holds [[swapLock]]; returns the owner token
+    * (release proves ownership before deleting — a broken-and-reclaimed
+    * lock must not be deleted by its previous holder). */
+  private def acquireSwapLock(): String = {
+    val token = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + 600000L
+    while (!WarehouseIO.writeStringIfAbsent(swapLock, token)) {
+      val stale = scala.util.Try(
+        System.currentTimeMillis() - WarehouseIO.modifiedAtMs(swapLock) >
+          WarehouseIO.swapLockStaleMs).getOrElse(false)
+      if (stale) WarehouseIO.delete(swapLock) // crashed holder — break it
+      else Thread.sleep(25)
+      require(System.currentTimeMillis() < deadline,
+        s"swap lock wait timed out for ${config.tablePath} — a healer or " +
+          "rewriter has held the lock past the stale threshold without " +
+          "its mtime aging out; inspect the _swaplock sibling")
+    }
+    token
+  }
+
+  private def releaseSwapLock(token: String): Unit = {
+    if (scala.util.Try(WarehouseIO.readString(swapLock)).toOption
+        .contains(token))
+      WarehouseIO.delete(swapLock)
+    ()
+  }
+
   /** Execute a verified swap: `tmp` (the COMPLETE new table) replaces the
     * root, the old root lands in `trash` and is dropped. Object-store
     * SAFE: the commit point is one atomic single-file write (the intent
@@ -2022,16 +2091,22 @@ final class TableSink(val config: SinkConfig) {
     val root = new HPath(config.tablePath)
     def mark(phase: Int): String =
       s"$phase\n${trash.getName}\n${tmp.getName}"
-    WarehouseIO.writeStringAtomic(swapMarker, mark(1)) // ← commit point
-    WarehouseIO.swapStepHook("marker1")
-    WarehouseIO.moveTree(root, trash)
-    WarehouseIO.writeStringAtomic(swapMarker, mark(2))
-    WarehouseIO.swapStepHook("marker2")
-    WarehouseIO.moveTree(tmp, root)
-    WarehouseIO.swapStepHook("moved")
-    rmTree(trash)
-    WarehouseIO.delete(swapMarker)
-    ()
+    // the mutex is held across marker + moves: a concurrent load-healer
+    // seeing the marker blocks on the lock instead of racing the live
+    // writer's moves (and finds the marker gone once we finish)
+    val token = acquireSwapLock()
+    try {
+      WarehouseIO.writeStringAtomic(swapMarker, mark(1)) // ← commit point
+      WarehouseIO.swapStepHook("marker1")
+      WarehouseIO.moveTree(root, trash)
+      WarehouseIO.writeStringAtomic(swapMarker, mark(2))
+      WarehouseIO.swapStepHook("marker2")
+      WarehouseIO.moveTree(tmp, root)
+      WarehouseIO.swapStepHook("moved")
+      rmTree(trash)
+      WarehouseIO.delete(swapMarker)
+      ()
+    } finally releaseSwapLock(token)
   }
 
   /** Repair an interrupted swap. A live intent marker means the swap
@@ -2047,16 +2122,29 @@ final class TableSink(val config: SinkConfig) {
     import org.apache.hadoop.fs.{Path => HPath}
     val root = new HPath(config.tablePath)
     if (WarehouseIO.isFile(swapMarker)) {
+      // serialize against the live writer and any other healer, then
+      // RE-READ the marker under the lock: the common outcome of losing
+      // the race is "already healed" (marker gone) — return, nothing to do
+      val token = acquireSwapLock()
+      try {
+      if (!WarehouseIO.isFile(swapMarker)) return
       val lines = WarehouseIO.readString(swapMarker).split("\n")
       val (phase, trashName, tmpName) = (lines(0), lines(1), lines(2))
       def sibling(name: String): HPath = Option(root.getParent)
         .map(par => new HPath(par, name)).getOrElse(new HPath(name))
       val (trash, tmp) = (sibling(trashName), sibling(tmpName))
       if (phase == "1") {
-        WarehouseIO.moveTree(root, trash)
-        WarehouseIO.writeStringAtomic(swapMarker, s"2\n$trashName\n$tmpName")
+        // phase 1 is only meaningful while the NEW table still sits in
+        // tmp; with tmp gone the swap already rolled forward (root IS the
+        // new table) and moving root to trash would destroy it — the
+        // guard makes a stale phase-1 marker harmless even if exclusion
+        // were ever breached (e.g. a broken-then-reclaimed stale lock)
+        if (WarehouseIO.exists(tmp)) {
+          WarehouseIO.moveTree(root, trash)
+          WarehouseIO.writeStringAtomic(swapMarker, s"2\n$trashName\n$tmpName")
+        }
       }
-      WarehouseIO.moveTree(tmp, root)
+      if (WarehouseIO.exists(tmp)) WarehouseIO.moveTree(tmp, root)
       rmTree(trash)
       WarehouseIO.delete(swapMarker)
       // the interrupted caller never reached its post-swap history
@@ -2072,6 +2160,7 @@ final class TableSink(val config: SinkConfig) {
           WarehouseIO.readString(new HPath(root, "_graft_config"))
             .contains("versioned=true"))
       if (declaredVersioned && !WarehouseIO.isDir(logPath)) writeSnapshot()
+      } finally releaseSwapLock(token)
       return
     }
     Seq("_pre_rewrite", "_pre_compact").foreach { sfx =>
@@ -2488,7 +2577,15 @@ final class TableSink(val config: SinkConfig) {
     val prepared = clusterForWrite(withDerived(Ops.ensureMessage(df)))
     val added = stagedWrite(prepared)
     persistConfigHints()
-    commitAppendedFiles(added, txn = Some(streamId -> batchId))
+    val v = commitAppendedFiles(added, txn = Some(streamId -> batchId))
+    if (v == 0) {
+      // a zombie duplicate writer committed this batch id inside our
+      // commit window — this attempt's staged files were never
+      // referenced; reclaim them now rather than leaving orphans
+      added.foreach(rel => WarehouseIO.delete(
+        new org.apache.hadoop.fs.Path(config.tablePath, rel)))
+      return false
+    }
     true
   }
 
@@ -2634,35 +2731,95 @@ final class TableSink(val config: SinkConfig) {
       .drop("__lin_raw", "__lin_scan", "__lin_path")
   }
 
-  /** Streaming read of the table — Iceberg's streaming-read contract:
-    * a `readStream` whose micro-batches are the files newly landed since
-    * the last trigger, so downstream incremental consumers (enrichment,
-    * CDC fan-out, monitoring aggregations) ride the table directly
-    * instead of a copy. Exactly-once file discovery is the Spark file
-    * source's own checkpointed log.
+  /** Current `(history generation, head version)` — the streaming
+    * source's offset coordinates. The generation pins offsets to ONE
+    * snapshot history: a rewriting op expires the log and restarts
+    * numbering at v1, so a bare version in a checkpoint could silently
+    * resume against a different history. */
+  def streamHead(): (String, Int) =
+    (logGeneration(), snapshotVersions().lastOption.getOrElse(0))
+
+  /** The rows commits `(fromVersion, toVersion]` appended — the
+    * snapshot-streaming micro-batch. INSERT-ONLY enforcement, precise:
+    * a commit that removed or rewrote files (compact / delete / upsert /
+    * cluster) or introduced merge-on-read delete sidecars refuses with
+    * the commit id and the remedy, instead of silently double-counting
+    * re-landed rows the way directory discovery would. Delete sidecars
+    * committed AT OR BEFORE `fromVersion` still apply to the new rows
+    * (a row appended under a still-live delete predicate never becomes
+    * visible — same visibility rule as the batch read and changelog).
     *
-    * APPEND-ONLY surface, enforced: refused while merge-on-read delete
-    * sidecars are pending (a file scan would re-emit deleted rows — same
-    * rule as [[GraftCatalog]]), and rewriting ops (compact/upsert/delete)
-    * must not run under a live stream — they re-land surviving rows in
-    * new files, which a file-discovery stream would double-count
-    * (Iceberg's streaming read declares the same restriction).
+    * Metadata cost per batch: O(manifest count) name reads + the two
+    * file-set reads per commit in range; data cost: a scan of exactly
+    * the appended files. */
+  def readAppendedBetween(spark: SparkSession, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    val versions = snapshotVersions()
+    val rng = versions.filter(v => v > fromVersion && v <= toVersion)
+    val parts: Seq[DataFrame] = rng.flatMap { v =>
+      require(!WarehouseIO.isFile(deletesPath(v)) &&
+        !WarehouseIO.isDir(keysPath(v)) && !WarehouseIO.isDir(posDeletesPath(v)),
+        s"snapshot streaming: commit v$v carries merge-on-read deletes — " +
+          "a stream cannot retract rows it already emitted; run deletes " +
+          "with the stream down, compact, and restart the consumer from " +
+          "a fresh checkpoint")
+      val prevSet = versions.filter(_ < v).lastOption
+        .map(manifestFiles(_).toSet).getOrElse(Set.empty)
+      val cur = manifestFiles(v)
+      val removed = prevSet -- cur
+      require(removed.isEmpty,
+        s"snapshot streaming: commit v$v removed or rewrote " +
+          s"${removed.size} file(s) (compact/delete/overwrite) — only " +
+          "insert-only commits stream; run maintenance with the stream " +
+          "down and restart the consumer from a fresh checkpoint")
+      val added = cur.filterNot(prevSet)
+      if (added.isEmpty) None
+      else Some(applyDeletes(readFiles(spark, added), v))
+    }
+    if (parts.isEmpty) read(spark).limit(0) else parts.reduce(_ unionByName _)
+  }
+
+  /** Streaming read of the table — the Iceberg streaming-read contract
+    * (incremental snapshot consumption; reference README.md:95-105 is
+    * exactly this commit-coordination story): each micro-batch is the
+    * set of COMMITS that landed since the last trigger, resolved through
+    * the snapshot log, never a directory listing. A consumer therefore
+    * cannot observe a staged append's files before its manifest claim
+    * lands, and files orphaned by a crashed or retracted append are
+    * never emitted — the visibility rule is the manifest, same as the
+    * batch read.
     *
-    * Scale shape: discovery cost is directory listing per trigger —
-    * bounded by new-file count; schema comes from the declared table
-    * schema or ONE head-manifest footer read, never a full scan. */
+    * Semantics: the FIRST batch is the table's consistent snapshot at
+    * the head (merge-on-read deletes applied — any history shape is
+    * fine); every later batch is [[readAppendedBetween]] over the new
+    * commits, which refuses non-insert commits precisely. Offsets are
+    * `(generation, version)` — a mid-stream rewrite that restarts the
+    * history fails the stream loudly instead of silently re-reading.
+    *
+    * An UNVERSIONED table has no snapshot log to stream, so it keeps the
+    * file-discovery source (Spark's checkpointed file listing) — the
+    * only contract a bare directory can offer.
+    *
+    * Scale shape: per trigger, one O(manifest count) head probe; per
+    * batch, a scan of exactly the appended files. */
   def readStream(spark: SparkSession): DataFrame = {
-    snapshotVersions().lastOption.foreach { head =>
-      require(!hasPendingDeletes(head),
-        "streaming read over pending merge-on-read deletes would re-emit " +
-          "deleted rows; materialize first (compact)")
+    if (!config.versioned) {
+      val schema = config.tableSchema.getOrElse(read(spark).schema)
+      return spark.readStream
+        .format(config.fileFormat)
+        .schema(schema)
+        .option("basePath", config.tablePath)
+        .load(config.tablePath)
     }
     val schema = config.tableSchema.getOrElse(read(spark).schema)
     spark.readStream
-      .format(config.fileFormat)
+      .format("org.apache.spark.sql.graft.GraftTableStream")
       .schema(schema)
-      .option("basePath", config.tablePath)
-      .load(config.tablePath)
+      .option("tableName", config.tableName)
+      .option("warehousePath", config.warehousePath)
+      .option("tablePath", config.tablePath)
+      .option("fileFormat", config.fileFormat)
+      .load()
   }
 
   /** Partition-spec-evolution-aware read: the table may hold file

@@ -159,7 +159,7 @@ private[graft] object WarehouseIO {
     * swap protocol and the catalog's DROP cleanup. */
   def scratchSiblings(p: HPath): Seq[HPath] =
     Seq("_pre_rewrite", "_rewriting", "_pre_compact", "_compacting",
-        "_swap").map {
+        "_swap", "_swaplock").map {
       suffix =>
         val name = s".${p.getName}$suffix"
         Option(p.getParent).map(par => new HPath(par, name))
@@ -178,6 +178,22 @@ private[graft] object WarehouseIO {
     * happen one file at a time (resumable, never atomic), with
     * [[swapStepHook]] fired before each step for crash injection. */
   private[graft] var nonAtomicDirMoves: Boolean = false
+
+  /** Age after which the swap/heal mutex of a CRASHED holder may be
+    * broken by a waiter (the live protocol deletes its lock in-band; only
+    * a process death strands one). Production default trades a minute of
+    * heal latency after a hard crash for never breaking a live holder's
+    * lock mid-swap; specs shrink it to exercise the break path. */
+  private[graft] var swapLockStaleMs: Long = 60000L
+
+  /** Manifests younger than this are exempt from [[TableSink]]'s
+    * unreferenced-manifest GC: an in-flight optimistic append writes its
+    * delta manifest BEFORE claiming a version, and a concurrent
+    * history-dropping op (branch drop, expiry) must not reap that
+    * moments-old file and leave the about-to-land head dangling. Orphans
+    * that age past the grace are reclaimed on the next GC pass. Specs
+    * that assert exact on-disk ≡ referenced parity set this to 0. */
+  private[graft] var manifestGcGraceMs: Long = 300000L
 
   /** Test seam: invoked at each swap step ("marker1", "movefile:<rel>",
     * "marker2", …); a spec throws from here to simulate a crash at an
@@ -342,15 +358,31 @@ private[graft] object WarehouseIO {
     else None
   }
 
+  /** Stream ids default to checkpoint PATHS, which may contain spaces —
+    * and the txn line is space-delimited inside a line-oriented snapshot
+    * file, so a raw space would shift the batch-id token (every parse
+    * returns None → replay dedup silently off → duplicates land) and a
+    * raw newline would inject bogus manifest-name lines. Minimal escape
+    * of exactly the structural characters: ids without them round-trip
+    * byte-identical, so pre-encoding snapshots keep resolving. */
+  def encodeTxnId(id: String): String = id
+    .replace("%", "%25").replace(" ", "%20")
+    .replace("\n", "%0A").replace("\r", "%0D")
+
+  def decodeTxnId(id: String): String = id
+    .replace("%0D", "\r").replace("%0A", "\n")
+    .replace("%20", " ").replace("%25", "%")
+
   /** The `#txn <streamId> <batchId>` metadata line of a layered
     * snapshot, if any — the exactly-once dedup record a streaming
-    * commit embeds atomically in its claimed snapshot. */
+    * commit embeds atomically in its claimed snapshot. The id token is
+    * [[encodeTxnId]]-escaped on disk. */
   def snapshotTxn(snapshotPath: HPath): Option[(String, Long)] = {
     val lines = readString(snapshotPath).split("\n").toIndexedSeq
     if (!lines.headOption.contains(SnapshotHeader)) return None
     lines.tail.find(_.startsWith("#txn ")).flatMap { l =>
       l.stripPrefix("#txn ").split(" ") match {
-        case Array(id, b) => b.toLongOption.map(id -> _)
+        case Array(id, b) => b.toLongOption.map(decodeTxnId(id) -> _)
         case _ => None
       }
     }

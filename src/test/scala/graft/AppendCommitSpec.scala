@@ -332,6 +332,31 @@ class AppendCommitSpec extends AnyFunSuite {
     assert(WarehouseIO.readString(p) == "schema-v2-evolved")
   }
 
+  test("manifest GC spares moments-old unreferenced manifests (an " +
+    "in-flight append's delta) until they age past the grace") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val sink = mkSink("ac_gcgrace")
+    sink.append(batch(1L, 2L))
+    sink.append(batch(3L, 4L))
+    // an in-flight append's freshly-written, not-yet-claimed delta
+    val inflight = new HPath(s"$wh/ac_gcgrace/_graft_log/m-inflight00.mf")
+    WarehouseIO.writeString(inflight, "cat=a/part-inflight.parquet")
+    val prev = WarehouseIO.manifestGcGraceMs
+    try {
+      WarehouseIO.manifestGcGraceMs = 60000L
+      sink.expireSnapshotsKeepLast(1) // history-dropping op → runs GC
+      assert(WarehouseIO.exists(inflight),
+        "GC must not reap a young unreferenced manifest — a concurrent " +
+          "append may be about to claim it")
+      WarehouseIO.manifestGcGraceMs = 0L
+      sink.append(batch(5L, 6L)) // gives the next expiry history to drop
+      sink.expireSnapshotsKeepLast(1)
+      assert(!WarehouseIO.exists(inflight),
+        "past the grace the orphan is reclaimed")
+    } finally WarehouseIO.manifestGcGraceMs = prev
+    assert(sink.read(spark).count() == 6, "table data unaffected")
+  }
+
   test("a rewrite landing INSIDE the commit window is detected and the " +
     "claimed manifest retracted") {
     import org.apache.hadoop.fs.{Path => HPath}

@@ -682,6 +682,23 @@ class CatalogSpec extends AnyFunSuite {
       e2.getMessage.contains("Couldn't find column"), e2.getMessage)
   }
 
+  test("ALTER TABLE DROP COLUMN refuses a partition-spec column — even " +
+    "on a created-but-still-empty partitioned table") {
+    // an empty partitioned table has no hive dirs yet, so it slips past
+    // the blanket partitioned-ALTER refusal; without the spec check the
+    // drop would succeed and every later INSERT would fail at write time
+    // with a confusing partition-derivation error
+    spark.sql("CREATE TABLE gtest.ttdroppart (id BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat) TBLPROPERTIES('versioned'='true')")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gtest.ttdroppart DROP COLUMN cat"))
+    assert(e.getMessage.contains("partition spec"), e.getMessage)
+    // the table still works end-to-end after the refused ALTER
+    spark.sql("INSERT INTO gtest.ttdroppart VALUES (1, 'a')")
+    assert(spark.sql("SELECT COUNT(*) FROM gtest.ttdroppart")
+      .head().getLong(0) == 1)
+  }
+
   test("ALTER TABLE DROP COLUMN projects the column away; the tombstone " +
     "refuses a same-name re-add") {
     spark.sql("CREATE TABLE gtest.ttdrop (id BIGINT, v DOUBLE, tag STRING) " +

@@ -21,8 +21,8 @@ class SwapCrashSpec extends AnyFunSuite {
     new TableSink(SinkConfig(tableName = name, warehousePath = wh,
       versioned = true)) // unpartitioned: upsert takes the full-swap path
 
-  private def base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
-    .toDF("id", "v")
+  private val baseRows = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+  private def base = baseRows.toDF("id", "v")
   private def patch = Seq((2L, 99.0), (4L, 40.0)).toDF("id", "v")
   private val expected = Set((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0))
 
@@ -123,6 +123,78 @@ class SwapCrashSpec extends AnyFunSuite {
         "the durable versioned declaration restores v1 through the " +
           "catalog's minimal recovery handle")
     } finally disarm()
+  }
+
+  test("a stale phase-1 marker left beside an already-healed table must " +
+    "not destroy it (the competing-healer data-loss race)") {
+    // the scenario: healer A and healer B both observe a phase-1 marker;
+    // A completes the roll-forward (root = NEW table, tmp consumed,
+    // marker gone) — then B replays phase 1 against the HEALED root and
+    // rmTree(trash) deletes the entire new table. The swap lock
+    // serializes live healers; this crafts B's view directly (marker
+    // present, tmp already consumed) to pin the exists(tmp) guard that
+    // makes even a breached-exclusion replay harmless.
+    val sink = mkSink("sc_stale1")
+    sink.append(base)
+    val root = new org.apache.hadoop.fs.Path(s"$wh/sc_stale1")
+    val marker = WarehouseIO.scratchSiblings(root)
+      .find(_.getName.endsWith("_swap")).get
+    WarehouseIO.writeStringAtomic(marker,
+      s"1\n.sc_stale1_pre_rewrite\n.sc_stale1_rewriting")
+    sink.recoverSwap()
+    assert(readPairs(sink) == baseRows.toSet,
+      "a phase-1 replay with its tmp already consumed must leave the " +
+        "healed table intact")
+    assert(!WarehouseIO.exists(marker), "the stale marker is cleaned up")
+  }
+
+  test("a second healer waits on the swap lock instead of racing the one " +
+    "that holds it") {
+    val sink = mkSink("sc_lock")
+    sink.append(base)
+    val root = new org.apache.hadoop.fs.Path(s"$wh/sc_lock")
+    def sib(sfx: String) = WarehouseIO.scratchSiblings(root)
+      .find(_.getName.endsWith(sfx)).get
+    // craft a crashed phase-2 state: complete table sits in tmp, root out
+    WarehouseIO.rename(root, sib("_rewriting"))
+    WarehouseIO.writeStringAtomic(sib("_swap"),
+      s"2\n.sc_lock_pre_rewrite\n.sc_lock_rewriting")
+    // a foreign holder owns the lock (fresh mtime — not stale)
+    WarehouseIO.writeStringAtomic(sib("_swaplock"), "foreign-holder")
+    @volatile var healed = false
+    val t = new Thread(() => { sink.recoverSwap(); healed = true })
+    t.start()
+    Thread.sleep(400)
+    assert(!healed && !WarehouseIO.exists(root),
+      "the healer must BLOCK while a live holder owns the lock")
+    WarehouseIO.delete(sib("_swaplock")) // holder releases
+    t.join(30000)
+    assert(healed && readPairs(sink) == baseRows.toSet,
+      "after the lock frees, the waiting healer completes the roll-forward")
+    assert(!WarehouseIO.exists(sib("_swap")))
+  }
+
+  test("a lock stranded by a hard-crashed holder is broken by age and " +
+    "the heal proceeds") {
+    val sink = mkSink("sc_break")
+    sink.append(base)
+    val root = new org.apache.hadoop.fs.Path(s"$wh/sc_break")
+    def sib(sfx: String) = WarehouseIO.scratchSiblings(root)
+      .find(_.getName.endsWith(sfx)).get
+    WarehouseIO.rename(root, sib("_rewriting"))
+    WarehouseIO.writeStringAtomic(sib("_swap"),
+      s"2\n.sc_break_pre_rewrite\n.sc_break_rewriting")
+    WarehouseIO.writeStringAtomic(sib("_swaplock"), "dead-holder")
+    val prev = WarehouseIO.swapLockStaleMs
+    WarehouseIO.swapLockStaleMs = 50L
+    try {
+      Thread.sleep(150) // age the dead holder's lock past staleness
+      sink.recoverSwap()
+      assert(readPairs(sink) == baseRows.toSet,
+        "the heal must complete after breaking the dead holder's lock")
+      assert(!WarehouseIO.exists(sib("_swap")) &&
+        !WarehouseIO.exists(sib("_swaplock")))
+    } finally WarehouseIO.swapLockStaleMs = prev
   }
 
   test("a full rewrite completes cleanly under per-file move semantics") {

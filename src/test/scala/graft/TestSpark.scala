@@ -14,6 +14,12 @@ object TestSpark {
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // specs assert exact on-disk ≡ referenced manifest parity after
+    // maintenance ops; the production GC grace (protecting in-flight
+    // appends' moments-old manifests) would leave young orphans behind.
+    // The grace path itself is covered by a dedicated AppendCommitSpec
+    // case that raises it back temporarily.
+    WarehouseIO.manifestGcGraceMs = 0L
     s
   }
   val sfDir = "/root/testdata/sf0.001"

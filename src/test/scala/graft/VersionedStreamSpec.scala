@@ -100,4 +100,71 @@ class VersionedStreamSpec extends AnyFunSuite {
       "batch and streaming commits share one optimistic log")
     assert(sink.read(spark).count() == 3)
   }
+
+  test("a crashed batch-0 attempt's orphans are NOT swept into the first " +
+    "streaming commit on replay") {
+    val sink = mkSink("vs_orphan0")
+    val b1 = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "cat", "v")
+    // first attempt: staged files renamed into the root, then "crash"
+    // between the rename and the snapshot claim — simulated by landing
+    // the commit and erasing the whole log (files stay, no head)
+    assert(sink.appendStreamBatch(b1, "s0", 0L))
+    WarehouseIO.delete(new org.apache.hadoop.fs.Path(
+      s"$wh/vs_orphan0/_graft_log"), recursive = true)
+    // checkpoint replay of batch 0: head==None + a txn line — the commit
+    // must NOT bootstrap-sweep the directory (the first attempt's
+    // orphans are indistinguishable from pre-existing data and would
+    // double every row of the batch)
+    assert(sink.appendStreamBatch(b1, "s0", 0L))
+    assert(sink.readVersion(spark, 1).count() == 2,
+      "v1 carries the batch exactly once — replay orphans stay out")
+    // the orphans are unreferenced debris, reclaimable by removeOrphans
+    val reclaimed = sink.removeOrphans(graceMs = 0L)
+    assert(reclaimed.count(_.endsWith(".parquet")) >= 1,
+      s"the crashed attempt's files are orphans: $reclaimed")
+    assert(sink.readVersion(spark, 1).count() == 2)
+  }
+
+  test("a zombie duplicate writer landing the same batch id inside the " +
+    "commit window is absorbed, not double-committed") {
+    val sink = mkSink("vs_zombie")
+    val b = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "cat", "v")
+    assert(sink.appendStreamBatch(b, "sz", 0L)) // v1
+    // arm: just before THIS writer's claim, a second writer (the zombie's
+    // replacement, or the original non-zombie) commits the same (sz, 1)
+    val rival = mkSink("vs_zombie")
+    var fired = false
+    sink.raceWindowCheckHook = () => if (!fired) {
+      fired = true
+      assert(rival.appendStreamBatch(
+        Seq((9L, "a", 9.0)).toDF("id", "cat", "v"), "sz", 1L))
+    }
+    try {
+      // the pre-staging dedup probe passes (batch 1 not yet committed at
+      // probe time); the rival lands it in the window; the in-loop
+      // re-check must absorb the duplicate instead of retrying the claim
+      val committed = sink.appendStreamBatch(b, "sz", 1L)
+      assert(!committed, "the duplicate batch id must be absorbed")
+    } finally sink.raceWindowCheckHook = () => ()
+    assert(sink.read(spark).count() == 3,
+      "only v1's two rows + the rival's one row — no double-commit")
+    // the absorbed attempt's staged files were reclaimed immediately
+    assert(sink.removeOrphans(graceMs = 0L).isEmpty,
+      "the absorbed attempt must clean its own staged files")
+  }
+
+  test("stream ids containing spaces (checkpoint paths) keep replay " +
+    "dedup working via txn-id escaping") {
+    val sink = mkSink("vs_spacey")
+    val b = Seq((1L, "a", 1.0)).toDF("id", "cat", "v")
+    val sid = "/tmp/check point dir/vs spacey"
+    assert(sink.appendStreamBatch(b, sid, 0L))
+    assert(!sink.appendStreamBatch(b, sid, 0L),
+      "replay of a space-bearing stream id must still dedup")
+    assert(sink.read(spark).count() == 1)
+    // the escaped id round-trips byte-identical through the snapshot file
+    assert(WarehouseIO.decodeTxnId(WarehouseIO.encodeTxnId(sid)) == sid)
+    val weird = "a %20b\nc\r d%"
+    assert(WarehouseIO.decodeTxnId(WarehouseIO.encodeTxnId(weird)) == weird)
+  }
 }
