@@ -289,10 +289,120 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("tbl_stream").as[(String, Long)].collect().toMap
         == Map("a" -> 4L, "b" -> 2L))
     } finally q.stop()
-    // pending merge-on-read deletes refuse a fresh stream (re-emission)
+    // pending merge-on-read deletes are APPLIED by a fresh stream's
+    // initial snapshot batch — the source reads through the manifest
+    // like the batch read, so any history shape serves (the old
+    // directory-discovery source had to refuse here)
     sink.deleteWhere("v < 15.0")
-    assert(intercept[IllegalArgumentException](sink.readStream(spark))
-      .getMessage.contains("re-emit"))
+    val q2 = sink.readStream(spark)
+      .groupBy($"cat").agg(org.apache.spark.sql.functions.sum($"id").as("s"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tbl_stream_mor")
+      .option("checkpointLocation", TestSpark.tmpDir("stream_read_cp2"))
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("tbl_stream_mor").as[(String, Long)].collect().toMap
+        == Map("a" -> 3L, "b" -> 2L),
+        "the initial snapshot batch must apply pending deletes")
+    } finally q2.stop()
+  }
+
+  test("snapshot streaming never emits unclaimed or race-orphaned files") {
+    import spark.implicits._
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_orphanstream",
+      warehousePath = TestSpark.tmpDir("stream_orphan_wh"),
+      versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "cat", "v"))
+    val q = sink.readStream(spark)
+      .writeStream.format("memory").queryName("orphan_stream")
+      .option("checkpointLocation", TestSpark.tmpDir("stream_orphan_cp"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // an append's staged files land in the table dir BEFORE its
+      // manifest claim; a crashed/retracted attempt leaves them forever.
+      // Fake one by cloning a committed data file under a new name —
+      // a directory-discovery stream would emit its rows
+      val root = new org.apache.hadoop.fs.Path(sink.config.tablePath)
+      val committed = WarehouseIO.listDataFilesRel(root).head
+      val orphan = committed.replaceAll("part-[^/]*", "part-orphan-unclaimed")
+      org.apache.hadoop.fs.FileUtil.copy(
+        WarehouseIO.fs(root), new org.apache.hadoop.fs.Path(root, committed),
+        WarehouseIO.fs(root), new org.apache.hadoop.fs.Path(root, orphan),
+        false, spark.sparkContext.hadoopConfiguration)
+      sink.append(Seq((3L, "a", 30.0)).toDF("id", "cat", "v")) // claimed
+      q.processAllAvailable()
+      val ids = spark.table("orphan_stream").select($"id").as[Long]
+        .collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L),
+        s"only manifest-claimed rows may stream (got $ids) — the orphan " +
+          "file's rows must stay invisible")
+    } finally q.stop()
+  }
+
+  test("a delete commit or a history rewrite mid-stream fails the " +
+    "stream precisely instead of corrupting it") {
+    import spark.implicits._
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_guardstream",
+      warehousePath = TestSpark.tmpDir("stream_guard_wh"),
+      versioned = true))
+    sink.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "cat", "v"))
+    def startQ(n: String) = sink.readStream(spark)
+      .writeStream.format("memory").queryName(n)
+      .option("checkpointLocation", TestSpark.tmpDir(s"stream_guard_$n"))
+      .start()
+    val q1 = startQ("guard1")
+    try {
+      q1.processAllAvailable()
+      sink.deleteWhere("v < 15.0") // MoR delete commit lands mid-stream
+      sink.append(Seq((3L, "c", 30.0)).toDF("id", "cat", "v"))
+      val e = intercept[Exception](q1.processAllAvailable())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("merge-on-read deletes"),
+        s"a mid-stream delete commit must refuse precisely: $msgs")
+    } finally q1.stop()
+    // a rewriting op restarts the history: generation-pinned offsets
+    // refuse the silently-diverged resume
+    sink.compact(spark)
+    val q2 = startQ("guard2")
+    try {
+      q2.processAllAvailable() // fresh checkpoint: serves the new history
+      assert(spark.table("guard2").count() == 2L,
+        "post-compact snapshot has the two surviving rows")
+    } finally q2.stop()
+  }
+
+  test("snapshot streaming resumes incrementally from the checkpoint " +
+    "without re-emitting consumed commits") {
+    import spark.implicits._
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_resumestream",
+      warehousePath = TestSpark.tmpDir("stream_resume_wh"),
+      versioned = true))
+    sink.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "cat", "v"))
+    val cp = TestSpark.tmpDir("stream_resume_cp")
+    val out = TestSpark.tmpDir("stream_resume_out")
+    def startQ() = sink.readStream(spark)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 2L)
+    sink.append(Seq((3L, "c", 30.0)).toDF("id", "cat", "v"))
+    // same checkpoint: the restarted query emits ONLY the new commit —
+    // a re-emission of the consumed snapshot would land 5 rows, not 3
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(out).select($"id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"the resumed stream must emit only the un-consumed commit: $ids")
   }
 
   test("size flush: no streamed data file exceeds batchSize records") {
