@@ -1402,55 +1402,97 @@ final class TableSink(val config: SinkConfig) {
 
   /** One row per committed snapshot — (version, parent_version,
     * committed_at, n_files, n_added_files, n_removed_files), oldest
-    * first. Pure driver-side manifest metadata: cost is the snapshot
-    * count, never a data-file read — the shape Iceberg's `snapshots` /
-    * `history` tables have at any scale. `committed_at` is the manifest's
-    * commit wall-time at millisecond precision (the same clock
+    * first. DISTRIBUTED accounting: the driver touches only manifest
+    * NAMES (O(versions × manifests) strings); the manifests' FILE LISTS
+    * are read by executors — each distinct manifest exactly once via a
+    * text scan — and per-version added/removed falls out of one
+    * presence-gap pass over (file, version-rank) pairs. At ~1M files ×
+    * long histories the old running driver-side `Set[String]` was the
+    * largest remaining driver-memory term (Iceberg distributes its
+    * metadata tables for the same reason); now the driver holds one
+    * count pair per version. `committed_at` is the manifest's commit
+    * wall-time at millisecond precision (the same clock
     * [[GraftCatalog]]'s TIMESTAMP AS OF resolves against). */
   def metaSnapshots(spark: SparkSession): DataFrame = {
     require(config.versioned && snapshotVersions().nonEmpty,
       "metaSnapshots needs a versioned table with at least one commit")
     val vs = snapshotVersions()
-    // per-version added/removed comes from the DELTA manifests: a commit
-    // whose manifest set is a superset of its parent's (every append)
-    // costs O(its own delta) — the new manifests' files against a running
-    // set — never a full-list subtraction per version pair. Structural
-    // versions (manifest compaction, publish, legacy snapshots) fall back
-    // to the exact pair diff, each manifest still read at most once.
-    val mfCache = scala.collection.mutable.Map.empty[String, IndexedSeq[String]]
-    def mf(n: String): IndexedSeq[String] =
-      mfCache.getOrElseUpdate(n, WarehouseIO.manifestFilesOf(logPath, n))
-    var curFiles = Set.empty[String]
-    var curNames = Set.empty[String]
-    val rows = vs.zip(None +: vs.map(Some(_))).map { case (v, parent) =>
-      val namesOpt = manifestNames(v)
-      val (nFiles, nAdded, nRemoved, nextFiles) = namesOpt match {
-        case Some(names)
-            if parent.isDefined && curNames.subsetOf(names.toSet) =>
-          val fresh = names.filterNot(curNames)
-            .flatMap(mf).filterNot(curFiles).toSet
-          (curFiles.size + fresh.size, fresh.size, 0, curFiles ++ fresh)
-        case _ =>
-          val files = namesOpt
-            .map(_.flatMap(mf).toSet)
-            .getOrElse(manifestFiles(v).toSet)
-          (files.size, (files -- curFiles).size,
-            (curFiles -- files).size, files)
+    // rank = position in the RETAINED chain (expiry leaves gaps in the
+    // version numbers; parent = previous retained version, as before)
+    val pairs: Seq[(Int, String)] = vs.zipWithIndex.flatMap { case (v, r) =>
+      manifestNames(v) match {
+        case Some(names) => names.map(n => r -> logFile(n).toString)
+        // legacy inline-list snapshot: the version file IS the file list
+        case None => Seq(r -> snapshotFile(v).toString)
       }
-      curNames = namesOpt.map(_.toSet).getOrElse(Set.empty)
-      curFiles = nextFiles
-      val committedMs = WarehouseIO.modifiedAtMs(logFile(f"v$v%05d.list"))
-      // manifest-layer observability: how many delta manifests this
-      // snapshot references (merge-on-commit / compactManifests fold
-      // shows as a drop to 1; 0 = legacy inline snapshot) and the
-      // streaming txn line, if the commit carried one
-      (v.toLong, parent.map(_.toLong), new java.sql.Timestamp(committedMs),
-        nFiles.toLong, nAdded.toLong, nRemoved.toLong,
-        namesOpt.map(_.size.toLong).getOrElse(0L),
-        WarehouseIO.snapshotTxn(snapshotFile(v))
-          .map { case (id, b) => s"$id#$b" })
     }
     import spark.implicits._
+    def stripScheme(s: String): String =
+      s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:(//)?", "")
+    val perRank: Map[Int, (Long, Long)] =
+      if (pairs.isEmpty) Map.empty
+      else {
+        val maxRank = vs.length - 1
+        val byPath = pairs.map { case (r, p) => (stripScheme(p), r) }
+          .toDF("__mf_key", "rank")
+        // one executor-side read per distinct manifest; a manifest shared
+        // by many snapshots fans out through the (cheap) name join
+        val members = spark.read
+          .text(pairs.map(_._2).distinct: _*)
+          .select(col("value").as("file"),
+            regexp_replace(url_decode(col("_metadata.file_path")),
+              "^[a-z][a-zA-Z0-9+.-]*:(//)?", "").as("__mf_key"))
+          .where(length(col("file")) > 0 && !col("file").startsWith("#"))
+          .join(broadcast(byPath), "__mf_key")
+          .select(col("file"), col("rank"))
+          .distinct()
+        // presence-gap events per file: added where a presence run starts,
+        // removed at the rank after one ends — O(1) events per run, so a
+        // file appended once and never touched costs one event total
+        val events = members
+          .groupBy(col("file"))
+          .agg(sort_array(collect_set(col("rank"))).as("ranks"))
+          .select(explode(concat(
+            expr("""transform(
+                 filter(transform(ranks, (r, i) ->
+                   CASE WHEN i = 0 OR element_at(ranks, i) < r - 1
+                        THEN r END), x -> x IS NOT NULL),
+                 r -> struct(r AS rank, 1 AS kind))"""),
+            expr("""transform(concat(
+                 filter(transform(ranks, (r, i) ->
+                   CASE WHEN i > 0 AND element_at(ranks, i) < r - 1
+                        THEN element_at(ranks, i) + 1 END),
+                   x -> x IS NOT NULL),
+                 CASE WHEN element_at(ranks, -1) < """ + maxRank +
+              """ THEN array(element_at(ranks, -1) + 1)
+                    ELSE array() END),
+                 r -> struct(r AS rank, 0 AS kind))"""))).as("e"))
+          .groupBy(col("e.rank").as("rank"), col("e.kind").as("kind"))
+          .count()
+          .collect() // O(versions) rows — the only driver materialization
+        events.groupBy(_.getInt(0)).view.mapValues { rows =>
+          val added = rows.find(_.getInt(1) == 1).map(_.getLong(2)).getOrElse(0L)
+          val removed = rows.find(_.getInt(1) == 0).map(_.getLong(2)).getOrElse(0L)
+          (added, removed)
+        }.toMap
+      }
+    var running = 0L
+    val rows = vs.zipWithIndex.zip(None +: vs.map(Some(_))).map {
+      case ((v, r), parent) =>
+        val (nAdded, nRemoved) = perRank.getOrElse(r, (0L, 0L))
+        running += nAdded - nRemoved
+        val namesOpt = manifestNames(v)
+        val committedMs = WarehouseIO.modifiedAtMs(logFile(f"v$v%05d.list"))
+        // manifest-layer observability: how many delta manifests this
+        // snapshot references (merge-on-commit / compactManifests fold
+        // shows as a drop to 1; 0 = legacy inline snapshot) and the
+        // streaming txn line, if the commit carried one
+        (v.toLong, parent.map(_.toLong), new java.sql.Timestamp(committedMs),
+          running, nAdded, nRemoved,
+          namesOpt.map(_.size.toLong).getOrElse(0L),
+          WarehouseIO.snapshotTxn(snapshotFile(v))
+            .map { case (id, b) => s"$id#$b" })
+    }
     rows.toDF("version", "parent_version", "committed_at", "n_files",
       "n_added_files", "n_removed_files", "n_manifests", "txn")
   }

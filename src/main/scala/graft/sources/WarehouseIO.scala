@@ -388,10 +388,20 @@ private[graft] object WarehouseIO {
     }
   }
 
+  /** Driver-side manifest CONTENT reads since process start (names-only
+    * snapshot reads don't count). Spec seam: metadata surfaces that claim
+    * distributed accounting (metaSnapshots) prove it by diffing this
+    * around a call — zero means no manifest's file list ever
+    * materialized on the driver. */
+  private[graft] val manifestContentReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Data-file paths of manifest `name` under `logDir`. */
-  def manifestFilesOf(logDir: HPath, name: String): IndexedSeq[String] =
+  def manifestFilesOf(logDir: HPath, name: String): IndexedSeq[String] = {
+    manifestContentReads.incrementAndGet()
     readString(new HPath(logDir, name))
       .split("\n").filter(_.nonEmpty).toIndexedSeq
+  }
 
   /** Resolve a snapshot file to its full data-file list: layered → the
     * union of its manifests (resolved against `logDir` — branch

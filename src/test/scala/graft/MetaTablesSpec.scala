@@ -120,6 +120,35 @@ class MetaTablesSpec extends AnyFunSuite {
     assert(txns.init.forall(_.isEmpty), "plain commits carry no txn")
   }
 
+  test("metaSnapshots accounting is DISTRIBUTED: no manifest file list " +
+    "ever materializes on the driver") {
+    val sink = mkSink("ms_dist")                     // 2 append commits
+    sink.deleteWhere("cat = 'c'")                    // MoR delete commit
+    sink.compact(spark)                              // rewrite: fresh v1
+    sink.append(Seq((7L, "d", 70.0)).toDF("id", "cat", "v"))
+    val before = WarehouseIO.manifestContentReads.get()
+    val rows = sink.metaSnapshots(spark)
+      .orderBy($"version")
+      .select($"version", $"n_files", $"n_added_files", $"n_removed_files")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(WarehouseIO.manifestContentReads.get() == before,
+      "metaSnapshots must not read any manifest's file list on the " +
+        "driver — per-version added/removed is a distributed job")
+    // counts still exact: cross-check against the driver-side resolver
+    val logDir =
+      new org.apache.hadoop.fs.Path(sink.config.tablePath, "_graft_log")
+    val expect = sink.snapshotVersions().map(v =>
+      WarehouseIO.readSnapshotFiles(logDir,
+        new org.apache.hadoop.fs.Path(logDir, f"v$v%05d.list"))
+        .length.toLong)
+    assert(rows.map(_._2) == expect,
+      s"n_files must equal each snapshot's actual file count: $rows")
+    assert(rows.map(r => r._3 - r._4) ==
+      (rows.map(_._2).head +: rows.map(_._2).sliding(2).map(p =>
+        p(1) - p(0)).toSeq),
+      s"added/removed must telescope to the per-version file deltas: $rows")
+  }
+
   test("metaSnapshots refuses unversioned tables; metaFiles still serves them") {
     val unv = new TableSink(SinkConfig(tableName = "ms4u", warehousePath = wh))
     unv.append(Seq((1L, "a", 1.0)).toDF("id", "cat", "v"))
