@@ -1742,6 +1742,47 @@ object ParityQueries {
          |FROM graft_cat.$tbl GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** SQL DML on a HIDDEN-transform partitioned table — the reference's
+    * core semantic (README.md:141-155, connector.py:285-323) through the
+    * pure-SQL door: a library-created `day(ts)` table takes a SQL INSERT
+    * that supplies only source columns (the sink re-derives the
+    * partition value into the right `ts_day=` directory), reads see the
+    * LOGICAL schema (the derived directory column projected away), and
+    * a SQL DELETE rewrites through the library's copy-on-write path.
+    * The final aggregate groups by the derivation — committed rows from
+    * both doors must land in the same day buckets as the oracle computes
+    * directly from the source column. */
+  def sqlHiddenPartition(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_shp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrc_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    val sink = new TableSink(SinkConfig(tableName = tbl, warehousePath = wh,
+      versioned = true, numPartitions = 2,
+      partitionSpec = Seq(PartitionField("ts", Transform.Day))))
+    sink.append(e.select(col("event_id"), col("ts"), col("value"))
+      .where(col("event_id") % 2 === 0))
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, ts, value FROM $src WHERE event_id % 2 = 1")
+    spark.sql(s"DELETE FROM graft_cat.$tbl WHERE value < 10.0")
+    spark.sql(
+      s"""SELECT CAST(date_trunc('DAY', ts) AS TIMESTAMP) AS day,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM graft_cat.$tbl GROUP BY 1 ORDER BY 1 LIMIT 25""".stripMargin)
+  }
+
+  val sqlHiddenPartitionSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events WHERE value >= 10.0
+      |GROUP BY 1 ORDER BY 1 LIMIT 25""".stripMargin
+
   val sqlPartitionedSql: String =
     """WITH final AS (
       |  SELECT event_type,

@@ -225,16 +225,18 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * `writable=true` (latest-snapshot loads) adds the V1 write surface
     * routing INSERT/DELETE/UPDATE/MERGE through [[TableSink]];
     * time-travel/branch/tag loads stay read-only. Hive-partitioned
-    * tables are writable ONLY when the `_graft_config` sidecar carries
-    * their partition spec AND every transform is identity: with identity
-    * fields the partition column IS a data column, so a SQL write can
-    * never disagree with the derivation; a HIDDEN transform (day/bucket/
-    * truncate) exposes the derived column in the read schema (recovered
-    * from the directory spine) while the files do not store it — a SQL
-    * INSERT would have to supply it and could contradict the source
-    * column, silently mis-homing rows — so those stay read-only toward
-    * the library API. Legacy partitioned tables with no persisted spec
-    * are unrecoverable from the layout alone and also stay read-only. */
+    * tables are writable whenever the `_graft_config` sidecar carries
+    * their partition spec: identity fields are data columns the SQL
+    * writer cannot contradict, and HIDDEN transforms (day/bucket/
+    * truncate — the reference's richest semantic, README.md:141-155)
+    * serve through a schema that PROJECTS THE DERIVED COLUMN AWAY: the
+    * source column is physically in the files, the derived value exists
+    * only in the directory spine, so SQL reads see the logical schema
+    * and SQL INSERTs supply only source columns — the sink re-derives
+    * the partition value exactly as the library write does, and no
+    * statement can mis-home a row. Legacy partitioned tables with no
+    * persisted spec are unrecoverable from the layout alone and stay
+    * read-only. */
   private def fileTable(ident: Identifier, paths: Seq[String],
       firstFile: Option[String], userSchema: Option[StructType] = None,
       writable: Boolean = false): Table = {
@@ -248,10 +250,10 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       else ParquetTable(ident.name(), spark, opts, paths,
         userSchema, classOf[ParquetFileFormat])
     lazy val cfg = insertConfig(ident, firstFile)
-    def partitionedWritable: Boolean = cfg.partitionSpec.nonEmpty &&
-      cfg.partitionSpec.forall(_.transform == Transform.Identity)
-    if (writable && (!hasHiveDirs(ident) || partitionedWritable))
-      new GraftWritableTable(delegate, ident.toString, userSchema, cfg)
+    if (writable && (!hasHiveDirs(ident) || cfg.partitionSpec.nonEmpty))
+      new GraftWritableTable(delegate, ident.toString, userSchema, cfg,
+        hideCols = cfg.partitionSpec
+          .filter(_.transform != Transform.Identity).map(_.columnName))
     else new GraftReadOnlyTable(delegate, ident.toString)
   }
 
@@ -483,20 +485,38 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       s"'${ident.name()}' is not a creatable table name: leading '_'/'.' " +
         "and '=' are reserved for metadata, swap scratch, and partition " +
         "directories — the listing and loadTable would never serve it")
-    val partitionCols: Seq[String] = partitions.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 =>
-        val col = t.references.head.fieldNames()
-        require(col.length == 1,
-          s"PARTITIONED BY ${col.mkString(".")}: nested partition " +
-            "columns are not supported")
-        require(schema.fieldNames.exists(_.equalsIgnoreCase(col.head)),
-          s"PARTITIONED BY ${col.head}: no such column in the schema")
-        col.head
-      case other => throw new UnsupportedOperationException(
-        s"PARTITIONED BY $other: hidden transforms (days/bucket/" +
-          "truncate/…) are writable only through the library API " +
-          "(TableSink partition specs) — this DDL door honors IDENTITY " +
-          "columns, whose values the SQL writer cannot contradict")
+    val partitionFields: Seq[PartitionField] = partitions.toSeq.map { t =>
+      require(t.references.length == 1,
+        s"PARTITIONED BY $t: exactly one source column expected")
+      val col = t.references.head.fieldNames()
+      require(col.length == 1,
+        s"PARTITIONED BY ${col.mkString(".")}: nested partition " +
+          "columns are not supported")
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(col.head)),
+        s"PARTITIONED BY ${col.head}: no such column in the schema")
+      def intArg: Int = t.arguments.toSeq.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value.toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"PARTITIONED BY $t: missing integer argument"))
+      // the DDL spellings map onto the library's transform set — hidden
+      // transforms included: the write door derives the partition value
+      // (TableSink.withDerived) and the read door projects the derived
+      // directory column away, so SQL can neither contradict nor even
+      // observe the derivation
+      val tr = t.name.toLowerCase match {
+        case "identity" => Transform.Identity
+        case "years" | "year" => Transform.Year
+        case "months" | "month" => Transform.Month
+        case "days" | "day" => Transform.Day
+        case "hours" | "hour" => Transform.Hour
+        case "bucket" => Transform.Bucket(intArg)
+        case "truncate" => Transform.Truncate(intArg)
+        case other => throw new UnsupportedOperationException(
+          s"PARTITIONED BY $other: unknown transform — identity, " +
+            "years/months/days/hours, bucket(n, col), truncate(w, col)")
+      }
+      PartitionField(col.head, tr)
     }
     // USING <provider> arrives as the 'provider' property — honor it
     // (parquet/orc) or refuse; a silently-parquet "orc table" is worse
@@ -520,8 +540,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       new org.apache.hadoop.fs.Path(tableDir(ident), "_graft_config"),
       (Seq(s"fileFormat=$provider", "numPartitions=1",
         s"versioned=$versioned") ++
-        partitionCols.map(c =>
-          s"partition=${enc(c)}:${enc(Transform.render(Transform.Identity))}")
+        partitionFields.map(p =>
+          s"partition=${enc(p.source)}:${enc(Transform.render(p.transform))}")
       ).mkString("\n"))
     loadTable(ident)
   }
@@ -746,7 +766,8 @@ private[graft] final class GraftMetaTable(fullName: String,
 
 private[graft] final class GraftWritableTable(delegate: FileTable,
     fullName: String, declaredSchema: Option[StructType],
-    private[graft] val insertCfg: SinkConfig)
+    private[graft] val insertCfg: SinkConfig,
+    hideCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -846,8 +867,19 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
     ()
   }
   override def name(): String = fullName
-  override def schema(): StructType = declaredSchema.getOrElse(delegate.schema)
-  override def partitioning(): Array[V2Transform] = delegate.partitioning()
+  /** Logical schema: hidden-transform partition columns (present only in
+    * the directory spine, never in the files) are projected away — SQL
+    * reads and writes see exactly the source columns, and the scan's
+    * column pruning never requests the derived directory value. */
+  override def schema(): StructType = {
+    val base = declaredSchema.getOrElse(delegate.schema)
+    if (hideCols.isEmpty) base
+    else StructType(base.fields.filterNot(f =>
+      hideCols.exists(_.equalsIgnoreCase(f.name))))
+  }
+  override def partitioning(): Array[V2Transform] =
+    delegate.partitioning().filterNot(t => t.references.exists(r =>
+      hideCols.exists(_.equalsIgnoreCase(r.fieldNames.mkString(".")))))
   /** Delegate props + the governing sink config, so `DESCRIBE TABLE
     * EXTENDED` / `SHOW TBLPROPERTIES` show what actually rules the
     * writes (versioning, format, constraint gate, write clustering). */
