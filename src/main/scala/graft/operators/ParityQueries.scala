@@ -1776,6 +1776,53 @@ object ParityQueries {
          |FROM graft_cat.$tbl GROUP BY 1 ORDER BY 1 LIMIT 25""".stripMargin)
   }
 
+  /** Column RENAME via the persisted name-mapping sidecar: a SQL-created
+    * table takes a batch under the ORIGINAL column name, renames it
+    * (`ALTER TABLE … RENAME COLUMN` — no data rewrite; `_graft_renames`
+    * records old→new and every scan coalesces the generations), takes a
+    * second batch under the NEW name, and serves both the head read and
+    * a PRE-RENAME `VERSION AS OF` read under the current schema — the
+    * Iceberg rename contract, done with a name mapping instead of field
+    * ids. */
+  def sqlRename(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_ren_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrc_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl (event_id BIGINT, val DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " + // v1: physical name 'val'
+      s"SELECT event_id, value FROM $src WHERE event_id % 2 = 0")
+    spark.sql(s"ALTER TABLE graft_cat.$tbl RENAME COLUMN val TO amount")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " + // v2: physical name 'amount'
+      s"SELECT event_id, value FROM $src WHERE event_id % 2 = 1")
+    spark.sql(
+      s"""SELECT phase, n, total FROM (
+         |  SELECT 'head' AS phase, COUNT(*) AS n,
+         |    CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |  FROM graft_cat.$tbl WHERE amount >= 5.0
+         |  UNION ALL
+         |  SELECT 'v1' AS phase, COUNT(*) AS n,
+         |    CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |  FROM graft_cat.$tbl VERSION AS OF 1 WHERE amount >= 5.0
+         |) ORDER BY phase""".stripMargin)
+  }
+
+  val sqlRenameSql: String =
+    """SELECT phase, n, total FROM (
+      |  SELECT 'head' AS phase, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM events WHERE value >= 5.0
+      |  UNION ALL
+      |  SELECT 'v1' AS phase, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM events WHERE value >= 5.0 AND event_id % 2 = 0
+      |) t ORDER BY phase""".stripMargin
+
   val sqlHiddenPartitionSql: String =
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
       |  COUNT(*) AS n,

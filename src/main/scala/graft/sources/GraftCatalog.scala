@@ -250,11 +250,41 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       else ParquetTable(ident.name(), spark, opts, paths,
         userSchema, classOf[ParquetFileFormat])
     lazy val cfg = insertConfig(ident, firstFile)
+    // RENAMED tables scan through a projecting relation: pre-rename
+    // files keep the old physical column name, so the scan must request
+    // both generations and coalesce them under the declared name — the
+    // plain v2 file scan would serve NULL from old files. Renames only
+    // arise via ALTER, which always freezes a declared schema first.
+    val renames = renamesOf(ident)
+    val scanOverride: Option[(StructType, () => org.apache.spark.sql.DataFrame)] =
+      if (renames.isEmpty) None
+      else {
+        val declared = userSchema.getOrElse(delegate.schema)
+        val fmt = if (orc) "orc" else "parquet"
+        val base = tableDir(ident).toString
+        Some((declared, () => {
+          val s = SparkSession.active
+          if (paths.isEmpty)
+            s.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row],
+              declared)
+          else TableSink.applyRenames(
+            s.read.format(fmt).option("basePath", base)
+              .option("mergeSchema", "true")
+              .schema(TableSink.augmentWithRenameSources(declared, renames))
+              .load(paths: _*), renames)
+        }))
+      }
     if (writable && (!hasHiveDirs(ident) || cfg.partitionSpec.nonEmpty))
       new GraftWritableTable(delegate, ident.toString, userSchema, cfg,
         hideCols = cfg.partitionSpec
-          .filter(_.transform != Transform.Identity).map(_.columnName))
-    else new GraftReadOnlyTable(delegate, ident.toString)
+          .filter(_.transform != Transform.Identity).map(_.columnName),
+        scanOverride = scanOverride)
+    else scanOverride match {
+      case Some((sch, compute)) =>
+        new GraftProjectedTable(ident.toString, sch, compute)
+      case None => new GraftReadOnlyTable(delegate, ident.toString)
+    }
   }
 
   /** First data file under the live table dir (format sniff + existence) —
@@ -590,20 +620,25 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         "transform spec lives on the owning TableSink config; evolve " +
         "through the library (append + mergeSchema)")
     changes.foreach {
-      case _: TableChange.AddColumn | _: TableChange.DeleteColumn => ()
+      case _: TableChange.AddColumn | _: TableChange.DeleteColumn |
+           _: TableChange.RenameColumn => ()
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not supported: " +
           "data files are immutable and carry no field ids, so only ADD " +
-          "COLUMNS (NULL-filled on pre-evolution rows) and DROP COLUMN " +
-          "(declared-schema projection + tombstone) are expressible — " +
-          "renames/retypes need a column-mapping layer this engine " +
-          "deliberately does not fake")
+          "COLUMNS (NULL-filled on pre-evolution rows), DROP COLUMN " +
+          "(declared-schema projection + tombstone), and RENAME COLUMN " +
+          "(persisted old->new name mapping applied at scan) are " +
+          "expressible — retypes would need real column rewriting")
     }
     val base = declaredSchema(ident).getOrElse(
       // first ALTER on a library-created table freezes the current
       // file-inferred schema as the declared one, then evolves it
       loadTable(ident).schema())
     val dead = tombstones(ident)
+    var renames = renamesOf(ident)
+    var extraTombstones = Set.empty[String]
+    val partCols = insertConfig(ident, None).partitionSpec
+      .flatMap(p => Seq(p.source, p.columnName)).map(_.toLowerCase)
     val evolved = changes.foldLeft(base) {
       case (sch, a: TableChange.AddColumn) =>
         require(a.fieldNames().length == 1,
@@ -612,11 +647,16 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         val name = a.fieldNames().head
         require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"column $name already exists")
-        require(!dead.contains(name.toLowerCase),
+        require(!dead.contains(name.toLowerCase) &&
+            !extraTombstones.contains(name.toLowerCase),
           s"column $name was DROPPED from this table: old data files " +
             "still carry its values, and without field ids a re-added " +
             s"'$name' would resurrect them instead of reading NULL — " +
             "use a fresh name")
+        require(!renames.keys.exists(_.equalsIgnoreCase(name)),
+          s"column $name is the pre-rename physical name of a renamed " +
+            "column: old data files still carry its values and a re-added " +
+            s"'$name' would resurrect them — use a fresh name")
         require(a.isNullable,
           s"added column $name must be nullable — pre-evolution rows have " +
             "no value for it")
@@ -636,24 +676,73 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         // above — but its persisted partition spec would then point at a
         // dropped column and every subsequent INSERT would die at write
         // time with a confusing derivation error; refuse at ALTER time
-        val partCols = insertConfig(ident, None).partitionSpec
-          .flatMap(p => Seq(p.source, p.columnName)).map(_.toLowerCase)
         require(!partCols.contains(name.toLowerCase),
           s"cannot drop $name: it is named in the table's partition spec " +
             "— evolve the partitioning first")
+        // dropping a RENAMED column: its pre-rename physical names must
+        // become tombstones too (old files carry their bytes), and the
+        // mappings die with the column — otherwise a scan would keep
+        // resurrecting the dropped values under the mapping
+        val (toTomb, kept) = renames.partition(_._2.equalsIgnoreCase(name))
+        renames = kept
+        extraTombstones ++= toTomb.keys.map(_.toLowerCase)
         org.apache.spark.sql.types.StructType(
           sch.fields.filterNot(_.name.equalsIgnoreCase(name)))
+      case (sch, r: TableChange.RenameColumn) =>
+        require(r.fieldNames().length == 1,
+          s"RENAME COLUMN ${r.fieldNames().mkString(".")}: nested renames " +
+            "are not supported — rename a top-level column")
+        val old = r.fieldNames().head
+        val nw = r.newName()
+        require(sch.fieldNames.exists(_.equalsIgnoreCase(old)),
+          s"column $old does not exist")
+        require(!sch.fieldNames.exists(_.equalsIgnoreCase(nw)),
+          s"cannot rename $old to $nw: $nw already exists")
+        require(!dead.contains(nw.toLowerCase) &&
+            !extraTombstones.contains(nw.toLowerCase) &&
+            !renames.keys.exists(_.equalsIgnoreCase(nw)),
+          s"cannot rename $old to $nw: old data files still carry bytes " +
+            s"under '$nw' (a dropped or previously-renamed column) and " +
+            "the scan mapping would resurrect them — use a fresh name")
+        require(!partCols.contains(old.toLowerCase),
+          s"cannot rename $old: it is named in the table's partition " +
+            "spec — evolve the partitioning first")
+        // files written while the column was called `old` keep that
+        // physical name forever: repoint every mapping that targeted
+        // `old` (earlier generations) and add `old`'s own line
+        renames = renames.map { case (o, n) =>
+          o -> (if (n.equalsIgnoreCase(old)) nw else n)
+        } + (old -> nw)
+        org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+          if (f.name.equalsIgnoreCase(old)) f.copy(name = nw) else f))
       case (sch, _) => sch // unreachable (pre-validated above)
     }
     val dropped = changes.collect { case d: TableChange.DeleteColumn =>
       d.fieldNames().head.toLowerCase }
-    if (dropped.nonEmpty)
+    if (dropped.nonEmpty || extraTombstones.nonEmpty)
       WarehouseIO.writeStringAtomic(tombstonesFile(ident),
-        (dead ++ dropped).toSeq.sorted.mkString("\n"))
+        (dead ++ dropped ++ extraTombstones).toSeq.sorted.mkString("\n"))
+    if (renames != renamesOf(ident)) {
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      WarehouseIO.writeStringAtomic(renamesFile(ident),
+        renames.toSeq.sortBy(_._1)
+          .map { case (o, n) => s"${enc(o)}:${enc(n)}" }.mkString("\n"))
+    }
     // atomic overwrite: a reader never observes a torn schema file
     WarehouseIO.writeStringAtomic(schemaFile(ident), evolved.json)
     loadTable(ident)
   }
+
+  /** `_graft_renames` sidecar: one URL-encoded `old:new` line per
+    * physical column-name generation (see TableSink.renameMap — the
+    * scan-side consumer). */
+  private def renamesFile(ident: Identifier): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(tableDir(ident), "_graft_renames")
+
+  private def renamesOf(ident: Identifier): Map[String, String] =
+    new TableSink(SinkConfig(tableName = ident.name(),
+      warehousePath = warehouse,
+      location = Some(tableDir(ident).toString))).renameMap
 
   /** DROP also reclaims the table's swap scratch siblings (rewrite tmp,
     * crash trash) — and succeeds when ONLY those exist: a table that
@@ -764,23 +853,28 @@ private[graft] final class GraftMetaTable(fullName: String,
     }
 }
 
-private[graft] final class GraftWritableTable(delegate: FileTable,
-    fullName: String, declaredSchema: Option[StructType],
-    private[graft] val insertCfg: SinkConfig,
-    hideCols: Seq[String] = Nil)
-    extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+/** V1 `Filter` → SQL text rendering, shared by the writable table's
+  * DELETE translator and the projected scan's best-effort pushdown.
+  * `None` = not expressible (the caller refuses or skips). */
+private[graft] object GraftFilterSql {
 
   private def sqlLit(v: Any): Option[String] = v match {
     case null => None // NULL literals only reach us inside IsNull/IsNotNull
     case s: String => Some("'" + s.replace("'", "''") + "'")
     case s: org.apache.spark.unsafe.types.UTF8String =>
       Some("'" + s.toString.replace("'", "''") + "'")
-    // NO timestamp support on purpose: java.sql.Timestamp.toString
-    // renders in the JVM default timezone while the SQL literal re-parses
-    // in spark.sql.session.timeZone — when they differ the cutoff shifts
-    // and the delete removes the WRONG rows. canDeleteWhere=false makes
-    // Spark refuse the statement instead.
+    // Timestamps render as an ISO-8601 instant with an EXPLICIT 'Z'
+    // zone designator: Spark parses a zoned string absolutely, so the
+    // literal survives ANY session timezone (java.sql.Timestamp.toString
+    // would render in the JVM default zone and re-parse in the session
+    // zone — a skewed cutoff deletes the wrong rows; that risk is why
+    // timestamps used to be refused outright).
+    case t: java.sql.Timestamp =>
+      Some(s"CAST('${java.time.format.DateTimeFormatter.ISO_INSTANT
+        .format(t.toInstant)}' AS TIMESTAMP)")
+    case t: java.time.Instant =>
+      Some(s"CAST('${java.time.format.DateTimeFormatter.ISO_INSTANT
+        .format(t)}' AS TIMESTAMP)")
     case d: java.sql.Date => Some(s"DATE '$d'")
     case d: java.time.LocalDate => Some(s"DATE '$d'")
     case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
@@ -806,8 +900,7 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
   private def quoted(attr: String): String =
     attr.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
 
-  /** V1 Filter → SQL text; None = not expressible → refuse the delete. */
-  private def filterSql(
+  def filterSql(
       f: org.apache.spark.sql.sources.Filter): Option[String] = {
     import org.apache.spark.sql.sources._
     f match {
@@ -842,12 +935,83 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
       case _ => None
     }
   }
+}
+
+/** Scan builder over a pre-composed DataFrame thunk — the serving path
+  * for RENAMED tables, whose scans must coalesce old and new physical
+  * column names. Column pruning pushes into the inner DataFrame (the
+  * parquet scan reads only the requested generations' columns); filters
+  * are applied inside the frame when the SQL translator can express them
+  * (so parquet row-group skipping still fires) and are ALWAYS declared
+  * residual, so Spark re-evaluates every predicate above the scan —
+  * best-effort pushdown can never change results. */
+private[graft] final class ProjectedScanBuilder(schema0: StructType,
+    compute: () => org.apache.spark.sql.DataFrame) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  private var pruned: StructType = schema0
+  private var hint: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = requiredSchema
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    hint = filters
+    filters // all residual: Spark re-applies them above the scan
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = pruned
+      override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](
+          context: org.apache.spark.sql.SQLContext): T =
+        new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override def schema: StructType = pruned
+          override def buildScan(): org.apache.spark.rdd.RDD[
+              org.apache.spark.sql.Row] = {
+            val df0 = compute()
+            val df1 = hint.flatMap(GraftFilterSql.filterSql)
+              .foldLeft(df0)((d, sql) =>
+                d.where(org.apache.spark.sql.functions.expr(sql)))
+            df1.select(pruned.fieldNames.toIndexedSeq.map(df1.col): _*).rdd
+          }
+        }.asInstanceOf[T]
+    }
+}
+
+/** Read-only renamed table (time-travel/branch loads): serves the
+  * declared schema through [[ProjectedScanBuilder]]. */
+private[graft] final class GraftProjectedTable(fullName: String,
+    schema0: StructType,
+    compute: () => org.apache.spark.sql.DataFrame)
+    extends Table with SupportsRead {
+  override def name(): String = fullName
+  override def schema(): StructType = schema0
+  override def partitioning(): Array[V2Transform] = Array.empty
+  override def properties(): util.Map[String, String] = util.Map.of()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ProjectedScanBuilder(schema0, compute)
+}
+
+private[graft] final class GraftWritableTable(delegate: FileTable,
+    fullName: String, declaredSchema: Option[StructType],
+    private[graft] val insertCfg: SinkConfig,
+    hideCols: Seq[String] = Nil,
+    scanOverride: Option[(StructType, () => org.apache.spark.sql.DataFrame)] =
+      None)
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def deleteSql(
       filters: Array[org.apache.spark.sql.sources.Filter]): Option[String] =
     if (filters.isEmpty) Some("TRUE")
     else {
-      val parts = filters.toSeq.map(filterSql)
+      val parts = filters.toSeq.map(GraftFilterSql.filterSql)
       if (parts.exists(_.isEmpty)) None
       else Some(parts.flatten.mkString("(", ") AND (", ")"))
     }
@@ -903,7 +1067,11 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    scanOverride match {
+      // renamed table: scans must coalesce old/new physical column names
+      case Some((sch, compute)) => new ProjectedScanBuilder(sch, compute)
+      case None => delegate.newScanBuilder(options)
+    }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsTruncate {

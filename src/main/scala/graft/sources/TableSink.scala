@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -32,6 +33,36 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * connector.py:456-468) while still writing into the same directories.
   */
 object TableSink {
+
+  /** Fold each old physical column into its renamed successor: both
+    * present → coalesce (exactly one is non-null per row, each file
+    * carries one name generation); only old → plain rename. Column-wise
+    * `withColumn`/`drop` so unrelated columns (`_metadata` included)
+    * pass through untouched. Shared by the library read paths and the
+    * SQL catalog's projected scan over renamed tables. */
+  private[graft] def applyRenames(df: DataFrame,
+      renames: Map[String, String]): DataFrame =
+    renames.foldLeft(df) { case (d, (old, nw)) =>
+      def has(c: String) = d.columns.exists(_.equalsIgnoreCase(c))
+      if (has(old) && has(nw))
+        d.withColumn(nw, coalesce(col(nw), col(old))).drop(old)
+      else if (has(old)) d.withColumnRenamed(old, nw)
+      else d
+    }
+
+  /** A declared read schema for a renamed table must also REQUEST the
+    * old physical names, or pre-rename files would serve NULL for the
+    * renamed column; the extra fields read as null from post-rename
+    * files and [[applyRenames]] folds them away. */
+  private[graft] def augmentWithRenameSources(declared: StructType,
+      renames: Map[String, String]): StructType =
+    renames.foldLeft(declared) { case (s, (old, nw)) =>
+      val tpe = s.fields.find(_.name.equalsIgnoreCase(nw)).map(_.dataType)
+      if (tpe.isEmpty || s.fieldNames.exists(_.equalsIgnoreCase(old))) s
+      else s.add(org.apache.spark.sql.types.StructField(old, tpe.get,
+        nullable = true))
+    }
+
   /** Name of the optional per-row partition-override map column consumed by
     * [[TableSink.withDerived]] (reference models.py:62-63 `partition_data`). */
   val PartitionDataCol = "_partition_data"
@@ -808,10 +839,17 @@ final class TableSink(val config: SinkConfig) {
     // readChanges(v, v)) borrows the live table's schema instead
     if (rels.isEmpty) read(spark).limit(0)
     else {
+      val renames = renameMap
       def load(files: Seq[String], base: String): DataFrame = {
-        val r = spark.read.format(config.fileFormat)
+        val r0 = spark.read.format(config.fileFormat)
           .option("basePath", base)
-        config.tableSchema.fold(r)(s => r.schema(s)).load(files: _*)
+        // renamed tables mix file generations (pre-rename files carry
+        // the old physical name): surface BOTH names — merge-schema
+        // when inferring, old columns appended when declared — so
+        // applyRenames can coalesce them under the new name
+        val r = if (renames.nonEmpty) r0.option("mergeSchema", "true") else r0
+        config.tableSchema.map(augmentWithRenameSources(_, renames))
+          .fold(r)(s => r.schema(s)).load(files: _*)
       }
       // a shallow clone's manifest mixes ABSOLUTE entries (the source's
       // files, partition-deriving against the source root) with relative
@@ -828,9 +866,40 @@ final class TableSink(val config: SinkConfig) {
         else Some(load(ext, cloneBasePath.getOrElse(sys.error(
           "manifest has absolute entries but no clone_base sidecar"))))
       ).flatten
-      parts.reduce(_ unionByName _)
+      applyRenames(
+        parts.reduce(_.unionByName(_, allowMissingColumns = renames.nonEmpty)),
+        renames)
     }
   }
+
+  /** Old→new column mapping persisted by the SQL door's
+    * `ALTER TABLE … RENAME COLUMN` (`_graft_renames` sidecar, one
+    * URL-encoded `old:new` line per physical-name generation). Data
+    * files are immutable and carry no field ids, so a rename is a
+    * DECLARED-layer operation: pre-rename files keep the old physical
+    * name and every read coalesces it under the new one. A chain of
+    * renames keeps one line per physical name ever written (x->z and
+    * y->z after x->y->z), since files of each generation persist. */
+  private[graft] def renameMap: Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(config.tablePath, "_graft_renames")
+    if (!WarehouseIO.isFile(p)) Map.empty
+    else WarehouseIO.readString(p).linesIterator.flatMap { l =>
+      l.split(":", 2) match {
+        case Array(o, n) if o.nonEmpty && n.nonEmpty =>
+          Some(java.net.URLDecoder.decode(o, "UTF-8") ->
+            java.net.URLDecoder.decode(n, "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def applyRenames(df: DataFrame,
+      renames: Map[String, String]): DataFrame =
+    TableSink.applyRenames(df, renames)
+
+  private def augmentWithRenameSources(declared: StructType,
+      renames: Map[String, String]): StructType =
+    TableSink.augmentWithRenameSources(declared, renames)
 
   /** Time travel: read the table as of snapshot `version`. Partition
     * columns still derive from the directory layout (`basePath`). Fails if
@@ -2232,7 +2301,7 @@ final class TableSink(val config: SinkConfig) {
       tmp: org.apache.hadoop.fs.Path): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     Seq("_graft_config", "_graft_schema", "_graft_versioned",
-        "_graft_tombstones").foreach { n =>
+        "_graft_tombstones", "_graft_renames").foreach { n =>
       val src = new HPath(root, n)
       if (WarehouseIO.isFile(src))
         WarehouseIO.writeString(new HPath(tmp, n), WarehouseIO.readString(src))
@@ -2694,9 +2763,15 @@ final class TableSink(val config: SinkConfig) {
         return readVersion(spark, snapshotVersions().last)
       case _ => ()
     }
+    val renames = renameMap
     val r0 = spark.read.format(config.fileFormat)
-    val r = if (mergeSchema) r0.option("mergeSchema", "true") else r0
-    val df = config.tableSchema.fold(r)(s => r.schema(s)).load(config.tablePath)
+    val r =
+      if (mergeSchema || renames.nonEmpty) r0.option("mergeSchema", "true")
+      else r0
+    val df = applyRenames(
+      config.tableSchema.map(augmentWithRenameSources(_, renames))
+        .fold(r)(s => r.schema(s)).load(config.tablePath),
+      renames)
     // live read = head-snapshot semantics: merge-on-read predicates apply
     // (no-op on unversioned tables — no log, no predicates)
     snapshotVersions().lastOption.fold(df)(applyDeletes(df, _))

@@ -131,9 +131,11 @@ class CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 1L)
   }
 
-  test("hidden-transform and legacy partitioned tables stay read-only") {
-    // bucket transform: the derived column is not a data column — a SQL
-    // write could contradict the derivation, so the door stays shut
+  test("bucket-transform tables take source-column DML; legacy " +
+    "partitioned tables stay read-only") {
+    // bucket transform: the derived column is projected out of the SQL
+    // schema — an INSERT supplying it (3 values for 2 logical columns)
+    // fails at analysis, and a source-column INSERT derives correctly
     val sink = new TableSink(SinkConfig(tableName = "tt4b",
       warehousePath = wh, versioned = true,
       partitionSpec = Seq(PartitionField("id", Transform.Bucket(4)))))
@@ -142,7 +144,11 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("INSERT INTO gtest.tt4b VALUES (9, 'z', 0)"))
     assert(e.isInstanceOf[AnalysisException] ||
       e.isInstanceOf[UnsupportedOperationException],
-      s"insert must fail at analysis, got: $e")
+      s"an insert supplying the derived column must fail at analysis: $e")
+    spark.sql("INSERT INTO gtest.tt4b VALUES (9, 'z')")
+    assert(spark.sql("SELECT s FROM gtest.tt4b WHERE id = 9")
+      .as[String].head() == "z",
+      "a source-column insert derives the bucket and reads back")
     // legacy: partitioned dirs but no persisted spec line
     val cfgFile = java.nio.file.Paths.get(s"$wh/tt4c/_graft_config")
     val sink2 = new TableSink(SinkConfig(tableName = "tt4c",
@@ -229,14 +235,8 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DELETE FROM gtest.ttfx WHERE f = CAST(0.1 AS FLOAT)")
     assert(spark.sql("SELECT id FROM gtest.ttfx").as[Long].collect().toSeq
       == Seq(3L), "float-literal delete must match the 0.1f row")
-    // timestamp predicates refuse (JVM-vs-session timezone rendering
-    // could shift the cutoff) rather than delete the wrong rows
-    val sinkTs = new TableSink(SinkConfig(tableName = "ttts",
-      warehousePath = wh, versioned = true))
-    sinkTs.append(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
-      .toDF("id", "ts"))
-    intercept[Exception](spark.sql(
-      "DELETE FROM gtest.ttts WHERE ts < TIMESTAMP '2024-06-01 00:00:00'"))
+    // timestamp predicates render as explicit-'Z' ISO instants — the
+    // dedicated timezone test below pins the cutoff semantics
   }
 
   test("CREATE TABLE, INSERT, and CTAS through pure SQL") {
@@ -639,8 +639,8 @@ class CatalogSpec extends AnyFunSuite {
       assert(e.getMessage.contains(hint), s"$sql -> ${e.getMessage}")
     }
     refused("ALTER TABLE gtest.alt3 DROP COLUMN s.a", "nested")
-    refused("ALTER TABLE gtest.alt3 RENAME COLUMN v TO w", "field ids")
-    refused("ALTER TABLE gtest.alt3 ALTER COLUMN v TYPE STRING", "field ids")
+    refused("ALTER TABLE gtest.alt3 ALTER COLUMN v TYPE STRING",
+      "column rewriting")
     refused("ALTER TABLE gtest.alt3 ADD COLUMNS (id STRING)",
       "already exists")
     refused("ALTER TABLE gtest.alt3 ADD COLUMNS (s.b INT)", "nested")
@@ -742,6 +742,78 @@ class CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 1)
   }
 
+  test("ALTER TABLE RENAME COLUMN: mixed file generations coalesce under " +
+    "the new name, time travel included; collisions refuse") {
+    spark.sql("CREATE TABLE gtest.ttren (id BIGINT, val DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gtest.ttren VALUES (1, 10.0), (2, 20.0)") // v1: 'val'
+    spark.sql("ALTER TABLE gtest.ttren RENAME COLUMN val TO amount")
+    spark.sql("INSERT INTO gtest.ttren VALUES (3, 30.0)")          // v2: 'amount'
+    assert(spark.table("gtest.ttren").columns.toSeq == Seq("id", "amount"))
+    assert(spark.sql("SELECT id, amount FROM gtest.ttren ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      "pre-rename files must serve their values under the NEW name")
+    // filters and pruning on the renamed column work
+    assert(spark.sql(
+      "SELECT id FROM gtest.ttren WHERE amount > 15.0 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+    // pre-rename snapshot time travel serves the CURRENT schema (the
+    // Iceberg contract): v1's rows under the new name
+    assert(spark.sql(
+      "SELECT id, amount FROM gtest.ttren VERSION AS OF 1 ORDER BY id")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 10.0), (2L, 20.0)))
+    // chained rename: both physical generations still resolve
+    spark.sql("ALTER TABLE gtest.ttren RENAME COLUMN amount TO total")
+    spark.sql("INSERT INTO gtest.ttren VALUES (4, 40.0)")          // 'total'
+    assert(spark.sql("SELECT id, total FROM gtest.ttren ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+    // colliding renames refuse
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE gtest.ttren RENAME COLUMN id TO total"))
+      .getMessage.contains("already exists"))
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE gtest.ttren RENAME COLUMN id TO amount"))
+      .getMessage.contains("resurrect"),
+      "renaming onto a superseded physical name must refuse")
+    // re-ADDing a pre-rename physical name must refuse (resurrection)
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE gtest.ttren ADD COLUMNS (val DOUBLE)"))
+      .getMessage.contains("resurrect"))
+    // SQL DML still works through the projected scan
+    spark.sql("DELETE FROM gtest.ttren WHERE total < 15.0")
+    assert(spark.sql("SELECT COUNT(*) FROM gtest.ttren").head().getLong(0)
+      == 3L)
+  }
+
+  test("DELETE FROM with a timestamp predicate renders the cutoff " +
+    "timezone-independently") {
+    spark.sql("CREATE TABLE gtest.ttts2 (id BIGINT, ts TIMESTAMP) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gtest.ttts2 VALUES " +
+      "(1, TIMESTAMP '2024-01-01 00:00:00'), " +
+      "(2, TIMESTAMP '2024-06-01 12:00:00'), " +
+      "(3, TIMESTAMP '2024-12-31 23:59:59')")
+    spark.sql("DELETE FROM gtest.ttts2 WHERE ts < TIMESTAMP '2024-06-01 12:00:00'")
+    assert(spark.sql("SELECT id FROM gtest.ttts2 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(2L, 3L),
+      "the timestamp cutoff must delete exactly the earlier row")
+    // equals the library-API delete on the same cutoff semantics
+    val sink = new TableSink(SinkConfig(tableName = "ttts_lib",
+      warehousePath = wh, versioned = true))
+    sink.append(Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-06-01 12:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-12-31 23:59:59")))
+      .toDF("id", "ts"))
+    sink.deleteWhere("ts < TIMESTAMP '2024-06-01 12:00:00'")
+    sink.compact(spark)
+    assert(sink.read(spark).select($"id").as[Long].collect().sorted.toSeq ==
+      spark.sql("SELECT id FROM gtest.ttts2 ORDER BY id")
+        .as[Long].collect().toSeq)
+  }
+
   test("ALTER TABLE DROP COLUMN projects the column away; the tombstone " +
     "refuses a same-name re-add") {
     spark.sql("CREATE TABLE gtest.ttdrop (id BIGINT, v DOUBLE, tag STRING) " +
@@ -772,9 +844,9 @@ class CatalogSpec extends AnyFunSuite {
     val e2 = intercept[Exception](
       spark.sql("ALTER TABLE gtest.ttdrop1 DROP COLUMN solo"))
     assert(e2.getMessage.contains("only column"), e2.getMessage)
-    // renames still refuse toward the field-id explanation
+    // renaming onto a TOMBSTONED name refuses (old files carry its bytes)
     val e3 = intercept[Exception](
-      spark.sql("ALTER TABLE gtest.ttdrop RENAME COLUMN v TO w"))
-    assert(e3.getMessage.contains("field ids"), e3.getMessage)
+      spark.sql("ALTER TABLE gtest.ttdrop RENAME COLUMN v TO tag"))
+    assert(e3.getMessage.contains("resurrect"), e3.getMessage)
   }
 }

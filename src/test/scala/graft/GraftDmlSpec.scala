@@ -165,16 +165,29 @@ class GraftDmlSpec extends AnyFunSuite {
       "the NULL-partition row must actually take the update")
   }
 
-  test("SQL UPDATE/MERGE refuse on tables the catalog serves read-only") {
-    // hidden-transform partitioning -> GraftReadOnlyTable (a SQL write
-    // could contradict the derivation; identity specs ARE writable —
-    // CatalogSpec "SQL DML works on identity-partitioned tables")
+  test("SQL UPDATE works on hidden-transform tables; legacy spec-less " +
+    "partitioned tables refuse as read-only") {
+    // hidden-transform partitioning is now writable through the catalog
+    // (the derived column is projected away and re-derived on write)
     val t = fresh()
     val sink = new TableSink(SinkConfig(tableName = t, warehousePath = wh,
       partitionSpec = Seq(PartitionField("id", Transform.Bucket(4)))))
     sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "cat"))
+    spark.sql(s"UPDATE gdml.$t SET cat = 'z' WHERE id = 1")
+    assert(spark.sql(s"SELECT cat FROM gdml.$t WHERE id = 1")
+      .as[String].head() == "z")
+    // a legacy partitioned table with NO persisted spec stays read-only:
+    // the layout alone cannot say how to derive, so writes must refuse
+    val t2 = fresh()
+    val sink2 = new TableSink(SinkConfig(tableName = t2, warehousePath = wh,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink2.append(Seq((1L, "a")).toDF("id", "cat"))
+    val cfgFile = java.nio.file.Paths.get(s"$wh/$t2/_graft_config")
+    java.nio.file.Files.writeString(cfgFile,
+      java.nio.file.Files.readString(cfgFile).linesIterator
+        .filterNot(_.startsWith("partition=")).mkString("\n"))
     val e = intercept[Exception] {
-      spark.sql(s"UPDATE gdml.$t SET cat = 'z' WHERE id = 1")
+      spark.sql(s"UPDATE gdml.$t2 SET cat = 'z' WHERE id = 1")
     }
     assert(e.getMessage.contains("does not support UPDATE"), e.getMessage)
   }
