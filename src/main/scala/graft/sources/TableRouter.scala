@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -18,17 +18,45 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object TableRouter {
 
-  /** Batch fan-out: one atomic append per destination table. */
+  /** Destination commits are INDEPENDENT (each table owns its manifest
+    * log), so fan-out runs them concurrently on a bounded pool instead
+    * of serializing N staged writes on the driver — a 100-destination
+    * route is latency-bounded by the slowest slice, not the sum. Each
+    * worker thread re-pins the active session (Spark's thread-local) so
+    * warehouse IO resolves the session's Hadoop conf. Every destination
+    * is awaited even when one fails; the first failure rethrows after
+    * the rest settle (no abandoned in-flight commits). */
+  private def eachConcurrently[A](tables: Seq[String], maxConcurrency: Int,
+      spark: SparkSession)(f: String => A): Seq[A] = {
+    if (tables.sizeIs <= 1 || maxConcurrency <= 1) return tables.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrency, tables.size))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val settled = Await.result(
+        Future.sequence(tables.map(t => Future {
+          SparkSession.setActiveSession(spark)
+          scala.util.Try(f(t))
+        })), scala.concurrent.duration.Duration.Inf)
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
+      settled.map(_.get)
+    } finally { pool.shutdown(); () }
+  }
+
+  /** Batch fan-out: one atomic append per destination table, committed
+    * concurrently (`maxConcurrency` bounds the in-flight destinations). */
   def appendRouted(df: DataFrame, tableCol: String,
-      mkConfig: String => SinkConfig): Unit = {
+      mkConfig: String => SinkConfig, maxConcurrency: Int = 8): Unit = {
     val cached = df.cache()
     try {
       val tables = cached.select(col(tableCol)).distinct()
-        .collect().map(_.getString(0))
-      tables.foreach { t =>
+        .collect().map(_.getString(0)).toSeq.sorted
+      eachConcurrently(tables, maxConcurrency, df.sparkSession) { t =>
         new TableSink(mkConfig(t))
           .append(cached.filter(col(tableCol) === t).drop(tableCol))
       }
+      ()
     } finally cached.unpersist()
   }
 
@@ -63,16 +91,18 @@ object TableRouter {
     * tables that actually committed this call. */
   def routeBatchVersioned(batch: DataFrame, tableCol: String,
       mkConfig: String => SinkConfig, streamId: String,
-      batchId: Long): Seq[String] = {
+      batchId: Long, maxConcurrency: Int = 8): Seq[String] = {
     val cached = batch.cache()
     try {
       val tables = cached.select(col(tableCol)).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
-      tables.filter { t =>
-        new TableSink(mkConfig(t)).appendStreamBatch(
+      val committed = eachConcurrently(tables, maxConcurrency,
+        batch.sparkSession) { t =>
+        t -> new TableSink(mkConfig(t)).appendStreamBatch(
           cached.filter(col(tableCol) === t).drop(tableCol), streamId,
           batchId)
       }
+      committed.collect { case (t, true) => t }
     } finally { cached.unpersist(); () }
   }
 

@@ -72,6 +72,8 @@ class RouterSpec extends AnyFunSuite {
       "one snapshot per committed batch, none for replays")
     // end-to-end through a real stream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // (the replay/partial-crash cases above all ran on the CONCURRENT
+    // fan-out path — destination independence holds under parallelism)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = MemoryStream[(Long, String, Double)]
     val q = TableRouter.startRoutedStreamVersioned(
@@ -84,5 +86,41 @@ class RouterSpec extends AnyFunSuite {
       assert(new TableSink(cfg("c")).read(spark).count() == 1)
       assert(new TableSink(cfg("a")).read(spark).count() == 3)
     } finally q.stop()
+  }
+
+  test("concurrent fan-out commits every destination exactly as the " +
+    "sequential path would, and failures surface after all settle") {
+    val wh = TestSpark.tmpDir("router_conc_wh")
+    def cfg(t: String) = SinkConfig(tableName = s"c_$t",
+      warehousePath = wh, versioned = true)
+    val dests = ('a' to 'f').map(_.toString)
+    val rows = dests.zipWithIndex.flatMap { case (d, i) =>
+      Seq((i.toLong, d, i * 1.0), (i + 100L, d, i * 2.0)) }
+    val committed = TableRouter.routeBatchVersioned(
+      rows.toDF("id", "dest", "v"), "dest", cfg, "conc", 0L,
+      maxConcurrency = 6)
+    assert(committed.sorted == dests,
+      s"every destination commits under the concurrent path: $committed")
+    dests.foreach { d =>
+      val sink = new TableSink(cfg(d))
+      assert(sink.read(spark).count() == 2, s"destination $d slice")
+      assert(sink.snapshotVersions() == Seq(1))
+    }
+    // sequential (maxConcurrency=1) replay converges identically: all skip
+    assert(TableRouter.routeBatchVersioned(
+      rows.toDF("id", "dest", "v"), "dest", cfg, "conc", 0L,
+      maxConcurrency = 1).isEmpty)
+    // one failing destination (unversioned → appendStreamBatch refuses)
+    // surfaces the error while the healthy ones still commit batch 1
+    def cfgBad(t: String) = if (t == "c") SinkConfig(tableName = s"c_$t",
+      warehousePath = wh) else cfg(t)
+    intercept[IllegalArgumentException] {
+      TableRouter.routeBatchVersioned(
+        rows.toDF("id", "dest", "v"), "dest", cfgBad, "conc", 1L,
+        maxConcurrency = 6)
+    }
+    assert(new TableSink(cfg("a")).snapshotVersions() == Seq(1, 2),
+      "healthy destinations settle their batch-1 commit before the " +
+        "failure rethrows")
   }
 }
