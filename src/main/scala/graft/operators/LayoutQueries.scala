@@ -127,7 +127,7 @@ object LayoutQueries {
       sfDir: String): (TableSink, ZoneMaps) = {
     val e = withDims(Tables.events(spark, sfDir))
     val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
-    val sink = new TableSink(SinkConfig("events_z", dest))
+    val sink = new TableSink(SinkConfig("events_z", dest, versioned = true))
     val b = ZOrder.boundsOf(e, Seq("x_us", "y_c"))
     sink.appendClustered(
       ZOrder.cluster(e, Seq(
@@ -262,7 +262,7 @@ object LayoutQueries {
       sfDir: String): (TableSink, BloomSkip) = {
     val e = Tables.events(spark, sfDir)
     val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
-    val sink = new TableSink(SinkConfig("events_bloom", dest))
+    val sink = new TableSink(SinkConfig("events_bloom", dest, versioned = true))
     sink.appendClustered(e.repartition(48, col("user_id")))
     val bf = new BloomSkip(sink)
     bf.analyze(spark, Seq("user_id"))

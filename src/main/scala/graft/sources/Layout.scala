@@ -176,11 +176,24 @@ final class ZoneMaps(sink: TableSink) {
 
   private def statsPath = s"${sink.config.tablePath}/_graft_stats"
 
-  /** One distributed scan of the table: per-file min/max for `cols` (plus
-    * a row count), written as a single small parquet. Stats rows are one
-    * per data file — bounded metadata, the same class the snapshot log
-    * stores. */
+  /** Register `cols` and backfill their per-file min/max INTO THE
+    * MANIFEST LAYER: on a versioned table, analyze is a metadata-only
+    * commit that folds the head into one stats-bearing manifest
+    * ([[TableSink.commitStatsRefold]]) — every subsequent append's delta
+    * manifest carries its own files' stats as part of the commit, so
+    * skipping never degrades and there is no second metadata layer to
+    * maintain or GC (stats die with their manifest). An UNVERSIONED
+    * table has no manifest to carry entries, so it keeps the one-shot
+    * parquet-sidecar analyze (no upkeep — later appends read as
+    * unanalyzed, conservatively). */
   def analyze(spark: SparkSession, cols: Seq[String]): Unit = {
+    if (sink.config.versioned && sink.snapshotVersions().nonEmpty) {
+      val schema = sink.read(spark).schema
+      val zone = cols.map(c => c -> schema(c).dataType.sql)
+      val (_, keepBloom) = sink.readStatsSpec()
+      sink.commitStatsRefold(spark, zone, keepBloom)
+      return
+    }
     val df = sink.read(spark)
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
@@ -189,6 +202,23 @@ final class ZoneMaps(sink: TableSink) {
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(statsPath)
+  }
+
+  /** Per-bound keep-predicate over the MANIFEST stats frame (`z` map of
+    * col → [min,max] strings): a file with no entry for a bound's column
+    * is unanalyzed-for-that-column and must survive; an entry with null
+    * min/max (all-null zone) can satisfy no range and prunes. */
+  private def manifestKeep(spark: SparkSession,
+      bounds: Seq[(String, Column, Column)]): Column = {
+    val schema = sink.read(spark).schema
+    bounds.map { case (c, lo, hi) =>
+      val dt = schema(c).dataType.sql
+      val entry = element_at(col("z"), c)
+      val zmin = entry.getItem(0).cast(dt)
+      val zmax = entry.getItem(1).cast(dt)
+      when(entry.isNull, lit(true))
+        .otherwise(coalesce(zmax >= lo && zmin <= hi, lit(false)))
+    }.reduce(_ && _)
   }
 
   /** The candidate file set for closed bounds `[lo, hi]` per column (all
@@ -207,27 +237,37 @@ final class ZoneMaps(sink: TableSink) {
     require(bounds.nonEmpty, "candidates needs at least one column bound")
     val root = sink.config.tablePath.stripSuffix("/")
     val live = sink.dataFilesRel().map(r => s"$root/$r")
-    if (!WarehouseIO.isDir(new org.apache.hadoop.fs.Path(statsPath)))
-      return (live, 0) // never analyzed: everything is a candidate
     import spark.implicits._
-    // null-safe: an all-null zone gives NULL min/max -> NULL predicate ->
-    // coalesced to false -> pruned (no non-null value can match BETWEEN)
-    val pred = coalesce(bounds.map { case (c, lo, hi) =>
-      col(s"max_$c") >= lo && col(s"min_$c") <= hi
-    }.reduce(_ && _), lit(false))
-    // stats `file` is a percent-encoded URI while the FS listing is a raw
-    // path — decode inside the scan so the two keys actually meet (the same
-    // trap TableSink.compact documents; here a mismatch is conservative —
-    // the file reads as "unanalyzed" — not data loss)
-    val statsByPath = spark.read.parquet(statsPath)
-      .select(regexp_replace(url_decode(col("file")), "^file:(//)?", "")
-        .as("path"), pred.as("keep"))
-    val liveDf = live.toDF("path")
-    val files = liveDf.join(statsByPath, Seq("path"), "left")
-      .where(col("keep").isNull || col("keep")) // unanalyzed OR intersecting
-      .select(col("path")).as[String].collect().toSeq
-    val fileSet = files.toSet
-    (live.filter(fileSet), live.size - files.size)
+    val statsByPath: Option[org.apache.spark.sql.DataFrame] =
+      sink.manifestStatsDf(spark) match {
+        case Some(stats) => // manifest-entry stats (versioned tables)
+          Some(stats.select(col("path"),
+            manifestKeep(spark, bounds).as("keep")))
+        case None if WarehouseIO.isDir(
+            new org.apache.hadoop.fs.Path(statsPath)) =>
+          // sidecar stats (unversioned analyze). null-safe: an all-null
+          // zone gives NULL min/max -> coalesced false -> pruned.
+          val pred = coalesce(bounds.map { case (c, lo, hi) =>
+            col(s"max_$c") >= lo && col(s"min_$c") <= hi
+          }.reduce(_ && _), lit(false))
+          // stats `file` is a percent-encoded URI while the FS listing is
+          // a raw path — decode inside the scan so the keys meet (a
+          // mismatch is conservative: the file reads as "unanalyzed")
+          Some(spark.read.parquet(statsPath)
+            .select(regexp_replace(url_decode(col("file")), "^file:(//)?", "")
+              .as("path"), pred.as("keep")))
+        case None => None
+      }
+    statsByPath match {
+      case None => (live, 0) // never analyzed: everything is a candidate
+      case Some(keepDf) =>
+        val liveDf = live.toDF("path")
+        val files = liveDf.join(keepDf, Seq("path"), "left")
+          .where(col("keep").isNull || col("keep")) // unanalyzed OR keep
+          .select(col("path")).as[String].collect().toSeq
+        val fileSet = files.toSet
+        (live.filter(fileSet), live.size - files.size)
+    }
   }
 
   /** In-plan data skipping for the UNSELECTIVE regime. [[readBetween]]
@@ -250,26 +290,36 @@ final class ZoneMaps(sink: TableSink) {
   def readBetweenInPlan(spark: SparkSession,
       bounds: (String, Column, Column)*): DataFrame = {
     require(bounds.nonEmpty, "readBetweenInPlan needs at least one bound")
-    // stats existence via the Hadoop FS API — a java.nio check is always
-    // false on a non-local warehouse and would silently disable skipping
-    if (!WarehouseIO.isDir(new org.apache.hadoop.fs.Path(statsPath)))
-      return sink.read(spark) // never analyzed: everything is a candidate
-    // the scan path is captured INSIDE the sink's read, before any
-    // merge-on-read delete anti-join makes _metadata unresolvable (and
-    // before the stats join would make the bare reference ambiguous)
-    val df = sink.readWithScanPath(spark, "__zm_scan_raw")
-    val keep = coalesce(bounds.map { case (c, lo, hi) =>
-      col(s"max_$c") >= lo && col(s"min_$c") <= hi
-    }.reduce(_ && _), lit(false))
-    val prunedPaths = spark.read.parquet(statsPath)
-      .where(!keep)
-      .select(regexp_replace(url_decode(col("file")), "^file:(//)?", "")
-        .as("__zm_path"))
-    df.withColumn("__zm_scan_path",
-        regexp_replace(url_decode(col("__zm_scan_raw")), "^file:(//)?", ""))
-      .join(broadcast(prunedPaths),
-        col("__zm_scan_path") === col("__zm_path"), "left_anti")
-      .drop("__zm_scan_path", "__zm_scan_raw")
+    def stripScheme(c: Column): Column =
+      regexp_replace(c, "^[a-z][a-zA-Z0-9+.-]*:(//)?", "")
+    val prunedPaths: Option[org.apache.spark.sql.DataFrame] =
+      sink.manifestStatsDf(spark) match {
+        case Some(stats) =>
+          Some(stats.where(!manifestKeep(spark, bounds))
+            .select(stripScheme(col("path")).as("__zm_path")))
+        case None if WarehouseIO.isDir(
+            new org.apache.hadoop.fs.Path(statsPath)) =>
+          val keep = coalesce(bounds.map { case (c, lo, hi) =>
+            col(s"max_$c") >= lo && col(s"min_$c") <= hi
+          }.reduce(_ && _), lit(false))
+          Some(spark.read.parquet(statsPath)
+            .where(!keep)
+            .select(regexp_replace(url_decode(col("file")), "^file:(//)?", "")
+              .as("__zm_path")))
+        case None => None
+      }
+    prunedPaths match {
+      case None => sink.read(spark) // never analyzed: all candidates
+      case Some(pruned) =>
+        // the scan path is captured INSIDE the sink's read, before any
+        // merge-on-read delete anti-join makes _metadata unresolvable
+        val df = sink.readWithScanPath(spark, "__zm_scan_raw")
+        df.withColumn("__zm_scan_path",
+            stripScheme(url_decode(col("__zm_scan_raw"))))
+          .join(broadcast(pruned),
+            col("__zm_scan_path") === col("__zm_path"), "left_anti")
+          .drop("__zm_scan_path", "__zm_scan_raw")
+    }
   }
 
   /** Read only the files whose zones intersect every `(col, lo, hi)` bound
@@ -338,6 +388,18 @@ final class BloomSkip(sink: TableSink, bits: Int = 4096, k: Int = 5) {
     * ints per group — never a per-file list of per-row hashes. */
   def analyze(spark: SparkSession, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "analyze needs at least one column")
+    if (sink.config.versioned && sink.snapshotVersions().nonEmpty) {
+      // manifest-entry stats: register the columns under THIS instance's
+      // (bits, k) and the current column types, then fold the head into
+      // one stats-bearing manifest — appends maintain their own entries
+      // from here on (TableSink.manifestStatsFor at commit)
+      val schema = sink.read(spark).schema
+      val specs = cols.map(c =>
+        TableSink.BloomSpec(c, bits, k, schema(c).dataType.sql))
+      val (keepZone, _) = sink.readStatsSpec()
+      sink.commitStatsRefold(spark, keepZone, specs)
+      return
+    }
     val df = sink.read(spark)
     val dtypes = cols.map(c => c -> df.schema(c).dataType).toMap
     val tagged = array(cols.map(c =>
@@ -355,49 +417,6 @@ final class BloomSkip(sink: TableSink, bits: Int = 4096, k: Int = 5) {
       .write.mode("overwrite").parquet(statsPath)
   }
 
-  /** Incremental upkeep for versioned appends ([[TableSink]] calls this
-    * with exactly the files one commit added): signatures for `rels`
-    * only — O(added files), never a table rescan — hashed under the
-    * PERSISTED per-column (bits, k, dtype) stamps (never this
-    * instance's own parameters, so upkeep can never mix stamp
-    * generations) and APPENDED to the stats parquet. Columns whose
-    * stamps are mixed or whose current type differs from the stamp are
-    * skipped — conservative: their new files stay unanalyzed and are
-    * always read. */
-  private[graft] def analyzeAppended(spark: SparkSession,
-      rels: Seq[String],
-      schema: org.apache.spark.sql.types.StructType): Unit = {
-    if (rels.isEmpty) return
-    if (!WarehouseIO.isDir(new org.apache.hadoop.fs.Path(statsPath))) return
-    val tracked = spark.read.parquet(statsPath)
-      .select(col("col"), col("dtype"), col("bits"), col("k"))
-      .distinct().collect()
-      .groupBy(_.getString(0))
-      .collect { case (c, Array(one))
-          if schema.fieldNames.contains(c) &&
-            schema(c).dataType.sql == one.getString(1) =>
-        (c, one.getString(1), one.getInt(2), one.getInt(3))
-      }.toSeq.sortBy(_._1)
-    if (tracked.isEmpty) return
-    val r = spark.read.format(sink.config.fileFormat).schema(schema)
-      .option("basePath", sink.config.tablePath)
-    val df = r.load(rels.map(rel => s"${sink.config.tablePath}/$rel"): _*)
-    val tagged = array(tracked.map { case (c, dt, b, kk) =>
-      struct(lit(c).as("c"), positions(col(c), b, kk).as("ps"),
-        lit(dt).as("dt"), lit(b).as("b"), lit(kk).as("kk"))
-    }: _*)
-    df.select(input_file_name().as("file"), explode(tagged).as("t"))
-      .select(col("file"), col("t.c").as("col"), col("t.dt").as("dtype"),
-        col("t.b").as("bits"), col("t.kk").as("k"),
-        explode(col("t.ps")).as("p"))
-      .distinct()
-      .groupBy("file", "col", "dtype", "bits", "k")
-      .agg(array_sort(collect_set(col("p"))).as("positions"))
-      .select("file", "col", "dtype", "positions", "bits", "k")
-      .coalesce(1)
-      .write.mode("append").parquet(statsPath)
-  }
-
   private def decoded(c: Column): Column =
     regexp_replace(url_decode(c), "^file:(//)?", "")
 
@@ -410,7 +429,8 @@ final class BloomSkip(sink: TableSink, bits: Int = 4096, k: Int = 5) {
     import spark.implicits._
     val root = sink.config.tablePath.stripSuffix("/")
     val live = sink.dataFilesRel().map(r => s"$root/$r")
-    if (!WarehouseIO.isDir(new org.apache.hadoop.fs.Path(statsPath)))
+    if (sink.manifestStatsDf(spark).isEmpty &&
+        !WarehouseIO.isDir(new org.apache.hadoop.fs.Path(statsPath)))
       return (live, 0) // never analyzed: everything is a candidate
     val prunedDf = prunedPaths(spark, probes, "path")
     val liveDf = live.toDF("path")
@@ -430,6 +450,58 @@ final class BloomSkip(sink: TableSink, bits: Int = 4096, k: Int = 5) {
     * (LONG 7 against an INT column) or a differently-sized reader can
     * never silently hash to the wrong bits and prune a matching file. */
   private def prunedPaths(spark: SparkSession,
+      probes: Seq[(String, Column)], outCol: String): DataFrame =
+    sink.manifestStatsDf(spark) match {
+      case Some(stats) => manifestPruned(spark, stats, probes, outCol)
+      case None => sidecarPruned(spark, probes, outCol)
+    }
+
+  /** Manifest-entry variant: the signature is a HEX BITMAP (64-bit
+    * lanes, lane 0 first) inside the file's manifest stats entry; the
+    * probe's k bit positions are computed under the REGISTRY stamps
+    * (bits, k, hashed type — one tiny log read) and tested against the
+    * bitmap with builtin string/bit expressions, all codegen'd. An
+    * entry whose geometry disagrees with the registry (mid-migration
+    * state) is never prunable — conservative, like an absent entry. */
+  private def manifestPruned(spark: SparkSession, stats: DataFrame,
+      probes: Seq[(String, Column)], outCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DataType
+    val (_, specs) = sink.readStatsSpec()
+    probes.map { case (c, v) =>
+      specs.find(_.col == c) match {
+        case None => // column never registered: nothing provably prunable
+          stats.where(lit(false)).select(col("path").as(outCol))
+        case Some(sp) =>
+          val entry = element_at(col("b"), c)
+          val m = entry.getField("m")
+          val probe = v.cast(DataType.fromDDL(sp.dtype))
+          // bit `p` lives in lane p/64 at bit p%64; the lane renders as
+          // 16 hex chars (most significant nibble first), so the bit's
+          // nibble is char lane*16 + (15 - (p%64)/4), bit (p%64)%4
+          def bitSet(p: Column): Column = {
+            val j = pmod(p, lit(64))
+            val lane = ((p - j) / lit(64)).cast("int")
+            val nibOfLane = ((j - pmod(j, lit(4))) / lit(4)).cast("int")
+            val charIdx = lane * lit(16) + lit(15) - nibOfLane + lit(1)
+            val nib = conv(m.substr(charIdx, lit(1)), 16, 10).cast("int")
+            val bitInNib = pmod(j, lit(4)).cast("int")
+            val mask = when(bitInNib === 0, 1).when(bitInNib === 1, 2)
+              .when(bitInNib === 2, 4).otherwise(8)
+            nib.bitwiseAND(mask) =!= 0
+          }
+          val missesOne = (0 until sp.k).map(i =>
+            !bitSet(pmod(xxhash64(lit(i), probe), lit(sp.bits)).cast("int")))
+            .reduce(_ || _)
+          stats.where(entry.isNotNull &&
+              entry.getField("bits") === sp.bits &&
+              entry.getField("k") === sp.k && missesOne)
+            .select(col("path").as(outCol))
+      }
+    }.reduce(_ unionAll _).distinct()
+  }
+
+  /** Sidecar (unversioned-table) variant — position-list parquet. */
+  private def sidecarPruned(spark: SparkSession,
       probes: Seq[(String, Column)], outCol: String): DataFrame = {
     import org.apache.spark.sql.types.DataType
     val stats = spark.read.parquet(statsPath)
@@ -477,7 +549,8 @@ final class BloomSkip(sink: TableSink, bits: Int = 4096, k: Int = 5) {
   def readEqualsInPlan(spark: SparkSession,
       probes: (String, Column)*): DataFrame = {
     require(probes.nonEmpty, "readEqualsInPlan needs at least one probe")
-    if (!WarehouseIO.isDir(new org.apache.hadoop.fs.Path(statsPath)))
+    if (sink.manifestStatsDf(spark).isEmpty &&
+        !WarehouseIO.isDir(new org.apache.hadoop.fs.Path(statsPath)))
       return sink.read(spark) // never analyzed: everything is a candidate
     val df = sink.readWithScanPath(spark, "__bf_scan_raw")
     df.withColumn("__bf_scan_path", decoded(col("__bf_scan_raw")))

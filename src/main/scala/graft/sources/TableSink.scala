@@ -34,6 +34,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object TableSink {
 
+  /** One registered Bloom column: filter geometry + the hashed type
+    * (xxhash64 is type-sensitive — probes cast to `dtype` first). */
+  private[graft] final case class BloomSpec(col: String, bits: Int, k: Int,
+      dtype: String) {
+    require(bits > 0 && bits % 64 == 0 && bits <= 16384,
+      s"bloom bits must be a positive multiple of 64 <= 16384, got $bits")
+    require(k > 0, "bloom needs a positive hash count")
+  }
+
   /** Fold each old physical column into its renamed successor: both
     * present → coalesce (exactly one is non-null per row, each file
     * carries one name generation); only old → plain rename. Column-wise
@@ -234,53 +243,208 @@ final class TableSink(val config: SinkConfig) {
     } else {
       val added = stagedWrite(prepared) // validates constraints in staging
       persistConfigHints()
-      commitAppendedFiles(added)
-      maintainZoneStats(prepared, added)
-      // Bloom signatures get the same O(added) upkeep, under the
-      // persisted (bits, k, dtype) stamps
-      if (WarehouseIO.isDir(
-          new org.apache.hadoop.fs.Path(config.tablePath, "_graft_bloom")))
-        new BloomSkip(this).analyzeAppended(prepared.sparkSession, added,
-          prepared.schema)
+      // stats upkeep IS the commit: the delta manifest's entries carry
+      // the new files' zone/bloom stats (one bounded job over exactly
+      // the added files, driven by the log-resident registry)
+      commitAppendedFiles(added,
+        stats = manifestStatsFor(prepared.sparkSession, added,
+          prepared.schema))
     }
   }
 
-  /** Keep `_graft_stats` zone maps FRESH across appends: once
-    * [[ZoneMaps.analyze]] has run, every versioned append computes the
-    * per-file min/max rows for EXACTLY the files it just committed (one
-    * bounded Spark job over the added files — O(added), never a table
-    * rescan) and appends them to the stats parquet, so file skipping
-    * never degrades as the table grows. The tracked columns are derived
-    * from the existing stats schema — no config to drift; a tracked
-    * column absent from this write's schema (pre-evolution writer)
-    * skips upkeep, which is conservative by the zone-map contract
-    * (unanalyzed files always read). Never runs before the first
-    * analyze (no stats = nothing to maintain; rewrites drop stats with
-    * the old root — re-analyze, as documented). */
-  private def maintainZoneStats(prepared: DataFrame,
-      added: Seq[String]): Unit = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    if (added.isEmpty) return
-    val statsPath = new HPath(config.tablePath, "_graft_stats")
-    if (!WarehouseIO.isDir(statsPath)) return
-    val spark = prepared.sparkSession
-    val statsSchema = spark.read.parquet(statsPath.toString).schema
-    val tracked = statsSchema.fieldNames.toSeq
-      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-    if (tracked.isEmpty) return
-    if (!tracked.forall(prepared.columns.contains(_))) return
-    val aggs = tracked.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-      count(lit(1)).as("n_rows")
-    spark.read.format(config.fileFormat)
-      .schema(prepared.schema)
+  // --------------------------------------- manifest-entry column stats
+  // Per-file zone (min/max) and Bloom stats live IN the delta manifest
+  // entry (`path\tjson` lines — Iceberg's lower_bounds/upper_bounds
+  // model): one metadata source of truth, pruning reads no second
+  // sidecar, upkeep is part of the commit itself, and stats die with
+  // their manifest on expiry/rewrite — no separate GC. WHICH columns get
+  // stats is the registry below, a tiny log-resident spec written by
+  // ZoneMaps/BloomSkip.analyze (log-resident on purpose: a rewrite that
+  // expires the log drops the spec with the stats — re-analyze, same
+  // contract as before). Unversioned tables have no manifest to carry
+  // stats, so they keep the parquet-sidecar analyze (with no upkeep
+  // path — their appends never maintained stats anyway).
+
+  private def statsSpecPath: org.apache.hadoop.fs.Path = logFile("stats_spec")
+
+  /** (zone columns with their recorded type, bloom specs). */
+  private[graft] def readStatsSpec(): (Seq[(String, String)], Seq[TableSink.BloomSpec]) = {
+    if (!WarehouseIO.isFile(statsSpecPath)) return (Nil, Nil)
+    def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
+    val lines = WarehouseIO.readString(statsSpecPath).linesIterator.toSeq
+    (lines.collect { case l if l.startsWith("z:") =>
+      l.stripPrefix("z:").split(":", 2) match {
+        case Array(c, dt) => dec(c) -> dec(dt)
+      }
+    },
+      lines.collect { case l if l.startsWith("b:") =>
+        l.stripPrefix("b:").split(":", 4) match {
+          case Array(c, b, k, dt) =>
+            TableSink.BloomSpec(dec(c), b.toInt, k.toInt, dec(dt))
+        }
+      })
+  }
+
+  private[graft] def writeStatsSpec(zone: Seq[(String, String)],
+      bloom: Seq[TableSink.BloomSpec]): Unit = {
+    def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+    WarehouseIO.writeStringAtomic(statsSpecPath,
+      (zone.map { case (c, dt) => s"z:${enc(c)}:${enc(dt)}" } ++
+        bloom.map(b => s"b:${enc(b.col)}:${b.bits}:${b.k}:${enc(b.dtype)}"))
+        .mkString("\n"))
+  }
+
+  /** The k Bloom bit positions of `v` under (`bits`, `k`) — the same
+    * xxhash64 family on write and probe, computed by Spark expressions
+    * on both sides so no driver-side hash reimplementation can drift. */
+  private[graft] def bloomPositions(v: Column, bits: Int, k: Int): Column =
+    when(v.isNotNull, array((0 until k).map(i =>
+      pmod(xxhash64(lit(i), v), lit(bits)).cast("int")): _*))
+
+  /** ONE bounded Spark job over exactly `rels` (the files one commit
+    * added, or a refold's full head): per-file stats JSON for every
+    * registered column present in `schema` at its registered type —
+    * `{"n":rows,"z":{col:[min,max]},"b":{col:{bits,k,dt,m}}}` with
+    * min/max as strings (cast back at probe time) and the Bloom filter
+    * as a hex bitmap (64-bit lanes, lane 0 first — ~2 chars/byte keeps a
+    * 4096-bit filter at 1 KB per entry, vs ~20 KB as a position list).
+    * Mismatched or absent columns skip — their files read as unanalyzed,
+    * conservative by contract. Returns rel-path → json. */
+  private[graft] def manifestStatsFor(spark: SparkSession,
+      rels: Seq[String], schema: StructType): Map[String, String] = {
+    if (rels.isEmpty || !config.versioned) return Map.empty
+    val (zoneAll, bloomAll) = readStatsSpec()
+    def typeOk(c: String, dt: String) =
+      schema.fieldNames.contains(c) && schema(c).dataType.sql == dt
+    val zone = zoneAll.filter { case (c, dt) => typeOk(c, dt) }
+    val bloom = bloomAll.filter(b => typeOk(b.col, b.dtype))
+    if (zone.isEmpty && bloom.isEmpty) return Map.empty
+    if (rels.exists(_.startsWith("/"))) return Map.empty // clone: materialize first
+    val df = spark.read.format(config.fileFormat).schema(schema)
       .option("basePath", config.tablePath)
-      .load(added.map(rel => s"${config.tablePath}/$rel"): _*)
-      .groupBy(input_file_name().as("file"))
+      .load(rels.map(rel => s"${config.tablePath}/$rel"): _*)
+    // aggregate layer: count + per-zone min/max + per-bloom 64-bit lanes
+    // (bit_or folds each row's k positions into the lane longs — executor
+    // state is lanes longs per group, never a per-row position list)
+    val zoneAggs = zone.flatMap { case (c, _) =>
+      Seq(min(col(c)).cast("string").as(s"__zmin_$c"),
+        max(col(c)).cast("string").as(s"__zmax_$c"))
+    }
+    val laneAggs = bloom.flatMap { b =>
+      val q = b.col.replace("`", "``")
+      val psSql = s"CASE WHEN `$q` IS NOT NULL THEN array(" +
+        (0 until b.k).map(i =>
+          s"CAST(pmod(xxhash64($i, `$q`), ${b.bits}) AS INT)")
+          .mkString(", ") + ") END"
+      (0 until b.bits / 64).map { lane =>
+        expr(s"""bit_or(coalesce(aggregate(
+          filter($psSql, p -> CAST(p DIV 64 AS INT) = $lane),
+          CAST(0 AS BIGINT),
+          (acc, p) -> acc | shiftleft(CAST(1 AS BIGINT), pmod(p, 64))),
+          CAST(0 AS BIGINT)))""").as(s"__bl_${b.col}_$lane")
+      }
+    }
+    val aggs = (count(lit(1)).as("__n") +: (zoneAggs ++ laneAggs))
+    val grouped = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
-      .select(statsSchema.fieldNames.map(col).toSeq: _*) // column order
-      .coalesce(1)
-      .write.mode("append").parquet(statsPath.toString)
+    val zMap =
+      if (zone.isEmpty) lit(null).cast("map<string,array<string>>")
+      else map(zone.flatMap { case (c, _) =>
+        Seq(lit(c), array(col(s"__zmin_$c"), col(s"__zmax_$c")))
+      }: _*)
+    val bMap =
+      if (bloom.isEmpty)
+        lit(null).cast(
+          "map<string,struct<bits:int,k:int,dt:string,m:string>>")
+      else map(bloom.flatMap { b =>
+        val hexLanes = (0 until b.bits / 64).map(lane =>
+          lpad(hex(col(s"__bl_${b.col}_$lane")), 16, "0"))
+        Seq(lit(b.col), struct(lit(b.bits).as("bits"), lit(b.k).as("k"),
+          lit(b.dtype).as("dt"), concat(hexLanes: _*).as("m")))
+      }: _*)
+    val rows = grouped.select(col("__file"),
+      to_json(struct(col("__n").as("n"), zMap.as("z"), bMap.as("b")))
+        .as("__json")).collect()
+    val rootPath = new org.apache.hadoop.fs.Path(config.tablePath)
+    val rootStr = WarehouseIO.fs(rootPath).makeQualified(rootPath).toString
+    rows.flatMap { r =>
+      val raw = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
+      val rel =
+        if (raw.startsWith(rootStr)) raw.stripPrefix(rootStr).stripPrefix("/")
+        else raw.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:(//)?", "")
+          .stripPrefix(rootStr.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:(//)?", ""))
+          .stripPrefix("/")
+      if (rels.contains(rel)) Some(rel -> r.getString(1)) else None
+    }.toMap
+  }
+
+  /** Register the stats spec and FOLD the head into one stats-bearing
+    * manifest, claimed as a metadata-only snapshot (compactManifests
+    * with stats) — how analyze() backfills stats for every live file.
+    * Returns the new head version. */
+  private[graft] def commitStatsRefold(spark: SparkSession,
+      zone: Seq[(String, String)], bloom: Seq[TableSink.BloomSpec],
+      maxAttempts: Int = 20): Int = {
+    require(config.versioned && snapshotVersions().nonEmpty,
+      "manifest stats need a versioned table with at least one commit")
+    writeStatsSpec(zone, bloom)
+    val schema = config.tableSchema.getOrElse(read(spark).schema)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val head = snapshotVersions().last
+      val rels = manifestFiles(head)
+      require(!rels.exists(_.startsWith("/")),
+        "stats refold on a shallow clone is not supported — materialize " +
+          "the clone first (compact)")
+      val stats = manifestStatsFor(spark, rels, schema)
+      val merged = WarehouseIO.writeManifestLines(logPath,
+        rels.distinct.sorted.map(r => stats.get(r).fold(r)(j => s"$r\t$j")))
+      if (WarehouseIO.writeStringIfAbsent(logFile(f"v${head + 1}%05d.list"),
+          WarehouseIO.renderSnapshot(Seq(merged))))
+        return head + 1
+      WarehouseIO.delete(logFile(merged))
+      require(attempt < maxAttempts,
+        s"stats refold lost the version race $maxAttempts times")
+    }
+    -1 // unreachable
+  }
+
+  /** JSON schema of a manifest stats entry. */
+  private val manifestStatsSchema =
+    "n BIGINT, z MAP<STRING, ARRAY<STRING>>, " +
+      "b MAP<STRING, STRUCT<bits: INT, k: INT, dt: STRING, m: STRING>>"
+
+  /** Stats-bearing entries of the HEAD snapshot as a DISTRIBUTED
+    * DataFrame — (path [absolute], n, z, b); None when the table is
+    * unversioned, empty, legacy, or carries no stats entry at all. The
+    * manifests are read by executors (text scan), the driver touches
+    * only names: the same scale shape as the batch read's metadata. */
+  private[graft] def manifestStatsDf(spark: SparkSession): Option[DataFrame] = {
+    if (!config.versioned) return None
+    val head = snapshotVersions().lastOption.getOrElse(return None)
+    val names = manifestNames(head).getOrElse(return None)
+    if (names.isEmpty) return None
+    // cheap driver probe: any stats line at all? (names-only readers kept
+    // honest — this reads content, so it counts as manifest reads)
+    val hasStats = names.exists(n =>
+      WarehouseIO.manifestLinesOf(logPath, n).exists(_.contains('\t')))
+    if (!hasStats) return None
+    val root = config.tablePath.stripSuffix("/")
+    Some(spark.read.text(names.map(n => logFile(n).toString): _*)
+      .where(col("value").contains("\t"))
+      .select(
+        substring_index(col("value"), "\t", 1).as("__rel"),
+        from_json(expr("substring(value, instr(value, '\t') + 1)"),
+          org.apache.spark.sql.types.StructType.fromDDL(manifestStatsSchema))
+          .as("__s"))
+      .select(
+        when(col("__rel").startsWith("/"), col("__rel"))
+          .otherwise(concat(lit(s"$root/"), col("__rel"))).as("path"),
+        col("__s.n").as("n"), col("__s.z").as("z"), col("__s.b").as("b"))
+      // map-typed columns refuse set ops; one entry per path is the
+      // invariant anyway (the line-preserving merge dedupes by path)
+      .dropDuplicates("path"))
   }
 
   /** CHECK-constraint gate ([[SinkConfig.checkConstraints]]): one
@@ -313,7 +477,8 @@ final class TableSink(val config: SinkConfig) {
     * to a stale-base overwrite. Bounded attempts turn a pathological
     * livelock into a loud error instead of an infinite loop. */
   private[graft] def commitAppendedFiles(added: Seq[String],
-      maxAttempts: Int = 20, txn: Option[(String, Long)] = None): Int = {
+      maxAttempts: Int = 20, txn: Option[(String, Long)] = None,
+      stats: Map[String, String] = Map.empty): Int = {
     // LAYERED commit (Iceberg manifest-list shape): this commit's own
     // delta manifest is written ONCE — its content (exactly this write's
     // files) does not depend on which head it lands on — and the claimed
@@ -324,9 +489,14 @@ final class TableSink(val config: SinkConfig) {
     // ~50-100 MB driver-side text file per commit and stored K full
     // copies across K snapshots. [[compactManifests]] bounds the
     // manifest-count term as commit count grows.
+    // per-file column stats (zone min/max, bloom bitmap) ride IN the
+    // manifest entry — one metadata source, pruning reads no second
+    // layer, and stats die with their manifest on expiry/rewrite
     val ownManifest =
       if (added.isEmpty) None
-      else Some(WarehouseIO.writeManifest(logPath, added.distinct.sorted))
+      else Some(WarehouseIO.writeManifestLines(logPath,
+        added.distinct.sorted.map(r =>
+          stats.get(r).fold(r)(j => s"$r	$j"))))
     // a manifest WE created to represent the base (bootstrap listing of
     // pre-existing unversioned data, or one-time migration of a legacy
     // inline-list head) — superseded and deleted if the claim is lost
@@ -414,9 +584,11 @@ final class TableSink(val config: SinkConfig) {
       val mergeManifest: Option[String] =
         if (config.manifestMergeThreshold > 0 &&
             chained.size > config.manifestMergeThreshold)
-          Some(WarehouseIO.writeManifest(logPath,
-            (chained.flatMap(WarehouseIO.manifestFilesOf(logPath, _))
-              ).distinct.sorted))
+          // line-preserving fold: a stats-bearing entry must survive the
+          // merge, or compaction would silently drop file skipping
+          Some(WarehouseIO.writeManifestLines(logPath,
+            WarehouseIO.mergeManifestLines(
+              chained.map(WarehouseIO.manifestLinesOf(logPath, _)))))
         else None
       mergedManifest = mergeManifest // exception-path cleanup owns it
       raceWindowCheckHook()
@@ -796,7 +968,13 @@ final class TableSink(val config: SinkConfig) {
     while (true) {
       attempt += 1
       val head = snapshotVersions().last
-      val merged = WarehouseIO.writeManifest(logPath, manifestFiles(head))
+      // line-preserving fold (stats entries survive the compaction)
+      val merged = manifestNames(head) match {
+        case Some(names) => WarehouseIO.writeManifestLines(logPath,
+          WarehouseIO.mergeManifestLines(
+            names.map(WarehouseIO.manifestLinesOf(logPath, _))))
+        case None => WarehouseIO.writeManifest(logPath, manifestFiles(head))
+      }
       if (WarehouseIO.writeStringIfAbsent(logFile(f"v${head + 1}%05d.list"),
           WarehouseIO.renderSnapshot(Seq(merged))))
         return head + 1
@@ -1508,7 +1686,9 @@ final class TableSink(val config: SinkConfig) {
         // by many snapshots fans out through the (cheap) name join
         val members = spark.read
           .text(pairs.map(_._2).distinct: _*)
-          .select(col("value").as("file"),
+          // a manifest line may carry per-file stats after a TAB — the
+          // membership key is the path part only
+          .select(substring_index(col("value"), "\t", 1).as("file"),
             regexp_replace(url_decode(col("_metadata.file_path")),
               "^[a-z][a-zA-Z0-9+.-]*:(//)?", "").as("__mf_key"))
           .where(length(col("file")) > 0 && !col("file").startsWith("#"))
@@ -2688,7 +2868,8 @@ final class TableSink(val config: SinkConfig) {
     val prepared = clusterForWrite(withDerived(Ops.ensureMessage(df)))
     val added = stagedWrite(prepared)
     persistConfigHints()
-    val v = commitAppendedFiles(added, txn = Some(streamId -> batchId))
+    val v = commitAppendedFiles(added, txn = Some(streamId -> batchId),
+      stats = manifestStatsFor(df.sparkSession, added, prepared.schema))
     if (v == 0) {
       // a zombie duplicate writer committed this batch id inside our
       // commit window — this attempt's staged files were never

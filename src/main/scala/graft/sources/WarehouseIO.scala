@@ -332,11 +332,47 @@ private[graft] object WarehouseIO {
 
   /** Write an immutable manifest (one data-file path per line) into
     * `logDir`; returns its name. UUID-named: manifests are shared by
-    * many snapshots and never keyed to one version. */
-  def writeManifest(logDir: HPath, files: Seq[String]): String = {
+    * many snapshots and never keyed to one version. A line may carry
+    * per-file column stats after a TAB (`path\tjson` — the Iceberg
+    * manifest-entry stats idea); path-only readers strip them. */
+  def writeManifest(logDir: HPath, files: Seq[String]): String =
+    writeManifestLines(logDir, files)
+
+  /** [[writeManifest]] accepting pre-rendered `path[\tstats]` lines. */
+  def writeManifestLines(logDir: HPath, lines: Seq[String]): String = {
     val name = s"m-${java.util.UUID.randomUUID().toString.take(18)}.mf"
-    writeString(new HPath(logDir, name), files.mkString("\n"))
+    writeString(new HPath(logDir, name), lines.mkString("\n"))
     name
+  }
+
+  /** The path of a manifest line (everything before the stats TAB). */
+  def manifestLinePath(line: String): String = {
+    val i = line.indexOf('\t')
+    if (i < 0) line else line.substring(0, i)
+  }
+
+  /** Raw `path[\tstats]` lines of manifest `name` — the merge/compaction
+    * reader: folding manifests must PRESERVE stats entries, not strip
+    * them to paths. */
+  def manifestLinesOf(logDir: HPath, name: String): IndexedSeq[String] = {
+    manifestContentReads.incrementAndGet()
+    readString(new HPath(logDir, name))
+      .split("\n").filter(_.nonEmpty).toIndexedSeq
+  }
+
+  /** Fold manifest lines from several manifests into one line per path,
+    * a stats-bearing line winning over a bare path (compaction must not
+    * lose stats; later manifests win among stats-bearing duplicates). */
+  def mergeManifestLines(chunks: Seq[Seq[String]]): Seq[String] = {
+    val byPath = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    chunks.foreach(_.foreach { line =>
+      val p = manifestLinePath(line)
+      byPath.get(p) match {
+        case Some(prev) if prev.length > line.length => () // keep richer
+        case _ => byPath(p) = line
+      }
+    })
+    byPath.toSeq.sortBy(_._1).map(_._2)
   }
 
   /** Render a layered snapshot pointing at `manifestNames`. Optional
@@ -396,12 +432,10 @@ private[graft] object WarehouseIO {
   private[graft] val manifestContentReads =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Data-file paths of manifest `name` under `logDir`. */
-  def manifestFilesOf(logDir: HPath, name: String): IndexedSeq[String] = {
-    manifestContentReads.incrementAndGet()
-    readString(new HPath(logDir, name))
-      .split("\n").filter(_.nonEmpty).toIndexedSeq
-  }
+  /** Data-file paths of manifest `name` under `logDir` (per-line stats
+    * stripped). */
+  def manifestFilesOf(logDir: HPath, name: String): IndexedSeq[String] =
+    manifestLinesOf(logDir, name).map(manifestLinePath)
 
   /** Resolve a snapshot file to its full data-file list: layered → the
     * union of its manifests (resolved against `logDir` — branch

@@ -399,10 +399,13 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.count() == 4095, "clusterBy must materialize the MoR delete")
     assert(got.filter($"id" === 5L).count() == 0)
     assert(sink.snapshotVersions().size == 1, "rewrite expires history")
-    // each file covers a disjoint k-range after the rewrite
+    // each file covers a disjoint k-range after the rewrite — zones now
+    // read from the MANIFEST entries (versioned analyze folds them in)
     new ZoneMaps(sink).analyze(spark, Seq("k"))
-    val zones = spark.read.parquet(s"${sink.config.tablePath}/_graft_stats")
-      .select("min_k", "max_k").as[(Long, Long)].collect().sortBy(_._1)
+    val zones = sink.manifestStatsDf(spark).get
+      .select(element_at($"z", "k").getItem(0).cast("long"),
+        element_at($"z", "k").getItem(1).cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
     assert(zones.length >= 8)
     zones.sliding(2).foreach {
       case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
@@ -443,6 +446,53 @@ class LayoutSpec extends AnyFunSuite {
     val en = intercept[IllegalArgumentException](
       sink2.clusterBy(spark, Seq("try_cast(s AS LONG)")))
     assert(en.getMessage.contains("NULL for every row"), en.getMessage)
+  }
+
+  test("manifest-entry stats: one metadata source, upkeep IS the commit, " +
+    "stats survive manifest folds and die with expired history") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val sink = new TableSink(SinkConfig(tableName = "mfstats",
+      warehousePath = tmpWarehouse(), versioned = true))
+    sink.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    new ZoneMaps(sink).analyze(spark, Seq("v"))
+    new BloomSkip(sink).analyze(spark, Seq("id"))
+    val root = sink.config.tablePath
+    // no sidecar layer exists for a versioned table — the manifest entry
+    // is the single source of truth
+    assert(!WarehouseIO.exists(new HPath(s"$root/_graft_stats")) &&
+      !WarehouseIO.exists(new HPath(s"$root/_graft_bloom")),
+      "versioned analyze must not create parquet sidecars")
+    val logDir = new HPath(s"$root/_graft_log")
+    def statsLines(): Int = WarehouseIO.childNames(logDir)
+      .filter(n => n.startsWith("m-") && n.endsWith(".mf"))
+      .map(n => WarehouseIO.manifestLinesOf(logDir, n)
+        .count(_.contains('\t'))).sum
+    assert(statsLines() >= 1, "analyze folds stats INTO manifest entries")
+    // upkeep is part of the commit: the append's own delta manifest
+    // carries its files' stats — no separate maintenance step ran
+    sink.append(Seq((3L, 999L)).toDF("id", "v"))
+    val zm = new ZoneMaps(sink)
+    val (_, zPruned) = zm.candidates(spark, Seq(("v", lit(0L), lit(30L))))
+    assert(zPruned == 1, "the appended file's fresh zone must prune")
+    val bf = new BloomSkip(sink)
+    val (_, bPruned) = bf.candidates(spark, Seq(("id", lit(777L))))
+    assert(bPruned == 2, "both files' bloom entries reject the probe")
+    // stats survive a manifest fold (line-preserving merge)
+    sink.compactManifests()
+    assert(zm.candidates(spark, Seq(("v", lit(0L), lit(30L))))._2 == 1,
+      "zone stats must survive manifest compaction")
+    assert(bf.candidates(spark, Seq(("id", lit(777L))))._2 == 2,
+      "bloom stats must survive manifest compaction")
+    // expiry drops superseded manifests — their stats die with them,
+    // with no separate stats GC to run or forget
+    val before = WarehouseIO.childNames(logDir)
+      .count(n => n.startsWith("m-") && n.endsWith(".mf"))
+    sink.expireSnapshotsKeepLast(1)
+    val after = WarehouseIO.childNames(logDir)
+      .count(n => n.startsWith("m-") && n.endsWith(".mf"))
+    assert(after < before, "expiry reclaims superseded stats-bearing " +
+      s"manifests ($before -> $after)")
+    assert(sink.read(spark).count() == 3)
   }
 
   test("appendClustered preserves the range layout the normal append undoes") {
