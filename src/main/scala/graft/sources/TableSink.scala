@@ -323,47 +323,58 @@ final class TableSink(val config: SinkConfig) {
     val df = spark.read.format(config.fileFormat).schema(schema)
       .option("basePath", config.tablePath)
       .load(rels.map(rel => s"${config.tablePath}/$rel"): _*)
-    // aggregate layer: count + per-zone min/max + per-bloom 64-bit lanes
-    // (bit_or folds each row's k positions into the lane longs — executor
-    // state is lanes longs per group, never a per-row position list)
+    // zone layer: one plain aggregate per file (codegen'd min/max)
     val zoneAggs = zone.flatMap { case (c, _) =>
       Seq(min(col(c)).cast("string").as(s"__zmin_$c"),
         max(col(c)).cast("string").as(s"__zmax_$c"))
     }
-    val laneAggs = bloom.flatMap { b =>
-      val q = b.col.replace("`", "``")
-      val psSql = s"CASE WHEN `$q` IS NOT NULL THEN array(" +
-        (0 until b.k).map(i =>
-          s"CAST(pmod(xxhash64($i, `$q`), ${b.bits}) AS INT)")
-          .mkString(", ") + ") END"
-      (0 until b.bits / 64).map { lane =>
-        expr(s"""bit_or(coalesce(aggregate(
-          filter($psSql, p -> CAST(p DIV 64 AS INT) = $lane),
-          CAST(0 AS BIGINT),
-          (acc, p) -> acc | shiftleft(CAST(1 AS BIGINT), pmod(p, 64))),
-          CAST(0 AS BIGINT)))""").as(s"__bl_${b.col}_$lane")
-      }
-    }
-    val aggs = (count(lit(1)).as("__n") +: (zoneAggs ++ laneAggs))
     val grouped = df.groupBy(input_file_name().as("__file"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg((count(lit(1)).as("__n") +: zoneAggs).head,
+        (count(lit(1)).as("__n") +: zoneAggs).tail: _*)
+    // bloom layer: explode → distinct → collect per (file, col) — the
+    // shuffle key is (file, col, position), so partial aggregation
+    // bounds executor state at `bits` ints per group; the hex bitmap
+    // renders ONCE per (file, col) from the distinct-position array
+    // (O(bits/64 · |ps|) driver-free expression work), never per row
+    val bloomDf: Option[DataFrame] =
+      if (bloom.isEmpty) None
+      else {
+        val tagged = array(bloom.map { b =>
+          struct(lit(b.col).as("c"),
+            bloomPositions(col(b.col), b.bits, b.k).as("ps"),
+            lit(b.bits).as("bits"), lit(b.k).as("k"),
+            lit(b.dtype).as("dt"))
+        }: _*)
+        Some(df.select(input_file_name().as("__file"), explode(tagged).as("t"))
+          .select(col("__file"), col("t.c").as("c"), col("t.bits").as("bits"),
+            col("t.k").as("k"), col("t.dt").as("dt"),
+            explode(col("t.ps")).as("p"))
+          .distinct()
+          .groupBy("__file", "c", "bits", "k", "dt")
+          .agg(sort_array(collect_set(col("p"))).as("ps"))
+          .withColumn("m", expr("""concat_ws('', transform(
+            transform(sequence(0, CAST(bits / 64 AS INT) - 1),
+              L -> aggregate(filter(ps, p -> p div 64 = L),
+                CAST(0 AS BIGINT),
+                (acc, p) -> acc | shiftleft(CAST(1 AS BIGINT), pmod(p, 64)))),
+            lane -> lpad(hex(lane), 16, '0')))"""))
+          .groupBy(col("__file"))
+          .agg(map_from_arrays(collect_list(col("c")),
+            collect_list(struct(col("bits"), col("k"),
+              col("dt"), col("m")))).as("__b")))
+      }
     val zMap =
       if (zone.isEmpty) lit(null).cast("map<string,array<string>>")
       else map(zone.flatMap { case (c, _) =>
         Seq(lit(c), array(col(s"__zmin_$c"), col(s"__zmax_$c")))
       }: _*)
-    val bMap =
-      if (bloom.isEmpty)
-        lit(null).cast(
-          "map<string,struct<bits:int,k:int,dt:string,m:string>>")
-      else map(bloom.flatMap { b =>
-        val hexLanes = (0 until b.bits / 64).map(lane =>
-          lpad(hex(col(s"__bl_${b.col}_$lane")), 16, "0"))
-        Seq(lit(b.col), struct(lit(b.bits).as("bits"), lit(b.k).as("k"),
-          lit(b.dtype).as("dt"), concat(hexLanes: _*).as("m")))
-      }: _*)
-    val rows = grouped.select(col("__file"),
-      to_json(struct(col("__n").as("n"), zMap.as("z"), bMap.as("b")))
+    val joined = bloomDf match {
+      case Some(bdf) => grouped.join(bdf, Seq("__file"), "left")
+      case None => grouped.withColumn("__b",
+        lit(null).cast("map<string,struct<bits:int,k:int,dt:string,m:string>>"))
+    }
+    val rows = joined.select(col("__file"),
+      to_json(struct(col("__n").as("n"), zMap.as("z"), col("__b").as("b")))
         .as("__json")).collect()
     val rootPath = new org.apache.hadoop.fs.Path(config.tablePath)
     val rootStr = WarehouseIO.fs(rootPath).makeQualified(rootPath).toString
@@ -1511,21 +1522,56 @@ final class TableSink(val config: SinkConfig) {
     * commit can lack a predecessor, so this is the one remedy
     * [[readChangelog]]'s error suggests that a no-argument caller could
     * not apply itself. */
-  def readChangelogAll(spark: SparkSession): DataFrame = {
+  def readChangelogAll(spark: SparkSession): DataFrame =
+    readChangelogAllUpTo(spark, snapshotVersions().lastOption.getOrElse(0))
+
+  /** [[readChangelogAll]] bounded at `toVersion` — the streaming CDC
+    * source's initial batch (its offset pins the head it planned
+    * against, so commits landing during planning belong to the NEXT
+    * batch, never half of this one). */
+  def readChangelogAllUpTo(spark: SparkSession, toVersion: Int): DataFrame = {
     val vs = snapshotVersions()
-    val last = vs.lastOption.getOrElse(0)
     val unreplayable = vs.headOption.filter { v0 =>
-      WarehouseIO.isFile(deletesPath(v0)) || WarehouseIO.isDir(keysPath(v0)) ||
-        WarehouseIO.isDir(posDeletesPath(v0))
+      v0 <= toVersion &&
+        (WarehouseIO.isFile(deletesPath(v0)) || WarehouseIO.isDir(keysPath(v0)) ||
+          WarehouseIO.isDir(posDeletesPath(v0)))
     }
     unreplayable match {
-      case None => readChangelog(spark, 0, last)
+      case None => readChangelog(spark, 0, toVersion)
       case Some(v0) =>
         val base = applyDeletes(readFiles(spark, manifestFiles(v0)), v0)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_change_version", lit(v0.toLong))
-        base.unionByName(readChangelog(spark, v0, last))
+        base.unionByName(readChangelog(spark, v0, toVersion))
     }
+  }
+
+  /** Streaming CDC read — the change-feed twin of [[readStream]]: each
+    * micro-batch is the CHANGELOG of the commits that landed since the
+    * last trigger (`_change_type` insert/delete + `_change_version`
+    * riding on the table schema), so delete commits STREAM as
+    * retraction rows instead of refusing — the Delta
+    * `readChangeFeed`-style source a replica/index keeps itself fresh
+    * from. The first batch replays the retained history up to the head
+    * ([[readChangelogAllUpTo]] — an expiry-orphaned oldest delete
+    * commit folds in as its post-state inserts, so a consumer still
+    * reconstructs the table); offsets pin (generation, version) exactly
+    * like the snapshot stream. Versioned tables only. */
+  def readChangesStream(spark: SparkSession): DataFrame = {
+    require(config.versioned,
+      "readChangesStream consumes the snapshot changelog — versioned only")
+    val schema = config.tableSchema.getOrElse(read(spark).schema)
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_change_version", org.apache.spark.sql.types.LongType)
+    spark.readStream
+      .format("org.apache.spark.sql.graft.GraftTableStream")
+      .schema(schema)
+      .option("tableName", config.tableName)
+      .option("warehousePath", config.warehousePath)
+      .option("tablePath", config.tablePath)
+      .option("fileFormat", config.fileFormat)
+      .option("mode", "changes")
+      .load()
   }
 
   /** Incremental changelog consumption with a DURABLE cursor — the

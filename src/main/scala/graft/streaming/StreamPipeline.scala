@@ -742,6 +742,53 @@ object StreamPipeline {
     * discovery — not a static scan — must pick it up), and the running
     * aggregate over everything consumed must equal the batch aggregate
     * over the whole fixture. */
+  /** Streaming CDC consumption ([[graft.TableSink.readChangesStream]] —
+    * the change-feed twin of the snapshot table source): a versioned
+    * table takes two append commits BEFORE the stream starts (the
+    * initial batch replays their changelog) and two merge-on-read
+    * delete commits MID-STREAM (the next batch emits them as retraction
+    * rows instead of refusing). The collected feed aggregates per
+    * (version, change type) and must equal the full-changelog oracle —
+    * proving the streamed feed is indistinguishable from one batch
+    * changelog read. */
+  def streamCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = "stream_cdc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new graft.TableSink(graft.SinkConfig(
+      tableName = "events_cdc_src", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(graft.PartitionField("event_type",
+        graft.Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))     // v1 insert
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 0))     // v2 insert
+    withStreamShuffle(spark, 8) {
+      val q = sink.readChangesStream(spark)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation",
+          s"/root/repo/target/tmp/cdc_cp_${java.util.UUID.randomUUID()}")
+        .start()
+      try {
+        q.processAllAvailable()                                // v1+v2 feed
+        sink.deleteWhere("value < 100.0")                      // v3 delete
+        sink.deleteKeys(                                       // v4 delete
+          e.filter(pmod($"user_id", lit(7)) === 0).select($"user_id"),
+          Seq("user_id"))
+        q.processAllAvailable()                                // retractions
+      } finally q.stop()
+    }
+    spark.table(name)
+      .groupBy($"_change_version", $"_change_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"_change_version", $"_change_type")
+  }
+
+  /** The streamed CDC feed must equal the batch changelog oracle. */
+  val streamCdcSql: String = ParityQueries.changelogCdcSql
+
   def streamTableSource(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val name = "stream_tbl_" + java.util.UUID.randomUUID().toString.replace("-", "")

@@ -59,7 +59,8 @@ final class GraftTableStream extends StreamSourceProvider
       parameters: Map[String, String]): Source =
     new GraftTableSource(sqlContext, mkSink(parameters),
       schema.getOrElse(
-        mkSink(parameters).read(sqlContext.sparkSession).schema))
+        mkSink(parameters).read(sqlContext.sparkSession).schema),
+      changes = parameters.get("mode").contains("changes"))
 }
 
 /** One offset = one committed snapshot version of one history
@@ -88,7 +89,8 @@ private[graft] object GraftStreamOffset {
 }
 
 private[graft] final class GraftTableSource(sqlContext: SQLContext,
-    sink: TableSink, override val schema: StructType) extends Source {
+    sink: TableSink, override val schema: StructType,
+    changes: Boolean = false) extends Source {
 
   private val spark: SparkSession = sqlContext.sparkSession
 
@@ -107,6 +109,11 @@ private[graft] final class GraftTableSource(sqlContext: SQLContext,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val e = GraftStreamOffset.of(end)
     val batch: DataFrame = start match {
+      case None if changes =>
+        // CDC mode: replay the retained changelog up to `end` (an
+        // expiry-orphaned oldest delete commit folds in as post-state
+        // inserts — the consumer still reconstructs the table)
+        sink.readChangelogAllUpTo(spark, e.version)
       case None =>
         // first batch: the table's consistent snapshot at `end` —
         // merge-on-read deletes applied, any history shape serves
@@ -114,7 +121,8 @@ private[graft] final class GraftTableSource(sqlContext: SQLContext,
       case Some(s0) =>
         val s = GraftStreamOffset.of(s0)
         requireSameHistory(s.generation, e.generation)
-        sink.readAppendedBetween(spark, s.version, e.version)
+        if (changes) sink.readChangelog(spark, s.version, e.version)
+        else sink.readAppendedBetween(spark, s.version, e.version)
     }
     // the engine requires a streaming-tagged plan; the wrapped RDD is
     // the planned (lazy) batch scan, projected to the declared column

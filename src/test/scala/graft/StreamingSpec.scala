@@ -378,6 +378,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("CDC streaming emits delete commits as retraction rows and " +
+    "resumes from the checkpoint without replaying the feed") {
+    import spark.implicits._
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_cdcstream",
+      warehousePath = TestSpark.tmpDir("stream_cdc_wh"),
+      versioned = true))
+    sink.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "cat", "v"))
+    val cp = TestSpark.tmpDir("stream_cdc_cp")
+    val out = TestSpark.tmpDir("stream_cdc_out")
+    def startQ() = sink.readChangesStream(spark)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable() // initial: v1 inserts
+      sink.append(Seq((3L, "c", 30.0)).toDF("id", "cat", "v")) // v2
+      sink.deleteWhere("v < 15.0")                             // v3 delete
+      q1.processAllAvailable() // v2 insert + v3 retraction STREAM
+    } finally q1.stop()
+    val feed = spark.read.parquet(out)
+      .select($"id", $"_change_type", $"_change_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(feed == Set((1L, "insert", 1L), (2L, "insert", 1L),
+      (3L, "insert", 2L), (1L, "delete", 3L)),
+      s"the feed must carry inserts AND the delete retraction: $feed")
+    // checkpoint resume: only commits after the consumed head emit
+    sink.append(Seq((4L, "d", 40.0)).toDF("id", "cat", "v"))   // v4
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    val resumed = spark.read.parquet(out)
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSeq
+    assert(resumed.size == feed.size + 1 &&
+      resumed.count(_ == ((4L, "insert"))) == 1,
+      s"resume must emit exactly the one new commit: $resumed")
+  }
+
   test("snapshot streaming resumes incrementally from the checkpoint " +
     "without re-emitting consumed commits") {
     import spark.implicits._
