@@ -1762,7 +1762,7 @@ object ParityQueries {
     val src = s"evsrc_${tbl.takeRight(8)}"
     e.createOrReplaceTempView(src)
     val sink = new TableSink(SinkConfig(tableName = tbl, warehousePath = wh,
-      versioned = true, numPartitions = 2,
+      versioned = true, numPartitions = 4,
       partitionSpec = Seq(PartitionField("ts", Transform.Day))))
     sink.append(e.select(col("event_id"), col("ts"), col("value"))
       .where(col("event_id") % 2 === 0))

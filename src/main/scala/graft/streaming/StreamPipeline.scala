@@ -765,8 +765,16 @@ object StreamPipeline {
     sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))     // v1 insert
     sink.append(e.filter(pmod($"event_id", lit(3)) === 0))     // v2 insert
     withStreamShuffle(spark, 8) {
+      // the aggregation runs INSIDE the stream (complete mode): the
+      // memory table holds one row per (version, change type) at any
+      // scale — collecting the raw feed would funnel the whole corpus
+      // through the driver
       val q = sink.readChangesStream(spark)
-        .writeStream.format("memory").queryName(name)
+        .groupBy($"_change_version", $"_change_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
         .option("checkpointLocation",
           s"/root/repo/target/tmp/cdc_cp_${java.util.UUID.randomUUID()}")
         .start()
@@ -780,9 +788,6 @@ object StreamPipeline {
       } finally q.stop()
     }
     spark.table(name)
-      .groupBy($"_change_version", $"_change_type")
-      .agg(count(lit(1)).as("n"),
-        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
       .orderBy($"_change_version", $"_change_type")
   }
 
