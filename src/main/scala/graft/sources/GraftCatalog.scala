@@ -275,11 +275,25 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
               .load(paths: _*), renames)
         }))
       }
+    // scan-planning stats pruning (versioned tables with a stats
+    // registry): the scan rebuilds over the manifest-stats survivor set
+    val statsPlanner: Option[GraftStatsPlanner] =
+      if (!cfg.versioned || scanOverride.isDefined) None
+      else Some(GraftStatsPlanner(
+        allPaths = paths,
+        rebuild = pruned =>
+          if (orc) OrcTable(ident.name(), spark, opts, pruned,
+            userSchema, classOf[OrcFileFormat])
+          else ParquetTable(ident.name(), spark, opts, pruned,
+            userSchema, classOf[ParquetFileFormat]),
+        plan = exprs => new TableSink(cfg)
+          .planCandidates(SparkSession.active, paths, exprs)))
     if (writable && (!hasHiveDirs(ident) || cfg.partitionSpec.nonEmpty))
       new GraftWritableTable(delegate, ident.toString, userSchema, cfg,
         hideCols = cfg.partitionSpec
           .filter(_.transform != Transform.Identity).map(_.columnName),
-        scanOverride = scanOverride)
+        scanOverride = scanOverride,
+        statsPlanner = statsPlanner)
     else scanOverride match {
       case Some((sch, compute)) =>
         new GraftProjectedTable(ident.toString, sch, compute)
@@ -998,12 +1012,22 @@ private[graft] final class GraftProjectedTable(fullName: String,
     new ProjectedScanBuilder(schema0, compute)
 }
 
+/** The catalog-side ingredients of scan-planning stats pruning: the
+  * full path set, a table factory over a pruned subset, and the planner
+  * that consults manifest stats ([[TableSink.planCandidates]]). */
+private[graft] final case class GraftStatsPlanner(
+    allPaths: Seq[String],
+    rebuild: Seq[String] => FileTable,
+    plan: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      Option[Seq[String]])
+
 private[graft] final class GraftWritableTable(delegate: FileTable,
     fullName: String, declaredSchema: Option[StructType],
     private[graft] val insertCfg: SinkConfig,
     hideCols: Seq[String] = Nil,
     scanOverride: Option[(StructType, () => org.apache.spark.sql.DataFrame)] =
-      None)
+      None,
+    statsPlanner: Option[GraftStatsPlanner] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -1070,7 +1094,15 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
     scanOverride match {
       // renamed table: scans must coalesce old/new physical column names
       case Some((sch, compute)) => new ProjectedScanBuilder(sch, compute)
-      case None => delegate.newScanBuilder(options)
+      case None => (statsPlanner, delegate.newScanBuilder(options)) match {
+        // manifest-stats pruning at scan planning (Iceberg's manifest
+        // evaluation): pushed filters also prune the FILE LIST
+        case (Some(sp), f: org.apache.spark.sql.execution.datasources.v2
+            .FileScanBuilder) =>
+          new org.apache.spark.sql.graft.StatsPruningScanBuilder(f,
+            pruned => sp.rebuild(pruned).newScanBuilder(options), sp.plan)
+        case (_, b) => b
+      }
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder

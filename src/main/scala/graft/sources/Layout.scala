@@ -475,22 +475,9 @@ final class BloomSkip(sink: TableSink, bits: Int = 4096, k: Int = 5) {
           val entry = element_at(col("b"), c)
           val m = entry.getField("m")
           val probe = v.cast(DataType.fromDDL(sp.dtype))
-          // bit `p` lives in lane p/64 at bit p%64; the lane renders as
-          // 16 hex chars (most significant nibble first), so the bit's
-          // nibble is char lane*16 + (15 - (p%64)/4), bit (p%64)%4
-          def bitSet(p: Column): Column = {
-            val j = pmod(p, lit(64))
-            val lane = ((p - j) / lit(64)).cast("int")
-            val nibOfLane = ((j - pmod(j, lit(4))) / lit(4)).cast("int")
-            val charIdx = lane * lit(16) + lit(15) - nibOfLane + lit(1)
-            val nib = conv(m.substr(charIdx, lit(1)), 16, 10).cast("int")
-            val bitInNib = pmod(j, lit(4)).cast("int")
-            val mask = when(bitInNib === 0, 1).when(bitInNib === 1, 2)
-              .when(bitInNib === 2, 4).otherwise(8)
-            nib.bitwiseAND(mask) =!= 0
-          }
           val missesOne = (0 until sp.k).map(i =>
-            !bitSet(pmod(xxhash64(lit(i), probe), lit(sp.bits)).cast("int")))
+            !TableSink.bloomBitSet(m,
+              pmod(xxhash64(lit(i), probe), lit(sp.bits)).cast("int")))
             .reduce(_ || _)
           stats.where(entry.isNotNull &&
               entry.getField("bits") === sp.bits &&

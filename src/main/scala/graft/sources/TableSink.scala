@@ -34,6 +34,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object TableSink {
 
+  /** Bit test against a hex Bloom bitmap (64-bit lanes, lane 0 first;
+    * lane renders as 16 hex chars, most significant nibble first): bit
+    * `p` lives in lane p/64 at bit p%64 — nibble char
+    * lane*16 + (15 - (p%64)/4), bit (p%64)%4. Builtin codegen'd
+    * expressions only. Shared by BloomSkip probes and the SQL door's
+    * scan-planning pruner. */
+  private[graft] def bloomBitSet(m: Column, p: Column): Column = {
+    val j = pmod(p, lit(64))
+    val lane = ((p - j) / lit(64)).cast("int")
+    val nibOfLane = ((j - pmod(j, lit(4))) / lit(4)).cast("int")
+    val charIdx = lane * lit(16) + lit(15) - nibOfLane + lit(1)
+    val nib = conv(m.substr(charIdx, lit(1)), 16, 10).cast("int")
+    val bitInNib = pmod(j, lit(4)).cast("int")
+    val mask = when(bitInNib === 0, 1).when(bitInNib === 1, 2)
+      .when(bitInNib === 2, 4).otherwise(8)
+    nib.bitwiseAND(mask) =!= 0
+  }
+
   /** One registered Bloom column: filter geometry + the hashed type
     * (xxhash64 is type-sensitive — probes cast to `dtype` first). */
   private[graft] final case class BloomSpec(col: String, bits: Int, k: Int,
@@ -426,6 +444,107 @@ final class TableSink(val config: SinkConfig) {
     "n BIGINT, z MAP<STRING, ARRAY<STRING>>, " +
       "b MAP<STRING, STRUCT<bits: INT, k: INT, dt: STRING, m: STRING>>"
 
+  /** SCAN-PLANNING file pruning for the SQL door — the Iceberg manifest
+    * evaluation step: given the catalyst conjuncts a query pushed down,
+    * consult the head manifests' per-file stats and return the SURVIVOR
+    * subset of `allPaths` (absolute), or None when nothing prunes
+    * (no stats, no translatable predicate, or every file survives — the
+    * caller then scans the original table unchanged). Translation is
+    * deliberately conservative: only top-level attribute-vs-literal
+    * comparisons contribute (EqualTo/EqualNullSafe → zone bounds + a
+    * Bloom probe when registered; >/>=/</<= → one-sided zone bounds);
+    * anything else is ignored, and files lacking a stats entry for a
+    * referenced column always survive. Cost: one bounded Spark job over
+    * the manifest text at planning time — exactly the trade Iceberg
+    * makes for reading 10 files instead of 10 000. */
+  private[graft] def planCandidates(spark: SparkSession,
+      allPaths: Seq[String],
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val stats = manifestStatsDf(spark).getOrElse(return None)
+    val schema = config.tableSchema.getOrElse(
+      scala.util.Try(read(spark).schema).getOrElse(return None))
+    def litCol(l: Literal): Column =
+      org.apache.spark.sql.graft.Bridge.column(l)
+    // (column, lo, hi) closed bounds; None side = unbounded
+    val bounds = scala.collection.mutable.Buffer
+      .empty[(String, Option[Column], Option[Column])]
+    val probes = scala.collection.mutable.Buffer.empty[(String, Column)]
+    def name(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    conjuncts.foreach {
+      case EqualTo(a, l: Literal) if name(a).isDefined && l.value != null =>
+        bounds += ((name(a).get, Some(litCol(l)), Some(litCol(l))))
+        probes += ((name(a).get, litCol(l)))
+      case EqualTo(l: Literal, a) if name(a).isDefined && l.value != null =>
+        bounds += ((name(a).get, Some(litCol(l)), Some(litCol(l))))
+        probes += ((name(a).get, litCol(l)))
+      case EqualNullSafe(a, l: Literal)
+          if name(a).isDefined && l.value != null =>
+        bounds += ((name(a).get, Some(litCol(l)), Some(litCol(l))))
+        probes += ((name(a).get, litCol(l)))
+      case GreaterThan(a, l: Literal) if name(a).isDefined && l.value != null =>
+        bounds += ((name(a).get, Some(litCol(l)), None))
+      case GreaterThanOrEqual(a, l: Literal)
+          if name(a).isDefined && l.value != null =>
+        bounds += ((name(a).get, Some(litCol(l)), None))
+      case LessThan(a, l: Literal) if name(a).isDefined && l.value != null =>
+        bounds += ((name(a).get, None, Some(litCol(l))))
+      case LessThanOrEqual(a, l: Literal)
+          if name(a).isDefined && l.value != null =>
+        bounds += ((name(a).get, None, Some(litCol(l))))
+      case GreaterThan(l: Literal, a) if name(a).isDefined && l.value != null =>
+        bounds += ((name(a).get, None, Some(litCol(l))))
+      case LessThan(l: Literal, a) if name(a).isDefined && l.value != null =>
+        bounds += ((name(a).get, Some(litCol(l)), None))
+      case _ => () // non-translatable conjunct: contributes no pruning
+    }
+    val (zoneSpec, bloomSpec) = readStatsSpec()
+    val zoneCols = zoneSpec.map(_._1.toLowerCase).toSet
+    val zoneKeeps = bounds.toSeq.collect {
+      case (c, lo, hi)
+          if zoneCols.contains(c.toLowerCase) &&
+            schema.fieldNames.exists(_.equalsIgnoreCase(c)) =>
+        val dt = schema(schema.fieldIndex(
+          schema.fieldNames.find(_.equalsIgnoreCase(c)).get)).dataType.sql
+        val entry = element_at(col("z"), c)
+        val zmin = entry.getItem(0).cast(dt)
+        val zmax = entry.getItem(1).cast(dt)
+        val hit = (lo, hi) match {
+          case (Some(l), Some(h)) => zmax >= l && zmin <= h
+          case (Some(l), None) => zmax >= l
+          case (None, Some(h)) => zmin <= h
+          case _ => lit(true)
+        }
+        when(entry.isNull, lit(true)).otherwise(coalesce(hit, lit(false)))
+    }
+    val bloomKeeps = probes.toSeq.flatMap { case (c, v) =>
+      bloomSpec.find(_.col.equalsIgnoreCase(c)).map { sp =>
+        val entry = element_at(col("b"), c)
+        val m = entry.getField("m")
+        val probe = v.cast(
+          org.apache.spark.sql.types.DataType.fromDDL(sp.dtype))
+        val allSet = (0 until sp.k).map(i =>
+          TableSink.bloomBitSet(m,
+            pmod(xxhash64(lit(i), probe), lit(sp.bits)).cast("int")))
+          .reduce(_ && _)
+        when(entry.isNull || entry.getField("bits") =!= sp.bits ||
+            entry.getField("k") =!= sp.k, lit(true))
+          .otherwise(coalesce(allSet, lit(false)))
+      }
+    }
+    val keeps = zoneKeeps ++ bloomKeeps
+    if (keeps.isEmpty) return None
+    import spark.implicits._
+    val pruned = stats.where(!keeps.reduce(_ && _))
+      .select(col("path")).as[String].collect().toSet
+    if (pruned.isEmpty) None
+    else Some(allPaths.filterNot(pruned))
+  }
+
   /** Stats-bearing entries of the HEAD snapshot as a DISTRIBUTED
     * DataFrame — (path [absolute], n, z, b); None when the table is
     * unversioned, empty, legacy, or carries no stats entry at all. The
@@ -433,6 +552,11 @@ final class TableSink(val config: SinkConfig) {
     * only names: the same scale shape as the batch read's metadata. */
   private[graft] def manifestStatsDf(spark: SparkSession): Option[DataFrame] = {
     if (!config.versioned) return None
+    // registry-first probe: analyze always writes the spec before the
+    // refold, so its absence means no stats anywhere — one file stat
+    // instead of reading every manifest's contents (this probe runs at
+    // SQL scan PLANNING, so it must be cheap on stats-less tables)
+    if (!WarehouseIO.isFile(statsSpecPath)) return None
     val head = snapshotVersions().lastOption.getOrElse(return None)
     val names = manifestNames(head).getOrElse(return None)
     if (names.isEmpty) return None

@@ -688,6 +688,45 @@ class CatalogSpec extends AnyFunSuite {
       e2.getMessage.contains("Couldn't find column"), e2.getMessage)
   }
 
+  test("SQL scans prune files by MANIFEST STATS at planning — the " +
+    "Iceberg manifest-evaluation step") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+    val sink = new TableSink(SinkConfig(tableName = "ttstats",
+      warehousePath = wh, versioned = true))
+    // 32 range-clustered files on v; k hash-spread so only blooms prune it
+    val df = spark.range(8192).select($"id", ($"id" % 64).as("k"),
+      ($"id" % 1024).as("v"))
+    sink.appendClustered(ZOrder.cluster(df, Seq(("v", 0L, 1023L)),
+      nRanges = 32))
+    new ZoneMaps(sink).analyze(spark, Seq("v"))
+    new BloomSkip(sink).analyze(spark, Seq("k"))
+    def scanFiles(sql: String): (Long, Int) = {
+      val q = spark.sql(sql)
+      val n = q.count()
+      val scan = q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b
+      }.head.scan.asInstanceOf[ParquetScan]
+      (n, scan.fileIndex.inputFiles.length)
+    }
+    val (allRows, allFiles) = scanFiles("SELECT id FROM gtest.ttstats")
+    assert(allRows == 8192 && allFiles >= 16, s"many-file fixture: $allFiles")
+    // zone bounds cut the file list at PLANNING — before any footer read
+    val (zr, zf) = scanFiles(
+      "SELECT id FROM gtest.ttstats WHERE v BETWEEN 100 AND 199")
+    assert(zr == 8192 / 1024 * 100 &&
+      zf < allFiles / 2,
+      s"a 10% range must prune most files at planning: $zf of $allFiles")
+    // bloom equality prunes hash-spread keys zone maps cannot
+    val (br, bf) = scanFiles("SELECT id FROM gtest.ttstats WHERE k = 7")
+    assert(br == 8192 / 64 && bf < allFiles,
+      s"the bloom probe must drop provably-missing files: $bf of $allFiles")
+    // conservative: a filter on an unregistered column prunes nothing
+    val (ir, ifl) = scanFiles("SELECT id FROM gtest.ttstats WHERE id = 7")
+    assert(ir == 1 && ifl == allFiles,
+      "unregistered columns must not prune (no stats to prove absence)")
+  }
+
   test("hidden-transform partitioned tables take SQL DML: INSERT derives " +
     "the partition, reads project the derived column away, DELETE works") {
     import org.apache.hadoop.fs.{Path => HPath}
