@@ -281,11 +281,17 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       if (!cfg.versioned || scanOverride.isDefined) None
       else Some(GraftStatsPlanner(
         allPaths = paths,
-        rebuild = pruned =>
+        // the pruned table pins the ORIGINAL resolved schema: a fully
+        // pruned (empty) survivor set must still serve the table schema
+        // instead of failing inference, and partition columns resolve
+        // identically to the unpruned scan
+        rebuild = pruned => {
+          val pinned = userSchema.orElse(Some(delegate.schema))
           if (orc) OrcTable(ident.name(), spark, opts, pruned,
-            userSchema, classOf[OrcFileFormat])
+            pinned, classOf[OrcFileFormat])
           else ParquetTable(ident.name(), spark, opts, pruned,
-            userSchema, classOf[ParquetFileFormat]),
+            pinned, classOf[ParquetFileFormat])
+        },
         plan = exprs => new TableSink(cfg)
           .planCandidates(SparkSession.active, paths, exprs)))
     if (writable && (!hasHiveDirs(ident) || cfg.partitionSpec.nonEmpty))

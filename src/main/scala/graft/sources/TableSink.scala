@@ -471,6 +471,10 @@ final class TableSink(val config: SinkConfig) {
     val bounds = scala.collection.mutable.Buffer
       .empty[(String, Option[Column], Option[Column])]
     val probes = scala.collection.mutable.Buffer.empty[(String, Column)]
+    // IN-lists: zone keeps the [least, greatest] ENVELOPE (a superset —
+    // conservative); bloom keeps a file admitting ANY member
+    val inProbes = scala.collection.mutable.Buffer
+      .empty[(String, Seq[Column])]
     def name(e: Expression): Option[String] = e match {
       case a: Attribute => Some(a.name)
       case _ => None
@@ -500,6 +504,21 @@ final class TableSink(val config: SinkConfig) {
         bounds += ((name(a).get, None, Some(litCol(l))))
       case LessThan(l: Literal, a) if name(a).isDefined && l.value != null =>
         bounds += ((name(a).get, Some(litCol(l)), None))
+      case In(a, vs) if name(a).isDefined && vs.nonEmpty && vs.sizeIs <= 32 &&
+          vs.forall { case l: Literal => l.value != null; case _ => false } =>
+        val lits = vs.map { case l: Literal => litCol(l) }
+        bounds += ((name(a).get,
+          Some(if (lits.sizeIs == 1) lits.head else least(lits: _*)),
+          Some(if (lits.sizeIs == 1) lits.head else greatest(lits: _*))))
+        inProbes += ((name(a).get, lits))
+      case InSet(a, hset) if name(a).isDefined && hset.nonEmpty &&
+          hset.sizeIs <= 32 && !hset.contains(null) =>
+        val lits = hset.toSeq.map(v =>
+          litCol(Literal.create(v, a.dataType)))
+        bounds += ((name(a).get,
+          Some(if (lits.sizeIs == 1) lits.head else least(lits: _*)),
+          Some(if (lits.sizeIs == 1) lits.head else greatest(lits: _*))))
+        inProbes += ((name(a).get, lits))
       case _ => () // non-translatable conjunct: contributes no pruning
     }
     val (zoneSpec, bloomSpec) = readStatsSpec()
@@ -521,21 +540,28 @@ final class TableSink(val config: SinkConfig) {
         }
         when(entry.isNull, lit(true)).otherwise(coalesce(hit, lit(false)))
     }
-    val bloomKeeps = probes.toSeq.flatMap { case (c, v) =>
-      bloomSpec.find(_.col.equalsIgnoreCase(c)).map { sp =>
-        val entry = element_at(col("b"), c)
-        val m = entry.getField("m")
+    def bloomKeepOf(c: String, sp: TableSink.BloomSpec,
+        values: Seq[Column]): Column = {
+      val entry = element_at(col("b"), c)
+      val m = entry.getField("m")
+      val anyAdmitted = values.map { v =>
         val probe = v.cast(
           org.apache.spark.sql.types.DataType.fromDDL(sp.dtype))
-        val allSet = (0 until sp.k).map(i =>
+        (0 until sp.k).map(i =>
           TableSink.bloomBitSet(m,
             pmod(xxhash64(lit(i), probe), lit(sp.bits)).cast("int")))
           .reduce(_ && _)
-        when(entry.isNull || entry.getField("bits") =!= sp.bits ||
-            entry.getField("k") =!= sp.k, lit(true))
-          .otherwise(coalesce(allSet, lit(false)))
-      }
+      }.reduce(_ || _)
+      when(entry.isNull || entry.getField("bits") =!= sp.bits ||
+          entry.getField("k") =!= sp.k, lit(true))
+        .otherwise(coalesce(anyAdmitted, lit(false)))
     }
+    val bloomKeeps =
+      (probes.toSeq.map { case (c, v) => (c, Seq(v)) } ++ inProbes.toSeq)
+        .flatMap { case (c, vs) =>
+          bloomSpec.find(_.col.equalsIgnoreCase(c))
+            .map(sp => bloomKeepOf(c, sp, vs))
+        }
     val keeps = zoneKeeps ++ bloomKeeps
     if (keeps.isEmpty) return None
     import spark.implicits._

@@ -727,6 +727,52 @@ class CatalogSpec extends AnyFunSuite {
       "unregistered columns must not prune (no stats to prove absence)")
   }
 
+  test("scan-planning pruning never drops a matching row (randomized " +
+    "bounds, equality, IN-lists; mixed analyzed/unanalyzed files)") {
+    val rnd = new scala.util.Random(20260815L)
+    val sink = new TableSink(SinkConfig(tableName = "ttstatsprop",
+      warehousePath = wh, versioned = true))
+    val df = spark.range(4000).select($"id",
+      (($"id" * 2654435761L) % 1000).as("a"),
+      concat(lit("u"), ($"id" % 97).cast("string")).as("b"))
+    sink.appendClustered(ZOrder.cluster(df, Seq(("a", 0L, 999L)),
+      nRanges = 16))
+    new ZoneMaps(sink).analyze(spark, Seq("a"))
+    new BloomSkip(sink).analyze(spark, Seq("b"))
+    // a post-analyze append: its stats come from commit-time upkeep, and
+    // a second one AFTER dropping the registry would be stats-less — the
+    // conservative always-read class
+    sink.append(Seq((99991L, 1500L, "zz1"), (99992L, -5L, "zz2"))
+      .toDF("id", "a", "b"))
+    val oracle = sink.read(spark).cache()
+    def check(where: String): Unit = {
+      val got = spark.sql(
+        s"SELECT CAST(SUM(id) AS BIGINT) AS s, COUNT(*) AS n " +
+          s"FROM gtest.ttstatsprop WHERE $where").head()
+      val exp = oracle.where(where)
+        .agg(sum($"id").cast("long"), count(lit(1))).head()
+      assert(got == exp, s"WHERE $where: got $got, expected $exp")
+    }
+    (1 to 15).foreach { _ =>
+      val lo = rnd.nextInt(1200) - 100
+      val hi = lo + rnd.nextInt(300)
+      check(s"a BETWEEN $lo AND $hi")
+      check(s"a > $lo")
+      check(s"a <= $hi AND a >= $lo")
+    }
+    (1 to 10).foreach { _ =>
+      val k = rnd.nextInt(120) // some absent (>96), some present
+      check(s"b = 'u$k'")
+      check(s"b IN ('u$k', 'u${rnd.nextInt(120)}', 'zz1')")
+      check(s"b = 'u$k' AND a < ${rnd.nextInt(1000)}")
+    }
+    check("a = 1500")     // only in the post-analyze file
+    check("a = -5")       // below every analyzed zone
+    check("b = 'nope'")   // in no file at all
+    oracle.unpersist()
+    ()
+  }
+
   test("hidden-transform partitioned tables take SQL DML: INSERT derives " +
     "the partition, reads project the derived column away, DELETE works") {
     import org.apache.hadoop.fs.{Path => HPath}
