@@ -1806,18 +1806,33 @@ final class TableSink(val config: SinkConfig) {
     * time travel belongs to the source. */
   def replicateTo(spark: SparkSession, dest: TableSink,
       keyCols: Seq[String], cursorPath: String): Seq[Long] = {
-    import org.apache.spark.sql.expressions.Window
     require(keyCols.nonEmpty, "replicateTo needs at least one key column")
-    require(dest.config.versioned,
-      "the replica must be versioned=true — changelog deletes apply as " +
-        "merge-on-read key lists")
-    require(dest.config.tablePath != config.tablePath,
-      "a table cannot replicate onto itself")
+    requireReplica(dest)
     val (batch, commit) = readChangelogSince(spark, cursorPath)
     val b = batch.localCheckpoint() // pin the batch before dest ops run jobs
     import spark.implicits._
     val versions = b.select(col("_change_version"))
       .distinct().as[Long].collect().sorted // bounded: commit count
+    applyChangeBatch(dest, b, keyCols)
+    commit()
+    versions.toSeq
+  }
+
+  private def requireReplica(dest: TableSink): Unit = {
+    require(dest.config.versioned,
+      "the replica must be versioned=true — changelog deletes apply as " +
+        "merge-on-read key lists")
+    require(dest.config.tablePath != config.tablePath,
+      "a table cannot replicate onto itself")
+  }
+
+  /** Apply one changelog batch to `dest` as NET CHANGES (see
+    * [[replicateTo]]'s contract notes — per key the highest-version
+    * change wins, surviving inserts land as ONE keyed upsert and net
+    * deletes as ONE deleteKeys, both idempotent under the keys). */
+  private def applyChangeBatch(dest: TableSink, b: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val net = b.withColumn("__rn", row_number().over(
         Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col("_change_version").desc)))
@@ -1831,8 +1846,33 @@ final class TableSink(val config: SinkConfig) {
     if (dest.snapshotVersions().nonEmpty && !del.isEmpty)
       dest.deleteKeys(del, keyCols)
     if (!ins.isEmpty) dest.upsert(ins, keyCols)
-    commit()
-    versions.toSeq
+  }
+
+  /** RESIDENT-stream CDC replication — [[replicateTo]] as a continuous
+    * query: the [[readChangesStream]] feed applies to `dest` per
+    * micro-batch through the same net-change compaction, so the replica
+    * tracks this table with the trigger's latency instead of a
+    * scheduler's. Delivery: `foreachBatch` replays a batch whose apply
+    * completed but whose checkpoint commit did not — at-least-once —
+    * and both apply ops are IDEMPOTENT under the keys (keyed upsert,
+    * keyed delete list), so replica STATE converges to exactly-once,
+    * the same argument as the cursor variant. Source maintenance
+    * windows apply: a history rewrite fails the stream loudly
+    * (generation-pinned offsets); restart it from a fresh checkpoint
+    * after the replica is rebuilt or verified. */
+  def startReplication(spark: SparkSession, dest: TableSink,
+      keyCols: Seq[String], checkpointLocation: String,
+      intervalSeconds: Int = 15): StreamingQuery = {
+    require(keyCols.nonEmpty, "startReplication needs at least one key column")
+    requireReplica(dest)
+    readChangesStream(spark).writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          applyChangeBatch(dest, batch.localCheckpoint(), keyCols)
+      }
+      .start()
   }
 
   // --------------------------------------------------- metadata tables

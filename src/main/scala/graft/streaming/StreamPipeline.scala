@@ -794,6 +794,52 @@ object StreamPipeline {
   /** The streamed CDC feed must equal the batch changelog oracle. */
   val streamCdcSql: String = ParityQueries.changelogCdcSql
 
+  /** Resident-stream CDC replication end-to-end
+    * ([[graft.TableSink.startReplication]]): a replica table tracks the
+    * source through two append commits consumed at stream start and two
+    * merge-on-read delete commits landing MID-STREAM (streamed as
+    * retractions, applied as one keyed delete). The replica's final
+    * aggregate must equal the oracle's direct computation of the
+    * survivors — same contract as the cursor-driven
+    * `q_changelog_replicate`, now with the trigger's latency. */
+  def streamReplication(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    def cfg(name: String) = graft.SinkConfig(
+      tableName = name, warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(graft.PartitionField("event_type",
+        graft.Transform.Identity)),
+      sortOrder = Seq("event_id"))
+    val src = new graft.TableSink(cfg("events_rsrc"))
+    val replica = new graft.TableSink(cfg("events_rdst"))
+    src.append(e.filter(pmod($"event_id", lit(3)) =!= 0))      // v1
+    src.append(e.filter(pmod($"event_id", lit(3)) === 0))      // v2
+    val q = src.startReplication(spark, replica, Seq("event_id"),
+      s"$dest/_repl_cp", intervalSeconds = 1)
+    try {
+      q.processAllAvailable()                                  // v1+v2 land
+      src.deleteWhere("value < 100.0")                         // v3 delete
+      src.deleteKeys(                                          // v4 delete
+        e.filter(pmod($"user_id", lit(7)) === 0).select($"user_id"),
+        Seq("user_id"))
+      q.processAllAvailable()                                  // retractions
+    } finally q.stop()
+    replica.read(spark).groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"event_type")
+  }
+
+  /** The replica's final state ≡ the survivors of the four commits. */
+  val streamReplicationSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events
+      |WHERE NOT coalesce(value < 100.0, FALSE) AND user_id % 7 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def streamTableSource(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val name = "stream_tbl_" + java.util.UUID.randomUUID().toString.replace("-", "")

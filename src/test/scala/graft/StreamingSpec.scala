@@ -415,6 +415,50 @@ class StreamingSpec extends AnyFunSuite {
       s"resume must emit exactly the one new commit: $resumed")
   }
 
+  test("resident-stream replication tracks the source through appends, " +
+    "updates, and deletes; restart converges idempotently") {
+    import spark.implicits._
+    val wh2 = TestSpark.tmpDir("stream_repl_wh")
+    val src = new TableSink(SinkConfig("repl_src", wh2, versioned = true))
+    val dst = new TableSink(SinkConfig("repl_dst", wh2, versioned = true))
+    src.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    val cp = TestSpark.tmpDir("stream_repl_cp")
+    def state(s: TableSink) = s.read(spark).select($"id", $"v")
+      .as[(Long, Double)].collect().toSet
+    val q1 = src.startReplication(spark, dst, Seq("id"), cp,
+      intervalSeconds = 1)
+    try {
+      q1.processAllAvailable()
+      assert(state(dst) == state(src), "initial snapshot replicates")
+      src.append(Seq((3L, 30.0)).toDF("id", "v"))
+      src.upsert(Seq((1L, 11.0)).toDF("id", "v"), Seq("id"))
+      // the upsert REWRITES source history (generation flip): the stream
+      // must fail loudly, never resume silently against the new history
+      val e = intercept[Exception](q1.processAllAvailable())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("rewritten mid-stream"), msgs)
+    } finally q1.stop()
+    // fresh checkpoint after the maintenance window: the replica
+    // converges to the rewritten source (keyed upsert is idempotent
+    // over the rows the first stream already landed)
+    val q2 = src.startReplication(spark, dst, Seq("id"),
+      TestSpark.tmpDir("stream_repl_cp2"), intervalSeconds = 1)
+    try {
+      q2.processAllAvailable()
+      assert(state(dst) == state(src),
+        s"replica must converge: ${state(dst)} vs ${state(src)}")
+      // and keeps tracking: MoR delete commits stream as retractions
+      src.deleteWhere("v < 15.0")
+      src.append(Seq((4L, 40.0)).toDF("id", "v"))
+      q2.processAllAvailable()
+      assert(state(dst) == state(src),
+        s"deletes must replicate: ${state(dst)} vs ${state(src)}")
+      assert(!state(dst).exists(_._1 == 1L), "the deleted key is gone")
+    } finally q2.stop()
+  }
+
   test("snapshot streaming resumes incrementally from the checkpoint " +
     "without re-emitting consumed commits") {
     import spark.implicits._
