@@ -462,7 +462,11 @@ final class TableSink(val config: SinkConfig) {
       conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Option[Seq[String]] = {
     import org.apache.spark.sql.catalyst.expressions._
-    val stats = manifestStatsDf(spark).getOrElse(return None)
+    val hiddenSpec = config.partitionSpec
+      .filter(_.transform != Transform.Identity)
+    val statsOpt = manifestStatsDf(spark)
+    // nothing to prune WITH: no manifest stats and no hidden transforms
+    if (statsOpt.isEmpty && hiddenSpec.isEmpty) return None
     val schema = config.tableSchema.getOrElse(
       scala.util.Try(read(spark).schema).getOrElse(return None))
     def litCol(l: Literal): Column =
@@ -563,12 +567,100 @@ final class TableSink(val config: SinkConfig) {
             .map(sp => bloomKeepOf(c, sp, vs))
         }
     val keeps = zoneKeeps ++ bloomKeeps
-    if (keeps.isEmpty) return None
     import spark.implicits._
-    val pruned = stats.where(!keeps.reduce(_ && _))
-      .select(col("path")).as[String].collect().toSet
+    val statsPruned: Set[String] = statsOpt match {
+      case Some(stats) if keeps.nonEmpty =>
+        stats.where(!keeps.reduce(_ && _))
+          .select(col("path")).as[String].collect().toSet
+      case _ => Set.empty
+    }
+    // HIDDEN-PARTITION pruning — the reference's headline semantic
+    // (README.md:141-155): a predicate on the SOURCE column prunes the
+    // derived partition DIRECTORIES, no analyze needed. Monotonic
+    // transforms (year/month/day/hour/truncate) map the source bounds
+    // to a derived-value interval; bucket admits equality probes only.
+    // The derived literal is evaluated by the SAME Transform expression
+    // the writer derived with (one 1-row local job), so write/prune
+    // parity holds by construction; the null partition dir prunes under
+    // any bound or probe (NULL satisfies neither).
+    val partPruned: Set[String] =
+      if (hiddenSpec.isEmpty) Set.empty
+      else hiddenSpec.flatMap { pf =>
+        val srcField = schema.fields
+          .find(_.name.equalsIgnoreCase(pf.source))
+        val monotonic = pf.transform match {
+          case Transform.Year | Transform.Month | Transform.Day |
+               Transform.Hour | Transform.Truncate(_) => true
+          case _ => false
+        }
+        val numericDir = pf.transform match {
+          case Transform.Year | Transform.Bucket(_) => true
+          case Transform.Truncate(_) =>
+            srcField.exists(f => Set("TINYINT", "SMALLINT", "INT", "BIGINT")
+              .contains(f.dataType.sql))
+          case _ => false
+        }
+        val myBounds = bounds.toSeq
+          .filter(_._1.equalsIgnoreCase(pf.source))
+        val myEqs = probes.toSeq.filter(_._1.equalsIgnoreCase(pf.source))
+          .map(p => Seq(p._2)) ++
+          inProbes.toSeq.filter(_._1.equalsIgnoreCase(pf.source)).map(_._2)
+        if (srcField.isEmpty || (myBounds.isEmpty && myEqs.isEmpty)) Nil
+        else {
+          val dt = srcField.get.dataType
+          def derive(cs: Seq[Column]): Seq[String] =
+            if (cs.isEmpty) Nil
+            else spark.range(1)
+              .select(cs.map(c => pf.transform(c, dt).cast("string")): _*)
+              .head().toSeq.map(v => if (v == null) null else v.toString)
+          val los = derive(myBounds.flatMap(_._2).toIndexedSeq)
+          val his = derive(myBounds.flatMap(_._3).toIndexedSeq)
+          val eqSets: Seq[Set[String]] = myEqs.map(vs =>
+            derive(vs.toIndexedSeq).filter(_ != null).toSet)
+          def cmp(a: String, b: String): Int =
+            if (numericDir) java.lang.Long.compare(a.toLong, b.toLong)
+            else a.compareTo(b)
+          val dirRe = java.util.regex.Pattern.compile(
+            "(?:^|/)" + java.util.regex.Pattern.quote(pf.columnName) +
+              "=([^/]+)/")
+          allPaths.filter { path =>
+            val m = dirRe.matcher(path)
+            if (!m.find()) false // no derived dir: keep, conservative
+            else {
+              val raw = unescapeDirValue(m.group(1))
+              if (raw == "__HIVE_DEFAULT_PARTITION__") true // null: prune
+              else scala.util.Try {
+                val outsideBounds = monotonic &&
+                  (los.exists(l => l != null && cmp(raw, l) < 0) ||
+                    his.exists(h => h != null && cmp(raw, h) > 0))
+                val missesEqs = eqSets.exists(es =>
+                  es.nonEmpty && !es.contains(raw))
+                outsideBounds || missesEqs
+              }.getOrElse(false) // unparsable value: keep, conservative
+            }
+          }
+        }
+      }.toSet
+    val pruned = statsPruned ++ partPruned
     if (pruned.isEmpty) None
     else Some(allPaths.filterNot(pruned))
+  }
+
+  /** Undo Spark's partition-directory escaping (%XX hex sequences). */
+  private def unescapeDirValue(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Stats-bearing entries of the HEAD snapshot as a DISTRIBUTED

@@ -727,6 +727,54 @@ class CatalogSpec extends AnyFunSuite {
       "unregistered columns must not prune (no stats to prove absence)")
   }
 
+  test("HIDDEN partitioning prunes derived directories from a SOURCE-" +
+    "column predicate — no analyze needed (the reference's headline)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+    val sink = new TableSink(SinkConfig(tableName = "tthide2",
+      warehousePath = wh, versioned = true,
+      partitionSpec = Seq(PartitionField("ts", Transform.Day))))
+    // 10 days × 10 rows; one NULL-ts row lands in the default partition
+    val rows = (0 until 100).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-${i / 10 + 1}%02d " +
+        f"0${i % 10}:00:00"), i * 1.0)) :+
+      ((999L, null.asInstanceOf[java.sql.Timestamp], -1.0))
+    sink.append(rows.toDF("id", "ts", "v"))
+    def scanFiles(sql: String): (Long, Int) = {
+      val q = spark.sql(sql)
+      val n = q.count()
+      val scan = q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b
+      }.head.scan.asInstanceOf[ParquetScan]
+      (n, scan.fileIndex.inputFiles.length)
+    }
+    val (allN, allF) = scanFiles("SELECT id FROM gtest.tthide2")
+    assert(allN == 101 && allF >= 11, s"one file per day + null: $allF")
+    // a ts range touching 2 of 10 days reads ~2 directories' files —
+    // with NO stats registry: the derivation itself prunes
+    val (rn, rf) = scanFiles("SELECT id FROM gtest.tthide2 WHERE " +
+      "ts >= TIMESTAMP '2024-03-04 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-03-06 00:00:00'")
+    assert(rn == 20 && rf <= allF / 3,
+      s"a 2-day window must read ~2 day dirs: $rf of $allF")
+    // equality on the source timestamp prunes to one day's files
+    val (en, ef) = scanFiles("SELECT id FROM gtest.tthide2 WHERE " +
+      "ts = TIMESTAMP '2024-03-07 03:00:00'")
+    assert(en == 1 && ef <= 2, s"a point ts reads one day dir: $ef")
+    // the NULL row is reachable (no predicate → nothing pruned)
+    assert(spark.sql("SELECT COUNT(*) FROM gtest.tthide2 WHERE ts IS NULL")
+      .head().getLong(0) == 1)
+    // bucket transforms prune on source-column equality
+    val bs = new TableSink(SinkConfig(tableName = "tthideb",
+      warehousePath = wh, versioned = true,
+      partitionSpec = Seq(PartitionField("k", Transform.Bucket(8)))))
+    bs.append((0L until 256L).map(i => (i, i % 32)).toDF("id", "k"))
+    val (bn, bf) = scanFiles("SELECT id FROM gtest.tthideb WHERE k = 5")
+    val (_, bAll) = scanFiles("SELECT id FROM gtest.tthideb")
+    assert(bn == 8 && bf < bAll,
+      s"a bucket equality probe reads one bucket dir: $bf of $bAll")
+  }
+
   test("scan-planning pruning never drops a matching row (randomized " +
     "bounds, equality, IN-lists; mixed analyzed/unanalyzed files)") {
     val rnd = new scala.util.Random(20260815L)
