@@ -1823,6 +1823,55 @@ object ParityQueries {
       |  FROM events WHERE value >= 5.0 AND event_id % 2 = 0
       |) t ORDER BY phase""".stripMargin
 
+  /** Hidden-partition PRUNING through the SQL door, oracle-gated: a
+    * `day(ts)`-partitioned table answers a source-column window through
+    * the catalog, and the physical scan must touch a strict subset of
+    * the table's files — the derivation pruned the other day
+    * directories at planning, no analyze involved. The `pruned` flag
+    * rides in the result row (the oracle expects TRUE), so a silent
+    * pruning regression is a hash mismatch, not just a slow plan. */
+  def sqlHiddenPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_shpr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val sink = new TableSink(SinkConfig(tableName = tbl, warehousePath = wh,
+      versioned = true, numPartitions = 2,
+      partitionSpec = Seq(PartitionField("ts", Transform.Day))))
+    sink.append(e.select(col("event_id"), col("ts"), col("value")))
+    val where = "ts >= TIMESTAMP '2024-01-05 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-01-08 00:00:00'"
+    val q = spark.sql(
+      s"""SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM graft_cat.$tbl WHERE $where""".stripMargin)
+    // measure the scan on an exchange-free probe with the same WHERE
+    // (the aggregate plan is AQE-wrapped, hiding its scan pre-execution)
+    val scanned = spark
+      .sql(s"SELECT event_id FROM graft_cat.$tbl WHERE $where")
+      .queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case p: org.apache.spark.sql.execution.datasources.v2.parquet
+                .ParquetScan => p.fileIndex.inputFiles.length
+            case _ => Int.MaxValue
+          }
+      }.min
+    val total = sink.read(spark).inputFiles.length
+    q.withColumn("pruned", org.apache.spark.sql.functions.lit(
+      scanned < total && scanned > 0))
+  }
+
+  val sqlHiddenPruneSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  TRUE AS pruned
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin
+
   val sqlHiddenPartitionSql: String =
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
       |  COUNT(*) AS n,
