@@ -33,25 +33,66 @@ sealed trait Transform {
 }
 
 object Transform {
+
+  // Temporal transforms over TIMESTAMP are defined on UTC (the Iceberg
+  // spec fixes partition transforms to UTC so a table's layout never
+  // depends on who wrote it): the instant's epoch micros are floored to
+  // the UTC day/hour by EXACT integer arithmetic — pmod keeps the floor
+  // exact for pre-1970 instants — and calendar fields come from the
+  // resulting DATE (timezone-free). Without this, `date_format`/`to_date`
+  // derive in the SESSION timezone: a writer in UTC+9 and a reader in UTC
+  // would disagree on which day a row belongs to, so directory values and
+  // prune bounds drift apart and hidden-partition pruning can skip a
+  // directory that contains matching rows. DATE/STRING sources carry no
+  // timezone and keep the plain calendar functions.
+  private val MicrosPerDay = 86400000000L
+  private val MicrosPerHour = 3600000000L
+
+  /** UTC calendar date of a TIMESTAMP column, session-timezone-free. */
+  private[graft] def utcDate(c: Column): Column = {
+    val us = unix_micros(c)
+    val epochDay = (us - pmod(us, lit(MicrosPerDay))) / lit(MicrosPerDay)
+    date_add(lit(java.sql.Date.valueOf("1970-01-01")), epochDay.cast("int"))
+  }
+
+  /** UTC hour-of-day (0-23) of a TIMESTAMP column. */
+  private[graft] def utcHourOfDay(c: Column): Column =
+    floor(pmod(unix_micros(c), lit(MicrosPerDay)) / lit(MicrosPerHour))
+      .cast("int")
+
   case object Identity extends Transform {
     val name = "identity"
     def apply(c: Column, dt: DataType): Column = c
   }
   case object Year extends Transform {
     val name = "year"
-    def apply(c: Column, dt: DataType): Column = year(c)
+    def apply(c: Column, dt: DataType): Column = dt match {
+      case TimestampType => year(utcDate(c))
+      case _ => year(c)
+    }
   }
   case object Month extends Transform {
     val name = "month"
-    def apply(c: Column, dt: DataType): Column = date_format(c, "yyyy-MM")
+    def apply(c: Column, dt: DataType): Column = dt match {
+      case TimestampType => date_format(utcDate(c), "yyyy-MM")
+      case _ => date_format(c, "yyyy-MM")
+    }
   }
   case object Day extends Transform {
     val name = "day"
-    def apply(c: Column, dt: DataType): Column = to_date(c)
+    def apply(c: Column, dt: DataType): Column = dt match {
+      case TimestampType => utcDate(c)
+      case _ => to_date(c)
+    }
   }
   case object Hour extends Transform {
     val name = "hour"
-    def apply(c: Column, dt: DataType): Column = date_format(c, "yyyy-MM-dd-HH")
+    def apply(c: Column, dt: DataType): Column = dt match {
+      case TimestampType =>
+        concat(date_format(utcDate(c), "yyyy-MM-dd"), lit("-"),
+          lpad(utcHourOfDay(c).cast("string"), 2, "0"))
+      case _ => date_format(c, "yyyy-MM-dd-HH")
+    }
   }
   final case class Bucket(n: Int) extends Transform {
     require(n > 0, s"bucket width must be positive, got $n")

@@ -214,9 +214,12 @@ final class ZoneMaps(sink: TableSink) {
     bounds.map { case (c, lo, hi) =>
       val dt = schema(c).dataType.sql
       val entry = element_at(col("z"), c)
-      val zmin = entry.getItem(0).cast(dt)
-      val zmax = entry.getItem(1).cast(dt)
-      when(entry.isNull, lit(true))
+      // TIMESTAMP bounds persist as epoch micros; a legacy session-
+      // rendered entry is unparseable-absolutely → keep (unanalyzed)
+      val zmin = TableSink.zoneBound(entry.getItem(0), dt)
+      val zmax = TableSink.zoneBound(entry.getItem(1), dt)
+      when(entry.isNull || TableSink.zoneLegacy(entry.getItem(0), dt) ||
+          TableSink.zoneLegacy(entry.getItem(1), dt), lit(true))
         .otherwise(coalesce(zmax >= lo && zmin <= hi, lit(false)))
     }.reduce(_ && _)
   }
@@ -254,7 +257,8 @@ final class ZoneMaps(sink: TableSink) {
           // a raw path — decode inside the scan so the keys meet (a
           // mismatch is conservative: the file reads as "unanalyzed")
           Some(spark.read.parquet(statsPath)
-            .select(regexp_replace(url_decode(col("file")), "^file:(//)?", "")
+            .select(regexp_replace(TableSink.decodePath(col("file")),
+              "^file:(//)?", "")
               .as("path"), pred.as("keep")))
         case None => None
       }
@@ -304,7 +308,8 @@ final class ZoneMaps(sink: TableSink) {
           }.reduce(_ && _), lit(false))
           Some(spark.read.parquet(statsPath)
             .where(!keep)
-            .select(regexp_replace(url_decode(col("file")), "^file:(//)?", "")
+            .select(regexp_replace(TableSink.decodePath(col("file")),
+              "^file:(//)?", "")
               .as("__zm_path")))
         case None => None
       }
@@ -315,7 +320,7 @@ final class ZoneMaps(sink: TableSink) {
         // merge-on-read delete anti-join makes _metadata unresolvable
         val df = sink.readWithScanPath(spark, "__zm_scan_raw")
         df.withColumn("__zm_scan_path",
-            stripScheme(url_decode(col("__zm_scan_raw"))))
+            stripScheme(TableSink.decodePath(col("__zm_scan_raw"))))
           .join(broadcast(pruned),
             col("__zm_scan_path") === col("__zm_path"), "left_anti")
           .drop("__zm_scan_path", "__zm_scan_raw")
@@ -418,7 +423,7 @@ final class BloomSkip(sink: TableSink, bits: Int = 4096, k: Int = 5) {
   }
 
   private def decoded(c: Column): Column =
-    regexp_replace(url_decode(c), "^file:(//)?", "")
+    regexp_replace(TableSink.decodePath(c), "^file:(//)?", "")
 
   /** Candidate files for the conjunction of `col = value` probes, plus the
     * pruned count — the driver-side variant (mirrors

@@ -52,6 +52,49 @@ object TableSink {
     nib.bitwiseAND(mask) =!= 0
   }
 
+  /** Percent-decode a URI path component: %XX sequences ONLY. `url_decode`
+    * / `URLDecoder` are FORM decoders — they also turn a literal '+' into
+    * a space, and Spark's `escapePathName` does not escape '+', so a data
+    * file under a partition value like `a+b` would decode to `a b`, fail
+    * its path join, and silently lose its stats entry (pruning disabled
+    * for that file) or skew metadata accounting. Pre-escaping '+' to %2B
+    * makes the form decoder behave as a pure %XX decoder. */
+  private[graft] def decodePath(c: Column): Column =
+    url_decode(regexp_replace(c, "\\+", "%2B"))
+
+  /** Driver-side twin of [[decodePath]]. */
+  private[graft] def decodePath(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+
+  /** Render a zone-stat bound for persistence. TIMESTAMP bounds persist
+    * as EPOCH MICROS (timezone-independent) — a cast-to-string render
+    * would use the WRITER's session timezone with no zone designator, and
+    * a reader in a different session timezone would parse it back to a
+    * different instant, shifting the bounds and letting pruning skip a
+    * file that contains matching rows. `unix_micros` is monotonic, so
+    * min/max commute with the encoding. All other types render by cast
+    * (DATE and TIMESTAMP_NTZ strings carry no timezone). */
+  private[graft] def zoneRender(v: Column, dt: String): Column =
+    if (dt.equalsIgnoreCase("TIMESTAMP")) unix_micros(v).cast("string")
+    else v.cast("string")
+
+  /** Parse a persisted zone bound back to its typed value. TIMESTAMP
+    * entries written before the epoch-micros encoding (session-rendered,
+    * no designator) are NOT absolutely parseable — they yield NULL here
+    * and [[zoneLegacy]] flags them so probes keep the file. */
+  private[graft] def zoneBound(raw: Column, dt: String): Column =
+    if (dt.equalsIgnoreCase("TIMESTAMP"))
+      when(raw.rlike("^-?[0-9]+$"), timestamp_micros(raw.cast("long")))
+    else raw.cast(dt)
+
+  /** TRUE when `raw` is a legacy session-rendered TIMESTAMP bound whose
+    * instant cannot be recovered — the probe must treat the file as
+    * unanalyzed (keep), never prune on an unparseable bound. */
+  private[graft] def zoneLegacy(raw: Column, dt: String): Column =
+    if (dt.equalsIgnoreCase("TIMESTAMP"))
+      raw.isNotNull && !raw.rlike("^-?[0-9]+$")
+    else lit(false)
+
   /** One registered Bloom column: filter geometry + the hashed type
     * (xxhash64 is type-sensitive — probes cast to `dtype` first). */
   private[graft] final case class BloomSpec(col: String, bits: Int, k: Int,
@@ -341,10 +384,11 @@ final class TableSink(val config: SinkConfig) {
     val df = spark.read.format(config.fileFormat).schema(schema)
       .option("basePath", config.tablePath)
       .load(rels.map(rel => s"${config.tablePath}/$rel"): _*)
-    // zone layer: one plain aggregate per file (codegen'd min/max)
-    val zoneAggs = zone.flatMap { case (c, _) =>
-      Seq(min(col(c)).cast("string").as(s"__zmin_$c"),
-        max(col(c)).cast("string").as(s"__zmax_$c"))
+    // zone layer: one plain aggregate per file (codegen'd min/max);
+    // TIMESTAMP bounds render as epoch micros — timezone-independent
+    val zoneAggs = zone.flatMap { case (c, dt) =>
+      Seq(TableSink.zoneRender(min(col(c)), dt).as(s"__zmin_$c"),
+        TableSink.zoneRender(max(col(c)), dt).as(s"__zmax_$c"))
     }
     val grouped = df.groupBy(input_file_name().as("__file"))
       .agg((count(lit(1)).as("__n") +: zoneAggs).head,
@@ -397,7 +441,7 @@ final class TableSink(val config: SinkConfig) {
     val rootPath = new org.apache.hadoop.fs.Path(config.tablePath)
     val rootStr = WarehouseIO.fs(rootPath).makeQualified(rootPath).toString
     rows.flatMap { r =>
-      val raw = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
+      val raw = TableSink.decodePath(r.getString(0))
       val rel =
         if (raw.startsWith(rootStr)) raw.stripPrefix(rootStr).stripPrefix("/")
         else raw.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:(//)?", "")
@@ -534,15 +578,17 @@ final class TableSink(val config: SinkConfig) {
         val dt = schema(schema.fieldIndex(
           schema.fieldNames.find(_.equalsIgnoreCase(c)).get)).dataType.sql
         val entry = element_at(col("z"), c)
-        val zmin = entry.getItem(0).cast(dt)
-        val zmax = entry.getItem(1).cast(dt)
+        val zmin = TableSink.zoneBound(entry.getItem(0), dt)
+        val zmax = TableSink.zoneBound(entry.getItem(1), dt)
         val hit = (lo, hi) match {
           case (Some(l), Some(h)) => zmax >= l && zmin <= h
           case (Some(l), None) => zmax >= l
           case (None, Some(h)) => zmin <= h
           case _ => lit(true)
         }
-        when(entry.isNull, lit(true)).otherwise(coalesce(hit, lit(false)))
+        when(entry.isNull || TableSink.zoneLegacy(entry.getItem(0), dt) ||
+            TableSink.zoneLegacy(entry.getItem(1), dt), lit(true))
+          .otherwise(coalesce(hit, lit(false)))
     }
     def bloomKeepOf(c: String, sp: TableSink.BloomSpec,
         values: Seq[Column]): Column = {
@@ -2017,7 +2063,7 @@ final class TableSink(val config: SinkConfig) {
           // a manifest line may carry per-file stats after a TAB — the
           // membership key is the path part only
           .select(substring_index(col("value"), "\t", 1).as("file"),
-            regexp_replace(url_decode(col("_metadata.file_path")),
+            regexp_replace(TableSink.decodePath(col("_metadata.file_path")),
               "^[a-z][a-zA-Z0-9+.-]*:(//)?", "").as("__mf_key"))
           .where(length(col("file")) > 0 && !col("file").startsWith("#"))
           .join(broadcast(byPath), "__mf_key")
@@ -2675,7 +2721,12 @@ final class TableSink(val config: SinkConfig) {
       val stale = scala.util.Try(
         System.currentTimeMillis() - WarehouseIO.modifiedAtMs(swapLock) >
           WarehouseIO.swapLockStaleMs).getOrElse(false)
-      if (stale) WarehouseIO.delete(swapLock) // crashed holder — break it
+      // crashed holder (a LIVE one heartbeats its mtime — see
+      // swapLockHeartbeat — so only a process death ages out): break via
+      // rename-to-tombstone, which admits exactly ONE breaker — the
+      // old stale-check + delete could delete a FRESH lock another
+      // waiter claimed between this thread's mtime read and its delete
+      if (stale) WarehouseIO.breakLock(swapLock)
       else Thread.sleep(25)
       require(System.currentTimeMillis() < deadline,
         s"swap lock wait timed out for ${config.tablePath} — a healer or " +
@@ -2683,6 +2734,28 @@ final class TableSink(val config: SinkConfig) {
           "its mtime aging out; inspect the _swaplock sibling")
     }
     token
+  }
+
+  /** Self-throttled heartbeat for a HELD [[swapLock]]: refreshes the
+    * lock's mtime at most every staleMs/4, so however long the per-file
+    * move of a large tree runs, waiters never see the live lock age past
+    * the stale threshold and break it mid-swap (the hazard: a broken
+    * live lock lets a second actor replay phase 1 against a root the
+    * holder is still moving). Touch failures are swallowed — the lock
+    * may legitimately be gone after release, and a missed beat only
+    * risks an early break, which the phase-1 `exists(tmp)` guard and
+    * idempotent per-file moves already make non-destructive. */
+  private def swapLockHeartbeat(): () => Unit = {
+    val interval = math.max(WarehouseIO.swapLockStaleMs / 4, 1L)
+    var last = System.currentTimeMillis()
+    () => {
+      val now = System.currentTimeMillis()
+      if (now - last >= interval) {
+        last = now
+        scala.util.Try(WarehouseIO.touch(swapLock))
+        ()
+      }
+    }
   }
 
   private def releaseSwapLock(token: String): Unit = {
@@ -2714,14 +2787,16 @@ final class TableSink(val config: SinkConfig) {
     // seeing the marker blocks on the lock instead of racing the live
     // writer's moves (and finds the marker gone once we finish)
     val token = acquireSwapLock()
+    val beat = swapLockHeartbeat()
     try {
       WarehouseIO.writeStringAtomic(swapMarker, mark(1)) // ← commit point
       WarehouseIO.swapStepHook("marker1")
-      WarehouseIO.moveTree(root, trash)
+      WarehouseIO.moveTree(root, trash, beat)
       WarehouseIO.writeStringAtomic(swapMarker, mark(2))
       WarehouseIO.swapStepHook("marker2")
-      WarehouseIO.moveTree(tmp, root)
+      WarehouseIO.moveTree(tmp, root, beat)
       WarehouseIO.swapStepHook("moved")
+      beat()
       rmTree(trash)
       WarehouseIO.delete(swapMarker)
       ()
@@ -2745,6 +2820,7 @@ final class TableSink(val config: SinkConfig) {
       // RE-READ the marker under the lock: the common outcome of losing
       // the race is "already healed" (marker gone) — return, nothing to do
       val token = acquireSwapLock()
+      val beat = swapLockHeartbeat()
       try {
       if (!WarehouseIO.isFile(swapMarker)) return
       val lines = WarehouseIO.readString(swapMarker).split("\n")
@@ -2759,11 +2835,12 @@ final class TableSink(val config: SinkConfig) {
         // guard makes a stale phase-1 marker harmless even if exclusion
         // were ever breached (e.g. a broken-then-reclaimed stale lock)
         if (WarehouseIO.exists(tmp)) {
-          WarehouseIO.moveTree(root, trash)
+          WarehouseIO.moveTree(root, trash, beat)
           WarehouseIO.writeStringAtomic(swapMarker, s"2\n$trashName\n$tmpName")
         }
       }
-      if (WarehouseIO.exists(tmp)) WarehouseIO.moveTree(tmp, root)
+      if (WarehouseIO.exists(tmp)) WarehouseIO.moveTree(tmp, root, beat)
+      beat()
       rmTree(trash)
       WarehouseIO.delete(swapMarker)
       // the interrupted caller never reached its post-swap history
@@ -3352,7 +3429,8 @@ final class TableSink(val config: SinkConfig) {
     val byPath = pairs.toDF("__lin_path", versionCol)
     readWithScanPath(spark, "__lin_raw")
       .withColumn("__lin_scan",
-        regexp_replace(url_decode(col("__lin_raw")), "^file:(//)?", ""))
+        regexp_replace(TableSink.decodePath(col("__lin_raw")),
+          "^file:(//)?", ""))
       .join(broadcast(byPath), col("__lin_scan") === col("__lin_path"), "left")
       .drop("__lin_raw", "__lin_scan", "__lin_path")
   }

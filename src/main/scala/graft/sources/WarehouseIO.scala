@@ -222,7 +222,8 @@ private[graft] object WarehouseIO {
     * file-by-file renames, IDEMPOTENT on resume — a file already present
     * at the destination was moved by the crashed attempt, so its source
     * leftover (copy+delete semantics) is dropped, never re-moved. */
-  def moveTree(src: HPath, dst: HPath): Unit = {
+  def moveTree(src: HPath, dst: HPath,
+      heartbeat: () => Unit = () => ()): Unit = {
     val f = fs(src)
     if (!f.exists(src)) return
     if (!nonAtomicDirMoves) {
@@ -230,7 +231,11 @@ private[graft] object WarehouseIO {
       rename(src, dst)
       return
     }
+    // per-file regime (object stores): a large tree's move can far
+    // outlast any fixed stale threshold, so the caller's heartbeat runs
+    // between steps to keep its mutex visibly live (self-throttled)
     listAllFilesRel(src).foreach { rel =>
+      heartbeat()
       swapStepHook(s"movefile:$rel")
       val from = new HPath(src, rel)
       val to = new HPath(dst, rel)
@@ -239,6 +244,32 @@ private[graft] object WarehouseIO {
     }
     f.delete(src, true) // now-empty directory skeleton
     ()
+  }
+
+  /** Refresh `p`'s modification time — the swap-lock HEARTBEAT: a live
+    * holder touches its lock between/during long move steps so the
+    * waiters' mtime-based stale check never mistakes a LIVE lock for an
+    * abandoned one, however large the tree being moved. */
+  def touch(p: HPath): Unit = {
+    fs(p).setTimes(p, System.currentTimeMillis(), -1); ()
+  }
+
+  /** Break a stale lock file SAFELY: rename it to a unique tombstone and
+    * delete the tombstone. Rename admits exactly one winner on any store,
+    * so two waiters racing to break the same stale lock can never
+    * interleave as delete-then-reclaim-then-delete-the-fresh-lock (the
+    * plain stale-check + delete was non-atomic: a slow breaker could
+    * delete a NEW lock another waiter had just legitimately claimed).
+    * Returns true when THIS caller performed the break. */
+  def breakLock(p: HPath): Boolean = {
+    val tomb = Option(p.getParent)
+      .map(par => new HPath(par,
+        s"${p.getName}.broken-${java.util.UUID.randomUUID().toString.take(8)}"))
+      .getOrElse(new HPath(
+        s"${p.getName}.broken-${java.util.UUID.randomUUID().toString.take(8)}"))
+    val won = scala.util.Try(fs(p).rename(p, tomb)).getOrElse(false)
+    if (won) scala.util.Try(fs(tomb).delete(tomb, false))
+    won
   }
 
   def delete(p: HPath, recursive: Boolean = false): Boolean =
@@ -360,16 +391,22 @@ private[graft] object WarehouseIO {
       .split("\n").filter(_.nonEmpty).toIndexedSeq
   }
 
-  /** Fold manifest lines from several manifests into one line per path,
-    * a stats-bearing line winning over a bare path (compaction must not
-    * lose stats; later manifests win among stats-bearing duplicates). */
+  /** Fold manifest lines from several manifests into one line per path:
+    * a stats-bearing line beats a bare path (compaction must not lose
+    * stats), and among stats-bearing duplicates the line from the LATER
+    * chunk wins — explicitly by position, never by line length: a
+    * refreshed stats entry can legitimately render SHORTER than the one
+    * it supersedes (e.g. an analyze that dropped a registered column),
+    * and "longer wins" would keep serving the stale bounds. */
   def mergeManifestLines(chunks: Seq[Seq[String]]): Seq[String] = {
     val byPath = scala.collection.mutable.LinkedHashMap.empty[String, String]
     chunks.foreach(_.foreach { line =>
       val p = manifestLinePath(line)
+      val bare = line.indexOf('\t') < 0
       byPath.get(p) match {
-        case Some(prev) if prev.length > line.length => () // keep richer
-        case _ => byPath(p) = line
+        case Some(prev) if bare && prev.indexOf('\t') >= 0 =>
+          () // a bare path never demotes an existing stats entry
+        case _ => byPath(p) = line // later chunk wins otherwise
       }
     })
     byPath.toSeq.sortBy(_._1).map(_._2)

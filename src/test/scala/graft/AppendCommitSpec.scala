@@ -14,6 +14,23 @@ class AppendCommitSpec extends AnyFunSuite {
 
   private val wh = TestSpark.tmpDir("appendcommit_wh")
 
+  test("mergeManifestLines: later chunk wins among stats-bearing " +
+    "duplicates even when its line is SHORTER; bare never demotes stats") {
+    // "longer wins" (the old rule) would keep the stale long entry when a
+    // re-analyze legitimately shrinks the stats JSON (e.g. a column
+    // dropped from the registry) — stale bounds can mis-prune.
+    val older = Seq("a.parquet\t{\"n\":5,\"z\":{\"x\":[\"1\",\"9\"],\"y\":[\"0\",\"3\"]}}",
+      "b.parquet\t{\"n\":2}")
+    val newer = Seq("a.parquet\t{\"n\":5,\"z\":{\"x\":[\"2\",\"8\"]}}", // shorter!
+      "b.parquet") // bare path: must NOT demote b's stats entry
+    val merged = WarehouseIO.mergeManifestLines(Seq(older, newer))
+    assert(merged.contains("a.parquet\t{\"n\":5,\"z\":{\"x\":[\"2\",\"8\"]}}"),
+      s"later stats entry must win regardless of length: $merged")
+    assert(merged.contains("b.parquet\t{\"n\":2}"),
+      s"a bare path must never demote an existing stats entry: $merged")
+    assert(merged.size == 2)
+  }
+
   private def mkSink(name: String): TableSink =
     new TableSink(SinkConfig(tableName = name, warehousePath = wh,
       versioned = true,

@@ -495,6 +495,82 @@ class LayoutSpec extends AnyFunSuite {
     assert(sink.read(spark).count() == 3)
   }
 
+  test("TIMESTAMP zone bounds persist as epoch micros: a reader in a " +
+    "different session timezone prunes correctly, never drops rows") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    // ADVICE r10: cast-to-string bounds were rendered in the WRITER's
+    // session timezone with no designator, and the probe parsed them in
+    // the READER's — shifted bounds could prune a file containing
+    // matching rows. Epoch micros parse identically everywhere.
+    val sink = new TableSink(SinkConfig(tableName = "tzstats",
+      warehousePath = tmpWarehouse(), versioned = true))
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // two files: one entirely in March, one entirely in June
+    sink.append(Seq((1L, ts("2024-03-10T05:00:00Z")),
+      (2L, ts("2024-03-20T23:30:00Z"))).toDF("id", "t"))
+    sink.append(Seq((3L, ts("2024-06-10T05:00:00Z")),
+      (4L, ts("2024-06-20T23:30:00Z"))).toDF("id", "t"))
+    new ZoneMaps(sink).analyze(spark, Seq("t"))
+    // the persisted bounds are pure digits (epoch micros), not rendered
+    val logDir = new HPath(s"${sink.config.tablePath}/_graft_log")
+    val statLines = WarehouseIO.childNames(logDir)
+      .filter(n => n.startsWith("m-") && n.endsWith(".mf"))
+      .flatMap(n => WarehouseIO.manifestLinesOf(logDir, n))
+      .filter(_.contains('\t'))
+    assert(statLines.nonEmpty)
+    val micros = "\"t\":\\[\"(-?\\d+)\",\"(-?\\d+)\"\\]".r
+    assert(statLines.forall(l => micros.findFirstIn(l).isDefined),
+      s"timestamp bounds must persist as epoch micros: $statLines")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // probe from a UTC+9 session: bounds that keep only the March file
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val zm = new ZoneMaps(sink)
+      val bounds = Seq(("t",
+        lit("2024-03-01T00:00:00Z").cast("timestamp"),
+        lit("2024-03-31T00:00:00Z").cast("timestamp")))
+      val (files, pruned) = zm.candidates(spark, bounds)
+      assert(pruned == 1 && files.size == 1,
+        s"the June file must prune, the March file must survive " +
+          s"(pruned=$pruned files=${files.size})")
+      val rows = zm.readBetween(spark, bounds: _*)
+        .select("id").as[Long].collect().toSet
+      assert(rows == Set(1L, 2L), s"no matching row may be lost: $rows")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("a LEGACY session-rendered timestamp zone entry is unparseable-" +
+    "absolutely and must KEEP its file, never prune it") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val sink = new TableSink(SinkConfig(tableName = "tzlegacy",
+      warehousePath = tmpWarehouse(), versioned = true))
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    sink.append(Seq((1L, ts("2024-03-10T05:00:00Z"))).toDF("id", "t"))
+    new ZoneMaps(sink).analyze(spark, Seq("t"))
+    // rewrite the manifest entry into the PRE-fix rendered form
+    val logDir = new HPath(s"${sink.config.tablePath}/_graft_log")
+    WarehouseIO.childNames(logDir)
+      .filter(n => n.startsWith("m-") && n.endsWith(".mf")).foreach { n =>
+        val p = new HPath(logDir, n)
+        val rewritten = WarehouseIO.readString(p)
+          .replaceAll("\"t\":\\[\"-?\\d+\",\"-?\\d+\"\\]",
+            "\"t\":[\"2024-03-10 05:00:00\",\"2024-03-10 05:00:00\"]")
+        WarehouseIO.writeStringAtomic(p, rewritten)
+      }
+    val zm = new ZoneMaps(sink)
+    // bounds that DO contain the row: the legacy entry must not prune it
+    val (files, pruned) = zm.candidates(spark,
+      Seq(("t", lit("2024-03-01T00:00:00Z").cast("timestamp"),
+        lit("2024-03-31T00:00:00Z").cast("timestamp"))))
+    assert(pruned == 0 && files.size == 1,
+      "a legacy-rendered bound is not absolutely parseable — the file " +
+        "must read as unanalyzed (kept), not be pruned on a guessed zone")
+    assert(zm.readBetween(spark,
+      ("t", lit("2024-03-01T00:00:00Z").cast("timestamp"),
+        lit("2024-03-31T00:00:00Z").cast("timestamp")))
+      .count() == 1)
+  }
+
   test("appendClustered preserves the range layout the normal append undoes") {
     val df = spark.range(4096).select($"id", ($"id" % 64).as("k"))
     val clustered = ZOrder.cluster(df, Seq(("k", 0L, 63L)), nRanges = 8)

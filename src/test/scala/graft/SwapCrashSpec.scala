@@ -197,6 +197,67 @@ class SwapCrashSpec extends AnyFunSuite {
     } finally WarehouseIO.swapLockStaleMs = prev
   }
 
+  test("a LIVE holder's long per-file move heartbeats the lock — its " +
+    "mtime never ages past the stale threshold mid-swap") {
+    // The hazard (ADVICE r10): under object-store move semantics a large
+    // tree's move outlasts any fixed stale threshold; without heartbeats
+    // a waiter would break the LIVE holder's lock and replay phase 1
+    // concurrently. The holder now touches the lock between per-file
+    // steps (throttled to staleMs/4), so observed staleness stays
+    // bounded well below the threshold however long the move runs.
+    val sink = mkSink("sc_beat")
+    sink.append(base); sink.append(base); sink.append(base)
+    val root = new org.apache.hadoop.fs.Path(s"$wh/sc_beat")
+    val lock = WarehouseIO.scratchSiblings(root)
+      .find(_.getName.endsWith("_swaplock")).get
+    val prevStale = WarehouseIO.swapLockStaleMs
+    WarehouseIO.swapLockStaleMs = 200L
+    WarehouseIO.nonAtomicDirMoves = true
+    @volatile var maxAge = 0L
+    @volatile var steps = 0
+    WarehouseIO.swapStepHook = step => {
+      if (step.startsWith("movefile:")) {
+        steps += 1
+        Thread.sleep(25) // stretch the move past the stale threshold
+        scala.util.Try(
+          System.currentTimeMillis() - WarehouseIO.modifiedAtMs(lock))
+          .foreach(age => if (age > maxAge) maxAge = age)
+      }
+    }
+    try {
+      sink.upsert(patch, Seq("id")) // full-swap rewrite (unpartitioned)
+      assert(readPairs(sink) == expected)
+      assert(steps * 25L > WarehouseIO.swapLockStaleMs,
+        s"the move must outlast the stale threshold for this test to " +
+          s"prove anything (took ${steps * 25} ms of injected sleep)")
+      assert(maxAge < WarehouseIO.swapLockStaleMs,
+        s"lock aged to $maxAge ms mid-move — a waiter would have broken " +
+          "a LIVE holder's lock")
+    } finally { disarm(); WarehouseIO.swapLockStaleMs = prevStale }
+  }
+
+  test("breaking a stale lock admits exactly ONE breaker (rename-based)") {
+    // delete-then-create breaking was non-atomic: a slow breaker could
+    // delete the FRESH lock another waiter had just claimed. The rename-
+    // to-tombstone break has one winner on any store.
+    val dir = new org.apache.hadoop.fs.Path(wh)
+    val lock = new org.apache.hadoop.fs.Path(dir, ".sc_onebreak_lock")
+    WarehouseIO.writeStringAtomic(lock, "dead-holder")
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        start.await()
+        if (WarehouseIO.breakLock(lock)) wins.incrementAndGet()
+        ()
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(wins.get() == 1,
+      s"exactly one breaker must win the rename, got ${wins.get()}")
+    assert(!WarehouseIO.exists(lock))
+  }
+
   test("a full rewrite completes cleanly under per-file move semantics") {
     WarehouseIO.nonAtomicDirMoves = true
     try {

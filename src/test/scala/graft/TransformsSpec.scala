@@ -61,6 +61,39 @@ class TransformsSpec extends AnyFunSuite {
     assert(Transform.parse("day") == Transform.Day)
     intercept[IllegalArgumentException](Transform.parse("nope"))
   }
+  test("temporal transforms over TIMESTAMP are pinned to UTC — the " +
+    "session timezone never shifts the derived partition value") {
+    // 2024-03-07T20:30:00Z reads as 2024-03-08 on a Tokyo wall clock; the
+    // Iceberg contract (and write/prune parity ACROSS sessions) requires
+    // the UTC calendar fields regardless of spark.sql.session.timeZone —
+    // otherwise a writer and a pruning reader in different zones disagree
+    // on which directory a row lives in and pruning can skip real rows.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    def derived(tz: String): (String, String, Int, String, String) = {
+      spark.conf.set("spark.sql.session.timeZone", tz)
+      val df = Seq(Tuple1("x")).toDF("dummy")
+        .select(lit("2024-03-07T20:30:00Z").cast(TimestampType).as("c"),
+          lit("1969-12-31T23:30:00Z").cast(TimestampType).as("p"))
+      val r = df.select(
+        Transform.Day(col("c"), TimestampType).cast("string"),
+        Transform.Month(col("c"), TimestampType),
+        Transform.Year(col("c"), TimestampType),
+        Transform.Hour(col("c"), TimestampType),
+        Transform.Day(col("p"), TimestampType).cast("string")).collect()(0)
+      (r.getString(0), r.getString(1), r.getInt(2), r.getString(3),
+        r.getString(4))
+    }
+    try {
+      val utc = derived("UTC")
+      assert(utc == ("2024-03-07", "2024-03", 2024, "2024-03-07-20",
+        "1969-12-31"), s"UTC derivation wrong: $utc")
+      assert(derived("Asia/Tokyo") == utc,
+        "a UTC+9 session must derive the same UTC partition values")
+      assert(derived("America/Los_Angeles") == utc,
+        "a UTC-8 session must derive the same UTC partition values")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("partition field names derived columns") {
     assert(PartitionField("ts", Transform.Day).columnName == "ts_day")
     assert(PartitionField("event_type", Transform.Identity).columnName == "event_type")
