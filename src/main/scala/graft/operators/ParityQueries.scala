@@ -1666,6 +1666,98 @@ object ParityQueries {
       |WHERE NOT (coalesce(value < 100.0, FALSE)
       |        OR coalesce(user_id IN (0, 7, 14), FALSE))""".stripMargin
 
+  /** `DELETE … WHERE` through the pure-SQL door in MERGE-ON-READ mode
+    * (`spark.graft.sql.deleteMode=mor`): the statement commits a
+    * position-list sidecar — O(matched rows) metadata, ZERO data files
+    * rewritten — and the catalog read path serves the table THROUGH the
+    * pending sidecar (the scan executes the library read, which applies
+    * it), so the post-delete SELECT runs with no compaction in between.
+    * The `mor_metadata_only` flag is ORACLE-GATED: it is TRUE only when
+    * the data-file inventory is byte-for-name identical across the
+    * DELETE, so a silent regression to copy-on-write (or a refusal
+    * masked by a fallback) fails the hash. Reference anchor: the
+    * connector's only write mode is non-rewriting appends
+    * (connector.py:233-245) — reads that tolerate delete sidecars are
+    * the Iceberg-side dual of that discipline, and the Iceberg spec's
+    * `write.delete.mode=merge-on-read` names the same trade. */
+  def sqlDeleteMor(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_sqldm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrcm_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl " +
+      "(event_id BIGINT, user_id BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, user_id, value FROM $src")
+    val sink = new TableSink(SinkConfig(tableName = tbl,
+      warehousePath = wh, versioned = true))
+    val before = sink.dataFilesRel().toSet
+    try {
+      spark.conf.set("spark.graft.sql.deleteMode", "mor")
+      spark.sql(s"DELETE FROM graft_cat.$tbl " +
+        "WHERE value < 100.0 OR user_id IN (0, 7, 14)")
+    } finally spark.conf.unset("spark.graft.sql.deleteMode")
+    val metadataOnly = before.nonEmpty && sink.dataFilesRel().toSet == before
+    spark.sql(
+      s"""SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  min(event_id) AS min_id, max(event_id) AS max_id,
+         |  $metadataOnly AS mor_metadata_only
+         |FROM graft_cat.$tbl""".stripMargin)
+  }
+
+  val sqlDeleteMorSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  TRUE AS mor_metadata_only
+      |FROM events
+      |WHERE NOT (coalesce(value < 100.0, FALSE)
+      |        OR coalesce(user_id IN (0, 7, 14), FALSE))""".stripMargin
+
+  /** TYPE-WIDENING schema evolution through the pure-SQL door: ingest
+    * under INT, `ALTER COLUMN … TYPE BIGINT`, insert a value a 32-bit
+    * int cannot hold, aggregate — old int32 files upcast at scan under
+    * the widened declared schema (Iceberg spec "Schema Evolution"
+    * permitted promotions; no field ids needed, the declared schema
+    * governs every read). The scalar subquery reads VERSION AS OF 1 —
+    * the PRE-widen snapshot — under the widened schema, pinning that
+    * time travel is never schema-shifted. Oracle: the same aggregates
+    * recomputed over the source plus the sentinel row. */
+  def sqlWiden(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_sqlw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrcw_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl (event_id BIGINT, uid INT) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, CAST(user_id AS INT) FROM $src")
+    spark.sql(s"ALTER TABLE graft_cat.$tbl ALTER COLUMN uid TYPE BIGINT")
+    spark.sql(s"INSERT INTO graft_cat.$tbl VALUES (-1, 5000000000)")
+    spark.sql(
+      s"""SELECT COUNT(*) AS n, SUM(uid) AS total_uid, MAX(uid) AS max_uid,
+         |  (SELECT SUM(uid) FROM graft_cat.$tbl VERSION AS OF 1)
+         |    AS total_v1
+         |FROM graft_cat.$tbl""".stripMargin)
+  }
+
+  val sqlWidenSql: String =
+    """SELECT COUNT(*) + 1 AS n,
+      |  CAST(SUM(CAST(CAST(user_id AS INTEGER) AS BIGINT)) + 5000000000
+      |    AS BIGINT) AS total_uid,
+      |  CAST(5000000000 AS BIGINT) AS max_uid,
+      |  CAST(SUM(CAST(CAST(user_id AS INTEGER) AS BIGINT)) AS BIGINT)
+      |    AS total_v1
+      |FROM events""".stripMargin
+
   /** `UPDATE … SET … WHERE` through the pure-SQL door ([[GraftDmlRule]]):
     * ingest via `INSERT INTO … SELECT`, update a compound predicate with a
     * self-referencing SET expression (`value * 2 + 1` — the new value reads

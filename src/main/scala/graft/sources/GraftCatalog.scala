@@ -114,26 +114,35 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private def manifestPath(ident: Identifier, v: Int): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(logDir(ident), f"v$v%05d.list")
 
-  /** Merge-on-read delete predicates are applied by [[TableSink]] reads but
-    * cannot be injected into this catalog's V2 file scan — serving the raw
-    * files would resurrect deleted rows, so the catalog refuses loudly
-    * until the deletes are materialized. */
-  private def requireNoPendingDeletes(ident: Identifier, upTo: Int): Unit = {
+  /** Snapshot versions at or before `upTo` carrying UNMATERIALIZED
+    * merge-on-read delete sidecars (predicate SQL, key lists, position
+    * lists). Catalog reads of such tables serve through the LIBRARY read
+    * ([[TableSink.readVersion]], which applies every sidecar flavor) via
+    * a [[ProjectedScanBuilder]] — the raw V2 file scan would resurrect
+    * deleted rows. Only the BRANCH resolution path still refuses: a
+    * branch head mixes staged appends with main-line sidecar history and
+    * has no single-version library read to delegate to. */
+  private def pendingDeleteVersions(ident: Identifier, upTo: Int): Seq[Int] = {
     def lp(name: String) = new org.apache.hadoop.fs.Path(logDir(ident), name)
-    val pending = versions(ident).filter(v => v <= upTo && (
+    versions(ident).filter(v => v <= upTo && (
       WarehouseIO.isFile(lp(f"v$v%05d.deletes")) ||
         WarehouseIO.isDir(lp(f"v$v%05d_keys")) ||
         WarehouseIO.isDir(lp(f"v$v%05d_pos"))))
-    if (pending.nonEmpty) throw new IllegalArgumentException(
-      s"${ident.name()}: snapshots ${pending.mkString(", ")} carry pending " +
-        "merge-on-read delete predicates the SQL catalog cannot apply; " +
-        "materialize them first (TableSink.compact) or read through " +
-        "TableSink")
   }
 
-  /** The absolute data-file paths snapshot `v` recorded. */
+  private def requireNoPendingDeletes(ident: Identifier, upTo: Int): Unit = {
+    val pending = pendingDeleteVersions(ident, upTo)
+    if (pending.nonEmpty) throw new IllegalArgumentException(
+      s"${ident.name()}: snapshots ${pending.mkString(", ")} carry pending " +
+        "merge-on-read delete predicates this resolution path cannot " +
+        "apply; materialize them first (TableSink.compact) or read " +
+        "through TableSink")
+  }
+
+  /** The absolute data-file paths snapshot `v` recorded. Does NOT check
+    * for pending merge-on-read sidecars — callers either serve through
+    * the library read (which applies them) or refuse explicitly. */
   private def manifestFiles(ident: Identifier, v: Int): Seq[String] = {
-    requireNoPendingDeletes(ident, v)
     val m = manifestPath(ident, v)
     // NOT NoSuchTableException: the analyzer rewrites that into its generic
     // table-not-found error, burying WHICH snapshot is missing — and the
@@ -239,7 +248,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * read-only. */
   private def fileTable(ident: Identifier, paths: Seq[String],
       firstFile: Option[String], userSchema: Option[StructType] = None,
-      writable: Boolean = false): Table = {
+      writable: Boolean = false, morVersion: Option[Int] = None): Table = {
     val spark = SparkSession.active
     val opts = new CaseInsensitiveStringMap(
       util.Map.of("basePath", tableDir(ident).toString))
@@ -256,7 +265,39 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // plain v2 file scan would serve NULL from old files. Renames only
     // arise via ALTER, which always freezes a declared schema first.
     val renames = renamesOf(ident)
-    val scanOverride: Option[(StructType, () => org.apache.spark.sql.DataFrame)] =
+    // MERGE-ON-READ serving: a snapshot with pending delete sidecars
+    // cannot be served by the raw V2 file scan (it would resurrect the
+    // subtracted rows), so the scan executes the LIBRARY read pinned to
+    // the loaded version — readVersion applies every sidecar flavor
+    // (predicate / key-list / position), renames, and clone resolution.
+    // Filters a query pushes still reach the parquet scan: the
+    // ProjectedScanBuilder re-applies them as SQL inside the frame and
+    // Catalyst pushes deterministic predicates through the anti-joins
+    // down to the file source. This replaces the old loud refusal — the
+    // SQL door no longer goes dark between a MoR delete and its
+    // compaction. Scan-planning stats pruning stays off in this mode
+    // (conservative; the sidecar anti-join needs the full row stream).
+    val morOverride: Option[(StructType, () => org.apache.spark.sql.DataFrame)] =
+      morVersion.map { v =>
+        val declared = userSchema.getOrElse(delegate.schema)
+        (declared, () => {
+          val df = new TableSink(cfg).readVersion(SparkSession.active, v)
+          // conform to the DECLARED schema: a column added by ALTER that
+          // no file carries yet NULL-fills, and a widened declared type
+          // upcasts — the library read infers from files and knows
+          // neither evolution
+          declared.fields.foldLeft(df) { (d, f) =>
+            d.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+              case None => d.withColumn(f.name,
+                org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+              case Some(g) if g.dataType != f.dataType =>
+                d.withColumn(f.name, d(g.name).cast(f.dataType))
+              case _ => d
+            }
+          }
+        })
+      }
+    val renameOverride: Option[(StructType, () => org.apache.spark.sql.DataFrame)] =
       if (renames.isEmpty) None
       else {
         val declared = userSchema.getOrElse(delegate.schema)
@@ -275,6 +316,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
               .load(paths: _*), renames)
         }))
       }
+    // library-read override: MoR serving wins (it subsumes renames —
+    // readVersion coalesces renamed generations itself)
+    val scanOverride = morOverride.orElse(renameOverride)
     // scan-planning stats pruning (versioned tables with a stats
     // registry): the scan rebuilds over the manifest-stats survivor set
     val statsPlanner: Option[GraftStatsPlanner] =
@@ -421,7 +465,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case Some(v) =>
         val files = manifestFiles(ident, v)
         fileTable(ident, files, files.headOption, declaredSchema(ident),
-          writable = true)
+          writable = true,
+          morVersion =
+            if (pendingDeleteVersions(ident, v).nonEmpty) Some(v) else None)
       case None =>
         firstDataFile(ident) match {
           case Some(first) =>
@@ -445,8 +491,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def loadTable(ident: Identifier, version: String): Table = {
     healInterruptedSwap(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val files = version.toIntOption match {
-      case Some(v) => manifestFiles(ident, v)
+    val (files, pinned) = version.toIntOption match {
+      case Some(v) => (manifestFiles(ident, v), Some(v))
       case None =>
         // Same name charset TableSink.branchLogPath enforces on write:
         // anything else (slashes, '..') must not resolve as a path.
@@ -462,10 +508,14 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
           .sorted.lastOption
         head match {
           case Some(v) =>
+            // a branch head mixes staged appends with main-line sidecar
+            // history — no single-version library read can serve it, so
+            // pending MoR deletes refuse here (and only here)
+            requireNoPendingDeletes(ident, v)
             // branch snapshots reference manifests in the MAIN log dir
-            WarehouseIO.readSnapshotFiles(logDir(ident),
+            (WarehouseIO.readSnapshotFiles(logDir(ident),
               new org.apache.hadoop.fs.Path(dir, f"v$v%05d.list"))
-              .map(rel => s"${tableDir(ident)}/$rel").toIndexedSeq
+              .map(rel => s"${tableDir(ident)}/$rel").toIndexedSeq, None)
           case None =>
             // not a branch — a TAG resolves to the pinned snapshot
             // (Iceberg's VERSION AS OF accepts branch and tag names alike;
@@ -476,13 +526,15 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
               throw new IllegalArgumentException(
                 s"${ident.name()}: '$version' is neither an integer " +
                   "snapshot id nor a live branch or tag name")
-            manifestFiles(ident,
-              WarehouseIO.readString(tag).trim.toInt).toIndexedSeq
+            val tv = WarehouseIO.readString(tag).trim.toInt
+            (manifestFiles(ident, tv).toIndexedSeq, Some(tv))
         }
     }
     // declared schema governs historical reads too: a snapshot older than
     // an ADD COLUMNS reads NULL-filled, never schema-shifted mid-query
-    fileTable(ident, files, files.headOption, declaredSchema(ident))
+    fileTable(ident, files, files.headOption, declaredSchema(ident),
+      morVersion = pinned.filter(v =>
+        pendingDeleteVersions(ident, v).nonEmpty))
   }
 
   /** `TIMESTAMP AS OF t` (micros since epoch): the last snapshot committed
@@ -599,6 +651,26 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def createTable(ident: Identifier, info: TableInfo): Table =
     createTable(ident, info.schema(), info.partitions(), info.properties())
 
+  /** The type promotions safe on immutable files with no field ids —
+    * the Iceberg spec's permitted schema-evolution set: every old
+    * physical value reads back exactly under the wider declared type
+    * (the parquet/orc readers upcast at scan), and every new value the
+    * wider type admits is representable. Decimal: precision may grow,
+    * scale must hold (a scale change would RESCALE history). */
+  private def isSafeWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
   /** Names DROPPED from this table's declared schema, ever — the
     * tombstone list that makes DROP COLUMN safe without field ids: old
     * data files still carry the dropped column's bytes, so re-ADDing
@@ -625,9 +697,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     *  - DROP shrinks the declared schema (reads project the column
     *    away — name-based parquet/orc reads prune it for free at scan
     *    time) and tombstones the name.
-    * RENAME and RETYPE refuse with the reason: without field ids a
-    * rename is indistinguishable from drop+add against old files, so it
-    * would silently NULL historical data. The evolved schema is
+    * WIDENING retypes (int->bigint, float->double, decimal
+    * precision-up) are also expressible: the declared schema governs
+    * every read and the file readers upcast old files' narrower
+    * physical type at scan time. Narrowing/cross-family retypes refuse
+    * with the reason. The evolved schema is
     * committed atomically (temp + rename) and governs every subsequent
     * catalog read, time travel included. Hive-partitioned tables stay
     * fully read-only. Added columns must be nullable and top-level;
@@ -641,14 +715,17 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         "through the library (append + mergeSchema)")
     changes.foreach {
       case _: TableChange.AddColumn | _: TableChange.DeleteColumn |
-           _: TableChange.RenameColumn => ()
+           _: TableChange.RenameColumn |
+           _: TableChange.UpdateColumnType => ()
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not supported: " +
           "data files are immutable and carry no field ids, so only ADD " +
           "COLUMNS (NULL-filled on pre-evolution rows), DROP COLUMN " +
-          "(declared-schema projection + tombstone), and RENAME COLUMN " +
-          "(persisted old->new name mapping applied at scan) are " +
-          "expressible — retypes would need real column rewriting")
+          "(declared-schema projection + tombstone), RENAME COLUMN " +
+          "(persisted old->new name mapping applied at scan), and " +
+          "WIDENING retypes (int->bigint, float->double, decimal " +
+          "precision-up — the parquet reader upcasts old files at scan) " +
+          "are expressible")
     }
     val base = declaredSchema(ident).getOrElse(
       // first ALTER on a library-created table freezes the current
@@ -708,6 +785,39 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         extraTombstones ++= toTomb.keys.map(_.toLowerCase)
         org.apache.spark.sql.types.StructType(
           sch.fields.filterNot(_.name.equalsIgnoreCase(name)))
+      case (sch, u: TableChange.UpdateColumnType) =>
+        // TYPE WIDENING (Iceberg spec "Schema Evolution": int->long,
+        // float->double, decimal precision-up at fixed scale are the
+        // permitted promotions): the declared schema governs every read,
+        // and the parquet/orc readers upcast old files' narrower
+        // physical type at scan time — no field ids needed, exactly
+        // like NULL-fill serves ADD COLUMNS. Anything else (narrowing,
+        // cross-family) still refuses: it would need real column
+        // rewriting or silently corrupt old rows.
+        require(u.fieldNames().length == 1,
+          s"ALTER COLUMN ${u.fieldNames().mkString(".")}: nested retypes " +
+            "are not supported — retype a top-level column")
+        val name = u.fieldNames().head
+        require(sch.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column $name does not exist")
+        val cur = sch(sch.fieldNames.find(_.equalsIgnoreCase(name)).get)
+        val to = u.newDataType()
+        require(isSafeWidening(cur.dataType, to),
+          s"cannot retype $name from ${cur.dataType.sql} to ${to.sql}: " +
+            "only WIDENING promotions are expressible on immutable data " +
+            "files without field ids (tinyint/smallint/int->bigint, " +
+            "float->double, decimal precision increase at the same " +
+            "scale) — a narrowing or cross-family retype would corrupt " +
+            "or misread historical rows")
+        // a partition-spec source retype changes derived values (bucket
+        // hashes are type-sensitive; truncate widths shift) — the
+        // directory spine is immutable, so refuse toward re-partitioning
+        require(!partCols.contains(name.toLowerCase),
+          s"cannot retype $name: it is named in the table's partition " +
+            "spec — derived partition values (bucket hashes are " +
+            "type-sensitive) would disagree with existing directories")
+        org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+          if (f.name.equalsIgnoreCase(name)) f.copy(dataType = to) else f))
       case (sch, r: TableChange.RenameColumn) =>
         require(r.fieldNames().length == 1,
           s"RENAME COLUMN ${r.fieldNames().mkString(".")}: nested renames " +
@@ -824,13 +934,14 @@ private[graft] final class GraftReadOnlyTable(delegate: FileTable,
   * overwrites stay refused (partial overwrite is upsert/delete's job,
   * with their partition-scoped protocols).
   *
-  * `DELETE FROM … WHERE` routes through [[TableSink.delete]] — the
-  * COPY-ON-WRITE flavor, deliberately: a merge-on-read sidecar would
-  * leave the table unreadable through this catalog (whose V2 scan cannot
-  * apply sidecars) until materialized, which is the wrong default for
-  * the pure-SQL door. Predicates the filter translator cannot express
-  * in SQL text refuse at `canDeleteWhere` with Spark's standard error
-  * rather than deleting the wrong rows. */
+  * `DELETE FROM … WHERE` routes through [[TableSink.delete]] (copy-on-
+  * write) by default, or [[TableSink.deletePositions]] (merge-on-read,
+  * O(matched) metadata, zero files rewritten) when the session sets
+  * `spark.graft.sql.deleteMode=mor` — the catalog read path serves
+  * tables with pending sidecars through the library read, so the MoR
+  * flavor keeps the SQL door fully readable. Predicates the filter
+  * translator cannot express in SQL text refuse at `canDeleteWhere`
+  * with Spark's standard error rather than deleting the wrong rows. */
 /** A metadata table (`cat.t.snapshots` / `files` / `partitions` /
   * `deletes` / `changes`): read-only, served as a DSv2
   * [[org.apache.spark.sql.connector.read.V1Scan]] whose relation executes
@@ -1050,14 +1161,35 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     deleteSql(filters).isDefined
 
+  /** SQL `DELETE WHERE`. Mode is session-selectable via
+    * `spark.graft.sql.deleteMode`:
+    *  - `cow` (default): copy-on-write through [[TableSink.delete]] —
+    *    touched partitions rewrite, cost O(matching partitions' data).
+    *  - `mor`: merge-on-read through [[TableSink.deletePositions]] —
+    *    the predicate resolves ONCE, now, to a position list committed
+    *    as O(matched-row) metadata; ZERO data files rewrite, and the
+    *    catalog's read path applies the sidecar, so the statement is
+    *    O(scan + matches) instead of O(data rewritten). Exactly SQL
+    *    DELETE semantics (later inserts that match are untouched).
+    *    Tables the position flavor cannot serve (unversioned, non-
+    *    parquet — no `_metadata.row_index` — uncommitted, or holding a
+    *    live branch) fall back to copy-on-write: same result, the
+    *    documented cost. This is the Iceberg
+    *    `write.delete.mode=merge-on-read` dual for the SQL door. */
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val sql = deleteSql(filters).getOrElse(sys.error(
       s"DELETE FROM $fullName: predicate not expressible — " +
         "use TableSink.delete"))
     val spark = SparkSession.active
-    new TableSink(insertCfg).delete(spark,
-      org.apache.spark.sql.functions.expr(sql))
+    val sink = new TableSink(insertCfg)
+    val mor = spark.conf.get("spark.graft.sql.deleteMode", "cow")
+      .equalsIgnoreCase("mor")
+    val morServable = mor && insertCfg.versioned &&
+      insertCfg.fileFormat == "parquet" &&
+      sink.snapshotVersions().nonEmpty && sink.branches().isEmpty
+    if (morServable) sink.deletePositions(spark, sql)
+    else sink.delete(spark, org.apache.spark.sql.functions.expr(sql))
     ()
   }
   override def name(): String = fullName

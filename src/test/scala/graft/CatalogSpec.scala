@@ -858,6 +858,52 @@ class CatalogSpec extends AnyFunSuite {
     assert(sink.read(spark).count() == 3)
   }
 
+  test("ALTER COLUMN TYPE widening: int->bigint serves old files upcast, " +
+    "new long values land, time travel reads widened; narrowing refuses") {
+    spark.sql("CREATE TABLE gtest.ttwiden (id BIGINT, n INT, f FLOAT) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gtest.ttwiden VALUES (1, 10, CAST(1.5 AS FLOAT))," +
+      " (2, 20, CAST(2.5 AS FLOAT))")
+    spark.sql("ALTER TABLE gtest.ttwiden ALTER COLUMN n TYPE BIGINT")
+    spark.sql("ALTER TABLE gtest.ttwiden ALTER COLUMN f TYPE DOUBLE")
+    // declared schema now carries the widened types
+    val sch = spark.table("gtest.ttwiden").schema
+    assert(sch("n").dataType.sql == "BIGINT" &&
+      sch("f").dataType.sql == "DOUBLE", sch.sql)
+    // values a 32-bit int cannot hold land through the widened door
+    spark.sql("INSERT INTO gtest.ttwiden VALUES (3, 5000000000, 3.5)")
+    val got = spark.sql(
+      "SELECT sum(n) AS s, sum(f) AS sf FROM gtest.ttwiden").head()
+    assert(got.getLong(0) == 5000000030L && got.getDouble(1) == 7.5,
+      s"mixed int32/int64 files must aggregate under the widened type: $got")
+    // time travel BEFORE the widen reads under the widened declared
+    // schema (one schema governs every read — never schema-shifted)
+    assert(spark.sql("SELECT sum(n) FROM gtest.ttwiden VERSION AS OF 1")
+      .head().getLong(0) == 30L)
+    // narrowing refuses — Spark's analyzer rejects non-upcasts before
+    // the catalog (NOT_SUPPORTED_CHANGE_COLUMN); the catalog's own
+    // isSafeWidening guard backstops direct API calls
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE gtest.ttwiden ALTER COLUMN n TYPE INT"))
+    assert(e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e1.getMessage.contains("WIDENING"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE gtest.ttwiden ALTER COLUMN f TYPE STRING"))
+    assert(e2.getMessage.contains("WIDENING") ||
+      e2.getMessage.contains("cross-family"), e2.getMessage)
+  }
+
+  test("ALTER COLUMN TYPE refuses retyping a partition-spec source " +
+    "(derived directory values are type-sensitive)") {
+    val sink = new TableSink(SinkConfig(tableName = "ttwidenp",
+      warehousePath = wh, versioned = true,
+      partitionSpec = Seq(PartitionField("b", Transform.Bucket(4)))))
+    sink.append(Seq((1L, 10), (2L, 20)).toDF("id", "b"))
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gtest.ttwidenp ALTER COLUMN b TYPE BIGINT"))
+    assert(e.getMessage.contains("partition"), e.getMessage)
+  }
+
   test("ALTER TABLE DROP COLUMN refuses a partition-spec column — even " +
     "on a created-but-still-empty partitioned table") {
     // an empty partitioned table has no hive dirs yet, so it slips past

@@ -77,15 +77,27 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gmor.m3").as[Long].head() == 2)
   }
 
-  test("catalog refuses pending deletes instead of resurrecting rows") {
+  test("catalog SERVES pending deletes through the library read — no " +
+    "refusal, no resurrected rows, filters still effective") {
     val sink = mkSink("m4")
     sink.deleteWhere("v < 15.0")
-    val e = intercept[Exception](
-      spark.sql("SELECT * FROM gmor.m4").collect())
-    assert(e.getMessage.contains("merge-on-read"), e.getMessage)
+    // pending predicate sidecar: the SQL read equals the library read
+    // (the scan executes readVersion, which applies the sidecar) — the
+    // SQL door no longer goes dark between a MoR delete and compaction
+    assert(spark.sql("SELECT id FROM gmor.m4 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+    assert(spark.sql("SELECT id FROM gmor.m4 ORDER BY id")
+      .as[Long].collect().toSeq ==
+      sink.read(spark).select($"id").as[Long].collect().sorted.toSeq)
+    // pushed predicates still work above the library frame
+    assert(spark.sql("SELECT count(*) FROM gmor.m4 WHERE cat = 'a'")
+      .as[Long].head() == 1)
     // pre-delete snapshots stay catalog-readable (no pending predicate ≤ 1)
     assert(spark.sql("SELECT count(*) FROM gmor.m4 VERSION AS OF 1")
       .as[Long].head() == 3)
+    // VERSION AS OF at the delete commit serves its snapshot semantics
+    assert(spark.sql("SELECT count(*) FROM gmor.m4 VERSION AS OF 2")
+      .as[Long].head() == 2)
   }
 
   test("deleteKeys erases by anti-join, metadata-only, composable with predicates") {
@@ -101,9 +113,9 @@ class MorDeleteSpec extends AnyFunSuite {
     sink.deleteWhere("v > 25.0")
     assert(sink.read(spark).select($"id").as[Long].collect().toSeq == Seq(2L))
     assert(sink.readVersion(spark, 1).count() == 3)
-    // catalog refuses the key-list sidecar the same as a predicate
-    assert(intercept[Exception](spark.sql("SELECT * FROM gmor.m6").collect())
-      .getMessage.contains("merge-on-read"))
+    // catalog serves the key-list sidecar the same as a predicate
+    assert(spark.sql("SELECT id FROM gmor.m6").as[Long].collect().toSeq
+      == Seq(2L))
     // compact materializes both kinds and clears them
     sink.compact(spark)
     assert(!sink.hasPendingDeletes(sink.snapshotVersions().last))
@@ -212,9 +224,9 @@ class MorDeleteSpec extends AnyFunSuite {
       == Seq(3L, 4L))
     // time travel before the delete still shows everything
     assert(sink.readVersion(spark, 1).count() == 3)
-    // catalog refuses the position sidecar the same as the other kinds
-    assert(intercept[Exception](spark.sql("SELECT * FROM gmor.m8").collect())
-      .getMessage.contains("merge-on-read"))
+    // catalog serves the position sidecar the same as the other kinds
+    assert(spark.sql("SELECT id FROM gmor.m8 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(3L, 4L))
     // compact materializes and clears the sidecar
     sink.compact(spark)
     assert(!sink.hasPendingDeletes(sink.snapshotVersions().last))
@@ -286,6 +298,50 @@ class MorDeleteSpec extends AnyFunSuite {
       .select($"_change_type", $"id").as[(String, Long)].collect().toSet
     assert(v6 == Set(("insert", 7L)),
       s"id=6 (v<10 matches the v3 predicate) was never visible: $v6")
+  }
+
+  test("SQL DELETE under spark.graft.sql.deleteMode=mor commits a " +
+    "position sidecar: ZERO data files rewritten, reads stay correct") {
+    val sink = mkSink("m_sqlmor")
+    sink.append(Seq((4L, "c", 40.0)).toDF("id", "cat", "v"))
+    val before = dataFiles("m_sqlmor")
+    try {
+      spark.conf.set("spark.graft.sql.deleteMode", "mor")
+      spark.sql("DELETE FROM gmor.m_sqlmor WHERE v < 25.0")
+      // the statement cost O(scan + matches), not O(data rewritten):
+      // every pre-existing data file is byte-identical
+      assert(dataFiles("m_sqlmor") == before,
+        "MoR SQL DELETE must not rewrite or remove any data file")
+      // ...and the SQL door reads straight through the pending sidecar
+      assert(spark.sql("SELECT id FROM gmor.m_sqlmor ORDER BY id")
+        .as[Long].collect().toSeq == Seq(3L, 4L))
+      assert(sink.read(spark).select($"id").as[Long].collect().sorted.toSeq
+        == Seq(3L, 4L))
+      // position semantics = SQL DELETE semantics: a later matching
+      // insert is untouched
+      // catalog schema orders the identity partition column last
+      spark.sql("INSERT INTO gmor.m_sqlmor VALUES (5, 5.0, 'a')")
+      assert(spark.sql("SELECT id FROM gmor.m_sqlmor ORDER BY id")
+        .as[Long].collect().toSeq == Seq(3L, 4L, 5L))
+      // compact materializes; the table serves identically afterwards
+      sink.compact(spark)
+      assert(!sink.hasPendingDeletes(sink.snapshotVersions().last))
+      assert(spark.sql("SELECT id FROM gmor.m_sqlmor ORDER BY id")
+        .as[Long].collect().toSeq == Seq(3L, 4L, 5L))
+    } finally spark.conf.unset("spark.graft.sql.deleteMode")
+  }
+
+  test("mor delete mode falls back to copy-on-write where the position " +
+    "flavor cannot serve (unversioned table)") {
+    val unv = new TableSink(SinkConfig(tableName = "m_sqlmoru",
+      warehousePath = wh))
+    unv.append(Seq((1L, "a", 1.0), (2L, "b", 30.0)).toDF("id", "cat", "v"))
+    try {
+      spark.conf.set("spark.graft.sql.deleteMode", "mor")
+      spark.sql("DELETE FROM gmor.m_sqlmoru WHERE v < 25.0")
+      assert(spark.sql("SELECT id FROM gmor.m_sqlmoru").as[Long]
+        .collect().toSeq == Seq(2L), "fallback must still delete correctly")
+    } finally spark.conf.unset("spark.graft.sql.deleteMode")
   }
 
   test("branch/delete interleavings refuse loudly") {
