@@ -147,8 +147,43 @@ case class GraftUpdateCommand(
   import GraftDml._
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val df = Bridge.ofRows(spark, target)
     val assigned = byTargetColumn("UPDATE", assignments)
+    // PARTITION-SCOPED route: on an identity-partitioned table whose SET
+    // touches no partition-deriving column, [[TableSink.update]] rewrites
+    // ONLY the partitions containing matched rows (dynamic overwrite) —
+    // O(touched partitions), not O(table). The resolved condition / SET
+    // expressions re-render as SQL text and re-resolve against the
+    // library read (same physical table, same column names; subqueries
+    // are already refused upstream, so the rendering is total for every
+    // expressible statement — a rendering the parser still rejects falls
+    // back to the full-rewrite path below rather than failing the query).
+    val partitionAffecting = cfg.partitionSpec
+      .flatMap(p => Seq(p.source, p.columnName)).map(_.toLowerCase).toSet
+    val setPairs = target.output.flatMap { attr =>
+      assigned.get(attr.exprId).map(v => attr.name -> v)
+    }
+    val scoped = cfg.partitionSpec.nonEmpty &&
+      setPairs.forall(p => !partitionAffecting(p._1.toLowerCase))
+    if (scoped) {
+      // attributes render UNQUALIFIED (`cat`, not `gdml.t.cat`) so the
+      // text re-resolves against the library read's bare column names
+      def bare(e: Expression): String = e.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.withQualifier(Seq.empty)
+      }.sql
+      val rendered = scala.util.Try {
+        val c = org.apache.spark.sql.functions.expr(
+          condition.map(bare).getOrElse("TRUE"))
+        val sets = setPairs.map { case (n, v) =>
+          n -> org.apache.spark.sql.functions.expr(bare(v)) }
+        (c, sets)
+      }
+      rendered.toOption.foreach { case (c, sets) =>
+        new TableSink(cfg).update(spark, c, sets)
+        return Seq.empty
+      }
+    }
+    val df = Bridge.ofRows(spark, target)
     val cond = condColumn(condition)
     val totalRows = df.count()
     val finalCols = target.output.map { attr =>

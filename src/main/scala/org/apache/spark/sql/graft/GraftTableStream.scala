@@ -56,11 +56,18 @@ final class GraftTableStream extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val starting = parameters.get("startingVersion")
+    starting.foreach(s => require(
+      s.equalsIgnoreCase("latest") || s.toIntOption.exists(_ >= 0),
+      s"startingVersion must be a non-negative snapshot version or " +
+        s"'latest', got '$s'"))
     new GraftTableSource(sqlContext, mkSink(parameters),
       schema.getOrElse(
         mkSink(parameters).read(sqlContext.sparkSession).schema),
-      changes = parameters.get("mode").contains("changes"))
+      changes = parameters.get("mode").contains("changes"),
+      startingVersion = starting)
+  }
 }
 
 /** One offset = one committed snapshot version of one history
@@ -90,9 +97,23 @@ private[graft] object GraftStreamOffset {
 
 private[graft] final class GraftTableSource(sqlContext: SQLContext,
     sink: TableSink, override val schema: StructType,
-    changes: Boolean = false) extends Source {
+    changes: Boolean = false,
+    startingVersion: Option[String] = None) extends Source {
 
   private val spark: SparkSession = sqlContext.sparkSession
+
+  /** The EXCLUSIVE lower bound of the first batch (the Delta source's
+    * `startingVersion` contract): a consumer started at version N sees
+    * (N, head] instead of replaying the full retained history as batch
+    * 0; `latest` pins the head AT SOURCE CREATION, so a new consumer of
+    * a year-old table sees only post-start commits. Only the FIRST
+    * batch consults this — a checkpointed restart resumes from its own
+    * offset, which is why capturing `latest` at (re)creation is safe:
+    * the engine hands the checkpoint offset back as `start`. */
+  private val initialFloor: Option[Int] = startingVersion.map {
+    case s if s.equalsIgnoreCase("latest") => sink.streamHead()._2
+    case s => s.toInt
+  }
 
   private def requireSameHistory(gen: String, cur: String): Unit =
     require(gen == cur,
@@ -109,11 +130,26 @@ private[graft] final class GraftTableSource(sqlContext: SQLContext,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val e = GraftStreamOffset.of(end)
     val batch: DataFrame = start match {
-      case None if changes =>
-        // CDC mode: replay the retained changelog up to `end` (an
-        // expiry-orphaned oldest delete commit folds in as post-state
-        // inserts — the consumer still reconstructs the table)
-        sink.readChangelogAllUpTo(spark, e.version)
+      case None if initialFloor.exists(_ >= e.version) =>
+        // started at/after the current head: nothing to emit yet
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row],
+          schema)
+      case None if changes => initialFloor match {
+        case Some(f) =>
+          // startingVersion: first batch = changes in (f, head] only —
+          // no full-history replay (refuses loudly if (f, head] needs
+          // an expired snapshot, same as any changelog window)
+          sink.readChangelog(spark, f, e.version)
+        case None =>
+          // CDC mode: replay the retained changelog up to `end` (an
+          // expiry-orphaned oldest delete commit folds in as post-state
+          // inserts — the consumer still reconstructs the table)
+          sink.readChangelogAllUpTo(spark, e.version)
+      }
+      case None if initialFloor.isDefined =>
+        // snapshot mode with a floor: appended rows in (f, head] only
+        sink.readAppendedBetween(spark, initialFloor.get, e.version)
       case None =>
         // first batch: the table's consistent snapshot at `end` —
         // merge-on-read deletes applied, any history shape serves

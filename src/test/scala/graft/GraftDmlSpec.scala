@@ -231,6 +231,44 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(files("b") == beforeB && files("c") == beforeC)
   }
 
+  test("SQL UPDATE on an identity-partitioned table rewrites only the " +
+    "touched partitions (untouched partitions' files physically identical)") {
+    val sink = new TableSink(SinkConfig(tableName = "tsqlscope",
+      warehousePath = wh, versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0),
+      (4L, "c", 4.0)).toDF("id", "cat", "v"))
+    def files(part: String): Map[String, Long] = {
+      val d = java.nio.file.Paths.get(s"$wh/tsqlscope/cat=$part")
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala
+        .filterNot(_.getFileName.toString.startsWith("_"))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    val (beforeB, beforeC) = (files("b"), files("c"))
+    // the pure-SQL statement takes the partition-scoped library route
+    // (GraftUpdateCommand -> TableSink.update -> dynamic overwrite):
+    // O(touched partitions), not a whole-table rewrite
+    spark.sql("UPDATE gdml.tsqlscope SET v = v + 100.0 " +
+      "WHERE cat = 'a' AND id = 1")
+    val got = spark.sql("SELECT id, v FROM gdml.tsqlscope").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 101.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0))
+    // the proof: untouched partitions kept the exact same files with the
+    // exact same mtimes — they were never opened for write
+    assert(files("b") == beforeB && files("c") == beforeC,
+      "a SQL UPDATE scoped to cat='a' must not rewrite cat=b or cat=c")
+    // a SET touching a partition column still takes the guarded
+    // full-rewrite path (rows may move partitions) and stays correct
+    spark.sql("UPDATE gdml.tsqlscope SET cat = 'z' WHERE id = 4")
+    assert(spark.sql(
+      "SELECT cat FROM gdml.tsqlscope WHERE id = 4").head().getString(0)
+      == "z")
+  }
+
   test("library update refuses partition-deriving columns and unknown columns") {
     val dir = TestSpark.tmpDir("upd_guard")
     val sink = new TableSink(SinkConfig(tableName = "t", warehousePath = dir,

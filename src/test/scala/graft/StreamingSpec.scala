@@ -378,6 +378,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("CDC streaming startingVersion: 'latest' sees only post-start " +
+    "commits; version N sees exactly (N, head]") {
+    import spark.implicits._
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_cdcstart",
+      warehousePath = TestSpark.tmpDir("stream_cdcstart_wh"),
+      versioned = true))
+    sink.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")) // v1
+    sink.append(Seq((3L, 30.0)).toDF("id", "v"))             // v2
+    sink.append(Seq((4L, 40.0)).toDF("id", "v"))             // v3
+    def run(starting: Option[String], tag: String): Set[(Long, String, Long)] = {
+      val cp = TestSpark.tmpDir(s"stream_cdcstart_cp_$tag")
+      val out = TestSpark.tmpDir(s"stream_cdcstart_out_$tag")
+      val q = sink.readChangesStream(spark, starting)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out)
+        .select($"id", $"_change_type", $"_change_version")
+        .as[(Long, String, Long)].collect().toSet
+    }
+    // default: the full retained history replays as batch 0
+    assert(run(None, "full").map(_._1) == Set(1L, 2L, 3L, 4L))
+    // version N = exclusive floor: exactly (1, 3]
+    assert(run(Some("1"), "v1") ==
+      Set((3L, "insert", 2L), (4L, "insert", 3L)),
+      "startingVersion=1 must emit (1, head] only")
+    // latest: nothing until a post-start commit lands
+    val cp = TestSpark.tmpDir("stream_cdcstart_cp_latest")
+    val out = TestSpark.tmpDir("stream_cdcstart_out_latest")
+    val q = sink.readChangesStream(spark, Some("latest"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      sink.append(Seq((5L, 50.0)).toDF("id", "v"))           // v4
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select($"id", $"_change_type", $"_change_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((5L, "insert", 4L)),
+      s"a 'latest' consumer must see only post-start commits: $got")
+    // snapshot mode honors the same floor
+    val outS = TestSpark.tmpDir("stream_cdcstart_out_snap")
+    val qs = sink.readStream(spark, Some("3"))
+      .writeStream.format("parquet").option("path", outS)
+      .option("checkpointLocation",
+        TestSpark.tmpDir("stream_cdcstart_cp_snap")).start()
+    try qs.processAllAvailable() finally qs.stop()
+    assert(spark.read.parquet(outS).select($"id").as[Long].collect().toSet
+      == Set(5L), "snapshot stream with startingVersion=3 sees (3, head]")
+    // a bad option refuses loudly
+    intercept[Exception](run(Some("nope"), "bad"))
+  }
+
   test("CDC streaming emits delete commits as retraction rows and " +
     "resumes from the checkpoint without replaying the feed") {
     import spark.implicits._
