@@ -63,7 +63,18 @@ final case class SinkConfig(
     // while the manifest-count term (head reads, snapshot file size) is
     // bounded at any commit cadence. 0 disables (merge only via
     // TableSink.compactManifests / CALL system.compact_manifests).
-    manifestMergeThreshold: Int = 64) {
+    manifestMergeThreshold: Int = 64,
+    // Amortized delete-sidecar consolidation for REPLICA tables (the
+    // merge-on-read dual of manifestMergeThreshold): when a changelog
+    // apply leaves more than this many snapshot versions carrying
+    // pending delete sidecars, the apply folds them into ONE merged
+    // sidecar commit (TableSink.consolidateDeletes) — so a long-running
+    // replication's read cost stays bounded at `threshold` anti-joins
+    // instead of growing with every delete batch ever applied. Consulted
+    // only by the replication apply path (consolidation drops replica
+    // history, which is the replica contract — time travel belongs to
+    // the source); library users consolidate explicitly. 0 disables.
+    deleteConsolidateThreshold: Int = 16) {
 
   require(tableName.nonEmpty, "tableName must be non-empty")
   require(batchSize >= 1 && batchSize <= 100000,
@@ -84,6 +95,9 @@ final case class SinkConfig(
   require(manifestMergeThreshold >= 0,
     s"manifestMergeThreshold must be >= 0 (0 = never), " +
       s"got $manifestMergeThreshold")
+  require(deleteConsolidateThreshold >= 0,
+    s"deleteConsolidateThreshold must be >= 0 (0 = never), " +
+      s"got $deleteConsolidateThreshold")
 
   /** Physical path of the table (reference: custom `location` override wins,
     * else warehouse/tableName — connector.py:380-386). */

@@ -1684,6 +1684,22 @@ final class TableSink(val config: SinkConfig) {
     vNext
   }
 
+  /** Fold pending delete sidecars when MORE than
+    * [[SinkConfig.deleteConsolidateThreshold]] versions carry one — the
+    * replication apply's amortized upkeep (replica reads stay bounded at
+    * `threshold` sidecar anti-joins under any run of delete-only
+    * batches). No-op when disabled (0), unversioned, or under the
+    * threshold. Drops history below the merged commit, which is the
+    * replica contract. */
+  private[graft] def maybeConsolidateDeletes(spark: SparkSession): Unit = {
+    val t = config.deleteConsolidateThreshold
+    if (t <= 0 || !config.versioned) return
+    val vs = snapshotVersions()
+    val pending = vs.count(v => WarehouseIO.isFile(deletesPath(v)) ||
+      WarehouseIO.isDir(keysPath(v)) || WarehouseIO.isDir(posDeletesPath(v)))
+    if (pending > t) { consolidateDeletes(spark); () }
+  }
+
   /** Incremental (CDC-style) read: exactly the rows appended after
     * `fromVersion`, up to and including `toVersion` — the file-set
     * difference of the two manifests, so the incremental consumer never
@@ -1989,8 +2005,16 @@ final class TableSink(val config: SinkConfig) {
       .drop("_change_type", "_change_version")
     // a fresh replica has nothing to delete yet (and deleteKeys would
     // rightly refuse a table with no committed snapshot)
-    if (dest.snapshotVersions().nonEmpty && !del.isEmpty)
+    if (dest.snapshotVersions().nonEmpty && !del.isEmpty) {
       dest.deleteKeys(del, keyCols)
+      // bounded read cost under delete-only workloads: a long run of
+      // delete batches would otherwise stack one key-list sidecar per
+      // batch, and every replica read would fold them all — consolidate
+      // past the replica config's threshold (amortized, like the
+      // manifest merge). The replication key set is uniform, so the
+      // merged list always anti-joins cleanly.
+      dest.maybeConsolidateDeletes(b.sparkSession)
+    }
     if (!ins.isEmpty) dest.upsert(ins, keyCols)
   }
 

@@ -115,6 +115,59 @@ class ChangelogCursorSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("itself"))
   }
 
+  test("a long run of delete-only batches keeps replica read cost " +
+    "BOUNDED: sidecars auto-consolidate past the threshold") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val src = mkSink("rp_vac")
+    val threshold = 3
+    val replica = new TableSink(SinkConfig("rp_vac_dst", wh,
+      versioned = true, deleteConsolidateThreshold = threshold))
+    val cursor = s"$wh/rp_vac_cursor"
+    val n = 10
+    src.append((1 to n).map(i => (i.toLong, "a", i * 1.0))
+      .toDF("id", "cat", "v"))
+    src.replicateTo(spark, replica, Seq("id"), cursor)
+    def pendingSidecars(): Int = {
+      val logDir = new HPath(s"${replica.config.tablePath}/_graft_log")
+      WarehouseIO.childNames(logDir).count(nm =>
+        nm.endsWith(".deletes") || nm.endsWith("_keys") ||
+          nm.endsWith("_pos"))
+    }
+    // one delete-only source commit per cycle -> one key-list sidecar
+    // per apply; without consolidation the replica would accumulate
+    // `cycles` sidecars and every read would fold them all
+    var maxPending = 0
+    (1 to 8).foreach { i =>
+      src.deleteKeys(Seq(i.toLong).toDF("id"), Seq("id"))
+      src.replicateTo(spark, replica, Seq("id"), cursor)
+      maxPending = math.max(maxPending, pendingSidecars())
+    }
+    assert(maxPending <= threshold + 1,
+      s"pending sidecars must stay bounded by the threshold " +
+        s"(+1 transient), saw $maxPending")
+    // the replica still equals the source's survivors exactly
+    val got = replica.read(spark).select($"id").as[Long].collect().toSet
+    assert(got == (9 to n).map(_.toLong).toSet,
+      s"auto-consolidation must never change replica state: $got")
+    // threshold 0 disables: nothing consolidates behind the user's back
+    val replica0 = new TableSink(SinkConfig("rp_vac_dst0", wh,
+      versioned = true, deleteConsolidateThreshold = 0))
+    val cursor0 = s"$wh/rp_vac_cursor0"
+    val src0 = mkSink("rp_vac0")
+    src0.append((1 to 6).map(i => (i.toLong, "a", i * 1.0))
+      .toDF("id", "cat", "v"))
+    src0.replicateTo(spark, replica0, Seq("id"), cursor0)
+    (1 to 4).foreach { i =>
+      src0.deleteKeys(Seq(i.toLong).toDF("id"), Seq("id"))
+      src0.replicateTo(spark, replica0, Seq("id"), cursor0)
+    }
+    val logDir0 = new HPath(s"${replica0.config.tablePath}/_graft_log")
+    assert(WarehouseIO.childNames(logDir0).count(_.endsWith("_keys")) == 4,
+      "threshold 0 must leave every sidecar in place")
+    assert(replica0.read(spark).select($"id").as[Long].collect().toSet
+      == Set(5L, 6L))
+  }
+
   test("cursor refuses after a source rewrite restarts the history") {
     val src = mkSink("cc_gen")
     val cursor = s"$wh/cc_gen_cursor"
