@@ -18,6 +18,9 @@ object Scratch {
     args.foreach {
       case "split:changelog_replicate" => replicateSplit(spark, sfDir)
       case "split:changelog_incremental" => incrementalSplit(spark, sfDir)
+      case "split:zonemap_prune" => statsSplit(spark, sfDir, bloom = false)
+      case "split:bloom_prune" => statsSplit(spark, sfDir, bloom = true)
+      case "split:sql_delete" => sqlDeleteSplit(spark, sfDir)
       case n =>
         (1 to 2).foreach { i =>
           val t0 = System.nanoTime()
@@ -73,6 +76,106 @@ object Scratch {
       timed("final aggregate") {
         replica.read(spark).groupBy(col("event_type"))
           .agg(count(lit(1)).as("n")).count()
+      }
+    }
+  }
+
+  /** Cost attribution for the stats family (q_zonemap_prune /
+    * q_bloom_prune — the round-10 movers): replays the exact fixture
+    * with phase timers — clustered append commit vs analyze (stats scan
+    * + manifest refold commit) vs the probe read + aggregate — so a
+    * drift decomposes into "fixture write got slower" vs "the skipping
+    * operator itself drifted". */
+  private def statsSplit(spark: SparkSession, sfDir: String,
+      bloom: Boolean): Unit = {
+    import org.apache.spark.sql.functions._
+    (1 to 2).foreach { i =>
+      def timed[A](what: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[split] run$i $what: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+      if (bloom) {
+        val e = Tables.events(spark, sfDir)
+        val sink = new TableSink(SinkConfig("events_bloom", dest,
+          versioned = true))
+        timed("fixture: hash-clustered versioned append") {
+          sink.appendClustered(e.repartition(48, col("user_id")))
+        }
+        val bf = new BloomSkip(sink)
+        timed("analyze: bloom scan + stats refold commit") {
+          bf.analyze(spark, Seq("user_id"))
+        }
+        timed("probe read + aggregate") {
+          bf.readEquals(spark, ("user_id", lit(7L)))
+            .filter(col("user_id") === 7L)
+            .agg(count(lit(1)), sum(col("value"))).count()
+        }
+      } else {
+        val e = Tables.events(spark, sfDir)
+          .withColumn("x_us", unix_micros(col("ts")))
+          .withColumn("y_c",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+        val sink = new TableSink(SinkConfig("events_z", dest,
+          versioned = true))
+        val b = ZOrder.boundsOf(e, Seq("x_us", "y_c"))
+        timed("fixture: z-clustered versioned append") {
+          sink.appendClustered(ZOrder.cluster(e, Seq(
+            ("x_us", b("x_us")._1, b("x_us")._2),
+            ("y_c", b("y_c")._1, b("y_c")._2)), nRanges = 48, 16)
+            .drop("x_us", "y_c"))
+        }
+        val zm = new ZoneMaps(sink)
+        timed("analyze: zone scan + stats refold commit") {
+          zm.analyze(spark, Seq("ts", "value"))
+        }
+        val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-12 23:59:59.999999").cast("timestamp")
+        timed("probe read + aggregate") {
+          zm.readBetween(spark,
+              ("ts", lo, hi), ("value", lit(100.0), lit(200.0)))
+            .filter(col("ts").between(lo, hi) &&
+              col("value").between(lit(100.0), lit(200.0)))
+            .agg(count(lit(1)), sum(col("value"))).count()
+        }
+      }
+    }
+  }
+
+  /** Cost attribution for q_sql_delete (a slow upward drifter in the
+    * r9/r10 benches): CREATE+INSERT fixture vs the copy-on-write DELETE
+    * statement vs the final aggregate through the catalog read. */
+  private def sqlDeleteSplit(spark: SparkSession, sfDir: String): Unit = {
+    (1 to 2).foreach { i =>
+      def timed[A](what: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[split] run$i $what: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      val e = Tables.events(spark, sfDir)
+      val wh = "/root/repo/target/tmp/graft_catalog_wh"
+      val tbl = s"events_sqld_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      spark.conf.set("spark.sql.catalog.graft_cat",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+      e.createOrReplaceTempView(s"evsrc_${tbl.takeRight(8)}")
+      timed("fixture: CREATE + INSERT") {
+        spark.sql(s"CREATE TABLE graft_cat.$tbl " +
+          "(event_id BIGINT, user_id BIGINT, value DOUBLE) " +
+          "TBLPROPERTIES('versioned'='true')")
+        spark.sql(s"INSERT INTO graft_cat.$tbl " +
+          s"SELECT event_id, user_id, value FROM evsrc_${tbl.takeRight(8)}")
+      }
+      timed("copy-on-write DELETE statement") {
+        spark.sql(s"DELETE FROM graft_cat.$tbl " +
+          "WHERE value < 100.0 OR user_id IN (0, 7, 14)")
+      }
+      timed("final aggregate through the catalog read") {
+        spark.sql(s"SELECT COUNT(*), SUM(value) FROM graft_cat.$tbl")
+          .count()
       }
     }
   }

@@ -1860,7 +1860,16 @@ object ParityQueries {
       .where(col("event_id") % 2 === 0))
     spark.sql(s"INSERT INTO graft_cat.$tbl " +
       s"SELECT event_id, ts, value FROM $src WHERE event_id % 2 = 1")
-    spark.sql(s"DELETE FROM graft_cat.$tbl WHERE value < 10.0")
+    // merge-on-read DELETE (round-11): the statement commits O(matched)
+    // position metadata instead of rewriting every day partition (the
+    // old copy-on-write shape was the bench's one remaining
+    // O(data)-per-statement term — ~27-43 s at gen sf10), and the final
+    // SELECT reads THROUGH the pending sidecar via the catalog's
+    // library-read serving path — the full MoR loop through pure SQL.
+    try {
+      spark.conf.set("spark.graft.sql.deleteMode", "mor")
+      spark.sql(s"DELETE FROM graft_cat.$tbl WHERE value < 10.0")
+    } finally spark.conf.unset("spark.graft.sql.deleteMode")
     spark.sql(
       s"""SELECT CAST(date_trunc('DAY', ts) AS TIMESTAMP) AS day,
          |  COUNT(*) AS n,
