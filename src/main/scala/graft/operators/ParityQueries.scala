@@ -1696,10 +1696,15 @@ object ParityQueries {
     val sink = new TableSink(SinkConfig(tableName = tbl,
       warehousePath = wh, versioned = true))
     val before = sink.dataFilesRel().toSet
+    // a SELECTIVE predicate — the position flavor's intended workload:
+    // the sidecar is O(matched rows), so a targeted delete (a few users)
+    // commits tiny metadata and the read-through anti-join broadcasts.
+    // (The broad-predicate COW twin is q_sql_delete; a 35%-selectivity
+    // delete would make the position list data-sized — wrong tool.)
     try {
       spark.conf.set("spark.graft.sql.deleteMode", "mor")
       spark.sql(s"DELETE FROM graft_cat.$tbl " +
-        "WHERE value < 100.0 OR user_id IN (0, 7, 14)")
+        "WHERE user_id IN (0, 7, 14)")
     } finally spark.conf.unset("spark.graft.sql.deleteMode")
     val metadataOnly = before.nonEmpty && sink.dataFilesRel().toSet == before
     spark.sql(
@@ -1716,8 +1721,7 @@ object ParityQueries {
       |  min(event_id) AS min_id, max(event_id) AS max_id,
       |  TRUE AS mor_metadata_only
       |FROM events
-      |WHERE NOT (coalesce(value < 100.0, FALSE)
-      |        OR coalesce(user_id IN (0, 7, 14), FALSE))""".stripMargin
+      |WHERE NOT coalesce(user_id IN (0, 7, 14), FALSE)""".stripMargin
 
   /** TYPE-WIDENING schema evolution through the pure-SQL door: ingest
     * under INT, `ALTER COLUMN … TYPE BIGINT`, insert a value a 32-bit

@@ -640,7 +640,7 @@ class CatalogSpec extends AnyFunSuite {
     }
     refused("ALTER TABLE gtest.alt3 DROP COLUMN s.a", "nested")
     refused("ALTER TABLE gtest.alt3 ALTER COLUMN v TYPE STRING",
-      "column rewriting")
+      "WIDENING promotions") // cross-family retype (widenings now pass)
     refused("ALTER TABLE gtest.alt3 ADD COLUMNS (id STRING)",
       "already exists")
     refused("ALTER TABLE gtest.alt3 ADD COLUMNS (s.b INT)", "nested")
