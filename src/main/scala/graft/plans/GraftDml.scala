@@ -350,6 +350,43 @@ case class GraftMergeCommand(
         .as(attr.name)
     }
 
+    // PARTITION-SCOPED commit (round-11): on an identity-partitioned
+    // table whose matched / not-matched-by-source actions never assign a
+    // partition column (rows cannot move partitions; inserted rows may
+    // SET one — that only decides where they land), the write rewrites
+    // ONLY the partitions in which some action FIRED: update/delete
+    // partitions (old value), surviving inserts' partitions (new value).
+    // The join still computes the full final row set — the statement's
+    // semantics need it — but the expensive term at scale, the
+    // rewrite + swap, drops from O(table) to O(touched partitions).
+    // A fired-but-dropped row (DELETE) still touches its partition, so
+    // the partition flags ride BEFORE the keep filter.
+    val partitionAffecting = cfg.partitionSpec
+      .flatMap(p => Seq(p.source, p.columnName)).map(_.toLowerCase).toSet
+    val identityPlain = cfg.partitionSpec.nonEmpty &&
+      cfg.partitionSpec.forall(p =>
+        p.transform == graft.Transform.Identity && p.explicitName.isEmpty)
+    val assignsPartition =
+      (matchedAssigned ++ nmbsAssigned).exists(_.keys.exists(id =>
+        attrs.exists(a => a.exprId == id &&
+          partitionAffecting(a.name.toLowerCase))))
+    val keepFlag = tid // reuse the reserved bookkeeping name
+    val firedFlag = rid
+    if (identityPlain && !assignsPartition) {
+      val fired =
+        when(isMatched, fm =!= -1)
+          .when(isSourceOnly, fi =!= -1)
+          .otherwise(fn =!= -1)
+      val pCols = cfg.partitionSpec.map(_.source)
+      val full = j.select(finalCols :+ guardedKeep.as(keepFlag)
+        :+ fired.as(firedFlag): _*)
+      val touchedVals = full.filter(col(firedFlag))
+        .select(pCols.map(col): _*).distinct()
+      val finalRows = full.filter(col(keepFlag)).drop(keepFlag, firedFlag)
+      new TableSink(cfg).replacePartitionsScoped(spark, finalRows,
+        touchedVals, "MERGE")
+      return Seq.empty
+    }
     val finalRows = j.select(finalCols :+ guardedKeep.as(tid): _*)
       .filter(col(tid)).drop(tid)
     new TableSink(cfg).replaceAllRows(spark, finalRows, None, "MERGE")

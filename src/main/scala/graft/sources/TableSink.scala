@@ -1869,13 +1869,14 @@ final class TableSink(val config: SinkConfig) {
     * one batch). Checkpointed restarts resume from their offset and
     * ignore the option, exactly like Delta. */
   def readChangesStream(spark: SparkSession,
-      startingVersion: Option[String] = None): DataFrame = {
+      startingVersion: Option[String] = None,
+      startingTimestampMs: Option[Long] = None): DataFrame = {
     require(config.versioned,
       "readChangesStream consumes the snapshot changelog — versioned only")
     val schema = config.tableSchema.getOrElse(read(spark).schema)
       .add("_change_type", org.apache.spark.sql.types.StringType)
       .add("_change_version", org.apache.spark.sql.types.LongType)
-    val r = spark.readStream
+    val r0 = spark.readStream
       .format("org.apache.spark.sql.graft.GraftTableStream")
       .schema(schema)
       .option("tableName", config.tableName)
@@ -1883,7 +1884,9 @@ final class TableSink(val config: SinkConfig) {
       .option("tablePath", config.tablePath)
       .option("fileFormat", config.fileFormat)
       .option("mode", "changes")
-    startingVersion.fold(r)(v => r.option("startingVersion", v)).load()
+    val r1 = startingVersion.fold(r0)(v => r0.option("startingVersion", v))
+    startingTimestampMs.fold(r1)(t =>
+      r1.option("startingTimestamp", t.toString)).load()
   }
 
   /** Incremental changelog consumption with a DURABLE cursor — the
@@ -3215,6 +3218,51 @@ final class TableSink(val config: SinkConfig) {
     if (config.versioned) expireSnapshots() // rewrites invalidate history
   }
 
+  /** PARTITION-SCOPED commit primitive for the SQL MERGE front door:
+    * `finalRows` is the statement's COMPLETE final row set (computed
+    * against the analyzer's own resolved plans — it cannot be re-derived
+    * from [[read]] here) and `touchedVals` the distinct partition-column
+    * tuples in which ANY merge action fired (update, delete, or insert).
+    * Only those partitions rewrite (dynamic overwrite over `finalRows`
+    * restricted to them) — O(touched), not O(table), the same commit
+    * shape [[update]]'s scoped path uses. Falls back to the guarded full
+    * rewrite exactly where [[delete]] does: a touched partition left
+    * EMPTY (dynamic overwrite cannot express an emptied partition), a
+    * NULL partition value among the touched tuples (conservative), a
+    * shallow clone, or pending merge-on-read sidecars. */
+  private[graft] def replacePartitionsScoped(spark: SparkSession,
+      finalRows: DataFrame, touchedVals: DataFrame, op: String): Unit = {
+    requireNoStreamingLog()
+    requireNoBranches(op)
+    recoverSwap()
+    val parts = partitionColNames
+    val touched = touchedVals.localCheckpoint() // bounded: distinct tuples
+    def fullFallback(): Unit = {
+      requireConstraints(finalRows, op)
+      rewriteSwap(spark, withDerived(finalRows), None)
+      if (config.versioned) expireSnapshots()
+    }
+    if (parts.isEmpty || parts.exists(p => !touched.columns.contains(p)) ||
+        cloneBasePath.isDefined || pendingMorDeletes) { fullFallback(); return }
+    if (touched.isEmpty) return // no action fired anywhere: a no-op
+    val hasNullPart = touched
+      .filter(parts.map(col(_).isNull).reduce(_ || _)).limit(1).count() > 0
+    if (hasNullPart) { fullFallback(); return }
+    val restricted = finalRows
+      .join(broadcast(touched.select(parts.map(col): _*)), parts, "left_semi")
+      .localCheckpoint()
+    // a fully-emptied touched partition cannot be expressed by dynamic
+    // overwrite (no rows -> no directory rewritten -> stale files remain)
+    val emptied = touched.select(parts.map(col): _*)
+      .join(restricted.select(parts.map(col): _*).distinct(),
+        parts, "left_anti")
+      .limit(1).count() > 0
+    if (emptied) { fullFallback(); return }
+    requireConstraints(restricted, op)
+    dynamicOverwrite(spark, clusterForWrite(restricted))
+    if (config.versioned) expireSnapshots() // rewrites invalidate history
+  }
+
   /** Streaming path (§3.1): micro-batch append with checkpointed recovery.
     * The reference's size-OR-time buffer flush (connector.py:147-199) maps
     * to BOTH bounds natively:
@@ -3475,6 +3523,15 @@ final class TableSink(val config: SinkConfig) {
   def streamHead(): (String, Int) =
     (logGeneration(), snapshotVersions().lastOption.getOrElse(0))
 
+  /** Last committed snapshot version at or before `cutoffMs` (commit
+    * wall-clock = the snapshot file's mtime — the same clock the SQL
+    * door's TIMESTAMP AS OF resolves against); None when every retained
+    * commit is later. The streaming sources' `startingTimestamp` floor. */
+  def versionAtOrBefore(cutoffMs: Long): Option[Int] =
+    snapshotVersions()
+      .filter(v => WarehouseIO.modifiedAtMs(snapshotFile(v)) <= cutoffMs)
+      .lastOption
+
   /** The rows commits `(fromVersion, toVersion]` appended — the
     * snapshot-streaming micro-batch. INSERT-ONLY enforcement, precise:
     * a commit that removed or rewrote files (compact / delete / upsert /
@@ -3539,7 +3596,8 @@ final class TableSink(val config: SinkConfig) {
     * Scale shape: per trigger, one O(manifest count) head probe; per
     * batch, a scan of exactly the appended files. */
   def readStream(spark: SparkSession,
-      startingVersion: Option[String] = None): DataFrame = {
+      startingVersion: Option[String] = None,
+      startingTimestampMs: Option[Long] = None): DataFrame = {
     if (!config.versioned) {
       val schema = config.tableSchema.getOrElse(read(spark).schema)
       return spark.readStream
@@ -3549,14 +3607,16 @@ final class TableSink(val config: SinkConfig) {
         .load(config.tablePath)
     }
     val schema = config.tableSchema.getOrElse(read(spark).schema)
-    val r = spark.readStream
+    val r0 = spark.readStream
       .format("org.apache.spark.sql.graft.GraftTableStream")
       .schema(schema)
       .option("tableName", config.tableName)
       .option("warehousePath", config.warehousePath)
       .option("tablePath", config.tablePath)
       .option("fileFormat", config.fileFormat)
-    startingVersion.fold(r)(v => r.option("startingVersion", v)).load()
+    val r1 = startingVersion.fold(r0)(v => r0.option("startingVersion", v))
+    startingTimestampMs.fold(r1)(t =>
+      r1.option("startingTimestamp", t.toString)).load()
   }
 
   /** Partition-spec-evolution-aware read: the table may hold file

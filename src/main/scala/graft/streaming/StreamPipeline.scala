@@ -794,6 +794,49 @@ object StreamPipeline {
   /** The streamed CDC feed must equal the batch changelog oracle. */
   val streamCdcSql: String = ParityQueries.changelogCdcSql
 
+  /** The CDC stream's `startingVersion` floor end-to-end (the Delta
+    * source contract, round-11): the table takes TWO insert commits,
+    * and a consumer floored at version 1 must aggregate EXACTLY the
+    * (1, head] slice — none of v1's rows may enter the feed, all of
+    * v2's must. The aggregation runs INSIDE the stream (complete mode,
+    * bounded driver state at any scale); the oracle recomputes v2's
+    * slice directly from the source, so a floor that leaked v1 rows or
+    * dropped v2 rows is a hash mismatch, not just a count drift. */
+  def streamCdcStart(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = "stream_cdcst_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new graft.TableSink(graft.SinkConfig(
+      tableName = "events_cdcst_src", warehousePath = dest,
+      numPartitions = 4, versioned = true,
+      partitionSpec = Seq(graft.PartitionField("event_type",
+        graft.Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(2)) === 0))     // v1 insert
+    sink.append(e.filter(pmod($"event_id", lit(2)) =!= 0))     // v2 insert
+    withStreamShuffle(spark, 8) {
+      val q = sink.readChangesStream(spark, startingVersion = Some("1"))
+        .groupBy($"_change_version", $"_change_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+          s"/root/repo/target/tmp/cdcst_cp_${java.util.UUID.randomUUID()}")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name).orderBy($"_change_version", $"_change_type")
+  }
+
+  val streamCdcStartSql: String =
+    """SELECT CAST(2 AS BIGINT) AS _change_version,
+      |  'insert' AS _change_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events WHERE event_id % 2 <> 0""".stripMargin
+
   /** Resident-stream CDC replication end-to-end
     * ([[graft.TableSink.startReplication]]): a replica table tracks the
     * source through two append commits consumed at stream start and two

@@ -62,11 +62,25 @@ final class GraftTableStream extends StreamSourceProvider
       s.equalsIgnoreCase("latest") || s.toIntOption.exists(_ >= 0),
       s"startingVersion must be a non-negative snapshot version or " +
         s"'latest', got '$s'"))
+    // startingTimestamp (the Delta option's dual): epoch millis or an
+    // ISO-8601 instant; resolved against the same commit clock as
+    // TIMESTAMP AS OF. Mutually exclusive with startingVersion.
+    val startingTs = parameters.get("startingTimestamp").map { s =>
+      require(starting.isEmpty,
+        "startingVersion and startingTimestamp are mutually exclusive")
+      s.toLongOption.getOrElse(try java.time.Instant.parse(s).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"startingTimestamp must be epoch millis or an ISO-8601 " +
+            s"instant (e.g. 2024-01-01T00:00:00Z), got '$s'")
+      })
+    }
     new GraftTableSource(sqlContext, mkSink(parameters),
       schema.getOrElse(
         mkSink(parameters).read(sqlContext.sparkSession).schema),
       changes = parameters.get("mode").contains("changes"),
-      startingVersion = starting)
+      startingVersion = starting,
+      startingTimestampMs = startingTs)
   }
 }
 
@@ -98,7 +112,8 @@ private[graft] object GraftStreamOffset {
 private[graft] final class GraftTableSource(sqlContext: SQLContext,
     sink: TableSink, override val schema: StructType,
     changes: Boolean = false,
-    startingVersion: Option[String] = None) extends Source {
+    startingVersion: Option[String] = None,
+    startingTimestampMs: Option[Long] = None) extends Source {
 
   private val spark: SparkSession = sqlContext.sparkSession
 
@@ -106,14 +121,18 @@ private[graft] final class GraftTableSource(sqlContext: SQLContext,
     * `startingVersion` contract): a consumer started at version N sees
     * (N, head] instead of replaying the full retained history as batch
     * 0; `latest` pins the head AT SOURCE CREATION, so a new consumer of
-    * a year-old table sees only post-start commits. Only the FIRST
-    * batch consults this — a checkpointed restart resumes from its own
-    * offset, which is why capturing `latest` at (re)creation is safe:
-    * the engine hands the checkpoint offset back as `start`. */
+    * a year-old table sees only post-start commits; a timestamp
+    * resolves to the last version committed at or before it (the same
+    * clock TIMESTAMP AS OF reads), so the consumer sees exactly the
+    * commits after that instant — a pre-history timestamp resolves to
+    * no floor = the default full replay. Only the FIRST batch consults
+    * this — a checkpointed restart resumes from its own offset, which
+    * is why capturing `latest` at (re)creation is safe: the engine
+    * hands the checkpoint offset back as `start`. */
   private val initialFloor: Option[Int] = startingVersion.map {
     case s if s.equalsIgnoreCase("latest") => sink.streamHead()._2
     case s => s.toInt
-  }
+  }.orElse(startingTimestampMs.flatMap(ms => sink.versionAtOrBefore(ms)))
 
   private def requireSameHistory(gen: String, cur: String): Unit =
     require(gen == cur,

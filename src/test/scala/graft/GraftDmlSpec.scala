@@ -269,6 +269,50 @@ class GraftDmlSpec extends AnyFunSuite {
       == "z")
   }
 
+  test("SQL MERGE on an identity-partitioned table rewrites only the " +
+    "partitions an action fired in; emptied partitions fall back safely") {
+    val sink = new TableSink(SinkConfig(tableName = "tmergescope",
+      warehousePath = wh, versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0),
+      (4L, "c", 4.0)).toDF("id", "cat", "v"))
+    def files(part: String): Map[String, Long] = {
+      val d = java.nio.file.Paths.get(s"$wh/tmergescope/cat=$part")
+      if (!java.nio.file.Files.isDirectory(d)) return Map.empty
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala
+        .filterNot(_.getFileName.toString.startsWith("_"))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    val (beforeB, beforeC) = (files("b"), files("c"))
+    // update one 'a' row + insert one 'd' row: only a and d are touched
+    Seq((1L, "a", 100.0), (9L, "d", 9.0)).toDF("id", "cat", "v")
+      .createOrReplaceTempView("merge_scope_src")
+    spark.sql("""MERGE INTO gdml.tmergescope t USING merge_scope_src s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, cat, v) VALUES (s.id, s.cat, s.v)""")
+    val got = spark.sql("SELECT id, v FROM gdml.tmergescope").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 100.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0,
+      9L -> 9.0))
+    assert(files("b") == beforeB && files("c") == beforeC,
+      "a MERGE firing only in cat=a and cat=d must not rewrite b or c")
+    // a MERGE that DELETES every row of partition c: dynamic overwrite
+    // cannot express an emptied partition — the guarded full-rewrite
+    // fallback must keep the result exact (and c's directory row-free)
+    Seq(Tuple1(4L)).toDF("id").createOrReplaceTempView("merge_scope_del")
+    spark.sql("""MERGE INTO gdml.tmergescope t USING merge_scope_del s
+      ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT id FROM gdml.tmergescope").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 9L),
+      "the emptied-partition merge must still delete exactly id=4")
+  }
+
   test("library update refuses partition-deriving columns and unknown columns") {
     val dir = TestSpark.tmpDir("upd_guard")
     val sink = new TableSink(SinkConfig(tableName = "t", warehousePath = dir,

@@ -434,6 +434,44 @@ class StreamingSpec extends AnyFunSuite {
     intercept[Exception](run(Some("nope"), "bad"))
   }
 
+  test("CDC streaming startingTimestamp resolves against the commit " +
+    "clock: an instant between v1 and v2 floors the stream at v1") {
+    import spark.implicits._
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_cdcts",
+      warehousePath = TestSpark.tmpDir("stream_cdcts_wh"),
+      versioned = true))
+    sink.append(Seq((1L, 10.0)).toDF("id", "v"))             // v1
+    Thread.sleep(30) // separate the commit mtimes
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(30)
+    sink.append(Seq((2L, 20.0)).toDF("id", "v"))             // v2
+    sink.append(Seq((3L, 30.0)).toDF("id", "v"))             // v3
+    def run(ts: Long, tag: String): Set[Long] = {
+      val out = TestSpark.tmpDir(s"stream_cdcts_out_$tag")
+      val q = sink.readChangesStream(spark,
+          startingTimestampMs = Some(ts))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation",
+          TestSpark.tmpDir(s"stream_cdcts_cp_$tag")).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out).select($"id").as[Long].collect().toSet
+    }
+    assert(run(betweenMs, "mid") == Set(2L, 3L),
+      "a timestamp between v1 and v2 must floor at v1 — (v1, head] only")
+    // a pre-history instant = no floor = the default full replay
+    assert(run(1000L, "pre") == Set(1L, 2L, 3L))
+    // both options together refuse
+    intercept[Exception] {
+      val q = sink.readChangesStream(spark, Some("1"), Some(betweenMs))
+        .writeStream.format("memory")
+        .queryName("cdcts_bad")
+        .option("checkpointLocation",
+          TestSpark.tmpDir("stream_cdcts_cp_bad")).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
   test("CDC streaming emits delete commits as retraction rows and " +
     "resumes from the checkpoint without replaying the feed") {
     import spark.implicits._
