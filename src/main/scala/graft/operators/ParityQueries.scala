@@ -1762,6 +1762,51 @@ object ParityQueries {
       |    AS total_v1
       |FROM events""".stripMargin
 
+  /** `INSERT INTO … REPLACE WHERE` through the pure-SQL door (DSv2
+    * SupportsOverwrite → [[TableSink.replaceWhere]]): the statement
+    * deletes the matching slice and inserts the replacement rows as ONE
+    * commit, and on this identity-partitioned table only the 'error'
+    * partition rewrites ([[TableSink.replacePartitionsScoped]] — the
+    * Delta dynamic-replaceWhere shape). The replacement recomputes the
+    * slice with a value bump, so the oracle is a CASE over the source:
+    * every engine-side piece (the partition routing, the delete+insert
+    * fusion, the scoped commit) must compose exactly or the hash
+    * drifts. */
+  def sqlReplaceWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_rw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrcr_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    val sink = new TableSink(SinkConfig(tableName = tbl, warehousePath = wh,
+      versioned = true, numPartitions = 4,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.select(col("event_id"), col("user_id"), col("value"),
+      col("event_type")))
+    spark.sql(s"INSERT INTO graft_cat.$tbl REPLACE WHERE " +
+      "event_type = 'error' " +
+      s"SELECT event_id, user_id, value * 2.0, event_type FROM $src " +
+      "WHERE event_type = 'error' AND value >= 50.0")
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM graft_cat.$tbl GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val sqlReplaceWhereSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT event_type, value FROM events WHERE event_type <> 'error'
+      |  UNION ALL
+      |  SELECT event_type, value * 2.0 AS value FROM events
+      |  WHERE event_type = 'error' AND value >= 50.0
+      |) GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** `UPDATE … SET … WHERE` through the pure-SQL door ([[GraftDmlRule]]):
     * ingest via `INSERT INTO … SELECT`, update a compound predicate with a
     * self-referencing SET expression (`value * 2 + 1` — the new value reads

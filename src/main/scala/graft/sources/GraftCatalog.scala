@@ -1221,13 +1221,16 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
     }
     util.Collections.unmodifiableMap(m)
   }
-  // TRUNCATE capability admits whole-table `INSERT OVERWRITE` (planned as
-  // OverwriteByExpression(true)); filtered overwrites stay refused by
-  // Spark's capability check (no OVERWRITE_BY_FILTER — partial overwrite
-  // is upsert/delete's job, with their partition-scoped protocols)
+  // TRUNCATE admits whole-table `INSERT OVERWRITE` (planned as
+  // OverwriteByExpression(true)); OVERWRITE_BY_FILTER admits the
+  // FILTERED forms — `INSERT OVERWRITE … PARTITION(...)` and
+  // `INSERT INTO … REPLACE WHERE` — routed through
+  // [[TableSink.replaceWhere]]'s delete-matching + insert commit
+  // (partition-scoped on identity-partitioned tables)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     scanOverride match {
       // renamed table: scans must coalesce old/new physical column names
@@ -1244,10 +1247,30 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
       // V2Writes plans whole-table INSERT OVERWRITE as
-      // OverwriteByExpression(true) and asks the builder to truncate()
+      // OverwriteByExpression(true) → truncate(); the FILTERED forms
+      // (PARTITION(...) static specs, REPLACE WHERE) arrive as
+      // overwrite(filters) — SupportsOverwrite's default truncate()
+      // delegates to overwrite(AlwaysTrue)
       private var overwriteAll = false
+      private var overwriteCond: Option[String] = None
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : WriteBuilder = {
+        if (filters.isEmpty ||
+            filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue()))
+          overwriteAll = true
+        else {
+          val parts = filters.toSeq.map(GraftFilterSql.filterSql)
+          require(parts.forall(_.isDefined),
+            s"INSERT OVERWRITE $fullName: the overwrite condition is not " +
+              "expressible by the filter translator — overwrite the " +
+              "whole table or route through the library API")
+          overwriteCond = Some(parts.flatten.mkString("(", ") AND (", ")"))
+        }
+        this
+      }
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
@@ -1255,7 +1278,13 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
             override def insert(data: org.apache.spark.sql.DataFrame,
                 overwrite: Boolean): Unit = {
               val sink = new TableSink(insertCfg)
-              if (overwrite || overwriteAll)
+              if (overwriteCond.isDefined)
+                // filtered overwrite: delete-matching + insert as ONE
+                // commit, partition-scoped on identity-partitioned
+                // tables (TableSink.replaceWhere)
+                sink.replaceWhere(data.sparkSession, data,
+                  overwriteCond.get)
+              else if (overwrite || overwriteAll)
                 // whole-table replace under the full guard battery:
                 // constraint gate, crash-safe swap, declaration sidecars
                 // carried, history expired (a rewrite invalidates it)

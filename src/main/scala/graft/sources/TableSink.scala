@@ -3218,6 +3218,41 @@ final class TableSink(val config: SinkConfig) {
     if (config.versioned) expireSnapshots() // rewrites invalidate history
   }
 
+  /** SQL `INSERT OVERWRITE … PARTITION(...)` / `INSERT INTO … REPLACE
+    * WHERE` semantics (the DSv2 SupportsOverwrite contract: delete the
+    * rows matching `conditionSql`, insert `newRows` — one atomic
+    * commit): the final row set is survivors ∪ new rows, and on an
+    * identity-partitioned table the write rewrites ONLY the partitions
+    * that lost rows plus the partitions receiving new rows
+    * ([[replacePartitionsScoped]] — Delta's dynamic replaceWhere
+    * shape); otherwise the guarded full rewrite. A NULL condition
+    * deletes nothing (SQL three-valued logic). */
+  private[graft] def replaceWhere(spark: SparkSession, newRows: DataFrame,
+      conditionSql: String): Unit = {
+    val cond = coalesce(expr(conditionSql), lit(false))
+    if (!WarehouseIO.exists(new org.apache.hadoop.fs.Path(config.tablePath))
+        || scala.util.Try(read(spark).isEmpty).getOrElse(true)) {
+      // empty/new table: the overwrite is just the insert
+      append(newRows); return
+    }
+    val current = read(spark)
+    val finalRows = current.filter(!cond)
+      .unionByName(newRows.select(current.columns.map(col): _*))
+    val parts = partitionColNames
+    val allIdentity = config.partitionSpec.nonEmpty &&
+      config.partitionSpec.forall(p =>
+        p.transform == Transform.Identity && p.explicitName.isEmpty)
+    if (!allIdentity) {
+      replaceAllRows(spark, finalRows, None, "INSERT OVERWRITE (filtered)")
+      return
+    }
+    val touched = current.filter(cond).select(parts.map(col): _*).distinct()
+      .unionByName(newRows.select(parts.map(col): _*).distinct())
+      .distinct()
+    replacePartitionsScoped(spark, finalRows, touched,
+      "INSERT OVERWRITE (filtered)")
+  }
+
   /** PARTITION-SCOPED commit primitive for the SQL MERGE front door:
     * `finalRows` is the statement's COMPLETE final row set (computed
     * against the analyzer's own resolved plans — it cannot be re-derived

@@ -313,6 +313,105 @@ class GraftDmlSpec extends AnyFunSuite {
       "the emptied-partition merge must still delete exactly id=4")
   }
 
+  test("INSERT OVERWRITE PARTITION / REPLACE WHERE: delete-matching + " +
+    "insert as one commit, partition-scoped on identity partitioning") {
+    val sink = new TableSink(SinkConfig(tableName = "trepl",
+      warehousePath = wh, versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"),
+      (4L, 4.0, "c")).toDF("id", "v", "cat"))
+    def files(part: String): Map[String, Long] = {
+      val d = java.nio.file.Paths.get(s"$wh/trepl/cat=$part")
+      if (!java.nio.file.Files.isDirectory(d)) return Map.empty
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala
+        .filterNot(_.getFileName.toString.startsWith("_"))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    val (beforeB, beforeC) = (files("b"), files("c"))
+    // static partition overwrite: replaces cat='a' with the new slice
+    spark.sql("INSERT OVERWRITE gdml.trepl PARTITION (cat = 'a') " +
+      "VALUES (10, 10.0), (11, 11.0)")
+    val got = spark.sql("SELECT id, v, cat FROM gdml.trepl").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got == Set((10L, 10.0, "a"), (11L, 11.0, "a"),
+      (3L, 3.0, "b"), (4L, 4.0, "c")), s"got $got")
+    assert(files("b") == beforeB && files("c") == beforeC,
+      "overwriting partition a must not rewrite b or c")
+    // REPLACE WHERE with a finer predicate: survivors of the matching
+    // partition are kept, the new rows land, other partitions untouched
+    val beforeB2 = files("b")
+    spark.sql("INSERT INTO gdml.trepl REPLACE WHERE cat = 'c' AND v > 3.5 " +
+      "VALUES (40, 40.0, 'c')")
+    val got2 = spark.sql("SELECT id FROM gdml.trepl ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got2 == Seq(3L, 10L, 11L, 40L), s"got $got2")
+    assert(files("b") == beforeB2,
+      "a cat='c'-scoped replace must not rewrite cat=b")
+    // unpartitioned table: same semantics through the full rewrite
+    val flat = new TableSink(SinkConfig(tableName = "trepl_flat",
+      warehousePath = wh, versioned = true))
+    flat.append(Seq((1L, 1.0), (2L, 200.0)).toDF("id", "v"))
+    spark.sql("INSERT INTO gdml.trepl_flat REPLACE WHERE v > 100.0 " +
+      "VALUES (9, 9.0)")
+    assert(spark.sql("SELECT id FROM gdml.trepl_flat ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 9L))
+  }
+
+  test("randomized MERGE parity: the partition-scoped path and the full " +
+    "rewrite produce identical results on twin tables") {
+    val rnd = new scala.util.Random(20260815L)
+    val cats = Seq("a", "b", "c", "d")
+    (1 to 12).foreach { trial =>
+      val tPart = s"tmprop_p$trial"
+      val tFlat = s"tmprop_f$trial"
+      val rows = (1 to 14).filter(_ => rnd.nextBoolean()).map(i =>
+        (i.toLong, cats(rnd.nextInt(cats.size)), rnd.nextInt(50).toDouble))
+      val srcIds = (1 to 20).filter(_ => rnd.nextBoolean())
+      val src = srcIds.map(i =>
+        (i.toLong, cats(rnd.nextInt(cats.size)), rnd.nextInt(50).toDouble))
+      new TableSink(SinkConfig(tableName = tPart, warehousePath = wh,
+        versioned = true,
+        partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+        .append(rows.toDF("id", "cat", "v"))
+      new TableSink(SinkConfig(tableName = tFlat, warehousePath = wh,
+        versioned = true)).append(rows.toDF("id", "cat", "v"))
+      src.toDF("id", "cat", "v").createOrReplaceTempView(s"mprop_src$trial")
+      // random action shape: conditional update/delete, optional insert,
+      // optional not-matched-by-source delete (partition columns never
+      // assigned by matched/nmbs actions — the scoped route's contract)
+      val matched = rnd.nextInt(3) match {
+        case 0 => "WHEN MATCHED AND s.v > 25 THEN UPDATE SET v = s.v " +
+          "WHEN MATCHED THEN DELETE"
+        case 1 => "WHEN MATCHED THEN UPDATE SET v = s.v + 1.0"
+        case 2 => "WHEN MATCHED AND t.v < 20 THEN DELETE"
+      }
+      val insert =
+        if (rnd.nextBoolean())
+          "WHEN NOT MATCHED AND s.v > 10 THEN INSERT (id, cat, v) " +
+            "VALUES (s.id, s.cat, s.v)"
+        else ""
+      val nmbs =
+        if (rnd.nextBoolean())
+          "WHEN NOT MATCHED BY SOURCE AND t.v > 40 THEN DELETE"
+        else ""
+      def run(t: String): Set[(Long, String, Double)] = {
+        spark.sql(s"""MERGE INTO gdml.$t t USING mprop_src$trial s
+          ON t.id = s.id
+          $matched $insert $nmbs""")
+        spark.sql(s"SELECT id, cat, v FROM gdml.$t").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      }
+      val (p, f) = (run(tPart), run(tFlat))
+      assert(p == f,
+        s"trial $trial diverged:\n scoped=$p\n full=$f\n " +
+          s"matched='$matched' insert='$insert' nmbs='$nmbs'")
+    }
+  }
+
   test("library update refuses partition-deriving columns and unknown columns") {
     val dir = TestSpark.tmpDir("upd_guard")
     val sink = new TableSink(SinkConfig(tableName = "t", warehousePath = dir,
