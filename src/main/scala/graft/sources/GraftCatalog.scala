@@ -1227,6 +1227,12 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
   // `INSERT INTO … REPLACE WHERE` — routed through
   // [[TableSink.replaceWhere]]'s delete-matching + insert commit
   // (partition-scoped on identity-partitioned tables)
+  // no OVERWRITE_DYNAMIC: Spark's dynamic-overwrite plan has no V1
+  // write fallback (TableCapabilityCheck demands true BATCH_WRITE and
+  // the exec calls Write.toBatch), so the statement refuses with
+  // Spark's standard capability error — the library API
+  // (TableSink.overwriteDynamic) and the working filtered forms
+  // (PARTITION(...) static specs, REPLACE WHERE) cover the semantics
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,

@@ -3253,6 +3253,56 @@ final class TableSink(val config: SinkConfig) {
       "INSERT OVERWRITE (filtered)")
   }
 
+  /** DYNAMIC partition overwrite (Spark's
+    * `partitionOverwriteMode=dynamic` semantics as a LIBRARY API):
+    * exactly the partitions the incoming rows land in are replaced,
+    * every other partition is untouched. On a plain
+    * identity-partitioned table this is ONE dynamic-overwrite write
+    * (O(incoming)); an unpartitioned table replaces everything (the
+    * mode's own semantics); hidden transforms, explicit partition
+    * names, clones, and pending merge-on-read sidecars take the
+    * guarded full-rewrite equivalent (survivors outside the touched
+    * partitions ∪ incoming — same result, the documented conservative
+    * cost). The pure-SQL `INSERT OVERWRITE` dynamic form cannot reach
+    * this (Spark's dynamic-overwrite plan has no V1 write fallback and
+    * refuses at the capability check) — SQL users get the same
+    * replacement through `INSERT OVERWRITE … PARTITION(...)` /
+    * `REPLACE WHERE`. */
+  def overwriteDynamic(spark: SparkSession,
+      data: DataFrame): Unit = {
+    requireNoStreamingLog()
+    requireNoBranches("INSERT OVERWRITE (dynamic)")
+    recoverSwap()
+    val parts = partitionColNames
+    if (parts.isEmpty) {
+      replaceAllRows(spark, data, None, "INSERT OVERWRITE (dynamic)")
+      return
+    }
+    val allIdentity = config.partitionSpec.forall(p =>
+      p.transform == Transform.Identity && p.explicitName.isEmpty)
+    if (allIdentity && cloneBasePath.isEmpty && !pendingMorDeletes) {
+      requireConstraints(data, "INSERT OVERWRITE (dynamic)")
+      dynamicOverwrite(spark, clusterForWrite(data))
+      if (config.versioned) expireSnapshots() // rewrites invalidate history
+      return
+    }
+    // conservative equivalent: survivors outside the incoming rows'
+    // partitions ∪ incoming, committed as the guarded full rewrite
+    // (null-SAFE partition equality — rows landing in the NULL
+    // partition replace it like any other)
+    val current = read(spark)
+    val dataD = withDerived(data)
+    val tv = parts.map(_ + "__graft_dyn")
+    val touched = broadcast(
+      dataD.select(parts.map(col): _*).distinct().toDF(tv: _*))
+    val cond = parts.zip(tv).map { case (p, t) => col(p) <=> col(t) }
+      .reduce(_ && _)
+    val survivors = current.join(touched, cond, "left_anti")
+    val finalRows = survivors.select(current.columns.map(col).toIndexedSeq: _*)
+      .unionByName(dataD.select(current.columns.map(col).toIndexedSeq: _*))
+    replaceAllRows(spark, finalRows, None, "INSERT OVERWRITE (dynamic)")
+  }
+
   /** PARTITION-SCOPED commit primitive for the SQL MERGE front door:
     * `finalRows` is the statement's COMPLETE final row set (computed
     * against the analyzer's own resolved plans — it cannot be re-derived

@@ -361,6 +361,94 @@ class GraftDmlSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 9L))
   }
 
+  test("dynamic partition overwrite replaces exactly the partitions the " +
+    "incoming rows land in") {
+    val sink = new TableSink(SinkConfig(tableName = "tdyn",
+      warehousePath = wh, versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+    sink.append(Seq((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "c"))
+      .toDF("id", "v", "cat"))
+    def files(part: String): Map[String, Long] = {
+      val d = java.nio.file.Paths.get(s"$wh/tdyn/cat=$part")
+      if (!java.nio.file.Files.isDirectory(d)) return Map.empty
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala
+        .filterNot(_.getFileName.toString.startsWith("_"))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    val (beforeB, beforeC) = (files("b"), files("c"))
+    // library API (the SQL dynamic form has no V1 write fallback in
+    // Spark and refuses at the capability check — see overwriteDynamic's
+    // scaladoc): rows land only in 'a' and (new) 'd'
+    sink.overwriteDynamic(spark,
+      Seq((10L, 10.0, "a"), (40L, 40.0, "d")).toDF("id", "v", "cat"))
+    val got = spark.sql("SELECT id, cat FROM gdml.tdyn").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got == Set(10L -> "a", 40L -> "d", 2L -> "b", 3L -> "c"),
+      s"got $got")
+    assert(files("b") == beforeB && files("c") == beforeC,
+      "dynamic overwrite landing in a and d must not rewrite b or c")
+    // the hidden-transform fallback path: same semantics via full rewrite
+    val hid = new TableSink(SinkConfig(tableName = "tdynh",
+      warehousePath = wh, versioned = true,
+      partitionSpec = Seq(PartitionField("b", Transform.Bucket(4)))))
+    hid.append(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "b"))
+    hid.overwriteDynamic(spark, Seq((9L, 10)).toDF("id", "b"))
+    val gotH = hid.read(spark).select($"id").as[Long].collect().toSet
+    // id=1 shares b=10's bucket partition with the incoming row: replaced
+    assert(!gotH.contains(1L) && gotH.contains(9L) &&
+      gotH.contains(2L) && gotH.contains(3L), s"got $gotH")
+  }
+
+  test("randomized UPDATE parity: the rendered-SQL scoped route and the " +
+    "full Bridge route produce identical results on twin tables") {
+    // The scoped route re-renders the resolved condition / SET
+    // expressions as SQL text and re-resolves them against the library
+    // read; this property pits that rendering against the Bridge-based
+    // full-rewrite path on an unpartitioned twin — any rendering
+    // infidelity (qualifiers, literals, function names, three-valued
+    // WHERE) diverges the results.
+    val rnd = new scala.util.Random(11L)
+    val conds = Seq(
+      "v < 20.0", "cat = 'a' AND v >= 10.0", "id IN (2, 4, 6) OR v > 40.0",
+      "length(cat) = 1 AND id % 2 = 0", "coalesce(v > 30.0, false)",
+      "cat IS NOT NULL AND abs(v - 25.0) < 10.0")
+    val sets = Seq(
+      Seq("v" -> "v * 2.0 + 1.0"),
+      Seq("v" -> "round(v / 2.0, 1)"),
+      Seq("v" -> "CAST(id AS DOUBLE) + v"),
+      Seq("v" -> "greatest(v, 15.0)"))
+    (1 to 8).foreach { trial =>
+      val rows = (1 to 12).map(i =>
+        (i.toLong, if (rnd.nextInt(5) == 0) null
+        else Seq("a", "b", "c")(rnd.nextInt(3)),
+          rnd.nextInt(50).toDouble))
+      val tPart = s"tuprop_p$trial"
+      val tFlat = s"tuprop_f$trial"
+      new TableSink(SinkConfig(tableName = tPart, warehousePath = wh,
+        versioned = true,
+        partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+        .append(rows.toDF("id", "cat", "v"))
+      new TableSink(SinkConfig(tableName = tFlat, warehousePath = wh,
+        versioned = true)).append(rows.toDF("id", "cat", "v"))
+      val cond = conds(rnd.nextInt(conds.size))
+      val set = sets(rnd.nextInt(sets.size))
+        .map { case (c, e) => s"$c = $e" }.mkString(", ")
+      def run(t: String): Set[(Long, String, Double)] = {
+        spark.sql(s"UPDATE gdml.$t SET $set WHERE $cond")
+        spark.sql(s"SELECT id, cat, v FROM gdml.$t").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      }
+      val (p, f) = (run(tPart), run(tFlat))
+      assert(p == f,
+        s"trial $trial diverged (SET $set WHERE $cond):\n " +
+          s"scoped=$p\n full=$f")
+    }
+  }
+
   test("randomized MERGE parity: the partition-scoped path and the full " +
     "rewrite produce identical results on twin tables") {
     val rnd = new scala.util.Random(20260815L)
