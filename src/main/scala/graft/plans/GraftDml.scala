@@ -172,11 +172,16 @@ case class GraftUpdateCommand(
           a.withQualifier(Seq.empty)
       }.sql
       val rendered = scala.util.Try {
-        val c = org.apache.spark.sql.functions.expr(
-          condition.map(bare).getOrElse("TRUE"))
-        val sets = setPairs.map { case (n, v) =>
-          n -> org.apache.spark.sql.functions.expr(bare(v)) }
-        (c, sets)
+        val cSql = condition.map(bare).getOrElse("TRUE")
+        val sSqls = setPairs.map { case (n, v) => n -> bare(v) }
+        // functions.expr DEFERS parsing (Spark 4 ColumnNode) — validate
+        // the renderings eagerly so an unparseable one falls back to the
+        // full-rewrite path here instead of failing the statement later
+        Bridge.parseExpression(spark, cSql)
+        sSqls.foreach { case (_, s) => Bridge.parseExpression(spark, s) }
+        (org.apache.spark.sql.functions.expr(cSql),
+          sSqls.map { case (n, s) =>
+            n -> org.apache.spark.sql.functions.expr(s) })
       }
       rendered.toOption.foreach { case (c, sets) =>
         new TableSink(cfg).update(spark, c, sets)

@@ -228,6 +228,31 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         WarehouseIO.exists(versionedMarker(ident)))
   }
 
+  /** The MoR serving frame: the library read pinned to snapshot `v`
+    * (scan-planning FILE pruning from the caller's pushed-filter
+    * conjuncts when provided), conformed to the DECLARED schema — a
+    * column added by ALTER that no file carries yet NULL-fills, a
+    * widened declared type upcasts; the library read infers from files
+    * and knows neither evolution. */
+  private def morCompute(cfg: SinkConfig, v: Int, declared: StructType,
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.DataFrame = {
+    val sink = new TableSink(cfg)
+    val spark = SparkSession.active
+    val df =
+      if (conjuncts.isEmpty) sink.readVersion(spark, v)
+      else sink.readVersionCandidates(spark, v, conjuncts)
+    declared.fields.foldLeft(df) { (d, f) =>
+      d.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case None => d.withColumn(f.name,
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+        case Some(g) if g.dataType != f.dataType =>
+          d.withColumn(f.name, d(g.name).cast(f.dataType))
+        case _ => d
+      }
+    }
+  }
+
   /** Wrap the file set in the matching native v2 file table. Format is
     * detected from the data-file extensions (the sink writes exactly one
     * format per table), so catalog reads need no per-table config.
@@ -277,25 +302,39 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // SQL door no longer goes dark between a MoR delete and its
     // compaction. Scan-planning stats pruning stays off in this mode
     // (conservative; the sidecar anti-join needs the full row stream).
+    // translate pushed source Filters to catalyst conjuncts for
+    // scan-planning file pruning (planCandidates' input shape); an
+    // untranslatable filter simply contributes nothing — conservative
+    def filterConjuncts(
+        filters: Array[org.apache.spark.sql.sources.Filter])
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+      def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            split(l) ++ split(r)
+          case other => Seq(other)
+        }
+      filters.toSeq.flatMap(GraftFilterSql.filterSql).flatMap { sql =>
+        scala.util.Try(org.apache.spark.sql.graft.Bridge.parseExpression(
+          SparkSession.active, sql)).toOption
+      }.flatMap(split(_))
+    }
     val morOverride: Option[(StructType, () => org.apache.spark.sql.DataFrame)] =
       morVersion.map { v =>
         val declared = userSchema.getOrElse(delegate.schema)
-        (declared, () => {
-          val df = new TableSink(cfg).readVersion(SparkSession.active, v)
-          // conform to the DECLARED schema: a column added by ALTER that
-          // no file carries yet NULL-fills, and a widened declared type
-          // upcasts — the library read infers from files and knows
-          // neither evolution
-          declared.fields.foldLeft(df) { (d, f) =>
-            d.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
-              case None => d.withColumn(f.name,
-                org.apache.spark.sql.functions.lit(null).cast(f.dataType))
-              case Some(g) if g.dataType != f.dataType =>
-                d.withColumn(f.name, d(g.name).cast(f.dataType))
-              case _ => d
-            }
-          }
-        })
+        (declared, () => morCompute(cfg, v, declared, Nil))
+      }
+    // filter-AWARE variant of the same compute: the pushed filters also
+    // prune the FILE LIST (manifest stats + hidden-partition transform
+    // bounds) before the library read — a pending MoR sidecar no longer
+    // costs selective queries their scan-planning skipping
+    val morFilterCompute: Option[Array[org.apache.spark.sql.sources.Filter] =>
+        org.apache.spark.sql.DataFrame] =
+      morVersion.map { v =>
+        val declared = userSchema.getOrElse(delegate.schema)
+        (filters: Array[org.apache.spark.sql.sources.Filter]) =>
+          morCompute(cfg, v, declared, filterConjuncts(filters))
       }
     val renameOverride: Option[(StructType, () => org.apache.spark.sql.DataFrame)] =
       if (renames.isEmpty) None
@@ -343,10 +382,13 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         hideCols = cfg.partitionSpec
           .filter(_.transform != Transform.Identity).map(_.columnName),
         scanOverride = scanOverride,
+        scanFilterCompute =
+          if (morOverride.isDefined) morFilterCompute else None,
         statsPlanner = statsPlanner)
     else scanOverride match {
       case Some((sch, compute)) =>
-        new GraftProjectedTable(ident.toString, sch, compute)
+        new GraftProjectedTable(ident.toString, sch, compute,
+          if (morOverride.isDefined) morFilterCompute else None)
       case None => new GraftReadOnlyTable(delegate, ident.toString)
     }
   }
@@ -1077,7 +1119,9 @@ private[graft] object GraftFilterSql {
   * residual, so Spark re-evaluates every predicate above the scan —
   * best-effort pushdown can never change results. */
 private[graft] final class ProjectedScanBuilder(schema0: StructType,
-    compute: () => org.apache.spark.sql.DataFrame) extends ScanBuilder
+    compute: () => org.apache.spark.sql.DataFrame,
+    computeWithFilters: Option[Array[org.apache.spark.sql.sources.Filter] =>
+      org.apache.spark.sql.DataFrame] = None) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var pruned: StructType = schema0
@@ -1103,7 +1147,11 @@ private[graft] final class ProjectedScanBuilder(schema0: StructType,
           override def schema: StructType = pruned
           override def buildScan(): org.apache.spark.rdd.RDD[
               org.apache.spark.sql.Row] = {
-            val df0 = compute()
+            // filter-aware frames (the MoR serving path) receive the
+            // pushed filters for scan-planning FILE pruning; the same
+            // filters are re-applied below regardless — the frame-level
+            // pruning narrows I/O, never decides row membership alone
+            val df0 = computeWithFilters.fold(compute())(f => f(hint))
             val df1 = hint.flatMap(GraftFilterSql.filterSql)
               .foldLeft(df0)((d, sql) =>
                 d.where(org.apache.spark.sql.functions.expr(sql)))
@@ -1117,7 +1165,9 @@ private[graft] final class ProjectedScanBuilder(schema0: StructType,
   * declared schema through [[ProjectedScanBuilder]]. */
 private[graft] final class GraftProjectedTable(fullName: String,
     schema0: StructType,
-    compute: () => org.apache.spark.sql.DataFrame)
+    compute: () => org.apache.spark.sql.DataFrame,
+    filterCompute: Option[Array[org.apache.spark.sql.sources.Filter] =>
+      org.apache.spark.sql.DataFrame] = None)
     extends Table with SupportsRead {
   override def name(): String = fullName
   override def schema(): StructType = schema0
@@ -1126,7 +1176,7 @@ private[graft] final class GraftProjectedTable(fullName: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ProjectedScanBuilder(schema0, compute)
+    new ProjectedScanBuilder(schema0, compute, filterCompute)
 }
 
 /** The catalog-side ingredients of scan-planning stats pruning: the
@@ -1144,6 +1194,8 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
     hideCols: Seq[String] = Nil,
     scanOverride: Option[(StructType, () => org.apache.spark.sql.DataFrame)] =
       None,
+    scanFilterCompute: Option[Array[org.apache.spark.sql.sources.Filter] =>
+      org.apache.spark.sql.DataFrame] = None,
     statsPlanner: Option[GraftStatsPlanner] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -1239,8 +1291,10 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
       TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     scanOverride match {
-      // renamed table: scans must coalesce old/new physical column names
-      case Some((sch, compute)) => new ProjectedScanBuilder(sch, compute)
+      // renamed / MoR-pending table: scans serve through the library
+      // frame (filter-aware for MoR — file pruning stays live)
+      case Some((sch, compute)) =>
+        new ProjectedScanBuilder(sch, compute, scanFilterCompute)
       case None => (statsPlanner, delegate.newScanBuilder(options)) match {
         // manifest-stats pruning at scan planning (Iceberg's manifest
         // evaluation): pushed filters also prune the FILE LIST

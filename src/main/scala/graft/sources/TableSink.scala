@@ -1386,6 +1386,49 @@ final class TableSink(val config: SinkConfig) {
   def readVersion(spark: SparkSession, version: Int): DataFrame =
     applyDeletes(readFiles(spark, manifestFiles(version)), version)
 
+  /** [[readVersion]] with SCAN-PLANNING file pruning: the caller's
+    * pushed-filter conjuncts consult manifest stats and hidden-partition
+    * transform bounds ([[planCandidates]]) and only the SURVIVOR files
+    * are read — so a merge-on-read-pending table served through the
+    * catalog's library-read path keeps the same file skipping its raw
+    * V2 scan would have had. Sound under the sidecar subtraction:
+    * pruning removes files PROVEN to contain no matching rows, deletes
+    * only subtract more. Conjuncts that don't translate simply prune
+    * nothing (conservative). */
+  private[graft] def readVersionCandidates(spark: SparkSession, version: Int,
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : DataFrame = {
+    val rels = manifestFiles(version)
+    if (conjuncts.isEmpty || rels.isEmpty) return readVersion(spark, version)
+    val abs = rels.map(r =>
+      if (r.startsWith("/")) r else s"${config.tablePath}/$r")
+    // PRE-FOLD constant subtrees: a freshly-parsed conjunct carries
+    // typed literals as Cast(Literal) (the analyzer's ConstantFolding
+    // never ran on it), which planCandidates' attribute-vs-LITERAL
+    // translation would skip — fold them to Literals first (timestamp
+    // casts need the session timezone pinned to be resolvable; the
+    // literal text itself is an absolute instant, so the fold is
+    // timezone-exact). Anything unfoldable passes through untouched —
+    // conservative, prunes nothing.
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val folded = conjuncts.map(_.transformUp {
+      case c: Cast if c.timeZoneId.isEmpty && c.needsTimeZone =>
+        c.withTimeZone(tz)
+    }.transformUp {
+      case e if e.resolved && e.foldable && !e.isInstanceOf[Literal] =>
+        scala.util.Try(Literal.create(e.eval(null), e.dataType))
+          .getOrElse(e)
+    })
+    planCandidates(spark, abs, folded) match {
+      case Some(survivors) =>
+        val keep = survivors.toSet
+        applyDeletes(readFiles(spark,
+          rels.zip(abs).collect { case (r, a) if keep(a) => r }), version)
+      case None => applyDeletes(readFiles(spark, rels), version)
+    }
+  }
+
   // --------------------------------------------- merge-on-read deletes
   // Iceberg-v2-style equality deletes: [[deleteWhere]] commits a delete
   // PREDICATE as pure metadata (the snapshot keeps the head's file list;

@@ -16,7 +16,7 @@ import org.apache.spark.sql.classic
   * `Dataset.ofRows` and the Column↔Expression converters.
   *
   * Everything else in the engine stays on the public API; keep this file
-  * to exactly the two capabilities below.
+  * to exactly the small capability set below.
   */
 object Bridge {
 
@@ -30,4 +30,12 @@ object Bridge {
 
   /** The resolved expression inside a Column. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Parse SQL text to a catalyst expression TREE eagerly. Spark 4's
+    * `functions.expr` defers parsing inside a ColumnNode wrapper, so
+    * consumers that pattern-match the tree (scan-planning candidate
+    * pruning) need the session parser directly. */
+  def parseExpression(spark: SparkSession, sql: String): Expression =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
+      .parseExpression(sql)
 }

@@ -344,6 +344,39 @@ class MorDeleteSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.sql.deleteMode")
   }
 
+  test("a pending MoR sidecar does not disable scan-planning pruning: " +
+    "the filter-aware library read narrows its candidate files") {
+    val sink = new TableSink(SinkConfig(tableName = "m_prune",
+      warehousePath = wh, versioned = true,
+      partitionSpec = Seq(PartitionField("ts", Transform.Day))))
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    sink.append(Seq(
+      (1L, ts("2024-01-01T05:00:00Z"), 10.0),
+      (2L, ts("2024-01-02T05:00:00Z"), 20.0),
+      (3L, ts("2024-01-03T05:00:00Z"), 30.0)).toDF("id", "ts", "v"))
+    sink.deleteWhere("id = 2")                     // pending sidecar
+    val head = sink.snapshotVersions().last
+    def conj(sql: String) =
+      org.apache.spark.sql.graft.Bridge.parseExpression(spark, sql)
+    def dataFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.count(_.contains("ts_day="))
+    val all = dataFiles(sink.readVersion(spark, head))
+    val narrowed = sink.readVersionCandidates(spark, head, Seq(
+      conj("ts >= TIMESTAMP '2024-01-03T00:00:00Z'")))
+    assert(dataFiles(narrowed) < all,
+      s"the day-window bound must prune derived directories " +
+        s"(${dataFiles(narrowed)} vs $all files)")
+    // correctness: pruning + sidecar subtraction compose
+    assert(narrowed.select($"id").as[Long].collect().toSeq == Seq(3L))
+    // end-to-end through the SQL door (the catalog's filter-aware MoR
+    // serving path): day-window query on the pending-sidecar table
+    assert(spark.sql("SELECT id FROM gmor.m_prune " +
+        "WHERE ts >= TIMESTAMP '2024-01-02T00:00:00Z' ORDER BY id")
+      .as[Long].collect().toSeq == Seq(3L),
+      "SQL reads through a pending sidecar must stay correct under " +
+        "pushed temporal bounds")
+  }
+
   test("branch/delete interleavings refuse loudly") {
     val sink = mkSink("m5")
     sink.createBranch("audit")
