@@ -237,7 +237,13 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private def morCompute(cfg: SinkConfig, v: Int, declared: StructType,
       conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.DataFrame = {
-    val sink = new TableSink(cfg)
+    // read UNDER the declared schema: a widened column leaves mixed
+    // int32/int64 file generations behind, and a footer-inferred read
+    // would request the narrow type from the wide files (a hard read
+    // error); the declared schema makes the parquet reader upcast, and
+    // columns no file carries yet NULL-fill — the same contract the raw
+    // V2 serving path gets from its userSchema
+    val sink = new TableSink(cfg.copy(tableSchema = Some(declared)))
     val spark = SparkSession.active
     val df =
       if (conjuncts.isEmpty) sink.readVersion(spark, v)

@@ -449,6 +449,46 @@ class GraftDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized REPLACE WHERE parity: scoped and full paths agree " +
+    "on twin tables") {
+    val rnd = new scala.util.Random(77L)
+    val cats = Seq("a", "b", "c")
+    val conds = Seq("cat = 'a'", "v < 20.0", "cat = 'b' AND v >= 10.0",
+      "id IN (1, 3, 5)", "cat IN ('a', 'c') AND v > 15.0")
+    (1 to 8).foreach { trial =>
+      val rows = (1 to 10).map(i =>
+        (i.toLong, cats(rnd.nextInt(3)), rnd.nextInt(40).toDouble))
+      val repl = (1 to 3).map(i =>
+        (100L + i, cats(rnd.nextInt(3)), rnd.nextInt(40).toDouble))
+      val tP = s"trw_p$trial"; val tF = s"trw_f$trial"
+      new TableSink(SinkConfig(tableName = tP, warehousePath = wh,
+        versioned = true,
+        partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+        .append(rows.toDF("id", "cat", "v"))
+      new TableSink(SinkConfig(tableName = tF, warehousePath = wh,
+        versioned = true)).append(rows.toDF("id", "cat", "v"))
+      val cond = conds(rnd.nextInt(conds.size))
+      val values = repl.map { case (i, c, v) => s"($i, '$c', $v)" }
+        .mkString(", ")
+      def run(t: String, partitionedCols: Boolean): Set[(Long, String, Double)] = {
+        // partitioned catalog schema orders the partition column last
+        val stmt =
+          if (partitionedCols)
+            s"INSERT INTO gdml.$t REPLACE WHERE $cond " +
+              repl.map { case (i, c, v) => s"($i, $v, '$c')" }
+                .mkString("VALUES ", ", ", "")
+          else s"INSERT INTO gdml.$t REPLACE WHERE $cond VALUES $values"
+        spark.sql(stmt)
+        spark.sql(s"SELECT id, cat, v FROM gdml.$t").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      }
+      val (p, f) = (run(tP, partitionedCols = true),
+        run(tF, partitionedCols = false))
+      assert(p == f, s"trial $trial diverged (WHERE $cond):\n " +
+        s"scoped=$p\n full=$f")
+    }
+  }
+
   test("randomized MERGE parity: the partition-scoped path and the full " +
     "rewrite produce identical results on twin tables") {
     val rnd = new scala.util.Random(20260815L)

@@ -377,6 +377,28 @@ class MorDeleteSpec extends AnyFunSuite {
         "pushed temporal bounds")
   }
 
+  test("schema evolution composes with MoR serving: a widened column " +
+    "and a pending sidecar read back together through SQL") {
+    spark.sql("CREATE TABLE gmor.m_widemor (id BIGINT, n INT) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gmor.m_widemor VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql("ALTER TABLE gmor.m_widemor ALTER COLUMN n TYPE BIGINT")
+    spark.sql("INSERT INTO gmor.m_widemor VALUES (4, 5000000000)")
+    // pending sidecar on the evolved table: the MoR serving path must
+    // CONFORM the library frame to the declared schema (upcast the
+    // int32 generation) while applying the sidecar
+    val sink = new TableSink(SinkConfig(tableName = "m_widemor",
+      warehousePath = wh, versioned = true))
+    sink.deleteWhere("id = 2")
+    val got = spark.sql(
+      "SELECT sum(n) AS s, count(*) AS c FROM gmor.m_widemor").head()
+    assert(got.getLong(0) == 5000000040L && got.getLong(1) == 3,
+      s"widen + sidecar must compose: $got")
+    // time travel before the delete, still under the widened schema
+    assert(spark.sql("SELECT sum(n) FROM gmor.m_widemor VERSION AS OF 2")
+      .head().getLong(0) == 5000000060L)
+  }
+
   test("branch/delete interleavings refuse loudly") {
     val sink = mkSink("m5")
     sink.createBranch("audit")
