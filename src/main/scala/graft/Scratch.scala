@@ -21,6 +21,7 @@ object Scratch {
       case "split:zonemap_prune" => statsSplit(spark, sfDir, bloom = false)
       case "split:bloom_prune" => statsSplit(spark, sfDir, bloom = true)
       case "split:sql_delete" => sqlDeleteSplit(spark, sfDir)
+      case "split:mor_read" => morReadSplit(spark, sfDir)
       case n =>
         (1 to 2).foreach { i =>
           val t0 = System.nanoTime()
@@ -73,9 +74,70 @@ object Scratch {
       timed("replicate batch 2 (delete versions)") {
         src.replicateTo(spark, replica, Seq("event_id"), cursor)
       }
+      // round-11 added a consolidate-fold probe into every delete-batch
+      // apply (maybeConsolidateDeletes) — time the probe standalone so a
+      // drift attributes to it rather than hiding inside batch 2. At the
+      // bench's cadence the replica holds ONE pending key sidecar, far
+      // under deleteConsolidateThreshold (16), so the fold itself never
+      // fires here — only the pending-count probe is on the hot path.
+      timed("consolidate-fold probe (pending-count check, no fold)") {
+        replica.maybeConsolidateDeletes(spark)
+      }
       timed("final aggregate") {
         replica.read(spark).groupBy(col("event_type"))
           .agg(count(lit(1)).as("n")).count()
+      }
+    }
+  }
+
+  /** MoR-serving read-path attribution (VERDICT r11 #5): a table with a
+    * pending position sidecar serves SQL reads through a V1 projected
+    * relation (`df.rdd` → external Rows → back to internal rows). This
+    * split measures that conversion's real share by timing the SAME
+    * aggregate through (a) the SQL catalog (V1 bridge) and (b) the
+    * library read (no bridge — identical scan, sidecar anti-join, and
+    * aggregate, minus the Row round-trip). Decision rule from the
+    * verdict: build a native DSv2 PartitionReader only if the bridge
+    * costs >25% of the read phase. */
+  private def morReadSplit(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    // ONE warehouse for the whole split: the catalog instance pins the
+    // warehouse it was initialized with, so per-run warehouses would
+    // strand run 2's table in run 1's directory
+    val wh = s"/root/repo/target/tmp/morread_wh_${java.util.UUID.randomUUID()}"
+    spark.conf.set("spark.sql.catalog.gmors", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmors.warehouse", wh)
+    (1 to 2).foreach { i =>
+      def timed[A](what: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[split] run$i $what: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      val e = Tables.events(spark, sfDir)
+      val tbl = s"events_morread_$i"
+      timed("fixture: create + insert + mor DELETE") {
+        e.createOrReplaceTempView("morread_src")
+        spark.sql(s"CREATE TABLE gmors.$tbl " +
+          "(event_id BIGINT, user_id BIGINT, value DOUBLE) " +
+          "TBLPROPERTIES('versioned'='true')")
+        spark.sql(s"INSERT INTO gmors.$tbl " +
+          "SELECT event_id, user_id, value FROM morread_src")
+        spark.conf.set("spark.graft.sql.deleteMode", "mor")
+        try spark.sql(s"DELETE FROM gmors.$tbl WHERE user_id IN (0, 7, 14)")
+        finally spark.conf.unset("spark.graft.sql.deleteMode")
+      }
+      val sink = new TableSink(SinkConfig(tableName = tbl,
+        warehousePath = wh, versioned = true))
+      (1 to 3).foreach { pass =>
+        timed(s"pass $pass catalog read (V1 projected MoR serving)") {
+          spark.sql(s"SELECT COUNT(*), SUM(value), MIN(event_id), " +
+            s"MAX(event_id) FROM gmors.$tbl").collect()
+        }
+        timed(s"pass $pass library read (same scan, no V1 row bridge)") {
+          sink.read(spark).agg(count(lit(1)), sum(col("value")),
+            min(col("event_id")), max(col("event_id"))).collect()
+        }
       }
     }
   }

@@ -825,6 +825,61 @@ object ParityQueries {
     * consumption must be indistinguishable from one full read. */
   val changelogIncrementalSql: String = changelogCdcSql
 
+  /** The cursor API's `startingTimestamp` floor (round-12 — the stream
+    * sources' option on [[TableSink.readChangelogSince]]): the same
+    * four-commit fixture, consumed by a FRESH cursor whose starting
+    * timestamp is captured between v1 and v2 — the batch must be
+    * exactly the v2-insert + v3-delete + v4-delete slice (every commit
+    * at or after the instant, none before it; the Delta contract,
+    * resolved against the same commit clock as TIMESTAMP AS OF). The
+    * oracle recomputes that slice with explicit set algebra, so a floor
+    * leaking v1 rows or dropping v2's is a hash mismatch. */
+  def changelogSinceTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_chg_ts", warehousePath = dest, numPartitions = 4,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id")))
+    sink.append(e.filter(pmod($"event_id", lit(3)) =!= 0))     // v1 insert
+    Thread.sleep(30) // separate the commit mtimes around the cutoff
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(30)
+    sink.append(e.filter(pmod($"event_id", lit(3)) === 0))     // v2 insert
+    sink.deleteWhere("value < 100.0")                          // v3 delete
+    sink.deleteKeys(                                           // v4 delete
+      e.filter(pmod($"user_id", lit(7)) === 0).select($"user_id"),
+      Seq("user_id"))
+    val cursor = s"$dest/_chg_ts_cursor"
+    val (b, commit) = sink.readChangelogSince(spark, cursor,
+      startingTimestampMs = Some(betweenMs))
+    val batch = b.localCheckpoint()
+    commit()
+    batch.groupBy($"_change_version", $"_change_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"_change_version", $"_change_type")
+  }
+
+  val changelogSinceTsSql: String =
+    """WITH v2 AS (SELECT * FROM events WHERE event_id % 3 = 0),
+      |d3 AS (SELECT * FROM events WHERE coalesce(value < 100.0, FALSE)),
+      |d4 AS (SELECT * FROM events
+      |       WHERE NOT coalesce(value < 100.0, FALSE)
+      |         AND user_id % 7 = 0),
+      |chg AS (
+      |  SELECT 2 AS _change_version, 'insert' AS _change_type, value FROM v2
+      |  UNION ALL
+      |  SELECT 3, 'delete', value FROM d3
+      |  UNION ALL
+      |  SELECT 4, 'delete', value FROM d4)
+      |SELECT CAST(_change_version AS BIGINT) AS _change_version,
+      |  _change_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** CDC replication end-to-end: the four-commit fixture's changelog is
     * applied to a DOWNSTREAM replica via [[TableSink.replicateTo]] in two
     * cursor micro-batches (after the appends, after the deletes) — insert
@@ -1723,6 +1778,71 @@ object ParityQueries {
       |FROM events
       |WHERE NOT coalesce(user_id IN (0, 7, 14), FALSE)""".stripMargin
 
+  /** `UPDATE … SET … WHERE` through the pure-SQL door in MERGE-ON-READ
+    * mode (`spark.graft.sql.updateMode=mor`, round-12): ONE commit
+    * position-deletes the matched rows and appends their replacements —
+    * O(matched rows) data IO, ZERO pre-existing data files rewritten or
+    * removed, history preserved (no expiry). The sidecar is referenced
+    * INSIDE the claimed snapshot (`#pos` line — the `#txn` pattern), so
+    * no reader window ever shows old and new copies together. The
+    * `mor_no_rewrite` flag is ORACLE-GATED: TRUE only when every
+    * pre-update data file survives BY NAME AND the pre-update snapshot
+    * is still time-travel-readable with the OLD total — a silent
+    * regression to copy-on-write (which rewrites files and expires
+    * history) fails the hash. Reference anchor: the connector's only
+    * write mode is non-rewriting appends (connector.py:233-245). */
+  def sqlUpdateMor(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_squm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrcu_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl " +
+      "(event_id BIGINT, user_id BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, user_id, value FROM $src")
+    val sink = new TableSink(SinkConfig(tableName = tbl,
+      warehousePath = wh, versioned = true))
+    val before = sink.dataFilesRel().toSet
+    val oldTotal = spark.sql(
+      s"""SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         |FROM graft_cat.$tbl""".stripMargin).collect()(0).getDouble(0)
+    // a SELECTIVE predicate — the position flavor's intended workload
+    // (the broad-update COW twin is q_sql_update); `value + 1000` keeps
+    // the fractional digits bit-identical so the decimal-rounded oracle
+    // total matches exactly
+    try {
+      spark.conf.set("spark.graft.sql.updateMode", "mor")
+      spark.sql(s"UPDATE graft_cat.$tbl SET value = value + 1000.0 " +
+        "WHERE user_id IN (0, 7, 14)")
+    } finally spark.conf.unset("spark.graft.sql.updateMode")
+    val after = sink.dataFilesRel().toSet
+    val histTotal = spark.sql(
+      s"""SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         |FROM graft_cat.$tbl VERSION AS OF 1""".stripMargin)
+      .collect()(0).getDouble(0)
+    val morNoRewrite = before.nonEmpty && before.subsetOf(after) &&
+      math.abs(histTotal - oldTotal) < 1e-6
+    spark.sql(
+      s"""SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  min(event_id) AS min_id, max(event_id) AS max_id,
+         |  $morNoRewrite AS mor_no_rewrite
+         |FROM graft_cat.$tbl""".stripMargin)
+  }
+
+  val sqlUpdateMorSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(CASE WHEN coalesce(user_id IN (0, 7, 14), FALSE)
+      |    THEN value + 1000.0 ELSE value END AS DECIMAL(18,2)))
+      |    AS DOUBLE) AS total,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  TRUE AS mor_no_rewrite
+      |FROM events""".stripMargin
+
   /** TYPE-WIDENING schema evolution through the pure-SQL door: ingest
     * under INT, `ALTER COLUMN … TYPE BIGINT`, insert a value a 32-bit
     * int cannot hold, aggregate — old int32 files upcast at scan under
@@ -2503,6 +2623,140 @@ object ParityQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM final""".stripMargin
+
+  /** `MERGE INTO` through the pure-SQL door in MERGE-ON-READ mode
+    * (`spark.graft.sql.mergeMode=mor`, round-12): ONE commit
+    * position-deletes the target rows an action fired on and appends
+    * the survivors' new values plus the fired inserts — O(changed rows)
+    * data IO, ZERO pre-existing files rewritten, history preserved;
+    * untouched rows are never read-modified-written. The `mor_no_rewrite`
+    * flag is ORACLE-GATED exactly like `q_sql_update_mor`'s: TRUE only
+    * when every pre-merge data file survives by name AND the pre-merge
+    * snapshot still time-travels to the old total. All three action
+    * classes fire: matched update + matched delete (selective source —
+    * the position flavor's workload), not-matched insert. */
+  def sqlMergeMor(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_sqmm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrcmm_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl " +
+      "(event_id BIGINT, user_id BIGINT, value DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, user_id, value FROM $src WHERE event_id % 3 <> 0")
+    val sink = new TableSink(SinkConfig(tableName = tbl,
+      warehousePath = wh, versioned = true))
+    val before = sink.dataFilesRel().toSet
+    val oldTotal = spark.sql(
+      s"""SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         |FROM graft_cat.$tbl""".stripMargin).collect()(0).getDouble(0)
+    try {
+      spark.conf.set("spark.graft.sql.mergeMode", "mor")
+      spark.sql(
+        s"""MERGE INTO graft_cat.$tbl AS tgt
+           |USING (SELECT event_id, user_id, value FROM $src
+           |       WHERE user_id IN (0, 7, 14)) AS s
+           |ON tgt.event_id = s.event_id
+           |WHEN MATCHED AND s.value < 100.0 THEN
+           |  UPDATE SET value = s.value + 1000.0
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN
+           |  INSERT (event_id, user_id, value)
+           |  VALUES (s.event_id, s.user_id, s.value)
+           |""".stripMargin)
+    } finally spark.conf.unset("spark.graft.sql.mergeMode")
+    val after = sink.dataFilesRel().toSet
+    val histTotal = spark.sql(
+      s"""SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         |FROM graft_cat.$tbl VERSION AS OF 1""".stripMargin)
+      .collect()(0).getDouble(0)
+    val morNoRewrite = before.nonEmpty && before.subsetOf(after) &&
+      math.abs(histTotal - oldTotal) < 1e-6
+    spark.sql(
+      s"""SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  min(event_id) AS min_id, max(event_id) AS max_id,
+         |  $morNoRewrite AS mor_no_rewrite
+         |FROM graft_cat.$tbl""".stripMargin)
+  }
+
+  val sqlMergeMorSql: String =
+    """WITH final AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN coalesce(user_id IN (0, 7, 14), FALSE)
+      |      THEN value + 1000.0 ELSE value END AS value
+      |  FROM events
+      |  WHERE event_id % 3 <> 0
+      |    AND NOT (coalesce(user_id IN (0, 7, 14), FALSE)
+      |             AND value >= 100.0)
+      |  UNION ALL
+      |  SELECT event_id, user_id, value FROM events
+      |  WHERE event_id % 3 = 0 AND coalesce(user_id IN (0, 7, 14), FALSE)
+      |)
+      |SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  TRUE AS mor_no_rewrite
+      |FROM final""".stripMargin
+
+  /** SQL DYNAMIC partition overwrite (round-12 — the former refusal):
+    * `INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` resolves into
+    * the library's partition-scoped dynamic overwrite via the session
+    * extension rule (the UPDATE/MERGE interception pattern — Spark's
+    * own dynamic plan has no V1 write fallback). The statement replaces
+    * EXACTLY the partition the incoming rows land in ('click', values
+    * doubled); every other partition's file inventory must survive BY
+    * NAME — the `untouched_intact` flag is oracle-gated, so a silent
+    * degrade to a whole-table overwrite fails the hash. */
+  def sqlDynamicOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl = s"events_sqdo_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrcdo_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl " +
+      "(event_id BIGINT, value DOUBLE, event_type STRING) " +
+      "PARTITIONED BY (event_type) TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +
+      s"SELECT event_id, value, event_type FROM $src")
+    val sink = new TableSink(SinkConfig(tableName = tbl,
+      warehousePath = wh, versioned = true))
+    val untouchedBefore = sink.dataFilesRel()
+      .filterNot(_.startsWith("event_type=click/")).toSet
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.sql(s"INSERT OVERWRITE graft_cat.$tbl " +
+        s"SELECT event_id, value * 2.0 AS value, event_type FROM $src " +
+        "WHERE event_type = 'click'")
+    } finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val untouchedAfter = sink.dataFilesRel()
+      .filterNot(_.startsWith("event_type=click/")).toSet
+    val intact = untouchedBefore.nonEmpty &&
+      untouchedBefore == untouchedAfter
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  $intact AS untouched_intact
+         |FROM graft_cat.$tbl GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val sqlDynamicOverwriteSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value * 2.0
+      |    ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  TRUE AS untouched_intact
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Snapshot TAGS end-to-end — immutable named refs to commits (Iceberg
     * tags): batch 1 commits (v1) and is tagged `baseline`, batch 2 commits

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, ExprId,
   Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction,
-  InsertAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias,
-  UpdateAction, UpdateTable}
+  InsertAction, LogicalPlan, MergeAction, MergeIntoTable,
+  OverwritePartitionsDynamic, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -55,6 +55,32 @@ object GraftDml {
       case _ => None
     }
     table(plan).map(t => (plan, t))
+  }
+
+  /** An attribute rendered for SQL re-parsing (the scoped UPDATE route):
+    * unqualified and ALWAYS backtick-quoted — `quoteIfNeeded` would
+    * render a column named like a niladic function (`current_date`)
+    * bare, and the re-parse would silently resolve the FUNCTION. */
+  private[graft] final case class QuotedSqlAttr(a: AttributeReference)
+      extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+      with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+    override def dataType: org.apache.spark.sql.types.DataType = a.dataType
+    override def nullable: Boolean = a.nullable
+    override def sql: String =
+      org.apache.spark.sql.catalyst.util.quoteIdentifier(a.name)
+  }
+
+  /** An attribute rendered under a SYNTHESIZED flat physical name (the
+    * MERGE mor route: target/source columns rename to `__gt_i`/`__gs_i`
+    * before the join, so re-rendered expressions bind unambiguously
+    * whatever the user's column names are). */
+  private[graft] final case class FlatSqlAttr(flatName: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      override val nullable: Boolean)
+      extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+      with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+    override def sql: String =
+      org.apache.spark.sql.catalyst.util.quoteIdentifier(flatName)
   }
 
   private def hasSubquery(e: Expression): Boolean =
@@ -111,6 +137,20 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           GraftUpdateCommand(target, t.insertCfg, assignments, condition)
         case None => u
       }
+    case o @ OverwritePartitionsDynamic(tbl, query, _, _, _) if o.resolved =>
+      // SQL `INSERT OVERWRITE` in DYNAMIC partition-overwrite mode: the
+      // plan has no V1 write fallback in Spark (its exec demands a true
+      // DSv2 BATCH_WRITE), so instead of refusing at the capability
+      // check it resolves into the library's own dynamic overwrite —
+      // the same replace-exactly-the-landed-partitions commit the
+      // PARTITION(...)/REPLACE WHERE routes build on (round-12; the
+      // analyzer has already conformed `query`'s output to the table
+      // schema, casts included)
+      graftTarget(tbl) match {
+        case Some((_, t)) =>
+          GraftDynamicOverwriteCommand(t.insertCfg, query)
+        case None => o
+      }
     case m @ MergeIntoTable(tgt, src, cond, matched, notMatched, nmbs,
         withSchemaEvolution) if m.resolved =>
       graftTarget(tgt) match {
@@ -131,6 +171,22 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => m
       }
     case other => other
+  }
+}
+
+/** SQL dynamic partition overwrite — [[TableSink.overwriteDynamic]]
+  * behind `INSERT OVERWRITE` under
+  * `spark.sql.sources.partitionOverwriteMode=dynamic`: exactly the
+  * partitions the incoming rows land in are replaced (one
+  * dynamic-overwrite write on plain identity-partitioned tables;
+  * hidden transforms and clones take the guarded full-rewrite
+  * equivalent — same result, documented cost). */
+case class GraftDynamicOverwriteCommand(cfg: SinkConfig,
+    query: LogicalPlan) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    new TableSink(cfg).overwriteDynamic(spark, Bridge.ofRows(spark, query))
+    Seq.empty
   }
 }
 
@@ -162,14 +218,51 @@ case class GraftUpdateCommand(
     val setPairs = target.output.flatMap { attr =>
       assigned.get(attr.exprId).map(v => attr.name -> v)
     }
+    // MERGE-ON-READ route (`spark.graft.sql.updateMode=mor`): ONE commit
+    // position-deletes the matched rows and appends replacements —
+    // O(matched rows), zero data files rewritten, history preserved
+    // ([[TableSink.updateMor]]; the deleteMode=mor dual). Same
+    // servability gate as DELETE's mor mode; a statement whose
+    // re-rendered SQL fails to parse falls back to the copy-on-write
+    // paths below (same total-rendering argument as the scoped route).
+    val morMode = spark.conf.get("spark.graft.sql.updateMode", "cow")
+      .equalsIgnoreCase("mor")
+    if (morMode) {
+      val sink = new TableSink(cfg)
+      val servable = cfg.versioned && cfg.fileFormat == "parquet" &&
+        sink.snapshotVersions().nonEmpty && sink.branches().isEmpty
+      if (servable) {
+        def bareMor(e: Expression): String = e.transform {
+          case a: org.apache.spark.sql.catalyst.expressions
+              .AttributeReference => GraftDml.QuotedSqlAttr(a)
+        }.sql
+        val rendered = scala.util.Try {
+          val cSql = condition.map(bareMor).getOrElse("TRUE")
+          val sSqls = setPairs.map { case (n, v) => n -> bareMor(v) }
+          Bridge.parseExpression(spark, cSql)
+          sSqls.foreach { case (_, s) => Bridge.parseExpression(spark, s) }
+          (org.apache.spark.sql.functions.expr(cSql),
+            sSqls.map { case (n, s) =>
+              n -> org.apache.spark.sql.functions.expr(s) })
+        }
+        rendered.toOption.foreach { case (c, sets) =>
+          sink.updateMor(spark, c, sets)
+          return Seq.empty
+        }
+      }
+    }
     val scoped = cfg.partitionSpec.nonEmpty &&
       setPairs.forall(p => !partitionAffecting(p._1.toLowerCase))
     if (scoped) {
       // attributes render UNQUALIFIED (`cat`, not `gdml.t.cat`) so the
-      // text re-resolves against the library read's bare column names
+      // text re-resolves against the library read's bare column names —
+      // and ALWAYS backtick-quoted: quoteIfNeeded would render a column
+      // named like a niladic function (current_date, current_timestamp)
+      // bare, and the re-parse would resolve it as the FUNCTION,
+      // silently updating with wrong values instead of the column
       def bare(e: Expression): String = e.transform {
         case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-          a.withQualifier(Seq.empty)
+          GraftDml.QuotedSqlAttr(a)
       }.sql
       val rendered = scala.util.Try {
         val cSql = condition.map(bare).getOrElse("TRUE")
@@ -240,6 +333,10 @@ case class GraftMergeCommand(
   import GraftDml._
 
   override def run(spark: SparkSession): Seq[Row] = {
+    morMerge(spark) match {
+      case Some(done) => return done
+      case None => () // ineligible or unrenderable: the COW paths below
+    }
     val attrs = target.output
     val tMark = "__graft_merge_t__"
     val sMark = "__graft_merge_s__"
@@ -310,15 +407,15 @@ case class GraftMergeCommand(
     //  - without matched actions (insert-only / NMBS-only merge): the
     //    matched target row passes through UNCHANGED and must survive
     //    exactly once, not once per join copy — keep only the first.
+    val matchCopies = sum(when(col(sMark).isNotNull, 1L).otherwise(0L))
+      .over(Window.partitionBy(winKey))
     val guardedKeep =
       if (matchedActions.isEmpty) {
         val copyNo = row_number()
           .over(Window.partitionBy(winKey).orderBy(col(rid)))
         when(isMatched, keep && copyNo === 1).otherwise(keep)
       } else {
-        val matches = sum(when(col(sMark).isNotNull, 1L).otherwise(0L))
-          .over(Window.partitionBy(winKey))
-        when(isMatched && matches > 1L, raise_error(lit(
+        when(isMatched && matchCopies > 1L, raise_error(lit(
           "MERGE cardinality violation: a target row matched more than " +
             "one source row — deduplicate the source on the ON keys"))
           .cast("boolean"))
@@ -378,10 +475,20 @@ case class GraftMergeCommand(
     val keepFlag = tid // reuse the reserved bookkeeping name
     val firedFlag = rid
     if (identityPlain && !assignsPartition) {
-      val fired =
+      val actionFired =
         when(isMatched, fm =!= -1)
           .when(isSourceOnly, fi =!= -1)
           .otherwise(fn =!= -1)
+      // a cardinality VIOLATION (multi-matched target row under matched
+      // actions) counts as fired even when every action condition is
+      // false: it forces its partition into the touched set, so the
+      // write path evaluates guardedKeep and raises — the scoped route
+      // must never let the all-conditions-false early return swallow a
+      // violation the full-rewrite twin would surface (same window as
+      // the guard, so the plan computes it once)
+      val fired =
+        if (matchedActions.isEmpty) actionFired
+        else actionFired || (isMatched && matchCopies > 1L)
       val pCols = cfg.partitionSpec.map(_.source)
       val full = j.select(finalCols :+ guardedKeep.as(keepFlag)
         :+ fired.as(firedFlag): _*)
@@ -396,5 +503,188 @@ case class GraftMergeCommand(
       .filter(col(tid)).drop(tid)
     new TableSink(cfg).replaceAllRows(spark, finalRows, None, "MERGE")
     Seq.empty
+  }
+
+  /** MERGE-ON-READ route (`spark.graft.sql.mergeMode=mor`): ONE commit
+    * position-deletes the target rows an action fired on (update or
+    * delete) and appends the survivors' new values plus the fired
+    * inserts — O(changed rows) data IO, zero pre-existing files
+    * rewritten, history preserved; untouched target rows are never
+    * read-modified-written at all. The sidecar is `#pos`-referenced
+    * INSIDE the claimed snapshot ([[TableSink.commitMorMutation]]), so
+    * no reader window shows a row's old and new copies together.
+    *
+    * Binding: the analyzer's resolved expressions cannot evaluate
+    * against the LIBRARY read (different exprIds), so every expression
+    * re-renders over SYNTHESIZED flat column names — target columns
+    * become `__gt_i`, source columns `__gs_i` — making the rendering
+    * total and unambiguous for any user column names (a rendering that
+    * still fails falls back to the copy-on-write paths, same contract
+    * as the scoped UPDATE route). The target frame is the library head
+    * read WITH physical coordinates, so the route also works while
+    * earlier MoR sidecars are still pending. Semantics (cascade order,
+    * NULL conditions, cardinality guard) mirror the COW twin and are
+    * pinned to it by GraftDmlSpec's randomized parity property.
+    *
+    * Concurrency: the claim is single-attempt — the join is pinned to
+    * the analysis-time snapshot, so losing the race to a concurrent
+    * commit surfaces as a loud conflict (re-run the statement), never a
+    * position list resolved against one head landing on another. */
+  private def morMerge(spark: SparkSession): Option[Seq[Row]] = {
+    if (!spark.conf.get("spark.graft.sql.mergeMode", "cow")
+        .equalsIgnoreCase("mor")) return None
+    val sink = new TableSink(cfg)
+    if (!(cfg.versioned && cfg.fileFormat == "parquet" &&
+        sink.snapshotVersions().nonEmpty && sink.branches().isEmpty))
+      return None
+    // bookkeeping-name clash → the COW path (which refuses loudly)
+    if (target.output.exists(a =>
+        a.name.startsWith("__graft_merge_") || a.name == "__graft_file" ||
+          a.name == "__graft_pos")) return None
+
+    // ---- phase 1: PURE rendering; any failure → None (COW fallback)
+    val flat: Map[ExprId, GraftDml.FlatSqlAttr] =
+      (target.output.zipWithIndex.map { case (a, i) =>
+        a.exprId -> GraftDml.FlatSqlAttr(s"__gt_$i", a.dataType, a.nullable)
+      } ++ source.output.zipWithIndex.map { case (a, i) =>
+        a.exprId -> GraftDml.FlatSqlAttr(s"__gs_$i", a.dataType, a.nullable)
+      }).toMap
+    case class Bound(fireCond: Column, isDelete: Boolean,
+        isInsert: Boolean, assigned: Map[ExprId, Column])
+    val rendered = scala.util.Try {
+      def bindE(e: Expression): Column = {
+        val r = e.transform {
+          case a: AttributeReference if flat.contains(a.exprId) =>
+            flat(a.exprId)
+        }
+        require(r.collectFirst { case a: AttributeReference => a }.isEmpty,
+          "unmapped attribute in MERGE expression")
+        val txt = r.sql
+        Bridge.parseExpression(spark, txt) // eager parse-validation
+        org.apache.spark.sql.functions.expr(txt)
+      }
+      def bindA(a: MergeAction): Bound = Bound(
+        a.condition.map(c => coalesce(bindE(c), lit(false)))
+          .getOrElse(lit(true)),
+        a.isInstanceOf[DeleteAction], a.isInstanceOf[InsertAction],
+        (a match {
+          case UpdateAction(_, as, _) => byTargetColumn("MERGE UPDATE", as)
+          case InsertAction(_, as) => byTargetColumn("MERGE INSERT", as)
+          case _ => Map.empty[ExprId, Expression]
+        }).map { case (id, v) => id -> bindE(v) })
+      (bindE(mergeCondition), matchedActions.map(bindA),
+        notMatchedActions.map(bindA), notMatchedBySourceActions.map(bindA))
+    }
+    val (joinCond, mActs, iActs, nActs) = rendered match {
+      case scala.util.Success(r) => r
+      case scala.util.Failure(_) => return None
+    }
+
+    // ---- phase 2: evaluate and commit (failures are real errors now)
+    val lib = sink.readHeadWithPos(spark)
+    def q(n: String): Column = col(s"`${n.replace("`", "``")}`")
+    val tSel: Seq[Column] = target.output.zipWithIndex.map { case (a, i) =>
+      val src = lib.columns.find(_.equalsIgnoreCase(a.name)).getOrElse(
+        return None) // a target column the library read cannot see
+      q(src).as(s"__gt_$i")
+    } ++ Seq(col("__graft_file"), col("__graft_pos"))
+    val tMark = "__graft_merge_t__"
+    val sMark = "__graft_merge_s__"
+    val tid = "__graft_merge_tid__"
+    val rid = "__graft_merge_rid__"
+    val keepFlag = "__graft_merge_keep__"
+    val posFlag = "__graft_merge_pos__"
+    val chgFlag = "__graft_merge_chg__"
+    val t = lib.select(tSel: _*)
+      .withColumn(tMark, lit(true))
+      .withColumn(tid, monotonically_increasing_id())
+    val s = Bridge.ofRows(spark, source)
+      .toDF(source.output.indices.map(i => s"__gs_$i"): _*)
+      .withColumn(sMark, lit(true))
+    val j = t.join(s, joinCond, "full_outer")
+      .withColumn(rid, monotonically_increasing_id())
+    val winKey = coalesce(col(tid), -col(rid) - 1)
+    val isMatched = col(tMark).isNotNull && col(sMark).isNotNull
+    val isSourceOnly = col(tMark).isNull
+
+    def fireIdx(acts: Seq[Bound]): Column =
+      acts.zipWithIndex.foldRight(lit(-1)) { case ((a, i), els) =>
+        when(a.fireCond, lit(i)).otherwise(els)
+      }
+    val fm = fireIdx(mActs)
+    val fi = fireIdx(iActs)
+    val fn = fireIdx(nActs)
+    def survives(acts: Seq[Bound], fire: Column,
+        keepOnNoFire: Boolean): Column =
+      acts.zipWithIndex.foldRight(lit(keepOnNoFire)) { case ((a, i), els) =>
+        when(fire === i, lit(!a.isDelete)).otherwise(els)
+      }
+    val keep =
+      when(isMatched, survives(mActs, fm, keepOnNoFire = true))
+        .when(isSourceOnly, survives(iActs, fi, keepOnNoFire = false))
+        .otherwise(survives(nActs, fn, keepOnNoFire = true))
+    val matchCopies = sum(when(col(sMark).isNotNull, 1L).otherwise(0L))
+      .over(Window.partitionBy(winKey))
+    // cardinality: multi-matched target rows raise under matched actions
+    // (evaluated on every changed row — see the filter below); without
+    // matched actions a matched row is untouched and stays physically
+    // single, so the COW path's first-copy dedup has nothing to do here
+    val guardedKeep =
+      if (mActs.isEmpty) keep
+      else when(isMatched && matchCopies > 1L, raise_error(lit(
+        "MERGE cardinality violation: a target row matched more than " +
+          "one source row — deduplicate the source on the ON keys"))
+        .cast("boolean")).otherwise(keep)
+    def classValue(attr: AttributeReference, i: Int, acts: Seq[Bound],
+        fire: Column, noFire: Column): Column =
+      acts.indices.foldRight(noFire) { case (k, els) =>
+        val v = acts(k).assigned.get(attr.exprId) match {
+          case Some(c) => c.cast(attr.dataType)
+          case None =>
+            if (acts(k).isInsert) lit(null).cast(attr.dataType) else noFire
+        }
+        when(fire === k, v).otherwise(els)
+      }
+    val finalCols = target.output.zipWithIndex.map { case (a0, i) =>
+      val attr = a0.asInstanceOf[AttributeReference]
+      val old = col(s"__gt_$i")
+      when(isMatched, classValue(attr, i, mActs, fm, old))
+        .when(isSourceOnly, classValue(attr, i, iActs, fi,
+          lit(null).cast(attr.dataType)))
+        .otherwise(classValue(attr, i, nActs, fn, old))
+        .as(attr.name)
+    }
+    val firedTarget =
+      when(isMatched, fm =!= -1)
+        .when(isSourceOnly, lit(false))
+        .otherwise(fn =!= -1)
+    val full = j.select(finalCols ++ Seq(
+      guardedKeep.as(keepFlag), firedTarget.as(posFlag),
+      (firedTarget || isSourceOnly).as(chgFlag),
+      col("__graft_file"), col("__graft_pos")): _*)
+    // the filter evaluates keepFlag on every row (a multi-matched
+    // violation raises even when no action fired), and the checkpoint
+    // pins positions and replacement values to ONE evaluation
+    val changed = full
+      .filter(col(posFlag) || (col(keepFlag) && col(chgFlag)))
+      .localCheckpoint()
+    if (changed.isEmpty) return Some(Seq.empty) // no-op: nothing fired
+    val positions = changed.filter(col(posFlag))
+      .select(col("__graft_file").as("file_path"),
+        col("__graft_pos").as("row_pos")).distinct()
+    val replacement = changed.filter(col(keepFlag) && col(chgFlag))
+      .select(target.output.map(a => q(a.name)): _*)
+    try sink.commitMorMutation(spark, positions, replacement)
+    catch {
+      case e: IllegalArgumentException
+          if Option(e.getMessage).exists(
+            _.contains("lost the version race")) =>
+        throw new IllegalStateException(
+          "MERGE (merge-on-read) lost the snapshot claim to a " +
+            "concurrent commit; the statement's join is pinned to its " +
+            "analysis-time snapshot — re-run the MERGE against the new " +
+            "head", e)
+    }
+    Some(Seq.empty)
   }
 }

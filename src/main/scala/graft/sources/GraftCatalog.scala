@@ -124,10 +124,19 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * has no single-version library read to delegate to. */
   private def pendingDeleteVersions(ident: Identifier, upTo: Int): Seq[Int] = {
     def lp(name: String) = new org.apache.hadoop.fs.Path(logDir(ident), name)
+    // ONE listing for every flavor probe (the per-version stat battery
+    // was a measured read-path tax); `#pos`-referenced sidecars (the
+    // MoR UPDATE/MERGE commit shape — atomic with the replacement
+    // appends, so missing them would serve BOTH copies) cost a
+    // version-file read only when some `pos-*` dir exists at all
+    val names = WarehouseIO.childNames(logDir(ident)).toSet
+    val anyRefDir = names.exists(_.startsWith("pos-"))
     versions(ident).filter(v => v <= upTo && (
-      WarehouseIO.isFile(lp(f"v$v%05d.deletes")) ||
-        WarehouseIO.isDir(lp(f"v$v%05d_keys")) ||
-        WarehouseIO.isDir(lp(f"v$v%05d_pos"))))
+      names(f"v$v%05d.deletes") ||
+        names(f"v$v%05d_keys") ||
+        names(f"v$v%05d_pos") ||
+        (anyRefDir && names(f"v$v%05d.list") &&
+          WarehouseIO.snapshotPosRef(lp(f"v$v%05d.list")).exists(names))))
   }
 
   private def requireNoPendingDeletes(ident: Identifier, upTo: Int): Unit = {
@@ -557,9 +566,31 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         head match {
           case Some(v) =>
             // a branch head mixes staged appends with main-line sidecar
-            // history — no single-version library read can serve it, so
-            // pending MoR deletes refuse here (and only here)
-            requireNoPendingDeletes(ident, v)
+            // history: under pending MoR sidecars it serves through the
+            // LIBRARY two-slice read (TableSink.readBranch — sidecars
+            // committed <= the branch base apply to the base slice,
+            // staged appends read raw; round-12, the refusal deleted).
+            // Only a PRE-round-12 branch (no recorded base) still
+            // refuses — it was creatable only with zero sidecars, so
+            // hitting this means out-of-band log surgery.
+            val cfg0 = insertConfig(ident, firstDataFile(ident))
+            val sink0 = new TableSink(cfg0)
+            val pendingHead = versions(ident).lastOption
+              .map(pendingDeleteVersions(ident, _)).getOrElse(Nil)
+            if (pendingHead.nonEmpty) {
+              sink0.branchBaseVersion(version) match {
+                case Some(_) =>
+                  val declared = declaredSchema(ident)
+                  val sink = new TableSink(
+                    cfg0.copy(tableSchema = declared.orElse(cfg0.tableSchema)))
+                  val compute = () =>
+                    sink.readBranch(SparkSession.active, version)
+                  val sch = declared.getOrElse(compute().schema)
+                  return new GraftProjectedTable(ident.toString, sch,
+                    compute, None)
+                case None => requireNoPendingDeletes(ident, v)
+              }
+            }
             // branch snapshots reference manifests in the MAIN log dir
             (WarehouseIO.readSnapshotFiles(logDir(ident),
               new org.apache.hadoop.fs.Path(dir, f"v$v%05d.list"))
@@ -1285,12 +1316,14 @@ private[graft] final class GraftWritableTable(delegate: FileTable,
   // `INSERT INTO … REPLACE WHERE` — routed through
   // [[TableSink.replaceWhere]]'s delete-matching + insert commit
   // (partition-scoped on identity-partitioned tables)
-  // no OVERWRITE_DYNAMIC: Spark's dynamic-overwrite plan has no V1
-  // write fallback (TableCapabilityCheck demands true BATCH_WRITE and
-  // the exec calls Write.toBatch), so the statement refuses with
-  // Spark's standard capability error — the library API
-  // (TableSink.overwriteDynamic) and the working filtered forms
-  // (PARTITION(...) static specs, REPLACE WHERE) cover the semantics
+  // no OVERWRITE_DYNAMIC capability: Spark's dynamic-overwrite plan has
+  // no V1 write fallback (TableCapabilityCheck demands true BATCH_WRITE
+  // and the exec calls Write.toBatch) — instead the session extension
+  // rule resolves OverwritePartitionsDynamic into
+  // [[graft.GraftDynamicOverwriteCommand]] → TableSink.overwriteDynamic
+  // BEFORE the capability check runs (round-12; the UPDATE/MERGE
+  // interception pattern), so `INSERT OVERWRITE` under
+  // partitionOverwriteMode=dynamic works through SQL too
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,

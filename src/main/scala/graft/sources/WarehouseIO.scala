@@ -461,6 +461,18 @@ private[graft] object WarehouseIO {
     }
   }
 
+  /** The `#pos <sidecarDirName>` metadata line of a layered snapshot, if
+    * any — a position-delete sidecar committed ATOMICALLY inside the
+    * claimed snapshot (the merge-on-read UPDATE/MERGE commit shape:
+    * replacement appends and the subtraction of the replaced rows land
+    * in one snapshot, so no reader window shows both copies). */
+  def snapshotPosRef(snapshotPath: HPath): Option[String] = {
+    val lines = readString(snapshotPath).split("\n").toIndexedSeq
+    if (!lines.headOption.contains(SnapshotHeader)) return None
+    lines.tail.find(_.startsWith("#pos ")).map(_.stripPrefix("#pos ").trim)
+      .filter(_.nonEmpty)
+  }
+
   /** Driver-side manifest CONTENT reads since process start (names-only
     * snapshot reads don't count). Spec seam: metadata surfaces that claim
     * distributed accounting (metaSnapshots) prove it by diffing this

@@ -795,13 +795,14 @@ object StreamPipeline {
   val streamCdcSql: String = ParityQueries.changelogCdcSql
 
   /** The CDC stream's `startingVersion` floor end-to-end (the Delta
-    * source contract, round-11): the table takes TWO insert commits,
-    * and a consumer floored at version 1 must aggregate EXACTLY the
-    * (1, head] slice — none of v1's rows may enter the feed, all of
-    * v2's must. The aggregation runs INSIDE the stream (complete mode,
-    * bounded driver state at any scale); the oracle recomputes v2's
-    * slice directly from the source, so a floor that leaked v1 rows or
-    * dropped v2 rows is a hash mismatch, not just a count drift. */
+    * source contract — INCLUSIVE version N, round-12): the table takes
+    * TWO insert commits, and a consumer started at version 2 must
+    * aggregate EXACTLY the [2, head] slice — none of v1's rows may
+    * enter the feed, all of v2's must. The aggregation runs INSIDE the
+    * stream (complete mode, bounded driver state at any scale); the
+    * oracle recomputes v2's slice directly from the source, so a floor
+    * that leaked v1 rows or dropped v2 rows is a hash mismatch, not
+    * just a count drift. */
   def streamCdcStart(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val name = "stream_cdcst_" +
@@ -817,7 +818,7 @@ object StreamPipeline {
     sink.append(e.filter(pmod($"event_id", lit(2)) === 0))     // v1 insert
     sink.append(e.filter(pmod($"event_id", lit(2)) =!= 0))     // v2 insert
     withStreamShuffle(spark, 8) {
-      val q = sink.readChangesStream(spark, startingVersion = Some("1"))
+      val q = sink.readChangesStream(spark, startingVersion = Some("2"))
         .groupBy($"_change_version", $"_change_type")
         .agg(count(lit(1)).as("n"),
           sum($"value".cast("decimal(18,2)")).cast("double").as("total"))

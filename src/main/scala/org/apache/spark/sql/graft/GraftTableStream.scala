@@ -59,8 +59,8 @@ final class GraftTableStream extends StreamSourceProvider
       parameters: Map[String, String]): Source = {
     val starting = parameters.get("startingVersion")
     starting.foreach(s => require(
-      s.equalsIgnoreCase("latest") || s.toIntOption.exists(_ >= 0),
-      s"startingVersion must be a non-negative snapshot version or " +
+      s.equalsIgnoreCase("latest") || s.toIntOption.exists(_ >= 1),
+      s"startingVersion must be a positive snapshot version or " +
         s"'latest', got '$s'"))
     // startingTimestamp (the Delta option's dual): epoch millis or an
     // ISO-8601 instant; resolved against the same commit clock as
@@ -117,22 +117,62 @@ private[graft] final class GraftTableSource(sqlContext: SQLContext,
 
   private val spark: SparkSession = sqlContext.sparkSession
 
-  /** The EXCLUSIVE lower bound of the first batch (the Delta source's
-    * `startingVersion` contract): a consumer started at version N sees
-    * (N, head] instead of replaying the full retained history as batch
-    * 0; `latest` pins the head AT SOURCE CREATION, so a new consumer of
-    * a year-old table sees only post-start commits; a timestamp
-    * resolves to the last version committed at or before it (the same
-    * clock TIMESTAMP AS OF reads), so the consumer sees exactly the
-    * commits after that instant — a pre-history timestamp resolves to
-    * no floor = the default full replay. Only the FIRST batch consults
-    * this — a checkpointed restart resumes from its own offset, which
-    * is why capturing `latest` at (re)creation is safe: the engine
-    * hands the checkpoint offset back as `start`. */
-  private val initialFloor: Option[Int] = startingVersion.map {
-    case s if s.equalsIgnoreCase("latest") => sink.streamHead()._2
-    case s => s.toInt
-  }.orElse(startingTimestampMs.flatMap(ms => sink.versionAtOrBefore(ms)))
+  /** The table-column slice of the source schema — the change-feed
+    * metadata columns ride at the end in changes mode and are produced
+    * by the changelog reader, never read from files. */
+  private val tableSchema: StructType =
+    if (changes)
+      StructType(schema.fields.filterNot(f =>
+        f.name == "_change_type" || f.name == "_change_version"))
+    else schema
+
+  /** Every micro-batch reads under this PINNED declared schema — never
+    * footer inference. The streaming source plans batches against live
+    * table files, and a concurrent copy-on-write rewrite may delete
+    * them between manifest resolution and a footer read; with the
+    * schema declared there are no planning-time footer reads at all
+    * (only the file listing), which shrinks that window to the listing
+    * itself — and [[getBatch]]'s missing-file re-check converts what
+    * remains into the precise generation-flip refusal. */
+  private val pinned: TableSink =
+    if (sink.config.tableSchema.isDefined) sink
+    else new TableSink(sink.config.copy(tableSchema = Some(tableSchema)))
+
+  private val headAtCreation: Int = sink.streamHead()._2
+
+  /** The exclusive lower bound the first batch derives from a STABLE
+    * start option (numeric version or timestamp — NOT `latest`). The
+    * public contract is Delta's, INCLUSIVE: `startingVersion = N`
+    * emits changes starting from commit N, i.e. [N, head], so the
+    * internal exclusive floor is N-1. A timestamp resolves to the last
+    * version committed STRICTLY BEFORE it (the consumer sees every
+    * commit at or after the instant — Delta's `startingTimestamp`);
+    * a pre-history instant resolves to no floor = the default full
+    * replay. Stable floors are ALSO carried into later batch windows
+    * (`max(checkpointOffset, floor)`) so a floor above the head at
+    * stream start still suppresses commits (head, floor] that land
+    * later, instead of silently degrading to batch-0-only. */
+  private val stableFloor: Option[Int] = startingVersion.flatMap {
+    case s if s.equalsIgnoreCase("latest") => None
+    case s =>
+      val n = s.toInt
+      require(n <= headAtCreation + 1,
+        s"startingVersion $n does not exist: the table head is " +
+          s"v$headAtCreation (${headAtCreation + 1} = 'only commits " +
+          "after stream start', same as 'latest' on a caught-up table)")
+      Some(n - 1)
+  }.orElse(startingTimestampMs.flatMap(ms => sink.versionBefore(ms)))
+
+  /** `latest` pins the head AT SOURCE CREATION, and only the FIRST
+    * batch consults it: a checkpointed restart resumes from its own
+    * offset (the engine hands it back as `start`), and the re-pinned
+    * creation head of the restarted source must NOT mask commits that
+    * landed between the checkpoint and the restart. */
+  private val latestFloor: Option[Int] =
+    startingVersion.filter(_.equalsIgnoreCase("latest"))
+      .map(_ => headAtCreation)
+
+  private val initialFloor: Option[Int] = stableFloor.orElse(latestFloor)
 
   private def requireSameHistory(gen: String, cur: String): Unit =
     require(gen == cur,
@@ -146,38 +186,58 @@ private[graft] final class GraftTableSource(sqlContext: SQLContext,
     if (head == 0) None else Some(GraftStreamOffset(gen, head))
   }
 
+  private def emptyBatch(): DataFrame = spark.createDataFrame(
+    java.util.Collections.emptyList[org.apache.spark.sql.Row], schema)
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val e = GraftStreamOffset.of(end)
+    // a concurrent rewriting op can delete this batch's files between
+    // the manifest resolution and any planning-time read (file listing,
+    // delete-sidecar load): re-check the generation pin on ANY
+    // missing-file symptom and refuse precisely — the raw
+    // FileNotFoundException surfaces only if the history did NOT flip
+    // (a genuinely corrupt table, which should stay loud and raw)
+    try getBatchInner(start, e)
+    catch {
+      case t: Throwable if TableSink.isMissingFileError(t) =>
+        requireSameHistory(e.generation, sink.streamHead()._1)
+        throw t
+    }
+  }
+
+  private def getBatchInner(start: Option[V1Offset],
+      e: GraftStreamOffset): DataFrame = {
     val batch: DataFrame = start match {
       case None if initialFloor.exists(_ >= e.version) =>
         // started at/after the current head: nothing to emit yet
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row],
-          schema)
+        emptyBatch()
       case None if changes => initialFloor match {
         case Some(f) =>
-          // startingVersion: first batch = changes in (f, head] only —
-          // no full-history replay (refuses loudly if (f, head] needs
-          // an expired snapshot, same as any changelog window)
-          sink.readChangelog(spark, f, e.version)
+          // startingVersion/startingTimestamp: first batch = changes in
+          // (f, head] only — no full-history replay (refuses loudly if
+          // (f, head] needs an expired snapshot, same as any window)
+          pinned.readChangelog(spark, f, e.version)
         case None =>
           // CDC mode: replay the retained changelog up to `end` (an
           // expiry-orphaned oldest delete commit folds in as post-state
           // inserts — the consumer still reconstructs the table)
-          sink.readChangelogAllUpTo(spark, e.version)
+          pinned.readChangelogAllUpTo(spark, e.version)
       }
       case None if initialFloor.isDefined =>
         // snapshot mode with a floor: appended rows in (f, head] only
-        sink.readAppendedBetween(spark, initialFloor.get, e.version)
+        pinned.readAppendedBetween(spark, initialFloor.get, e.version)
       case None =>
         // first batch: the table's consistent snapshot at `end` —
         // merge-on-read deletes applied, any history shape serves
-        sink.readVersion(spark, e.version)
+        pinned.readVersion(spark, e.version)
       case Some(s0) =>
         val s = GraftStreamOffset.of(s0)
         requireSameHistory(s.generation, e.generation)
-        if (changes) sink.readChangelog(spark, s.version, e.version)
-        else sink.readAppendedBetween(spark, s.version, e.version)
+        // carry a stable floor into later windows (see [[stableFloor]])
+        val from = math.max(s.version, stableFloor.getOrElse(-1))
+        if (from >= e.version) emptyBatch()
+        else if (changes) pinned.readChangelog(spark, from, e.version)
+        else pinned.readAppendedBetween(spark, from, e.version)
     }
     // the engine requires a streaming-tagged plan; the wrapped RDD is
     // the planned (lazy) batch scan, projected to the declared column

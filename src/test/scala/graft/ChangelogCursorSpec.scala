@@ -199,6 +199,36 @@ class ChangelogCursorSpec extends AnyFunSuite {
     commit() // committing an empty batch is legal and idempotent
   }
 
+  test("startingTimestamp floors a FRESH cursor at the commit clock and " +
+    "is ignored once the cursor exists") {
+    import spark.implicits._
+    val sink = mkSink("cc_ts")
+    sink.append(Seq((1L, "a", 10.0)).toDF("id", "cat", "v"))   // v1
+    Thread.sleep(30)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(30)
+    sink.append(Seq((2L, "b", 20.0)).toDF("id", "cat", "v"))   // v2
+    sink.append(Seq((3L, "c", 30.0)).toDF("id", "cat", "v"))   // v3
+    val cursor = s"$wh/cc_ts_cursor"
+    // fresh cursor + ts between v1 and v2: exactly the commits at or
+    // after the instant — v2 and v3, never v1
+    val (b1, c1) = sink.readChangelogSince(spark, cursor, Some(betweenMs))
+    assert(b1.select($"id").as[Long].collect().toSet == Set(2L, 3L))
+    c1()
+    sink.append(Seq((4L, "a", 40.0)).toDF("id", "cat", "v"))   // v4
+    // the cursor exists now: the option is ignored (a pre-history
+    // instant here would otherwise replay everything)
+    val (b2, c2) = sink.readChangelogSince(spark, cursor, Some(1000L))
+    assert(b2.select($"id").as[Long].collect().toSet == Set(4L))
+    c2()
+    // a pre-history instant on a FRESH cursor = no floor = full replay
+    val (b3, c3) = sink.readChangelogSince(spark, s"$wh/cc_ts_cursor2",
+      Some(1000L))
+    assert(b3.filter($"_change_type" === "insert")
+      .select($"id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    c3()
+  }
+
   test("cursor past the head refuses with the restart remedy") {
     val sink = mkSink("cc3")
     sink.append(Seq((1L, "a", 10.0)).toDF("id", "cat", "v"))

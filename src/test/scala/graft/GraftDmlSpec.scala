@@ -380,9 +380,7 @@ class GraftDmlSpec extends AnyFunSuite {
       finally s.close()
     }
     val (beforeB, beforeC) = (files("b"), files("c"))
-    // library API (the SQL dynamic form has no V1 write fallback in
-    // Spark and refuses at the capability check — see overwriteDynamic's
-    // scaladoc): rows land only in 'a' and (new) 'd'
+    // library API first: rows land only in 'a' and (new) 'd'
     sink.overwriteDynamic(spark,
       Seq((10L, 10.0, "a"), (40L, 40.0, "d")).toDF("id", "v", "cat"))
     val got = spark.sql("SELECT id, cat FROM gdml.tdyn").collect()
@@ -391,6 +389,22 @@ class GraftDmlSpec extends AnyFunSuite {
       s"got $got")
     assert(files("b") == beforeB && files("c") == beforeC,
       "dynamic overwrite landing in a and d must not rewrite b or c")
+    // the SQL form (round-12 — formerly a capability refusal): INSERT
+    // OVERWRITE under partitionOverwriteMode=dynamic resolves into the
+    // same library commit via the extension rule
+    val (beforeB2, beforeC2) = (files("b"), files("c"))
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      Seq((100L, 100.0, "a")).toDF("id", "v", "cat")
+        .createOrReplaceTempView("tdyn_src")
+      spark.sql("INSERT OVERWRITE gdml.tdyn SELECT id, v, cat FROM tdyn_src")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val got2 = spark.sql("SELECT id, cat FROM gdml.tdyn").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got2 == Set(100L -> "a", 40L -> "d", 2L -> "b", 3L -> "c"),
+      s"SQL dynamic overwrite must replace only partition 'a': $got2")
+    assert(files("b") == beforeB2 && files("c") == beforeC2,
+      "SQL dynamic overwrite must not rewrite untouched partitions")
     // the hidden-transform fallback path: same semantics via full rewrite
     val hid = new TableSink(SinkConfig(tableName = "tdynh",
       warehousePath = wh, versioned = true,
@@ -538,6 +552,94 @@ class GraftDmlSpec extends AnyFunSuite {
         s"trial $trial diverged:\n scoped=$p\n full=$f\n " +
           s"matched='$matched' insert='$insert' nmbs='$nmbs'")
     }
+  }
+
+  test("randomized MERGE parity: the merge-on-read route agrees with the " +
+    "copy-on-write twin and never rewrites a pre-existing file") {
+    val rnd = new scala.util.Random(20260816L)
+    val cats = Seq("a", "b", "c", "d")
+    (1 to 12).foreach { trial =>
+      val tMor = s"tmorp_m$trial"
+      val tCow = s"tmorp_c$trial"
+      val rows = (1 to 14).filter(_ => rnd.nextBoolean()).map(i =>
+        (i.toLong, cats(rnd.nextInt(cats.size)), rnd.nextInt(50).toDouble))
+      val srcIds = (1 to 20).filter(_ => rnd.nextBoolean())
+      val src = srcIds.map(i =>
+        (i.toLong, cats(rnd.nextInt(cats.size)), rnd.nextInt(50).toDouble))
+      if (rows.nonEmpty) {
+        val morSink = new TableSink(SinkConfig(tableName = tMor,
+          warehousePath = wh, versioned = true,
+          partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+        morSink.append(rows.toDF("id", "cat", "v"))
+        new TableSink(SinkConfig(tableName = tCow, warehousePath = wh,
+          versioned = true)).append(rows.toDF("id", "cat", "v"))
+        src.toDF("id", "cat", "v")
+          .createOrReplaceTempView(s"morp_src$trial")
+        val matched = rnd.nextInt(3) match {
+          case 0 => "WHEN MATCHED AND s.v > 25 THEN UPDATE SET v = s.v " +
+            "WHEN MATCHED THEN DELETE"
+          case 1 => "WHEN MATCHED THEN UPDATE SET v = s.v + 1.0"
+          case 2 => "WHEN MATCHED AND t.v < 20 THEN DELETE"
+        }
+        val insert =
+          if (rnd.nextBoolean())
+            "WHEN NOT MATCHED AND s.v > 10 THEN INSERT (id, cat, v) " +
+              "VALUES (s.id, s.cat, s.v)"
+          else ""
+        val nmbs =
+          if (rnd.nextBoolean())
+            "WHEN NOT MATCHED BY SOURCE AND t.v > 40 THEN DELETE"
+          else ""
+        def run(t: String, mor: Boolean): Set[(Long, String, Double)] = {
+          if (mor) spark.conf.set("spark.graft.sql.mergeMode", "mor")
+          try spark.sql(s"""MERGE INTO gdml.$t t USING morp_src$trial s
+            ON t.id = s.id
+            $matched $insert $nmbs""")
+          finally if (mor) spark.conf.unset("spark.graft.sql.mergeMode")
+          spark.sql(s"SELECT id, cat, v FROM gdml.$t").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+        }
+        val before = morSink.dataFilesRel().toSet
+        val (m, c) = (run(tMor, mor = true), run(tCow, mor = false))
+        assert(m == c,
+          s"trial $trial diverged:\n mor=$m\n cow=$c\n " +
+            s"matched='$matched' insert='$insert' nmbs='$nmbs'")
+        assert(before.subsetOf(morSink.dataFilesRel().toSet),
+          s"trial $trial: the mor merge rewrote a pre-existing file")
+      }
+    }
+  }
+
+  test("MERGE mergeMode=mor raises the cardinality violation and falls " +
+    "back to copy-on-write on ineligible tables") {
+    import spark.implicits._
+    val sink = new TableSink(SinkConfig(tableName = "tmor_card",
+      warehousePath = wh, versioned = true))
+    sink.append(Seq((1L, 10.0)).toDF("id", "v"))
+    Seq((1L, 1.0), (1L, 2.0)).toDF("id", "v")
+      .createOrReplaceTempView("tmor_card_src")
+    try {
+      spark.conf.set("spark.graft.sql.mergeMode", "mor")
+      val e = intercept[Exception](
+        spark.sql("""MERGE INTO gdml.tmor_card t USING tmor_card_src s
+          ON t.id = s.id
+          WHEN MATCHED AND s.v > 100 THEN UPDATE SET v = s.v"""))
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("cardinality violation"),
+        s"mor must raise even when no action condition fires: $msgs")
+      // ineligible (unversioned) table: silently the COW path, same result
+      val unv = new TableSink(SinkConfig(tableName = "tmor_unv",
+        warehousePath = wh))
+      unv.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+      Seq((1L, 99.0)).toDF("id", "v")
+        .createOrReplaceTempView("tmor_unv_src")
+      spark.sql("""MERGE INTO gdml.tmor_unv t USING tmor_unv_src s
+        ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v""")
+      assert(spark.sql("SELECT v FROM gdml.tmor_unv ORDER BY id")
+        .as[Double].collect().toSeq == Seq(99.0, 20.0))
+    } finally spark.conf.unset("spark.graft.sql.mergeMode")
   }
 
   test("library update refuses partition-deriving columns and unknown columns") {

@@ -399,15 +399,37 @@ class MorDeleteSpec extends AnyFunSuite {
       .head().getLong(0) == 5000000060L)
   }
 
-  test("branch/delete interleavings refuse loudly") {
+  test("sidecar COMMITS refuse while a branch is live; a branch over " +
+    "EXISTING sidecars reads through them (round-12, refusal deleted)") {
     val sink = mkSink("m5")
     sink.createBranch("audit")
     assert(intercept[IllegalArgumentException](sink.deleteWhere("v < 15.0"))
       .getMessage.contains("audit"))
     sink.dropBranch("audit")
-    sink.deleteWhere("v < 15.0")
-    assert(intercept[IllegalArgumentException](sink.createBranch("b2"))
-      .getMessage.contains("materialize"))
+    sink.deleteWhere("v < 15.0")               // v2: subtracts id=1
+    // a branch over the pending sidecar serves the SAME view main does
+    sink.createBranch("b2")
+    assert(sink.readBranch(spark, "b2").select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L))
+    // staged appends audit through the branch; a staged row matching
+    // the live predicate is subtracted exactly as it will be on main
+    // after publish (row-scoped predicate semantics)
+    sink.appendToBranch("b2",
+      Seq((4L, "c", 40.0), (5L, "c", 5.0)).toDF("id", "cat", "v"))
+    assert(sink.readBranch(spark, "b2").select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L, 4L),
+      "branch audit view must preview the post-publish main semantics")
+    // the SQL catalog serves the same view through VERSION AS OF 'b2'
+    assert(spark.sql("SELECT id FROM gmor.m5 VERSION AS OF 'b2'")
+      .as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
+    // publish: main = survivors + staged, sidecars still in force
+    sink.publishBranch("b2")
+    sink.dropBranch("b2")
+    assert(sink.read(spark).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L, 4L))
+    // main untouched pre-publish is covered above; time travel to the
+    // pre-branch head still serves the pre-delete rows
+    assert(sink.readVersion(spark, 1).count() == 3)
     // unversioned tables have no commit to attach a predicate to
     val unv = new TableSink(SinkConfig(tableName = "m5u", warehousePath = wh))
     unv.append(Seq((1L, "a", 1.0)).toDF("id", "cat", "v"))

@@ -379,7 +379,8 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("CDC streaming startingVersion: 'latest' sees only post-start " +
-    "commits; version N sees exactly (N, head]") {
+    "commits; version N sees exactly [N, head] (the inclusive Delta " +
+    "contract)") {
     import spark.implicits._
     val sink = new TableSink(SinkConfig(
       tableName = "events_cdcstart",
@@ -401,10 +402,14 @@ class StreamingSpec extends AnyFunSuite {
     }
     // default: the full retained history replays as batch 0
     assert(run(None, "full").map(_._1) == Set(1L, 2L, 3L, 4L))
-    // version N = exclusive floor: exactly (1, 3]
-    assert(run(Some("1"), "v1") ==
+    // version N is INCLUSIVE (Delta's startingVersion): exactly [2, 3]
+    assert(run(Some("2"), "v2") ==
       Set((3L, "insert", 2L), (4L, "insert", 3L)),
-      "startingVersion=1 must emit (1, head] only")
+      "startingVersion=2 must emit [2, head] — commit 2 itself included")
+    // startingVersion=1 = everything (commit numbering starts at v1)
+    assert(run(Some("1"), "v1all").map(_._1) == Set(1L, 2L, 3L, 4L),
+      "startingVersion=1 includes the first commit — inclusive, not " +
+        "an exclusive floor")
     // latest: nothing until a post-start commit lands
     val cp = TestSpark.tmpDir("stream_cdcstart_cp_latest")
     val out = TestSpark.tmpDir("stream_cdcstart_out_latest")
@@ -423,15 +428,37 @@ class StreamingSpec extends AnyFunSuite {
       s"a 'latest' consumer must see only post-start commits: $got")
     // snapshot mode honors the same floor
     val outS = TestSpark.tmpDir("stream_cdcstart_out_snap")
-    val qs = sink.readStream(spark, Some("3"))
+    val qs = sink.readStream(spark, Some("4"))
       .writeStream.format("parquet").option("path", outS)
       .option("checkpointLocation",
         TestSpark.tmpDir("stream_cdcstart_cp_snap")).start()
     try qs.processAllAvailable() finally qs.stop()
     assert(spark.read.parquet(outS).select($"id").as[Long].collect().toSet
-      == Set(5L), "snapshot stream with startingVersion=3 sees (3, head]")
+      == Set(5L), "snapshot stream with startingVersion=4 sees [4, head]")
     // a bad option refuses loudly
     intercept[Exception](run(Some("nope"), "bad"))
+    // a version past head+1 cannot ever exist under this history:
+    // refuse at stream start instead of silently emitting nothing
+    intercept[Exception](run(Some("99"), "past"))
+    // head+1 is allowed and means "only commits after stream start"
+    // (the numeric spelling of 'latest'): nothing from history, the
+    // next commit emits — and unlike 'latest' the floor is stable
+    // across restarts
+    val cpF = TestSpark.tmpDir("stream_cdcstart_cp_future")
+    val outF = TestSpark.tmpDir("stream_cdcstart_out_future")
+    def startF() = sink.readChangesStream(spark, Some("5")) // head is v4
+      .writeStream.format("parquet").option("path", outF)
+      .option("checkpointLocation", cpF).start()
+    val qf = startF()
+    try {
+      qf.processAllAvailable()                           // nothing yet
+      sink.append(Seq((6L, 60.0)).toDF("id", "v"))       // v5 = the floor
+      qf.processAllAvailable()
+    } finally qf.stop()
+    val gotF = spark.read.parquet(outF).select($"id").as[Long]
+      .collect().toSet
+    assert(gotF == Set(6L),
+      s"startingVersion=head+1 must emit exactly the post-start commits: $gotF")
   }
 
   test("CDC streaming startingTimestamp resolves against the commit " +
@@ -551,6 +578,55 @@ class StreamingSpec extends AnyFunSuite {
         s"deletes must replicate: ${state(dst)} vs ${state(src)}")
       assert(!state(dst).exists(_._1 == 1L), "the deleted key is gone")
     } finally q2.stop()
+  }
+
+  test("seeded stress: COW rewrites interleaved with a live replication " +
+    "stream either converge or refuse precisely (rewritten mid-stream) — " +
+    "never a raw missing-file crash") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    for (i <- 1 to 5) {
+      val wh = TestSpark.tmpDir(s"stream_race_wh_$i")
+      val src = new TableSink(SinkConfig("race_src", wh, versioned = true))
+      val dst = new TableSink(SinkConfig("race_dst", wh, versioned = true))
+      src.append(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+      val q = src.startReplication(spark, dst, Seq("id"),
+        TestSpark.tmpDir(s"stream_race_cp_$i"), intervalSeconds = 1)
+      // interleave appends around a COW rewrite while micro-batches run:
+      // the rewrite deletes planned source files under the in-flight
+      // batch with seeded-random timing, exercising both the planning
+      // window (file listing) and the execution window (foreachBatch)
+      val outcome = scala.util.Try {
+        src.append(Seq((3L + i, 3.0)).toDF("id", "v"))
+        Thread.sleep(rnd.nextInt(300).toLong)
+        src.upsert(Seq((1L, 10.0 + i)).toDF("id", "v"), Seq("id"))
+        Thread.sleep(rnd.nextInt(200).toLong)
+        src.append(Seq((100L + i, 9.0)).toDF("id", "v"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      outcome match {
+        case scala.util.Success(_) => () // every race window missed: fine
+        case scala.util.Failure(e) =>
+          val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null)
+            .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+          assert(msgs.contains("rewritten mid-stream"),
+            s"trial $i must refuse precisely, got: $msgs")
+      }
+      // after the maintenance window a fresh checkpoint converges (the
+      // keyed apply is idempotent over whatever the first stream landed)
+      val q2 = src.startReplication(spark, dst, Seq("id"),
+        TestSpark.tmpDir(s"stream_race_cp2_$i"), intervalSeconds = 1)
+      try {
+        q2.processAllAvailable()
+        val s = src.read(spark).select($"id", $"v")
+          .as[(Long, Double)].collect().toSet
+        val d = dst.read(spark).select($"id", $"v")
+          .as[(Long, Double)].collect().toSet
+        assert(d == s, s"trial $i replica must converge: $d vs $s")
+      } finally q2.stop()
+    }
   }
 
   test("snapshot streaming resumes incrementally from the checkpoint " +
