@@ -3793,12 +3793,15 @@ final class TableSink(val config: SinkConfig) {
   }
 
   /** CDC streaming path: every micro-batch MERGES into the table by key
-    * instead of appending — `foreachBatch` + [[upsert]], the standard
-    * Spark shape for change-data-capture sinks. foreachBatch alone gives
-    * at-least-once (a crashed batch replays); the merge is idempotent —
-    * replaying the same keys re-converges to the same table state — which
-    * upgrades the end-to-end guarantee to effectively-once. Batch commits
-    * go through the normal writer (no `_spark_metadata` sink log), so the
+    * instead of appending — `foreachBatch` + [[upsertMor]] on
+    * MoR-capable sinks (one O(batch) position-delete + append commit
+    * per trigger, sidecars folded past the consolidation threshold;
+    * round-12) or [[upsert]] otherwise, the standard Spark shape for
+    * change-data-capture sinks. foreachBatch alone gives at-least-once
+    * (a crashed batch replays); the merge is idempotent — replaying the
+    * same keys re-converges to the same table state — which upgrades
+    * the end-to-end guarantee to effectively-once. Batch commits go
+    * through the normal writer (no `_spark_metadata` sink log), so the
     * table stays readable by [[read]] and writable by batch [[upsert]]/
     * [[delete]] between runs.
     */
@@ -3812,8 +3815,21 @@ final class TableSink(val config: SinkConfig) {
         // a micro-batch can carry several events for one key; upsert
         // requires key-unique input, so collapse to one row per key first
         // (arbitrary winner — upstream supplies a sequence column and
-        // pre-aggregates if last-writer ordering matters)
-        if (!batch.isEmpty) upsert(batch.dropDuplicates(keyCols), keyCols)
+        // pre-aggregates if last-writer ordering matters). A MoR-capable
+        // sink takes the batch as ONE position-delete + append commit
+        // ([[upsertMor]], round-12): the streaming CDC sink's per-batch
+        // cost drops from rewriting touched partitions to O(batch) —
+        // the cadence-critical term — with [[maybeConsolidateDeletes]]
+        // bounding the sidecar stack at any trigger rate.
+        if (!batch.isEmpty) {
+          val deduped = batch.dropDuplicates(keyCols)
+          val morApply = config.versioned &&
+            config.fileFormat == "parquet" && branches().isEmpty
+          if (morApply) {
+            upsertMor(deduped, keyCols)
+            maybeConsolidateDeletes(batch.sparkSession)
+          } else upsert(deduped, keyCols)
+        }
       }
       .start()
   }

@@ -709,6 +709,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming upsert on a MoR-capable sink applies micro-batches as " +
+    "position-delete + append commits: no rewrite, history kept") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sink = new TableSink(SinkConfig(
+      tableName = "cdc_mor",
+      warehousePath = TestSpark.tmpDir("cdc_mor_sink"),
+      batchIntervalSeconds = 1,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity))))
+    val src = MemoryStream[(Long, String, Double)]
+    val q = sink.startStreamUpsert(
+      src.toDF().toDF("event_id", "event_type", "value"),
+      keyCols = Seq("event_id"),
+      checkpointLocation = TestSpark.tmpDir("cdc_mor_cp"))
+    try {
+      src.addData((1L, "click", 1.0), (2L, "view", 2.0))
+      q.processAllAvailable()
+      val files1 = sink.dataFilesRel().toSet
+      val vs1 = sink.snapshotVersions().size
+      src.addData((1L, "click", 10.0), (3L, "view", 3.0)) // update + insert
+      q.processAllAvailable()
+      val rows = sink.read(spark)
+        .select($"event_id", $"value").as[(Long, Double)].collect().toMap
+      assert(rows == Map(1L -> 10.0, 2L -> 2.0, 3L -> 3.0),
+        s"key 1 replaced, key 3 inserted: $rows")
+      assert(files1.subsetOf(sink.dataFilesRel().toSet),
+        "the MoR apply must not rewrite the first batch's files")
+      assert(sink.snapshotVersions().size > vs1,
+        "the MoR apply preserves history across micro-batches")
+    } finally q.stop()
+  }
+
   test("versioned config rejects the raw streaming sink, pointing at the CDC path") {
     val sink = new TableSink(SinkConfig("vs", TestSpark.tmpDir("vs_sink"),
       versioned = true))
