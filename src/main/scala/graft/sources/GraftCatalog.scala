@@ -130,13 +130,17 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // appends, so missing them would serve BOTH copies) cost a
     // version-file read only when some `pos-*` dir exists at all
     val names = WarehouseIO.childNames(logDir(ident)).toSet
-    val anyRefDir = names.exists(_.startsWith("pos-"))
+    val anyRef = names.exists(n => n.startsWith("pos-") ||
+      n.startsWith("keys-") || n.startsWith("del-"))
     versions(ident).filter(v => v <= upTo && (
       names(f"v$v%05d.deletes") ||
         names(f"v$v%05d_keys") ||
         names(f"v$v%05d_pos") ||
-        (anyRefDir && names(f"v$v%05d.list") &&
-          WarehouseIO.snapshotPosRef(lp(f"v$v%05d.list")).exists(names))))
+        (anyRef && names(f"v$v%05d.list") && {
+          val (p, k, d) = WarehouseIO.snapshotSidecarRefs(
+            lp(f"v$v%05d.list"))
+          (p.toSeq ++ k.toSeq ++ d.toSeq).exists(names)
+        })))
   }
 
   private def requireNoPendingDeletes(ident: Identifier, upTo: Int): Unit = {

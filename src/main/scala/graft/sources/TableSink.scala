@@ -793,7 +793,9 @@ final class TableSink(val config: SinkConfig) {
   private[graft] def commitAppendedFiles(added: Seq[String],
       maxAttempts: Int = 20, txn: Option[(String, Long)] = None,
       stats: Map[String, String] = Map.empty,
-      posRef: Option[String] = None): Int = {
+      posRef: Option[String] = None,
+      keysRef: Option[String] = None,
+      delRef: Option[String] = None): Int = {
     // LAYERED commit (Iceberg manifest-list shape): this commit's own
     // delta manifest is written ONCE — its content (exactly this write's
     // files) does not depend on which head it lands on — and the claimed
@@ -920,7 +922,9 @@ final class TableSink(val config: SinkConfig) {
             // both copies in the sidecar-lands-later window
             txn.map(t =>
               s"txn ${WarehouseIO.encodeTxnId(t._1)} ${t._2}").toSeq ++
-              posRef.map(n => s"pos $n").toSeq))) {
+              posRef.map(n => s"pos $n").toSeq ++
+              keysRef.map(n => s"keys $n").toSeq ++
+              delRef.map(n => s"del $n").toSeq))) {
         val genFlip = genBefore != "none" && logGeneration() != genBefore
         val sweptAfter = if (genFlip) Nil else sweptFiles()
         if (genFlip || sweptAfter.nonEmpty) {
@@ -1491,24 +1495,44 @@ final class TableSink(val config: SinkConfig) {
     * logical read instead of re-probing per version. */
   private final class SidecarIndex {
     private val names: Set[String] = WarehouseIO.childNames(logPath).toSet
-    private val anyRefDir = names.exists(_.startsWith("pos-"))
-    private val refCache =
-      scala.collection.mutable.Map.empty[Int, Option[String]]
-    def hasPred(v: Int): Boolean = names(f"v$v%05d.deletes")
-    def hasKeys(v: Int): Boolean = names(f"v$v%05d_keys")
-    def posDirs(v: Int): Seq[org.apache.hadoop.fs.Path] = {
-      val std =
-        if (names(f"v$v%05d_pos")) Seq(posDeletesPath(v)) else Nil
-      val ref =
-        if (!anyRefDir) None
-        else refCache.getOrElseUpdate(v, {
-          if (!names(f"v$v%05d.list")) None
-          else WarehouseIO.snapshotPosRef(logFile(f"v$v%05d.list"))
-            .filter(names) // the referenced dir must exist
-        })
-      std ++ ref.map(logFile)
+    // ref-shaped sidecars (round-12: ALL delete flavors pre-write under
+    // a unique name and are referenced INSIDE the claimed snapshot —
+    // atomic, so a changelog consumer can never observe a version
+    // before its sidecar exists and lose the delta). Their presence in
+    // the ONE listing gates the per-version version-file reads.
+    private val anyRef = names.exists(n => n.startsWith("pos-") ||
+      n.startsWith("keys-") || n.startsWith("del-"))
+    private val refCache = scala.collection.mutable.Map
+      .empty[Int, (Option[String], Option[String], Option[String])]
+    private def refs(v: Int)
+        : (Option[String], Option[String], Option[String]) =
+      if (!anyRef) (None, None, None)
+      else refCache.getOrElseUpdate(v,
+        if (!names(f"v$v%05d.list")) (None, None, None)
+        else WarehouseIO.snapshotSidecarRefs(logFile(f"v$v%05d.list")))
+    def hasPred(v: Int): Boolean =
+      names(f"v$v%05d.deletes") || refs(v)._3.exists(names)
+    /** Predicate SQL texts of version `v` (legacy std file and/or the
+      * `#del`-referenced sidecar), in commit shape order. */
+    def predicates(v: Int): Seq[String] =
+      (if (names(f"v$v%05d.deletes"))
+        Seq(WarehouseIO.readString(deletesPath(v))) else Nil) ++
+        refs(v)._3.filter(names)
+          .map(n => WarehouseIO.readString(logFile(n)))
+    def keyDirs(v: Int): Seq[org.apache.hadoop.fs.Path] =
+      (if (names(f"v$v%05d_keys")) Seq(keysPath(v)) else Nil) ++
+        refs(v)._2.filter(names).map(logFile)
+    def posDirs(v: Int): Seq[org.apache.hadoop.fs.Path] =
+      (if (names(f"v$v%05d_pos")) Seq(posDeletesPath(v)) else Nil) ++
+        refs(v)._1.filter(names).map(logFile)
+    /** Referenced sidecar FILE/DIR names of `v` (cleanup loops must
+      * capture these before deleting the version file). */
+    def refNames(v: Int): Seq[String] = {
+      val (p, k, d) = refs(v)
+      (p.toSeq ++ k.toSeq ++ d.toSeq).filter(names)
     }
-    def any(v: Int): Boolean = hasPred(v) || hasKeys(v) || posDirs(v).nonEmpty
+    def any(v: Int): Boolean =
+      hasPred(v) || keyDirs(v).nonEmpty || posDirs(v).nonEmpty
   }
 
   private def sidecarIndex(): SidecarIndex = new SidecarIndex
@@ -1518,8 +1542,7 @@ final class TableSink(val config: SinkConfig) {
     * [[deleteKeys]] — and counted by [[hasPendingDeletes]].) */
   def deletePredicates(version: Int): Seq[String] = {
     val idx = sidecarIndex()
-    snapshotVersions().filter(v => v <= version && idx.hasPred(v))
-      .map(v => WarehouseIO.readString(deletesPath(v)))
+    snapshotVersions().filter(_ <= version).flatMap(idx.predicates)
   }
 
   /** True when any merge-on-read delete (predicate, key list, or position
@@ -1562,12 +1585,12 @@ final class TableSink(val config: SinkConfig) {
           .withColumn("__graft_pos", col("_metadata.row_index"))
       else df
     val folded = versions.foldLeft(d0) { (d, v) =>
-      val afterSql =
-        if (idx.hasPred(v))
-          d.where(not(expr(WarehouseIO.readString(deletesPath(v)))))
-        else d
-      val afterKeys = if (idx.hasKeys(v)) {
-        val keys = df.sparkSession.read.parquet(keysPath(v).toString)
+      val afterSql = idx.predicates(v)
+        .foldLeft(d)((dd, p) => dd.where(not(expr(p))))
+      val kds = idx.keyDirs(v)
+      val afterKeys = if (kds.nonEmpty) {
+        val keys = kds.map(kd => df.sparkSession.read.parquet(kd.toString))
+          .reduce(_ unionByName _)
         // anti-join on the key list's own columns; Spark broadcasts a
         // small erasure list and shuffle-joins a huge one (AQE decides)
         afterSql.join(keys, keys.columns.toSeq, "left_anti")
@@ -1631,9 +1654,14 @@ final class TableSink(val config: SinkConfig) {
       .where(expr(conditionSql))
       .select(col("__graft_file").as("file_path"),
         col("__graft_pos").as("row_pos"))
-    val v = commitAppendedFiles(Nil) // optimistic head re-commit (see deleteWhere)
-    matched.write.mode("overwrite").parquet(posDeletesPath(v).toString)
-    v
+    // pre-written sidecar + in-snapshot reference (see deleteWhere's
+    // atomicity note)
+    val sidecar = s"pos-${java.util.UUID.randomUUID().toString.take(12)}"
+    matched.write.mode("overwrite").parquet(logFile(sidecar).toString)
+    try commitAppendedFiles(Nil, posRef = Some(sidecar))
+    catch { case e: Throwable =>
+      WarehouseIO.delete(logFile(sidecar), recursive = true); throw e
+    }
   }
 
   /** Merge-on-read delete: commit predicate `conditionSql` (a SQL boolean
@@ -1663,12 +1691,18 @@ final class TableSink(val config: SinkConfig) {
     require(snapshotVersions().nonEmpty,
       "deleteWhere needs at least one committed snapshot")
     expr(conditionSql) // fail on unparseable SQL at commit, not first read
-    // optimistic claim of the next version (fresh head manifest per
-    // attempt); the sidecar write after winning is conflict-free — the
-    // version is exclusively ours
-    val v = commitAppendedFiles(Nil)
-    WarehouseIO.writeString(deletesPath(v), conditionSql)
-    v
+    // the sidecar is PRE-WRITTEN under a unique name and referenced
+    // INSIDE the claimed snapshot (round-12, all delete flavors): a
+    // sidecar landing after the claim was legal for snapshot readers
+    // (they saw the pre-delete state) but LOSSY for changelog
+    // consumers — one reading the version inside that window emitted an
+    // empty change and advanced its offset past the delete forever.
+    val sidecar = s"del-${java.util.UUID.randomUUID().toString.take(12)}"
+    WarehouseIO.writeString(logFile(sidecar), conditionSql)
+    try commitAppendedFiles(Nil, delRef = Some(sidecar))
+    catch { case e: Throwable =>
+      WarehouseIO.delete(logFile(sidecar)); throw e
+    }
   }
 
   /** Merge-on-read ERASURE-LIST delete: commit the distinct `keyCols`
@@ -1698,10 +1732,16 @@ final class TableSink(val config: SinkConfig) {
         s"disagree with main; publish or drop first: ${live.mkString(", ")}")
     require(snapshotVersions().nonEmpty,
       "deleteKeys needs at least one committed snapshot")
-    val v = commitAppendedFiles(Nil) // optimistic head re-commit (see deleteWhere)
+    // pre-written sidecar + in-snapshot reference (see deleteWhere's
+    // atomicity note — changelog consumers must never observe the
+    // version before its sidecar)
+    val sidecar = s"keys-${java.util.UUID.randomUUID().toString.take(12)}"
     keys.select(keyCols.map(col): _*).distinct()
-      .write.mode("overwrite").parquet(keysPath(v).toString)
-    v
+      .write.mode("overwrite").parquet(logFile(sidecar).toString)
+    try commitAppendedFiles(Nil, keysRef = Some(sidecar))
+    catch { case e: Throwable =>
+      WarehouseIO.delete(logFile(sidecar), recursive = true); throw e
+    }
   }
 
   /** MINOR compaction of the merge-on-read delete layer — Iceberg's
@@ -1737,19 +1777,18 @@ final class TableSink(val config: SinkConfig) {
     val vs = snapshotVersions()
     val head = vs.last
     val idx = sidecarIndex()
-    val predVs = vs.filter(idx.hasPred)
-    val keyVs = vs.filter(idx.hasKeys)
-    // capture BOTH sidecar shapes (standard dirs and #pos-referenced)
-    // up front — the cleanup loop below deletes version files before
-    // sidecars, after which a #pos reference is unreadable
-    val posDirsByV = vs.map(v => v -> idx.posDirs(v))
-      .filter(_._2.nonEmpty)
-    val posVs = posDirsByV.map(_._1)
-    require(predVs.nonEmpty || keyVs.nonEmpty || posVs.nonEmpty,
+    // capture EVERY sidecar shape (standard files/dirs and the
+    // snapshot-referenced ones) up front — the cleanup loop below
+    // deletes version files before sidecars, after which a reference
+    // is unreadable
+    val predsByV = vs.map(v => v -> idx.predicates(v)).filter(_._2.nonEmpty)
+    val keyDirsByV = vs.map(v => v -> idx.keyDirs(v)).filter(_._2.nonEmpty)
+    val posDirsByV = vs.map(v => v -> idx.posDirs(v)).filter(_._2.nonEmpty)
+    require(predsByV.nonEmpty || keyDirsByV.nonEmpty || posDirsByV.nonEmpty,
       "no delete sidecars to consolidate")
     if (vs.size == 1) return head // already consolidated: no-op
-    val keySchemas = keyVs
-      .map(v => spark.read.parquet(keysPath(v).toString).columns.toSeq)
+    val keySchemas = keyDirsByV.flatMap(_._2)
+      .map(kd => spark.read.parquet(kd.toString).columns.toSeq)
       .distinct
     require(keySchemas.size <= 1,
       s"erasure lists use mixed key-column sets (${keySchemas.map(_.mkString("(", ",", ")")).mkString(", ")}) " +
@@ -1757,23 +1796,47 @@ final class TableSink(val config: SinkConfig) {
         "compact() instead")
     // (dangling tags need no dedicated check here: requireNoBranches
     // above already refuses when ANY tag exists)
-    // 1. the merged commit lands first, against the head manifest
-    val vNext = commitAppendedFiles(Nil)
-    if (predVs.nonEmpty) {
-      val merged = predVs
-        .map(v => s"(${WarehouseIO.readString(deletesPath(v))})")
-        .mkString(" OR ")
-      WarehouseIO.writeStringAtomic(deletesPath(vNext), merged)
-    }
-    if (keyVs.nonEmpty)
-      keyVs.map(v => spark.read.parquet(keysPath(v).toString))
-        .reduce(_ unionByName _).distinct()
-        .write.mode("overwrite").parquet(keysPath(vNext).toString)
-    if (posVs.nonEmpty)
-      posDirsByV.flatMap(_._2)
-        .map(pd => spark.read.parquet(pd.toString))
-        .reduce(_ unionByName _).distinct()
-        .write.mode("overwrite").parquet(posDeletesPath(vNext).toString)
+    // 1. the merged sidecars PRE-WRITE under fresh names and the commit
+    // references them atomically (same changelog-safety shape as the
+    // flavors themselves; the generation flip at the end makes any
+    // concurrent stream refuse loudly regardless)
+    def uuid12 = java.util.UUID.randomUUID().toString.take(12)
+    val delRef =
+      if (predsByV.isEmpty) None
+      else {
+        val merged = predsByV.flatMap(_._2).map(p => s"($p)").mkString(" OR ")
+        val n = s"del-$uuid12"
+        WarehouseIO.writeString(logFile(n), merged)
+        Some(n)
+      }
+    val keysRef =
+      if (keyDirsByV.isEmpty) None
+      else {
+        val n = s"keys-$uuid12"
+        keyDirsByV.flatMap(_._2)
+          .map(kd => spark.read.parquet(kd.toString))
+          .reduce(_ unionByName _).distinct()
+          .write.mode("overwrite").parquet(logFile(n).toString)
+        Some(n)
+      }
+    val posRef =
+      if (posDirsByV.isEmpty) None
+      else {
+        val n = s"pos-$uuid12"
+        posDirsByV.flatMap(_._2)
+          .map(pd => spark.read.parquet(pd.toString))
+          .reduce(_ unionByName _).distinct()
+          .write.mode("overwrite").parquet(logFile(n).toString)
+        Some(n)
+      }
+    val vNext =
+      try commitAppendedFiles(Nil, posRef = posRef, keysRef = keysRef,
+        delRef = delRef)
+      catch { case e: Throwable =>
+        (delRef.toSeq ++ keysRef.toSeq ++ posRef.toSeq)
+          .foreach(n => WarehouseIO.delete(logFile(n), recursive = true))
+        throw e
+      }
     // 2. cleanup — RE-captured below vNext (a concurrent append that won
     // a version between our read and our claim must be dropped with the
     // rest, or its time-travel read would fold a now-incomplete sidecar
@@ -1785,15 +1848,19 @@ final class TableSink(val config: SinkConfig) {
     // sidecar files in _graft_log — unreachable debris, never consulted
     // (applyDeletes only folds sidecars of LISTED versions).
     val below = snapshotVersions().filter(_ < vNext)
-    // #pos references must be captured while the version files exist
-    val refDirsBelow = below.flatMap(posDeleteDirs)
+    // snapshot-referenced sidecar names must be captured while the
+    // version files still exist (a RE-captured index: a concurrent
+    // append that won a version between our read and our claim drops
+    // with the rest)
+    val belowIdx = sidecarIndex()
+    val refsBelow = below.flatMap(belowIdx.refNames)
     below.foreach(v => WarehouseIO.delete(logFile(f"v$v%05d.list")))
     below.foreach { v =>
       WarehouseIO.delete(deletesPath(v))
       WarehouseIO.delete(keysPath(v), recursive = true)
       WarehouseIO.delete(posDeletesPath(v), recursive = true)
     }
-    refDirsBelow.foreach(WarehouseIO.delete(_, recursive = true))
+    refsBelow.foreach(n => WarehouseIO.delete(logFile(n), recursive = true))
     WarehouseIO.delete(logFile("generation"))
     gcManifests() // deltas referenced only by the dropped history
     vNext
@@ -1864,12 +1931,11 @@ final class TableSink(val config: SinkConfig) {
         else Some(applyDeletes(readFiles(spark, added), v)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_change_version", lit(v.toLong)))
-      val hasPred = idx.hasPred(v)
-      val hasKeys = idx.hasKeys(v)
+      val preds = idx.predicates(v)
+      val keyDirs = idx.keyDirs(v)
       val posDirs = idx.posDirs(v)
-      val hasPos = posDirs.nonEmpty
       val deletes =
-        if (!hasPred && !hasKeys && !hasPos) None
+        if (preds.isEmpty && keyDirs.isEmpty && posDirs.isEmpty) None
         else {
           // a delete commit always has a predecessor at commit time, but
           // snapshot expiry may have dropped it later — the replay is
@@ -1885,17 +1951,20 @@ final class TableSink(val config: SinkConfig) {
           val base = applyDeletes(readFiles(spark, manifestFiles(pv)), pv,
             keepPosCols = true)
           val byPred =
-            if (!hasPred) None
-            else Some(base.where(coalesce(
-              expr(WarehouseIO.readString(deletesPath(v))), lit(false))))
+            if (preds.isEmpty) None
+            else Some(base.where(preds
+              .map(p => coalesce(expr(p), lit(false)))
+              .reduce(_ || _)))
           val byKeys =
-            if (!hasKeys) None
+            if (keyDirs.isEmpty) None
             else {
-              val keys = spark.read.parquet(keysPath(v).toString)
+              val keys = keyDirs
+                .map(kd => spark.read.parquet(kd.toString))
+                .reduce(_ unionByName _)
               Some(base.join(keys, keys.columns.toSeq, "left_semi"))
             }
           val byPos =
-            if (!hasPos) None
+            if (posDirs.isEmpty) None
             else {
               val pos = posDirs
                 .map(pd => spark.read.parquet(pd.toString))
@@ -2387,14 +2456,17 @@ final class TableSink(val config: SinkConfig) {
       "delete sidecars are commit metadata — versioned tables only")
     val idx = sidecarIndex()
     val rows = snapshotVersions().flatMap { v =>
+      val preds = idx.predicates(v)
       val pred =
-        if (!idx.hasPred(v)) None
-        else Some((v.toLong, "predicate", 1L,
-          WarehouseIO.readString(deletesPath(v))))
+        if (preds.isEmpty) None
+        else Some((v.toLong, "predicate", preds.size.toLong,
+          preds.mkString(" OR ")))
+      val kds = idx.keyDirs(v)
       val keys =
-        if (!idx.hasKeys(v)) None
+        if (kds.isEmpty) None
         else {
-          val k = spark.read.parquet(keysPath(v).toString)
+          val k = kds.map(kd => spark.read.parquet(kd.toString))
+            .reduce(_ unionByName _)
           Some((v.toLong, "keys", k.count(), k.columns.mkString(",")))
         }
       val pos = {
@@ -2462,7 +2534,25 @@ final class TableSink(val config: SinkConfig) {
     }
     deadStages.foreach(n =>
       WarehouseIO.delete(new HPath(staging, n), recursive = true))
-    orphans ++ deadStages.map(n => s"_staging/$n")
+    // crashed MoR mutations and delete commits: a sidecar written
+    // before a claim that never landed strands an unreferenced
+    // `pos-*`/`keys-*`/`del-*` entry in the log — never consulted (only
+    // snapshot-referenced sidecars of CLAIMED snapshots fold), pure
+    // debris. Referenced = every live snapshot's #pos/#keys/#del line.
+    val logNames = WarehouseIO.childNames(logPath).toSet
+    val referencedSc = snapshotVersions().flatMap { v =>
+      val (p, k, d) = WarehouseIO.snapshotSidecarRefs(
+        logFile(f"v$v%05d.list"))
+      p.toSeq ++ k.toSeq ++ d.toSeq
+    }.toSet
+    val deadSc = logNames.filter(n => n.startsWith("pos-") ||
+        n.startsWith("keys-") || n.startsWith("del-"))
+      .filterNot(referencedSc)
+      .filter(n => now - WarehouseIO.modifiedAtMs(logFile(n)) >= graceMs)
+      .toSeq.sorted
+    deadSc.foreach(n => WarehouseIO.delete(logFile(n), recursive = true))
+    orphans ++ deadStages.map(n => s"_staging/$n") ++
+      deadSc.map(n => s"_graft_log/$n")
   }
 
   /** One-call maintenance sweep (Delta `VACUUM` + Iceberg
@@ -2505,10 +2595,13 @@ final class TableSink(val config: SinkConfig) {
         WarehouseIO.delete(new org.apache.hadoop.fs.Path(root, rel)))
     val rbIdx = sidecarIndex()
     snapshotVersions().filter(_ > version).foreach { v =>
-      if (rbIdx.hasPred(v)) WarehouseIO.delete(deletesPath(v))
-      // #pos-referenced sidecars are captured via the version file, so
-      // they resolve BEFORE it is deleted (the index covers both shapes)
-      (keysPath(v) +: rbIdx.posDirs(v)).foreach { kd =>
+      WarehouseIO.delete(deletesPath(v))
+      // snapshot-referenced sidecars resolve via the version file, so
+      // they are captured BEFORE it is deleted (the index covers every
+      // shape: std files/dirs plus #pos/#keys/#del references)
+      rbIdx.refNames(v).foreach(n =>
+        WarehouseIO.delete(logFile(n), recursive = true))
+      Seq(keysPath(v), posDeletesPath(v)).foreach { kd =>
         if (WarehouseIO.isDir(kd)) WarehouseIO.delete(kd, recursive = true)
       }
       WarehouseIO.delete(logFile(f"v$v%05d.list"))

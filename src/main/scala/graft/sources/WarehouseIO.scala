@@ -466,11 +466,46 @@ private[graft] object WarehouseIO {
     * claimed snapshot (the merge-on-read UPDATE/MERGE commit shape:
     * replacement appends and the subtraction of the replaced rows land
     * in one snapshot, so no reader window shows both copies). */
-  def snapshotPosRef(snapshotPath: HPath): Option[String] = {
+  def snapshotPosRef(snapshotPath: HPath): Option[String] =
+    snapshotMetaValue(snapshotPath, "pos")
+
+  /** `#keys <sidecarDirName>` — an erasure-list sidecar committed
+    * atomically inside the claimed snapshot (round-12: ALL delete
+    * flavors moved to pre-written, in-snapshot-referenced sidecars — a
+    * lands-later sidecar is legal for snapshot readers, which see the
+    * pre-delete state, but a CHANGELOG consumer reading the version in
+    * that window emits an empty change and advances its offset past the
+    * delete, losing it forever). */
+  def snapshotKeysRef(snapshotPath: HPath): Option[String] =
+    snapshotMetaValue(snapshotPath, "keys")
+
+  /** `#del <sidecarFileName>` — a predicate-delete sidecar (a pre-written
+    * `del-*` file holding the SQL text) committed atomically inside the
+    * claimed snapshot. The file — rather than in-lining the SQL — keeps
+    * the one-listing index contract: `del-*` names in the log listing
+    * gate the version-file reads that resolve which version owns which
+    * sidecar, exactly like `pos-*`/`keys-*`. */
+  def snapshotDelRef(snapshotPath: HPath): Option[String] =
+    snapshotMetaValue(snapshotPath, "del")
+
+  /** All three sidecar references of a snapshot in ONE file read:
+    * (`#pos`, `#keys`, `#del`). */
+  def snapshotSidecarRefs(snapshotPath: HPath)
+      : (Option[String], Option[String], Option[String]) = {
+    val lines = readString(snapshotPath).split("\n").toIndexedSeq
+    if (!lines.headOption.contains(SnapshotHeader)) return (None, None, None)
+    def v(key: String): Option[String] = lines.tail
+      .find(_.startsWith(s"#$key "))
+      .map(_.stripPrefix(s"#$key ").trim).filter(_.nonEmpty)
+    (v("pos"), v("keys"), v("del"))
+  }
+
+  private def snapshotMetaValue(snapshotPath: HPath,
+      key: String): Option[String] = {
     val lines = readString(snapshotPath).split("\n").toIndexedSeq
     if (!lines.headOption.contains(SnapshotHeader)) return None
-    lines.tail.find(_.startsWith("#pos ")).map(_.stripPrefix("#pos ").trim)
-      .filter(_.nonEmpty)
+    lines.tail.find(_.startsWith(s"#$key "))
+      .map(_.stripPrefix(s"#$key ").trim).filter(_.nonEmpty)
   }
 
   /** Driver-side manifest CONTENT reads since process start (names-only

@@ -129,9 +129,12 @@ class ChangelogCursorSpec extends AnyFunSuite {
     src.replicateTo(spark, replica, Seq("id"), cursor)
     def pendingSidecars(): Int = {
       val logDir = new HPath(s"${replica.config.tablePath}/_graft_log")
+      // both sidecar shapes count: legacy std files/dirs and the
+      // round-12 snapshot-referenced `del-`/`keys-`/`pos-` names
       WarehouseIO.childNames(logDir).count(nm =>
         nm.endsWith(".deletes") || nm.endsWith("_keys") ||
-          nm.endsWith("_pos"))
+          nm.endsWith("_pos") || nm.startsWith("del-") ||
+          nm.startsWith("keys-") || nm.startsWith("pos-"))
     }
     // one delete-only source commit per cycle -> one key-list sidecar
     // per apply; without consolidation the replica would accumulate
@@ -162,7 +165,8 @@ class ChangelogCursorSpec extends AnyFunSuite {
       src0.replicateTo(spark, replica0, Seq("id"), cursor0)
     }
     val logDir0 = new HPath(s"${replica0.config.tablePath}/_graft_log")
-    assert(WarehouseIO.childNames(logDir0).count(_.endsWith("_keys")) == 4,
+    assert(WarehouseIO.childNames(logDir0)
+      .count(nm => nm.endsWith("_keys") || nm.startsWith("keys-")) == 4,
       "threshold 0 must leave every sidecar in place")
     assert(replica0.read(spark).select($"id").as[Long].collect().toSet
       == Set(5L, 6L))

@@ -36,6 +36,46 @@ class MorDeleteSpec extends AnyFunSuite {
     finally s.close()
   }
 
+  test("every delete flavor commits its sidecar ATOMICALLY inside the " +
+    "claimed snapshot — a changelog consumer can never observe the " +
+    "version without its delta (round-12)") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val sink = mkSink("m_atomic")
+    val v2 = sink.deleteWhere("v < 15.0")
+    val v3 = sink.deleteKeys(Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    val v4 = sink.deletePositions(spark, "id = 3")
+    // no post-claim std sidecar files exist — the references ride the
+    // snapshots themselves (pre-round-12, a consumer reading the version
+    // in the claim-to-sidecar window lost the delete forever)
+    val log = s"$wh/m_atomic/_graft_log"
+    Seq(f"v$v2%05d.deletes", f"v$v3%05d_keys", f"v$v4%05d_pos").foreach { n =>
+      assert(!WarehouseIO.exists(new HPath(s"$log/$n")),
+        s"std sidecar $n must not exist — the commit carries a reference")
+    }
+    val names = new java.io.File(log).listFiles().map(_.getName).toSet
+    assert(names.exists(_.startsWith("del-")) &&
+      names.exists(_.startsWith("keys-")) &&
+      names.exists(_.startsWith("pos-")), s"referenced sidecars: $names")
+    // semantics unchanged: reads subtract, the changelog replays each
+    // delete against its pre-commit snapshot
+    assert(sink.read(spark).count() == 0)
+    val feed = sink.readChangelog(spark, 1, v4)
+      .select($"id", $"_change_type", $"_change_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(feed == Set((1L, "delete", v2.toLong), (2L, "delete", v3.toLong),
+      (3L, "delete", v4.toLong)), s"got: $feed")
+    // time travel still scopes per version
+    assert(sink.readVersion(spark, 1).count() == 3)
+    assert(sink.readVersion(spark, v2).count() == 2)
+    // consolidation folds referenced sidecars and stays correct
+    val sink2 = mkSink("m_atomic2")
+    sink2.deleteWhere("v < 15.0")
+    sink2.deleteKeys(Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    sink2.consolidateDeletes(spark)
+    assert(sink2.read(spark).select($"id").as[Long].collect().toSeq
+      == Seq(3L))
+  }
+
   test("deleteWhere is metadata-only and read subtracts at scan time") {
     val sink = mkSink("m1")
     val before = dataFiles("m1")

@@ -278,6 +278,30 @@ class MorUpdateSpec extends AnyFunSuite {
       "the replica now KEEPS history across applies (MoR commits)")
   }
 
+  test("removeOrphans sweeps a stranded pos-* sidecar (crashed MoR " +
+    "mutation) and keeps the #pos-referenced live one") {
+    import spark.implicits._
+    val sink = mkSink("u14")
+    sink.updateMor(spark, $"id" === 1L, Seq("v" -> lit(99.0)))
+    // a hard JVM crash between the sidecar write and the claim strands
+    // an unreferenced pos-* dir in the log — fake one (the in-process
+    // failure paths clean up after themselves, so only a kill makes it)
+    val stranded = s"$wh/u14/_graft_log/pos-deadbeef0000"
+    Seq(("f", 0L)).toDF("file_path", "row_pos")
+      .write.mode("overwrite").parquet(stranded)
+    val live = new java.io.File(s"$wh/u14/_graft_log").listFiles()
+      .map(_.getName).filter(_.startsWith("pos-")).toSet
+    assert(live.size == 2)
+    val removed = sink.removeOrphans(graceMs = 0L)
+    assert(removed.exists(_.endsWith("pos-deadbeef0000")),
+      s"the stranded sidecar must be swept: $removed")
+    assert(!removed.exists(r => r.contains("pos-") &&
+      !r.endsWith("pos-deadbeef0000")),
+      "the live #pos-referenced sidecar must survive the sweep")
+    // and the table still serves the update through the live sidecar
+    assert(state(sink).contains((1L, "a", 99.0)))
+  }
+
   test("SQL door: updateMode=mor routes UPDATE through the atomic MoR " +
     "commit and the catalog read serves through the pending sidecar") {
     spark.sql("CREATE TABLE gmu.su1 (id BIGINT, v DOUBLE) " +
