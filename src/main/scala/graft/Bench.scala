@@ -52,11 +52,16 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal timings (0.1 ms, far under run-to-run noise): the driver
+    // keeps a bounded stdout tail, and a ~15-digit-per-query line is what
+    // truncated BENCH_r12's per-query map into "parsed": null
+    def f4(v: Double): String = String.format(java.util.Locale.ROOT,
+      "%.4f", Double.box(v)) // ROOT locale: '.' decimal point, valid JSON
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"warm_of_2"}"""
+      s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"warm_of_2"}"""
     println(json)
     // The driver keeps only a stdout tail, which truncates the per-query
     // map; persist the full record too (SPARK_GRAFT_BENCH_OUT overrides).

@@ -22,6 +22,8 @@ object Scratch {
       case "split:bloom_prune" => statsSplit(spark, sfDir, bloom = true)
       case "split:sql_delete" => sqlDeleteSplit(spark, sfDir)
       case "split:mor_read" => morReadSplit(spark, sfDir)
+      case "split:sql_partitioned" => sqlPartitionedSplit(spark, sfDir)
+      case "split:stream_pushdown" => streamPushdownSplit(spark, sfDir)
       case n =>
         (1 to 2).foreach { i =>
           val t0 = System.nanoTime()
@@ -99,6 +101,115 @@ object Scratch {
     * aggregate, minus the Row round-trip). Decision rule from the
     * verdict: build a native DSv2 PartitionReader only if the bridge
     * costs >25% of the read phase. */
+  /** Cost attribution for q_sql_partitioned (the round-12 three-signal
+    * suspect): replays its exact fixture with phase timers — library
+    * append vs SQL INSERT vs partition-scoped DELETE vs UPDATE vs final
+    * aggregate — then times 20 consecutive trivial SQL statements on the
+    * finished table to expose the per-statement loadTable metadata term
+    * (the `pendingDeleteVersions` listing VERDICT r12 finding #2 names). */
+  private def sqlPartitionedSplit(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val wh = s"/root/repo/target/tmp/sqp_wh_${java.util.UUID.randomUUID()}"
+    spark.conf.set("spark.sql.catalog.gsqp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqp.warehouse", wh)
+    (1 to 2).foreach { i =>
+      def timed[A](what: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[split] run$i $what: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      val e = Tables.events(spark, sfDir)
+      val tbl = s"events_sqp_$i"
+      val src = s"sqp_src_$i"
+      e.createOrReplaceTempView(src)
+      val sink = new TableSink(SinkConfig(tableName = tbl,
+        warehousePath = wh, versioned = true, numPartitions = 4,
+        partitionSpec = Seq(PartitionField("event_type", Transform.Identity))))
+      timed("fixture: library append (partitioned)") {
+        sink.append(e.select(col("event_id"), col("user_id"), col("value"),
+          col("event_type")))
+      }
+      timed("SQL INSERT (synthetic partition)") {
+        spark.sql(s"INSERT INTO gsqp.$tbl " +
+          s"SELECT event_id + 10000000, user_id, value, 'synthetic' " +
+          s"FROM $src WHERE event_id % 100 = 0")
+      }
+      timed("SQL DELETE (partition-scoped COW)") {
+        spark.sql(s"DELETE FROM gsqp.$tbl " +
+          "WHERE event_type = 'click' AND value < 50.0")
+      }
+      timed("SQL UPDATE (COW rewrite of one partition)") {
+        spark.sql(s"UPDATE gsqp.$tbl SET value = value + 10.0 " +
+          "WHERE event_type = 'view'")
+      }
+      timed("final aggregate") {
+        spark.sql(s"SELECT event_type, COUNT(*) FROM gsqp.$tbl " +
+          "GROUP BY event_type").collect()
+      }
+      val t0 = System.nanoTime()
+      (1 to 20).foreach { _ =>
+        spark.sql(s"SELECT COUNT(*) FROM gsqp.$tbl WHERE event_type = " +
+          "'nope'").collect()
+      }
+      println(f"[split] run$i 20x trivial statement (loadTable metadata " +
+        f"term): ${(System.nanoTime() - t0) / 1e9 / 20}%.4f s/stmt")
+    }
+  }
+
+  /** VERDICT r12 task #4 measurement: is the V1 streaming source's
+    * pushdown barrier (filters cannot reach the scan inside a
+    * micro-batch) worth a DSv2 MicroBatchStream? Fixture: a versioned
+    * documents table (wide text rows). Measures, warm, (a) a
+    * SELECTIVE-filtered streaming consumer's incremental batch, (b) the
+    * same filter as a pushdown batch read of the same commit, (c) the
+    * unfiltered batch read (the scan floor). The barrier term is
+    * (a - b) / a; the 25% rule decides — same rule that rejected the
+    * MoR read bridge in round 12. */
+  private def streamPushdownSplit(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val dest = s"/root/repo/target/tmp/spd_wh_${java.util.UUID.randomUUID()}"
+    val docs = Tables.documents(spark, sfDir)
+    val sink = new TableSink(SinkConfig(tableName = "docs_spd",
+      warehousePath = dest, versioned = true, numPartitions = 4))
+    sink.append(docs.filter(pmod(col("doc_id"), lit(2)) === 0))      // v1
+    def timed(what: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[split] $what: $s%.3f s")
+      s
+    }
+    val pred = col("lang") === "en" && length(col("text")) > 4000 &&
+      pmod(col("doc_id"), lit(997)) === 0 // selective, unsargable tail
+    (1 to 3).foreach { pass =>
+      val out = s"$dest/out_$pass"
+      val q = sink.readStream(spark).filter(pred)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$dest/cp_$pass").start()
+      try {
+        q.processAllAvailable() // batch 0: the v1 snapshot (warms caches)
+        sink.append(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+        val a = timed(s"pass $pass (a) filtered STREAM incremental batch") {
+          q.processAllAvailable()
+        }
+        val b = timed(s"pass $pass (b) filtered BATCH read of the commit") {
+          val vs = sink.snapshotVersions()
+          sink.readAppendedBetween(spark, vs.init.last, vs.last)
+            .filter(pred).count(); ()
+        }
+        val c = timed(s"pass $pass (c) unfiltered batch read (scan floor)") {
+          val vs = sink.snapshotVersions()
+          sink.readAppendedBetween(spark, vs.init.last, vs.last).count(); ()
+        }
+        println(f"[split] pass $pass barrier term (a-b)/a = " +
+          f"${(a - b) / a * 100}%.1f%% (floor c/a = ${c / a * 100}%.1f%%)")
+        // reset for the next pass: drop the appended half again
+        sink.rollbackTo(1)
+      } finally q.stop()
+    }
+  }
+
   private def morReadSplit(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     // ONE warehouse for the whole split: the catalog instance pins the

@@ -435,7 +435,13 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       ident.namespace().dropRight(1), ident.namespace().last)
     if (!tableExists(base)) return None
     val spark = SparkSession.active
-    def sink = new TableSink(insertConfig(base, firstDataFile(base)))
+    // pin the DECLARED schema (same precedent as the branch-resolution
+    // path): `changes` replays commits on BOTH sides of any ALTER TABLE
+    // boundary, and per-version file groups would otherwise infer
+    // different schemas — pre-evolution rows must NULL-fill under the
+    // head schema, a dropped column must stay dropped
+    def sink = new TableSink(insertConfig(base, firstDataFile(base))
+      .copy(tableSchema = declaredSchema(base)))
     val compute: Option[() => org.apache.spark.sql.DataFrame] =
       ident.name().toLowerCase match {
         case "snapshots" | "history" => Some(() => sink.metaSnapshots(spark))

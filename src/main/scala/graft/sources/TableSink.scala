@@ -45,8 +45,15 @@ object TableSink {
   def isMissingFileError(t: Throwable): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).exists {
       case _: java.io.FileNotFoundException => true
+      // message matches are pinned to the two KNOWN missing-path shapes
+      // (Spark's listing error and this engine's snapshot refusal). A
+      // bare "does not exist" substring would also catch unrelated
+      // failures — e.g. an AnalysisException "Table or view does not
+      // exist" raised inside a foreachBatch — and convert them into the
+      // "rewritten mid-stream" refusal, masking the real error.
       case e => Option(e.getMessage).exists(m =>
-        m.contains("Path does not exist") || m.contains("does not exist"))
+        m.contains("Path does not exist") ||
+          (m.contains("napshot") && m.contains("does not exist")))
     }
 
   /** Bit test against a hex Bloom bitmap (64-bit lanes, lane 0 first;
@@ -1774,6 +1781,29 @@ final class TableSink(val config: SinkConfig) {
     requireNoBranches("consolidateDeletes")
     require(config.versioned && snapshotVersions().nonEmpty,
       "consolidateDeletes needs a versioned table with commits")
+    // The merge below captures sidecars from the PRE-claim version set.
+    // A concurrent delete flavor that wins a version between capture and
+    // claim would have its sidecar dropped UNMERGED by the cleanup — a
+    // silently lost delete. Detect it after winning vNext (cleanup has
+    // not run yet, so retracting our own claim restores the exact
+    // pre-commit table) and re-merge with the interloper included.
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val r = consolidateDeletesOnce(spark)
+      if (r >= 0) return r
+      require(attempt < 5,
+        "consolidateDeletes lost 5 straight races to concurrent delete " +
+          "commits; quiesce writers and re-run")
+    }
+    -1 // unreachable
+  }
+
+  /** One merge-and-claim attempt for [[consolidateDeletes]]. Returns the
+    * new head version, or -1 when a sidecar-carrying commit won a
+    * version inside the capture-to-claim window (own claim retracted;
+    * caller re-runs with the interloper's sidecars in the capture). */
+  private def consolidateDeletesOnce(spark: SparkSession): Int = {
     val vs = snapshotVersions()
     val head = vs.last
     val idx = sidecarIndex()
@@ -1837,6 +1867,20 @@ final class TableSink(val config: SinkConfig) {
           .foreach(n => WarehouseIO.delete(logFile(n), recursive = true))
         throw e
       }
+    // A sidecar-carrying commit in the capture-to-claim window means the
+    // merged set is INCOMPLETE — its deletes would vanish with cleanup.
+    // Retract our own claim (the accepted post-claim retraction shape —
+    // see commitAppendedFiles' generation re-check) and signal a re-run;
+    // plain appends in the window are safe: their delta manifests are
+    // layered into vNext's snapshot, only their time-travel point drops.
+    val raced = snapshotVersions()
+      .filter(v => v > head && v < vNext).filter(sidecarIndex().any)
+    if (raced.nonEmpty) {
+      WarehouseIO.delete(logFile(f"v$vNext%05d.list"))
+      (delRef.toSeq ++ keysRef.toSeq ++ posRef.toSeq)
+        .foreach(n => WarehouseIO.delete(logFile(n), recursive = true))
+      return -1
+    }
     // 2. cleanup — RE-captured below vNext (a concurrent append that won
     // a version between our read and our claim must be dropped with the
     // rest, or its time-travel read would fold a now-incomplete sidecar
@@ -1997,7 +2041,24 @@ final class TableSink(val config: SinkConfig) {
         }
       base.withColumn("_change_type", lit(""))
         .withColumn("_change_version", lit(0L))
-    } else parts.reduce(_ unionByName _)
+    } else {
+      // schema-evolution guard: with no DECLARED schema each version's
+      // file group infers its own shape, and a range spanning an ALTER
+      // boundary would die inside unionByName with a generic resolver
+      // error (or worse, resurrect a dropped column). Refuse precisely
+      // with the remedy — a declared tableSchema conforms every version
+      // (pre-evolution rows NULL-fill, dropped columns stay dropped),
+      // which is what the SQL door's `<table>.changes` pins automatically.
+      val shapes = parts.map(_.columns.toSet).distinct
+      require(shapes.size == 1,
+        "changelog range spans a schema-evolution boundary " +
+          s"(${shapes.map(_.toSeq.sorted.mkString("(", ",", ")"))
+            .mkString(" vs ")}) and this sink has no declared " +
+          "tableSchema to conform the versions under — set " +
+          "SinkConfig.tableSchema to the head schema, or read through " +
+          "the SQL catalog's <table>.changes surface")
+      parts.reduce(_ unionByName _)
+    }
   }
 
   /** Whole-history changelog for parameterless surfaces (the SQL
@@ -2630,10 +2691,18 @@ final class TableSink(val config: SinkConfig) {
     logFile(s"branch_$name")
   }
 
-  /** Live branch names (empty when none or unversioned). */
+  /** Live branch names (empty when none or unversioned). A branch is
+    * LIVE only once it carries a committed version: [[createBranch]]
+    * writes `base` before `v00001.list`, so a crash between the two
+    * leaves a bare `branch_<name>` dir — counting that phantom as live
+    * would block every MoR sidecar commit until someone hand-dropped it,
+    * and re-running createBranch (which overwrites the stale base) is
+    * the natural heal. [[dropBranch]] still removes a phantom dir (it
+    * checks the directory, not liveness). */
   def branches(): Seq[String] =
     WarehouseIO.childNames(logPath)
       .collect { case n if n.startsWith("branch_") => n.stripPrefix("branch_") }
+      .filter(n => branchVersions(n).nonEmpty)
       .sorted
 
   /** Committed versions on a branch, oldest first. */
@@ -3665,23 +3734,41 @@ final class TableSink(val config: SinkConfig) {
     * analysis-time file set and cannot see the interloper's rows).
     * Replacement rows re-derive partitions and pass the staged
     * CHECK-constraint gate; any failure retracts the sidecar and the
-    * staged files (nothing referenced them yet). */
+    * staged files (nothing referenced them yet).
+    *
+    * An INSERT-ONLY mutation (no matched target rows — an insert-heavy
+    * MERGE, or an [[upsertMor]] batch of all-new keys, the steady state
+    * of a CDC replica ingesting fresh entities) commits a PLAIN append
+    * instead: an empty `#pos` sidecar carries no delete semantics but
+    * would flip `pendingMorDeletes` permanently — every subsequent read
+    * folds a useless empty anti-join, SQL reads degrade to the projected
+    * V1 bridge, and consolidation can never clear it. With nothing
+    * pinned to the analysis-time head, a pure append also commutes with
+    * concurrent commits, so it takes the normal retrying claim rather
+    * than this primitive's single-attempt contract. */
   private[graft] def commitMorMutation(spark: SparkSession,
       positions: DataFrame, replacement: DataFrame): Int = {
-    val sidecar = s"pos-${java.util.UUID.randomUUID().toString.take(12)}"
+    // callers localCheckpoint the frame positions derive from, so the
+    // emptiness probe is a cheap scan of pinned partitions
+    val sidecarOpt =
+      if (positions.isEmpty) None
+      else Some(s"pos-${java.util.UUID.randomUUID().toString.take(12)}")
     var added: Seq[String] = Nil
     try {
-      positions.write.mode("overwrite").parquet(logFile(sidecar).toString)
+      sidecarOpt.foreach(s =>
+        positions.write.mode("overwrite").parquet(logFile(s).toString))
       val prepared = clusterForWrite(withDerived(replacement))
       added = stagedWrite(prepared) // constraint gate runs in staging
-      commitAppendedFiles(added, maxAttempts = 1,
+      commitAppendedFiles(added,
+        maxAttempts = if (sidecarOpt.isDefined) 1 else 20,
         stats = manifestStatsFor(spark, added, prepared.schema),
-        posRef = Some(sidecar))
+        posRef = sidecarOpt)
     } catch {
       case e: Throwable =>
         // the claim never landed: this attempt's sidecar and staged
         // files are unreferenced — drop them before propagating
-        WarehouseIO.delete(logFile(sidecar), recursive = true)
+        sidecarOpt.foreach(s =>
+          WarehouseIO.delete(logFile(s), recursive = true))
         added.foreach(rel => WarehouseIO.delete(
           new org.apache.hadoop.fs.Path(config.tablePath, rel)))
         throw e
@@ -4155,16 +4242,25 @@ final class TableSink(val config: SinkConfig) {
     * file-set reads per commit in range; data cost: a scan of exactly
     * the appended files. */
   def readAppendedBetween(spark: SparkSession, fromVersion: Int,
-      toVersion: Int): DataFrame = {
+      toVersion: Int, ignoreChanges: Boolean = false): DataFrame = {
     val versions = snapshotVersions()
     val idx = sidecarIndex()
     val rng = versions.filter(v => v > fromVersion && v <= toVersion)
     val parts: Seq[DataFrame] = rng.flatMap { v =>
-      require(!idx.any(v),
+      // `ignoreChanges` (Delta's escape hatch, round-13): an IDEMPOTENT
+      // consumer may opt in to keep streaming over merge-on-read
+      // UPDATE/DELETE commits — the commit's appended files (an
+      // update's replacement rows) re-emit as plain appends, deletions
+      // are NOT retracted, and a delete-only commit contributes nothing
+      // (Delta's ignoreDeletes folded in). The default stays the loud
+      // refusal: a non-idempotent consumer must not silently double-see
+      // updated rows.
+      require(ignoreChanges || !idx.any(v),
         s"snapshot streaming: commit v$v carries merge-on-read deletes — " +
           "a stream cannot retract rows it already emitted; run deletes " +
           "with the stream down, compact, and restart the consumer from " +
-          "a fresh checkpoint")
+          "a fresh checkpoint — or opt in with ignoreChanges=true if the " +
+          "downstream tolerates re-emitted replacement rows")
       val prevSet = versions.filter(_ < v).lastOption
         .map(manifestFiles(_).toSet).getOrElse(Set.empty)
       val cur = manifestFiles(v)
@@ -4206,7 +4302,8 @@ final class TableSink(val config: SinkConfig) {
     * batch, a scan of exactly the appended files. */
   def readStream(spark: SparkSession,
       startingVersion: Option[String] = None,
-      startingTimestampMs: Option[Long] = None): DataFrame = {
+      startingTimestampMs: Option[Long] = None,
+      ignoreChanges: Boolean = false): DataFrame = {
     if (!config.versioned) {
       val schema = config.tableSchema.getOrElse(read(spark).schema)
       return spark.readStream
@@ -4223,6 +4320,7 @@ final class TableSink(val config: SinkConfig) {
       .option("warehousePath", config.warehousePath)
       .option("tablePath", config.tablePath)
       .option("fileFormat", config.fileFormat)
+      .option("ignoreChanges", ignoreChanges.toString)
     val r1 = startingVersion.fold(r0)(v => r0.option("startingVersion", v))
     startingTimestampMs.fold(r1)(t =>
       r1.option("startingTimestamp", t.toString)).load()

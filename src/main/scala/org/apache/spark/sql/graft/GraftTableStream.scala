@@ -75,12 +75,19 @@ final class GraftTableStream extends StreamSourceProvider
             s"instant (e.g. 2024-01-01T00:00:00Z), got '$s'")
       })
     }
+    val ignoreChanges =
+      parameters.get("ignoreChanges").exists(_.toBoolean)
+    require(!(ignoreChanges && parameters.get("mode").contains("changes")),
+      "ignoreChanges applies to the snapshot stream only — the CDC " +
+        "stream (readChangesStream) already emits update/delete commits " +
+        "as retraction rows")
     new GraftTableSource(sqlContext, mkSink(parameters),
       schema.getOrElse(
         mkSink(parameters).read(sqlContext.sparkSession).schema),
       changes = parameters.get("mode").contains("changes"),
       startingVersion = starting,
-      startingTimestampMs = startingTs)
+      startingTimestampMs = startingTs,
+      ignoreChanges = ignoreChanges)
   }
 }
 
@@ -113,7 +120,8 @@ private[graft] final class GraftTableSource(sqlContext: SQLContext,
     sink: TableSink, override val schema: StructType,
     changes: Boolean = false,
     startingVersion: Option[String] = None,
-    startingTimestampMs: Option[Long] = None) extends Source {
+    startingTimestampMs: Option[Long] = None,
+    ignoreChanges: Boolean = false) extends Source {
 
   private val spark: SparkSession = sqlContext.sparkSession
 
@@ -148,10 +156,13 @@ private[graft] final class GraftTableSource(sqlContext: SQLContext,
     * version committed STRICTLY BEFORE it (the consumer sees every
     * commit at or after the instant — Delta's `startingTimestamp`);
     * a pre-history instant resolves to no floor = the default full
-    * replay. Stable floors are ALSO carried into later batch windows
-    * (`max(checkpointOffset, floor)`) so a floor above the head at
-    * stream start still suppresses commits (head, floor] that land
-    * later, instead of silently degrading to batch-0-only. */
+    * replay. The floor binds ONLY the first (checkpoint-less) batch:
+    * the version cap above keeps `floor <= headAtCreation`, and a fresh
+    * stream's first end offset is >= the creation head, so every later
+    * checkpointed window already starts at or above the floor — while a
+    * RESTART must resume from its offset and ignore the option (Delta's
+    * contract; carrying `max(offset, floor)` there would let a restart
+    * with a higher startingVersion silently skip (offset, N-1]). */
   private val stableFloor: Option[Int] = startingVersion.flatMap {
     case s if s.equalsIgnoreCase("latest") => None
     case s =>
@@ -225,7 +236,8 @@ private[graft] final class GraftTableSource(sqlContext: SQLContext,
       }
       case None if initialFloor.isDefined =>
         // snapshot mode with a floor: appended rows in (f, head] only
-        pinned.readAppendedBetween(spark, initialFloor.get, e.version)
+        pinned.readAppendedBetween(spark, initialFloor.get, e.version,
+          ignoreChanges)
       case None =>
         // first batch: the table's consistent snapshot at `end` —
         // merge-on-read deletes applied, any history shape serves
@@ -233,11 +245,13 @@ private[graft] final class GraftTableSource(sqlContext: SQLContext,
       case Some(s0) =>
         val s = GraftStreamOffset.of(s0)
         requireSameHistory(s.generation, e.generation)
-        // carry a stable floor into later windows (see [[stableFloor]])
-        val from = math.max(s.version, stableFloor.getOrElse(-1))
+        // checkpointed windows resume from their own offset — the floor
+        // bound the first batch only (see [[stableFloor]])
+        val from = s.version
         if (from >= e.version) emptyBatch()
         else if (changes) pinned.readChangelog(spark, from, e.version)
-        else pinned.readAppendedBetween(spark, from, e.version)
+        else pinned.readAppendedBetween(spark, from, e.version,
+          ignoreChanges)
     }
     // the engine requires a streaming-tagged plan; the wrapped RDD is
     // the planned (lazy) batch scan, projected to the declared column

@@ -44,6 +44,34 @@ class BranchSpec extends AnyFunSuite {
     assert(sink.readVersion(spark, 1).count() == 3)
   }
 
+  test("a crash-stranded branch dir (base written, v00001.list not) is " +
+    "NOT live: it blocks no sidecar commit, and re-creating heals it " +
+    "(round-13)") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val sink = mkSink("wap_phantom")
+    // simulate createBranch dying between its two writes
+    WarehouseIO.writeString(
+      new HPath(s"$wh/wap_phantom/_graft_log/branch_ghost", "base"), "1")
+    assert(sink.branches().isEmpty,
+      "a branch with no committed version must not count as live")
+    // MoR sidecar commits proceed (pre-round-13 every flavor refused
+    // until the phantom was hand-dropped)
+    sink.deleteWhere("id = 1")
+    assert(sink.read(spark).count() == 2)
+    // re-creating the branch overwrites the stale base and goes live
+    sink.createBranch("ghost")
+    assert(sink.branches() == Seq("ghost"))
+    assert(sink.readBranch(spark, "ghost").count() == 2,
+      "the healed branch must base on the CURRENT head, not the stale base")
+    sink.dropBranch("ghost")
+    // dropBranch also removes a phantom dir directly
+    WarehouseIO.writeString(
+      new HPath(s"$wh/wap_phantom/_graft_log/branch_ghost2", "base"), "1")
+    sink.dropBranch("ghost2")
+    assert(!WarehouseIO.exists(
+      new HPath(s"$wh/wap_phantom/_graft_log/branch_ghost2")))
+  }
+
   test("dropped branch's files become orphans and are reclaimed") {
     val sink = mkSink("wap2")
     sink.createBranch("audit")

@@ -172,6 +172,53 @@ class ChangelogCursorSpec extends AnyFunSuite {
       == Set(5L, 6L))
   }
 
+  test("changelog across an ALTER TABLE ADD/DROP boundary: the declared " +
+    "schema NULL-fills pre-evolution rows; an undeclared sink refuses " +
+    "precisely (round-13)") {
+    spark.conf.set("spark.sql.catalog.gcev", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcev.warehouse", wh)
+    spark.sql("CREATE TABLE gcev.ev1 (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gcev.ev1 VALUES (1, 10.0), (2, 20.0)")  // v1
+    spark.sql("ALTER TABLE gcev.ev1 ADD COLUMNS (score DOUBLE)")
+    spark.sql(
+      "INSERT INTO gcev.ev1 VALUES (3, 30.0, 0.3), (4, 40.0, 0.4)") // v2
+    // MoR delete AFTER the evolution: its replay re-reads the
+    // pre-commit snapshot, which mixes pre- and post-evolution files
+    val sink = new TableSink(SinkConfig(tableName = "ev1",
+      warehousePath = wh, versioned = true))
+    sink.deleteWhere("v = 20.0")                                   // v3
+    // SQL door: the full changelog comes out under the HEAD schema,
+    // pre-evolution rows NULL-filled in the added column
+    val feed = spark.sql("SELECT id, score, _change_type, " +
+      "_change_version FROM gcev.ev1.changes")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1.0 else r.getDouble(1),
+        r.getString(2), r.getLong(3))).toSet
+    assert(feed == Set(
+      (1L, -1.0, "insert", 1L), (2L, -1.0, "insert", 1L),
+      (3L, 0.3, "insert", 2L), (4L, 0.4, "insert", 2L),
+      (2L, -1.0, "delete", 3L)), s"got: $feed")
+    // a library sink with the declared head schema agrees
+    val declared = new TableSink(SinkConfig(tableName = "ev1",
+      warehousePath = wh, versioned = true,
+      tableSchema = Some(spark.table("gcev.ev1").schema)))
+    assert(declared.readChangelog(spark, 0, 3).count() == 5)
+    // an UNDECLARED sink cannot conform the boundary — precise refusal,
+    // not a generic unionByName resolver error
+    val e = intercept[IllegalArgumentException](
+      sink.readChangelog(spark, 0, 3).collect())
+    assert(e.getMessage.contains("schema-evolution boundary"),
+      s"got: ${e.getMessage}")
+    // DROP COLUMN mid-history: the changelog replays under the shrunken
+    // declared schema — the dropped column does not resurrect from old
+    // files that still physically carry it
+    spark.sql("ALTER TABLE gcev.ev1 DROP COLUMN score")
+    val cols = spark.table("gcev.ev1.changes").columns.toSet
+    assert(!cols.contains("score"), s"dropped column resurrected: $cols")
+    assert(spark.table("gcev.ev1.changes").count() == 5)
+  }
+
   test("cursor refuses after a source rewrite restarts the history") {
     val src = mkSink("cc_gen")
     val cursor = s"$wh/cc_gen_cursor"

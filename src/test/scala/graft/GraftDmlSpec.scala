@@ -610,6 +610,29 @@ class GraftDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("insert-only MERGE under mergeMode=mor commits a PLAIN append — " +
+    "no empty position sidecar taxing every later read (round-13)") {
+    import spark.implicits._
+    val t = "tmor_insonly"
+    val sink = new TableSink(SinkConfig(tableName = t, warehousePath = wh,
+      versioned = true))
+    sink.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "cat", "v"))
+    Seq((3L, "c", 30.0), (4L, "c", 40.0)).toDF("id", "cat", "v")
+      .createOrReplaceTempView("tmor_insonly_src")
+    spark.conf.set("spark.graft.sql.mergeMode", "mor")
+    try spark.sql(s"""MERGE INTO gdml.$t t USING tmor_insonly_src s
+      ON t.id = s.id
+      WHEN NOT MATCHED THEN INSERT (id, cat, v) VALUES (s.id, s.cat, s.v)""")
+    finally spark.conf.unset("spark.graft.sql.mergeMode")
+    assert(!sink.hasPendingDeletes(sink.snapshotVersions().last),
+      "an insert-only merge must not flip the pending-deletes bit")
+    val log = new java.io.File(s"$wh/$t/_graft_log")
+    assert(!log.listFiles().map(_.getName).exists(_.startsWith("pos-")),
+      "no position sidecar may exist for an insert-only merge")
+    assert(spark.sql(s"SELECT id FROM gdml.$t").as[Long].collect().toSet
+      == Set(1L, 2L, 3L, 4L))
+  }
+
   test("MERGE mergeMode=mor raises the cardinality violation and falls " +
     "back to copy-on-write on ineligible tables") {
     import spark.implicits._

@@ -76,6 +76,31 @@ class MorDeleteSpec extends AnyFunSuite {
       == Seq(3L))
   }
 
+  test("a delete that wins a version inside consolidateDeletes' " +
+    "capture-to-claim window is RE-MERGED, not silently dropped with the " +
+    "cleanup (round-13)") {
+    val sink = mkSink("m_crace")
+    sink.deleteWhere("id = 1")
+    // a second writer on the same table lands a keys-delete exactly in
+    // the consolidation's check-to-claim window — pre-round-13 its
+    // sidecar was deleted UNMERGED by the cleanup (the delete lost)
+    val interloper = new TableSink(sink.config)
+    var fired = false
+    sink.raceWindowCheckHook = () => if (!fired) {
+      fired = true
+      interloper.deleteKeys(Seq(Tuple1(3L)).toDF("id"), Seq("id"))
+    }
+    try {
+      val vNext = sink.consolidateDeletes(spark)
+      assert(fired, "the injection must have run")
+      assert(sink.read(spark).select($"id").as[Long].collect().toSeq
+        == Seq(2L),
+        "the interloper's delete must survive consolidation")
+      assert(sink.snapshotVersions() == Seq(vNext),
+        "history below the merged commit is dropped")
+    } finally sink.raceWindowCheckHook = () => ()
+  }
+
   test("deleteWhere is metadata-only and read subtracts at scan time") {
     val sink = mkSink("m1")
     val before = dataFiles("m1")

@@ -256,6 +256,34 @@ class MorUpdateSpec extends AnyFunSuite {
     assert(state(fresh) == Set((9L, "z", 9.0)))
   }
 
+  test("insert-only upsertMor commits a PLAIN append — no empty position " +
+    "sidecar, reads stay on the fast no-pending-deletes path (round-13)") {
+    val sink = mkSink("u14b")
+    // no incoming key matches: the mutation is pure insert
+    sink.upsertMor(Seq((7L, "c", 70.0), (8L, "c", 80.0))
+      .toDF("id", "cat", "v"), Seq("id"))
+    val head = sink.snapshotVersions().last
+    assert(!sink.hasPendingDeletes(head),
+      "an insert-only apply must not flip the pending-deletes bit — " +
+        "every subsequent read would fold a useless empty anti-join and " +
+        "SQL reads would degrade to the projected V1 bridge")
+    val log = new java.io.File(s"$wh/u14b/_graft_log")
+    assert(!log.listFiles().map(_.getName).exists(_.startsWith("pos-")),
+      "no position sidecar may exist for an insert-only commit")
+    assert(state(sink) == Set((1L, "a", 10.0), (2L, "b", 20.0),
+      (3L, "a", 30.0), (7L, "c", 70.0), (8L, "c", 80.0)))
+    // history intact and the changelog sees a plain append
+    assert(sink.readChangelog(spark, head - 1, head)
+      .select($"_change_type").distinct().as[String].collect().toSeq
+      == Seq("insert"))
+    // a MIXED batch on the same table still takes the sidecar shape
+    sink.upsertMor(Seq((1L, "a", 11.0), (9L, "c", 90.0))
+      .toDF("id", "cat", "v"), Seq("id"))
+    assert(sink.hasPendingDeletes(sink.snapshotVersions().last))
+    assert(state(sink) == Set((1L, "a", 11.0), (2L, "b", 20.0),
+      (3L, "a", 30.0), (7L, "c", 70.0), (8L, "c", 80.0), (9L, "c", 90.0)))
+  }
+
   test("CDC replication applies inserts through upsertMor: the replica " +
     "keeps its files and history across applies") {
     val sink = mkSink("u13")

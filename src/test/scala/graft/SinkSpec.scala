@@ -403,4 +403,24 @@ class SinkSpec extends AnyFunSuite {
     sink.append(Seq((2L, 2.0)).toDF("id", "v"))
     assert(sink.read(spark).count() == 1)
   }
+
+  test("isMissingFileError matches only the KNOWN missing-path shapes — " +
+    "an unrelated 'does not exist' failure must stay loud (round-13)") {
+    def wrap(t: Throwable) = new RuntimeException("outer", t)
+    assert(TableSink.isMissingFileError(
+      wrap(new java.io.FileNotFoundException("gone.parquet"))))
+    assert(TableSink.isMissingFileError(
+      new RuntimeException("Path does not exist: file:/t/part-0.parquet")))
+    assert(TableSink.isMissingFileError(new IllegalArgumentException(
+      "snapshot v3 does not exist (expired by a rewrite, or never " +
+        "committed); available: 5, 6")))
+    // unrelated shapes that share the bare substring must NOT convert
+    // into the 'rewritten mid-stream' refusal
+    assert(!TableSink.isMissingFileError(
+      new RuntimeException("Table or view does not exist: t")))
+    assert(!TableSink.isMissingFileError(
+      new RuntimeException("branch 'aud' does not exist; live branches:")))
+    assert(!TableSink.isMissingFileError(
+      new RuntimeException("column c does not exist")))
+  }
 }

@@ -461,6 +461,136 @@ class StreamingSpec extends AnyFunSuite {
       s"startingVersion=head+1 must emit exactly the post-start commits: $gotF")
   }
 
+  test("ignoreChanges: a MoR update mid-stream re-emits replacement rows " +
+    "as appends instead of killing the stream; a delete-only commit is " +
+    "skipped; default still refuses (round-13)") {
+    import spark.implicits._
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_igch",
+      warehousePath = TestSpark.tmpDir("stream_igch_wh"),
+      versioned = true))
+    sink.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "cat", "v"))
+    val out = TestSpark.tmpDir("stream_igch_out")
+    val q = sink.readStream(spark, ignoreChanges = true)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", TestSpark.tmpDir("stream_igch_cp"))
+      .start()
+    try {
+      q.processAllAvailable()                        // batch 0: snapshot
+      sink.updateMor(spark, $"id" === 1L, Seq("v" -> lit(11.0)))  // v2
+      sink.deleteWhere("id = 2")                     // v3: delete-only
+      sink.append(Seq((3L, "c", 30.0)).toDF("id", "cat", "v"))    // v4
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).select($"id", $"v")
+      .as[(Long, Double)].collect().toSeq.sorted
+    // snapshot (1,2) + re-emitted replacement (1 updated) + append (3);
+    // the delete-only commit contributes nothing and retracts nothing
+    assert(got == Seq((1L, 10.0), (1L, 11.0), (2L, 20.0), (3L, 30.0)),
+      s"got: $got")
+    // WITHOUT the opt-in, the same update commit still kills the stream
+    // (the documented default) — fresh checkpoint, replayed history
+    val q2 = sink.readStream(spark)
+      .writeStream.format("memory").queryName("igch_default")
+      .option("checkpointLocation", TestSpark.tmpDir("stream_igch_cp2"))
+      .start()
+    try {
+      q2.processAllAvailable() // snapshot batch is fine (deletes applied)
+      sink.updateMor(spark, $"id" === 3L, Seq("v" -> lit(33.0)))
+      val err = intercept[Exception](q2.processAllAvailable())
+      val msgs = Iterator.iterate(err: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("ignoreChanges"),
+        s"default must refuse and name the opt-in: $msgs")
+    } finally q2.stop()
+    // the CDC stream refuses the option precisely (it already streams
+    // update/delete commits as retraction rows)
+    val bad = spark.readStream
+      .format("org.apache.spark.sql.graft.GraftTableStream")
+      .schema(sink.read(spark).schema)
+      .option("tablePath", sink.config.tablePath)
+      .option("mode", "changes")
+      .option("ignoreChanges", "true")
+      .load()
+      .writeStream.format("memory").queryName("igch_bad")
+      .option("checkpointLocation", TestSpark.tmpDir("stream_igch_cp3"))
+      .start()
+    val err2 = intercept[Exception] {
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    val msgs2 = Iterator.iterate(err2: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs2.contains("snapshot stream only"), s"got: $msgs2")
+  }
+
+  test("a CDC stream over an ALTER ADD boundary replays pre-evolution " +
+    "commits NULL-filled under the declared head schema — including a " +
+    "post-evolution MoR delete of a pre-evolution row (round-13)") {
+    import spark.implicits._
+    val wh = TestSpark.tmpDir("stream_evolve_wh")
+    spark.conf.set("spark.sql.catalog.gsev", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsev.warehouse", wh)
+    spark.sql("CREATE TABLE gsev.ev (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gsev.ev VALUES (1, 10.0), (2, 20.0)")   // v1
+    spark.sql("ALTER TABLE gsev.ev ADD COLUMNS (score DOUBLE)")
+    spark.sql("INSERT INTO gsev.ev VALUES (3, 30.0, 0.3)")         // v2
+    val sink = new TableSink(SinkConfig(tableName = "ev",
+      warehousePath = wh, versioned = true,
+      tableSchema = Some(spark.table("gsev.ev").schema)))
+    val out = TestSpark.tmpDir("stream_evolve_out")
+    val q = sink.readChangesStream(spark)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", TestSpark.tmpDir("stream_evolve_cp"))
+      .start()
+    try {
+      q.processAllAvailable()                 // batch 0: history replay
+      sink.deleteWhere("v = 10.0")            // v3: delete a v1 row
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select($"id", $"score", $"_change_type", $"_change_version")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1.0 else r.getDouble(1),
+        r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, -1.0, "insert", 1L), (2L, -1.0, "insert", 1L),
+      (3L, 0.3, "insert", 2L), (1L, -1.0, "delete", 3L)),
+      s"got: $got")
+  }
+
+  test("restarting a checkpointed stream with a HIGHER startingVersion " +
+    "resumes from its offset — the option binds the first batch only " +
+    "(Delta's restart contract; round-13)") {
+    import spark.implicits._
+    val sink = new TableSink(SinkConfig(
+      tableName = "events_cdcrestart",
+      warehousePath = TestSpark.tmpDir("stream_cdcrestart_wh"),
+      versioned = true))
+    sink.append(Seq((1L, 10.0)).toDF("id", "v"))             // v1
+    val cp = TestSpark.tmpDir("stream_cdcrestart_cp")
+    val out = TestSpark.tmpDir("stream_cdcrestart_out")
+    def start(starting: Option[String]) =
+      sink.readChangesStream(spark, starting)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp).start()
+    val q1 = start(None)
+    try q1.processAllAvailable() finally q1.stop()          // offset = v1
+    sink.append(Seq((2L, 20.0)).toDF("id", "v"))             // v2
+    sink.append(Seq((3L, 30.0)).toDF("id", "v"))             // v3
+    // restart with startingVersion=4 (> checkpoint offset 1): the
+    // checkpoint wins — commits (1, 3] must still be emitted, not
+    // silently skipped while the offset advances past them
+    val q2 = start(Some("4"))
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out).select($"id").as[Long]
+      .collect().toSet
+    assert(got == Set(1L, 2L, 3L),
+      s"a restart must resume from its offset and ignore the option: $got")
+  }
+
   test("CDC streaming startingTimestamp resolves against the commit " +
     "clock: an instant between v1 and v2 floors the stream at v1") {
     import spark.implicits._
