@@ -147,13 +147,28 @@ object Scratch {
         spark.sql(s"SELECT event_type, COUNT(*) FROM gsqp.$tbl " +
           "GROUP BY event_type").collect()
       }
+      val l0 = WarehouseIO.dirListings.get()
+      val r0 = WarehouseIO.metaReads.get()
       val t0 = System.nanoTime()
       (1 to 20).foreach { _ =>
         spark.sql(s"SELECT COUNT(*) FROM gsqp.$tbl WHERE event_type = " +
           "'nope'").collect()
       }
       println(f"[split] run$i 20x trivial statement (loadTable metadata " +
-        f"term): ${(System.nanoTime() - t0) / 1e9 / 20}%.4f s/stmt")
+        f"term): ${(System.nanoTime() - t0) / 1e9 / 20}%.4f s/stmt, " +
+        f"${(WarehouseIO.dirListings.get() - l0) / 20.0}%.1f listings/stmt, " +
+        f"${(WarehouseIO.metaReads.get() - r0) / 20.0}%.1f metaReads/stmt")
+      // the no-catalog floor: same count, raw path read resolved per
+      // statement (file listing + footer inference each time) — the gap
+      // to the trivial-statement number above IS the catalog door's own
+      // per-statement term
+      val t1 = System.nanoTime()
+      (1 to 20).foreach { _ =>
+        spark.read.parquet(s"$wh/$tbl")
+          .filter(col("event_type") === "nope").count()
+      }
+      println(f"[split] run$i 20x raw-path floor (no catalog): " +
+        f"${(System.nanoTime() - t1) / 1e9 / 20}%.4f s/stmt")
     }
   }
 
@@ -170,8 +185,11 @@ object Scratch {
     import org.apache.spark.sql.functions._
     val dest = s"/root/repo/target/tmp/spd_wh_${java.util.UUID.randomUUID()}"
     val docs = Tables.documents(spark, sfDir)
+    // sorted layout: a SARGABLE range predicate prunes row groups in the
+    // batch reader, which is exactly the pushdown the V1 stream loses
     val sink = new TableSink(SinkConfig(tableName = "docs_spd",
-      warehousePath = dest, versioned = true, numPartitions = 4))
+      warehousePath = dest, versioned = true, numPartitions = 4,
+      sortOrder = Seq("doc_id")))
     sink.append(docs.filter(pmod(col("doc_id"), lit(2)) === 0))      // v1
     def timed(what: String)(f: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -180,12 +198,11 @@ object Scratch {
       println(f"[split] $what: $s%.3f s")
       s
     }
-    val pred = col("lang") === "en" && length(col("text")) > 4000 &&
-      pmod(col("doc_id"), lit(997)) === 0 // selective, unsargable tail
+    val pred = col("doc_id") >= 100 && col("doc_id") < 120 // prunable
     (1 to 3).foreach { pass =>
-      val out = s"$dest/out_$pass"
+      // noop sink: batch time is the SOURCE's cost, not a parquet write
       val q = sink.readStream(spark).filter(pred)
-        .writeStream.format("parquet").option("path", out)
+        .writeStream.format("noop")
         .option("checkpointLocation", s"$dest/cp_$pass").start()
       try {
         q.processAllAvailable() // batch 0: the v1 snapshot (warms caches)
@@ -193,7 +210,8 @@ object Scratch {
         val a = timed(s"pass $pass (a) filtered STREAM incremental batch") {
           q.processAllAvailable()
         }
-        val b = timed(s"pass $pass (b) filtered BATCH read of the commit") {
+        val b = timed(s"pass $pass (b) filtered BATCH read of the commit " +
+          "(pushdown prunes)") {
           val vs = sink.snapshotVersions()
           sink.readAppendedBetween(spark, vs.init.last, vs.last)
             .filter(pred).count(); ()

@@ -2986,6 +2986,34 @@ final class TableSink(val config: SinkConfig) {
     dest
   }
 
+  /** Refuse a keyed-apply batch whose columns don't align with the
+    * table's CURRENT schema (round-13): both upsert flavors project the
+    * incoming batch onto the table's columns, so an incoming column the
+    * table lacks would be SILENTLY DROPPED — the CDC-replication shape
+    * (source evolved via ALTER ADD, replica didn't) loses the new
+    * column's values forever. Derived partition columns are exempt
+    * (hidden-transform reads project them away while the write side
+    * re-derives them). The remedy is real: declare the evolved head
+    * schema on this table (SinkConfig.tableSchema — old files NULL-fill)
+    * or run SQL ALTER TABLE ADD COLUMNS, then re-apply. */
+  private def requireAlignedBatch(incomingCols: Seq[String],
+      baseCols: Seq[String], op: String): Unit = {
+    val derived = partitionColNames.toSet
+    val extra = incomingCols
+      .filterNot(baseCols.contains).filterNot(derived)
+    require(extra.isEmpty,
+      s"$op batch carries columns the table lacks: " +
+        s"${extra.mkString(", ")} — the table's schema is behind the " +
+        "incoming rows (a source-side ALTER before a replication apply " +
+        "hits this); evolve the table first — declare the new head " +
+        "schema (SinkConfig.tableSchema) or SQL ALTER TABLE ADD COLUMNS " +
+        "— instead of silently dropping the values")
+    val missing = baseCols.filterNot(incomingCols.contains)
+    require(missing.isEmpty,
+      s"$op batch is missing table columns: ${missing.mkString(", ")} — " +
+        "supply them explicitly (NULL if semantically absent)")
+  }
+
   def upsert(df: DataFrame, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     requireNoStreamingLog()
@@ -3001,6 +3029,8 @@ final class TableSink(val config: SinkConfig) {
     requireConstraints(incoming, "upsert")
     val parts = partitionColNames
     val current = read(spark)
+    requireAlignedBatch(incoming.columns.toSeq, current.columns.toSeq,
+      "upsert")
     val incomingKeys = incoming.select(keyCols.map(col): _*).distinct()
     def merged(base: DataFrame): DataFrame = {
       val survivors = base.join(incomingKeys, keyCols, "left_anti")
@@ -3078,6 +3108,9 @@ final class TableSink(val config: SinkConfig) {
     while (attempt < 5) {
       attempt += 1
       val base = readHeadWithPos(spark)
+      requireAlignedBatch(incoming.columns.toSeq,
+        base.columns.toSeq.filterNot(c =>
+          c == "__graft_file" || c == "__graft_pos"), "upsertMor")
       // pin ONE evaluation: the position list must describe exactly the
       // head rows this commit's appends replace
       val matched = base.join(incomingKeys, keyCols, "left_semi")

@@ -27,6 +27,19 @@ private[graft] object WarehouseIO {
   private[graft] val metaBytesWritten =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Directory listings ([[childNames]]/[[childDirNames]]) since process
+    * start (monotonic; test/attribution hook): the SQL door's
+    * per-statement metadata cost is dominated by listings + small-file
+    * reads, and split harnesses diff these around a statement to
+    * attribute it. */
+  private[graft] val dirListings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Small metadata-file READS ([[readString]]) since process start
+    * (monotonic; attribution hook, same purpose as [[dirListings]]). */
+  private[graft] val metaReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   // newHadoopConf() CLONES the full Configuration (hundreds of entries)
   // per call, and the metadata hot paths here issue dozens of calls per
   // table read/commit — cache one conf per live session. WEAK keys: a
@@ -58,6 +71,7 @@ private[graft] object WarehouseIO {
   }
 
   def readString(p: HPath): String = {
+    metaReads.incrementAndGet()
     val in = fs(p).open(p)
     try new String(in.readAllBytes(), UTF_8)
     finally in.close()
@@ -277,6 +291,7 @@ private[graft] object WarehouseIO {
 
   /** Immediate child names of `dir` (empty when absent). */
   def childNames(dir: HPath): Seq[String] = {
+    dirListings.incrementAndGet()
     val f = fs(dir)
     if (!f.exists(dir)) Nil
     else f.listStatus(dir).toSeq.map(_.getPath.getName)
@@ -285,6 +300,7 @@ private[graft] object WarehouseIO {
   /** Immediate child DIRECTORY names of `dir` (empty when absent) — one
     * listing, no per-child stat round-trips. */
   def childDirNames(dir: HPath): Seq[String] = {
+    dirListings.incrementAndGet()
     val f = fs(dir)
     if (!f.exists(dir)) Nil
     else f.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.getName)

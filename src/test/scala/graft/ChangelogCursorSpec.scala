@@ -219,6 +219,45 @@ class ChangelogCursorSpec extends AnyFunSuite {
     assert(spark.table("gcev.ev1.changes").count() == 5)
   }
 
+  test("replicateTo across a source ALTER ADD boundary refuses precisely " +
+    "instead of silently dropping the new column; declaring the evolved " +
+    "schema on the replica converges (round-13)") {
+    spark.conf.set("spark.sql.catalog.gcev2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcev2.warehouse", wh)
+    spark.sql("CREATE TABLE gcev2.rsrc (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gcev2.rsrc VALUES (1, 10.0), (2, 20.0)")  // v1
+    val srcV1 = new TableSink(SinkConfig(tableName = "rsrc",
+      warehousePath = wh, versioned = true,
+      tableSchema = Some(spark.table("gcev2.rsrc").schema)))
+    val replica = new TableSink(SinkConfig(tableName = "rsrc_replica",
+      warehousePath = wh, versioned = true))
+    val cursor = s"$wh/rsrc_cursor"
+    srcV1.replicateTo(spark, replica, Seq("id"), cursor)      // initial copy
+    assert(replica.read(spark).count() == 2)
+    spark.sql("ALTER TABLE gcev2.rsrc ADD COLUMNS (score DOUBLE)")
+    spark.sql("INSERT INTO gcev2.rsrc VALUES (3, 30.0, 0.3)") // v2
+    val srcEvolved = new TableSink(SinkConfig(tableName = "rsrc",
+      warehousePath = wh, versioned = true,
+      tableSchema = Some(spark.table("gcev2.rsrc").schema)))
+    // the replica's files lack `score`: the apply must refuse (the old
+    // behavior projected the batch onto the replica's columns — the new
+    // column's values silently vanished from the replica forever)
+    val e = intercept[IllegalArgumentException](
+      srcEvolved.replicateTo(spark, replica, Seq("id"), cursor))
+    assert(e.getMessage.contains("schema is behind"), s"got: ${e.getMessage}")
+    // the refused apply moved no cursor: the batch replays after the
+    // remedy — declare the evolved head schema on the replica
+    val replicaEvolved = new TableSink(replica.config.copy(
+      tableSchema = Some(spark.table("gcev2.rsrc").schema)))
+    srcEvolved.replicateTo(spark, replicaEvolved, Seq("id"), cursor)
+    val got = replicaEvolved.read(spark)
+      .selectExpr("id", "v", "coalesce(score, -1.0) AS score")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(got == Set((1L, 10.0, -1.0), (2L, 20.0, -1.0),
+      (3L, 30.0, 0.3)), s"got: $got")
+  }
+
   test("cursor refuses after a source rewrite restarts the history") {
     val src = mkSink("cc_gen")
     val cursor = s"$wh/cc_gen_cursor"
