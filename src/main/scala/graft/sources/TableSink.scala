@@ -1073,6 +1073,12 @@ final class TableSink(val config: SinkConfig) {
     * production. */
   private[graft] var raceWindowCheckHook: () => Unit = () => ()
 
+  /** Test seam: runs inside [[consolidateDeletes]]' claim-to-retract
+    * window (after the merged commit's claim lands, before the raced
+    * interloper check / cleanup) so specs can crash exactly there and
+    * prove the window is benign. No-op in production. */
+  private[graft] var consolidateClaimHook: () => Unit = () => ()
+
   /** The table root as the URI PATH component (scheme/authority
     * stripped), absolutized for local relative paths — the form scan
     * columns like `_metadata.file_path` compare against once THEIR
@@ -1873,6 +1879,14 @@ final class TableSink(val config: SinkConfig) {
     // see commitAppendedFiles' generation re-check) and signal a re-run;
     // plain appends in the window are safe: their delta manifests are
     // layered into vNext's snapshot, only their time-travel point drops.
+    // A crash ANYWHERE in the claim-to-retract window is benign: cleanup
+    // has not run, every pre-existing version file (the interloper's
+    // included) is still listed, and reads fold each listed version's
+    // own sidecars — vNext's head read applies the merged refs AND the
+    // interloper's still-listed sidecar; a later consolidation re-run
+    // merges everything. The seam below lets a spec crash exactly here
+    // and prove it.
+    consolidateClaimHook()
     val raced = snapshotVersions()
       .filter(v => v > head && v < vNext).filter(sidecarIndex().any)
     if (raced.nonEmpty) {

@@ -101,6 +101,38 @@ class MorDeleteSpec extends AnyFunSuite {
     } finally sink.raceWindowCheckHook = () => ()
   }
 
+  test("a crash in consolidateDeletes' claim-to-retract window (merged " +
+    "commit claimed, interloper check/cleanup never ran) leaves every " +
+    "read correct, and a re-run finishes the consolidation (round-13)") {
+    val sink = mkSink("m_ccrash")
+    sink.deleteWhere("id = 1")
+    val interloper = new TableSink(sink.config)
+    var fired = false
+    sink.raceWindowCheckHook = () => if (!fired) {
+      fired = true
+      interloper.deleteKeys(Seq(Tuple1(3L)).toDF("id"), Seq("id"))
+    }
+    sink.consolidateClaimHook =
+      () => throw new RuntimeException("boom: crash after the claim")
+    try {
+      val e = intercept[RuntimeException](sink.consolidateDeletes(spark))
+      assert(e.getMessage.contains("boom"))
+    } finally {
+      sink.raceWindowCheckHook = () => ()
+      sink.consolidateClaimHook = () => ()
+    }
+    // the table is in the crash state: merged head claimed, old versions
+    // (incl. the interloper's) still listed. Reads must fold EVERY live
+    // delete — the interloper's sidecar rides its still-listed version.
+    assert(sink.read(spark).select($"id").as[Long].collect().toSeq
+      == Seq(2L), "crash-state read must apply both deletes")
+    // re-running completes: one consolidated head, same semantics
+    val vNext = sink.consolidateDeletes(spark)
+    assert(sink.snapshotVersions() == Seq(vNext))
+    assert(sink.read(spark).select($"id").as[Long].collect().toSeq
+      == Seq(2L))
+  }
+
   test("deleteWhere is metadata-only and read subtracts at scan time") {
     val sink = mkSink("m1")
     val before = dataFiles("m1")
