@@ -1955,6 +1955,60 @@ object ParityQueries {
       |    AS DOUBLE) AS score_total
       |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Changelog replay across a RENAME COLUMN boundary (round-13): the
+    * third evolution kind after [[changelogEvolved]]'s ADD/DROP. Ingest
+    * a slice under `amount`, `ALTER TABLE RENAME COLUMN amount TO
+    * total`, ingest the rest, MoR-delete on the NEW name with a
+    * predicate spanning BOTH file generations, aggregate the full
+    * changelog. Proves pre-rename files' VALUES carry under the renamed
+    * head column — the rename fold (physical-name coalesce,
+    * `_graft_renames`) runs before the replay's predicate evaluates and
+    * before the cross-generation union conforms; a NULL-filled column
+    * here would zero half of `total_amt`. */
+  def changelogRenamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl =
+      s"events_chrn_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrcrn_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl " +
+      "(event_id BIGINT, user_id BIGINT, amount DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +                       // v1
+      s"SELECT event_id, user_id, value FROM $src WHERE event_id % 3 <> 0")
+    spark.sql(s"ALTER TABLE graft_cat.$tbl RENAME COLUMN amount TO total")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +                       // v2
+      s"SELECT event_id, user_id, value FROM $src WHERE event_id % 3 = 0")
+    val sink = new TableSink(SinkConfig(tableName = tbl,
+      warehousePath = wh, versioned = true))
+    sink.deleteWhere("total < 100.0")                                // v3
+    spark.sql(
+      s"""SELECT _change_version, _change_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS total_amt
+         |FROM graft_cat.$tbl.changes
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val changelogRenamedSql: String =
+    """WITH v1 AS (SELECT value FROM events WHERE event_id % 3 <> 0),
+      |v2 AS (SELECT value FROM events WHERE event_id % 3 = 0),
+      |chg AS (
+      |  SELECT 1 AS _change_version, 'insert' AS _change_type, * FROM v1
+      |  UNION ALL
+      |  SELECT 2, 'insert', * FROM v2
+      |  UNION ALL
+      |  SELECT 3, 'delete', * FROM (
+      |    SELECT * FROM v1 WHERE coalesce(value < 100.0, FALSE)
+      |    UNION ALL
+      |    SELECT * FROM v2 WHERE coalesce(value < 100.0, FALSE)))
+      |SELECT CAST(_change_version AS BIGINT) AS _change_version,
+      |  _change_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_amt
+      |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** TYPE-WIDENING schema evolution through the pure-SQL door: ingest
     * under INT, `ALTER COLUMN … TYPE BIGINT`, insert a value a 32-bit
     * int cannot hold, aggregate — old int32 files upcast at scan under

@@ -1727,14 +1727,25 @@ final class TableSink(val config: SinkConfig) {
     * read time, materialized later by [[compact]]. Same commit rules as
     * [[deleteWhere]]: versioned tables only, refused while a branch is
     * live, version-scoped (time travel before the commit still shows the
-    * rows). NULL keys never match (SQL join semantics) — an erasure list
-    * should not carry them. Returns the committed version. */
+    * rows). A NULL in the list is REFUSED (round-13): it never matches
+    * the anti-join (SQL join semantics), so the erasure it stands for
+    * would silently not happen — the one failure mode a
+    * right-to-be-forgotten path must not have. Returns the committed
+    * version. */
   def deleteKeys(keys: DataFrame, keyCols: Seq[String]): Int = {
     requireNoStreamingLog()
     require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
     require(keyCols.forall(keys.columns.contains),
       s"key columns ${keyCols.filterNot(keys.columns.contains).mkString(", ")} " +
         "missing from the key DataFrame")
+    // one bounded pass over the LIST (never the table): a NULL key tuple
+    // anti-joins against nothing, so committing it would record an
+    // erasure that never erases — refuse with the row, not a warning
+    require(keys.where(keyCols.map(col(_).isNull).reduceLeft(_ || _))
+      .limit(1).collect().isEmpty,
+      s"deleteKeys list carries NULL in (${keyCols.mkString(", ")}): a " +
+        "NULL key never matches the erasure anti-join, so those rows " +
+        "would silently survive; filter or repair the list first")
     require(config.versioned,
       "merge-on-read deleteKeys needs versioned=true (key lists are " +
         "commit metadata); use delete() for copy-on-write on " +
@@ -3028,10 +3039,39 @@ final class TableSink(val config: SinkConfig) {
         "supply them explicitly (NULL if semantically absent)")
   }
 
+  /** One bounded pass over the batch enforcing the keyed-apply contract
+    * every join below ASSUMES: key tuples non-null and unique within the
+    * batch. Both violations were silent before (round-13): a NULL key
+    * never matches the semi/anti join, so the row re-inserts on EVERY
+    * apply — a CDC replica fed one NULL-keyed source row accumulates a
+    * duplicate per batch forever; a duplicate tuple lands BOTH copies
+    * (the anti-join removes the old rows, the union appends the whole
+    * batch). O(batch) key-column aggregation — the same shuffle shape as
+    * the incomingKeys distinct the apply itself runs — never O(table). */
+  private def requireKeyedBatch(incoming: DataFrame, keyCols: Seq[String],
+      op: String): Unit = {
+    val viol = incoming.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__graft_n"))
+      .where(keyCols.map(col(_).isNull).reduceLeft(_ || _) ||
+        col("__graft_n") > 1)
+      .limit(3).collect()
+    require(viol.isEmpty,
+      s"$op key contract violated on (${keyCols.mkString(", ")}): " +
+        viol.map(r => s"${r.toSeq.init.mkString("(", ", ", ")")}×" +
+          s"${r.getLong(r.length - 1)}").mkString("; ") +
+        " — key tuples must be non-null and unique within the batch. A " +
+        "NULL key never matches the keyed join (the row would re-insert " +
+        "on every apply, silently duplicating); a repeated tuple would " +
+        "land every copy. Pre-aggregate to one row per key (e.g. " +
+        "dropDuplicates on the keys after ordering) and filter or repair " +
+        "NULL keys upstream")
+  }
+
   def upsert(df: DataFrame, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     requireNoStreamingLog()
     requireNoBranches("upsert")
+    requireKeyedBatch(df, keyCols, "upsert")
     recoverSwap()
     val spark = df.sparkSession
     if (!WarehouseIO.exists(new org.apache.hadoop.fs.Path(config.tablePath))) {
@@ -3092,7 +3132,8 @@ final class TableSink(val config: SinkConfig) {
     * replica, no history expiry (time travel across applies comes
     * free). Same atomic `#pos`-in-snapshot shape as [[updateMor]], same
     * lost-race re-resolution, same key contract as [[upsert]] (keys
-    * unique within the batch, non-null). Sidecars stack one per apply —
+    * unique within the batch, non-null — ENFORCED since round-13, one
+    * O(batch) pass). Sidecars stack one per apply —
     * pair with [[maybeConsolidateDeletes]] (the replication apply does)
     * or [[compact]]. Versioned parquet tables only; a table with no
     * commits yet takes the plain append. */
@@ -3104,6 +3145,7 @@ final class TableSink(val config: SinkConfig) {
       "upsertMor while a branch is live would make the audit surface " +
         "disagree with main; publish or drop first: " +
         liveBranches.mkString(", "))
+    requireKeyedBatch(df, keyCols, "upsertMor")
     recoverSwap()
     require(config.versioned,
       "merge-on-read upsert needs versioned=true (position sidecars are " +

@@ -533,4 +533,17 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](unv.deleteWhere("v < 15.0"))
       .getMessage.contains("versioned"))
   }
+  test("deleteKeys REFUSES a NULL-carrying erasure list (round-13): a " +
+    "NULL tuple anti-joins nothing, so the erasure would silently never " +
+    "happen") {
+    val sink = mkSink("m_nullkeys")
+    val e = intercept[IllegalArgumentException](sink.deleteKeys(
+      Seq(Option(1L), Option.empty[Long]).toDF("id"), Seq("id")))
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    assert(sink.snapshotVersions().size == 1, "refusal must not commit")
+    // the clean part of the list still erases once repaired
+    sink.deleteKeys(Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    assert(sink.read(spark).select($"id").as[Long].collect().toSet
+      == Set(2L, 3L))
+  }
 }

@@ -362,4 +362,27 @@ class MorUpdateSpec extends AnyFunSuite {
     assert(spark.sql("SELECT `current_date` FROM gmu.su2 ORDER BY id")
       .as[Double].collect().toSeq == Seq(2.0, 2.0))
   }
+  test("upsertMor refuses NULL and duplicate key tuples BEFORE committing " +
+    "(round-13): a NULL key re-inserts on every apply and a duplicate " +
+    "lands both copies — silent replica corruption otherwise") {
+    val sink = mkSink("u_keycontract")
+    val nulled = Seq((Option(1L), "a", 11.0), (Option.empty[Long], "a", 99.0))
+      .toDF("id", "cat", "v")
+    val e1 = intercept[IllegalArgumentException](
+      sink.upsertMor(nulled, Seq("id")))
+    assert(e1.getMessage.contains("NULL key"), e1.getMessage)
+    val dup = Seq((2L, "b", 21.0), (2L, "b", 22.0)).toDF("id", "cat", "v")
+    val e2 = intercept[IllegalArgumentException](
+      sink.upsertMor(dup, Seq("id")))
+    assert(e2.getMessage.contains("unique within the batch"), e2.getMessage)
+    // neither refusal committed anything: one snapshot, original state
+    assert(sink.snapshotVersions().size == 1)
+    assert(state(sink) ==
+      Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)))
+    // a clean batch still applies
+    sink.upsertMor(Seq((1L, "a", 11.0), (4L, "b", 40.0))
+      .toDF("id", "cat", "v"), Seq("id"))
+    assert(state(sink) == Set((1L, "a", 11.0), (2L, "b", 20.0),
+      (3L, "a", 30.0), (4L, "b", 40.0)))
+  }
 }

@@ -423,4 +423,21 @@ class SinkSpec extends AnyFunSuite {
     assert(!TableSink.isMissingFileError(
       new RuntimeException("column c does not exist")))
   }
+  test("copy-on-write upsert enforces the key contract: NULL or " +
+    "duplicate key tuples refuse before any rewrite (round-13)") {
+    val sink = new TableSink(SinkConfig(tableName = "t",
+      warehousePath = TestSpark.tmpDir("sink_keycontract")))
+    sink.append(Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("id", "cat", "v"))
+    val vBefore = sink.read(spark).orderBy("id").collect().toSeq
+    val e1 = intercept[IllegalArgumentException](sink.upsert(
+      Seq((Option(1L), "a", 9.0), (Option.empty[Long], "a", 8.0))
+        .toDF("id", "cat", "v"), Seq("id")))
+    assert(e1.getMessage.contains("NULL key"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](sink.upsert(
+      Seq((1L, "a", 9.0), (1L, "a", 8.0)).toDF("id", "cat", "v"),
+      Seq("id")))
+    assert(e2.getMessage.contains("unique within the batch"), e2.getMessage)
+    assert(sink.read(spark).orderBy("id").collect().toSeq == vBefore,
+      "refusals must leave the table untouched")
+  }
 }
