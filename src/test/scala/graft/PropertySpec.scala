@@ -270,6 +270,87 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("changelog fold reconstructs the head across the MoR MUTATION " +
+    "family for random op sequences (round-13)") {
+    // Same invariant as above — per-id insert count minus delete count at
+    // the head equals the live table — but the op mix now includes the
+    // merge-on-read mutations whose changelog emission is composite:
+    // upsertMor (one version carrying the old row's position-delete AND
+    // the replacement insert; a fresh or previously-deleted key degrades
+    // to a plain append — the round-13 empty-sidecar fix), updateMor
+    // (delete+insert per matched row), and consolidateDeletes (a history
+    // rewrite: the fold afterwards replays the collapsed base). Random
+    // interleavings reach states the deterministic specs cannot
+    // enumerate: update-after-delete, upsert-of-deleted-key,
+    // consolidate-mid-mutation-stack, repeated updates of one key.
+    val rnd = new scala.util.Random(731942L)
+    (1 to 3).foreach { round =>
+      val wh = TestSpark.tmpDir(s"chg_mor_prop_$round")
+      val sink = new TableSink(SinkConfig(tableName = "t",
+        warehousePath = wh, versioned = true,
+        partitionSpec = Seq(PartitionField("cat", Transform.Identity))))
+      var nextId = 0L
+      def freshRows(n: Int) = (0 until n).map { _ =>
+        nextId += 1
+        (nextId, if (rnd.nextBoolean()) "a" else "b", rnd.nextInt(100).toDouble)
+      }
+      (1 to 9).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 | 1 => sink.append(freshRows(1 + rnd.nextInt(3)).toDF("id", "cat", "v"))
+          case 2 if sink.snapshotVersions().nonEmpty =>
+            if (rnd.nextBoolean())
+              sink.deleteWhere(s"v < ${rnd.nextInt(60)}.0")
+            else if (nextId > 0)
+              sink.deleteKeys(
+                Seq(1L + rnd.nextInt(nextId.toInt).toLong).toDF("id"),
+                Seq("id"))
+          case 3 if nextId > 0 => // keyed upsert: existing + fresh ids
+            val existing = (0 until 1 + rnd.nextInt(2))
+              .map(_ => 1L + rnd.nextInt(nextId.toInt).toLong).distinct
+              .map(id => (id, if (rnd.nextBoolean()) "a" else "b",
+                500.0 + rnd.nextInt(100)))
+            sink.upsertMor(
+              (existing ++ freshRows(1)).toDF("id", "cat", "v"), Seq("id"))
+          case 4 if sink.snapshotVersions().nonEmpty =>
+            sink.updateMor(spark, col("v") < lit(rnd.nextInt(80).toDouble),
+              Seq("v" -> (col("v") + 1000.0)))
+          case 5 if sink.snapshotVersions().nonEmpty =>
+            sink.consolidateDeletes(spark)
+          case _ => ()
+        }
+      }
+      if (sink.snapshotVersions().nonEmpty) {
+        // readChangelogAll, not readChangelog(0, head): consolidation
+        // collapses history to a single sidecar-carrying base commit,
+        // whose delete replay has no predecessor — the ALL surface folds
+        // that base state as inserts (its documented contract); the
+        // range surface refuses it by design
+        val chg = sink.readChangelogAll(spark)
+          .select($"id", $"_change_type").as[(Long, String)].collect()
+        val folded = chg.groupBy(_._1).collect {
+          case (id, evs)
+            if evs.count(_._2 == "insert") > evs.count(_._2 == "delete") => id
+        }.toSet
+        val live = sink.read(spark).select($"id").as[Long].collect().toSet
+        assert(folded == live,
+          s"round $round: fold=$folded live=$live versions=${sink.snapshotVersions()}")
+        // the VALUES must fold too, not just the membership: the newest
+        // insert per live id equals the live row (catches a replay that
+        // emits a stale replacement)
+        val lastIns = sink.readChangelogAll(spark)
+          .filter($"_change_type" === "insert")
+          .groupBy($"id").agg(max(struct($"_change_version", $"v")).as("s"))
+          .select($"id", $"s.v".as("v")).as[(Long, Double)].collect().toMap
+        val liveRows = sink.read(spark).select($"id", $"v")
+          .as[(Long, Double)].collect().toMap
+        liveRows.foreach { case (id, v) =>
+          assert(lastIns.get(id).contains(v),
+            s"round $round id $id: live v=$v newest changelog insert=${lastIns.get(id)}")
+        }
+      }
+    }
+  }
+
   test("bigram LM: every log score non-positive, oov bounded by count") {
     // scores are probabilities ≤ 1 by construction: c2(prev,cur) ≤ c1(prev)
     // (non-final occurrences of prev), and backoff 0.4·c1(cur)/total < 1
