@@ -286,6 +286,51 @@ class ChangelogCursorSpec extends AnyFunSuite {
       (3L, 30.0, 0.3)), s"got: $got")
   }
 
+  test("replicateTo across a source RENAME COLUMN boundary: the apply " +
+    "refuses the misaligned batch, and running the SAME rename on the " +
+    "replica converges — old replica files serve values under the new " +
+    "name (round-13)") {
+    spark.conf.set("spark.sql.catalog.gcrn2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcrn2.warehouse", wh)
+    spark.sql("CREATE TABLE gcrn2.rnsrc (id BIGINT, amount DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gcrn2.rnsrc VALUES (1, 10.0), (2, 20.0)")
+    spark.sql("CREATE TABLE gcrn2.rnrep (id BIGINT, amount DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    val src1 = new TableSink(SinkConfig(tableName = "rnsrc",
+      warehousePath = wh, versioned = true,
+      tableSchema = Some(spark.table("gcrn2.rnsrc").schema)))
+    val rep1 = new TableSink(SinkConfig(tableName = "rnrep",
+      warehousePath = wh, versioned = true,
+      tableSchema = Some(spark.table("gcrn2.rnrep").schema)))
+    val cursor = s"$wh/rn_cursor"
+    src1.replicateTo(spark, rep1, Seq("id"), cursor)
+    assert(rep1.read(spark).count() == 2)
+    spark.sql("ALTER TABLE gcrn2.rnsrc RENAME COLUMN amount TO total")
+    spark.sql("INSERT INTO gcrn2.rnsrc VALUES (3, 30.0)")
+    val src2 = new TableSink(SinkConfig(tableName = "rnsrc",
+      warehousePath = wh, versioned = true,
+      tableSchema = Some(spark.table("gcrn2.rnsrc").schema)))
+    // the batch now carries `total`; the replica's head still says
+    // `amount` — the apply must refuse (projecting the batch onto the
+    // replica's columns would silently drop every post-rename value)
+    val e = intercept[IllegalArgumentException](
+      src2.replicateTo(spark, rep1, Seq("id"), cursor))
+    assert(e.getMessage.contains("schema is behind"), s"got: ${e.getMessage}")
+    // the WORKING remedy is the SAME rename on the replica (declaring
+    // the head schema alone would NULL the old files' values — only the
+    // replica's own _graft_renames mapping carries them over)
+    spark.sql("ALTER TABLE gcrn2.rnrep RENAME COLUMN amount TO total")
+    val rep2 = new TableSink(SinkConfig(tableName = "rnrep",
+      warehousePath = wh, versioned = true,
+      tableSchema = Some(spark.table("gcrn2.rnrep").schema)))
+    // the refused apply left the cursor unmoved: the batch replays
+    src2.replicateTo(spark, rep2, Seq("id"), cursor)
+    val got = spark.sql("SELECT id, total FROM gcrn2.rnrep ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)), s"got: $got")
+  }
+
   test("cursor refuses after a source rewrite restarts the history") {
     val src = mkSink("cc_gen")
     val cursor = s"$wh/cc_gen_cursor"
