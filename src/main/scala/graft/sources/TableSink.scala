@@ -2974,7 +2974,14 @@ final class TableSink(val config: SinkConfig) {
     *    the source first so the cloned manifest already reflects them;
     *  - no re-cloning a clone: its manifest mixes two roots and a
     *    grandchild would need per-root basePaths; clone the original.
-    */
+    *
+    * SOURCE-side rewrites are the clone's standing hazard (Delta's
+    * shallow-clone + VACUUM trade, documented not guarded — the source
+    * never observes the clone): a compact/delete/upsert or vacuum on
+    * the SOURCE deletes physical files the clone's manifest references,
+    * and the clone then fails at scan time with missing files.
+    * Materialize the clone first (compact it — it stops referencing the
+    * source entirely) or re-clone after source maintenance. */
   def shallowCloneTo(destConfig: SinkConfig): TableSink = {
     require(config.versioned, "shallow clone requires a versioned source")
     require(cloneBasePath.isEmpty,
@@ -3001,6 +3008,20 @@ final class TableSink(val config: SinkConfig) {
     require(dest.dataFilesRel().isEmpty,
       s"clone destination '${destConfig.tableName}' already contains data " +
         "files; clone into a fresh table")
+    // a RENAME/DROP is a declared-layer mapping over the same physical
+    // files the clone now references: without the source's mapping the
+    // clone would read pre-rename files' renamed column as NULL, and an
+    // ALTER ADD on the clone could resurrect a dropped column's bytes
+    // (round-13). Copy both sidecars BEFORE the version file so a crash
+    // mid-clone can never leave a readable clone missing its mapping;
+    // from here the two tables' mappings diverge independently.
+    Seq("_graft_renames", "_graft_tombstones").foreach { n =>
+      val srcF = new org.apache.hadoop.fs.Path(config.tablePath, n)
+      if (WarehouseIO.isFile(srcF))
+        WarehouseIO.writeString(
+          new org.apache.hadoop.fs.Path(dest.config.tablePath, n),
+          WarehouseIO.readString(srcF))
+    }
     // the clone's v1 is layered like every snapshot; its one manifest
     // lives in the DEST's log dir (a clone resolves names against its
     // own log, never the source's)
@@ -3800,6 +3821,39 @@ final class TableSink(val config: SinkConfig) {
       }
     }
     -1L // unreachable
+  }
+
+  /** Rename entries whose OLD physical name is still a field of
+    * `declared` — i.e. the table's columns were renamed AFTER that
+    * schema was pinned. A streaming source pins its schema at start; a
+    * non-empty result means post-rename files would read NULL under the
+    * pinned name and the emitted shape would no longer match the
+    * stream's declared schema, so the source refuses with the restart
+    * remedy (Delta's schema-change contract) instead of dying in a
+    * generic unresolved-column error at the batch's projection. */
+  def renamesSince(declared: org.apache.spark.sql.types.StructType)
+      : Map[String, String] =
+    renameMap.filter { case (old, _) =>
+      declared.fieldNames.exists(_.equalsIgnoreCase(old)) }
+
+  /** Dropped-column tombstones (`_graft_tombstones`, written by the SQL
+    * catalog's `ALTER TABLE … DROP COLUMN`) that are still fields of
+    * `declared`. A streaming source whose pinned schema names a dropped
+    * column cannot serve its declared shape faithfully for post-drop
+    * commits — new files NULL-fill it silently — so it refuses, the
+    * DROP twin of [[renamesSince]]. Batch surfaces stay permissive: a
+    * declared schema may deliberately read a dropped column's
+    * historical bytes. */
+  def tombstonedIn(declared: org.apache.spark.sql.types.StructType)
+      : Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(config.tablePath,
+      "_graft_tombstones")
+    if (!WarehouseIO.isFile(p)) Nil
+    else {
+      val dead = WarehouseIO.readString(p)
+        .split("\n").filter(_.nonEmpty).map(_.toLowerCase).toSet
+      declared.fieldNames.filter(f => dead.contains(f.toLowerCase)).toSeq
+    }
   }
 
   /** The head snapshot's semantic rows WITH their physical coordinates

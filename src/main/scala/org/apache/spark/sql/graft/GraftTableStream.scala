@@ -29,6 +29,19 @@ import graft.{SinkConfig, TableSink}
   * snapshot log's identity — a rewriting op expires the log and restarts
   * numbering, so a checkpointed bare version could silently resume
   * against a DIFFERENT history; the pin turns that into a loud refusal.
+  *
+  * Schema evolution UNDER a live stream (the schema pins at source
+  * creation — round-13 matrix):
+  *  - ADD COLUMNS: benign — batches keep serving the pinned shape
+  *    faithfully; new columns appear on restart (fresh checkpoint).
+  *  - RENAME / DROP COLUMN: refused per batch with the restart remedy
+  *    ([[TableSink.renamesSince]] / [[TableSink.tombstonedIn]]) — both
+  *    would otherwise NULL-fill the pinned shape silently for
+  *    post-evolution commits. Delta's schema-change contract.
+  *  - WIDENING retype: post-widen files physically change type; the
+  *    parquet reader fails the batch loudly at the conversion — same
+  *    remedy (restart re-pins), error raw by design (no silent path
+  *    exists to guard).
   */
 final class GraftTableStream extends StreamSourceProvider
     with DataSourceRegister {
@@ -218,6 +231,26 @@ private[graft] final class GraftTableSource(sqlContext: SQLContext,
 
   private def getBatchInner(start: Option[V1Offset],
       e: GraftStreamOffset): DataFrame = {
+    // RENAME drift: a rename committed after this stream pinned its
+    // schema means post-rename files read NULL under the pinned name and
+    // the folded output column no longer matches the declared shape —
+    // refuse precisely (Delta's schema-change contract: fail, restart
+    // from a fresh checkpoint so the schema re-pins) instead of dying in
+    // the projection's generic unresolved-column error
+    val drift = sink.renamesSince(tableSchema)
+    require(drift.isEmpty,
+      "the table's columns were RENAMED after this stream pinned its " +
+        s"schema (${drift.map { case (o, n) => s"$o -> $n" }.mkString(", ")}" +
+        "): restart the stream from a fresh checkpoint so its schema " +
+        "re-pins at the renamed head")
+    // DROP drift, same contract: post-drop commits NULL-fill a dropped
+    // column silently under the pinned shape — refuse, restart re-pins
+    val droppedCols = sink.tombstonedIn(tableSchema)
+    require(droppedCols.isEmpty,
+      "columns were DROPPED after this stream pinned its schema " +
+        s"(${droppedCols.mkString(", ")}): post-drop commits NULL-fill " +
+        "them silently under the pinned shape; restart the stream from " +
+        "a fresh checkpoint so its schema re-pins at the evolved head")
     val batch: DataFrame = start match {
       case None if initialFloor.exists(_ >= e.version) =>
         // started at/after the current head: nothing to emit yet

@@ -144,4 +144,31 @@ class CloneSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("compact"))
   }
+
+  test("clone of a RENAMED table carries the rename mapping: source-era " +
+    "files serve their values under the new name, not NULL (round-13)") {
+    spark.conf.set("spark.sql.catalog.gcl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcl.warehouse", wh)
+    spark.sql("CREATE TABLE gcl.ren_src (id BIGINT, amount DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gcl.ren_src VALUES (1, 10.0), (2, 20.0)") // v1
+    spark.sql("ALTER TABLE gcl.ren_src RENAME COLUMN amount TO total")
+    spark.sql("INSERT INTO gcl.ren_src VALUES (3, 30.0)")            // v2
+    val src = new TableSink(SinkConfig(tableName = "ren_src",
+      warehousePath = wh, versioned = true,
+      tableSchema = Some(spark.table("gcl.ren_src").schema)))
+    val clone = src.shallowCloneTo(SinkConfig(tableName = "ren_dst",
+      warehousePath = wh, versioned = true))
+    // pre-rename files physically carry `amount`; the clone references
+    // those same files, so it needs the source's rename fold — without
+    // it rows 1-2 would read total = NULL
+    val got = clone.read(spark).select($"id", $"total")
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)), s"got: $got")
+    // the tombstone ledger rides along too: an ALTER ADD on the clone
+    // re-using a source-dropped name would resurrect old files' bytes
+    val tomb = new org.apache.hadoop.fs.Path(s"$wh/ren_dst",
+      "_graft_renames")
+    assert(WarehouseIO.isFile(tomb), "clone must own a rename mapping copy")
+  }
 }

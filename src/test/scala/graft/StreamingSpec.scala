@@ -561,6 +561,164 @@ class StreamingSpec extends AnyFunSuite {
       s"got: $got")
   }
 
+  test("a RENAME COLUMN mid-stream fails the stream precisely with the " +
+    "restart remedy; a fresh stream re-pins at the renamed head and " +
+    "folds pre-rename values under the new name (round-13)") {
+    import spark.implicits._
+    val wh = TestSpark.tmpDir("stream_rename_wh")
+    spark.conf.set("spark.sql.catalog.gsrn", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsrn.warehouse", wh)
+    spark.sql("CREATE TABLE gsrn.rn (id BIGINT, amount DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gsrn.rn VALUES (1, 10.0), (2, 20.0)")
+    val sink = new TableSink(SinkConfig(tableName = "rn", warehousePath = wh,
+      versioned = true, tableSchema = Some(spark.table("gsrn.rn").schema)))
+    val q = sink.readStream(spark).writeStream.format("memory")
+      .queryName("rnstream")
+      .option("checkpointLocation", TestSpark.tmpDir("stream_rename_cp"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("rnstream").count() == 2)
+      // the rename lands mid-stream: post-rename files would read NULL
+      // under the pinned name — the next batch must refuse precisely,
+      // not die in the projection's unresolved-column error
+      spark.sql("ALTER TABLE gsrn.rn RENAME COLUMN amount TO total")
+      spark.sql("INSERT INTO gsrn.rn VALUES (3, 30.0)")
+      val e = intercept[Exception](q.processAllAvailable())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("RENAMED after this stream"), s"got: $msgs")
+    } finally q.stop()
+    // the remedy works: a fresh stream re-pins at the renamed head and
+    // serves pre-rename rows' VALUES under the new name
+    val sink2 = new TableSink(SinkConfig(tableName = "rn",
+      warehousePath = wh, versioned = true,
+      tableSchema = Some(spark.table("gsrn.rn").schema)))
+    val q2 = sink2.readStream(spark).writeStream.format("memory")
+      .queryName("rnstream2")
+      .option("checkpointLocation", TestSpark.tmpDir("stream_rename_cp2"))
+      .start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("rnstream2").select($"id", $"total")
+        .as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)), s"got: $got")
+    } finally q2.stop()
+  }
+
+  test("a DROP COLUMN mid-stream fails the stream precisely (post-drop " +
+    "commits would NULL-fill the pinned shape silently); a fresh stream " +
+    "re-pins at the evolved head (round-13)") {
+    import spark.implicits._
+    val wh = TestSpark.tmpDir("stream_drop_wh")
+    spark.conf.set("spark.sql.catalog.gsdr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsdr.warehouse", wh)
+    spark.sql("CREATE TABLE gsdr.dr (id BIGINT, v DOUBLE, score DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gsdr.dr VALUES (1, 10.0, 0.1), (2, 20.0, 0.2)")
+    val sink = new TableSink(SinkConfig(tableName = "dr", warehousePath = wh,
+      versioned = true, tableSchema = Some(spark.table("gsdr.dr").schema)))
+    val q = sink.readStream(spark).writeStream.format("memory")
+      .queryName("drstream")
+      .option("checkpointLocation", TestSpark.tmpDir("stream_drop_cp"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("drstream").count() == 2)
+      spark.sql("ALTER TABLE gsdr.dr DROP COLUMN score")
+      spark.sql("INSERT INTO gsdr.dr VALUES (3, 30.0)")
+      val e = intercept[Exception](q.processAllAvailable())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("DROPPED after this stream"), s"got: $msgs")
+    } finally q.stop()
+    // the remedy: a fresh stream re-pins at the evolved (shrunken) head
+    val sink2 = new TableSink(SinkConfig(tableName = "dr",
+      warehousePath = wh, versioned = true,
+      tableSchema = Some(spark.table("gsdr.dr").schema)))
+    val q2 = sink2.readStream(spark).writeStream.format("memory")
+      .queryName("drstream2")
+      .option("checkpointLocation", TestSpark.tmpDir("stream_drop_cp2"))
+      .start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("drstream2").select($"id", $"v")
+        .as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)), s"got: $got")
+      assert(!spark.table("drstream2").columns.contains("score"),
+        "the dropped column must not resurrect in the re-pinned stream")
+    } finally q2.stop()
+  }
+
+  test("an ADD COLUMNS mid-stream is BENIGN (the pinned shape keeps " +
+    "serving faithfully) and a WIDENING retype mid-stream fails loudly " +
+    "at the type boundary with restart re-pinning both (round-13)") {
+    import spark.implicits._
+    val wh = TestSpark.tmpDir("stream_add_wh")
+    spark.conf.set("spark.sql.catalog.gsad", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsad.warehouse", wh)
+    spark.sql("CREATE TABLE gsad.ad (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gsad.ad VALUES (1, 10.0), (2, 20.0)")
+    val sink = new TableSink(SinkConfig(tableName = "ad", warehousePath = wh,
+      versioned = true, tableSchema = Some(spark.table("gsad.ad").schema)))
+    val q = sink.readStream(spark).writeStream.format("memory")
+      .queryName("adstream")
+      .option("checkpointLocation", TestSpark.tmpDir("stream_add_cp"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // ADD mid-stream: post-evolution files carry an extra column the
+      // pinned schema simply does not request — the stream keeps
+      // serving its declared shape, values intact, no refusal
+      spark.sql("ALTER TABLE gsad.ad ADD COLUMNS (score DOUBLE)")
+      spark.sql("INSERT INTO gsad.ad VALUES (3, 30.0, 0.3)")
+      q.processAllAvailable()
+      val got = spark.table("adstream").select($"id", $"v")
+        .as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)), s"got: $got")
+      assert(!spark.table("adstream").columns.contains("score"),
+        "the pinned shape must not grow mid-stream")
+    } finally q.stop()
+    // WIDEN mid-stream: post-widen files physically change type — the
+    // batch fails LOUDLY (parquet conversion / schema mismatch; raw by
+    // design, no silent path exists), and a fresh stream re-pins
+    spark.conf.set("spark.sql.catalog.gswd", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gswd.warehouse", wh)
+    spark.sql("CREATE TABLE gswd.wd (id BIGINT, n INT) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gswd.wd VALUES (1, 100)")
+    val sink2 = new TableSink(SinkConfig(tableName = "wd",
+      warehousePath = wh, versioned = true,
+      tableSchema = Some(spark.table("gswd.wd").schema)))
+    val q2 = sink2.readStream(spark).writeStream.format("memory")
+      .queryName("wdstream")
+      .option("checkpointLocation", TestSpark.tmpDir("stream_widen_cp"))
+      .start()
+    try {
+      q2.processAllAvailable()
+      spark.sql("ALTER TABLE gswd.wd ALTER COLUMN n TYPE BIGINT")
+      spark.sql("INSERT INTO gswd.wd VALUES (2, 5000000000)")
+      intercept[Exception](q2.processAllAvailable())
+    } finally q2.stop()
+    val sink3 = new TableSink(SinkConfig(tableName = "wd",
+      warehousePath = wh, versioned = true,
+      tableSchema = Some(spark.table("gswd.wd").schema)))
+    val q3 = sink3.readStream(spark).writeStream.format("memory")
+      .queryName("wdstream2")
+      .option("checkpointLocation", TestSpark.tmpDir("stream_widen_cp2"))
+      .start()
+    try {
+      q3.processAllAvailable()
+      val got = spark.table("wdstream2").select($"id", $"n")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L), (2L, 5000000000L)), s"got: $got")
+    } finally q3.stop()
+  }
+
   test("restarting a checkpointed stream with a HIGHER startingVersion " +
     "resumes from its offset — the option binds the first batch only " +
     "(Delta's restart contract; round-13)") {
