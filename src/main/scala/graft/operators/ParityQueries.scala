@@ -3013,6 +3013,44 @@ object ParityQueries {
       .orderBy($"event_type")
   }
 
+  /** VERSIONED partition-spec evolution (round-13): two file generations
+    * under different spines (identity(event_type), then day(ts)) on one
+    * versioned table, a merge-on-read delete predicate spanning BOTH,
+    * read through the LIVE read. Pins the round-13 readFiles fix: a
+    * mixed-spine manifest loads one generation per basePath group and
+    * unions (a single load silently DROPPED the other generation's
+    * rows), identity values restore from their generation's directories,
+    * and the sidecar fold applies across the union. */
+  def partitionEvolutionVersioned(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+    val gen1 = SinkConfig(tableName = "events_pev", warehousePath = dest,
+      versioned = true, numPartitions = 4,
+      partitionSpec = Seq(PartitionField("event_type", Transform.Identity)),
+      sortOrder = Seq("event_id"))
+    new TableSink(gen1).append(
+      e.filter(pmod(col("event_id"), lit(2)) === 0))
+    val sink2 = new TableSink(gen1.copy(
+      partitionSpec = Seq(PartitionField("ts", Transform.Day))))
+    sink2.append(e.filter(pmod(col("event_id"), lit(2)) === 1))
+    sink2.deleteWhere("value < 10.0") // MoR predicate over BOTH generations
+    sink2.read(spark)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  val partitionEvolutionVersionedSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events
+      |WHERE NOT coalesce(value < 10.0, FALSE)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Merge-on-read deletes end-to-end: the full fixture commits (v1), then
     * TWO delete predicates commit as pure metadata ([[TableSink
     * .deleteWhere]] — no data file read or rewritten; v2 drops small

@@ -155,6 +155,16 @@ object TableSink {
         nullable = true))
     }
 
+  /** A relative data-file path's partition-directory SPINE signature:
+    * the ordered `col=`-style directory names above the file. Files
+    * written under the same partition spec share a spine; a table whose
+    * manifest mixes spines has lived through partition-spec evolution
+    * and cannot be read in one `basePath` load (see [[TableSink
+    * .readFiles]]'s generation grouping). */
+  private[graft] def spineOf(rel: String): Seq[String] =
+    rel.split('/').dropRight(1)
+      .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+
   /** Name of the optional per-row partition-override map column consumed by
     * [[TableSink.withDerived]] (reference models.py:62-63 `partition_data`). */
   val PartitionDataCol = "_partition_data"
@@ -1347,7 +1357,16 @@ final class TableSink(val config: SinkConfig) {
     else None
   }
 
-  private def readFiles(spark: SparkSession, rels: Seq[String]): DataFrame = {
+  /** `capturePos = true` appends the `__graft_file`/`__graft_pos`
+    * coordinates PER SCAN RELATION, before any union: `_metadata` is not
+    * resolvable on a union frame, so a caller that will fold
+    * position-delete sidecars ([[applyDeletes]]) must ask for the
+    * capture here — a mixed-spine (partition-spec-evolved) or clone
+    * manifest produces a multi-relation union. [[applyDeletes]] skips
+    * its own capture when the columns are already present and drops
+    * them unless asked to keep. */
+  private def readFiles(spark: SparkSession, rels: Seq[String],
+      capturePos: Boolean = false): DataFrame = {
     // an empty file set cannot infer a schema — an empty diff (e.g.
     // readChanges(v, v)) borrows the live table's schema instead
     if (rels.isEmpty) read(spark).limit(0)
@@ -1371,16 +1390,32 @@ final class TableSink(val config: SinkConfig) {
       // to be an ancestor of every loaded path, so one load cannot span
       // two roots
       val (ext, local) = rels.partition(_.startsWith("/"))
-      val parts = Seq(
-        if (local.isEmpty) None
-        else Some(load(local.map(rel => s"${config.tablePath}/$rel"),
-          config.tablePath)),
+      // partition-spec evolution (round-13): one load cannot span files
+      // written under DIFFERENT directory spines either — Spark derives
+      // partition columns from the layout under basePath, and a mixed
+      // list silently DROPS rows (measured: a root-level unpartitioned
+      // file vanishes when identity dirs exist beside it). Group local
+      // files by spine signature and load each generation with its own
+      // layout; identity columns restore from their generation's dirs,
+      // a generation's derived-only columns NULL-fill in the others.
+      // One group in the uniform case — the plan is unchanged there.
+      def cap(df: DataFrame): DataFrame =
+        if (!capturePos) df
+        else df.withColumn("__graft_file", col("_metadata.file_path"))
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+      val localGroups = local.groupBy(TableSink.spineOf)
+        .toSeq.sortBy(_._1.mkString(","))
+        .map { case (_, fs) =>
+          cap(load(fs.map(rel => s"${config.tablePath}/$rel"),
+            config.tablePath))
+        }
+      val parts = localGroups ++ (
         if (ext.isEmpty) None
-        else Some(load(ext, cloneBasePath.getOrElse(sys.error(
-          "manifest has absolute entries but no clone_base sidecar"))))
-      ).flatten
+        else Some(cap(load(ext, cloneBasePath.getOrElse(sys.error(
+          "manifest has absolute entries but no clone_base sidecar"))))))
       applyRenames(
-        parts.reduce(_.unionByName(_, allowMissingColumns = renames.nonEmpty)),
+        parts.reduce(_.unionByName(_,
+          allowMissingColumns = renames.nonEmpty || parts.sizeIs > 1)),
         renames)
     }
   }
@@ -1420,7 +1455,8 @@ final class TableSink(val config: SinkConfig) {
     * predicates committed at or before `version` are applied
     * ([[deleteWhere]]) — the snapshot's semantics, not its raw files. */
   def readVersion(spark: SparkSession, version: Int): DataFrame =
-    applyDeletes(readFiles(spark, manifestFiles(version)), version)
+    applyDeletes(readFiles(spark, manifestFiles(version),
+      capturePos = true), version)
 
   /** [[readVersion]] with SCAN-PLANNING file pruning: the caller's
     * pushed-filter conjuncts consult manifest stats and hidden-partition
@@ -1460,8 +1496,10 @@ final class TableSink(val config: SinkConfig) {
       case Some(survivors) =>
         val keep = survivors.toSet
         applyDeletes(readFiles(spark,
-          rels.zip(abs).collect { case (r, a) if keep(a) => r }), version)
-      case None => applyDeletes(readFiles(spark, rels), version)
+          rels.zip(abs).collect { case (r, a) if keep(a) => r },
+          capturePos = true), version)
+      case None => applyDeletes(
+        readFiles(spark, rels, capturePos = true), version)
     }
   }
 
@@ -1592,8 +1630,11 @@ final class TableSink(val config: SinkConfig) {
     // caller — deletePositions — needs the coordinates itself)
     val anyPos = keepPosCols || versions.exists(v =>
       idx.posDirs(v).nonEmpty)
+    // a multi-relation union (mixed-spine or clone manifest) cannot
+    // resolve `_metadata` — readFiles captured per relation already
+    val hasCaptured = df.columns.contains("__graft_file")
     val d0 =
-      if (anyPos)
+      if (anyPos && !hasCaptured)
         df.withColumn("__graft_file", col("_metadata.file_path"))
           .withColumn("__graft_pos", col("_metadata.row_index"))
       else df
@@ -1619,7 +1660,8 @@ final class TableSink(val config: SinkConfig) {
         afterKeys.join(pos, Seq("__graft_file", "__graft_pos"), "left_anti")
       } else afterKeys
     }
-    if (anyPos && !keepPosCols) folded.drop("__graft_file", "__graft_pos")
+    if ((anyPos || hasCaptured) && !keepPosCols)
+      folded.drop("__graft_file", "__graft_pos")
     else folded
   }
 
@@ -1662,7 +1704,8 @@ final class TableSink(val config: SinkConfig) {
     val head = snapshotVersions().last
     // resolve against the head SNAPSHOT'S semantics (earlier deletes of
     // any flavor already applied) so a row deleted twice costs one entry
-    val matched = applyDeletes(readFiles(spark, manifestFiles(head)), head,
+    val matched = applyDeletes(
+      readFiles(spark, manifestFiles(head), capturePos = true), head,
         keepPosCols = true)
       .where(expr(conditionSql))
       .select(col("__graft_file").as("file_path"),
@@ -1997,7 +2040,8 @@ final class TableSink(val config: SinkConfig) {
       val added = manifestFiles(v).filterNot(prevSet)
       val inserts =
         if (added.isEmpty) None
-        else Some(applyDeletes(readFiles(spark, added), v)
+        else Some(applyDeletes(
+          readFiles(spark, added, capturePos = true), v)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_change_version", lit(v.toLong)))
       val preds = idx.predicates(v)
@@ -2017,7 +2061,8 @@ final class TableSink(val config: SinkConfig) {
           val pv = prev.get
           // the pre-commit snapshot's SEMANTIC rows, physical coordinates
           // kept so a position list can be replayed against them
-          val base = applyDeletes(readFiles(spark, manifestFiles(pv)), pv,
+          val base = applyDeletes(
+            readFiles(spark, manifestFiles(pv), capturePos = true), pv,
             keepPosCols = true)
           val byPred =
             if (preds.isEmpty) None
@@ -2114,7 +2159,8 @@ final class TableSink(val config: SinkConfig) {
     unreplayable match {
       case None => readChangelog(spark, 0, toVersion)
       case Some(v0) =>
-        val base = applyDeletes(readFiles(spark, manifestFiles(v0)), v0)
+        val base = applyDeletes(
+          readFiles(spark, manifestFiles(v0), capturePos = true), v0)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_change_version", lit(v0.toLong))
         base.unionByName(readChangelog(spark, v0, toVersion))
@@ -3861,7 +3907,8 @@ final class TableSink(val config: SinkConfig) {
     * mutation resolves its position list against. */
   private[graft] def readHeadWithPos(spark: SparkSession): DataFrame = {
     val head = snapshotVersions().last
-    applyDeletes(readFiles(spark, manifestFiles(head)), head,
+    applyDeletes(readFiles(spark, manifestFiles(head), capturePos = true),
+      head,
       keepPosCols = true)
   }
 
@@ -4258,6 +4305,23 @@ final class TableSink(val config: SinkConfig) {
         return readVersion(spark, snapshotVersions().last)
       case _ => ()
     }
+    // partition-spec evolution (round-13): the directory-scan fast path
+    // below silently DROPS or mis-derives rows when the table holds file
+    // generations under different spines (measured: a root-level
+    // unpartitioned file vanished beside identity dirs). The head
+    // manifest pins the exact file set and readFiles reads each
+    // generation under its own layout, so a versioned mixed-spine table
+    // serves snapshot semantics instead. One manifest read to detect —
+    // the same metadata class the sidecar fold below already pays.
+    if (config.versioned) {
+      val vs = snapshotVersions()
+      if (vs.nonEmpty) {
+        val expect = partitionColNames
+        val mixed = manifestFiles(vs.last).exists(rel =>
+          !rel.startsWith("/") && TableSink.spineOf(rel) != expect)
+        if (mixed) return readVersion(spark, vs.last)
+      }
+    }
     val renames = renameMap
     val r0 = spark.read.format(config.fileFormat)
     val r =
@@ -4283,9 +4347,13 @@ final class TableSink(val config: SinkConfig) {
     cloneBasePath match {
       case Some(_) if snapshotVersions().nonEmpty &&
           manifestFiles(snapshotVersions().last).nonEmpty =>
+        // a diverged clone's manifest is a multi-relation union where
+        // `_metadata` is unresolvable — derive the path column from the
+        // per-relation capture instead (round-13)
         val head = snapshotVersions().last
-        return applyDeletes(captured(readFiles(spark, manifestFiles(head))),
-          head)
+        return applyDeletes(
+          readFiles(spark, manifestFiles(head), capturePos = true)
+            .withColumn(pathCol, col("__graft_file")), head)
       case _ => ()
     }
     val r = spark.read.format(config.fileFormat)
@@ -4415,7 +4483,8 @@ final class TableSink(val config: SinkConfig) {
           "down and restart the consumer from a fresh checkpoint")
       val added = cur.filterNot(prevSet)
       if (added.isEmpty) None
-      else Some(applyDeletes(readFiles(spark, added), v))
+      else Some(applyDeletes(
+        readFiles(spark, added, capturePos = true), v))
     }
     if (parts.isEmpty) read(spark).limit(0) else parts.reduce(_ unionByName _)
   }
@@ -4490,7 +4559,26 @@ final class TableSink(val config: SinkConfig) {
     * plans normally; grouping is driver-side string work over the file
     * list, the same metadata [[listDataFiles]] already handles. */
   def readEvolved(spark: SparkSession): DataFrame = {
-    val rels = listDataFiles()
+    // VERSIONED tables (round-13): the raw directory listing would
+    // include unclaimed staged files and ignore merge-on-read sidecars
+    // (deleted rows resurrected silently). The head manifest pins the
+    // claimed file set; pending sidecars refuse precisely — a position
+    // list cannot fold across this surface's generation union (it needs
+    // per-scan file metadata), and compact() materializes both the
+    // deletes and the spec migration. Clones materialize first for the
+    // same reason their other rewrites do.
+    require(cloneBasePath.isEmpty,
+      "readEvolved on a shallow clone would scan across two table " +
+        "roots; compact() materializes the clone first")
+    val rels =
+      if (config.versioned && snapshotVersions().nonEmpty) {
+        val head = snapshotVersions().last
+        require(!hasPendingDeletes(head),
+          "readEvolved with pending merge-on-read deletes would " +
+            "resurrect deleted rows (sidecars cannot fold across the " +
+            "generation union); compact() first — it materializes them")
+        manifestFiles(head)
+      } else listDataFiles()
     require(rels.nonEmpty, s"table '${config.tableName}' has no data files")
     val groups = rels.groupBy(_.split('/').dropRight(1)
       .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq)

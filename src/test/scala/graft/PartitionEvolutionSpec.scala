@@ -73,4 +73,44 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](sink.readEvolved(spark))
       .getMessage.contains("no data files"))
   }
+
+  test("VERSIONED spec evolution: read/readVersion serve every generation " +
+    "with MoR deletes folded, time travel and changelog replay the mixed " +
+    "spine, readEvolved refuses pending sidecars precisely (round-13)") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val gen1 = SinkConfig(tableName = "t", warehousePath = wh,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity)))
+    new TableSink(gen1).append(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "cat", "v")) // v1
+    val s2 = new TableSink(gen1.copy(partitionSpec = Nil))
+    s2.append(Seq((3L, "c", 30.0)).toDF("id", "cat", "v"))          // v2
+    s2.deleteWhere("v < 15.0")                                      // v3
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"cat", $"v").as[(Long, String, Double)]
+        .collect().toSet
+    // the live read must serve BOTH generations (the directory-scan fast
+    // path silently dropped the root-level gen-2 file before the fix)
+    // with the delete folded; identity values restore from gen-1 dirs
+    val live = Set((2L, "b", 20.0), (3L, "c", 30.0))
+    assert(rows(s2.read(spark)) == live, "live read")
+    assert(rows(s2.readVersion(spark, 3)) == live, "snapshot read")
+    // time travel BEFORE the delete still shows all three rows
+    assert(rows(s2.readVersion(spark, 2)) ==
+      Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    // the changelog replays the whole mixed-spine history
+    val chg = s2.readChangelogAll(spark)
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSet
+    assert(chg == Set((1L, "insert"), (2L, "insert"), (3L, "insert"),
+      (1L, "delete")), s"got: $chg")
+    // readEvolved cannot fold sidecars across the generation union —
+    // precise refusal, not resurrected rows
+    val e = intercept[IllegalArgumentException](s2.readEvolved(spark))
+    assert(e.getMessage.contains("compact"), e.getMessage)
+    // the remedy: compact materializes deletes AND the spec migration
+    s2.compact(spark)
+    assert(rows(s2.readEvolved(spark)) == live, "post-compact readEvolved")
+    assert(rows(s2.read(spark)) == live, "post-compact read")
+  }
 }
