@@ -1399,12 +1399,20 @@ final class TableSink(val config: SinkConfig) {
       // layout; identity columns restore from their generation's dirs,
       // a generation's derived-only columns NULL-fill in the others.
       // One group in the uniform case — the plan is unchanged there.
+      val localFileGroups = local.groupBy(TableSink.spineOf)
+        .toSeq.sortBy(_._1.mkString(","))
+      // capture ONLY when the union will have several relations: a
+      // single-relation frame resolves `_metadata` lazily inside
+      // applyDeletes when (and only when) a position sidecar actually
+      // folds — capturing unconditionally here made every snapshot read
+      // materialize `row_index` per row (measured 3.8x on q_time_travel,
+      // same-window A/B) for sidecars that do not exist
+      val multi = localFileGroups.size + (if (ext.isEmpty) 0 else 1) > 1
       def cap(df: DataFrame): DataFrame =
-        if (!capturePos) df
+        if (!capturePos || !multi) df
         else df.withColumn("__graft_file", col("_metadata.file_path"))
           .withColumn("__graft_pos", col("_metadata.row_index"))
-      val localGroups = local.groupBy(TableSink.spineOf)
-        .toSeq.sortBy(_._1.mkString(","))
+      val localGroups = localFileGroups
         .map { case (_, fs) =>
           cap(load(fs.map(rel => s"${config.tablePath}/$rel"),
             config.tablePath))
@@ -4351,9 +4359,14 @@ final class TableSink(val config: SinkConfig) {
         // `_metadata` is unresolvable — derive the path column from the
         // per-relation capture instead (round-13)
         val head = snapshotVersions().last
-        return applyDeletes(
-          readFiles(spark, manifestFiles(head), capturePos = true)
-            .withColumn(pathCol, col("__graft_file")), head)
+        val base = readFiles(spark, manifestFiles(head), capturePos = true)
+        // multi-relation manifests carry the per-relation capture; a
+        // single-relation one resolves `_metadata` directly
+        val withPath =
+          if (base.columns.contains("__graft_file"))
+            base.withColumn(pathCol, col("__graft_file"))
+          else base.withColumn(pathCol, col("_metadata.file_path"))
+        return applyDeletes(withPath, head)
       case _ => ()
     }
     val r = spark.read.format(config.fileFormat)
