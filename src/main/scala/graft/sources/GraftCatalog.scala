@@ -166,9 +166,36 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
           "rewrite, or never committed); available: " +
           versions(ident).mkString(", "))
     // layered (manifest-list) or legacy inline snapshot — same resolver
-    // the sink uses, so the SQL door reads any table the library wrote
+    // the sink uses, so the SQL door reads any table the library wrote.
+    // A shallow CLONE's manifest mixes ABSOLUTE entries (the source's
+    // files) with relative ones (own appends): absolute stays absolute
+    // (round-14 — prefixing tableDir mangled every clone read)
     WarehouseIO.readSnapshotFiles(logDir(ident), m)
-      .map(rel => s"${tableDir(ident)}/$rel").toIndexedSeq
+      .map(rel => if (rel.startsWith("/")) rel
+        else s"${tableDir(ident)}/$rel").toIndexedSeq
+  }
+
+  /** A shallow clone's log carries the `clone_base` sidecar; its head
+    * mixes file roots, so the raw V2 file scan (single basePath) cannot
+    * serve it — clone idents route through the library read, which
+    * loads each root under its own layout. */
+  private def isClone(ident: Identifier): Boolean =
+    WarehouseIO.isFile(
+      new org.apache.hadoop.fs.Path(logDir(ident), "clone_base"))
+
+  /** Serve a shallow clone's snapshot `v` through the library read
+    * pinned to it (the same projected-table shape as branch-under-MoR
+    * serving): dual-root manifests, the copied rename/tombstone/schema
+    * sidecars, and MoR visibility all come from [[TableSink.readVersion]]
+    * verbatim. Read-only — writes to a clone go through the library. */
+  private def cloneProjected(ident: Identifier, v: Int): Table = {
+    val cfg0 = insertConfig(ident, firstDataFile(ident))
+    val declared = declaredSchema(ident)
+    val sink = new TableSink(
+      cfg0.copy(tableSchema = declared.orElse(cfg0.tableSchema)))
+    val compute = () => sink.readVersion(SparkSession.active, v)
+    val sch = declared.getOrElse(compute().schema)
+    new GraftProjectedTable(ident.toString, sch, compute, None)
   }
 
   private def schemaFile(ident: Identifier): org.apache.hadoop.fs.Path =
@@ -530,6 +557,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
     versions(ident).lastOption match {
       case Some(v) =>
+        if (isClone(ident)) return cloneProjected(ident, v)
         val files = manifestFiles(ident, v)
         fileTable(ident, files, files.headOption, declaredSchema(ident),
           writable = true,
@@ -559,7 +587,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     healInterruptedSwap(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val (files, pinned) = version.toIntOption match {
-      case Some(v) => (manifestFiles(ident, v), Some(v))
+      case Some(v) =>
+        if (isClone(ident)) return cloneProjected(ident, v)
+        (manifestFiles(ident, v), Some(v))
       case None =>
         // Same name charset TableSink.branchLogPath enforces on write:
         // anything else (slashes, '..') must not resolve as a path.
@@ -616,6 +646,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
                 s"${ident.name()}: '$version' is neither an integer " +
                   "snapshot id nor a live branch or tag name")
             val tv = WarehouseIO.readString(tag).trim.toInt
+            if (isClone(ident)) return cloneProjected(ident, tv)
             (manifestFiles(ident, tv).toIndexedSeq, Some(tv))
         }
     }
@@ -825,6 +856,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     var extraTombstones = Set.empty[String]
     val partCols = insertConfig(ident, None).partitionSpec
       .flatMap(p => Seq(p.source, p.columnName)).map(_.toLowerCase)
+    // columns live delete sidecars reference (round-14): DROP on one
+    // would silently NULL-drop post-drop rows (predicate) or fail every
+    // read unresolved (key list) — see TableSink.pendingSidecarColumnRefs
+    lazy val sidecarRefs = new TableSink(
+      insertConfig(ident, firstDataFile(ident)))
+      .pendingSidecarColumnRefs(SparkSession.active)
     val evolved = changes.foldLeft(base) {
       case (sch, a: TableChange.AddColumn) =>
         require(a.fieldNames().length == 1,
@@ -865,6 +902,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         require(!partCols.contains(name.toLowerCase),
           s"cannot drop $name: it is named in the table's partition spec " +
             "— evolve the partitioning first")
+        require(!sidecarRefs.contains(name.toLowerCase),
+          s"cannot drop $name: a pending merge-on-read delete sidecar " +
+            "references it — a predicate over a dropped column would " +
+            "silently drop every post-drop row and a key-list anti-join " +
+            "would fail every read; consolidate or compact the table " +
+            "first (it materializes the deletes), then drop")
         // dropping a RENAMED column: its pre-rename physical names must
         // become tombstones too (old files carry their bytes), and the
         // mappings die with the column — otherwise a scan would keep

@@ -181,7 +181,16 @@ final class TableSink(val config: SinkConfig) {
   /** Derived partition columns per the spec (K7 `_partition_records`). */
   def derivedColumns(df: DataFrame): Seq[(String, Column)] =
     config.partitionSpec.map { pf =>
-      val dt = df.schema(pf.source).dataType   // name-based resolution (§1.3)
+      // case-INSENSITIVE source lookup (round-14): Spark resolves the
+      // col() reference case-insensitively, so the type probe must too —
+      // StructType.apply is case-sensitive and threw on a batch whose
+      // names differ only in case
+      val dt = df.schema.fields
+        .find(_.name.equalsIgnoreCase(pf.source))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition source column '${pf.source}' is missing from the " +
+            s"batch (${df.columns.mkString(", ")})"))
+        .dataType
       pf.columnName -> pf.transform(col(pf.source), dt)
     }
 
@@ -951,6 +960,28 @@ final class TableSink(val config: SinkConfig) {
             s"(manifest v$v retracted; the append may or may not be in " +
             "the rewritten snapshot)")
         }
+        // sidecar commits re-verify the branch guard AFTER the claim
+        // (round-14): createBranch can land inside the caller's
+        // check-to-claim window, and a sidecar at a version ABOVE the
+        // branch base would silently never apply to the branch's
+        // two-slice read — the audit surface would diverge from main.
+        // Retract our own claim (same pattern as the rewrite-race
+        // retract above and consolidate's claim-to-retract) and refuse;
+        // a branch whose base is at or above v sees the sidecar and is
+        // fine. The caller's catch deletes the sidecar file itself.
+        if (posRef.isDefined || keysRef.isDefined || delRef.isDefined) {
+          val raced = branchesOrPending().filter(b =>
+            branchBaseVersion(b).forall(_ < v))
+          if (raced.nonEmpty) {
+            WarehouseIO.delete(logFile(f"v$v%05d.list"))
+            mergeManifest.foreach(n => WarehouseIO.delete(logFile(n)))
+            throw new IllegalStateException(
+              s"a branch (${raced.mkString(", ")}) was created inside " +
+                s"the delete-commit window (snapshot v$v retracted): its " +
+                "audit view would never apply this sidecar; publish or " +
+                "drop the branch, then retry the delete")
+          }
+        }
         // a merge commit supersedes its own never-referenced delta
         if (mergeManifest.isDefined)
           ownManifest.foreach(n => WarehouseIO.delete(logFile(n)))
@@ -1119,7 +1150,9 @@ final class TableSink(val config: SinkConfig) {
     * branch manifests. Refuse instead of silently publishing unaudited
     * data — publish or drop branches first (the documented WAP contract). */
   private def requireNoBranches(op: String): Unit = {
-    val live = branches()
+    // branchesOrPending: a branch mid-creation (base written, v1 not
+    // yet) already pins a base version and must block rewrites too
+    val live = branchesOrPending()
     require(live.isEmpty,
       s"$op rewrites the table and would absorb/destroy staged branch " +
         s"data; publish or drop live branches first: ${live.mkString(", ")}")
@@ -1366,12 +1399,20 @@ final class TableSink(val config: SinkConfig) {
     * its own capture when the columns are already present and drops
     * them unless asked to keep. */
   private def readFiles(spark: SparkSession, rels: Seq[String],
-      capturePos: Boolean = false): DataFrame = {
+      capturePos: Boolean = false,
+      captureFileMeta: Boolean = false): DataFrame = {
     // an empty file set cannot infer a schema — an empty diff (e.g.
     // readChanges(v, v)) borrows the live table's schema instead
     if (rels.isEmpty) read(spark).limit(0)
     else {
       val renames = renameMap
+      // the declared layer lives in sidecars exactly like the rename
+      // map (round-14): an ALTER-widened table mixes narrow/wide file
+      // generations, and only the declared schema makes the reader
+      // upcast — footer inference pins whichever width the sampled
+      // file carried and fails the scan on the other generation. An
+      // explicit config.tableSchema still wins (caller's pin).
+      val declared = config.tableSchema.orElse(alterDeclaredSchema)
       def load(files: Seq[String], base: String): DataFrame = {
         val r0 = spark.read.format(config.fileFormat)
           .option("basePath", base)
@@ -1380,7 +1421,7 @@ final class TableSink(val config: SinkConfig) {
         // when inferring, old columns appended when declared — so
         // applyRenames can coalesce them under the new name
         val r = if (renames.nonEmpty) r0.option("mergeSchema", "true") else r0
-        config.tableSchema.map(augmentWithRenameSources(_, renames))
+        declared.map(augmentWithRenameSources(_, renames))
           .fold(r)(s => r.schema(s)).load(files: _*)
       }
       // a shallow clone's manifest mixes ABSOLUTE entries (the source's
@@ -1409,7 +1450,17 @@ final class TableSink(val config: SinkConfig) {
       // same-window A/B) for sidecars that do not exist
       val multi = localFileGroups.size + (if (ext.isEmpty) 0 else 1) > 1
       def cap(df: DataFrame): DataFrame =
-        if (!capturePos || !multi) df
+        if (captureFileMeta)
+          // file-inventory capture for the metadata tables (round-14):
+          // UNCONDITIONAL (unlike capturePos) because the caller groups
+          // on these columns, and CHEAP — file_path/size/mtime are
+          // per-file constants, not the per-row row_index
+          // materialization the capturePos guard exists to avoid
+          df.withColumn("__graft_file", col("_metadata.file_path"))
+            .withColumn("__graft_size", col("_metadata.file_size"))
+            .withColumn("__graft_mtime",
+              col("_metadata.file_modification_time"))
+        else if (!capturePos || !multi) df
         else df.withColumn("__graft_file", col("_metadata.file_path"))
           .withColumn("__graft_pos", col("_metadata.row_index"))
       val localGroups = localFileGroups
@@ -1646,13 +1697,42 @@ final class TableSink(val config: SinkConfig) {
         df.withColumn("__graft_file", col("_metadata.file_path"))
           .withColumn("__graft_pos", col("_metadata.row_index"))
       else df
+    // a sidecar records column names AS OF ITS COMMIT; a later RENAME
+    // folds those physical generations under the new name, so the
+    // sidecar's references must fold identically (round-14). Without
+    // this, a pending predicate on the OLD name resolved BENEATH the
+    // rename projection (Spark lets a filter reference a dropped
+    // column) — old files served their physical value but post-rename
+    // files served NULL, and `not(NULL)` SILENTLY DROPPED every row
+    // appended after the rename; a key-list anti-join on the old name
+    // died in an unresolved-column error. Substitution is unambiguous:
+    // the ALTER door refuses re-ADDing or renaming onto a superseded
+    // physical name, so an attribute matching a rename key can only
+    // mean that old generation.
+    val renames = renameMap
+    def foldRenamed(p: String): Column = {
+      if (renames.isEmpty) expr(p)
+      else {
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        val e = org.apache.spark.sql.graft.Bridge
+          .parseExpression(df.sparkSession, p).transform {
+            case a: UnresolvedAttribute if a.nameParts.lengthIs == 1 &&
+                renames.keys.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+              UnresolvedAttribute(Seq(renames.collectFirst {
+                case (o, n) if o.equalsIgnoreCase(a.nameParts.head) => n
+              }.get))
+          }
+        org.apache.spark.sql.graft.Bridge.column(e)
+      }
+    }
     val folded = versions.foldLeft(d0) { (d, v) =>
       val afterSql = idx.predicates(v)
-        .foldLeft(d)((dd, p) => dd.where(not(expr(p))))
+        .foldLeft(d)((dd, p) => dd.where(not(foldRenamed(p))))
       val kds = idx.keyDirs(v)
       val afterKeys = if (kds.nonEmpty) {
-        val keys = kds.map(kd => df.sparkSession.read.parquet(kd.toString))
-          .reduce(_ unionByName _)
+        val keys = applyRenames(
+          kds.map(kd => df.sparkSession.read.parquet(kd.toString))
+            .reduce(_ unionByName _), renames)
         // anti-join on the key list's own columns; Spark broadcasts a
         // small erasure list and shuffle-joins a huge one (AQE decides)
         afterSql.join(keys, keys.columns.toSeq, "left_anti")
@@ -1702,7 +1782,7 @@ final class TableSink(val config: SinkConfig) {
     require(config.fileFormat == "parquet",
       s"deletePositions needs the parquet reader's _metadata.row_index; " +
         s"format '${config.fileFormat}' does not expose row ordinals")
-    val live = branches()
+    val live = branchesOrPending()
     require(live.isEmpty,
       "deletePositions while a branch is live would make the audit " +
         s"surface disagree with main; publish or drop first: " +
@@ -1748,7 +1828,7 @@ final class TableSink(val config: SinkConfig) {
       "merge-on-read deleteWhere needs versioned=true (predicates are " +
         "commit metadata); use delete() for copy-on-write on " +
         "unversioned tables")
-    val live = branches()
+    val live = branchesOrPending()
     require(live.isEmpty,
       "deleteWhere while a branch is live would make the audit surface " +
         s"disagree with main; publish or drop first: ${live.mkString(", ")}")
@@ -1801,7 +1881,7 @@ final class TableSink(val config: SinkConfig) {
       "merge-on-read deleteKeys needs versioned=true (key lists are " +
         "commit metadata); use delete() for copy-on-write on " +
         "unversioned tables")
-    val live = branches()
+    val live = branchesOrPending()
     require(live.isEmpty,
       "deleteKeys while a branch is live would make the audit surface " +
         s"disagree with main; publish or drop first: ${live.mkString(", ")}")
@@ -2200,7 +2280,12 @@ final class TableSink(val config: SinkConfig) {
       startingTimestampMs: Option[Long] = None): DataFrame = {
     require(config.versioned,
       "readChangesStream consumes the snapshot changelog — versioned only")
-    val schema = config.tableSchema.getOrElse(read(spark).schema)
+    // ALTER-declared schema beats footer inference (round-14): after a
+    // type-widening ALTER only the declared schema reads the mixed
+    // narrow/wide file generations (the reader upcasts); inference
+    // pins whichever type the sampled footer carried
+    val schema = config.tableSchema.orElse(alterDeclaredSchema)
+      .getOrElse(read(spark).schema)
       .add("_change_type", org.apache.spark.sql.types.StringType)
       .add("_change_version", org.apache.spark.sql.types.LongType)
     val r0 = spark.readStream
@@ -2538,11 +2623,14 @@ final class TableSink(val config: SinkConfig) {
       if (config.versioned && snapshotVersions().nonEmpty)
         manifestFiles(snapshotVersions().last)
       else listDataFiles()
-    readFiles(spark, rels)
-      .groupBy(col("_metadata.file_path").as("file_path"))
+    // per-relation capture (round-14): a mixed-spine or clone manifest
+    // unions several scan relations, where `_metadata` is unresolvable —
+    // the inventory must come from columns captured inside each relation
+    readFiles(spark, rels, captureFileMeta = true)
+      .groupBy(col("__graft_file").as("file_path"))
       .agg(count(lit(1)).as("record_count"),
-        first(col("_metadata.file_size")).as("size_bytes"),
-        first(col("_metadata.file_modification_time")).as("modified_at"))
+        first(col("__graft_size")).as("size_bytes"),
+        first(col("__graft_mtime")).as("modified_at"))
   }
 
   /** Iceberg's `partitions` metadata table: one row per live partition —
@@ -2567,14 +2655,16 @@ final class TableSink(val config: SinkConfig) {
     val roots = (rootUriPath(config.tablePath) +:
         cloneBasePath.toSeq.map(rootUriPath))
       .map(java.util.regex.Pattern.quote).mkString("(", "|", ")")
-    readFiles(spark, rels)
+    // same per-relation capture as [[metaFiles]] — `_metadata` does not
+    // resolve across a mixed-spine/clone union (round-14)
+    readFiles(spark, rels, captureFileMeta = true)
       .groupBy(regexp_replace(
-          regexp_replace(col("_metadata.file_path"),
+          regexp_replace(col("__graft_file"),
             s"^[a-z][a-z0-9+.-]*:.*?$roots/?", ""),
           "/?[^/]+$", "").as("partition"),
-        col("_metadata.file_path").as("fp"))
+        col("__graft_file").as("fp"))
       .agg(count(lit(1)).as("n"),
-        first(col("_metadata.file_size")).cast("long").as("sz"))
+        first(col("__graft_size")).cast("long").as("sz"))
       .groupBy(col("partition"))
       .agg(sum(col("n")).as("record_count"),
         count(lit(1)).as("file_count"),
@@ -2784,6 +2874,21 @@ final class TableSink(val config: SinkConfig) {
       .filter(n => branchVersions(n).nonEmpty)
       .sorted
 
+  /** Branch names that are live OR mid-creation (`base` written,
+    * `v00001.list` not yet — [[createBranch]] writes them in that
+    * order). The REFUSAL surfaces (rewrites, sidecar commits) must
+    * count a mid-creation branch as live: its base version is already
+    * pinned, so a sidecar landing above it would silently never apply
+    * to the branch's two-slice read — the audit view would diverge
+    * from main. Read/serving paths keep [[branches]] (a phantom has no
+    * versions to read and heals by re-running createBranch). */
+  private[graft] def branchesOrPending(): Seq[String] =
+    WarehouseIO.childNames(logPath)
+      .collect { case n if n.startsWith("branch_") => n.stripPrefix("branch_") }
+      .filter(n => branchVersions(n).nonEmpty || WarehouseIO.isFile(
+        new org.apache.hadoop.fs.Path(branchLogPath(n), "base")))
+      .sorted
+
   /** Committed versions on a branch, oldest first. */
   def branchVersions(name: String): Seq[Int] =
     WarehouseIO.childNames(branchLogPath(name))
@@ -2902,7 +3007,12 @@ final class TableSink(val config: SinkConfig) {
     val head = branchHeadFiles(name)
     branchBaseVersion(name).filter(hasPendingDeletes) match {
       case None => readFiles(spark, head)
-      case Some(b) => applyDeletes(readFiles(spark, head), b)
+      // capturePos, like every other applyDeletes call site (round-14):
+      // a branch over a mixed-spine or clone manifest is a
+      // multi-relation union, where a position sidecar's `_metadata`
+      // fold is unresolvable unless captured per relation
+      case Some(b) => applyDeletes(readFiles(spark, head,
+        capturePos = true), b)
     }
   }
 
@@ -3066,10 +3176,15 @@ final class TableSink(val config: SinkConfig) {
     // files the clone now references: without the source's mapping the
     // clone would read pre-rename files' renamed column as NULL, and an
     // ALTER ADD on the clone could resurrect a dropped column's bytes
-    // (round-13). Copy both sidecars BEFORE the version file so a crash
-    // mid-clone can never leave a readable clone missing its mapping;
-    // from here the two tables' mappings diverge independently.
-    Seq("_graft_renames", "_graft_tombstones").foreach { n =>
+    // (round-13). The ALTER-declared schema rides along too (round-14,
+    // the WIDEN twin): a type-widened source leaves mixed narrow/wide
+    // file generations, and a clone without the declared schema would
+    // footer-infer — pinning whichever width the sampled file carried
+    // and failing the read on the other generation. Copy the sidecars
+    // BEFORE the version file so a crash mid-clone can never leave a
+    // readable clone missing its mapping; from here the two tables'
+    // declared layers diverge independently.
+    Seq("_graft_renames", "_graft_tombstones", "_graft_schema").foreach { n =>
       val srcF = new org.apache.hadoop.fs.Path(config.tablePath, n)
       if (WarehouseIO.isFile(srcF))
         WarehouseIO.writeString(
@@ -3098,9 +3213,16 @@ final class TableSink(val config: SinkConfig) {
     * or run SQL ALTER TABLE ADD COLUMNS, then re-apply. */
   private def requireAlignedBatch(incomingCols: Seq[String],
       baseCols: Seq[String], op: String): Unit = {
-    val derived = partitionColNames.toSet
+    // names compare case-INSENSITIVELY (round-14): Spark resolution is
+    // case-insensitive by default, so a batch column differing only in
+    // case projects fine — refusing it as both extra and missing would
+    // reject batches the apply itself handles (mirrors tombstonedIn)
+    val baseLower = baseCols.map(_.toLowerCase).toSet
+    val incomingLower = incomingCols.map(_.toLowerCase).toSet
+    val derived = partitionColNames.map(_.toLowerCase).toSet
     val extra = incomingCols
-      .filterNot(baseCols.contains).filterNot(derived)
+      .filterNot(c => baseLower(c.toLowerCase))
+      .filterNot(c => derived(c.toLowerCase))
     require(extra.isEmpty,
       s"$op batch carries columns the table lacks: " +
         s"${extra.mkString(", ")} — the table's schema is behind the " +
@@ -3108,7 +3230,7 @@ final class TableSink(val config: SinkConfig) {
         "hits this); evolve the table first — declare the new head " +
         "schema (SinkConfig.tableSchema) or SQL ALTER TABLE ADD COLUMNS " +
         "— instead of silently dropping the values")
-    val missing = baseCols.filterNot(incomingCols.contains)
+    val missing = baseCols.filterNot(c => incomingLower(c.toLowerCase))
     require(missing.isEmpty,
       s"$op batch is missing table columns: ${missing.mkString(", ")} — " +
         "supply them explicitly (NULL if semantically absent)")
@@ -3215,7 +3337,7 @@ final class TableSink(val config: SinkConfig) {
   def upsertMor(df: DataFrame, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "upsertMor needs at least one key column")
     requireNoStreamingLog()
-    val liveBranches = branches()
+    val liveBranches = branchesOrPending()
     require(liveBranches.isEmpty,
       "upsertMor while a branch is live would make the audit surface " +
         "disagree with main; publish or drop first: " +
@@ -3249,9 +3371,13 @@ final class TableSink(val config: SinkConfig) {
           col("__graft_pos").as("row_pos"))
         .localCheckpoint()
       try {
+        // select resolves case-insensitively (a batch may legally carry
+        // case-different names — round-14); toDF pins the TABLE's
+        // canonical names on the written files either way
+        val tableCols = base.columns.filterNot(c =>
+          c == "__graft_file" || c == "__graft_pos")
         commitMorMutation(spark, matched,
-          incoming.select(base.columns.filterNot(c =>
-            c == "__graft_file" || c == "__graft_pos").map(col): _*))
+          incoming.select(tableCols.map(col): _*).toDF(tableCols: _*))
         return
       } catch {
         case e: Throwable =>
@@ -3823,7 +3949,7 @@ final class TableSink(val config: SinkConfig) {
     // through (its base sidecar set is frozen at creation). Tags are
     // fine — sidecars are version-scoped, a tagged snapshot's semantics
     // never change.
-    val liveBranches = branches()
+    val liveBranches = branchesOrPending()
     require(liveBranches.isEmpty,
       "updateMor while a branch is live would make the audit surface " +
         "disagree with main; publish or drop first: " +
@@ -3909,6 +4035,76 @@ final class TableSink(val config: SinkConfig) {
       declared.fieldNames.filter(f => dead.contains(f.toLowerCase)).toSeq
     }
   }
+
+  /** Column names (lower-cased) referenced by LIVE merge-on-read delete
+    * sidecars — predicate attribute references plus key-list key
+    * columns. The ALTER door refuses DROP COLUMN on any of these
+    * (round-14): a pending predicate over a vanished column resolves
+    * BENEATH the projection — old files serve their physical value,
+    * post-drop files NULL, and `not(NULL)` silently drops every
+    * post-drop row — while a key-list anti-join dies unresolved. The
+    * remedy is real: consolidate/compact materializes the sidecars,
+    * then the DROP is a pure declared-layer projection again.
+    * Cost: O(sidecars) metadata — predicate parse + one footer read
+    * per key sidecar. RENAME needs no refusal: [[applyDeletes]] folds
+    * sidecar references through the rename map. */
+  def pendingSidecarColumnRefs(spark: SparkSession): Set[String] = {
+    if (!config.versioned) return Set.empty
+    val vs = snapshotVersions()
+    if (vs.isEmpty) return Set.empty
+    val idx = sidecarIndex()
+    vs.iterator.flatMap { v =>
+      val preds = idx.predicates(v).flatMap { p =>
+        scala.util.Try(org.apache.spark.sql.graft.Bridge
+          .parseExpression(spark, p)).toOption.toSeq.flatMap(_.collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => a.nameParts.head.toLowerCase
+          })
+      }
+      val keys = idx.keyDirs(v).flatMap(kd =>
+        spark.read.parquet(kd.toString).schema.fieldNames
+          .map(_.toLowerCase))
+      preds ++ keys
+    }.toSet
+  }
+
+  /** The ALTER-evolved declared schema (`_graft_schema`, written
+    * atomically by the SQL catalog's ALTER TABLE), when one governs
+    * this table. Streaming sources pin against THIS when present:
+    * after a type-widening ALTER the table mixes narrow and wide file
+    * generations, and only the declared schema makes the parquet/orc
+    * readers upcast the narrow ones — footer inference could pin
+    * either type depending on which file it sampled. */
+  def alterDeclaredSchema
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val p = new org.apache.hadoop.fs.Path(config.tablePath, "_graft_schema")
+    if (!WarehouseIO.isFile(p)) None
+    else Some(org.apache.spark.sql.types.DataType
+      .fromJson(WarehouseIO.readString(p))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Columns whose CURRENT declared type differs from `declared` —
+    * i.e. the table was retyped (type-WIDENING ALTER, the only retype
+    * the catalog admits) after that schema was pinned. A streaming
+    * source serving the pinned narrow shape would die in the parquet
+    * reader's raw conversion error on the first post-widen file;
+    * non-empty here means the source must refuse with the restart
+    * remedy instead — the WIDEN row of the round-13 evolution matrix,
+    * completing [[renamesSince]] (RENAME) and [[tombstonedIn]] (DROP).
+    * Returns `(column, pinnedType, declaredType)` triples. */
+  def retypedSince(declared: org.apache.spark.sql.types.StructType)
+      : Seq[(String, org.apache.spark.sql.types.DataType,
+             org.apache.spark.sql.types.DataType)] =
+    alterDeclaredSchema.fold(Seq.empty[(String,
+        org.apache.spark.sql.types.DataType,
+        org.apache.spark.sql.types.DataType)]) { cur =>
+      declared.fields.toSeq.flatMap { f =>
+        cur.fields.find(_.name.equalsIgnoreCase(f.name))
+          .filter(_.dataType != f.dataType)
+          .map(c => (f.name, f.dataType, c.dataType))
+      }
+    }
 
   /** The head snapshot's semantic rows WITH their physical coordinates
     * (`__graft_file`, `__graft_pos`) — the target frame a merge-on-read
@@ -4335,8 +4531,15 @@ final class TableSink(val config: SinkConfig) {
     val r =
       if (mergeSchema || renames.nonEmpty) r0.option("mergeSchema", "true")
       else r0
+    // same sidecar-declared-schema fallback as readFiles (round-14):
+    // an ALTER-widened table's mixed narrow/wide generations only read
+    // under the declared schema. An explicit mergeSchema=true call
+    // keeps inference — the caller asked for the union of the files.
+    val declared =
+      if (mergeSchema) config.tableSchema
+      else config.tableSchema.orElse(alterDeclaredSchema)
     val df = applyRenames(
-      config.tableSchema.map(augmentWithRenameSources(_, renames))
+      declared.map(augmentWithRenameSources(_, renames))
         .fold(r)(s => r.schema(s)).load(config.tablePath),
       renames)
     // live read = head-snapshot semantics: merge-on-read predicates apply
@@ -4537,7 +4740,11 @@ final class TableSink(val config: SinkConfig) {
         .option("basePath", config.tablePath)
         .load(config.tablePath)
     }
-    val schema = config.tableSchema.getOrElse(read(spark).schema)
+    // declared-schema preference mirrors readChangesStream (round-14):
+    // a post-widen restart must re-pin the WIDE declared type, or the
+    // refusal's restart remedy would not actually heal
+    val schema = config.tableSchema.orElse(alterDeclaredSchema)
+      .getOrElse(read(spark).schema)
     val r0 = spark.readStream
       .format("org.apache.spark.sql.graft.GraftTableStream")
       .schema(schema)

@@ -38,4 +38,11 @@ object Bridge {
   def parseExpression(spark: SparkSession, sql: String): Expression =
     spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
       .parseExpression(sql)
+
+  /** Block until the listener bus has delivered every queued event —
+    * `graft.Bench` reads task-metric accumulations (executorCpuTime)
+    * right after an action, and the bus is asynchronous. private[spark]
+    * surface, hence here. */
+  def drainListeners(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -38,10 +38,11 @@ import graft.{SinkConfig, TableSink}
   *    ([[TableSink.renamesSince]] / [[TableSink.tombstonedIn]]) — both
   *    would otherwise NULL-fill the pinned shape silently for
   *    post-evolution commits. Delta's schema-change contract.
-  *  - WIDENING retype: post-widen files physically change type; the
-  *    parquet reader fails the batch loudly at the conversion — same
-  *    remedy (restart re-pins), error raw by design (no silent path
-  *    exists to guard).
+  *  - WIDENING retype: refused per batch with the restart remedy
+  *    ([[TableSink.retypedSince]], round-14 — previously the raw
+  *    parquet conversion error); the restart re-pins the WIDE declared
+  *    schema (`_graft_schema` beats footer inference at pin time), so
+  *    the remedy genuinely heals: old narrow files upcast under it.
   */
 final class GraftTableStream extends StreamSourceProvider
     with DataSourceRegister {
@@ -61,11 +62,19 @@ final class GraftTableStream extends StreamSourceProvider
       versioned = true))
   }
 
+  /** Schema pin for a source created without an explicit schema: the
+    * ALTER-declared schema when one exists (after a type-widening ALTER
+    * it is the only schema that reads the mixed narrow/wide file
+    * generations — the reader upcasts under it, while footer inference
+    * pins whichever type the sampled file carried), else inference. */
+  private def pinSchema(sink: TableSink, spark: SparkSession): StructType =
+    sink.alterDeclaredSchema.getOrElse(sink.read(spark).schema)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     ("graft-table", schema.getOrElse(
-      mkSink(parameters).read(sqlContext.sparkSession).schema))
+      pinSchema(mkSink(parameters), sqlContext.sparkSession)))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -96,7 +105,7 @@ final class GraftTableStream extends StreamSourceProvider
         "as retraction rows")
     new GraftTableSource(sqlContext, mkSink(parameters),
       schema.getOrElse(
-        mkSink(parameters).read(sqlContext.sparkSession).schema),
+        pinSchema(mkSink(parameters), sqlContext.sparkSession)),
       changes = parameters.get("mode").contains("changes"),
       startingVersion = starting,
       startingTimestampMs = startingTs,
@@ -251,6 +260,21 @@ private[graft] final class GraftTableSource(sqlContext: SQLContext,
         s"(${droppedCols.mkString(", ")}): post-drop commits NULL-fill " +
         "them silently under the pinned shape; restart the stream from " +
         "a fresh checkpoint so its schema re-pins at the evolved head")
+    // WIDEN drift, completing the evolution matrix (round-14): a
+    // type-widening ALTER after the pin means post-widen files carry a
+    // physically wider type — the parquet reader would fail the batch
+    // with a raw conversion error under the pinned narrow shape. Same
+    // named refusal + remedy as RENAME/DROP; the restart genuinely
+    // heals because a fresh source pins the WIDE declared schema
+    // (see [[GraftTableStream.pinSchema]]) and old narrow files upcast.
+    val retyped = sink.retypedSince(tableSchema)
+    require(retyped.isEmpty,
+      "columns were RETYPED (type-widening ALTER) after this stream " +
+        s"pinned its schema (${retyped.map { case (c, from, to) =>
+          s"$c: ${from.sql} -> ${to.sql}" }.mkString(", ")}): post-widen " +
+        "files carry the wider physical type and cannot serve the " +
+        "pinned shape; restart the stream from a fresh checkpoint so " +
+        "its schema re-pins at the widened head")
     val batch: DataFrame = start match {
       case None if initialFloor.exists(_ >= e.version) =>
         // started at/after the current head: nothing to emit yet

@@ -45,31 +45,88 @@ class BranchSpec extends AnyFunSuite {
   }
 
   test("a crash-stranded branch dir (base written, v00001.list not) is " +
-    "NOT live: it blocks no sidecar commit, and re-creating heals it " +
-    "(round-13)") {
+    "excluded from READ paths but BLOCKS sidecar commits — its base is " +
+    "already pinned, so a sidecar above it would silently never apply " +
+    "to the branch view; re-creating or dropping heals (round-14)") {
     import org.apache.hadoop.fs.{Path => HPath}
     val sink = mkSink("wap_phantom")
     // simulate createBranch dying between its two writes
     WarehouseIO.writeString(
       new HPath(s"$wh/wap_phantom/_graft_log/branch_ghost", "base"), "1")
     assert(sink.branches().isEmpty,
-      "a branch with no committed version must not count as live")
-    // MoR sidecar commits proceed (pre-round-13 every flavor refused
-    // until the phantom was hand-dropped)
-    sink.deleteWhere("id = 1")
-    assert(sink.read(spark).count() == 2)
+      "a branch with no committed version must not serve reads")
+    // sidecar commits refuse while the base is pinned (round-14: the
+    // round-13 contract let them through — a sidecar landing above the
+    // phantom's base would be invisible to the branch's two-slice read
+    // once createBranch re-ran and went live)
+    val e = intercept[IllegalArgumentException](sink.deleteWhere("id = 1"))
+    assert(e.getMessage.contains("ghost"), e.getMessage)
     // re-creating the branch overwrites the stale base and goes live
     sink.createBranch("ghost")
     assert(sink.branches() == Seq("ghost"))
-    assert(sink.readBranch(spark, "ghost").count() == 2,
+    assert(sink.readBranch(spark, "ghost").count() == 3,
       "the healed branch must base on the CURRENT head, not the stale base")
     sink.dropBranch("ghost")
+    // with the phantom gone the sidecar commit proceeds
+    sink.deleteWhere("id = 1")
+    assert(sink.read(spark).count() == 2)
     // dropBranch also removes a phantom dir directly
     WarehouseIO.writeString(
       new HPath(s"$wh/wap_phantom/_graft_log/branch_ghost2", "base"), "1")
     sink.dropBranch("ghost2")
     assert(!WarehouseIO.exists(
       new HPath(s"$wh/wap_phantom/_graft_log/branch_ghost2")))
+  }
+
+  test("a branch created INSIDE the delete-commit window is not " +
+    "silently diverged: the claimed sidecar snapshot retracts and the " +
+    "delete refuses (round-14 claim-to-retract, like consolidate's)") {
+    val sink = mkSink("wap_race")
+    var fired = false
+    // fire exactly once, right before the sidecar commit's claim — the
+    // caller's pre-check has already passed by then
+    sink.raceWindowCheckHook = () => if (!fired) {
+      fired = true
+      sink.createBranch("interloper")
+    }
+    try {
+      val e = intercept[IllegalStateException](sink.deleteWhere("id = 1"))
+      assert(e.getMessage.contains("interloper"), e.getMessage)
+      assert(e.getMessage.contains("retracted"), e.getMessage)
+    } finally sink.raceWindowCheckHook = () => ()
+    // the retract left the log exactly as before the attempt: head is
+    // still v1, no sidecar applies, and the branch view equals main
+    assert(sink.snapshotVersions() == Seq(1))
+    assert(sink.read(spark).count() == 3)
+    assert(sink.readBranch(spark, "interloper").count() == 3)
+    // the remedy works: drop the branch, retry the delete
+    sink.dropBranch("interloper")
+    sink.deleteWhere("id = 1")
+    assert(sink.read(spark).count() == 2)
+  }
+
+  test("readBranch folds position sidecars over a MIXED-SPINE " +
+    "(partition-spec-evolved) manifest — the capture rides per scan " +
+    "relation, never an unresolvable `_metadata` on the union (round-14)") {
+    val gen1 = SinkConfig(tableName = "wap_mixed", warehousePath = wh,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity)))
+    new TableSink(gen1).append(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "cat", "v"))  // v1
+    val s2 = new TableSink(gen1.copy(partitionSpec = Nil))
+    s2.append(Seq((3L, "c", 30.0)).toDF("id", "cat", "v"))           // v2
+    s2.deletePositions(spark, "id = 1")            // v3: position sidecar
+    s2.createBranch("audit")                       // base = v3, MoR pending
+    val audit = s2.readBranch(spark, "audit")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(audit == Seq(2L, 3L),
+      s"base-slice position delete must fold across both spines: $audit")
+    // staged rows pass base-file position sidecars untouched
+    s2.appendToBranch("audit", Seq((9L, "z", 90.0)).toDF("id", "cat", "v"))
+    val staged = s2.readBranch(spark, "audit")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(staged == Seq(2L, 3L, 9L), s"got: $staged")
+    s2.dropBranch("audit")
   }
 
   test("dropped branch's files become orphans and are reclaimed") {

@@ -204,10 +204,20 @@ class ChangelogCursorSpec extends AnyFunSuite {
       warehousePath = wh, versioned = true,
       tableSchema = Some(spark.table("gcev.ev1").schema)))
     assert(declared.readChangelog(spark, 0, 3).count() == 5)
-    // an UNDECLARED sink cannot conform the boundary — precise refusal,
-    // not a generic unionByName resolver error
+    // a sink with NO explicit schema picks up the table's own
+    // ALTER-declared schema (`_graft_schema` sidecar fallback,
+    // round-14) and conforms the boundary the same way — the round-13
+    // refusal now applies only to tables with no declared layer at all
+    assert(sink.readChangelog(spark, 0, 3).count() == 5)
+    // ... which is exactly the LIBRARY-evolved shape: appends that grew
+    // the schema via mergeSchema, no ALTER ever run — each version
+    // infers its own shape and the precise refusal still stands
+    val libT = new TableSink(SinkConfig(tableName = "ev1_lib",
+      warehousePath = wh, versioned = true))
+    libT.append(Seq((1L, 10.0)).toDF("id", "v"))                    // v1
+    libT.append(Seq((2L, 20.0, 0.2)).toDF("id", "v", "score"))      // v2
     val e = intercept[IllegalArgumentException](
-      sink.readChangelog(spark, 0, 3).collect())
+      libT.readChangelog(spark, 0, 2).collect())
     assert(e.getMessage.contains("schema-evolution boundary"),
       s"got: ${e.getMessage}")
     // DROP COLUMN mid-history: the changelog replays under the shrunken

@@ -170,5 +170,52 @@ class CloneSpec extends AnyFunSuite {
     val tomb = new org.apache.hadoop.fs.Path(s"$wh/ren_dst",
       "_graft_renames")
     assert(WarehouseIO.isFile(tomb), "clone must own a rename mapping copy")
+    // RENAME-NAME-REUSE (round-14, the rename twin of the round-13
+    // tombstone-resurrection fix): re-ADDing the pre-rename physical
+    // name ON THE CLONE must refuse — the clone references source-era
+    // files that still carry `amount` bytes, and the rename fold would
+    // serve them under the re-added name instead of NULL
+    val addBack = intercept[Exception](spark.sql(
+      "ALTER TABLE gcl.ren_dst ADD COLUMNS (amount DOUBLE)"))
+    assert(addBack.getMessage.contains("resurrect"), addBack.getMessage)
+    // renaming another column ONTO the superseded physical name is the
+    // same aliasing and refuses too
+    val renBack = intercept[Exception](spark.sql(
+      "ALTER TABLE gcl.ren_dst RENAME COLUMN id TO amount"))
+    assert(renBack.getMessage.contains("resurrect"), renBack.getMessage)
+    // changelog replay on the clone serves pre-rename VALUES under the
+    // new name — never a resurrected `amount` column, never NULL
+    val chg = clone.readChangelogAll(spark)
+    assert(!chg.columns.contains("amount"),
+      s"changelog must not resurface the pre-rename name: ${chg.columns.toSeq}")
+    val chgRows = chg.select($"id", $"total", $"_change_type")
+      .as[(Long, Double, String)].collect().toSet
+    assert(chgRows == Set((1L, 10.0, "insert"), (2L, 20.0, "insert"),
+      (3L, 30.0, "insert")), s"got: $chgRows")
+  }
+
+  test("clone of a type-WIDENED table carries the declared schema — the " +
+    "WIDEN twin of the rename-map copy (round-14): both width " +
+    "generations read back upcast, library and catalog doors agree") {
+    spark.conf.set("spark.sql.catalog.gcl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcl.warehouse", wh)
+    spark.sql("CREATE TABLE gcl.wd_src (id BIGINT, n INT) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql("INSERT INTO gcl.wd_src VALUES (1, 100)")            // int32
+    spark.sql("ALTER TABLE gcl.wd_src ALTER COLUMN n TYPE BIGINT")
+    spark.sql("INSERT INTO gcl.wd_src VALUES (2, 5000000000)")     // int64
+    val src = new TableSink(SinkConfig(tableName = "wd_src",
+      warehousePath = wh, versioned = true))
+    val clone = src.shallowCloneTo(SinkConfig(tableName = "wd_dst",
+      warehousePath = wh, versioned = true))
+    // library read: without the copied `_graft_schema` this footer-
+    // infers one width and fails the scan on the other generation
+    val got = clone.read(spark).select($"id", $"n")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (2L, 5000000000L)), s"got: $got")
+    // catalog read of the clone serves the same upcast view
+    val viaSql = spark.sql("SELECT id, n FROM gcl.wd_dst ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(viaSql == Seq((1L, 100L), (2L, 5000000000L)), s"got: $viaSql")
   }
 }

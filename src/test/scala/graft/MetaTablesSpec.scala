@@ -156,4 +156,30 @@ class MetaTablesSpec extends AnyFunSuite {
       .getMessage.contains("versioned"))
     assert(unv.metaFiles(spark).agg(sum($"record_count")).as[Long].head() == 1L)
   }
+
+  test("metaFiles/metaPartitions serve MIXED-SPINE (partition-spec-" +
+    "evolved) tables: the inventory comes from per-relation capture, " +
+    "never an unresolvable `_metadata` on the generation union (round-14)") {
+    val gen1 = SinkConfig(tableName = "ms_mixed", warehousePath = wh,
+      versioned = true,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity)))
+    new TableSink(gen1).append(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "cat", "v")) // v1
+    val s2 = new TableSink(gen1.copy(partitionSpec = Nil))
+    s2.append(Seq((3L, "c", 30.0), (4L, "c", 40.0))
+      .toDF("id", "cat", "v"))                                      // v2
+    // files: every generation's files inventoried, counts exact
+    val files = s2.metaFiles(spark)
+    assert(files.agg(sum($"record_count")).as[Long].head() == 4L,
+      "counts must sum across BOTH spine generations")
+    assert(files.filter($"size_bytes" <= 0).count() == 0)
+    // partitions: gen-1 rows report their cat= spine, gen-2 report ''
+    val parts = s2.metaPartitions(spark)
+      .select($"partition", $"record_count")
+      .as[(String, Long)].collect().toMap
+    assert(parts.getOrElse("cat=a", 0L) == 1L, s"got: $parts")
+    assert(parts.getOrElse("cat=b", 0L) == 1L, s"got: $parts")
+    assert(parts.getOrElse("", 0L) == 2L,
+      s"unpartitioned generation must roll up under '': $parts")
+  }
 }

@@ -256,6 +256,27 @@ class MorUpdateSpec extends AnyFunSuite {
     assert(state(fresh) == Set((9L, "z", 9.0)))
   }
 
+  test("a batch whose column names differ only in CASE applies — Spark " +
+    "resolution is case-insensitive, so the alignment gate must not " +
+    "refuse it as both extra and missing (round-14); files land under " +
+    "the table's canonical names") {
+    val sink = mkSink("u12c")
+    // upper-cased batch: the round-13 gate rejected ID/CAT/V outright
+    sink.upsertMor(Seq((1L, "a", 11.0), (6L, "c", 60.0))
+      .toDF("ID", "CAT", "V"), Seq("ID"))
+    assert(state(sink) == Set((1L, "a", 11.0), (2L, "b", 20.0),
+      (3L, "a", 30.0), (6L, "c", 60.0)))
+    // written files carry the canonical lower-case names: a fresh read
+    // keeps serving every column, nothing NULL-filled under a case twin
+    assert(sink.read(spark).columns.toSet == Set("id", "cat", "v"))
+    assert(sink.read(spark).filter($"v".isNull || $"cat".isNull).count() == 0)
+    // a genuinely extra column still refuses with the evolve remedy
+    val e = intercept[IllegalArgumentException](
+      sink.upsertMor(Seq((1L, "a", 11.0, "x"))
+        .toDF("id", "cat", "v", "extra"), Seq("id")))
+    assert(e.getMessage.contains("schema is behind"), e.getMessage)
+  }
+
   test("insert-only upsertMor commits a PLAIN append — no empty position " +
     "sidecar, reads stay on the fast no-pending-deletes path (round-13)") {
     val sink = mkSink("u14b")

@@ -351,6 +351,128 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("changelog fold reconstructs the head across the MoR mutation " +
+    "family INTERLEAVED WITH SCHEMA EVOLUTION for random op sequences " +
+    "(round-14)") {
+    // The same two invariants as the MoR property — changelog-fold
+    // membership equals live membership, and the newest insert per live
+    // id carries the live value — but the op alphabet now includes the
+    // SQL door's schema evolution: ADD COLUMNS, RENAME COLUMN (of the
+    // value column — every subsequent op and both invariants switch to
+    // the new name), WIDEN (int->bigint on an added column), and DROP
+    // (of a previously-added scratch column). Three of round-13's four
+    // bugs were evolution x something interactions; random interleavings
+    // reach rename-over-pending-sidecar, widen-mid-history,
+    // drop-after-upsert and the other cells the deterministic specs
+    // cannot enumerate. Evolution ops that the engine REFUSES by
+    // contract (DROP of a sidecar-referenced column) are caught and
+    // skipped — the property exercises the legal alphabet.
+    val rnd = new scala.util.Random(902177L)
+    (1 to 2).foreach { round =>
+      val wh = TestSpark.tmpDir(s"chg_evo_prop_$round")
+      val cat = s"gevo$round"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, cat STRING, v DOUBLE) " +
+        "TBLPROPERTIES('versioned'='true')")
+      val sink = new TableSink(SinkConfig(tableName = "t",
+        warehousePath = wh, versioned = true))
+      var vName = "v"              // the value column's CURRENT name
+      var renameGen = 0
+      var addGen = 0
+      // scratch columns currently declared: name -> widened?
+      val scratch = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+      var nextId = 0L
+      def freshRows(n: Int) = (0 until n).map { _ =>
+        nextId += 1
+        (nextId, if (rnd.nextBoolean()) "a" else "b",
+          rnd.nextInt(100).toDouble)
+      }
+      // every batch carries the CURRENT declared shape (the keyed-apply
+      // alignment contract), scratch columns included
+      def mkBatch(rows: Seq[(Long, String, Double)]) =
+        scratch.foldLeft(rows.toDF("id", "cat", vName)) {
+          case (d, (name, wide)) => d.withColumn(name,
+            lit(rnd.nextInt(1000)).cast(if (wide) "bigint" else "int"))
+        }
+      (1 to 12).foreach { _ =>
+        rnd.nextInt(10) match {
+          case 0 | 1 => sink.append(mkBatch(freshRows(1 + rnd.nextInt(3))))
+          case 2 if sink.snapshotVersions().nonEmpty =>
+            if (rnd.nextBoolean())
+              sink.deleteWhere(s"$vName < ${rnd.nextInt(60)}.0")
+            else if (nextId > 0)
+              sink.deleteKeys(
+                Seq(1L + rnd.nextInt(nextId.toInt).toLong).toDF("id"),
+                Seq("id"))
+          case 3 if nextId > 0 =>
+            val existing = (0 until 1 + rnd.nextInt(2))
+              .map(_ => 1L + rnd.nextInt(nextId.toInt).toLong).distinct
+              .map(id => (id, if (rnd.nextBoolean()) "a" else "b",
+                500.0 + rnd.nextInt(100)))
+            sink.upsertMor(mkBatch(existing ++ freshRows(1)), Seq("id"))
+          case 4 if sink.snapshotVersions().nonEmpty =>
+            sink.updateMor(spark,
+              col(vName) < lit(rnd.nextInt(80).toDouble),
+              Seq(vName -> (col(vName) + 1000.0)))
+          case 5 if sink.snapshotVersions().lastOption
+              .exists(sink.hasPendingDeletes) =>
+            sink.consolidateDeletes(spark)
+          case 6 => // ADD a scratch column
+            addGen += 1
+            spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (s$addGen INT)")
+            scratch(s"s$addGen") = false
+          case 7 if renameGen < 2 => // RENAME the value column
+            renameGen += 1
+            val nw = s"v$renameGen$round"
+            spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN $vName TO $nw")
+            vName = nw
+          case 8 if scratch.exists(!_._2) => // WIDEN a scratch column
+            val name = scratch.collectFirst { case (n, false) => n }.get
+            spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN $name TYPE BIGINT")
+            scratch(name) = true
+          case 9 if scratch.nonEmpty => // DROP a scratch column
+            val name = scratch.keys.toSeq(rnd.nextInt(scratch.size))
+            // legal refusal when a pending sidecar references it — the
+            // scratch columns never appear in predicates/keys, so this
+            // drop is always sidecar-clean; refusals here would be bugs
+            spark.sql(s"ALTER TABLE $cat.t DROP COLUMN $name")
+            scratch.remove(name)
+          case _ => ()
+        }
+      }
+      if (sink.snapshotVersions().nonEmpty) {
+        val chg = sink.readChangelogAll(spark)
+          .select($"id", $"_change_type").as[(Long, String)].collect()
+        val folded = chg.groupBy(_._1).collect {
+          case (id, evs)
+            if evs.count(_._2 == "insert") > evs.count(_._2 == "delete") => id
+        }.toSet
+        val live = sink.read(spark).select($"id").as[Long].collect().toSet
+        assert(folded == live,
+          s"round $round: fold=$folded live=$live " +
+            s"versions=${sink.snapshotVersions()} vName=$vName")
+        // the VALUES fold under the CURRENT name — pre-rename inserts
+        // replay under it (the rename-map fold), post-widen reads
+        // upcast, and the newest insert per live id equals the live row
+        val lastIns = sink.readChangelogAll(spark)
+          .filter($"_change_type" === "insert")
+          .groupBy($"id")
+          .agg(max(struct($"_change_version", col(vName).as("vv"))).as("s"))
+          .select($"id", $"s.vv".as("vv")).as[(Long, Double)]
+          .collect().toMap
+        val liveRows = sink.read(spark).select($"id", col(vName))
+          .as[(Long, Double)].collect().toMap
+        liveRows.foreach { case (id, v) =>
+          assert(lastIns.get(id).contains(v),
+            s"round $round id $id: live $vName=$v newest changelog " +
+              s"insert=${lastIns.get(id)}")
+        }
+      }
+    }
+  }
+
   test("bigram LM: every log score non-positive, oov bounded by count") {
     // scores are probabilities ≤ 1 by construction: c2(prev,cur) ≤ c1(prev)
     // (non-final occurrences of prev), and backoff 0.4·c1(cur)/total < 1

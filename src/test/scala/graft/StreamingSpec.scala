@@ -654,8 +654,9 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("an ADD COLUMNS mid-stream is BENIGN (the pinned shape keeps " +
-    "serving faithfully) and a WIDENING retype mid-stream fails loudly " +
-    "at the type boundary with restart re-pinning both (round-13)") {
+    "serving faithfully) and a WIDENING retype mid-stream refuses " +
+    "precisely with the restart remedy; the restart re-pins the WIDE " +
+    "declared schema (round-14)") {
     import spark.implicits._
     val wh = TestSpark.tmpDir("stream_add_wh")
     spark.conf.set("spark.sql.catalog.gsad", classOf[GraftCatalog].getName)
@@ -683,9 +684,9 @@ class StreamingSpec extends AnyFunSuite {
       assert(!spark.table("adstream").columns.contains("score"),
         "the pinned shape must not grow mid-stream")
     } finally q.stop()
-    // WIDEN mid-stream: post-widen files physically change type — the
-    // batch fails LOUDLY (parquet conversion / schema mismatch; raw by
-    // design, no silent path exists), and a fresh stream re-pins
+    // WIDEN mid-stream: refused PRECISELY with the restart remedy
+    // (round-14 — previously the raw parquet conversion error), the
+    // last cell of the evolution matrix: same contract as RENAME/DROP
     spark.conf.set("spark.sql.catalog.gswd", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gswd.warehouse", wh)
     spark.sql("CREATE TABLE gswd.wd (id BIGINT, n INT) " +
@@ -702,11 +703,18 @@ class StreamingSpec extends AnyFunSuite {
       q2.processAllAvailable()
       spark.sql("ALTER TABLE gswd.wd ALTER COLUMN n TYPE BIGINT")
       spark.sql("INSERT INTO gswd.wd VALUES (2, 5000000000)")
-      intercept[Exception](q2.processAllAvailable())
+      val e = intercept[Exception](q2.processAllAvailable())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("RETYPED"), s"got: $msgs")
+      assert(msgs.contains("restart the stream"), s"got: $msgs")
     } finally q2.stop()
+    // the remedy genuinely heals — and WITHOUT an explicit schema: the
+    // fresh source pins the WIDE declared schema (_graft_schema beats
+    // footer inference, which could sample the narrow pre-widen file)
     val sink3 = new TableSink(SinkConfig(tableName = "wd",
-      warehousePath = wh, versioned = true,
-      tableSchema = Some(spark.table("gswd.wd").schema)))
+      warehousePath = wh, versioned = true))
     val q3 = sink3.readStream(spark).writeStream.format("memory")
       .queryName("wdstream2")
       .option("checkpointLocation", TestSpark.tmpDir("stream_widen_cp2"))
