@@ -2009,6 +2009,67 @@ object ParityQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_amt
       |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Changelog replay across a TYPE-WIDENING boundary (round-14): the
+    * fourth evolution kind, completing [[changelogEvolved]] (ADD) and
+    * [[changelogRenamed]] (RENAME). Ingest under INT, `ALTER COLUMN …
+    * TYPE BIGINT`, ingest values an int32 cannot hold, MoR-delete a
+    * predicate spanning BOTH file generations, aggregate the full
+    * changelog. The replay must read mixed narrow/wide generations in
+    * one pass — the declared-schema fallback (`_graft_schema` beats
+    * footer inference) upcasts the old int32 files; inference would pin
+    * whichever width the sampled footer carried and fail the scan on
+    * the other generation. `total_uid` would be wrong, not just the
+    * schema, if the narrow generation NULL-filled or truncated. */
+  def changelogWidened(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val wh = "/root/repo/target/tmp/graft_catalog_wh"
+    val tbl =
+      s"events_chwd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val src = s"evsrcwd_${tbl.takeRight(8)}"
+    e.createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE graft_cat.$tbl " +
+      "(event_id BIGINT, uid INT, value DOUBLE) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +                       // v1
+      s"SELECT event_id, CAST(user_id AS INT), value FROM $src " +
+      "WHERE event_id % 3 <> 0")
+    spark.sql(s"ALTER TABLE graft_cat.$tbl ALTER COLUMN uid TYPE BIGINT")
+    spark.sql(s"INSERT INTO graft_cat.$tbl " +                       // v2
+      s"SELECT event_id, user_id + 5000000000, value FROM $src " +
+      "WHERE event_id % 3 = 0")
+    val sink = new TableSink(SinkConfig(tableName = tbl,
+      warehousePath = wh, versioned = true))
+    sink.deleteWhere("value < 100.0")                                // v3
+    spark.sql(
+      s"""SELECT _change_version, _change_type, COUNT(*) AS n,
+         |  CAST(SUM(uid) AS BIGINT) AS total_uid,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM graft_cat.$tbl.changes
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val changelogWidenedSql: String =
+    """WITH v1 AS (SELECT CAST(CAST(user_id AS INTEGER) AS BIGINT) AS uid,
+      |              value FROM events WHERE event_id % 3 <> 0),
+      |v2 AS (SELECT user_id + 5000000000 AS uid, value
+      |       FROM events WHERE event_id % 3 = 0),
+      |chg AS (
+      |  SELECT 1 AS _change_version, 'insert' AS _change_type, * FROM v1
+      |  UNION ALL
+      |  SELECT 2, 'insert', * FROM v2
+      |  UNION ALL
+      |  SELECT 3, 'delete', * FROM (
+      |    SELECT * FROM v1 WHERE coalesce(value < 100.0, FALSE)
+      |    UNION ALL
+      |    SELECT * FROM v2 WHERE coalesce(value < 100.0, FALSE)))
+      |SELECT CAST(_change_version AS BIGINT) AS _change_version,
+      |  _change_type, COUNT(*) AS n,
+      |  CAST(SUM(uid) AS BIGINT) AS total_uid,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** TYPE-WIDENING schema evolution through the pure-SQL door: ingest
     * under INT, `ALTER COLUMN … TYPE BIGINT`, insert a value a 32-bit
     * int cannot hold, aggregate — old int32 files upcast at scan under
