@@ -153,8 +153,14 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullJson)
     catch { case NonFatal(e) =>
       System.err.println(s"WARN could not write bench record to $out: $e") }
-    // FINAL stdout line: totals + the fixed headline subset — compact
-    // enough to survive the driver's bounded stdout tail intact
+    // stdout carries BOTH records: first the FULL per-query line (the
+    // complete `queries` map — nothing removed vs earlier rounds; if the
+    // driver's bounded tail truncates it, target/bench.json holds the
+    // same bytes), then LAST a compact headline line small enough to
+    // survive that tail intact so the driver can parse totals + the
+    // fixed subset (rounds 12-13 recorded `"parsed": null` because the
+    // full line alone never fit).
+    println(fullJson)
     val head = Headline.flatMap(n => results.get(n).map(n -> _._1))
     val json =
       s"""{"metric":"total","value":${f4(wallTotal)},"unit":"sec",""" +

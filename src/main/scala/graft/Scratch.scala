@@ -15,6 +15,15 @@ object Scratch {
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) taskCpuNs.addAndGet(m.executorCpuTime)
+        }
+      })
     args.foreach {
       case "split:changelog_replicate" => replicateSplit(spark, sfDir)
       case "split:changelog_incremental" => incrementalSplit(spark, sfDir)
@@ -24,11 +33,19 @@ object Scratch {
       case "split:mor_read" => morReadSplit(spark, sfDir)
       case "split:sql_partitioned" => sqlPartitionedSplit(spark, sfDir)
       case "split:stream_pushdown" => streamPushdownSplit(spark, sfDir)
+      case "split:stream_join" => streamJoinSplit(spark, sfDir)
+      case "split:sink_roundtrip" => sinkRoundtripSplit(spark, sfDir, "parquet")
+      case "split:sink_roundtrip_orc" => sinkRoundtripSplit(spark, sfDir, "orc")
       case n =>
         (1 to 2).foreach { i =>
+          Scratch.drainBus(spark)
+          val cpu0 = taskCpuNs.get()
           val t0 = System.nanoTime()
           val c = SparkEntry.queries(n)(spark, sfDir).count()
-          println(f"[scratch] $n run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($c rows)")
+          val wall = (System.nanoTime() - t0) / 1e9
+          Scratch.drainBus(spark)
+          val cpu = (taskCpuNs.get() - cpu0) / 1e9
+          println(f"[scratch] $n run$i: $wall%.3f s (cpu $cpu%.3f s, $c rows)")
         }
     }
     spark.stop()
@@ -226,6 +243,87 @@ object Scratch {
         sink.rollbackTo(1)
       } finally q.stop()
     }
+  }
+
+  private def drainBus(spark: SparkSession): Unit =
+    org.apache.spark.sql.graft.Bridge.drainListeners(spark)
+
+  /** Phase attribution for q_sink_roundtrip[_orc]: append vs read+agg,
+    * plus the file count the partitioned write produced (r14: is the
+    * 5 CPU-sec ORC number writer-per-file overhead?). */
+  private def sinkRoundtripSplit(spark: SparkSession, sfDir: String,
+      fmt: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    (1 to 2).foreach { i =>
+      val e = Tables.events(spark, sfDir)
+      val dest = s"/root/repo/target/tmp/graft_wh_${java.util.UUID.randomUUID()}"
+      val sink = new TableSink(SinkConfig(
+        tableName = "events_rt_split", warehousePath = dest,
+        numPartitions = 4, fileFormat = fmt,
+        partitionSpec = Seq(
+          PartitionField("event_type", Transform.Identity),
+          PartitionField("ts", Transform.Day, Some("event_date"))),
+        sortOrder = Seq("event_id")))
+      def timed[A](what: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[split] run$i $what: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      timed("append")(sink.append(e))
+      val nFiles = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(sink.config.tablePath))
+        try s.iterator().asScala.count(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith("."))
+        finally s.close()
+      }
+      println(s"[split] run$i data files: $nFiles")
+      timed("read+agg")(sink.read(spark)
+        .groupBy($"event_type", $"event_date".cast("string").as("event_date"))
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy($"event_type", $"event_date").count())
+    }
+  }
+
+  /** Attribution for q_stream_join's wall time (r14: 9.2 s wall vs
+    * ~1 s executor CPU): runs the exact declared query, then dumps every
+    * micro-batch's StreamingQueryProgress durationMs breakdown
+    * (addBatch / getBatch / walCommit / stateStore commit live there) so
+    * the wait is attributable to a phase instead of read as one blob. */
+  private def streamJoinSplit(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val progresses =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        progresses.add(e.progress)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(l)
+    try (1 to 2).foreach { i =>
+      progresses.clear()
+      val t0 = System.nanoTime()
+      val c = SparkEntry.queries("q_stream_join")(spark, sfDir).count()
+      println(f"[split] run$i total: ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+        s" ($c rows, ${progresses.size} progress events)")
+      import scala.jdk.CollectionConverters._
+      progresses.asScala.zipWithIndex.foreach { case (p, bi) =>
+        val dm = p.durationMs.asScala.map { case (k, v) => s"$k=$v" }
+          .toSeq.sorted.mkString(" ")
+        println(s"[split] run$i batch$bi rows=${p.numInputRows} $dm")
+      }
+    } finally spark.streams.removeListener(l)
   }
 
   private def morReadSplit(spark: SparkSession, sfDir: String): Unit = {

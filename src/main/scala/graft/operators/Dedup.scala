@@ -204,7 +204,21 @@ object Dedup {
     val sh = docs.select(col("doc_id"),
       explode(VectorExpressions.shinglesOf(docs.sparkSession,
         split(col("text"), " "), n)).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // OPTIMIZATION r14 (guide §2.4): shinglesOf emits DISTINCT shingles,
+    // so the per-doc shingle count is just size() of the un-exploded
+    // array — map-side, one row per doc, no explode pass and no
+    // groupBy(doc_id) exchange. The former count-after-explode shape
+    // re-evaluated the whole tokenize+shingle pipeline a second time and
+    // shuffled |corpus|·|shingles| rows to count them. (cast long keeps
+    // the n_sh column type the count() produced — consumers emit it.)
+    // The explicit repartition makes the two join references (sa/sb in
+    // the consumers) share ONE reused exchange — without it each side
+    // re-evaluates the tokenize+shingle projection — and lands the frame
+    // pre-partitioned on the join key.
+    val sizes = docs.select(col("doc_id"),
+      size(VectorExpressions.shinglesOf(docs.sparkSession,
+        split(col("text"), " "), n)).cast("long").as("n_sh"))
+      .repartition(col("doc_id"))
     val postings = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
     val capped = maxShingleDf.fold(postings)(cap =>
@@ -514,16 +528,26 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val nbrMin = edges.join(labels, edges("id_b") === labels("doc_id"))
+      // SHUFFLE_HASH hints (guide §3.1): the label vector is the smaller
+      // per-partition side of both joins and neither needs sort order —
+      // skips sort-merge's two sorts per join per round; strategy only.
+      val nbrMin = edges.join(labels.hint("shuffle_hash"),
+          edges("id_b") === labels("doc_id"))
         .groupBy(col("id_a")).agg(min(col("component")).as("nbr_comp"))
       val updated = labels
-        .join(nbrMin, labels("doc_id") === nbrMin("id_a"), "left")
+        .join(nbrMin.hint("shuffle_hash"),
+          labels("doc_id") === nbrMin("id_a"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_comp"), col("component")))
             .as("component"))
-      // checkpoint every 3rd round: enough to keep lineage (and the task
-      // binary) bounded without materializing a full label copy per round
-      labels = if (iter % 3 == 2) updated.localCheckpoint() else updated
+      // OPTIMIZATION r14 (guide §5 caching): checkpoint EVERY round, not
+      // every 3rd — `labels` is referenced twice per round (the neighbor
+      // join AND the update join) plus once by the convergence aggregate,
+      // so an unmaterialized round re-ran its whole since-last-checkpoint
+      // lineage up to 3× per reference. The label frame is |docs| rows of
+      // two longs — materializing it is the cheap side of that trade at
+      // any corpus size.
+      labels = updated.localCheckpoint()
       val s = labelSum()
       converged = s == prevSum
       prevSum = s

@@ -442,12 +442,27 @@ object RelationalExt {
     val perSupp = Tables.lineitem(spark, sfDir)
       .groupBy($"l_orderkey", $"l_suppkey")
       .agg(max($"l_shipdate").as("m"))
-    val perOrder = perSupp.groupBy($"l_orderkey")
-      .agg(max($"m").as("mx"), count(lit(1)).as("n_supp"))
-    val atMax = perSupp.join(perOrder, "l_orderkey").filter($"m" === $"mx")
-    val nAtMax = atMax.groupBy($"l_orderkey").agg(count(lit(1)).as("n_max"))
-    val blamed = atMax.join(nAtMax, "l_orderkey")
-      .filter($"n_supp" >= 2 && $"n_max" === 1)
+    // OPTIMIZATION r14 (guide §2.4): the aggregate-then-join cascade
+    // (perOrder / atMax / nAtMax / blamed) referenced perSupp four times,
+    // so the plan scanned lineitem 4× and repeated the (orderkey, suppkey)
+    // aggregate 4× across 24 exchanges. One window pass over perSupp
+    // computes the same three per-order facts behind a single exchange:
+    // ordered by m DESC, the row at rn=1 is the latest supplier, it is
+    // UNIQUELY latest iff the next row ships strictly earlier
+    // (lead/lag-free: the full-frame count gives n_supp, and with rn=1
+    // the "next" value is just the second-largest m — read via the
+    // 1-row-following frame max). Identical blame set: rn=1 ∧ n_supp≥2 ∧
+    // next_m < m  ⟺  m = max ∧ n_supp≥2 ∧ |at-max| = 1.
+    val wo = Window.partitionBy($"l_orderkey").orderBy($"m".desc)
+    val flagged = perSupp
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("next_m", lead($"m", 1).over(wo))
+      .withColumn("n_supp", count(lit(1)).over(
+        Window.partitionBy($"l_orderkey")
+          .orderBy($"m".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val blamed = flagged
+      .filter($"rn" === 1 && $"n_supp" >= 2 && $"next_m" < $"m")
     val counts = blamed
       .join(Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name"),
         $"l_suppkey" === $"s_suppkey")

