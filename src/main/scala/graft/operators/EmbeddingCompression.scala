@@ -150,28 +150,42 @@ object EmbeddingCompression {
     val mat = upper.unionByName(
         upper.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("m")))
-      .localCheckpoint()
     require(iters >= 1, "need iters >= 1")
     val spark = embeddings.sparkSession
-    var v = spark.range(1, dim + 1).toDF("d")
-      .select(col("d"), lit(1000000000L).as("v"), lit(0L).as("mx"))
+    // OPTIMIZATION r14 (guide §1.2/§5): the DATA-scale work is the Gram
+    // reduction above (one distributed pass over the corpus); the power
+    // iteration itself runs on a dim×dim integer matrix — 4096 longs at
+    // dim 64, corpus-size-INDEPENDENT bounded metadata, the same class
+    // as the O(versions) manifest collects. The former 12-step
+    // DataFrame loop cost ~36 tiny Spark jobs (join + checkpoint +
+    // max-abs aggregate per step, each materialized to dodge 2^iters
+    // plan expansion); one collect of the matrix and exact driver-side
+    // integer math replays the identical arithmetic: w = Σ m·v in long
+    // (no overflow: |m| ≤ 1e6-scale quantized moments, |v| ≤ 1e9, 64
+    // terms), then BigInt for the (abs(w)·1e9) div mx renormalization —
+    // the same widening the DECIMAL(38,0) cast and the oracle's HUGEINT
+    // provided.
+    val entries = mat.collect() // dim² bounded, never corpus-sized
+    val m = Array.fill(dim + 1, dim + 1)(0L)
+    entries.foreach(r => m(r.getLong(0).toInt)(r.getLong(1).toInt) =
+      r.getLong(2))
+    var v = Array.fill(dim + 1)(1000000000L)
+    var mx = 0L
     for (_ <- 1 to iters) {
-      // the step reads w twice (components + max-abs): checkpoint the
-      // d-row intermediates so the lazy plan cannot re-expand the whole
-      // iteration history 2^iters times
-      val w = mat.join(v, mat("j") === v("d"))
-        .groupBy(mat("i").as("d"))
-        .agg(sum(col("m") * col("v")).as("w"))
-        .localCheckpoint()
-      val mx = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("mx"))
-      v = w.crossJoin(broadcast(mx))
-        .select(col("d"),
-          (when(col("w") < 0, -1L).otherwise(1L) *
-            expr("(CAST(abs(w) AS DECIMAL(38,0)) * 1000000000) div mx"))
-            .as("v"),
-          col("mx"))
+      val w = Array.tabulate(dim + 1) { i =>
+        var s = 0L; var j = 1
+        while (j <= dim) { s += m(i)(j) * v(j); j += 1 }
+        s
+      }
+      mx = math.max(w.drop(1).map(math.abs).max, 1L)
+      v = Array.tabulate(dim + 1) { i =>
+        if (i == 0) 0L
+        else (if (w(i) < 0) -1L else 1L) *
+          ((BigInt(math.abs(w(i))) * 1000000000L) / mx).toLong
+      }
     }
-    v.select(col("d"), col("v").as("v_nano"), col("mx").as("growth"))
+    import spark.implicits._
+    (1 to dim).map(d => (d.toLong, v(d), mx)).toDF("d", "v_nano", "growth")
   }
 
   /** Per-vector symmetric int8 quantization audit.

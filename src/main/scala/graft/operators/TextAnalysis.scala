@@ -645,18 +645,38 @@ object TextAnalysis {
     * window over the counts. */
   def repetitionStats(docs: DataFrame, n: Int = 2,
       topFracMax: Double = 0.08, dupFracMax: Double = 0.12): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-      explode(ngramsAll(tokens(col("text")), n)).as("g"))
-    val counts = grams.groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
-    counts.groupBy(col("doc_id")).agg(
-        sum(col("cnt")).as("n_grams"),
-        min(struct((-col("cnt")).as("negc"), col("g").as("g"))).as("top"),
-        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup"))
-      .select(col("doc_id"), col("n_grams"),
-        col("top.g").as("top_gram"),
-        (-col("top.negc") / col("n_grams")).as("top_frac"),
-        (col("dup") / col("n_grams")).as("dup_frac"))
+    // OPTIMIZATION r14 (guide §2.4 remove shuffles, §4 built-ins): the
+    // statistics are strictly PER-DOCUMENT, so the former explode →
+    // groupBy(doc, gram) → groupBy(doc) pipeline shuffled the entire
+    // n-gram stream twice for what one row-local fold computes: sort the
+    // doc's grams (equal grams become adjacent), then a single
+    // `aggregate` pass tracks the current run length, the best
+    // (longest, lexicographically-first — strict > over the sorted
+    // array) run, and the duplicated-occurrence count. Zero exchanges;
+    // per-row state is one struct; identical values to the grouped form
+    // (the old arg-max min(struct(-cnt, g)) is exactly "longest run,
+    // lexicographically smallest gram").
+    val folded = aggregate(
+      sort_array(ngramsAll(tokens(col("text")), n)),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(null).cast("string").as("bestg"),
+        lit(0L).as("dup"), lit(0L).as("n")),
+      (acc, g) => {
+        val run = when(acc.getField("prev") === g,
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        val dup = acc.getField("dup") + when(run === 2L, 2L)
+          .when(run > 2L, 1L).otherwise(0L)
+        val isBetter = run > acc.getField("best")
+        struct(g.as("prev"), run.as("run"),
+          when(isBetter, run).otherwise(acc.getField("best")).as("best"),
+          when(isBetter, g).otherwise(acc.getField("bestg")).as("bestg"),
+          dup.as("dup"), (acc.getField("n") + 1L).as("n"))
+      })
+    docs.select(col("doc_id"), folded.as("f"))
+      .select(col("doc_id"), col("f.n").as("n_grams"),
+        col("f.bestg").as("top_gram"),
+        (col("f.best") / col("f.n")).as("top_frac"),
+        (col("f.dup") / col("f.n")).as("dup_frac"))
       .withColumn("keep",
         col("top_frac") <= topFracMax && col("dup_frac") <= dupFracMax)
   }

@@ -139,33 +139,48 @@ object VectorExpressions {
     * (~2^30) fingerprint expected ~10^17/2^30 ≈ 10^8 colliding pairs at
     * that scale, and a collision biased EVERY lane identically because all
     * lanes are affine in the one fingerprint. */
-  private[graft] def codepointFp(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val str = s.toString
-    var fp = 0L
+  /** OPTIMIZATION r14 (guide §4 per-row work): fold the code points of a
+    * UTF8String without `toString` — the UTF-16 transcode allocated a
+    * String + char[] per shingle in the former form, and these folds sit
+    * in the hottest interpreted kernels (MinHash/SimHash). Decoding
+    * UTF-8 directly yields exactly `String.codePointAt`'s sequence for
+    * the valid UTF-8 Spark strings carry. `step(acc, cp)` must be the
+    * per-code-point fold. */
+  @inline private[graft] def foldCp(
+      s: org.apache.spark.unsafe.types.UTF8String, acc0: Long)(
+      step: (Long, Int) => Long): Long = {
+    var acc = acc0
+    val nb = s.numBytes()
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
-      fp = mulmodM61(fp, 31L) + cp
-      if (fp >= M61) fp -= M61
-      i += Character.charCount(cp)
+    while (i < nb) {
+      val b0 = s.getByte(i) & 0xFF
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if (b0 < 0xE0) {
+        cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); i += 2
+      } else if (b0 < 0xF0) {
+        cp = ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
+          (s.getByte(i + 2) & 0x3F); i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
+          ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F); i += 4
+      }
+      acc = step(acc, cp)
     }
-    fp
+    acc
   }
+
+  private[graft] def codepointFp(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    foldCp(s, 0L) { (acc, cp) =>
+      val fp = mulmodM61(acc, 31L) + cp
+      if (fp >= M61) fp - M61 else fp
+    }
 
   /** Rolling codepoint hash mod 2^64 (Long wrap IS mod 2^64) followed by the
     * splitmix64 finalizer for avalanche — both stages are pure integer
     * arithmetic a SQL oracle can replay in 128-bit columns. */
-  private[graft] def codepointHash64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val str = s.toString
-    var h = 0L
-    var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
-      h = h * 31 + cp
-      i += Character.charCount(cp)
-    }
-    mix64(h)
-  }
+  private[graft] def codepointHash64(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    mix64(foldCp(s, 0L)((h, cp) => h * 31 + cp))
 
   /** splitmix64 finalizer (public-domain constant set). */
   private[graft] def mix64(z0: Long): Long = {
@@ -197,6 +212,86 @@ object VectorExpressions {
       var i = 0
       while (i < n) {
         val fp = codepointFp(arr.getUTF8String(i))
+        var h = 0
+        while (h < numHashes) {
+          var hv = mulmodM61(as(h), fp) + bs(h)
+          if (hv >= P) hv -= P
+          if (hv < sig(h)) sig(h) = hv
+          h += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** OPTIMIZATION r14 (guide §4): MinHash signature straight from the
+    * TOKEN array — numerically identical to
+    * `MinhashSig(ShinglesExpr(tokens, n), numHashes)` but with no shingle
+    * strings ever materialized. The rolling M61 polynomial is linear, so
+    * each n-token window's fingerprint falls out of prefix hashes:
+    * with S_k = "t1 … tk" (space-joined) and W = "ti … tj",
+    *   fp(S_j) = fp(S_{i-1} ++ " ")·31^len(W) + fp(W)  (mod M61)
+    * ⇒ fp(W) = fp(S_j) − (fp(S_{i-1})·31 + 32)·31^len(W), all exact in
+    * the prime field — bit-identical to folding the built shingle string
+    * (KernelFusionSpec pins this). Shingle dedup is dropped because the
+    * per-lane MIN is duplicate-invariant. O(total code points) per doc
+    * instead of O(n · code points) string building + refolding. */
+  case class MinhashTokensSig(child: Expression, n: Int, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    private val P = M61
+    private lazy val as: Array[Long] =
+      Array.tabulate(numHashes)(i => (2654435761L * (i + 1)) % P)
+    private lazy val bs: Array[Long] =
+      Array.tabulate(numHashes)(i => (40503L * (i + 1) + 12345L) % P)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      // prefix fingerprints/code-point lengths over the space-joined stream
+      val ph = new Array[Long](m + 1)
+      val pc = new Array[Int](m + 1)
+      var acc = 0L
+      var cnt = 0
+      var k = 0
+      while (k < m) {
+        if (k > 0) {
+          acc = mulmodM61(acc, 31L) + 32L
+          if (acc >= P) acc -= P
+          cnt += 1
+        }
+        var local = 0
+        acc = foldCp(arr.getUTF8String(k), acc) { (a, cp) =>
+          local += 1
+          val t = mulmodM61(a, 31L) + cp
+          if (t >= P) t - P else t
+        }
+        cnt += local
+        ph(k + 1) = acc
+        pc(k + 1) = cnt
+        k += 1
+      }
+      val pow = new Array[Long](cnt + 1)
+      pow(0) = 1L
+      var p = 1
+      while (p <= cnt) { pow(p) = mulmodM61(pow(p - 1), 31L); p += 1 }
+      val count = math.max(m - n + 1, 1)
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < count) {
+        val j = math.min(i + n, m)
+        val fp =
+          if (i == 0) ph(j)
+          else {
+            val lenW = pc(j) - pc(i) - 1
+            var pre = mulmodM61(ph(i), 31L) + 32L
+            if (pre >= P) pre -= P
+            var w = ph(j) - mulmodM61(pre, pow(lenW))
+            if (w < 0) w += P
+            w
+          }
         var h = 0
         while (h < numHashes) {
           var hv = mulmodM61(as(h), fp) + bs(h)
@@ -378,6 +473,16 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, es => MinhashSig(es.head, numHashes), "built-in")
     call_function(name, sh)
+  }
+
+  /** [[MinhashTokensSig]] — MinHash lanes straight from the token array
+    * (identical values to `minhashSig(shinglesOf(tokens, n), k)`). */
+  def minhashTokensSig(spark: SparkSession, tokens: Column, n: Int,
+      numHashes: Int): Column = {
+    val name = s"graft_minhash_toks_${n}_$numHashes"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, es => MinhashTokensSig(es.head, n, numHashes), "built-in")
+    call_function(name, tokens)
   }
 
   def simhash(spark: SparkSession, tokens: Column): Column = {

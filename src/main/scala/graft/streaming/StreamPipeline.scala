@@ -963,10 +963,11 @@ object StreamPipeline {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val bands = 16
     val rpb = 4 // rows per band; bands * rpb = 64 signature lanes
+    // fused token-array kernel (r14) — identical lanes to
+    // minhashSig(shinglesOf(...)), no per-window shingle strings
     val sig = docs.select(col("doc_id"),
-      VectorExpressions.minhashSig(spark,
-        VectorExpressions.shinglesOf(spark, split(col("text"), " "), 5),
-        bands * rpb).as("sig"))
+      VectorExpressions.minhashTokensSig(spark,
+        split(col("text"), " "), 5, bands * rpb).as("sig"))
     val bucketed = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
