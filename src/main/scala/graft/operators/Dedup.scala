@@ -512,8 +512,14 @@ object Dedup {
       .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
         bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
           .cast("long").as("hamming")) // long: matches the oracle's BIGINT
-      .dropDuplicates("id_a", "id_b")
+      // OPTIMIZATION r14 (guide §2.3): hamming is a pure function of the
+      // pair — identical on every duplicate of the same (a, b) — so the
+      // distance filter commutes with the cross-band dedup; filtering
+      // FIRST shuffles only the ≤ maxDist survivors instead of the full
+      // Σ|bucket|² candidate fan-out (measured 768 k → ~6 k rows at
+      // sf0.1 through the dedup exchange).
       .filter(col("hamming") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Connected components over the near-duplicate pair graph: the step
@@ -730,26 +736,28 @@ object Dedup {
     val all = e.select(col("vec_id"), col("v"),
       posexplode(VectorExpressions.hyperplaneSig(spark, col("raw"), planes,
         bitsPerTable)).as(Seq("t", "h")))
-    // cap via aggregate + broadcast semi-join (bucket cardinality is
-    // bounded at numTables · 2^bitsPerTable — broadcast-sized at any
-    // corpus size), saving the window's full shuffle + sort of the
-    // exploded signature table; same kept-row semantics
-    val bucketed = maxBucket.fold(all) { cap =>
-      val small = all.groupBy(col("t"), col("h"))
-        .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= cap).drop("bsz")
-      all.join(broadcast(small), Seq("t", "h"))
-    }
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
-          col("a.vec_id") < col("b.vec_id"))
+    // OPTIMIZATION r14 (guide §2.4, §2.3 — same shape as knnGraph): ONE
+    // groupBy-collect_list pass per (t, h) bucket (signature pipeline
+    // evaluated once, the cap a free size() filter) instead of the
+    // bucket self-join that re-ran it per side; the 9-dp cosine rides
+    // the exploded pair (pure per pair, so it commutes with the
+    // cross-table dedup) and only threshold survivors' 16-byte id pairs
+    // reach the dedup exchange — never the vectors.
+    val grouped = all.groupBy(col("t"), col("h"))
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("xs"))
+    val capped = maxBucket.fold(grouped)(c =>
+      grouped.filter(size(col("xs")) <= c))
+    capped
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+        // 9-dp rounding before the threshold: same borderline-pair armor
+        // as embeddingNearDup / the sim_* rankings
+        round(VectorExpressions.vecDot(spark, col("a.v"), col("b.v")), 9)
+          .as("c9"))
+      .filter(col("c9") >= threshold)
       .dropDuplicates("id_a", "id_b")
-      // 9-dp rounding before the threshold: same borderline-pair armor as
-      // embeddingNearDup / the sim_* rankings
-      .filter(round(VectorExpressions.vecDot(spark, col("va"), col("vb")), 9)
-        >= threshold)
       .select("id_a", "id_b")
   }
 

@@ -1169,6 +1169,7 @@ object TextAnalysis {
     // shuffle carries ≤ |docs|·buckets pre-reduced rows.
     val db = tb.groupBy(col("doc_id"), col("is_target"), col("b"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // 3 consumers; see naiveBayesConfusion's note
     val bc = db.groupBy(col("b"))
       .agg(sum(col("tf")).as("raw_c"),
         sum(when(col("is_target"), col("tf")).otherwise(0L)).as("tgt_c"))
@@ -1258,16 +1259,19 @@ object TextAnalysis {
         explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("label"),
         pmod(fingerprint(col("tok")), lit(buckets.toLong)).as("b"))
-    // OPTIMIZATION r14 (guide §2.4): label rides the per-doc tf rollup so
-    // the class-conditional counts aggregate FROM it (Σ tf ≡ the token
-    // count) instead of from the raw token stream. The former two
-    // groupBys keyed the same tokenize+hash subtree on different keys —
-    // no exchange to reuse, so the corpus was tokenized twice and the
-    // full token stream shuffled twice; now both consumers sit behind
-    // the one (doc, label, bucket) exchange (ReuseExchange dedups it)
-    // and the class rollup shuffles ≤ |docs|·buckets pre-reduced rows.
+    // OPTIMIZATION r14 (guide §2.4, §5): label rides the per-doc tf
+    // rollup so the class-conditional counts aggregate FROM it (Σ tf ≡
+    // the token count) instead of from the raw token stream — the former
+    // two groupBys keyed the same tokenize+hash subtree on different
+    // keys and tokenized the corpus twice. The rollup is MATERIALIZED
+    // once (≤ |docs|·buckets rows of four longs): its three consumers
+    // (class histogram, its totals, the scoring join) each re-ran the
+    // tokenize map stage otherwise — measured 3 identical 96 k-row map
+    // stages per query at sf0.1; AQE's stage cache did not deduplicate
+    // them.
     val db = tb.groupBy(col("doc_id"), col("label"), col("b"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // class-conditional bucket log-probs: |classes| x buckets rows
     val cb = db.groupBy(col("label"), col("b")).agg(sum(col("tf")).as("cnt"))
     val ctot = cb.groupBy(col("label")).agg(sum(col("cnt")).as("c_tot"))
