@@ -547,7 +547,24 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()                 // batch 0: history replay
-      sink.deleteWhere("v = 10.0")            // v3: delete a v1 row
+      // diagnostic wrapper (round-14): this test failed ONLY under the
+      // full parallel suite twice, with deleteWhere seeing no committed
+      // snapshot after two successful catalog INSERTs — dump the table
+      // dir state so the failing run is attributable
+      try sink.deleteWhere("v = 10.0")        // v3: delete a v1 row
+      catch { case e: IllegalArgumentException =>
+        val walk = new StringBuilder
+        def ls(p: java.io.File, ind: String): Unit = {
+          walk.append(s"$ind${p.getName}\n")
+          val cs = p.listFiles()
+          if (cs != null) cs.sortBy(_.getName).foreach(c => ls(c, ind + "  "))
+        }
+        ls(new java.io.File(wh), "")
+        throw new IllegalArgumentException(
+          s"${e.getMessage}\n[diagnostic] catalog table state under $wh:\n" +
+            s"$walk\n[diagnostic] sink.tablePath=${sink.config.tablePath} " +
+            s"versions=${sink.snapshotVersions()}", e)
+      }
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.read.parquet(out)
